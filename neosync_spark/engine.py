@@ -1,0 +1,177 @@
+"""ReplayEngine — the micro-batch driver loop.
+
+The Spark-first re-conception of the reference's table-sync workflow
+(/root/reference/worker/pkg/workflows/tablesync/workflow/workflow.go:67-111:
+activity loop over continuation tokens): each iteration reads one lsn
+slice of the change log, LWW-dedups it (partial-agg, skew-proof),
+anonymizes payload columns with the vectorized transformer UDFs, and
+MERGEs it into the SnapshotTable; the applied range + snapshot id
+commit atomically in the manifest ledger, so a crash/restart resumes
+exactly-once (reference analog: continuation-token.go:27-52 resume +
+retry⇒DO-NOTHING idempotence, output_sql_insert.go:189-191).
+
+Batch ranges are fixed-size lsn windows anchored at the log's min lsn —
+deterministic across restarts, so the ledger's exact range matching is
+sound. Events inside a batch need no ordering (LWW is order-free) and
+batches may arrive with late timestamps (tombstones make cross-batch
+LWW globally correct).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.transformers import TransformFn, as_udf, key_col
+from .lakehouse import CommitInfo, SnapshotTable
+from .operators.dedup import lww_dedup
+from .operators.skew import salted_repartition
+from .schema import KEY_COLS
+from .schema_registry import SchemaRegistry, ensure_table_schema
+from .sources.changelog import ChangeLogSource
+
+
+@dataclass
+class EngineConfig:
+    batch_lsn_size: int = 500_000
+    salt_partitions: int | None = None  # pre-transform fan-out; None = skip
+    salt_buckets: int = 8
+    lineage: bool = True
+
+
+@dataclass
+class ReplayStats:
+    batches_applied: int = 0
+    batches_skipped: int = 0
+    rows_applied: int = 0
+    commits: list[CommitInfo] = field(default_factory=list)
+    schema_ops: list[dict] = field(default_factory=list)
+
+
+class ReplayEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: SnapshotTable,
+        transforms: dict[str, TransformFn] | None = None,
+        registry: SchemaRegistry | None = None,
+        config: EngineConfig | None = None,
+    ):
+        self.spark = spark
+        self.table = table
+        self.transforms = transforms or {}
+        self.registry = registry
+        self.config = config or EngineConfig()
+
+    # ---------- stages ----------
+
+    def dedup_batch(self, batch: DataFrame) -> DataFrame:
+        """In-batch LWW: one event per (conv_id, turn_idx), max (ts, lsn).
+        Partial-agg plan — hot keys collapse map-side (no salting needed
+        for the key-grouped stage; see operators/dedup.py)."""
+        return lww_dedup(batch, KEY_COLS, ["ts", "lsn"])
+
+    def transform_batch(self, batch: DataFrame) -> DataFrame:
+        """Apply the anonymization UDFs to payload columns. Row-local →
+        safe to salt-repartition on conv_id for hot-conversation
+        splitting before the (Python-bound) UDF stage."""
+        if not self.transforms:
+            return batch
+        out = batch
+        if self.config.salt_partitions:
+            out = salted_repartition(
+                out,
+                "conv_id",
+                self.config.salt_partitions,
+                self.config.salt_buckets,
+            )
+        k = key_col(*KEY_COLS)
+        for col, fn in self.transforms.items():
+            if col in out.columns:
+                out = out.withColumn(col, as_udf(fn)(F.col(col), k))
+        return out
+
+    def pandas_transform(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        """The SAME transforms applied in pandas — the oracle path."""
+        if not self.transforms:
+            return pdf
+        out = pdf.copy()
+        keys = (
+            out["conv_id"].astype(str) + "|" + out["turn_idx"].astype(str)
+        )
+        for col, fn in self.transforms.items():
+            if col in out.columns:
+                out[col] = fn(out[col], keys)
+        return out
+
+    # ---------- driver loop ----------
+
+    def plan_ranges(
+        self, lsn_lo: int, lsn_hi: int
+    ) -> list[tuple[int, int]]:
+        """Fixed-size ranges anchored at lsn_lo (inclusive→exclusive)."""
+        size = self.config.batch_lsn_size
+        out = []
+        lo = lsn_lo
+        while lo <= lsn_hi:
+            out.append((lo, lo + size))
+            lo += size
+        return out
+
+    def apply_batch(
+        self, batch: DataFrame, applied_range: tuple[int, int]
+    ) -> CommitInfo:
+        deduped = self.dedup_batch(batch)
+        transformed = self.transform_batch(deduped)
+        return self.table.merge_cdc(
+            transformed, applied_range=applied_range, lineage=self.config.lineage
+        )
+
+    def replay(
+        self,
+        source: ChangeLogSource | Callable[[int, int], DataFrame],
+        lsn_lo: int | None = None,
+        lsn_hi: int | None = None,
+        stop_after_batches: int | None = None,
+    ) -> ReplayStats:
+        """Replay the change log into the table, resuming from the
+        ledger. ``stop_after_batches`` models a crash for the resume
+        tests (reference: ContinueAsNew after 100 pages,
+        worker/internal/cmds/worker/serve/serve.go:385)."""
+        if isinstance(source, ChangeLogSource):
+            if lsn_lo is None or lsn_hi is None:
+                bounds = source.lsn_bounds()
+                if bounds is None:
+                    return ReplayStats()
+                lsn_lo = bounds[0] if lsn_lo is None else lsn_lo
+                lsn_hi = bounds[1] if lsn_hi is None else lsn_hi
+            slicer = source.slice
+        else:
+            assert lsn_lo is not None and lsn_hi is not None
+            slicer = source
+
+        stats = ReplayStats()
+        for lo, hi in self.plan_ranges(lsn_lo, lsn_hi):
+            if self.table.is_applied(lo, hi):
+                stats.batches_skipped += 1
+                continue
+            if self.registry is not None and self.registry.versions:
+                declared = self.registry.version_for_lsn(hi - 1)
+                ops = ensure_table_schema(
+                    self.table, declared.schema, self.registry.policy
+                )
+                stats.schema_ops.extend(ops)
+            info = self.apply_batch(slicer(lo, hi), (lo, hi))
+            stats.batches_applied += 1
+            stats.rows_applied += info.rows_written
+            stats.commits.append(info)
+            if (
+                stop_after_batches is not None
+                and stats.batches_applied >= stop_after_batches
+            ):
+                break
+        return stats

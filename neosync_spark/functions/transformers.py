@@ -1,0 +1,737 @@
+"""The anonymization transformer library — seeded, vectorized, pure.
+
+Re-implements the semantics of the reference's bloblang transformer
+plugins (registry /root/reference/worker/pkg/benthos/transformers/
+gen_neosync_transformers.go:6-54) as pandas-batch functions suitable for
+Arrow-vectorized ``pandas_udf`` execution. NOT a port: the reference is
+message-at-a-time Go with a mutex-guarded PCG rng
+(/root/reference/worker/pkg/rng/rng.go:24-31); here every output is a
+pure function of ``(global_seed, row_key, value)`` via splitmix64-style
+hashing, so the same row transforms identically under any partitioning,
+task retry, or speculative re-execution — and the test oracle can call
+the very same functions.
+
+Each transformer is exposed two ways:
+
+* ``fn(values: pd.Series, keys: pd.Series) -> pd.Series`` — direct
+  pandas call (oracle path / unit tests);
+* ``as_udf(fn)`` — wraps it into a ``pandas_udf(StringType())`` for the
+  DataFrame pipeline: ``df.withColumn("text", udf("text", key_col))``.
+
+Length clamping mirrors the reference's maxLength handling
+(/root/reference/internal/benthos/benthos-builder/builders/processors.go:533-536).
+"""
+
+from __future__ import annotations
+
+import re
+import string
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..util import hash_series, mix64, str_seed, u01
+from . import datasets as D
+
+TransformFn = Callable[[pd.Series, pd.Series], pd.Series]
+
+_LOWER = np.frombuffer(string.ascii_lowercase.encode(), dtype=np.uint8)
+_UPPER = np.frombuffer(string.ascii_uppercase.encode(), dtype=np.uint8)
+_DIGIT = np.frombuffer(string.digits.encode(), dtype=np.uint8)
+_SPECIALS = "!@#$%^&*()_+-=[]{};:,./<>?"
+
+
+def _row_hashes(seed: int, name: str, keys: pd.Series, values: pd.Series) -> np.ndarray:
+    """One uint64 per row: f(global seed, transformer name, key, value)."""
+    return mix64(seed, str_seed(name), hash_series(keys), hash_series(values))
+
+
+def _stream(h: np.ndarray | int, j: int) -> np.ndarray:
+    """j-th derived hash from a base row hash."""
+    return mix64(h, j + 1)
+
+
+def _pick(arr: list[str], h: np.ndarray) -> np.ndarray:
+    return np.asarray(arr, dtype=object)[(h % np.uint64(len(arr))).astype(np.int64)]
+
+
+def _pick1(arr: list[str], h) -> str:
+    return arr[int(np.uint64(h) % np.uint64(len(arr)))]
+
+
+def _rand_chars(h: int, length: int, alphabet: str) -> str:
+    """Deterministic random string of `length` from a scalar hash."""
+    if length <= 0:
+        return ""
+    idx = mix64(int(h), np.arange(length, dtype=np.uint64)) % np.uint64(len(alphabet))
+    a = np.frombuffer(alphabet.encode(), dtype=np.uint8)
+    return a[idx.astype(np.int64)].tobytes().decode()
+
+
+def _clamp(s: str, max_length: int | None) -> str:
+    if max_length is not None and len(s) > max_length:
+        return s[:max_length]
+    return s
+
+
+def as_udf(fn: TransformFn, return_type: T.DataType | None = None):
+    """Wrap a (values, keys) pandas function as an Arrow pandas_udf."""
+    rt = return_type or T.StringType()
+
+    @F.pandas_udf(rt)
+    def _udf(values: pd.Series, keys: pd.Series) -> pd.Series:
+        return fn(values, keys)
+
+    return _udf
+
+
+def key_col(*cols: str):
+    """Canonical row-key column for seeding: 'conv-x|3'."""
+    return F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+
+
+# --------------------------------------------------------------------------
+# transform_* (value-preserving anonymizers)
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = re.compile(r"^[^@\s]+@[^@\s]+\.[^@\s]+$")
+
+
+def transform_email(
+    seed: int = 42,
+    preserve_length: bool = False,
+    preserve_domain: bool = False,
+    excluded_domains: tuple[str, ...] = (),
+    invalid_email_action: str = "generate",
+    max_length: int | None = None,
+) -> TransformFn:
+    """Anonymize an email address.
+
+    Semantics follow /root/reference/worker/pkg/benthos/transformers/
+    transform_email.go:248-355: empty → null; domain exclusion FLIPS the
+    preserve_domain decision (:294-302); the name part becomes a
+    generated name/hex string (same length when preserve_length);
+    invalid emails handled per action ∈ {reject, passthrough, null,
+    generate}.
+    """
+    excluded = {d.lower() for d in excluded_domains}
+
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        hs = _row_hashes(seed, "transform_email", keys, values)
+        out = []
+        for v, h in zip(values, hs):
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                out.append(None)
+                continue
+            v = str(v)
+            if v == "":
+                out.append(None)
+                continue
+            if not _EMAIL_RE.match(v):
+                if invalid_email_action == "passthrough":
+                    out.append(_clamp(v, max_length))
+                elif invalid_email_action == "null":
+                    out.append(None)
+                elif invalid_email_action == "reject":
+                    raise ValueError(f"invalid email: {v!r}")
+                else:  # generate
+                    local = _rand_chars(_stream(h, 0), 8, string.ascii_lowercase)
+                    dom = str(_pick(D.EMAIL_DOMAINS, _stream(h, 1)))
+                    out.append(_clamp(f"{local}@{dom}", max_length))
+                continue
+            local, domain = v.rsplit("@", 1)
+            keep_domain = preserve_domain
+            if domain.lower() in excluded:
+                keep_domain = not keep_domain  # exclusion flips preservation
+            new_domain = (
+                domain if keep_domain else str(_pick(D.EMAIL_DOMAINS, _stream(h, 1)))
+            )
+            if preserve_length:
+                new_local = _rand_chars(
+                    _stream(h, 0), len(local), string.ascii_lowercase + string.digits
+                )
+            else:
+                first = str(_pick(D.FIRST_NAMES, _stream(h, 2))).lower()
+                sfx = _rand_chars(_stream(h, 3), 4, string.digits)
+                new_local = f"{first}{sfx}"
+            out.append(_clamp(f"{new_local}@{new_domain}", max_length))
+        return pd.Series(out, index=values.index, dtype=object)
+
+    return fn
+
+
+def _name_transform(
+    name: str, names: list[str], by_len: dict[int, list[str]]
+) -> Callable[..., TransformFn]:
+    def make(
+        seed: int = 42, preserve_length: bool = False, max_length: int | None = None
+    ) -> TransformFn:
+        def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+            hs = _row_hashes(seed, name, keys, values)
+            out = []
+            for v, h in zip(values, hs):
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    out.append(None)
+                    continue
+                v = str(v)
+                if preserve_length:
+                    pool = by_len.get(len(v))
+                    if pool:
+                        nv = str(_pick(pool, _stream(h, 0)))
+                    else:
+                        # no same-length name: random padded (reference
+                        # pads with generateRandomCharacterString on miss)
+                        nv = _rand_chars(_stream(h, 0), len(v), string.ascii_lowercase).capitalize()
+                else:
+                    nv = str(_pick(names, _stream(h, 0)))
+                out.append(_clamp(nv, max_length))
+            return pd.Series(out, index=values.index, dtype=object)
+
+        return fn
+
+    return make
+
+
+transform_first_name = _name_transform(
+    "transform_first_name", D.FIRST_NAMES, D.FIRST_BY_LEN
+)
+transform_last_name = _name_transform(
+    "transform_last_name", D.LAST_NAMES, D.LAST_BY_LEN
+)
+
+
+def transform_full_name(
+    seed: int = 42, preserve_length: bool = False, max_length: int | None = None
+) -> TransformFn:
+    first = transform_first_name(seed, False, None)
+    last = transform_last_name(seed, False, None)
+
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        f = first(values, keys)
+        l_ = last(values, keys)
+        out = []
+        for v, a, b in zip(values, f, l_):
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                out.append(None)
+                continue
+            nv = f"{a} {b}"
+            if preserve_length and len(nv) != len(str(v)):
+                target = len(str(v))
+                nv = (nv + "x" * target)[:target] if target > 0 else ""
+            out.append(_clamp(nv, max_length))
+        return pd.Series(out, index=values.index, dtype=object)
+
+    return fn
+
+
+def transform_string(
+    seed: int = 42,
+    preserve_length: bool = True,
+    min_length: int = 1,
+    max_length: int | None = 20,
+) -> TransformFn:
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        hs = _row_hashes(seed, "transform_string", keys, values)
+        out = []
+        for v, h in zip(values, hs):
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                out.append(None)
+                continue
+            v = str(v)
+            if preserve_length:
+                n = len(v)
+            else:
+                hi = max_length or 20
+                n = min_length + int(
+                    _stream(h, 1) % np.uint64(max(1, hi - min_length + 1))
+                )
+            out.append(_rand_chars(_stream(h, 0), n, string.ascii_lowercase + string.digits))
+        return pd.Series(out, index=values.index, dtype=object)
+
+    return fn
+
+
+def transform_character_scramble(
+    seed: int = 42, user_provided_regex: str | None = None
+) -> TransformFn:
+    """Per-character class-preserving substitution: letters→letters
+    (case kept), digits→digits, whitespace and other characters kept
+    (/root/reference/worker/pkg/benthos/transformers/
+    transform_character_scramble.go:121-196). With a regex, only matched
+    regions are scrambled (:126-154)."""
+    pattern = re.compile(user_provided_regex) if user_provided_regex else None
+
+    def scramble_str(v: str, h: np.uint64) -> str:
+        b = np.frombuffer(v.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+        # random stream per char position
+        r = mix64(int(h), np.arange(len(b), dtype=np.uint64))
+        lower = (b >= 97) & (b <= 122)
+        upper = (b >= 65) & (b <= 90)
+        digit = (b >= 48) & (b <= 57)
+        out = b.copy()
+        out[lower] = _LOWER[(r[lower] % np.uint64(26)).astype(np.int64)]
+        out[upper] = _UPPER[(r[upper] % np.uint64(26)).astype(np.int64)]
+        out[digit] = _DIGIT[(r[digit] % np.uint64(10)).astype(np.int64)]
+        return out.tobytes().decode("utf-8", "surrogatepass")
+
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        hs = _row_hashes(seed, "transform_character_scramble", keys, values)
+        out = []
+        for v, h in zip(values, hs):
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                out.append(None)
+                continue
+            v = str(v)
+            if pattern is None:
+                out.append(scramble_str(v, h))
+            else:
+                pieces, last = [], 0
+                for j, m in enumerate(pattern.finditer(v)):
+                    pieces.append(v[last : m.start()])
+                    pieces.append(scramble_str(m.group(0), _stream(h, j)))
+                    last = m.end()
+                pieces.append(v[last:])
+                out.append("".join(pieces))
+        return pd.Series(out, index=values.index, dtype=object)
+
+    return fn
+
+
+def transform_int64(
+    seed: int = 42, randomization_range_min: int = 10, randomization_range_max: int = 100
+) -> TransformFn:
+    """value ± bounds (reference transform_int64.go:97-120:
+    minRange = v - rMin, maxRange = v + rMax). Fully vectorized."""
+
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        hs = _row_hashes(seed, "transform_int64", keys, values.astype("string"))
+        v = values.to_numpy(dtype="float64", na_value=np.nan)
+        span = float(randomization_range_min + randomization_range_max)
+        delta = np.floor(u01(hs) * (span + 1.0)) - float(randomization_range_min)
+        out = v + delta
+        res = pd.array(out, dtype="Int64")
+        res[pd.isna(values).to_numpy()] = pd.NA
+        return pd.Series(res, index=values.index)
+
+    return fn
+
+
+def transform_float64(
+    seed: int = 42,
+    randomization_range_min: float = 10.0,
+    randomization_range_max: float = 100.0,
+    precision: int | None = None,
+    scale: int | None = None,
+) -> TransformFn:
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        hs = _row_hashes(seed, "transform_float64", keys, values.astype("string"))
+        v = values.to_numpy(dtype="float64", na_value=np.nan)
+        span = randomization_range_min + randomization_range_max
+        out = v + (u01(hs) * span - randomization_range_min)
+        if scale is not None:
+            out = np.round(out, scale)
+        return pd.Series(out, index=values.index)
+
+    return fn
+
+
+def transform_string_phone_number(
+    seed: int = 42, preserve_length: bool = True, max_length: int | None = None
+) -> TransformFn:
+    """Digits replaced by random digits, formatting kept when
+    preserve_length, else a fresh 10-digit number."""
+
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        hs = _row_hashes(seed, "transform_string_phone_number", keys, values)
+        out = []
+        for v, h in zip(values, hs):
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                out.append(None)
+                continue
+            v = str(v)
+            if preserve_length:
+                b = list(v)
+                r = mix64(int(h), np.arange(len(b), dtype=np.uint64))
+                for i2, ch in enumerate(b):
+                    if ch.isdigit():
+                        b[i2] = str(int(r[i2] % np.uint64(10)))
+                out.append(_clamp("".join(b), max_length))
+            else:
+                out.append(_clamp(_rand_chars(_stream(h, 0), 10, string.digits), max_length))
+        return pd.Series(out, index=values.index, dtype=object)
+
+    return fn
+
+
+def transform_e164_phone_number(
+    seed: int = 42, preserve_length: bool = True, max_length: int | None = None
+) -> TransformFn:
+    inner = transform_string_phone_number(seed, preserve_length, max_length)
+
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        res = inner(values, keys)
+        # keep leading '+' and country code digit count; inner already
+        # preserves formatting positions
+        return res
+
+    return fn
+
+
+def transform_int64_phone_number(seed: int = 42) -> TransformFn:
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        hs = _row_hashes(seed, "transform_int64_phone_number", keys, values.astype("string"))
+        num = (hs % np.uint64(9_000_000_000)) + np.uint64(1_000_000_000)
+        res = pd.array(num.astype(np.int64), dtype="Int64")
+        res[pd.isna(values).to_numpy()] = pd.NA
+        return pd.Series(res, index=values.index)
+
+    return fn
+
+
+def transform_uuid(seed: int = 42) -> TransformFn:
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        hs = _row_hashes(seed, "transform_uuid", keys, values)
+        h2 = _stream(hs, 0)
+        out = []
+        for a, b, v in zip(hs, h2, values):
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                out.append(None)
+                continue
+            raw = int(a).to_bytes(8, "big") + int(b).to_bytes(8, "big")
+            x = bytearray(raw)
+            x[6] = (x[6] & 0x0F) | 0x40  # version 4
+            x[8] = (x[8] & 0x3F) | 0x80  # variant
+            hx = x.hex()
+            out.append(f"{hx[:8]}-{hx[8:12]}-{hx[12:16]}-{hx[16:20]}-{hx[20:]}")
+        return pd.Series(out, index=values.index, dtype=object)
+
+    return fn
+
+
+# --------------------------------------------------------------------------
+# transform_pii_text — regex/deny-list PII redaction over free text
+# --------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?\d[\d\-\.\s\(\)]{6,}\d"
+PII_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+def transform_pii_text(
+    seed: int = 42,
+    allowed_phrases: tuple[str, ...] = (),
+    allowed_entities: tuple[str, ...] | None = None,
+    deny_words: tuple[str, ...] = (),
+    entity_replacements: dict[str, str] | None = None,
+) -> TransformFn:
+    """Free-text PII redaction via regex recognizers + deny-word lists —
+    the OSS-scope variant of the reference's transform_pii_text
+    (/root/reference/worker/pkg/benthos/transformers/
+    transform_pii_text.go:18-135; param semantics :92-129). The
+    reference delegates NER to a per-value Presidio RPC; here the
+    recognizers run in-executor, vectorized per Arrow batch.
+
+    Entities: EMAIL_ADDRESS, PHONE_NUMBER, US_SSN, DENY_WORD.
+    ``allowed_phrases`` are never redacted; ``allowed_entities`` (when
+    set) limits which recognizers run; replacement defaults to
+    ``<ENTITY_TYPE>``.
+    """
+    repl = entity_replacements or {}
+    recognizers: list[tuple[str, re.Pattern]] = []
+    ents = allowed_entities
+
+    def want(e: str) -> bool:
+        return ents is None or e in ents
+
+    if want("EMAIL_ADDRESS"):
+        recognizers.append(("EMAIL_ADDRESS", re.compile(PII_EMAIL_RE)))
+    if want("US_SSN"):
+        recognizers.append(("US_SSN", re.compile(PII_SSN_RE)))
+    if want("PHONE_NUMBER"):
+        recognizers.append(("PHONE_NUMBER", re.compile(PII_PHONE_RE)))
+    if deny_words and want("DENY_WORD"):
+        dw = sorted(deny_words, key=len, reverse=True)
+        recognizers.append(
+            ("DENY_WORD", re.compile(r"(?i)\b(?:" + "|".join(map(re.escape, dw)) + r")\b"))
+        )
+
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        out = []
+        for v in values:
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                out.append(None)
+                continue
+            s = str(v)
+            for ent, pat in recognizers:
+                token = repl.get(ent, f"<{ent}>")
+
+                def sub(m: re.Match, _t=token) -> str:
+                    if any(p in m.group(0) for p in allowed_phrases):
+                        return m.group(0)
+                    return _t
+
+                s = pat.sub(sub, s)
+            out.append(s)
+        return pd.Series(out, index=values.index, dtype=object)
+
+    return fn
+
+
+# --------------------------------------------------------------------------
+# generate_* (synthesize-from-nothing; keyed by row key for determinism)
+# --------------------------------------------------------------------------
+
+
+def _generator(name: str, make_one: Callable[[np.uint64], object]):
+    def make(seed: int = 42, **kw) -> TransformFn:
+        def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+            hs = mix64(seed, str_seed(name), hash_series(keys))
+            out = [make_one(h, **kw) for h in hs]
+            return pd.Series(out, index=keys.index, dtype=object)
+
+        return fn
+
+    return make
+
+
+def _gen_first(h, **kw):
+    return str(_pick(D.FIRST_NAMES, _stream(h, 0)))
+
+
+def _gen_last(h, **kw):
+    return str(_pick(D.LAST_NAMES, _stream(h, 0)))
+
+
+generate_first_name = _generator("generate_first_name", _gen_first)
+generate_last_name = _generator("generate_last_name", _gen_last)
+generate_full_name = _generator(
+    "generate_full_name", lambda h, **kw: f"{_gen_first(h)} {_gen_last(_stream(h, 9))}"
+)
+generate_email = _generator(
+    "generate_email",
+    lambda h, **kw: (
+        f"{_gen_first(h).lower()}.{_gen_last(_stream(h, 9)).lower()}"
+        f"{int(_stream(h, 1) % np.uint64(100))}@{_pick(D.EMAIL_DOMAINS, _stream(h, 2))}"
+    ),
+)
+generate_bool = _generator("generate_bool", lambda h, **kw: bool(h % np.uint64(2)))
+generate_uuid = _generator(
+    "generate_uuid",
+    lambda h, **kw: (
+        lambda hx: f"{hx[:8]}-{hx[8:12]}-4{hx[13:16]}-8{hx[17:20]}-{hx[20:32]}"
+    )((int(h).to_bytes(8, "big") + int(_stream(h, 0)).to_bytes(8, "big")).hex()),
+)
+generate_city = _generator("generate_city", lambda h, **kw: _pick1(D.CITIES, h))
+generate_state = _generator(
+    "generate_state",
+    lambda h, full_name=False, **kw: str(
+        _pick1(D.STATE_NAMES if full_name else D.STATES, h)
+    ),
+)
+generate_zipcode = _generator(
+    "generate_zipcode", lambda h, **kw: str(int(h % np.uint64(90000)) + 10000)
+)
+generate_country = _generator(
+    "generate_country",
+    lambda h, full_name=False, **kw: D.COUNTRIES[int(h % np.uint64(len(D.COUNTRIES)))][
+        1 if full_name else 0
+    ],
+)
+generate_gender = _generator(
+    "generate_gender", lambda h, abbreviate=False, **kw: (
+        _pick1(D.GENDERS, h)[:1] if abbreviate else _pick1(D.GENDERS, h)
+    )
+)
+generate_street_address = _generator(
+    "generate_street_address",
+    lambda h, **kw: f"{int(h % np.uint64(9900)) + 100} {_pick(D.STREETS, _stream(h, 1))}",
+)
+generate_full_address = _generator(
+    "generate_full_address",
+    lambda h, **kw: (
+        f"{int(h % np.uint64(9900)) + 100} {_pick(D.STREETS, _stream(h, 1))}, "
+        f"{_pick(D.CITIES, _stream(h, 2))}, {_pick(D.STATES, _stream(h, 3))} "
+        f"{int(_stream(h, 4) % np.uint64(90000)) + 10000}"
+    ),
+)
+generate_business_name = _generator(
+    "generate_business_name",
+    lambda h, **kw: f"{_pick1(D.BUSINESS_WORDS, h)} {_pick(D.BUSINESS_SUFFIXES, _stream(h, 1))}",
+)
+generate_username = _generator(
+    "generate_username",
+    lambda h, **kw: f"{_gen_first(h).lower()}{int(_stream(h, 1) % np.uint64(1000))}",
+)
+generate_sha256hash = _generator(
+    "generate_sha256hash",
+    lambda h, **kw: __import__("hashlib").sha256(int(h).to_bytes(8, "big")).hexdigest(),
+)
+generate_string_phone_number = _generator(
+    "generate_string_phone_number",
+    lambda h, **kw: "+1"
+    + str(int(h % np.uint64(9_000_000_000)) + 1_000_000_000),
+)
+generate_ssn = _generator(
+    "generate_ssn",
+    lambda h, **kw: (
+        f"{int(h % np.uint64(900)) + 100:03d}-"
+        f"{int(_stream(h, 1) % np.uint64(99)) + 1:02d}-"
+        f"{int(_stream(h, 2) % np.uint64(10000)):04d}"
+    ),
+)
+generate_ip_address = _generator(
+    "generate_ip_address",
+    lambda h, **kw: ".".join(
+        str(int(_stream(h, j) % np.uint64(256))) for j in range(4)
+    ),
+)
+generate_unixtimestamp = _generator(
+    "generate_unixtimestamp", lambda h, **kw: int(h % np.uint64(1_700_000_000))
+)
+generate_utctimestamp = _generator(
+    "generate_utctimestamp",
+    lambda h, **kw: pd.Timestamp(int(h % np.uint64(1_700_000_000)), unit="s", tz="UTC")
+    .tz_localize(None)
+    .isoformat(),
+)
+generate_random_string = _generator(
+    "generate_random_string",
+    lambda h, min_length=6, max_length=12, **kw: _rand_chars(
+        int(_stream(h, 0)),
+        min_length + int(h % np.uint64(max(1, max_length - min_length + 1))),
+        string.ascii_lowercase + string.digits,
+    ),
+)
+
+
+def generate_int64(seed: int = 42, min: int = 0, max: int = 1_000_000) -> TransformFn:
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        hs = mix64(seed, str_seed("generate_int64"), hash_series(keys))
+        span = np.uint64(max - min + 1)
+        return pd.Series((hs % span).astype(np.int64) + min, index=keys.index)
+
+    return fn
+
+
+def generate_float64(
+    seed: int = 42, min: float = 0.0, max: float = 1.0, scale: int | None = None
+) -> TransformFn:
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        hs = mix64(seed, str_seed("generate_float64"), hash_series(keys))
+        v = min + u01(hs) * (max - min)
+        if scale is not None:
+            v = np.round(v, scale)
+        return pd.Series(v, index=keys.index)
+
+    return fn
+
+
+def generate_categorical(
+    seed: int = 42, categories: tuple[str, ...] = ("a", "b", "c"), weights: tuple[float, ...] | None = None
+) -> TransformFn:
+    """Weighted pick (reference generate_categorical.go semantics)."""
+    cats = list(categories)
+    if weights is None:
+        cum = np.arange(1, len(cats) + 1) / len(cats)
+    else:
+        w = np.asarray(weights, dtype=np.float64)
+        cum = np.cumsum(w / w.sum())
+
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        hs = mix64(seed, str_seed("generate_categorical"), hash_series(keys))
+        u = u01(hs)
+        idx = np.searchsorted(cum, u, side="right").clip(0, len(cats) - 1)
+        return pd.Series(np.asarray(cats, dtype=object)[idx], index=keys.index)
+
+    return fn
+
+
+def _luhn_checksum(digits: str) -> int:
+    total = 0
+    for i, d in enumerate(reversed(digits)):
+        n = int(d)
+        if i % 2 == 0:
+            n *= 2
+            if n > 9:
+                n -= 9
+        total += n
+    return (10 - total % 10) % 10
+
+
+def generate_card_number(seed: int = 42, valid_luhn: bool = True) -> TransformFn:
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        hs = mix64(seed, str_seed("generate_card_number"), hash_series(keys))
+        out = []
+        for h in hs:
+            body = "4" + _rand_chars(int(h), 14, string.digits)
+            if valid_luhn:
+                out.append(int(body + str(_luhn_checksum(body))))
+            else:
+                out.append(int(body + str(int(_stream(h, 1) % np.uint64(10)))))
+        return pd.Series(out, index=keys.index, dtype="int64")
+
+    return fn
+
+
+# meta-transformers (reference builders/processors.go:784-854)
+def transform_null(**_: object) -> TransformFn:
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        return pd.Series([None] * len(values), index=values.index, dtype=object)
+
+    return fn
+
+
+def transform_passthrough(**_: object) -> TransformFn:
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        return values
+
+    return fn
+
+
+# registry: name → factory (the analog of gen_neosync_transformers.go)
+REGISTRY: dict[str, Callable[..., TransformFn]] = {
+    "transform_email": transform_email,
+    "transform_first_name": transform_first_name,
+    "transform_last_name": transform_last_name,
+    "transform_full_name": transform_full_name,
+    "transform_string": transform_string,
+    "transform_character_scramble": transform_character_scramble,
+    "transform_int64": transform_int64,
+    "transform_float64": transform_float64,
+    "transform_string_phone_number": transform_string_phone_number,
+    "transform_e164_phone_number": transform_e164_phone_number,
+    "transform_int64_phone_number": transform_int64_phone_number,
+    "transform_uuid": transform_uuid,
+    "transform_pii_text": transform_pii_text,
+    "null": transform_null,
+    "passthrough": transform_passthrough,
+    "generate_first_name": generate_first_name,
+    "generate_last_name": generate_last_name,
+    "generate_full_name": generate_full_name,
+    "generate_email": generate_email,
+    "generate_bool": generate_bool,
+    "generate_uuid": generate_uuid,
+    "generate_city": generate_city,
+    "generate_state": generate_state,
+    "generate_zipcode": generate_zipcode,
+    "generate_country": generate_country,
+    "generate_gender": generate_gender,
+    "generate_street_address": generate_street_address,
+    "generate_full_address": generate_full_address,
+    "generate_business_name": generate_business_name,
+    "generate_username": generate_username,
+    "generate_sha256hash": generate_sha256hash,
+    "generate_string_phone_number": generate_string_phone_number,
+    "generate_ssn": generate_ssn,
+    "generate_ip_address": generate_ip_address,
+    "generate_unixtimestamp": generate_unixtimestamp,
+    "generate_utctimestamp": generate_utctimestamp,
+    "generate_random_string": generate_random_string,
+    "generate_int64": generate_int64,
+    "generate_float64": generate_float64,
+    "generate_categorical": generate_categorical,
+    "generate_card_number": generate_card_number,
+}

@@ -1,0 +1,55 @@
+"""Deterministic vectorized hashing shared by synth + transformers.
+
+A splitmix64-style mixer over numpy uint64 — every "random" choice in
+the engine is a pure function of (seed, key material), so task retries,
+speculative execution and re-partitioning can never change an output
+byte (the determinism contract of the reference's PCG-seeded rng,
+/root/reference/worker/pkg/rng/rng.go:24-31, made value-keyed instead
+of stream-keyed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_M2 = np.uint64(0x94D049BB133111EB)
+_FNV = np.uint64(0x100000001B3)
+
+
+def mix64(*parts: np.ndarray | int) -> np.ndarray:
+    """Vectorized splitmix64 over the combined parts (uint64 wraparound)."""
+    with np.errstate(over="ignore"):
+        acc = np.uint64(0)
+        for p in parts:
+            arr = np.asarray(p, dtype=np.uint64)
+            acc = (acc + arr) * _FNV + _GOLDEN
+        z = acc + _GOLDEN
+        z = (z ^ (z >> np.uint64(30))) * _M1
+        z = (z ^ (z >> np.uint64(27))) * _M2
+        return z ^ (z >> np.uint64(31))
+
+
+def u01(h: np.ndarray) -> np.ndarray:
+    """uint64 hash → float64 uniform in [0, 1)."""
+    return (np.asarray(h, dtype=np.uint64) >> np.uint64(11)).astype(np.float64) / float(
+        1 << 53
+    )
+
+
+def hash_series(s: pd.Series) -> np.ndarray:
+    """Deterministic (cross-process) uint64 hash of a pandas series."""
+    return pd.util.hash_pandas_object(s.fillna("\x00<null>"), index=False).to_numpy(
+        dtype=np.uint64
+    )
+
+
+def str_seed(s: str) -> int:
+    """Deterministic uint64 seed from a python string (label hashing)."""
+    h = np.uint64(0xCBF29CE484222325)
+    with np.errstate(over="ignore"):
+        for ch in s.encode("utf-8"):
+            h = (h ^ np.uint64(ch)) * _FNV
+    return int(h)

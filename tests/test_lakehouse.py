@@ -1,0 +1,173 @@
+"""SnapshotTable: COW merge, tombstones, exactly-once ledger, time travel."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from neosync_spark.lakehouse import SnapshotTable
+from neosync_spark.schema import KEY_COLS, transcript_schema
+
+from .conftest import assert_pdf_equal
+
+
+def _mk(spark, path):
+    return SnapshotTable.create(
+        spark,
+        str(path),
+        transcript_schema(),
+        key_cols=KEY_COLS,
+        order_cols=["ts"],
+        n_buckets=4,
+    )
+
+
+def _batch(spark, rows):
+    cols = ["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    pdf = pd.DataFrame(rows, columns=cols)
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    return spark.createDataFrame(pdf)
+
+
+def test_create_empty_read(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    assert t.read().count() == 0
+    assert [f.name for f in t.read().schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    ]
+
+
+def test_merge_insert_update_delete(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    b1 = _batch(spark, [
+        (1, "insert", "c1", 0, "user", "hello", None, "2024-01-01 00:00:01"),
+        (2, "insert", "c1", 1, "assistant", "hi", None, "2024-01-01 00:00:02"),
+        (3, "insert", "c2", 0, "user", "yo", None, "2024-01-01 00:00:03"),
+    ])
+    info1 = t.merge_cdc(b1, applied_range=(0, 10))
+    assert info1.rows_written == 3
+
+    b2 = _batch(spark, [
+        (11, "update", "c1", 1, "assistant", "hi there", None, "2024-01-01 00:00:11"),
+        (12, "delete", "c2", 0, None, None, None, "2024-01-01 00:00:12"),
+        (13, "insert", "c3", 5, "user", "new conv", None, "2024-01-01 00:00:13"),
+    ])
+    t.merge_cdc(b2, applied_range=(10, 20))
+
+    got = t.read().toPandas()
+    exp = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c3"],
+            "turn_idx": [0, 1, 5],
+            "role": ["user", "assistant", "user"],
+            "text": ["hello", "hi there", "new conv"],
+            "tool": [None, None, None],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:01", "2024-01-01 00:00:11", "2024-01-01 00:00:13"]
+            ),
+        }
+    )
+    assert_pdf_equal(got, exp, ["conv_id", "turn_idx"])
+
+
+def test_late_event_cannot_resurrect_deleted_key(spark, tmp_path):
+    """delete(ts=5) applied in batch 1; insert(ts=1) arrives in batch 2
+    (late delivery) — global LWW says the key stays deleted."""
+    t = _mk(spark, tmp_path / "t")
+    t.merge_cdc(_batch(spark, [
+        (100, "delete", "c1", 0, None, None, None, "2024-01-01 00:00:05"),
+    ]), applied_range=(0, 200))
+    t.merge_cdc(_batch(spark, [
+        (250, "insert", "c1", 0, "user", "late", None, "2024-01-01 00:00:01"),
+    ]), applied_range=(200, 400))
+    assert t.read().count() == 0
+
+
+def test_late_update_loses_to_newer_row(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.merge_cdc(_batch(spark, [
+        (1, "insert", "c1", 0, "user", "newer", None, "2024-01-01 00:00:09"),
+    ]), applied_range=(0, 100))
+    t.merge_cdc(_batch(spark, [
+        (150, "update", "c1", 0, "user", "older", None, "2024-01-01 00:00:02"),
+    ]), applied_range=(100, 200))
+    got = t.read().toPandas()
+    assert got["text"].tolist() == ["newer"]
+
+
+def test_exactly_once_ledger(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    b = _batch(spark, [
+        (1, "insert", "c1", 0, "user", "v1", None, "2024-01-01 00:00:01"),
+    ])
+    info1 = t.merge_cdc(b, applied_range=(0, 10))
+    sid = t.manifest(refresh=True)["snapshot_id"]
+    # replaying the exact committed range is a no-op: no new snapshot
+    info2 = t.merge_cdc(b, applied_range=(0, 10))
+    assert info2.rows_written == 0
+    assert t.manifest(refresh=True)["snapshot_id"] == sid
+    assert t.is_applied(0, 10)
+    assert not t.is_applied(10, 20)
+    assert t.last_applied_lsn() == 10
+    assert info1.snapshot_id == sid
+
+
+def test_bucket_pruned_rewrite(spark, tmp_path):
+    """A merge touching one conversation must not rewrite every bucket."""
+    t = _mk(spark, tmp_path / "t")
+    rows = [
+        (i, "insert", f"c{i}", 0, "user", f"t{i}", None, "2024-01-01 00:00:01")
+        for i in range(32)
+    ]
+    t.merge_cdc(_batch(spark, rows), applied_range=(0, 100))
+    m1 = t.manifest(refresh=True)
+    info = t.merge_cdc(_batch(spark, [
+        (200, "update", "c3", 0, "user", "patched", None, "2024-01-01 00:01:00"),
+    ]), applied_range=(100, 300))
+    assert info.buckets_rewritten == 1
+    m2 = t.manifest(refresh=True)
+    changed = [
+        b for b in m1["files"]
+        if m1["files"][b] != m2["files"].get(b)
+    ]
+    assert len(changed) == 1
+    got = t.read().toPandas()
+    assert got.loc[got.conv_id == "c3", "text"].tolist() == ["patched"]
+    assert len(got) == 32
+
+
+def test_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.merge_cdc(_batch(spark, [
+        (1, "insert", "c1", 0, "user", "v1", None, "2024-01-01 00:00:01"),
+    ]), applied_range=(0, 10))
+    sid1 = t.manifest(refresh=True)["snapshot_id"]
+    t.merge_cdc(_batch(spark, [
+        (11, "update", "c1", 0, "user", "v2", None, "2024-01-01 00:00:11"),
+    ]), applied_range=(10, 20))
+    assert t.read().toPandas()["text"].tolist() == ["v2"]
+    assert t.read(snapshot_id=sid1).toPandas()["text"].tolist() == ["v1"]
+    hist = t.history()
+    assert [h["summary"].get("operation") for h in hist][-1] == "create"
+
+
+def test_lineage_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.merge_cdc(_batch(spark, [
+        (1, "insert", "c1", 0, "user", "a", None, "2024-01-01 00:00:01"),
+        (2, "insert", "c2", 0, "user", "b", None, "2024-01-01 00:00:02"),
+    ]), applied_range=(0, 10))
+    lin = t.lineage().toPandas()
+    assert set(lin.columns) == {"bucket", "rows_applied", "snapshot_id", "lsn_lo", "lsn_hi"}
+    assert lin["rows_applied"].sum() == 2
+    assert (lin["lsn_lo"] == 0).all() and (lin["lsn_hi"] == 10).all()
+
+
+def test_alter_schema_rejects_illegal(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    t = _mk(spark, tmp_path / "t")
+    bad = T.StructType([f for f in transcript_schema().fields if f.name != "text"])
+    with pytest.raises(ValueError):
+        t.alter_schema(bad)
