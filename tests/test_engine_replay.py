@@ -1,0 +1,89 @@
+"""End-to-end replay: engine final state == independent oracle.
+
+The analog of the reference's workflow integration tests that verify
+row-level source↔target equality
+(/root/reference/internal/testutil/testdata/verify.go:107-132), with the
+per-row invariant from BASELINE.json: per-turn `text` equality under
+stable (conv_id, turn_idx) ordering.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from neosync_spark.engine import EngineConfig, ReplayEngine
+from neosync_spark.functions import transformers as X
+from neosync_spark.lakehouse import SnapshotTable
+from neosync_spark.schema import KEY_COLS, transcript_schema
+from neosync_spark.sources.changelog import ChangeLogSource
+from neosync_spark.synth import SynthConfig, expected_final_state, generate_pandas
+
+from .conftest import assert_pdf_equal
+
+CFG = SynthConfig(n_events=10_000, n_convs=400)
+
+
+@pytest.fixture(scope="module")
+def log_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("log") / "changelog")
+    spark.createDataFrame(generate_pandas(CFG)).write.parquet(p)
+    return p
+
+
+def _engine(spark, tmp_path, transforms=None, batch=2500, salt=None):
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "transcripts"), transcript_schema(),
+        key_cols=KEY_COLS, n_buckets=8,
+    )
+    return ReplayEngine(
+        spark, t, transforms=transforms,
+        config=EngineConfig(batch_lsn_size=batch, salt_partitions=salt),
+    )
+
+
+def test_replay_matches_oracle_plain(spark, tmp_path, log_path):
+    eng = _engine(spark, tmp_path)
+    src = ChangeLogSource(spark, log_path)
+    stats = eng.replay(src)
+    assert stats.batches_applied == len(eng.plan_ranges(0, CFG.n_events - 1))
+
+    got = eng.table.read().toPandas()
+    exp = expected_final_state(generate_pandas(CFG))
+    assert_pdf_equal(got, exp, ["conv_id", "turn_idx"])
+    # per-turn text equality under stable ordering (the north-rule check)
+    g = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    e = exp.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert g["text"].tolist() == e["text"].tolist()
+
+
+def test_replay_with_transforms_matches_oracle(spark, tmp_path, log_path):
+    transforms = {
+        "text": X.transform_pii_text(seed=7, deny_words=("lorem",)),
+        "tool": X.transform_character_scramble(seed=7, user_provided_regex=r'"q":"[^"]*"'),
+    }
+    eng = _engine(spark, tmp_path, transforms=transforms, salt=8)
+    stats = eng.replay(ChangeLogSource(spark, log_path))
+    assert stats.rows_applied > 0
+
+    got = eng.table.read().toPandas()
+    exp = expected_final_state(generate_pandas(CFG), transform=eng.pandas_transform)
+    assert_pdf_equal(got, exp, ["conv_id", "turn_idx"])
+    # PII must actually be gone from stored text
+    joined = " ".join(got["text"].dropna().tolist())
+    assert "@example.com" not in joined
+    assert "+1-555-" not in joined
+
+
+def test_replay_batch_size_invariance(spark, tmp_path, log_path):
+    """Final state must not depend on micro-batch slicing."""
+    small = _engine(spark, tmp_path / "a", batch=700)
+    big = _engine(spark, tmp_path / "b", batch=6000)
+    src = ChangeLogSource(spark, log_path)
+    small.replay(src)
+    big.replay(src)
+    assert_pdf_equal(
+        small.table.read().toPandas(),
+        big.table.read().toPandas(),
+        ["conv_id", "turn_idx"],
+    )

@@ -1,0 +1,232 @@
+"""Transformer unit vectors (FIXTURES.md §6), modeled on the
+reference's per-transformer tests (e.g.
+/root/reference/worker/pkg/benthos/transformers/transform_email_test.go)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from neosync_spark.functions import transformers as X
+
+
+def k(*keys):
+    return pd.Series(list(keys))
+
+
+def v(*vals):
+    return pd.Series(list(vals), dtype=object)
+
+
+class TestTransformEmail:
+    def test_empty_is_null(self):
+        fn = X.transform_email()
+        assert fn(v(""), k("a")).tolist() == [None]
+
+    def test_null_passthrough(self):
+        fn = X.transform_email()
+        assert fn(v(None), k("a")).tolist() == [None]
+
+    def test_preserve_domain(self):
+        fn = X.transform_email(preserve_domain=True)
+        out = fn(v("alice@corp.io"), k("a")).iloc[0]
+        assert out.endswith("@corp.io") and out != "alice@corp.io"
+
+    def test_preserve_length(self):
+        fn = X.transform_email(preserve_length=True, preserve_domain=True)
+        out = fn(v("alice@corp.io"), k("a")).iloc[0]
+        assert len(out) == len("alice@corp.io")
+        assert out.endswith("@corp.io")
+
+    def test_excluded_domains_flip(self):
+        """Exclusion FLIPS preservation (transform_email.go:294-302):
+        preserve_domain=True + excluded ⇒ domain replaced;
+        preserve_domain=False + excluded ⇒ domain kept."""
+        kept = X.transform_email(preserve_domain=False, excluded_domains=("corp.io",))
+        out = kept(v("alice@corp.io"), k("a")).iloc[0]
+        assert out.endswith("@corp.io")
+        repl = X.transform_email(preserve_domain=True, excluded_domains=("corp.io",))
+        out2 = repl(v("alice@corp.io"), k("a")).iloc[0]
+        assert not out2.endswith("@corp.io")
+
+    @pytest.mark.parametrize(
+        "action,check",
+        [
+            ("passthrough", lambda o: o == "not-an-email"),
+            ("null", lambda o: o is None),
+            ("generate", lambda o: o is not None and "@" in o),
+        ],
+    )
+    def test_invalid_actions(self, action, check):
+        fn = X.transform_email(invalid_email_action=action)
+        assert check(fn(v("not-an-email"), k("a")).iloc[0])
+
+    def test_invalid_reject_raises(self):
+        fn = X.transform_email(invalid_email_action="reject")
+        with pytest.raises(ValueError):
+            fn(v("not-an-email"), k("a"))
+
+    def test_max_length_clamp(self):
+        fn = X.transform_email(max_length=10)
+        assert len(fn(v("alice@corp.io"), k("a")).iloc[0]) <= 10
+
+
+class TestScramble:
+    def test_classes_preserved(self):
+        fn = X.transform_character_scramble(seed=5)
+        src = "Ab3 x-Y.9!"
+        out = fn(v(src), k("a")).iloc[0]
+        assert len(out) == len(src)
+        for a, b in zip(src, out):
+            assert a.isupper() == b.isupper()
+            assert a.islower() == b.islower()
+            assert a.isdigit() == b.isdigit()
+            if not a.isalnum():
+                assert a == b  # specials/whitespace kept
+
+    def test_regex_scoped(self):
+        fn = X.transform_character_scramble(seed=5, user_provided_regex=r"\d+")
+        out = fn(v("keep ME 12345 keep"), k("a")).iloc[0]
+        assert out.startswith("keep ME ") and out.endswith(" keep")
+        assert out[8:13].isdigit() and out[8:13] != "12345"
+
+
+class TestPiiText:
+    def test_mixed_redaction(self):
+        fn = X.transform_pii_text(deny_words=("projectx",))
+        out = fn(
+            v("a@b.co phoned +1 (555) 123-4567 about ProjectX, ssn 123-45-6789"),
+            k("a"),
+        ).iloc[0]
+        assert "<EMAIL_ADDRESS>" in out
+        assert "<PHONE_NUMBER>" in out
+        assert "<US_SSN>" in out
+        assert "<DENY_WORD>" in out
+        assert "a@b.co" not in out
+
+    def test_allowed_phrases(self):
+        fn = X.transform_pii_text(allowed_phrases=("keep@ok.co",))
+        out = fn(v("keep@ok.co and drop@no.co"), k("a")).iloc[0]
+        assert "keep@ok.co" in out and "drop@no.co" not in out
+
+    def test_allowed_entities(self):
+        fn = X.transform_pii_text(allowed_entities=("EMAIL_ADDRESS",))
+        out = fn(v("a@b.co and 123-45-6789"), k("a")).iloc[0]
+        assert "<EMAIL_ADDRESS>" in out and "123-45-6789" in out
+
+    def test_custom_replacement(self):
+        fn = X.transform_pii_text(entity_replacements={"EMAIL_ADDRESS": "[email]"})
+        assert fn(v("a@b.co"), k("a")).iloc[0] == "[email]"
+
+
+class TestNamesPhones:
+    def test_first_name_preserve_length(self):
+        fn = X.transform_first_name(preserve_length=True)
+        out = fn(v("Brian", "Alexandrina"), k("a", "b"))
+        assert [len(x) for x in out] == [5, 11]
+
+    def test_full_name_shape(self):
+        out = X.transform_full_name()(v("John Smith"), k("a")).iloc[0]
+        assert " " in out and out != "John Smith"
+
+    def test_phone_preserves_format(self):
+        fn = X.transform_string_phone_number(preserve_length=True)
+        out = fn(v("+1 (555) 123-4567"), k("a")).iloc[0]
+        assert len(out) == len("+1 (555) 123-4567")
+        for a, b in zip("+1 (555) 123-4567", out):
+            assert a.isdigit() == b.isdigit()
+            if not a.isdigit():
+                assert a == b
+
+    def test_int64_within_bounds(self):
+        fn = X.transform_int64(randomization_range_min=5, randomization_range_max=5)
+        out = fn(pd.Series([100] * 50, dtype="Int64"), pd.Series([str(i) for i in range(50)]))
+        assert out.between(95, 105).all()
+
+
+class TestDeterminism:
+    def test_same_key_value_same_output(self):
+        numeric = {"transform_int64", "transform_float64"}
+        for name, factory in X.REGISTRY.items():
+            fn = factory(seed=42)
+            if name in numeric:
+                vals = pd.Series([100, 200], dtype="Int64")
+            else:
+                vals = v("alice@corp.io", "bob")
+            a = fn(vals, k("k1", "k2"))
+            b = fn(vals.copy(), k("k1", "k2"))
+            assert a.tolist() == b.tolist(), name
+
+    def test_different_keys_differ(self):
+        fn = X.transform_string(preserve_length=False, min_length=8, max_length=8)
+        out = fn(v("same", "same"), k("k1", "k2"))
+        assert out.iloc[0] != out.iloc[1]
+
+    def test_order_invariance(self):
+        """Output per row is independent of batch composition/order —
+        the guarantee that makes retries + repartitioning safe."""
+        fn = X.transform_email(seed=9)
+        full = fn(v("a@b.co", "c@d.co", "e@f.co"), k("1", "2", "3"))
+        solo = fn(v("c@d.co"), k("2"))
+        assert full.iloc[1] == solo.iloc[0]
+
+
+class TestGenerators:
+    def test_card_number_luhn(self):
+        out = X.generate_card_number()(v(None, None), k("a", "b"))
+        for n in out:
+            digits = [int(c) for c in str(n)]
+            total = 0
+            for i, d in enumerate(reversed(digits)):
+                if i % 2 == 1:
+                    d *= 2
+                    if d > 9:
+                        d -= 9
+                total += d
+            assert total % 10 == 0
+
+    def test_categorical_weights(self):
+        fn = X.generate_categorical(categories=("x", "y"), weights=(95, 5))
+        out = fn(pd.Series([None] * 400), pd.Series([str(i) for i in range(400)]))
+        assert (out == "x").mean() > 0.85
+
+    def test_ssn_shape(self):
+        out = X.generate_ssn()(v(None), k("a")).iloc[0]
+        import re
+
+        assert re.fullmatch(r"\d{3}-\d{2}-\d{4}", out)
+
+    def test_int64_bounds(self):
+        fn = X.generate_int64(min=10, max=20)
+        out = fn(pd.Series([None] * 100), pd.Series([str(i) for i in range(100)]))
+        assert out.between(10, 20).all()
+
+    def test_uuid_shape(self):
+        import re
+
+        out = X.generate_uuid()(v(None), k("a")).iloc[0]
+        assert re.fullmatch(r"[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}", out)
+
+
+def test_udf_matches_pandas(spark):
+    """The pandas_udf wrapper produces byte-identical output to the
+    direct pandas call (oracle/engine agreement)."""
+    import pyspark.sql.functions as F
+
+    fn = X.transform_email(seed=11, preserve_domain=True)
+    pdf = pd.DataFrame(
+        {
+            "key": [f"conv-{i}|0" for i in range(200)],
+            "email": [f"user{i}@corp{i % 7}.io" for i in range(200)],
+        }
+    )
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    got = (
+        sdf.withColumn("out", X.as_udf(fn)(F.col("email"), F.col("key")))
+        .toPandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    exp = fn(pdf["email"], pdf["key"])
+    pdf2 = pdf.assign(out=exp).sort_values("key").reset_index(drop=True)
+    assert got["out"].tolist() == pdf2["out"].tolist()
