@@ -1,38 +1,791 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship CDC replay end-to-end on sf0.001.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (+ the training-data-pipeline operators); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible one.
+
+The CDC queries derive a deterministic change log from the `events`
+table with arithmetic that evaluates identically in Spark SQL and
+DuckDB (shared text in _CDC_DERIVATION), so the engine's replay/LWW/
+merge semantics are value-verified against an independent engine.
+Seeded-random transformers and LSH ops are not SQL-expressible — those
+entries omit the oracle (rows-only check) and are value-verified in
+tests/ against pandas oracles instead.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+# ---------------------------------------------------------------------------
+# shared Spark/DuckDB SQL fragments (identical text in both dialects)
+# ---------------------------------------------------------------------------
+
+# deterministic CDC envelope derived from the events table:
+# ~70% insert / 25% update / 5% delete; key = (conv from user_id, turn
+# from event_id); lsn = event_id; LWW order = (ts, lsn)
+_CDC_DERIVATION = """
+SELECT
+  event_id AS lsn,
+  CASE WHEN event_id % 20 < 14 THEN 'insert'
+       WHEN event_id % 20 < 19 THEN 'update'
+       ELSE 'delete' END AS op,
+  'conv-' || CAST(user_id % 150 AS STRING) AS conv_id,
+  CAST(event_id % 16 AS INT) AS turn_idx,
+  CASE WHEN event_id % 20 >= 19 THEN NULL
+       WHEN event_id % 3 = 0 THEN 'user'
+       WHEN event_id % 3 = 1 THEN 'assistant'
+       ELSE 'system' END AS role,
+  CASE WHEN event_id % 20 >= 19 THEN NULL
+       ELSE event_type || ' #' || CAST(event_id AS STRING) || ' ' || props END AS text,
+  CASE WHEN event_id % 20 >= 19 OR event_id % 5 <> 0 THEN NULL
+       ELSE '{"name":"' || event_type || '"}' END AS tool,
+  ts
+FROM events
+"""
+
+# synthetic PII text over documents (identical in both dialects) so the
+# redaction query has real work to do
+_PII_TEXT = (
+    "text || ' contact ' || source || CAST(doc_id AS STRING) || '@corp.example"
+    " or 555-' || CAST(1000 + doc_id % 9000 AS STRING) || ' ssn ' ||"
+    " CAST(100 + doc_id % 900 AS STRING) || '-' ||"
+    " CAST(10 + doc_id % 90 AS STRING) || '-' ||"
+    " CAST(1000 + doc_id % 9000 AS STRING)"
+)
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_SSN_RE = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+_PHONE_RE = "\\+?[0-9][0-9().\\- ]{6,}[0-9]"
+
+
+def _views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    for t in names or TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _derived_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ["events"])
+    return spark.sql(_CDC_DERIVATION)
+
+
+def _fmt_ts(col: str = "ts"):
+    return F.date_format(F.col(col), "yyyy-MM-dd HH:mm:ss").alias("ts_s")
+
+
+# ---------------------------------------------------------------------------
+# CDC engine queries
+# ---------------------------------------------------------------------------
+
+
+def _q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine: derived change log → micro-batched LWW MERGE into a
+    SnapshotTable → final state. The flagship."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    batch = max(1000, (int(hi) + 4) // 4)
+
+    path = tempfile.mkdtemp(prefix="ns_cdc_replay_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+    eng = ReplayEngine(spark, table, config=EngineConfig(batch_lsn_size=batch, lineage=False))
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    eng.replay(slicer, lsn_lo=0, lsn_hi=int(hi))
+    out = table.read()
+    return out.select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
+def _q_lww_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neosync_spark.operators.dedup import lww_dedup
+
+    log = _derived_log(spark, sf_dir)
+    won = lww_dedup(log, ["conv_id", "turn_idx"], ["ts", "lsn"])
+    return won.select("conv_id", "turn_idx", "lsn", "op", _fmt_ts("ts"))
+
+
+def _q_lww_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neosync_spark.operators.dedup import lww_dedup_window
+
+    log = _derived_log(spark, sf_dir)
+    won = lww_dedup_window(log, ["conv_id", "turn_idx"], ["ts", "lsn"])
+    return won.select("conv_id", "turn_idx", "lsn", "op", _fmt_ts("ts"))
+
+
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase MERGE semantics as a composition: target = alive LWW
+    state of the first half of the log; source = LWW of the second
+    half; result = MERGE(source → target) with insert/update/delete."""
+    from neosync_spark.operators.dedup import lww_dedup
+
+    log = _derived_log(spark, sf_dir).persist()
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    mid = int(hi) // 2
+    keys = ["conv_id", "turn_idx"]
+    t = (
+        lww_dedup(log.filter(F.col("lsn") < mid), keys, ["ts", "lsn"])
+        .filter(F.col("op") != "delete")
+    )
+    s = lww_dedup(log.filter(F.col("lsn") >= mid), keys, ["ts", "lsn"])
+    survivors = t.join(s.select(*keys), on=keys, how="left_anti")
+    applied = s.filter(F.col("op") != "delete")
+    merged = survivors.unionByName(applied)
+    log.unpersist()
+    return merged.select("conv_id", "turn_idx", "role", "text", _fmt_ts("ts"))
+
+
+def _q_delete_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation: alive turns vs tombstoned turns after LWW."""
+    from neosync_spark.operators.dedup import lww_dedup
+
+    log = _derived_log(spark, sf_dir)
+    won = lww_dedup(log, ["conv_id", "turn_idx"], ["ts", "lsn"])
+    return (
+        won.groupBy("conv_id")
+        .agg(
+            F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias("alive_turns"),
+            F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("deleted_turns"),
+        )
+    )
+
+
+def _q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination: the 500-row page after the 500th event in
+    (ts, event_id) order — the reference's resume predicate."""
+    from neosync_spark.sources.changelog import keyset_page
+
+    _views(spark, sf_dir, ["events"])
+    ev = spark.table("events")
+    ck = ev.orderBy("ts", "event_id").limit(500).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    ).limit(1).collect()[0]
+    page = keyset_page(ev, ["ts", "event_id"], (ck["ts"], ck["event_id"]), 500)
+    return page.select("event_id", "event_type", "user_id", _fmt_ts("ts"))
+
+
+def _q_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neosync_spark.operators.skew import hot_keys
+
+    log = _derived_log(spark, sf_dir)
+    return hot_keys(log, "conv_id", top_n=20)
+
+
+def _q_changelog_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability rollup (lineage-style counters) over the log."""
+    log = _derived_log(spark, sf_dir)
+    return (
+        log.groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# masking / anonymization (JVM-side, SQL-verifiable)
+# ---------------------------------------------------------------------------
+
+
+def _q_mask_email(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neosync_spark.functions.masking import mask_email
+
+    _views(spark, sf_dir, ["customer"])
+    emails = spark.table("customer").select(
+        "c_custkey",
+        F.concat(
+            F.lower(F.regexp_replace(F.col("c_name"), " ", ".")),
+            F.lit("@corp-"),
+            (F.col("c_custkey") % 7).cast("string"),
+            F.lit(".example"),
+        ).alias("email"),
+    )
+    return emails.select("c_custkey", mask_email("email").alias("masked_email"))
+
+
+def _q_mask_phone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neosync_spark.functions.masking import mask_phone_keep_last4
+
+    _views(spark, sf_dir, ["customer"])
+    phones = spark.table("customer").select(
+        "c_custkey",
+        F.concat(
+            F.lit("+1-"),
+            F.lpad(((F.col("c_custkey") * 7919) % 10000000).cast("string"), 7, "0"),
+        ).alias("phone"),
+    )
+    return phones.select("c_custkey", mask_phone_keep_last4("phone").alias("masked_phone"))
+
+
+def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neosync_spark.functions.masking import redact_pii
+
+    _views(spark, sf_dir, ["documents"])
+    docs = spark.sql(f"SELECT doc_id, {_PII_TEXT} AS pii_text FROM documents")
+    return docs.select("doc_id", redact_pii("pii_text").alias("redacted"))
+
+
+def _q_shape_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neosync_spark.functions.masking import shape_mask
+
+    _views(spark, sf_dir, ["customer"])
+    return spark.table("customer").select(
+        "c_custkey", shape_mask("c_name").alias("masked_name")
+    )
+
+
+def _q_key_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table consistency: pseudonymized customer keys propagated
+    into orders through a broadcast mapping join (the Redis-cache
+    analog)."""
+    from neosync_spark.functions.masking import hash_pseudonym
+
+    _views(spark, sf_dir, ["customer", "orders"])
+    mapping = (
+        spark.table("customer")
+        .select(F.col("c_custkey").cast("string").alias("old_key"))
+        .distinct()
+        .withColumn("new_key", hash_pseudonym("old_key"))
+    )
+    orders = spark.table("orders").withColumn(
+        "cust_str", F.col("o_custkey").cast("string")
+    )
+    joined = orders.join(
+        F.broadcast(mapping), orders.cust_str == mapping.old_key, "left"
+    )
+    return joined.select(
+        "o_orderkey", F.col("new_key").alias("anon_custkey")
+    )
+
+
+def _q_anonymize_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded pandas-UDF transformers over synthesized PII (rows-only
+    check here; value-verified against the pandas oracle in tests/)."""
+    from neosync_spark.functions import transformers as X
+    from neosync_spark.functions.transformers import as_udf, key_col
+
+    _views(spark, sf_dir, ["documents"])
+    docs = spark.sql(f"SELECT doc_id, {_PII_TEXT} AS pii_text FROM documents")
+    pii = X.transform_pii_text(seed=42)
+    scr = X.transform_character_scramble(seed=42)
+    k = key_col("doc_id")
+    return docs.select(
+        "doc_id",
+        as_udf(pii)(F.col("pii_text"), k).alias("redacted"),
+        as_udf(scr)(F.col("pii_text"), k).alias("scrambled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# subsetting / joins
+# ---------------------------------------------------------------------------
+
+
+def _q_subset_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neosync_spark.operators.subset import semijoin_subset
+
+    _views(spark, sf_dir, ["customer", "nation", "orders"])
+    nat = spark.table("nation").filter(F.col("n_name") == "NATION_3")
+    cust = semijoin_subset(spark.table("customer"), nat, "c_nationkey", "n_nationkey")
+    ords = semijoin_subset(spark.table("orders"), cust, "o_custkey", "c_custkey")
+    return ords.select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+def _q_subset_fk_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root predicate on customer propagated down the FK chain
+    customer ← orders ← lineitem (the reference's subset-path planner),
+    rolled up for a compact verifiable result."""
+    from neosync_spark.operators.subset import FkEdge, subset_tables
+
+    _views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    tables = {
+        "customer": spark.table("customer"),
+        "orders": spark.table("orders"),
+        "lineitem": spark.table("lineitem"),
+    }
+    edges = [
+        FkEdge("orders", "o_custkey", "customer", "c_custkey"),
+        FkEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ]
+    sub = subset_tables(tables, edges, "customer", "c_mktsegment = 'BUILDING'")
+    return (
+        sub["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.floor(F.sum("l_quantity") * 100 + F.lit(0.5)) / 100).alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neosync_spark.operators.similarity import exact_dedup
+
+    _views(spark, sf_dir, ["documents"])
+    return exact_dedup(spark.table("documents"), "text", "doc_id")
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neosync_spark.operators.similarity import minhash_dedup_pairs
+
+    _views(spark, sf_dir, ["documents"])
+    return minhash_dedup_pairs(
+        spark.table("documents"), "text", "doc_id", threshold=0.8
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard of each doc against doc_id 0 (SQL-checkable
+    slice of the near-dup verification stage)."""
+    from neosync_spark.operators.similarity import ngram_jaccard, word_shingles
+    from neosync_spark.util import round_half_up
+
+    _views(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").select(
+        "doc_id", word_shingles("text", 3).alias("sh")
+    )
+    ref = docs.filter(F.col("doc_id") == 0).select(
+        F.col("sh").alias("ref_sh")
+    )
+    return (
+        docs.crossJoin(F.broadcast(ref))
+        .select(
+            "doc_id",
+            round_half_up(ngram_jaccard(F.col("sh"), F.col("ref_sh")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > 0)
+    )
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neosync_spark.operators.similarity import simhash_near_pairs
+
+    _views(spark, sf_dir, ["documents"])
+    return simhash_near_pairs(spark.table("documents"), "text", "doc_id", max_hamming=6)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neosync_spark.operators.similarity import cosine_topk
+
+    _views(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk(emb, "embedding", "vec_id", list(q), k=10)
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neosync_spark.operators.similarity import embedding_near_dup_pairs
+
+    _views(spark, sf_dir, ["embeddings"])
+    return embedding_near_dup_pairs(
+        spark.table("embeddings"), "embedding", "vec_id", threshold=0.8
+    )
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neosync_spark.operators.text import subword_token_estimate, token_count
+
+    _views(spark, sf_dir, ["documents"])
+    return spark.table("documents").select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        subword_token_estimate("text").alias("n_subword_est"),
+    )
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neosync_spark.operators.text import quality_features
+
+    _views(spark, sf_dir, ["documents"])
+    return quality_features(spark.table("documents").select("doc_id", "text")).drop(
+        "text"
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neosync_spark.operators.text import language_id
+
+    _views(spark, sf_dir, ["documents"])
+    return language_id(spark.table("documents").select("doc_id", "text")).select(
+        "doc_id", "lang_pred"
+    )
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neosync_spark.operators.text import fingerprint
+
+    _views(spark, sf_dir, ["documents"])
+    return spark.table("documents").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+
+
+def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text bytes as a stand-in binary column; the
+    metadata struct (size/hash/magic) is the real, SQL-verifiable part."""
+    from neosync_spark.operators.multimodal import media_metadata
+
+    _views(spark, sf_dir, ["documents"])
+    blobs = spark.table("documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    )
+    meta = blobs.select("doc_id", media_metadata("blob").alias("m"))
+    return meta.select(
+        "doc_id",
+        F.col("m.n_bytes").alias("n_bytes"),
+        F.col("m.sha256").alias("sha256"),
+    )
+
+
+def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode plumbing (stubbed codec) — rows-only check."""
+    from neosync_spark.operators.multimodal import decode_image_features
+
+    _views(spark, sf_dir, ["documents"])
+    blobs = spark.table("documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    )
+    return decode_image_features(blobs, "blob", "doc_id", feat_dim=8)
+
+
+def _q_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `generate` input analog: spark.range + seeded generators
+    (rows-only; generator semantics unit-tested)."""
+    from neosync_spark.functions import transformers as X
+    from neosync_spark.functions.transformers import as_udf
+
+    rng = spark.range(0, 1000).select(F.col("id").cast("string").alias("key"))
+    null_v = F.lit(None).cast("string")
+    return rng.select(
+        "key",
+        as_udf(X.generate_email(seed=42))(null_v, F.col("key")).alias("email"),
+        as_udf(X.generate_full_name(seed=42))(null_v, F.col("key")).alias("name"),
+        as_udf(X.generate_ssn(seed=42))(null_v, F.col("key")).alias("ssn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC replay (derived log → LWW → MERGE → final
+    transcript state) on sf0.001."""
+    return _q_cdc_replay(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_replay_final_state": _q_cdc_replay,
+        "cdc_lww_dedup_agg": _q_lww_agg,
+        "cdc_lww_dedup_window": _q_lww_window,
+        "cdc_merge_upsert": _q_merge_upsert,
+        "cdc_delete_semantics": _q_delete_semantics,
+        "cdc_keyset_page": _q_keyset_page,
+        "cdc_hot_keys": _q_hot_keys,
+        "cdc_changelog_metrics": _q_changelog_metrics,
+        "mask_email": _q_mask_email,
+        "mask_phone_keep_last4": _q_mask_phone,
+        "redact_pii_text": _q_redact_pii,
+        "shape_mask": _q_shape_mask,
+        "key_mapping_consistency": _q_key_mapping,
+        "anonymize_transform_udfs": _q_anonymize_udfs,
+        "subset_semijoin": _q_subset_semijoin,
+        "subset_fk_chain": _q_subset_fk_chain,
+        "dedup_exact": _q_exact_dedup,
+        "dedup_minhash_pairs": _q_minhash_pairs,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_simhash_pairs": _q_simhash_pairs,
+        "ann_cosine_topk": _q_ann_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "text_token_count": _q_token_count,
+        "text_quality_score": _q_quality,
+        "text_lang_id": _q_lang_id,
+        "text_fingerprint": _q_fingerprint,
+        "media_metadata": _q_media_metadata,
+        "media_image_features": _q_image_features,
+        "synth_generators": _q_generators,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    log = f"({_CDC_DERIVATION})"
+    lww = f"""
+    SELECT * FROM (
+      SELECT l.*, row_number() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+      FROM {log} l
+    ) WHERE rn = 1
     """
-    return {}
+    return {
+        "cdc_replay_final_state": f"""
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM ({lww}) WHERE op <> 'delete'
+        """,
+        "cdc_lww_dedup_agg": f"""
+            SELECT conv_id, turn_idx, lsn, op,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM ({lww})
+        """,
+        "cdc_lww_dedup_window": f"""
+            SELECT conv_id, turn_idx, lsn, op,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM ({lww})
+        """,
+        "cdc_merge_upsert": f"""
+            WITH log AS {log},
+            mx AS (SELECT max(lsn) // 2 AS mid FROM log),
+            t AS (
+              SELECT * FROM (
+                SELECT l.*, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+                FROM log l WHERE lsn < (SELECT mid FROM mx)
+              ) WHERE rn = 1 AND op <> 'delete'
+            ),
+            s AS (
+              SELECT * FROM (
+                SELECT l.*, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+                FROM log l WHERE lsn >= (SELECT mid FROM mx)
+              ) WHERE rn = 1
+            )
+            SELECT conv_id, turn_idx, role, text,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM t WHERE NOT EXISTS (
+              SELECT 1 FROM s WHERE s.conv_id = t.conv_id AND s.turn_idx = t.turn_idx)
+            UNION ALL
+            SELECT conv_id, turn_idx, role, text,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM s WHERE op <> 'delete'
+        """,
+        "cdc_delete_semantics": f"""
+            SELECT conv_id,
+                   sum(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END) AS alive_turns,
+                   sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS deleted_turns
+            FROM ({lww}) GROUP BY conv_id
+        """,
+        "cdc_keyset_page": """
+            WITH ck AS (
+              SELECT ts, event_id FROM events
+              ORDER BY ts, event_id LIMIT 1 OFFSET 499
+            )
+            SELECT e.event_id, e.event_type, e.user_id,
+                   strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM events e, ck
+            WHERE e.ts > ck.ts OR (e.ts = ck.ts AND e.event_id > ck.event_id)
+            ORDER BY e.ts, e.event_id LIMIT 500
+        """,
+        "cdc_hot_keys": f"""
+            SELECT conv_id, count(*) AS n_events
+            FROM {log} GROUP BY conv_id
+            ORDER BY n_events DESC, conv_id LIMIT 20
+        """,
+        "cdc_changelog_metrics": f"""
+            SELECT op, count(*) AS n_events,
+                   count(DISTINCT conv_id) AS n_convs,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+            FROM {log} GROUP BY op
+        """,
+        "mask_email": """
+            WITH e AS (
+              SELECT c_custkey,
+                     lower(replace(c_name, ' ', '.')) || '@corp-' ||
+                     CAST(c_custkey % 7 AS STRING) || '.example' AS email
+              FROM customer
+            )
+            SELECT c_custkey,
+                   substr(sha256('ns' || regexp_extract(email, '^([^@]*)@.*$', 1)), 1, 12)
+                   || '@' || regexp_extract(email, '^[^@]*@(.*)$', 1) AS masked_email
+            FROM e
+        """,
+        "mask_phone_keep_last4": """
+            WITH p AS (
+              SELECT c_custkey,
+                     '+1-' || lpad(CAST((c_custkey * 7919) % 10000000 AS STRING), 7, '0') AS phone
+              FROM customer
+            )
+            SELECT c_custkey,
+                   regexp_replace(substr(phone, 1, length(phone) - 4), '[0-9]', '*', 'g')
+                   || substr(phone, length(phone) - 3, 4) AS masked_phone
+            FROM p
+        """,
+        "redact_pii_text": f"""
+            WITH d AS (SELECT doc_id, {_PII_TEXT} AS pii_text FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(pii_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_SSN_RE}', '<SSN>', 'g'),
+                     '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+            FROM d
+        """,
+        "shape_mask": """
+            SELECT c_custkey,
+                   translate(c_name,
+                     'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789',
+                     'nopqrstuvwxyzabcdefghijklmNOPQRSTUVWXYZABCDEFGHIJKLM5678901234')
+                   AS masked_name
+            FROM customer
+        """,
+        "key_mapping_consistency": """
+            SELECT o.o_orderkey,
+                   substr(sha256('ns' || CAST(o.o_custkey AS STRING)), 1, 12) AS anon_custkey
+            FROM orders o
+        """,
+        "subset_semijoin": """
+            SELECT o_orderkey, o_custkey, o_orderstatus
+            FROM orders o
+            WHERE EXISTS (
+              SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey AND EXISTS (
+                SELECT 1 FROM nation n
+                WHERE n.n_nationkey = c.c_nationkey AND n.n_name = 'NATION_3'))
+        """,
+        "subset_fk_chain": """
+            SELECT l_returnflag,
+                   count(*) AS n_items,
+                   floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+            FROM lineitem l
+            WHERE EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey AND EXISTS (
+                SELECT 1 FROM customer c
+                WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'))
+            GROUP BY l_returnflag
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_ngram_jaccard": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(toks) >= 3 THEN
+                         list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       ELSE [array_to_string(toks, ' ')] END) AS grams
+              FROM (
+                SELECT doc_id,
+                       list_filter(string_split(
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS toks
+                FROM documents)
+            ), ref AS (SELECT grams AS ref_grams FROM sh WHERE doc_id = 0)
+            SELECT doc_id,
+                   floor(CAST(len(list_intersect(grams, ref_grams)) AS DOUBLE) /
+                         len(list_distinct(list_concat(grams, ref_grams))) * 10000 + 0.5) / 10000 AS jaccard
+            FROM sh, ref
+            WHERE len(list_intersect(grams, ref_grams)) > 0
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+            )
+            SELECT vec_id,
+                   floor(
+                     list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+                     (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product(qv, qv))) * 10000 + 0.5) / 10000 AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "text_token_count": """
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subword_est
+            FROM documents
+        """,
+        "text_quality_score": """
+            WITH f AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS q_n_chars,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS q_n_tokens,
+                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+                     CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+                     CAST(len(list_filter(
+                       list_filter(string_split(lower(text), ' '), x -> x <> ''),
+                       t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t)))
+                       AS DOUBLE) AS stop_hits
+              FROM documents
+            )
+            SELECT doc_id, q_n_chars, q_n_tokens,
+                   floor((CASE WHEN q_n_chars > 0 THEN alpha / q_n_chars ELSE 0.0 END) * 10000 + 0.5) / 10000 AS q_alpha_ratio,
+                   floor((CASE WHEN q_n_chars > 0 THEN punct / q_n_chars ELSE 0.0 END) * 10000 + 0.5) / 10000 AS q_punct_ratio,
+                   floor((CASE WHEN q_n_tokens > 0 THEN stop_hits / q_n_tokens ELSE 0.0 END) * 10000 + 0.5) / 10000 AS q_stopword_ratio,
+                   floor((CASE WHEN q_n_tokens > 0 THEN CAST(q_n_chars AS DOUBLE) / q_n_tokens ELSE 0.0 END) * 10000 + 0.5) / 10000 AS q_mean_token_len,
+                   floor((
+                     least(q_n_tokens / 100.0, 1.0) * 0.3 +
+                     least(CASE WHEN q_n_chars > 0 THEN alpha / q_n_chars ELSE 0.0 END * 1.25, 1.0) * 0.4 +
+                     least(CASE WHEN q_n_tokens > 0 THEN stop_hits / q_n_tokens ELSE 0.0 END * 5.0, 1.0) * 0.3
+                   ) * 10000 + 0.5) / 10000 AS q_score
+            FROM f
+        """,
+        "text_lang_id": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','ein','mit','zu','den'], x))) AS hits_de,
+                len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS hits_en,
+                len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los','es','un','una','por'], x))) AS hits_es,
+                len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','un','une','que','pour'], x))) AS hits_fr
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                     WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                     WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                     WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                     ELSE 'fr'
+                   END AS lang_pred
+            FROM h
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "media_metadata": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
+        # rows-only (non-SQL-expressible): dedup_minhash_pairs,
+        # dedup_simhash_pairs, embedding_near_dup, anonymize_transform_udfs,
+        # media_image_features, synth_generators
+    }

@@ -1,0 +1,185 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "cdc": {"events": N, "events_per_sec_full": ..., "events_per_sec_quarter": ...,
+            "scaling_efficiency": ...}}
+
+Two parts:
+1. headline operator queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
+   (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS];
+2. the target-metric run: end-to-end CDC replay (synth log → LWW dedup →
+   vectorized anonymization → MERGE commits) at TWO parallelism levels
+   (N and N/4 cores, same input) — the sandbox evidence for the
+   "scaling efficiency >= 0.8 from N to 4N executors" criterion:
+   efficiency = throughput(4N) / (4 * throughput(N)).
+Each parallelism level runs in its own subprocess (fresh JVM) so the
+two measurements are isolated.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
+N_CONVS = max(100, N_EVENTS // 50)
+
+BENCH_QUERIES = [
+    "cdc_replay_final_state",
+    "cdc_lww_dedup_agg",
+    "cdc_merge_upsert",
+    "mask_email",
+    "redact_pii_text",
+    "anonymize_transform_udfs",
+    "subset_fk_chain",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "ann_cosine_topk",
+    "text_quality_score",
+    "text_lang_id",
+]
+
+
+def _synth_log_path(tmp_root: str) -> str:
+    """Materialize the deterministic synthetic change log once (not
+    timed); both parallelism levels replay the SAME input files."""
+    path = os.path.join(tmp_root, f"changelog_{N_EVENTS}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from neosync_spark.session import get_spark
+    from neosync_spark.synth import SynthConfig, generate_spark
+
+    spark = get_spark("ns_bench_synth", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    cfg = SynthConfig(n_events=N_EVENTS, n_convs=N_CONVS)
+    generate_spark(spark, cfg, partitions=CPUS * 2).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def _replay_run(cores: int, log_path: str) -> dict:
+    """Subprocess entry: replay the log end-to-end at `cores`, print
+    throughput json on the last line."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.functions import transformers as X
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+    from neosync_spark.session import get_spark
+    from neosync_spark.sources.changelog import ChangeLogSource
+
+    spark = get_spark(
+        f"ns_bench_replay_{cores}", master=f"local[{cores}]", shuffle_partitions=cores
+    )
+    table_path = tempfile.mkdtemp(prefix=f"ns_bench_table_{cores}_")
+    table = SnapshotTable.create(
+        spark, table_path, transcript_schema(), key_cols=KEY_COLS, n_buckets=64
+    )
+    transforms = {
+        "text": X.transform_pii_text(seed=42),
+        "tool": X.transform_character_scramble(seed=42, user_provided_regex='"q":"[^"]*"'),
+    }
+    eng = ReplayEngine(
+        spark,
+        table,
+        transforms=transforms,
+        config=EngineConfig(
+            batch_lsn_size=max(N_EVENTS // 4, 1), salt_partitions=cores * 2, lineage=True
+        ),
+    )
+    src = ChangeLogSource(spark, log_path)
+    t0 = time.time()
+    stats = eng.replay(src)
+    wall = time.time() - t0
+    n_rows = table.read().count()
+    spark.stop()
+    return {
+        "cores": cores,
+        "wall_sec": round(wall, 2),
+        "events_per_sec": round(N_EVENTS / wall, 1),
+        "batches": stats.batches_applied,
+        "final_rows": n_rows,
+    }
+
+
+def _run_queries() -> dict[str, float]:
+    import __spark_entry__ as E
+    from neosync_spark.session import get_spark
+
+    spark = get_spark("ns_bench_queries", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    out: dict[str, float] = {}
+    qs = E.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        out[name] = round(time.time() - t0, 2)
+        print(f"# {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--replay-run":
+        cores = int(sys.argv[2])
+        log_path = sys.argv[3]
+        print(json.dumps(_replay_run(cores, log_path)))
+        return
+
+    tmp_root = os.environ.get("SPARK_GRAFT_BENCH_TMP", tempfile.gettempdir())
+    qtimes = _run_queries()
+
+    log_path = _synth_log_path(tmp_root)
+    runs = {}
+    quarter = max(2, CPUS // 4)
+    for cores in (quarter, CPUS):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--replay-run", str(cores), log_path],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "SPARK_GRAFT_BENCH_EVENTS": str(N_EVENTS)},
+        )
+        if proc.returncode != 0:
+            print(proc.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError(f"replay run at {cores} cores failed")
+        runs[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
+        print(f"# replay @{cores} cores: {runs[cores]}", file=sys.stderr)
+
+    eps_q = runs[quarter]["events_per_sec"]
+    eps_f = runs[CPUS]["events_per_sec"]
+    ratio = CPUS / quarter
+    efficiency = round(eps_f / (ratio * eps_q), 3)
+
+    result = {
+        "metric": (
+            "end-to-end CDC change-events/sec applied (replay to matching final "
+            "table state) + operator query seconds at sf"
+        ),
+        "value": round(runs[CPUS]["wall_sec"], 2),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "cdc": {
+            "events": N_EVENTS,
+            "cores_full": CPUS,
+            "cores_quarter": quarter,
+            "events_per_sec_full": eps_f,
+            "events_per_sec_quarter": eps_q,
+            "scaling_efficiency_quarter_to_full": efficiency,
+            "final_rows": runs[CPUS]["final_rows"],
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

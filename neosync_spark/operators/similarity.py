@@ -1,0 +1,308 @@
+"""Deduplication + similarity search for training-data pipelines.
+
+Everything that can be JVM-side is (shingles, minhash signatures, band
+bucketing, cosine — all built-in higher-order functions); only simhash
+bit-voting uses a vectorized pandas UDF. Scale shapes:
+
+* exact dedup: hash-groupBy — one shuffle on the content hash.
+* MinHash+LSH near-dup: shingle → k minhashes → b bands → self-join on
+  (band_idx, band_hash). The band join is the scale path: candidate
+  pairs ∝ collisions, never the n² of brute force.
+* SimHash: 64-bit fingerprint; near-dups share all-but-few bits —
+  bucket by rotated prefixes for hamming-radius search.
+* n-gram Jaccard verification of candidate pairs.
+* cosine top-k: brute-force scan (the correct baseline at any scale —
+  one pass, no shuffle) and hyperplane-LSH bucketing as the ANN path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..util import round_half_up
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact content hash."""
+    h = F.md5(F.col(content_col))
+    return (
+        df.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(F.min(F.col(id_col)).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("_h")
+    )
+
+
+# -------------------------------------------------------------- shingles
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (shingles) of a document, JVM-side:
+    split → sliding slices via transform(sequence(...))."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(F.split(F.trim(F.regexp_replace(F.lower(c), "\\s+", " ")), " "),
+                    lambda t: t != "")
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two shingle arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# --------------------------------------------------------------- minhash
+
+def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """k-minhash signature: min over shingles of xxhash64(shingle, j)
+    for each of k seeded hash slots — array<long>, fully JVM-side."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, j + F.lit(seed)))
+        ),
+    )
+
+
+def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
+    """Split a signature into b bands of r rows; each entry is
+    (band_idx, band_hash). Documents sharing any band bucket are
+    near-dup candidates."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.concat_ws(",", F.slice(sig, b * rows + 1, rows)), b).alias(
+                "band_hash"
+            ),
+        ),
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Plan shape: per-doc signature (no shuffle) → explode bands →
+    shuffle on (band, band_hash) → within-bucket self-join → distinct
+    candidate pairs → verify Jaccard on the original shingles.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(content_col, shingle_n).alias("_sh"),
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes, seed))
+
+    banded = base.select(
+        "_id", F.explode(minhash_bands(F.col("_sig"), bands, rows)).alias("bb")
+    ).select("_id", "bb.band", "bb.band_hash")
+
+    cands = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l._id") < F.col("r._id"),
+            ],
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = base.select("_id", "_sh")
+    verified = (
+        cands.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sa"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_sb"), "id_b")
+        .withColumn("jaccard", round_half_up(ngram_jaccard(F.col("_sa"), F.col("_sb")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# --------------------------------------------------------------- simhash
+
+@F.pandas_udf(T.LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit simhash: per-token hash, per-bit weighted vote (Charikar).
+    Vectorized per Arrow batch with numpy bit tricks."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if t is None:
+            out[i] = 0
+            continue
+        toks = str(t).lower().split()
+        if not toks:
+            out[i] = 0
+            continue
+        hs = pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col), _simhash64(F.col(content_col)).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, content_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, bucketed by the 4
+    16-bit chunks (pigeonhole: distance ≤3 ⇒ some chunk equal)."""
+    sig = simhash(df, content_col, id_col)
+    chunks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * j)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk", "c.val")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    idl, idr = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.chunk") == F.col("r.chunk"),
+                F.col("l.val") == F.col("r.val"),
+                idl < idr,
+            ],
+        )
+        .select(
+            idl.alias("id_a"),
+            idr.alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------- cosine
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays — zip_with + aggregate,
+    all inside codegen (no UDF)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force top-k by cosine to a literal query vector: one scan,
+    per-partition top-k via TakeOrderedAndProject (no full sort)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sim = cosine_sim(F.col(vec_col).cast("array<double>"), q)
+    return (
+        df.select(F.col(id_col), round_half_up(sim, 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicates via hyperplane-LSH bucketing: sign
+    pattern over `n_planes` seeded random hyperplanes = bucket key;
+    verify cosine within buckets. The scale path for near-dup at 10^9
+    vectors (brute force only within buckets)."""
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    sig_terms = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig_terms.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
+    bucket = sum(sig_terms[1:], sig_terms[0])
+
+    tagged = df.select(F.col(id_col), F.col(vec_col), bucket.alias("_bucket"))
+    l, r = tagged.alias("l"), tagged.alias("r")
+    idl, idr = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
+    return (
+        l.join(r, on=[F.col("l._bucket") == F.col("r._bucket"), idl < idr])
+        .select(
+            idl.alias("id_a"),
+            idr.alias("id_b"),
+            round_half_up(
+                cosine_sim(
+                    F.col(f"l.{vec_col}").cast("array<double>"),
+                    F.col(f"r.{vec_col}").cast("array<double>"),
+                ),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,110 @@
+"""Text analysis operators for training-data pipelines — all JVM-side
+(built-in functions, whole-stage codegen), designed to stream over a
+100 TB documents table with zero Python in the hot path.
+
+* token counting (whitespace + a BPE-ish sub-word estimate)
+* quality scoring (length / punctuation / stopword / alpha ratios)
+* language ID (stopword-hit heuristic over a small per-language set)
+* document fingerprinting (normalized-content hash)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..util import round_half_up
+
+# tokenization shared with the DuckDB oracle: split on single spaces,
+# empty tokens removed
+def _tokens(c: Column) -> Column:
+    return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(_tokens(c))
+
+
+def subword_token_estimate(col: Column | str, chars_per_token: float = 4.0) -> Column:
+    """BPE-ish token estimate: ceil(chars / 4) — the standard serving
+    heuristic; exact BPE would be a dictionary-broadcast pandas UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.ceil(F.length(c) / F.lit(chars_per_token)).cast("long")
+
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "que", "pour"],
+    "es": ["el", "la", "de", "que", "y", "los", "es", "un", "una", "por"],
+}
+
+
+def _stopword_hits(c: Column, words: list[str]) -> Column:
+    toks = _tokens(F.lower(c))
+    lits = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lits, t)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite score in [0,1].
+    Mirrors the quality heuristics common in large-scale pretraining
+    data pipelines (length, alpha ratio, stopword density)."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    toks = _tokens(c)
+    n_tokens = F.size(toks)
+    alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(c, "[^.,;:!?]", ""))
+    stop_hits = _stopword_hits(c, STOPWORDS["en"])
+    mean_tok_len = F.when(n_tokens > 0, (n_chars / n_tokens)).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.3
+        + F.least(alpha_ratio * F.lit(1.25), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
+    )
+    return df.select(
+        "*",
+        n_chars.cast("long").alias("q_n_chars"),
+        n_tokens.cast("long").alias("q_n_tokens"),
+        round_half_up(alpha_ratio, 4).alias("q_alpha_ratio"),
+        round_half_up(punct_ratio, 4).alias("q_punct_ratio"),
+        round_half_up(stop_ratio, 4).alias("q_stopword_ratio"),
+        round_half_up(mean_tok_len, 4).alias("q_mean_token_len"),
+        round_half_up(score, 4).alias("q_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic: argmax over per-language hit
+    counts, 'und' (undetermined) when no stopword matches."""
+    c = F.col(text_col)
+    hit_cols = []
+    for lang, words in sorted(STOPWORDS.items()):
+        hit_cols.append(_stopword_hits(c, words).alias(f"hits_{lang}"))
+    with_hits = df.select("*", *hit_cols)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.lit("und")
+    # first language (alphabetical) achieving the max wins ties
+    for lg in reversed(langs):
+        pred = F.when(
+            (F.col(f"hits_{lg}") == best) & (best > 0), F.lit(lg)
+        ).otherwise(pred)
+    return with_hits.withColumn("lang_pred", pred).drop(
+        *[f"hits_{lg}" for lg in langs]
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint over normalized content
+    (lowercase, collapsed whitespace) — md5 so it's verifiable in any
+    SQL engine; near-dup detection uses minhash/simhash instead."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+    return F.md5(norm)

@@ -46,6 +46,26 @@ def hash_series(s: pd.Series) -> np.ndarray:
     )
 
 
+def round_half_up(col, scale: int = 4):
+    """Explicit HALF_UP rounding as a Spark Column expression.
+
+    Engine-portable: ``floor(x * 10^s + 0.5) / 10^s`` evaluates
+    identically in Spark and DuckDB, unlike round(), whose tie behavior
+    differs (Spark HALF_UP vs DuckDB half-even) — and small-integer
+    ratios (e.g. 3/32 = 0.09375) hit exact ties often.
+    """
+    from pyspark.sql import functions as F
+
+    m = float(10**scale)
+    return F.floor(col * m + F.lit(0.5)) / m
+
+
+def sql_round_half_up(expr: str, scale: int = 4) -> str:
+    """The same rounding as ANSI SQL text (for DuckDB oracles)."""
+    m = 10**scale
+    return f"floor(({expr}) * {m} + 0.5) / {m}"
+
+
 def str_seed(s: str) -> int:
     """Deterministic uint64 seed from a python string (label hashing)."""
     h = np.uint64(0xCBF29CE484222325)
