@@ -81,6 +81,28 @@ def _replay_run(cores: int, log_path: str) -> dict:
     spark = get_spark(
         f"ns_bench_replay_{cores}", master=f"local[{cores}]", shuffle_partitions=cores
     )
+
+    def _mk_engine():
+        table_path = tempfile.mkdtemp(prefix=f"ns_bench_table_{cores}_")
+        t = SnapshotTable.create(
+            spark, table_path, transcript_schema(), key_cols=KEY_COLS, n_buckets=64
+        )
+        tx = {
+            "text": X.transform_pii_text(seed=42),
+            "tool": X.transform_character_scramble(
+                seed=42, user_provided_regex='"q":"[^"]*"'
+            ),
+        }
+        return t, tx
+
+    # untimed warm-up: JIT/codegen/parquet-footer costs paid once, as on
+    # any long-running cluster; the measured replay is steady-state
+    wt, wtx = _mk_engine()
+    warm = ReplayEngine(
+        spark, wt, transforms=wtx,
+        config=EngineConfig(batch_lsn_size=max(N_EVENTS // 20, 1), lineage=True),
+    )
+    warm.replay(ChangeLogSource(spark, log_path), lsn_lo=0, lsn_hi=N_EVENTS // 20)
     table_path = tempfile.mkdtemp(prefix=f"ns_bench_table_{cores}_")
     table = SnapshotTable.create(
         spark, table_path, transcript_schema(), key_cols=KEY_COLS, n_buckets=64
@@ -93,8 +115,10 @@ def _replay_run(cores: int, log_path: str) -> dict:
         spark,
         table,
         transforms=transforms,
+        # no salt repartition: the agg-LWW output is already key-hash
+        # balanced, so salting would only add a shuffle (see skew.py)
         config=EngineConfig(
-            batch_lsn_size=max(N_EVENTS // 4, 1), salt_partitions=cores * 2, lineage=True
+            batch_lsn_size=max(N_EVENTS // 4, 1), salt_partitions=None, lineage=True
         ),
     )
     src = ChangeLogSource(spark, log_path)

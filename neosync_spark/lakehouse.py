@@ -269,10 +269,15 @@ class SnapshotTable:
         src = batch.withColumn(_BUCKET_COL, bucket_expr(key_cols[0], nb))
         src = src.persist()
         try:
-            affected = sorted(
-                r[0] for r in src.select(_BUCKET_COL).distinct().collect()
-            )
-            n_src = src.count()
+            # ONE action yields affected buckets + row counts (lineage) +
+            # total — and materializes the (possibly UDF-bearing) batch
+            # into the cache for the merge below.
+            bucket_counts = {
+                int(r[0]): int(r[1])
+                for r in src.groupBy(_BUCKET_COL).count().collect()
+            }
+            affected = sorted(bucket_counts)
+            n_src = sum(bucket_counts.values())
 
             target = self.read(buckets=affected, internal=True).withColumn(
                 _BUCKET_COL, bucket_expr(key_cols[0], nb)
@@ -364,7 +369,7 @@ class SnapshotTable:
             }
 
             if lineage:
-                self._write_lineage(src, new_sid, applied_range)
+                self._write_lineage(bucket_counts, new_sid, applied_range)
 
             self._write_manifest(new_m)
             return CommitInfo(new_sid, n_src, len(affected), applied_range)
@@ -388,22 +393,35 @@ class SnapshotTable:
         return found
 
     def _write_lineage(
-        self, src: DataFrame, snapshot_id: int, applied_range: tuple[int, int] | None
+        self,
+        bucket_counts: dict[int, int],
+        snapshot_id: int,
+        applied_range: tuple[int, int] | None,
     ) -> None:
         """One row per (commit, bucket): offset range, rows applied,
         snapshot — the reference's per-table OTel counters
-        (/root/reference/backend/pkg/metrics/labels.go:8-27) as data."""
+        (/root/reference/backend/pkg/metrics/labels.go:8-27) as data.
+        Counts come from the merge's own stats pass, so this is a pure
+        driver-side parquet append (no extra Spark job)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         lo, hi = applied_range if applied_range else (None, None)
-        (
-            src.groupBy(_BUCKET_COL)
-            .agg(F.count(F.lit(1)).alias("rows_applied"))
-            .withColumn("snapshot_id", F.lit(snapshot_id))
-            .withColumn("lsn_lo", F.lit(lo).cast("long"))
-            .withColumn("lsn_hi", F.lit(hi).cast("long"))
-            .withColumnRenamed(_BUCKET_COL, "bucket")
-            .write.mode("append")
-            .parquet(os.path.join(self.path, "metadata", "lineage"))
+        buckets = sorted(bucket_counts)
+        tbl = pa.table(
+            {
+                "bucket": pa.array(buckets, type=pa.int32()),
+                "rows_applied": pa.array(
+                    [bucket_counts[b] for b in buckets], type=pa.int64()
+                ),
+                "snapshot_id": pa.array([snapshot_id] * len(buckets), type=pa.int64()),
+                "lsn_lo": pa.array([lo] * len(buckets), type=pa.int64()),
+                "lsn_hi": pa.array([hi] * len(buckets), type=pa.int64()),
+            }
         )
+        d = os.path.join(self.path, "metadata", "lineage")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(tbl, os.path.join(d, f"lineage-{snapshot_id}.parquet"))
 
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "metadata", "lineage"))
