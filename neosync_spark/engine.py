@@ -41,6 +41,13 @@ class EngineConfig:
     salt_partitions: int | None = None  # pre-transform fan-out; None = skip
     salt_buckets: int = 8
     lineage: bool = True
+    # 'cow' = north-rule copy-on-write MERGE commits;
+    # 'mor' = merge-on-read delta commits (O(batch) write amplification,
+    # LWW at read/compaction) for high-frequency tailing
+    merge_mode: str = "cow"
+    # under 'mor': compact buckets whose delta-file count exceeds this
+    # (checked after each batch); None disables auto-compaction
+    compact_deltas_over: int | None = 8
 
 
 @dataclass
@@ -125,11 +132,28 @@ class ReplayEngine:
     def apply_batch(
         self, batch: DataFrame, applied_range: tuple[int, int]
     ) -> CommitInfo:
-        deduped = self.dedup_batch(batch)
-        transformed = self.transform_batch(deduped)
-        return self.table.merge_cdc(
-            transformed, applied_range=applied_range, lineage=self.config.lineage
+        """Fast path: hand the RAW slice to the merge — in-batch dedup
+        folds into the merge's single LWW shuffle and the anonymizers
+        run inside it, on winning source rows only."""
+        info = self.table.merge_cdc(
+            batch,
+            applied_range=applied_range,
+            lineage=self.config.lineage,
+            mode=self.config.merge_mode,
+            transform=self.transform_batch if self.transforms else None,
+            source_is_raw=True,
         )
+        if (
+            self.config.merge_mode == "mor"
+            and self.config.compact_deltas_over is not None
+        ):
+            pressure = self.table.delta_file_counts()
+            hot = [
+                b for b, n in pressure.items() if n > self.config.compact_deltas_over
+            ]
+            if hot:
+                self.table.compact(buckets=hot)
+        return info
 
     def replay(
         self,

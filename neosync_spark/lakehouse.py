@@ -202,35 +202,61 @@ class SnapshotTable:
         cur = self.current_schema(m)
         want = set(int(b) for b in buckets) if buckets is not None else None
 
-        by_schema: dict[str, list[str]] = {}
-        for b, entries in m["files"].items():
-            if want is not None and int(b) not in want:
-                continue
-            for e in entries:
-                by_schema.setdefault(str(e["schema_id"]), []).append(e["path"])
+        # buckets holding delta (merge-on-read) files need LWW at read
+        # time over base ∪ deltas; pure-base buckets read directly
+        delta_buckets = {
+            int(b)
+            for b, entries in m["files"].items()
+            if any(e.get("kind") == "delta" for e in entries)
+        }
 
-        parts: list[DataFrame] = []
-        for sid, paths in by_schema.items():
-            file_schema = self._storage_schema(m["schemas"][sid])
-            df = self.spark.read.schema(file_schema).parquet(*paths)
-            cols = []
-            have = {f.name: f for f in file_schema.fields}
-            for f_ in cur.fields:
-                if f_.name in have:
-                    cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
-                else:
-                    cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
-            cols.append(F.col(_LSN_COL))
-            cols.append(F.col(_DELETED_COL))
-            parts.append(df.select(*cols))
+        def _collect(filter_delta: bool) -> dict[str, list[str]]:
+            by_schema: dict[str, list[str]] = {}
+            for b, entries in m["files"].items():
+                if want is not None and int(b) not in want:
+                    continue
+                if (int(b) in delta_buckets) != filter_delta:
+                    continue
+                for e in entries:
+                    by_schema.setdefault(str(e["schema_id"]), []).append(e["path"])
+            return by_schema
 
-        if not parts:
-            empty = self._storage_schema(m["schemas"][str(m["schema_id"])])
-            out = self.spark.createDataFrame([], empty)
-        else:
+        def _union(by_schema: dict[str, list[str]]) -> DataFrame | None:
+            parts: list[DataFrame] = []
+            for sid, paths in by_schema.items():
+                file_schema = self._storage_schema(m["schemas"][sid])
+                df = self.spark.read.schema(file_schema).parquet(*paths)
+                cols = []
+                have = {f.name: f for f in file_schema.fields}
+                for f_ in cur.fields:
+                    if f_.name in have:
+                        cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+                    else:
+                        cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+                cols.append(F.col(_LSN_COL))
+                cols.append(F.col(_DELETED_COL))
+                parts.append(df.select(*cols))
+            if not parts:
+                return None
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
+            return out
+
+        base_part = _union(_collect(filter_delta=False))
+        mor_part = _union(_collect(filter_delta=True))
+        if mor_part is not None:
+            mor_part = lww_dedup(mor_part, m["key_cols"], ["ts", _LSN_COL])
+
+        if base_part is not None and mor_part is not None:
+            out = base_part.unionByName(mor_part)
+        elif base_part is not None:
+            out = base_part
+        elif mor_part is not None:
+            out = mor_part
+        else:
+            empty = self._storage_schema(m["schemas"][str(m["schema_id"])])
+            out = self.spark.createDataFrame([], empty)
         if not internal:
             out = out.filter(~F.coalesce(F.col(_DELETED_COL), F.lit(False))).drop(
                 _LSN_COL, _DELETED_COL
@@ -244,6 +270,9 @@ class SnapshotTable:
         batch: DataFrame,
         applied_range: tuple[int, int] | None = None,
         lineage: bool = True,
+        mode: str = "cow",
+        transform=None,
+        source_is_raw: bool = False,
     ) -> CommitInfo:
         """Apply a key-unique CDC batch (cols: op + payload + ts + lsn).
 
@@ -251,11 +280,27 @@ class SnapshotTable:
         WHEN MATCHED AND s.op='delete' AND (s.ts,s.lsn)>=(t.ts,t._lsn) THEN DELETE
         WHEN MATCHED AND (s.ts,s.lsn)>=(t.ts,t._lsn) THEN UPDATE SET *
         WHEN NOT MATCHED AND s.op!='delete' THEN INSERT *``
-        — i.e. ts-aware LWW across batches, implemented as
-        union + partial-agg LWW + rewrite of affected buckets only.
+        — i.e. ts-aware LWW across batches.
+
+        ``mode='cow'`` (default, the north-rule commit style): union +
+        partial-agg LWW + rewrite of affected buckets only.
+        ``mode='mor'`` (merge-on-read): write the batch as per-bucket
+        DELTA files — no target read, O(batch) write amplification —
+        with LWW resolved at read time / by compact(). The right mode
+        for high-frequency tailing at 10^10 events; equivalent final
+        state (tests assert it).
 
         If ``applied_range`` is already in the ledger this is a NO-OP
         (exactly-once replay; reference analog retry⇒DO NOTHING).
+
+        ``source_is_raw=True`` is the engine fast path: the batch may
+        hold many events per key and is not yet anonymized — the stats
+        pre-pass then runs on the cheap raw scan (no UDFs), in-batch
+        dedup folds into the merge's single LWW shuffle, and
+        ``transform`` (df → df) is applied ONLY to the winning source
+        rows, inside the key-partitioned merge stage. With the default
+        (False) the caller provides a key-unique, already-transformed
+        batch, which is persisted to avoid recomputing it twice.
         """
         m = self.manifest(refresh=True)
         if applied_range is not None and self.is_applied(*applied_range):
@@ -267,11 +312,13 @@ class SnapshotTable:
         payload_cols = [f.name for f in cur.fields]
 
         src = batch.withColumn(_BUCKET_COL, bucket_expr(key_cols[0], nb))
-        src = src.persist()
+        persisted = not source_is_raw
+        if persisted:
+            src = src.persist()
         try:
             # ONE action yields affected buckets + row counts (lineage) +
-            # total — and materializes the (possibly UDF-bearing) batch
-            # into the cache for the merge below.
+            # total. On the raw path this is a plain scan + tiny agg (no
+            # UDFs have been attached yet).
             bucket_counts = {
                 int(r[0]): int(r[1])
                 for r in src.groupBy(_BUCKET_COL).count().collect()
@@ -279,20 +326,6 @@ class SnapshotTable:
             affected = sorted(bucket_counts)
             n_src = sum(bucket_counts.values())
 
-            target = self.read(buckets=affected, internal=True).withColumn(
-                _BUCKET_COL, bucket_expr(key_cols[0], nb)
-            )
-
-            # unify: target rows keep their tombstone state, source rows
-            # carry their op; _src breaks exact (ts,_lsn) ties in favor
-            # of the incoming row (idempotent: identical payload).
-            t_side = target.select(
-                *payload_cols,
-                F.col(_LSN_COL),
-                F.col(_DELETED_COL).alias("_del"),
-                F.lit(0).alias("_src"),
-                F.col(_BUCKET_COL),
-            )
             s_cols = []
             for f_ in cur.fields:
                 if f_.name in src.columns:
@@ -307,9 +340,41 @@ class SnapshotTable:
                 F.col(_BUCKET_COL),
             )
 
-            unioned = t_side.unionByName(s_side)
-            won = lww_dedup(unioned, key_cols, ["ts", _LSN_COL, "_src"])
-            # deleted winners stay as tombstones: payload nulled, key +
+            if mode == "mor":
+                # delta write: LWW deferred to read/compact; raw batches
+                # are in-batch deduped so delta volume stays O(keys)
+                won = s_side
+                if source_is_raw:
+                    won = lww_dedup(won, key_cols, ["ts", _LSN_COL])
+                if transform is not None:
+                    won = transform(won)
+            else:
+                # COW: read current rows of affected buckets and resolve
+                # LWW now — ONE shuffle covers in-batch dedup AND the
+                # target merge. Target rows keep their tombstone state;
+                # _src breaks exact (ts,_lsn) ties in favor of the
+                # incoming row (idempotent: identical payload).
+                target = self.read(buckets=affected, internal=True).withColumn(
+                    _BUCKET_COL, bucket_expr(key_cols[0], nb)
+                )
+                t_side = target.select(
+                    *payload_cols,
+                    F.col(_LSN_COL),
+                    F.col(_DELETED_COL).alias("_del"),
+                    F.lit(0).alias("_src"),
+                    F.col(_BUCKET_COL),
+                )
+                unioned = t_side.unionByName(s_side)
+                won = lww_dedup(unioned, key_cols, ["ts", _LSN_COL, "_src"])
+                if transform is not None:
+                    # anonymize ONLY the winning source rows (target rows
+                    # were transformed when first applied) — a partition-
+                    # local split, no extra shuffle
+                    new_rows = transform(won.filter(F.col("_src") == 1))
+                    kept_rows = won.filter(F.col("_src") != 1)
+                    won = new_rows.unionByName(kept_rows)
+
+            # deleted rows stay as tombstones: payload nulled, key +
             # (ts, _lsn) retained for future LWW comparisons
             null_if_del = [
                 F.when(F.col("_del"), F.lit(None).cast(f_.dataType))
@@ -338,16 +403,22 @@ class SnapshotTable:
                 .parquet(commit_dir)
             )
 
-            new_files = dict(m["files"])
-            for b in affected:
-                new_files[str(b)] = []  # rewritten below (may stay empty)
+            new_files = {b: list(v) for b, v in m["files"].items()}
             written = self._list_commit_files(commit_dir)
-            for b, paths in written.items():
-                new_files[str(b)] = [
-                    {"path": p, "schema_id": m["schema_id"]} for p in sorted(paths)
-                ]
-            # drop buckets that became empty
-            new_files = {b: v for b, v in new_files.items() if v}
+            if mode == "mor":
+                for b, paths in written.items():
+                    new_files.setdefault(str(b), []).extend(
+                        {"path": p, "schema_id": m["schema_id"], "kind": "delta"}
+                        for p in sorted(paths)
+                    )
+            else:
+                for b in affected:
+                    new_files[str(b)] = []  # rewritten below (may stay empty)
+                for b, paths in written.items():
+                    new_files[str(b)] = [
+                        {"path": p, "schema_id": m["schema_id"]} for p in sorted(paths)
+                    ]
+                new_files = {b: v for b, v in new_files.items() if v}
 
             ledger = list(m["checkpoint"]["applied"])
             if applied_range is not None:
@@ -362,7 +433,7 @@ class SnapshotTable:
                 "files": new_files,
                 "checkpoint": {"applied": ledger},
                 "summary": {
-                    "operation": "merge",
+                    "operation": f"merge_{mode}",
                     "source_rows": n_src,
                     "buckets_rewritten": len(affected),
                 },
@@ -374,7 +445,8 @@ class SnapshotTable:
             self._write_manifest(new_m)
             return CommitInfo(new_sid, n_src, len(affected), applied_range)
         finally:
-            src.unpersist()
+            if persisted:
+                src.unpersist()
 
     def _list_commit_files(self, commit_dir: str) -> dict[int, list[str]]:
         found: dict[int, list[str]] = {}
@@ -425,6 +497,65 @@ class SnapshotTable:
 
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "metadata", "lineage"))
+
+    def delta_file_counts(self) -> dict[int, int]:
+        """bucket → number of delta files (compaction pressure)."""
+        m = self.manifest(refresh=True)
+        return {
+            int(b): sum(1 for e in entries if e.get("kind") == "delta")
+            for b, entries in m["files"].items()
+            if any(e.get("kind") == "delta" for e in entries)
+        }
+
+    def compact(
+        self,
+        buckets: Sequence[int] | None = None,
+        expire_tombstones_before=None,
+    ) -> CommitInfo | None:
+        """Fold delta files into base files (LWW resolved once, at
+        write). Optionally expire tombstones with ts older than the
+        late-arrival watermark — after which a same-key event older
+        than the watermark could in principle resurrect, so pick the
+        watermark from the source's max out-of-orderness."""
+        m = self.manifest(refresh=True)
+        if buckets is None:
+            buckets = sorted(self.delta_file_counts())
+        buckets = [int(b) for b in buckets]
+        if not buckets:
+            return None
+        rows = self.read(buckets=buckets, internal=True)  # LWW applied
+        if expire_tombstones_before is not None:
+            rows = rows.filter(
+                ~F.col(_DELETED_COL) | (F.col("ts") >= F.lit(expire_tombstones_before))
+            )
+        out = rows.withColumn(
+            _BUCKET_COL, bucket_expr(m["key_cols"][0], m["bucket_count"])
+        )
+        new_sid = m["snapshot_id"] + 1
+        commit_dir = os.path.join(
+            self.path, "data", f"commit-{new_sid}-{uuid.uuid4().hex[:8]}"
+        )
+        n_out = max(1, min(len(buckets), 256))
+        out.repartition(n_out, F.col(_BUCKET_COL)).write.partitionBy(
+            _BUCKET_COL
+        ).parquet(commit_dir)
+        new_files = {b: list(v) for b, v in m["files"].items()}
+        for b in buckets:
+            new_files[str(b)] = []
+        for b, paths in self._list_commit_files(commit_dir).items():
+            new_files[str(b)] = [
+                {"path": p, "schema_id": m["schema_id"]} for p in sorted(paths)
+            ]
+        new_files = {b: v for b, v in new_files.items() if v}
+        new_m = {
+            **m,
+            "snapshot_id": new_sid,
+            "parent": m["snapshot_id"],
+            "files": new_files,
+            "summary": {"operation": "compact", "buckets": len(buckets)},
+        }
+        self._write_manifest(new_m)
+        return CommitInfo(new_sid, 0, len(buckets), None)
 
     # ---------- exactly-once ledger ----------
 

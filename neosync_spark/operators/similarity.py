@@ -68,13 +68,40 @@ def ngram_jaccard(a: Column, b: Column) -> Column:
 # --------------------------------------------------------------- minhash
 
 def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
-    """k-minhash signature: min over shingles of xxhash64(shingle, j)
-    for each of k seeded hash slots — array<long>, fully JVM-side."""
+    """k-minhash signature as a single Column expression. NOTE: nested
+    higher-order functions are interpreted (not codegen'd) — use
+    minhash_signatures() (explode + hash-agg) for anything beyond a few
+    thousand docs; kept for expression-level composition."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda j: F.array_min(
             F.transform(shingles, lambda s: F.xxhash64(s, j + F.lit(seed)))
         ),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    shingles_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """k-minhash signatures via explode → k codegen'd xxhash64 columns →
+    partial+final hash-agg of k mins → array. Every stage is whole-stage
+    codegen (the HOF variant is interpreted and ~100× slower); the agg
+    combines map-side, so giant documents don't skew the shuffle."""
+    exploded = df.select(
+        F.col(id_col), F.explode(F.col(shingles_col)).alias("_s")
+    )
+    hashed = exploded.select(
+        id_col, *[F.xxhash64("_s", F.lit(seed + j)).alias(f"_h{j}") for j in range(num_hashes)]
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{j}").alias(f"_h{j}") for j in range(num_hashes)]
+    )
+    return agg.select(
+        id_col, F.array(*[F.col(f"_h{j}") for j in range(num_hashes)]).alias("_sig")
     )
 
 
@@ -111,12 +138,15 @@ def minhash_dedup_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     rows = num_hashes // bands
-    base = df.select(
+    spark = df.sparkSession
+    shingled = df.select(
         F.col(id_col).alias("_id"),
         word_shingles(content_col, shingle_n).alias("_sh"),
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes, seed))
+    ).repartition(spark.sparkContext.defaultParallelism, "_id")
+    shingled = shingled.persist()
+    sigs = minhash_signatures(shingled, "_sh", "_id", num_hashes, seed)
 
-    banded = base.select(
+    banded = sigs.select(
         "_id", F.explode(minhash_bands(F.col("_sig"), bands, rows)).alias("bb")
     ).select("_id", "bb.band", "bb.band_hash")
 
@@ -134,7 +164,7 @@ def minhash_dedup_pairs(
         .distinct()
     )
 
-    sh = base.select("_id", "_sh")
+    sh = shingled.select("_id", "_sh")
     verified = (
         cands.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sa"), "id_a")
         .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_sb"), "id_b")

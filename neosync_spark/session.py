@@ -49,6 +49,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("NEOSYNC_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # commit algorithm v2: task-side renames — the v1 sequential
+        # driver-side rename of every bucket dir dominates small commits
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

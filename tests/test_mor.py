@@ -1,0 +1,92 @@
+"""Merge-on-read mode: delta commits + read-time LWW + compaction must
+produce exactly the COW final state (and the oracle's)."""
+
+from __future__ import annotations
+
+import pytest
+
+from neosync_spark.engine import EngineConfig, ReplayEngine
+from neosync_spark.lakehouse import SnapshotTable
+from neosync_spark.schema import KEY_COLS, transcript_schema
+from neosync_spark.sources.changelog import ChangeLogSource
+from neosync_spark.synth import SynthConfig, expected_final_state, generate_pandas
+
+from .conftest import assert_pdf_equal
+
+CFG = SynthConfig(n_events=8_000, n_convs=300)
+BATCH = 2_000
+
+
+@pytest.fixture(scope="module")
+def log_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("log") / "changelog")
+    spark.createDataFrame(generate_pandas(CFG)).write.parquet(p)
+    return p
+
+
+def _run(spark, tmp_path, log_path, mode, compact_over=None):
+    t = SnapshotTable.create(
+        spark, str(tmp_path), transcript_schema(), key_cols=KEY_COLS, n_buckets=8
+    )
+    eng = ReplayEngine(
+        spark,
+        t,
+        config=EngineConfig(
+            batch_lsn_size=BATCH, merge_mode=mode, compact_deltas_over=compact_over
+        ),
+    )
+    eng.replay(ChangeLogSource(spark, log_path))
+    return t
+
+
+def test_mor_matches_oracle_and_cow(spark, tmp_path, log_path):
+    exp = expected_final_state(generate_pandas(CFG))
+
+    mor = _run(spark, tmp_path / "mor", log_path, "mor", compact_over=None)
+    assert_pdf_equal(mor.read().toPandas(), exp, ["conv_id", "turn_idx"])
+    # deltas actually accumulated (no compaction)
+    assert sum(mor.delta_file_counts().values()) > 0
+
+    cow = _run(spark, tmp_path / "cow", log_path, "cow")
+    assert_pdf_equal(
+        mor.read().toPandas(), cow.read().toPandas(), ["conv_id", "turn_idx"]
+    )
+
+
+def test_mor_compaction_preserves_state(spark, tmp_path, log_path):
+    t = _run(spark, tmp_path / "t", log_path, "mor", compact_over=None)
+    before = t.read().toPandas()
+    info = t.compact()
+    assert info is not None
+    assert t.delta_file_counts() == {}
+    after = t.read().toPandas()
+    assert_pdf_equal(before, after, ["conv_id", "turn_idx"])
+    # ledger survives compaction
+    assert len(t.applied_ranges()) == 4
+
+
+def test_mor_auto_compaction(spark, tmp_path, log_path):
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), key_cols=KEY_COLS, n_buckets=4
+    )
+    eng = ReplayEngine(
+        spark,
+        t,
+        config=EngineConfig(batch_lsn_size=BATCH, merge_mode="mor", compact_deltas_over=2),
+    )
+    eng.replay(ChangeLogSource(spark, log_path))
+    # pressure kept at/below the threshold by auto-compaction
+    assert all(n <= 2 for n in t.delta_file_counts().values())
+    exp = expected_final_state(generate_pandas(CFG))
+    assert_pdf_equal(t.read().toPandas(), exp, ["conv_id", "turn_idx"])
+
+
+def test_mor_exactly_once(spark, tmp_path, log_path):
+    t = _run(spark, tmp_path / "t", log_path, "mor")
+    sid = t.manifest(refresh=True)["snapshot_id"]
+    eng = ReplayEngine(
+        spark, t, config=EngineConfig(batch_lsn_size=BATCH, merge_mode="mor")
+    )
+    s = eng.replay(ChangeLogSource(spark, log_path))
+    assert s.batches_applied == 0 and s.batches_skipped == 4
+    assert t.manifest(refresh=True)["snapshot_id"] == sid
