@@ -1,0 +1,78 @@
+"""Physical-plan guarantees: the properties that make the engine hold
+at 100 TB — filter pushdown into the parquet scan, broadcast semijoins,
+partial aggregation, no stray sorts in the merge path."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from neosync_spark.sources.changelog import ChangeLogSource
+from neosync_spark.synth import SynthConfig, generate_pandas
+
+
+@pytest.fixture(scope="module")
+def log_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "log")
+    spark.createDataFrame(generate_pandas(SynthConfig(n_events=2000, n_convs=50))).write.parquet(p)
+    return p
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lsn_slice_pushdown(spark, log_path):
+    """The lsn range predicate must reach the parquet scan."""
+    df = ChangeLogSource(spark, log_path).slice(100, 200)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(lsn,100)" in plan and "LessThan(lsn,200)" in plan
+
+
+def test_column_pruning(spark, log_path):
+    """Projecting two columns must prune the scan schema."""
+    df = ChangeLogSource(spark, log_path).full().select("lsn", "conv_id")
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema and "role" not in read_schema
+
+
+def test_semijoin_broadcasts(spark):
+    from neosync_spark.operators.subset import semijoin_subset
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet").filter(
+        "n_name = 'NATION_3'"
+    )
+    out = semijoin_subset(cust, nat, "c_nationkey", "n_nationkey")
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_merge_plan_no_sort(spark, tmp_path, log_path):
+    """The COW merge must be agg-based (partial+final), never a global
+    sort or window."""
+    from neosync_spark.lakehouse import SnapshotTable, bucket_expr, _BUCKET_COL, _LSN_COL
+    from neosync_spark.operators.dedup import lww_dedup
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+    from pyspark.sql import functions as F
+
+    log = ChangeLogSource(spark, log_path).slice(0, 1000)
+    s_side = log.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        F.col("lsn").alias(_LSN_COL),
+        (F.col("op") == "delete").alias("_del"),
+        F.lit(1).alias("_src"),
+        bucket_expr("conv_id", 8).alias(_BUCKET_COL),
+    )
+    won = lww_dedup(s_side, KEY_COLS, ["ts", _LSN_COL, "_src"])
+    plan = _plan(won)
+    # no window (would shuffle every duplicate of a hot key to one task)
+    assert "Window" not in plan
+    # partial (map-side) aggregation before the exchange — the skew
+    # defense: a hot key collapses per-partition before it shuffles
+    assert "partial_max_by" in plan
+    # exactly one exchange: in-batch dedup costs a single key shuffle
+    assert plan.count("Exchange") == 1
