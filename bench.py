@@ -116,9 +116,15 @@ def _replay_run(cores: int, log_path: str) -> dict:
         table,
         transforms=transforms,
         # no salt repartition: the agg-LWW output is already key-hash
-        # balanced, so salting would only add a shuffle (see skew.py)
+        # balanced, so salting would only add a shuffle (see skew.py).
+        # no bucket-prune pre-pass: the synthetic log's keys are uniform,
+        # so every batch touches every bucket — pruning would only add a
+        # full extra scan per batch (see merge_cdc docstring).
         config=EngineConfig(
-            batch_lsn_size=max(N_EVENTS // 4, 1), salt_partitions=None, lineage=True
+            batch_lsn_size=max(N_EVENTS // 4, 1),
+            salt_partitions=None,
+            lineage=True,
+            prune_buckets=False,
         ),
     )
     src = ChangeLogSource(spark, log_path)
@@ -163,9 +169,17 @@ def main() -> None:
     qtimes = _run_queries()
 
     log_path = _synth_log_path(tmp_root)
+    # N vs 4N: both levels must fit the host with headroom, otherwise the
+    # top level is bound by the machine (memory bandwidth, shuffle disk),
+    # not by the engine — on this 32-core box the cleanest emulation of
+    # "N executors vs 4N executors" is 4 vs 16 cores. Override with
+    # SPARK_GRAFT_SCALE_N.
+    scale_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", max(2, min(4, CPUS // 8))))
+    scale_4n = scale_n * 4
     runs = {}
-    quarter = max(2, CPUS // 4)
-    for cores in (quarter, CPUS):
+    for cores in (scale_n, scale_4n, CPUS):
+        if cores in runs:
+            continue
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--replay-run", str(cores), log_path],
             capture_output=True,
@@ -178,10 +192,9 @@ def main() -> None:
         runs[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
         print(f"# replay @{cores} cores: {runs[cores]}", file=sys.stderr)
 
-    eps_q = runs[quarter]["events_per_sec"]
-    eps_f = runs[CPUS]["events_per_sec"]
-    ratio = CPUS / quarter
-    efficiency = round(eps_f / (ratio * eps_q), 3)
+    eps_n = runs[scale_n]["events_per_sec"]
+    eps_4n = runs[scale_4n]["events_per_sec"]
+    efficiency = round(eps_4n / (4.0 * eps_n), 3)
 
     result = {
         "metric": (
@@ -194,11 +207,13 @@ def main() -> None:
         "sf": SF_DIR,
         "cdc": {
             "events": N_EVENTS,
+            "cores_n": scale_n,
+            "cores_4n": scale_4n,
             "cores_full": CPUS,
-            "cores_quarter": quarter,
-            "events_per_sec_full": eps_f,
-            "events_per_sec_quarter": eps_q,
-            "scaling_efficiency_quarter_to_full": efficiency,
+            "events_per_sec_n": eps_n,
+            "events_per_sec_4n": eps_4n,
+            "events_per_sec_full": runs[CPUS]["events_per_sec"],
+            "scaling_efficiency_n_to_4n": efficiency,
             "final_rows": runs[CPUS]["final_rows"],
         },
     }

@@ -48,6 +48,10 @@ class EngineConfig:
     # under 'mor': compact buckets whose delta-file count exceeds this
     # (checked after each batch); None disables auto-compaction
     compact_deltas_over: int | None = 8
+    # False: skip the per-batch bucket-stats pre-pass (one fewer scan) —
+    # right when batch keys hit most buckets anyway (uniform keys);
+    # keep True for key-local update streams so merges stay bucket-pruned
+    prune_buckets: bool = True
 
 
 @dataclass
@@ -142,6 +146,7 @@ class ReplayEngine:
             mode=self.config.merge_mode,
             transform=self.transform_batch if self.transforms else None,
             source_is_raw=True,
+            prune_buckets=self.config.prune_buckets,
         )
         if (
             self.config.merge_mode == "mor"

@@ -273,6 +273,7 @@ class SnapshotTable:
         mode: str = "cow",
         transform=None,
         source_is_raw: bool = False,
+        prune_buckets: bool = True,
     ) -> CommitInfo:
         """Apply a key-unique CDC batch (cols: op + payload + ts + lsn).
 
@@ -315,16 +316,29 @@ class SnapshotTable:
         persisted = not source_is_raw
         if persisted:
             src = src.persist()
+        observation = None
         try:
-            # ONE action yields affected buckets + row counts (lineage) +
-            # total. On the raw path this is a plain scan + tiny agg (no
-            # UDFs have been attached yet).
-            bucket_counts = {
-                int(r[0]): int(r[1])
-                for r in src.groupBy(_BUCKET_COL).count().collect()
-            }
-            affected = sorted(bucket_counts)
-            n_src = sum(bucket_counts.values())
+            if prune_buckets:
+                # ONE action yields affected buckets + row counts
+                # (lineage) + total. On the raw path this is a plain
+                # scan + tiny agg (no UDFs have been attached yet).
+                bucket_counts = {
+                    int(r[0]): int(r[1])
+                    for r in src.groupBy(_BUCKET_COL).count().collect()
+                }
+                affected = sorted(bucket_counts)
+                n_src = sum(bucket_counts.values())
+            else:
+                # no pre-pass: source row count rides the write job as an
+                # observe() metric; buckets + lineage come from the
+                # written files afterwards
+                from pyspark.sql import Observation
+
+                observation = Observation()
+                src = src.observe(observation, F.count(F.lit(1)).alias("n_src"))
+                bucket_counts = None
+                affected = None
+                n_src = None
 
             s_cols = []
             for f_ in cur.fields:
@@ -396,22 +410,30 @@ class SnapshotTable:
             commit_dir = os.path.join(
                 self.path, "data", f"commit-{new_sid}-{uuid.uuid4().hex[:8]}"
             )
-            n_out_parts = max(1, min(len(affected), 256)) if affected else 1
+            if affected is not None:
+                n_out_parts = max(1, min(len(affected), 256)) if affected else 1
+            else:
+                n_out_parts = max(1, min(nb, 256))
             (
                 out.repartition(n_out_parts, F.col(_BUCKET_COL))
                 .write.partitionBy(_BUCKET_COL)
                 .parquet(commit_dir)
             )
 
-            new_files = {b: list(v) for b, v in m["files"].items()}
             written = self._list_commit_files(commit_dir)
+            if affected is None:  # no-prepass mode: stats post-hoc
+                affected = sorted(written)
+                n_src = int(observation.get["n_src"])
+                bucket_counts = self._footer_counts(written)
+
+            new_files = {b: list(v) for b, v in m["files"].items()}
             if mode == "mor":
                 for b, paths in written.items():
                     new_files.setdefault(str(b), []).extend(
                         {"path": p, "schema_id": m["schema_id"], "kind": "delta"}
                         for p in sorted(paths)
                     )
-            else:
+            elif prune_buckets:
                 for b in affected:
                     new_files[str(b)] = []  # rewritten below (may stay empty)
                 for b, paths in written.items():
@@ -419,6 +441,14 @@ class SnapshotTable:
                         {"path": p, "schema_id": m["schema_id"]} for p in sorted(paths)
                     ]
                 new_files = {b: v for b, v in new_files.items() if v}
+            else:
+                # full-table COW rewrite: the written set IS the table
+                new_files = {
+                    str(b): [
+                        {"path": p, "schema_id": m["schema_id"]} for p in sorted(paths)
+                    ]
+                    for b, paths in written.items()
+                }
 
             ledger = list(m["checkpoint"]["applied"])
             if applied_range is not None:
@@ -447,6 +477,18 @@ class SnapshotTable:
         finally:
             if persisted:
                 src.unpersist()
+
+    @staticmethod
+    def _footer_counts(written: dict[int, list[str]]) -> dict[int, int]:
+        """Rows per bucket from parquet footers (driver-side, no job).
+        In no-prepass mode lineage rows_applied are post-merge bucket
+        row counts (the batch total is exact, from observe())."""
+        import pyarrow.parquet as pq
+
+        return {
+            b: sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+            for b, paths in written.items()
+        }
 
     def _list_commit_files(self, commit_dir: str) -> dict[int, list[str]]:
         found: dict[int, list[str]] = {}
