@@ -31,8 +31,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))
 N_CONVS = max(100, N_EVENTS // 50)
+# batches per replay: 1 = bulk catch-up (the scaling measurement: per-
+# batch fixed latency amortizes as at design-scale 10^8-event batches);
+# 4 = micro-batch cadence (checkpoint-realistic throughput)
+N_BATCHES = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "4"))
 
 BENCH_QUERIES = [
     "cdc_replay_final_state",
@@ -95,8 +99,14 @@ def _replay_run(cores: int, log_path: str) -> dict:
         }
         return t, tx
 
-    # untimed warm-up: JIT/codegen/parquet-footer costs paid once, as on
-    # any long-running cluster; the measured replay is steady-state
+    # untimed warm-up: OS page cache for the log + JIT/codegen/parquet
+    # footers paid once, as on any long-running cluster; the measured
+    # replay is steady-state
+    import glob
+
+    for f in glob.glob(os.path.join(log_path, "*.parquet")):
+        with open(f, "rb") as fh:
+            fh.read()
     wt, wtx = _mk_engine()
     warm = ReplayEngine(
         spark, wt, transforms=wtx,
@@ -121,7 +131,7 @@ def _replay_run(cores: int, log_path: str) -> dict:
         # so every batch touches every bucket — pruning would only add a
         # full extra scan per batch (see merge_cdc docstring).
         config=EngineConfig(
-            batch_lsn_size=max(N_EVENTS // 4, 1),
+            batch_lsn_size=max(N_EVENTS // N_BATCHES, 1),
             salt_partitions=None,
             lineage=True,
             prune_buckets=False,

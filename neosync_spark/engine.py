@@ -52,6 +52,11 @@ class EngineConfig:
     # right when batch keys hit most buckets anyway (uniform keys);
     # keep True for key-local update streams so merges stay bucket-pruned
     prune_buckets: bool = True
+    # quarantine poison rows (bad op / null key / null lsn) to
+    # <table>/metadata/quarantine instead of failing the batch — the
+    # analog of the reference's row-by-row retry skipping violations
+    # (output_sql_insert.go:310-348) and error-output escape hatch
+    quarantine: bool = False
 
 
 @dataclass
@@ -139,6 +144,22 @@ class ReplayEngine:
         """Fast path: hand the RAW slice to the merge — in-batch dedup
         folds into the merge's single LWW shuffle and the anonymizers
         run inside it, on winning source rows only."""
+        obs = None
+        original = batch
+        valid = None
+        if self.config.quarantine:
+            from pyspark.sql import Observation
+
+            valid = (
+                F.col("op").isin("insert", "update", "delete")
+                & F.col("conv_id").isNotNull()
+                & F.col("turn_idx").isNotNull()
+                & F.col("lsn").isNotNull()
+            )
+            obs = Observation()
+            batch = batch.observe(
+                obs, F.sum((~valid).cast("long")).alias("n_bad")
+            ).filter(valid)
         info = self.table.merge_cdc(
             batch,
             applied_range=applied_range,
@@ -148,6 +169,18 @@ class ReplayEngine:
             source_is_raw=True,
             prune_buckets=self.config.prune_buckets,
         )
+        if obs is not None and int(obs.get.get("n_bad") or 0) > 0:
+            # rare path: persist the poison rows for inspection instead
+            # of failing the batch (reference: row-by-row retry skipping
+            # violations + error output)
+            import os as _os
+
+            (
+                original.filter(~valid)
+                .withColumn("_quarantined_range", F.lit(str(applied_range)))
+                .write.mode("append")
+                .parquet(_os.path.join(self.table.path, "metadata", "quarantine"))
+            )
         if (
             self.config.merge_mode == "mor"
             and self.config.compact_deltas_over is not None

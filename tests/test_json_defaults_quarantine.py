@@ -1,0 +1,113 @@
+"""JSON anonymizer, type-based defaults, identity scramble, quarantine."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from neosync_spark.functions import transformers as X
+from neosync_spark.functions.json_anonymizer import anonymize_json_field, anonymize_json_udf
+from neosync_spark.operators.defaults import (
+    apply_default_transforms,
+    scramble_identity,
+)
+
+
+class TestJsonAnonymizer:
+    def test_mapped_paths(self):
+        fn = anonymize_json_udf({"$.user.email": X.transform_email(seed=1, preserve_domain=True)})
+        doc = json.dumps({"user": {"email": "a@b.co", "name": "Al"}, "n": 3})
+        out = json.loads(fn(pd.Series([doc]), pd.Series(["k"])).iloc[0])
+        assert out["user"]["email"] != "a@b.co"
+        assert out["user"]["email"].endswith("@b.co")
+        assert out["user"]["name"] == "Al" and out["n"] == 3
+
+    def test_default_string_with_skip(self):
+        fn = anonymize_json_udf(
+            {}, default_string=X.transform_character_scramble(seed=1),
+            skip_paths=("$.keep",),
+        )
+        doc = json.dumps({"keep": "Hello", "mask": "Hello"})
+        out = json.loads(fn(pd.Series([doc]), pd.Series(["k"])).iloc[0])
+        assert out["keep"] == "Hello"
+        assert out["mask"] != "Hello" and len(out["mask"]) == 5
+
+    def test_non_json_passthrough(self):
+        fn = anonymize_json_udf({"$.x": X.transform_uuid()})
+        assert fn(pd.Series(["not json"]), pd.Series(["k"])).iloc[0] == "not json"
+        assert fn(pd.Series([None]), pd.Series(["k"])).iloc[0] is None
+
+    def test_schema_known_jvm_path(self, spark):
+        from pyspark.sql import types as T
+
+        from neosync_spark.functions.masking import shape_mask
+
+        schema = T.StructType(
+            [T.StructField("name", T.StringType()), T.StructField("q", T.StringType())]
+        )
+        df = spark.createDataFrame(
+            [('{"name":"search","q":"secret term"}',), (None,)], ["tool"]
+        )
+        parsed = F.from_json(F.col("tool"), schema)
+        out = df.select(
+            anonymize_json_field(
+                "tool", schema, {"q": shape_mask(parsed.getField("q"))}
+            ).alias("masked")
+        ).collect()
+        got = json.loads(out[0]["masked"])
+        assert got["name"] == "search" and got["q"] != "secret term"
+        assert len(got["q"]) == len("secret term")
+        assert out[1]["masked"] is None
+
+
+def test_default_transforms_cover_unmapped(spark):
+    df = spark.createDataFrame(
+        [(1, "alice", 30, 1.5, "x")], ["id", "name", "age", "score", "mapped"]
+    )
+    out = apply_default_transforms(
+        df, mapped_cols={"mapped"}, key_cols=["id"], seed=7
+    ).collect()[0]
+    assert out["name"] != "alice" and len(out["name"]) == 5
+    assert out["age"] != 30 and abs(out["age"] - 30) <= 100
+    assert out["score"] != 1.5
+    assert out["mapped"] == "x" and out["id"] == 1
+
+
+def test_scramble_identity_unique_and_changed(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["id"]).repartition(8)
+    out = scramble_identity(df, "id").toPandas()
+    assert out["id"].is_unique
+    assert len(out) == 1000
+
+
+def test_quarantine_poison_rows(spark, tmp_path):
+    import numpy as np
+
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+    from neosync_spark.synth import SynthConfig, generate_pandas
+
+    log = generate_pandas(SynthConfig(n_events=2000, n_convs=100))
+    # poison 5 rows: bad op, null conv_id
+    log.loc[10, "op"] = "truncate"
+    log.loc[20, "op"] = "truncate"
+    log.loc[30, "conv_id"] = None
+    sdf = spark.createDataFrame(log)
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), key_cols=KEY_COLS, n_buckets=4
+    )
+    eng = ReplayEngine(
+        spark, t, config=EngineConfig(batch_lsn_size=1000, quarantine=True)
+    )
+    eng.replay(lambda lo, hi: sdf.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)),
+               lsn_lo=0, lsn_hi=1999)
+    q = spark.read.parquet(str(tmp_path / "t" / "metadata" / "quarantine")).toPandas()
+    assert len(q) == 3
+    assert set(q["lsn"]) == {10, 20, 30}
+    # the rest of the log was applied
+    assert t.read().count() > 0
