@@ -1,0 +1,149 @@
+"""CLI — the headless one-shot sync analog (reference:
+/root/reference/cli/internal/cmds/neosync/sync/sync.go:130).
+
+Run via spark-submit with the package shipped as --py-files:
+
+    zip -r /tmp/neosync_spark.zip neosync_spark
+    spark-submit --master local[32] --py-files /tmp/neosync_spark.zip \
+        run_cdc.py replay --log /data/changelog --table /data/transcripts \
+        --mapping text=transform_pii_text --mapping tool=transform_character_scramble
+
+Subcommands: synth (generate a change log), replay (run/resume a sync
+job), compact (fold MoR deltas), verify (final state vs oracle), show
+(snapshot/ledger info).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse_mapping(items: list[str]):
+    from .plans.job import ColumnMapping
+
+    out = []
+    for it in items or []:
+        col, _, rest = it.partition("=")
+        name, _, params = rest.partition(":")
+        kw = json.loads(params) if params else {}
+        out.append(ColumnMapping(col, name, kw))
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="neosync-spark")
+    p.add_argument("--master", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("synth", help="generate a deterministic change log")
+    s.add_argument("--out", required=True)
+    s.add_argument("--events", type=int, default=1_000_000)
+    s.add_argument("--convs", type=int, default=0)
+    s.add_argument("--seed", type=int, default=42)
+
+    r = sub.add_parser("replay", help="run or resume a CDC sync job")
+    r.add_argument("--log", required=True)
+    r.add_argument("--table", required=True)
+    r.add_argument("--mapping", action="append", default=[],
+                   help="col=transformer[:json-params], repeatable")
+    r.add_argument("--batch-size", type=int, default=500_000)
+    r.add_argument("--buckets", type=int, default=64)
+    r.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    r.add_argument("--no-prune", action="store_true")
+    r.add_argument("--quarantine", action="store_true")
+    r.add_argument("--seed", type=int, default=42)
+
+    c = sub.add_parser("compact", help="fold MoR delta files")
+    c.add_argument("--table", required=True)
+
+    v = sub.add_parser("verify", help="replay-vs-oracle final state check")
+    v.add_argument("--log", required=True)
+    v.add_argument("--table", required=True)
+
+    w = sub.add_parser("show", help="snapshot history + ledger")
+    w.add_argument("--table", required=True)
+
+    args = p.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark("neosync_spark_cli", master=args.master)
+
+    if args.cmd == "synth":
+        from .synth import SynthConfig, generate_spark
+
+        cfg = SynthConfig(
+            n_events=args.events,
+            n_convs=args.convs or max(100, args.events // 50),
+            seed=args.seed,
+        )
+        generate_spark(spark, cfg).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"written": args.out, "events": cfg.total_rows}))
+        return 0
+
+    if args.cmd == "replay":
+        from .plans.job import JobSpec, run_job
+
+        job = JobSpec(
+            source_path=args.log,
+            destination_path=args.table,
+            mappings=_parse_mapping(args.mapping),
+            seed=args.seed,
+            batch_lsn_size=args.batch_size,
+            n_buckets=args.buckets,
+            merge_mode=args.mode,
+            prune_buckets=not args.no_prune,
+            quarantine=args.quarantine,
+        )
+        stats = run_job(spark, job)
+        print(json.dumps({
+            "batches_applied": stats.batches_applied,
+            "batches_skipped": stats.batches_skipped,
+            "rows_applied": stats.rows_applied,
+            "schema_ops": stats.schema_ops,
+        }))
+        return 0
+
+    if args.cmd == "compact":
+        from .lakehouse import SnapshotTable
+
+        t = SnapshotTable.load(spark, args.table)
+        info = t.compact()
+        print(json.dumps({"compacted": bool(info), "snapshot": info.snapshot_id if info else None}))
+        return 0
+
+    if args.cmd == "verify":
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from .lakehouse import SnapshotTable
+        from .operators.dedup import lww_dedup
+
+        t = SnapshotTable.load(spark, args.table)
+        log = spark.read.parquet(args.log)
+        won = lww_dedup(log, ["conv_id", "turn_idx"], ["ts", "lsn"])
+        expected = won.filter(F.col("op") != "delete")
+        n_table = t.read().count()
+        n_expected = expected.count()
+        ok = n_table == n_expected
+        print(json.dumps({"table_rows": n_table, "expected_rows": n_expected, "match": ok}))
+        return 0 if ok else 1
+
+    if args.cmd == "show":
+        from .lakehouse import SnapshotTable
+
+        t = SnapshotTable.load(spark, args.table)
+        print(json.dumps({
+            "history": t.history(),
+            "applied_ranges": [list(r) for r in t.applied_ranges()],
+            "delta_pressure": t.delta_file_counts(),
+        }, indent=1))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

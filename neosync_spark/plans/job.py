@@ -1,0 +1,108 @@
+"""Declarative job spec → compiled engine run — the benthos-builder
+analog.
+
+The reference compiles a protobuf Job (source/destination connections +
+JobMappings of (schema, table, column, transformer)) into per-table
+stream configs (/root/reference/internal/benthos/benthos-builder/
+benthos-builder.go:72-155; mappings → mutation processors
+builders/processors.go:341-400, transformer dispatch
+computeMutationFunction :528-838). Here a JobSpec compiles into a
+ReplayEngine: transformer names resolve against the REGISTRY exactly
+like user-defined transformer configs dereferenced at plan time
+(builders/processors.go:505-526).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from ..engine import EngineConfig, ReplayEngine, ReplayStats
+from ..functions.transformers import REGISTRY, TransformFn
+from ..lakehouse import SnapshotTable
+from ..schema import KEY_COLS, transcript_schema
+from ..schema_registry import SchemaRegistry
+from ..sources.changelog import ChangeLogSource
+
+
+@dataclass(frozen=True)
+class ColumnMapping:
+    """(column, transformer, params) — a JobMapping row."""
+
+    column: str
+    transformer: str
+    params: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class JobSpec:
+    source_path: str  # change-log parquet dir
+    destination_path: str  # SnapshotTable root
+    mappings: list[ColumnMapping] = field(default_factory=list)
+    seed: int = 42
+    batch_lsn_size: int = 500_000
+    n_buckets: int = 64
+    merge_mode: str = "cow"
+    prune_buckets: bool = True
+    quarantine: bool = False
+    schema_policy: str = "automap"
+
+
+def resolve_transformer(m: ColumnMapping, seed: int) -> TransformFn:
+    """Dereference a transformer name + params from the registry
+    (unknown name is a plan-time error, like the reference)."""
+    if m.transformer not in REGISTRY:
+        raise ValueError(
+            f"unknown transformer {m.transformer!r} for column {m.column!r}; "
+            f"known: {sorted(REGISTRY)}"
+        )
+    params = dict(m.params)
+    params.setdefault("seed", seed)
+    try:
+        return REGISTRY[m.transformer](**params)
+    except TypeError:
+        params.pop("seed", None)  # meta-transformers take no seed
+        return REGISTRY[m.transformer](**params)
+
+
+def compile_job(
+    spark: SparkSession, job: JobSpec, registry: SchemaRegistry | None = None
+) -> tuple[ReplayEngine, ChangeLogSource]:
+    """Plan time: resolve transformers, create/load the destination
+    table, wire the engine."""
+    transforms = {
+        m.column: resolve_transformer(m, job.seed) for m in job.mappings
+    }
+    if SnapshotTable.exists(job.destination_path):
+        table = SnapshotTable.load(spark, job.destination_path)
+    else:
+        table = SnapshotTable.create(
+            spark,
+            job.destination_path,
+            transcript_schema(),
+            key_cols=KEY_COLS,
+            n_buckets=job.n_buckets,
+        )
+    engine = ReplayEngine(
+        spark,
+        table,
+        transforms=transforms,
+        registry=registry,
+        config=EngineConfig(
+            batch_lsn_size=job.batch_lsn_size,
+            merge_mode=job.merge_mode,
+            prune_buckets=job.prune_buckets,
+            quarantine=job.quarantine,
+        ),
+    )
+    return engine, ChangeLogSource(spark, job.source_path)
+
+
+def run_job(
+    spark: SparkSession, job: JobSpec, registry: SchemaRegistry | None = None
+) -> ReplayStats:
+    """Execute (or resume) the sync job end-to-end."""
+    engine, source = compile_job(spark, job, registry)
+    return engine.replay(source)

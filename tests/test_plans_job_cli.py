@@ -1,0 +1,137 @@
+"""DAG planner (runconfigs analog), job compiler (benthos-builder
+analog), sinks, CLI."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from neosync_spark.plans.dag import (
+    FkGraph,
+    find_cycles,
+    plan_run_configs,
+    runnable_waves,
+)
+from neosync_spark.plans.job import ColumnMapping, JobSpec, run_job
+from neosync_spark.synth import SynthConfig, expected_final_state, generate_pandas
+
+from .conftest import assert_pdf_equal
+
+
+class TestDag:
+    def _hr_graph(self) -> FkGraph:
+        # the reference's humanresources star (create-tables.sql:1-54):
+        # regions<-countries<-locations<-departments; employees⟲manager
+        g = FkGraph()
+        g.add("countries", "regions", "region_id")
+        g.add("locations", "countries", "country_id")
+        g.add("departments", "locations", "location_id")
+        g.add("employees", "departments", "department_id")
+        g.add("employees", "jobs", "job_id")
+        g.add("employees", "employees", "manager_id", nullable=True)
+        g.add("dependents", "employees", "employee_id")
+        return g
+
+    def test_topo_order(self):
+        cfgs = plan_run_configs(self._hr_graph())
+        names = [c.name for c in cfgs]
+        order = {n: i for i, n in enumerate(names)}
+        assert order["regions.insert"] < order["countries.insert"]
+        assert order["countries.insert"] < order["locations.insert"]
+        assert order["departments.insert"] < order["employees.insert"]
+        assert order["employees.insert"] < order["dependents.insert"]
+        # self-cycle broken: deferred manager_id update pass exists
+        assert "employees.update" in names
+        upd = next(c for c in cfgs if c.name == "employees.update")
+        assert upd.update_columns == ("manager_id",)
+
+    def test_cycles_found(self):
+        g = FkGraph().add("a", "b", "b_id").add("b", "a", "a_id", nullable=True)
+        cycles = find_cycles(g)
+        assert any(set(c) == {"a", "b"} for c in cycles)
+
+    def test_unbreakable_cycle_raises(self):
+        g = FkGraph().add("a", "b", "b_id").add("b", "a", "a_id")
+        with pytest.raises(ValueError, match="unbreakable"):
+            plan_run_configs(g)
+
+    def test_waves(self):
+        waves = runnable_waves(plan_run_configs(self._hr_graph()))
+        flat = [n for w in waves for n in w]
+        assert flat.index("regions.insert") < flat.index("countries.insert")
+        assert "employees.update" in flat
+
+
+class TestJob:
+    def test_run_job_end_to_end(self, spark, tmp_path):
+        cfg = SynthConfig(n_events=4000, n_convs=150)
+        log = generate_pandas(cfg)
+        log_dir = str(tmp_path / "log")
+        spark.createDataFrame(log).write.parquet(log_dir)
+
+        job = JobSpec(
+            source_path=log_dir,
+            destination_path=str(tmp_path / "t"),
+            mappings=[
+                ColumnMapping("text", "transform_pii_text"),
+                ColumnMapping(
+                    "tool", "transform_character_scramble",
+                    {"user_provided_regex": '"q":"[^"]*"'},
+                ),
+            ],
+            batch_lsn_size=1500,
+            n_buckets=8,
+        )
+        stats = run_job(spark, job)
+        assert stats.batches_applied == 3
+
+        # resumable: re-running the same job is a no-op
+        stats2 = run_job(spark, job)
+        assert stats2.batches_applied == 0 and stats2.batches_skipped == 3
+
+        from neosync_spark.engine import ReplayEngine
+        from neosync_spark.lakehouse import SnapshotTable
+        from neosync_spark.plans.job import compile_job
+
+        eng, _ = compile_job(spark, job)
+        got = eng.table.read().toPandas()
+        exp = expected_final_state(log, transform=eng.pandas_transform)
+        assert_pdf_equal(got, exp, ["conv_id", "turn_idx"])
+
+    def test_unknown_transformer_is_plan_error(self, spark, tmp_path):
+        from neosync_spark.plans.job import compile_job
+
+        job = JobSpec(
+            source_path="x", destination_path=str(tmp_path / "t"),
+            mappings=[ColumnMapping("text", "transform_nope")],
+        )
+        with pytest.raises(ValueError, match="unknown transformer"):
+            compile_job(spark, job)
+
+
+def test_archive_roundtrip(spark, tmp_path):
+    from neosync_spark.sinks import archive_jsonl, read_archive
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    archive_jsonl(df, str(tmp_path), "run1", "public.t")
+    back = read_archive(spark, str(tmp_path), "run1", "public.t")
+    assert back.count() == 2
+    assert set(r["v"] for r in back.collect()) == {"a", "b"}
+
+
+def test_cli_synth_replay_show_verify(spark, tmp_path, capsys):
+    from neosync_spark.cli import main
+
+    log_dir = str(tmp_path / "log")
+    table = str(tmp_path / "t")
+    assert main(["synth", "--out", log_dir, "--events", "2000"]) == 0
+    assert main([
+        "replay", "--log", log_dir, "--table", table,
+        "--mapping", "text=transform_pii_text",
+        "--batch-size", "1000",
+    ]) == 0
+    assert main(["show", "--table", table]) == 0
+    assert main(["verify", "--log", log_dir, "--table", table]) == 0
+    out = capsys.readouterr().out
+    assert '"match": true' in out
