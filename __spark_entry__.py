@@ -474,6 +474,51 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(blobs, "blob", "doc_id", feat_dim=8)
 
 
+def _q_json_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-form JSON anonymization over the derived log's tool field
+    (the AnonymizeSingle/Many analog) — rows-only; value-verified
+    against pandas in tests."""
+    from neosync_spark.functions import transformers as X
+    from neosync_spark.functions.json_anonymizer import anonymize_json_udf
+    from neosync_spark.functions.transformers import as_udf, key_col
+
+    log = _derived_log(spark, sf_dir).filter(F.col("tool").isNotNull())
+    fn = anonymize_json_udf(
+        {"$.name": X.transform_passthrough()},
+        default_string=X.transform_character_scramble(seed=42),
+    )
+    return log.select(
+        "lsn",
+        "tool",
+        as_udf(fn)(F.col("tool"), key_col("conv_id", "turn_idx")).alias("tool_anon"),
+    )
+
+
+def _q_default_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-based default anonymization of all unmapped columns (the
+    neosync_default_transformer analog) — rows-only."""
+    from neosync_spark.operators.defaults import apply_default_transforms
+
+    _views(spark, sf_dir, ["customer"])
+    return apply_default_transforms(
+        spark.table("customer"),
+        mapped_cols={"c_mktsegment"},
+        key_cols=["c_custkey"],
+        seed=42,
+    )
+
+
+def _q_identity_scramble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity block-allocator analog — rows-only (uniqueness asserted
+    in tests)."""
+    from neosync_spark.operators.defaults import scramble_identity
+
+    _views(spark, sf_dir, ["orders"])
+    return scramble_identity(spark.table("orders"), "o_orderkey").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
 def _q_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The `generate` input analog: spark.range + seeded generators
     (rows-only; generator semantics unit-tested)."""
@@ -532,6 +577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_metadata,
         "media_image_features": _q_image_features,
         "synth_generators": _q_generators,
+        "json_anonymize": _q_json_anonymize,
+        "default_transforms": _q_default_transforms,
+        "identity_scramble": _q_identity_scramble,
     }
 
 
