@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "16000000"))
 N_CONVS = max(100, N_EVENTS // 50)
 # batches per replay: 1 = bulk catch-up (the scaling measurement: per-
 # batch fixed latency amortizes as at design-scale 10^8-event batches);
