@@ -16,11 +16,16 @@ tests/ against pandas oracles instead.
 
 from __future__ import annotations
 
+import os
+import sys
 import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# the driver may import this file from any cwd — make the package importable
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -70,6 +75,9 @@ _PHONE_RE = "\\+?[0-9][0-9().\\- ]{6,}[0-9]"
 
 
 def _views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    # timestamp→string oracles (strftime vs date_format) agree only in
+    # UTC; the DuckDB side reads parquet timestamps as UTC-naive
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     for t in names or TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
@@ -399,6 +407,19 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, "embedding", "vec_id", list(q), k=10)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k probing every cell — must equal brute force, so the
+    brute-force oracle verifies the whole index/assign/probe machinery."""
+    from neosync_spark.operators.similarity import ivf_topk
+
+    _views(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk(
+        emb, "embedding", "vec_id", list(q), k=10, n_centroids=8, n_probe=8
+    )
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.operators.similarity import embedding_near_dup_pairs
 
@@ -569,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_topk,
+        "ann_ivf_topk": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         "text_token_count": _q_token_count,
         "text_quality_score": _q_quality,
@@ -756,6 +778,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(grams, ref_grams)) > 0
         """,
         "ann_cosine_topk": """
+            WITH q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+            )
+            SELECT vec_id,
+                   floor(
+                     list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+                     (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product(qv, qv))) * 10000 + 0.5) / 10000 AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_ivf_topk": """
             WITH q AS (
               SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
             )

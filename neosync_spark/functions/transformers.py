@@ -676,6 +676,25 @@ def generate_card_number(seed: int = 42, valid_luhn: bool = True) -> TransformFn
     return fn
 
 
+def transform_user_code(code: str = "value", **_: object) -> TransformFn:
+    """User-defined per-value transform — the analog of the reference's
+    goja-executed user JS transformers (transform_javascript /
+    generate_javascript, /root/reference/worker/pkg/benthos/javascript/
+    processor.go; codegen builders/processors.go:482-502). ``code`` is a
+    Python expression over ``value`` and ``key`` evaluated per row
+    inside the Arrow batch (user-supplied by the job author, exactly
+    like the reference's user JS)."""
+    compiled = compile(code, "<transform_user_code>", "eval")
+
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        out = []
+        for v, k in zip(values, keys):
+            out.append(eval(compiled, {"__builtins__": {}}, {"value": v, "key": k, "len": len, "str": str, "int": int, "float": float}))
+        return pd.Series(out, index=values.index, dtype=object)
+
+    return fn
+
+
 # meta-transformers (reference builders/processors.go:784-854)
 def transform_null(**_: object) -> TransformFn:
     def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
@@ -708,6 +727,7 @@ REGISTRY: dict[str, Callable[..., TransformFn]] = {
     "transform_pii_text": transform_pii_text,
     "null": transform_null,
     "passthrough": transform_passthrough,
+    "transform_user_code": transform_user_code,
     "generate_first_name": generate_first_name,
     "generate_last_name": generate_last_name,
     "generate_full_name": generate_full_name,

@@ -288,6 +288,70 @@ def cosine_topk(
     )
 
 
+def ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    sample_size: int = 4096,
+    iters: int = 8,
+) -> np.ndarray:
+    """k-means centroids from a driver-side sample (numpy Lloyd's, a
+    few iterations — the index build step; at 10^9 vectors you'd sample
+    ~1e5 rows, still driver-sized)."""
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(sample_size).collect()],
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        d = sample @ cent.T  # cosine-ish assignment on normalized data
+        norm_s = np.linalg.norm(sample, axis=1, keepdims=True) + 1e-12
+        norm_c = np.linalg.norm(cent, axis=1, keepdims=True).T + 1e-12
+        sim = d / (norm_s * norm_c)
+        assign = sim.argmax(axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: vectors are assigned to their nearest
+    centroid (one vectorized matmul per Arrow batch); the query probes
+    only the ``n_probe`` nearest cells, so the scan covers
+    ~n_probe/n_centroids of the data — the ANN scale path next to the
+    brute-force baseline (cosine_topk)."""
+    cent = centroids if centroids is not None else ivf_centroids(df, vec_col, n_centroids, seed)
+    cent_norm = cent / (np.linalg.norm(cent, axis=1, keepdims=True) + 1e-12)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_cell(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
+        return pd.Series((m @ cent_norm.T).argmax(axis=1).astype(np.int32))
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) + 1e-12)
+    probe = np.argsort(-(cent_norm @ qn))[:n_probe].tolist()
+
+    tagged = df.select(F.col(id_col), F.col(vec_col), assign_cell(F.col(vec_col)).alias("_cell"))
+    pruned = tagged.filter(F.col("_cell").isin(probe))
+    return cosine_topk(pruned, vec_col, id_col, list(map(float, query)), k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,

@@ -1,0 +1,103 @@
+"""Similarity/dedup operator semantics on the driver testdata."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neosync_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    ivf_topk,
+    minhash_dedup_pairs,
+    ngram_jaccard,
+    simhash_near_pairs,
+    word_shingles,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_counts(spark, docs):
+    uniques = exact_dedup(docs, "text", "doc_id")
+    assert uniques.agg(F.sum("n_copies")).collect()[0][0] == docs.count()
+
+
+def test_minhash_pairs_are_verified_jaccard(spark, docs):
+    pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.8).toPandas()
+    assert (pairs["jaccard"] >= 0.8).all()
+    assert (pairs["id_a"] < pairs["id_b"]).all()
+    assert len(pairs) > 0  # testdata contains near-dups
+
+
+def test_minhash_finds_known_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [(0, base), (1, base + " extra"), (2, "totally different words here entirely now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = minhash_dedup_pairs(df, "text", "doc_id", threshold=0.5).toPandas()
+    assert {(0, 1)} == set(zip(pairs.id_a, pairs.id_b))
+
+
+def test_simhash_hamming_bound(spark, docs):
+    pairs = simhash_near_pairs(docs, "text", "doc_id", max_hamming=6).toPandas()
+    assert (pairs["hamming"] <= 6).all()
+
+
+def test_cosine_topk_self_first(spark, emb):
+    q = emb.filter(F.col("vec_id") == 5).select("embedding").collect()[0][0]
+    top = cosine_topk(emb, "embedding", "vec_id", list(q), k=5).toPandas()
+    assert top.iloc[0]["vec_id"] == 5
+    assert top.iloc[0]["cosine"] == pytest.approx(1.0, abs=1e-3)
+    assert (top["cosine"].diff().dropna() <= 1e-9).all()  # descending
+
+
+def test_ivf_topk_recall(spark, emb):
+    q = emb.filter(F.col("vec_id") == 5).select("embedding").collect()[0][0]
+    exact = set(
+        cosine_topk(emb, "embedding", "vec_id", list(q), k=10).toPandas()["vec_id"]
+    )
+    # probing every cell must equal brute force
+    full = set(
+        ivf_topk(emb, "embedding", "vec_id", list(q), k=10,
+                 n_centroids=8, n_probe=8).toPandas()["vec_id"]
+    )
+    assert full == exact
+    # partial probing keeps decent recall and always finds the query itself
+    part = set(
+        ivf_topk(emb, "embedding", "vec_id", list(q), k=10,
+                 n_centroids=8, n_probe=3).toPandas()["vec_id"]
+    )
+    assert 5 in part
+    assert len(part & exact) >= 4
+
+
+def test_ngram_jaccard_bounds(spark, docs):
+    d = docs.limit(50).select("doc_id", word_shingles("text", 3).alias("sh"))
+    ref = d.filter(F.col("doc_id") == 0).select(F.col("sh").alias("ref"))
+    j = d.crossJoin(F.broadcast(ref)).select(
+        ngram_jaccard(F.col("sh"), F.col("ref")).alias("j")
+    ).toPandas()
+    assert ((j["j"] >= 0) & (j["j"] <= 1)).all()
+
+
+def test_embedding_near_dup_finds_planted(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(16).astype("float32")
+    rows = [(0, base.tolist()), (1, (base * 1.001 + 0.0005).tolist())]
+    rows += [(i, rng.standard_normal(16).astype("float32").tolist()) for i in range(2, 50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup_pairs(df, "embedding", "vec_id", threshold=0.99).toPandas()
+    assert (0, 1) in set(zip(pairs.id_a, pairs.id_b))
