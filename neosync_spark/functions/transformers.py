@@ -277,16 +277,51 @@ def transform_character_scramble(
         out[digit] = _DIGIT[(r[digit] % np.uint64(10)).astype(np.int64)]
         return out.tobytes().decode("utf-8", "surrogatepass")
 
+    def scramble_batch(strs: list[str], hs: np.ndarray) -> list[str]:
+        """Whole-batch scramble over one concatenated UTF-8 buffer —
+        bit-identical to scramble_str per row (class bytes are all
+        ASCII; multi-byte UTF-8 units are >= 0x80 and pass through)."""
+        enc = [s.encode("utf-8", "surrogatepass") for s in strs]
+        lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
+        total = int(lens.sum())
+        if total == 0:
+            return list(strs)
+        flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        row_idx = np.repeat(np.arange(len(enc)), lens)
+        pos = np.arange(total, dtype=np.uint64) - starts.astype(np.uint64)[row_idx]
+        r = mix64(hs.astype(np.uint64)[row_idx], pos)
+        lower = (flat >= 97) & (flat <= 122)
+        upper = (flat >= 65) & (flat <= 90)
+        digit = (flat >= 48) & (flat <= 57)
+        out_b = flat.copy()
+        out_b[lower] = _LOWER[(r[lower] % np.uint64(26)).astype(np.int64)]
+        out_b[upper] = _UPPER[(r[upper] % np.uint64(26)).astype(np.int64)]
+        out_b[digit] = _DIGIT[(r[digit] % np.uint64(10)).astype(np.int64)]
+        buf = out_b.tobytes()
+        ends = starts + lens
+        return [
+            buf[s:e].decode("utf-8", "surrogatepass")
+            for s, e in zip(starts, ends)
+        ]
+
     def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
         hs = _row_hashes(seed, "transform_character_scramble", keys, values)
+        if pattern is None:
+            mask = values.notna().to_numpy()
+            strs = [str(v) for v, m in zip(values, mask) if m]
+            scrambled = scramble_batch(strs, np.asarray(hs)[mask])
+            out_arr = np.full(len(values), None, dtype=object)
+            out_arr[mask] = scrambled
+            return pd.Series(out_arr, index=values.index, dtype=object)
         out = []
         for v, h in zip(values, hs):
             if v is None or (isinstance(v, float) and pd.isna(v)):
                 out.append(None)
                 continue
             v = str(v)
-            if pattern is None:
-                out.append(scramble_str(v, h))
+            if False:
+                pass
             else:
                 pieces, last = [], 0
                 for j, m in enumerate(pattern.finditer(v)):
