@@ -599,6 +599,62 @@ class SnapshotTable:
         self._write_manifest(new_m)
         return CommitInfo(new_sid, 0, len(buckets), None)
 
+    def expire_snapshots(self, keep_last: int = 3) -> dict:
+        """GC: drop manifests older than the last ``keep_last``
+        snapshots and delete data files referenced by NO retained
+        snapshot (plus orphans from crashed commits). Time travel
+        remains available within the retained window; the ledger lives
+        in the current manifest and is unaffected."""
+        cur = self.manifest(refresh=True)
+        retained_ids = []
+        sid = cur["snapshot_id"]
+        while sid is not None and len(retained_ids) < keep_last:
+            retained_ids.append(sid)
+            try:
+                sid = self.manifest(sid)["parent"]
+            except FileNotFoundError:
+                break
+
+        keep_files: set[str] = set()
+        for rid in retained_ids:
+            for entries in self.manifest(rid)["files"].values():
+                keep_files.update(e["path"] for e in entries)
+
+        removed_files = 0
+        data_root = os.path.join(self.path, "data")
+        for commit in list(os.listdir(data_root)):
+            cdir = os.path.join(data_root, commit)
+            for bucket_dir in list(os.listdir(cdir)):
+                bdir = os.path.join(cdir, bucket_dir)
+                if not os.path.isdir(bdir):
+                    continue
+                for f in list(os.listdir(bdir)):
+                    p = os.path.join(bdir, f)
+                    if f.endswith(".parquet") and p not in keep_files:
+                        os.remove(p)
+                        removed_files += 1
+                if not os.listdir(bdir):
+                    os.rmdir(bdir)
+            if all(
+                not os.path.isdir(os.path.join(cdir, d)) or not os.listdir(os.path.join(cdir, d))
+                for d in os.listdir(cdir)
+            ) and not any(x.startswith(_BUCKET_COL) and os.listdir(os.path.join(cdir, x)) for x in os.listdir(cdir) if os.path.isdir(os.path.join(cdir, x))):
+                pass  # leave commit dir skeletons; harmless
+
+        removed_manifests = 0
+        meta = os.path.join(self.path, "metadata")
+        for f in list(os.listdir(meta)):
+            if f.startswith("snap-") and f.endswith(".json"):
+                mid = int(f[len("snap-"):-len(".json")])
+                if mid not in retained_ids:
+                    os.remove(os.path.join(meta, f))
+                    removed_manifests += 1
+        return {
+            "retained_snapshots": retained_ids,
+            "removed_files": removed_files,
+            "removed_manifests": removed_manifests,
+        }
+
     # ---------- exactly-once ledger ----------
 
     def applied_ranges(self) -> list[tuple[int, int, int, int]]:
@@ -637,7 +693,10 @@ class SnapshotTable:
         out = []
         sid = self.manifest(refresh=True)["snapshot_id"]
         while sid is not None:
-            m = self.manifest(sid)
+            try:
+                m = self.manifest(sid)
+            except FileNotFoundError:  # expired beyond retention
+                break
             out.append(
                 {"snapshot_id": m["snapshot_id"], "summary": m.get("summary", {})}
             )

@@ -171,3 +171,23 @@ def test_alter_schema_rejects_illegal(spark, tmp_path):
     bad = T.StructType([f for f in transcript_schema().fields if f.name != "text"])
     with pytest.raises(ValueError):
         t.alter_schema(bad)
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    for i in range(5):
+        t.merge_cdc(_batch(spark, [
+            (i, "insert", f"c{i}", 0, "user", f"v{i}", None, "2024-01-01 00:00:01"),
+        ]), applied_range=(i * 10, (i + 1) * 10))
+    before = t.read().toPandas()
+    res = t.expire_snapshots(keep_last=2)
+    assert res["removed_manifests"] > 0
+    assert res["removed_files"] > 0
+    # current state intact, ledger intact, old snapshots gone
+    after = t.read().toPandas()
+    assert sorted(after["text"]) == sorted(before["text"])
+    assert len(t.applied_ranges()) == 5
+    assert len(t.history()) <= 2
+    # idempotent re-run
+    t.expire_snapshots(keep_last=2)
+    assert t.read().count() == 5

@@ -1,0 +1,99 @@
+"""Multi-table sync-and-anonymize over the TPC-H-ish tables: consistent
+subsetting, DAG-ordered execution, transformed keys propagated through
+FK rewrites (referential integrity preserved)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neosync_spark.operators.subset import FkEdge
+from neosync_spark.plans.job import ColumnMapping
+from neosync_spark.plans.multi import MultiTableJob, TableSpec, run_multi_table_sync
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def sources(spark):
+    return {
+        t: spark.read.parquet(f"{SF}/{t}.parquet")
+        for t in ["customer", "orders", "lineitem"]
+    }
+
+
+def _job():
+    return MultiTableJob(
+        tables={
+            "customer": TableSpec(
+                "customer",
+                key_cols=["c_custkey"],
+                mappings=[
+                    ColumnMapping("c_custkey", "transform_string",
+                                  {"preserve_length": False, "min_length": 12, "max_length": 12}),
+                    ColumnMapping("c_name", "transform_full_name"),
+                ],
+            ),
+            "orders": TableSpec(
+                "orders",
+                key_cols=["o_orderkey"],
+                fk_rewrites={"o_custkey": ("customer", "c_custkey")},
+            ),
+            "lineitem": TableSpec("lineitem", key_cols=["l_orderkey", "l_linenumber"]),
+        },
+        edges=[
+            FkEdge("orders", "o_custkey", "customer", "c_custkey"),
+            FkEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ],
+        subset_root="customer",
+        subset_where="c_mktsegment = 'BUILDING'",
+        seed=11,
+    )
+
+
+def test_multi_table_sync(spark, sources):
+    out = run_multi_table_sync(spark, _job(), sources)
+
+    cust = out["customer"].toPandas()
+    ords = out["orders"].toPandas()
+    items = out["lineitem"].toPandas()
+
+    # subsetting: only BUILDING customers and their orders/items survive
+    src_cust = sources["customer"].filter("c_mktsegment = 'BUILDING'").toPandas()
+    assert len(cust) == len(src_cust)
+    src_ord = (
+        sources["orders"]
+        .join(
+            sources["customer"].filter("c_mktsegment = 'BUILDING'").select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .count()
+    )
+    assert len(ords) == src_ord
+    assert len(items) > 0
+
+    # anonymization happened
+    assert not set(cust["c_name"]) & set(src_cust["c_name"])
+    assert cust["c_custkey"].map(lambda s: isinstance(s, str) and len(s) == 12).all()
+
+    # referential integrity through the key mapping: every order's
+    # rewritten custkey exists among the transformed customer keys,
+    # and cardinality per customer is preserved
+    assert set(ords["o_custkey"]) <= set(cust["c_custkey"])
+    src_counts = (
+        sources["orders"]
+        .groupBy("o_custkey").count().toPandas().set_index("o_custkey")["count"]
+    )
+    got_counts = ords.groupby("o_custkey").size()
+    assert sorted(got_counts[got_counts.index.isin(set(ords["o_custkey"]))].tolist()) == sorted(
+        src_counts[src_counts.index.isin(set(src_cust["c_custkey"]))].tolist()
+    )
+
+
+def test_deterministic_across_runs(spark, sources):
+    a = run_multi_table_sync(spark, _job(), sources)["customer"].toPandas()
+    b = run_multi_table_sync(spark, _job(), sources)["customer"].toPandas()
+    a = a.sort_values("c_custkey").reset_index(drop=True)
+    b = b.sort_values("c_custkey").reset_index(drop=True)
+    assert a.equals(b)
