@@ -495,6 +495,17 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(blobs, "blob", "doc_id", feat_dim=8)
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (lag + running-sum
+    windows)."""
+    from neosync_spark.operators.sessions import sessionize
+
+    _views(spark, sf_dir, ["events"])
+    return sessionize(
+        spark.table("events"), "user_id", "ts", "event_id", gap_seconds=1800
+    )
+
+
 def _q_json_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Free-form JSON anonymization over the derived log's tool field
     (the AnonymizeSingle/Many analog) — rows-only; value-verified
@@ -599,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_metadata,
         "media_image_features": _q_image_features,
         "synth_generators": _q_generators,
+        "events_sessionize": _q_sessionize,
         "json_anonymize": _q_json_anonymize,
         "default_transforms": _q_default_transforms,
         "identity_scramble": _q_identity_scramble,
@@ -677,6 +689,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, count(*) AS n_events
             FROM {log} GROUP BY conv_id
             ORDER BY n_events DESC, conv_id LIMIT 20
+        """,
+        "events_sessionize": """
+            WITH marked AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                          OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM marked
+            )
+            SELECT user_id, session_idx,
+                   count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+            FROM sess GROUP BY user_id, session_idx
         """,
         "cdc_changelog_metrics": f"""
             SELECT op, count(*) AS n_events,

@@ -56,6 +56,15 @@ def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed since this merge planned its snapshot.
+
+    The engine is single-writer by design (one driver owns a table,
+    like the reference's per-table stream); this guard turns misuse
+    into a loud failure instead of a lost update.
+    """
+
+
 @dataclass
 class CommitInfo:
     snapshot_id: int
@@ -150,7 +159,15 @@ class SnapshotTable:
     def _write_manifest(self, manifest: dict) -> None:
         """Manifest file first, then atomic hint swap — a crash between
         the two leaves the previous snapshot current (orphan data files
-        are harmless and GC-able)."""
+        are harmless and GC-able). Optimistic-concurrency guard: the
+        on-disk current snapshot must still be this manifest's parent."""
+        current = self._current_id_on_disk()
+        parent = manifest.get("parent")
+        if parent is not None and current != parent:
+            raise CommitConflictError(
+                f"table advanced to snapshot {current} while committing "
+                f"child of {parent} — concurrent writer detected"
+            )
         sid = manifest["snapshot_id"]
         mpath = os.path.join(self.path, "metadata", f"snap-{sid}.json")
         with open(mpath, "w") as f:
@@ -306,6 +323,14 @@ class SnapshotTable:
         m = self.manifest(refresh=True)
         if applied_range is not None and self.is_applied(*applied_range):
             return CommitInfo(m["snapshot_id"], 0, 0, applied_range)
+
+        required = {"op", "lsn", "ts", *m["key_cols"]}
+        missing = required - set(batch.columns)
+        if missing:
+            raise ValueError(
+                f"CDC batch is missing required columns {sorted(missing)}; "
+                f"need op/lsn/ts + key columns {m['key_cols']}"
+            )
 
         key_cols = m["key_cols"]
         nb = m["bucket_count"]
