@@ -218,8 +218,10 @@ def main() -> None:
     # amortizes exactly as it would at design-scale 10^8-event batches
     for cores in (scale_n, scale_4n):
         runs[cores] = _sub(cores, 1)
-    # headline: micro-batched (checkpoint-cadence) replay at full cores
+    # headline: micro-batched (checkpoint-cadence) replay at full cores,
+    # plus the bulk configuration at full cores (peak events/sec)
     runs[CPUS] = _sub(CPUS, N_BATCHES)
+    bulk_full = _sub(CPUS, 1) if CPUS not in (scale_n, scale_4n) else runs[CPUS]
 
     eps_n = runs[scale_n]["events_per_sec"]
     eps_4n = runs[scale_4n]["events_per_sec"]
@@ -242,6 +244,7 @@ def main() -> None:
             "events_per_sec_n": eps_n,
             "events_per_sec_4n": eps_4n,
             "events_per_sec_full": runs[CPUS]["events_per_sec"],
+            "events_per_sec_full_bulk": bulk_full["events_per_sec"],
             "scaling_efficiency_n_to_4n": efficiency,
             "final_rows": runs[CPUS]["final_rows"],
         },
