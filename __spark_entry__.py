@@ -111,7 +111,13 @@ def _q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = SnapshotTable.create(
         spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
     )
-    eng = ReplayEngine(spark, table, config=EngineConfig(batch_lsn_size=batch, lineage=False))
+    eng = ReplayEngine(
+        spark,
+        table,
+        # uniform derived keys → every batch touches every bucket; skip
+        # the prune pre-pass (see merge_cdc docstring)
+        config=EngineConfig(batch_lsn_size=batch, lineage=False, prune_buckets=False),
+    )
 
     def slicer(lo: int, hi_: int) -> DataFrame:
         return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
