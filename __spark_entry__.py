@@ -129,6 +129,49 @@ def _q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay with a mid-log schema evolution: the table starts WITHOUT
+    `tool` (v1); the registry declares v2 (adds tool, widens turn_idx to
+    long) effective at the 3rd batch boundary — the engine must ALTER
+    before applying batch 3. Verifiable in SQL: rows whose winning event
+    predates the evolution point have NULL tool."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+    from neosync_spark.schema_registry import SchemaRegistry, SchemaVersion
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    batch = (hi + 4) // 4  # 4 batches at any sf
+    mid = 2 * batch  # evolution point == batch boundary
+
+    v1 = transcript_schema(with_tool=False)
+    v2 = transcript_schema(with_tool=True, wide_turn_idx=True)
+    reg = SchemaRegistry(versions=[SchemaVersion(1, v1, 0), SchemaVersion(2, v2, mid)])
+
+    path = tempfile.mkdtemp(prefix="ns_cdc_evo_")
+    table = SnapshotTable.create(spark, path, v1, key_cols=KEY_COLS, n_buckets=16)
+    eng = ReplayEngine(
+        spark,
+        table,
+        registry=reg,
+        config=EngineConfig(batch_lsn_size=batch, lineage=False, prune_buckets=False),
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    eng.replay(slicer, lsn_lo=0, lsn_hi=hi)
+    return table.read().select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role",
+        "text",
+        "tool",
+        _fmt_ts("ts"),
+    )
+
+
 def _q_lww_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.operators.dedup import lww_dedup
 
@@ -587,6 +630,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": _q_cdc_replay,
+        "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_lww_dedup_agg": _q_lww_agg,
         "cdc_lww_dedup_window": _q_lww_window,
         "cdc_merge_upsert": _q_merge_upsert,
@@ -638,6 +682,20 @@ def oracle_sql() -> dict[str, str]:
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'
         """,
+        "cdc_schema_evolution": f"""
+            WITH mx AS (
+              SELECT ((max(lsn) + 4) // 4) * 2 AS mid
+              FROM ({_CDC_DERIVATION})
+            )
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text,
+                   CASE WHEN lsn < (SELECT mid FROM mx) THEN NULL ELSE tool END AS tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM (
+              SELECT l.*, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+              FROM ({_CDC_DERIVATION}) l
+            ) WHERE rn = 1 AND op <> 'delete'
+        """,
         "cdc_lww_dedup_agg": f"""
             SELECT conv_id, turn_idx, lsn, op,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
@@ -676,8 +734,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_delete_semantics": f"""
             SELECT conv_id,
-                   sum(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END) AS alive_turns,
-                   sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS deleted_turns
+                   CAST(sum(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS alive_turns,
+                   CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS deleted_turns
             FROM ({lww}) GROUP BY conv_id
         """,
         "cdc_keyset_page": """
@@ -706,9 +764,9 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), sess AS (
               SELECT user_id, ts,
-                     sum(new_sess) OVER (
+                     CAST(sum(new_sess) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_idx
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
               FROM marked
             )
             SELECT user_id, session_idx,
