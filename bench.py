@@ -144,6 +144,9 @@ def _replay_run(cores: int, log_path: str) -> dict:
                 salt_partitions=None,
                 lineage=True,
                 prune_buckets=False,
+                # micro-batch runs chain the persisted post-commit state
+                # into the next merge (no table re-scan per batch)
+                chain_state=N_BATCHES > 1,
             ),
         )
         t0 = time.time()

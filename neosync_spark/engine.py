@@ -57,6 +57,13 @@ class EngineConfig:
     # analog of the reference's row-by-row retry skipping violations
     # (output_sql_insert.go:310-348) and error-output escape hatch
     quarantine: bool = False
+    # chain the persisted post-commit state into the next merge as its
+    # target (skips re-scanning the table's parquet every micro-batch).
+    # Requires cow + prune_buckets=False (the chained state must cover
+    # the whole table); invalidated automatically on schema evolution.
+    # Memory: holds one table-copy in executor cache — right when the
+    # hot working set fits (or spills) per executor.
+    chain_state: bool = False
 
 
 @dataclass
@@ -82,6 +89,7 @@ class ReplayEngine:
         self.transforms = transforms or {}
         self.registry = registry
         self.config = config or EngineConfig()
+        self._chained_state: DataFrame | None = None
 
     # ---------- stages ----------
 
@@ -160,6 +168,11 @@ class ReplayEngine:
             batch = batch.observe(
                 obs, F.sum((~valid).cast("long")).alias("n_bad")
             ).filter(valid)
+        chaining = (
+            self.config.chain_state
+            and self.config.merge_mode == "cow"
+            and not self.config.prune_buckets
+        )
         info = self.table.merge_cdc(
             batch,
             applied_range=applied_range,
@@ -168,7 +181,14 @@ class ReplayEngine:
             transform=self.transform_batch if self.transforms else None,
             source_is_raw=True,
             prune_buckets=self.config.prune_buckets,
+            target_df=self._chained_state if chaining else None,
+            chain_state=chaining,
         )
+        if chaining:
+            prev = self._chained_state
+            self._chained_state = info.state
+            if prev is not None:
+                prev.unpersist()
         if obs is not None and int(obs.get.get("n_bad") or 0) > 0:
             # rare path: persist the poison rows for inspection instead
             # of failing the batch (reference: row-by-row retry skipping
@@ -227,6 +247,10 @@ class ReplayEngine:
                     self.table, declared.schema, self.registry.policy
                 )
                 stats.schema_ops.extend(ops)
+                if ops and self._chained_state is not None:
+                    # schema changed: the cached state has stale columns
+                    self._chained_state.unpersist()
+                    self._chained_state = None
             info = self.apply_batch(slicer(lo, hi), (lo, hi))
             stats.batches_applied += 1
             stats.rows_applied += info.rows_written

@@ -71,6 +71,10 @@ class CommitInfo:
     rows_written: int
     buckets_rewritten: int
     applied_range: tuple[int, int] | None
+    # populated when merge_cdc(chain_state=True): the persisted
+    # post-commit table state (storage cols + _bucket), identical to
+    # the files just written — usable as the next merge's target_df
+    state: "DataFrame | None" = None
 
 
 class SnapshotTable:
@@ -291,6 +295,8 @@ class SnapshotTable:
         transform=None,
         source_is_raw: bool = False,
         prune_buckets: bool = True,
+        target_df: DataFrame | None = None,
+        chain_state: bool = False,
     ) -> CommitInfo:
         """Apply a key-unique CDC batch (cols: op + payload + ts + lsn).
 
@@ -393,9 +399,14 @@ class SnapshotTable:
                 # target merge. Target rows keep their tombstone state;
                 # _src breaks exact (ts,_lsn) ties in favor of the
                 # incoming row (idempotent: identical payload).
-                target = self.read(buckets=affected, internal=True).withColumn(
-                    _BUCKET_COL, bucket_expr(key_cols[0], nb)
-                )
+                if target_df is not None:
+                    # chained state from the previous commit (identical
+                    # to the written files; avoids re-scanning parquet)
+                    target = target_df
+                else:
+                    target = self.read(buckets=affected, internal=True).withColumn(
+                        _BUCKET_COL, bucket_expr(key_cols[0], nb)
+                    )
                 t_side = target.select(
                     *payload_cols,
                     F.col(_LSN_COL),
@@ -439,11 +450,10 @@ class SnapshotTable:
                 n_out_parts = max(1, min(len(affected), 256)) if affected else 1
             else:
                 n_out_parts = max(1, min(nb, 256))
-            (
-                out.repartition(n_out_parts, F.col(_BUCKET_COL))
-                .write.partitionBy(_BUCKET_COL)
-                .parquet(commit_dir)
-            )
+            out = out.repartition(n_out_parts, F.col(_BUCKET_COL))
+            if chain_state:
+                out = out.persist()
+            out.write.partitionBy(_BUCKET_COL).parquet(commit_dir)
 
             written = self._list_commit_files(commit_dir)
             if affected is None:  # no-prepass mode: stats post-hoc
@@ -498,7 +508,13 @@ class SnapshotTable:
                 self._write_lineage(bucket_counts, new_sid, applied_range)
 
             self._write_manifest(new_m)
-            return CommitInfo(new_sid, n_src, len(affected), applied_range)
+            return CommitInfo(
+                new_sid,
+                n_src,
+                len(affected),
+                applied_range,
+                state=out if chain_state else None,
+            )
         finally:
             if persisted:
                 src.unpersist()

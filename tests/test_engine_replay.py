@@ -87,3 +87,15 @@ def test_replay_batch_size_invariance(spark, tmp_path, log_path):
         big.table.read().toPandas(),
         ["conv_id", "turn_idx"],
     )
+
+
+def test_replay_chained_state_matches_oracle(spark, tmp_path, log_path):
+    """chain_state=True reuses the persisted post-commit state as the
+    next merge's target — must be byte-equivalent to re-reading."""
+    eng = _engine(spark, tmp_path, batch=2500)
+    eng.config.prune_buckets = False
+    eng.config.chain_state = True
+    eng.replay(ChangeLogSource(spark, log_path))
+    got = eng.table.read().toPandas()
+    exp = expected_final_state(generate_pandas(CFG))
+    assert_pdf_equal(got, exp, ["conv_id", "turn_idx"])
