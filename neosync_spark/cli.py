@@ -115,7 +115,6 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "verify":
-        from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         from .lakehouse import SnapshotTable

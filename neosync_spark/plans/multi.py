@@ -17,8 +17,6 @@ option, sequential is deterministic and default).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
