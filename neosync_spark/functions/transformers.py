@@ -609,6 +609,17 @@ generate_string_phone_number = _generator(
     lambda h, **kw: "+1"
     + str(int(h % np.uint64(9_000_000_000)) + 1_000_000_000),
 )
+generate_int64_phone_number = _generator(
+    "generate_int64_phone_number",
+    lambda h, **kw: int(h % np.uint64(9_000_000_000)) + 1_000_000_000,
+)
+generate_international_phone_number = _generator(
+    "generate_international_phone_number",
+    lambda h, **kw: (
+        f"+{int(_stream(h, 1) % np.uint64(98)) + 1}"
+        f"{int(h % np.uint64(9_000_000_000)) + 1_000_000_000}"
+    ),
+)
 generate_ssn = _generator(
     "generate_ssn",
     lambda h, **kw: (
@@ -780,6 +791,8 @@ REGISTRY: dict[str, Callable[..., TransformFn]] = {
     "generate_username": generate_username,
     "generate_sha256hash": generate_sha256hash,
     "generate_string_phone_number": generate_string_phone_number,
+    "generate_int64_phone_number": generate_int64_phone_number,
+    "generate_international_phone_number": generate_international_phone_number,
     "generate_ssn": generate_ssn,
     "generate_ip_address": generate_ip_address,
     "generate_unixtimestamp": generate_unixtimestamp,
