@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 # the driver may import this file from any cwd — make the package importable
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from neosync_spark.functions import transformers as _X  # noqa: E402
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -336,9 +338,29 @@ def _q_key_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shape(col) -> F.Column:
+    """Character-class projection: [a-z]→a, [A-Z]→A, [0-9]→9. The
+    scramble transformers are class-preserving, so shape(output) ==
+    shape(input) — an oracle DuckDB can recompute from the INPUT."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(c, "[a-z]", "a"), "[A-Z]", "A"),
+        "[0-9]",
+        "9",
+    )
+
+
+_SHAPE_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace({0}, '[a-z]', 'a', 'g'),"
+    " '[A-Z]', 'A', 'g'), '[0-9]', '9', 'g')"
+)
+
+
 def _q_anonymize_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded pandas-UDF transformers over synthesized PII (rows-only
-    check here; value-verified against the pandas oracle in tests/)."""
+    """Seeded pandas-UDF transformers over synthesized PII. Value-
+    oracled two ways: transform_pii_text's regex redaction is
+    deterministic (exact SQL replay); the seeded scramble is verified
+    through its class-preserving SHAPE projection + a differs bit."""
     from neosync_spark.functions import transformers as X
     from neosync_spark.functions.transformers import as_udf, key_col
 
@@ -347,10 +369,17 @@ def _q_anonymize_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pii = X.transform_pii_text(seed=42)
     scr = X.transform_character_scramble(seed=42)
     k = key_col("doc_id")
-    return docs.select(
+    out = docs.select(
         "doc_id",
+        "pii_text",
         as_udf(pii)(F.col("pii_text"), k).alias("redacted"),
         as_udf(scr)(F.col("pii_text"), k).alias("scrambled"),
+    )
+    return out.select(
+        "doc_id",
+        "redacted",
+        _shape("scrambled").alias("scrambled_shape"),
+        (F.col("scrambled") != F.col("pii_text")).alias("scrambled_differs"),
     )
 
 
@@ -470,11 +499,24 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup with a PLANTED pair: vec -1 is a scaled+
+    shifted copy of vec 0 derived with SQL arithmetic (so the DuckDB
+    oracle reproduces it exactly); random vectors produce bucket-
+    colliding candidates that the cosine verify stage must reject."""
     from neosync_spark.operators.similarity import embedding_near_dup_pairs
 
     _views(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # pure positive scaling: keeps every hyperplane sign bit (identical
+    # bucket by construction) and cosine == 1.0 in both engines
+    planted = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(-1).cast("long").alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.5).alias("embedding"),
+    )
     return embedding_near_dup_pairs(
-        spark.table("embeddings"), "embedding", "vec_id", threshold=0.8
+        emb.unionByName(planted), "embedding", "vec_id", threshold=0.9
     )
 
 
@@ -534,14 +576,25 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode plumbing (stubbed codec) — rows-only check."""
+    """mapInPandas decode plumbing (stubbed codec) — rows-only check.
+    Returns SCALARS only (the harness canonicalizer cannot hash list
+    columns): the feature vector is projected to a sha256 digest."""
     from neosync_spark.operators.multimodal import decode_image_features
 
     _views(spark, sf_dir, ["documents"])
     blobs = spark.table("documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
     )
-    return decode_image_features(blobs, "blob", "doc_id", feat_dim=8)
+    feats = decode_image_features(blobs, "blob", "doc_id", feat_dim=8)
+    return feats.select(
+        "id",
+        "width",
+        "height",
+        (F.floor(F.col("mean_luma") * 10000 + F.lit(0.5)) / 10000).alias("mean_luma"),
+        F.sha2(F.concat_ws(",", F.col("feature").cast("array<string>")), 256).alias(
+            "feature_sha"
+        ),
+    )
 
 
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -555,65 +608,154 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOOL_JSON = (
+    """'{"name":"' || source || '","q":"' || """
+    "lpad(CAST((doc_id * 7919) % 100000000 AS STRING), 8, '0') || '\"}'"
+)
+
+
 def _q_json_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Free-form JSON anonymization over the derived log's tool field
-    (the AnonymizeSingle/Many analog) — rows-only; value-verified
-    against pandas in tests."""
+    """Free-form JSON anonymization (the AnonymizeSingle/Many analog):
+    $.name is passthrough, every other string leaf gets the seeded
+    default scramble. Oracled via the parsed output: the kept field is
+    exact, the scrambled field is verified by SHAPE + differs bit."""
     from neosync_spark.functions import transformers as X
     from neosync_spark.functions.json_anonymizer import anonymize_json_udf
     from neosync_spark.functions.transformers import as_udf, key_col
 
-    log = _derived_log(spark, sf_dir).filter(F.col("tool").isNotNull())
+    _views(spark, sf_dir, ["documents"])
+    docs = spark.sql(f"SELECT doc_id, source, {_TOOL_JSON} AS tool FROM documents")
     fn = anonymize_json_udf(
         {"$.name": X.transform_passthrough()},
         default_string=X.transform_character_scramble(seed=42),
     )
-    return log.select(
-        "lsn",
+    out = docs.select(
+        "doc_id",
         "tool",
-        as_udf(fn)(F.col("tool"), key_col("conv_id", "turn_idx")).alias("tool_anon"),
+        as_udf(fn)(F.col("tool"), key_col("doc_id")).alias("tool_anon"),
+    )
+    return out.select(
+        "doc_id",
+        F.get_json_object("tool_anon", "$.name").alias("name_kept"),
+        _shape(F.get_json_object("tool_anon", "$.q")).alias("q_shape"),
+        (
+            F.get_json_object("tool_anon", "$.q")
+            != F.get_json_object("tool", "$.q")
+        ).alias("q_differs"),
     )
 
 
 def _q_default_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-based default anonymization of all unmapped columns (the
-    neosync_default_transformer analog) — rows-only."""
+    neosync_default_transformer analog). Oracled through invariants the
+    defaults guarantee: class-preserving shape for string scrambles,
+    the documented jitter range for numeric columns, exact passthrough
+    for the mapped column."""
     from neosync_spark.operators.defaults import apply_default_transforms
 
     _views(spark, sf_dir, ["customer"])
-    return apply_default_transforms(
-        spark.table("customer"),
+    cust = spark.table("customer")
+    # keep originals alongside ("_"-prefixed cols are never transformed)
+    with_orig = cust.select(
+        "*", *[F.col(c).alias(f"_orig_{c}") for c in cust.columns]
+    )
+    out = apply_default_transforms(
+        with_orig,
         mapped_cols={"c_mktsegment"},
         key_cols=["c_custkey"],
         seed=42,
     )
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        _shape("c_name").alias("name_shape"),
+        (F.col("c_name") != F.col("_orig_c_name")).alias("name_differs"),
+        (
+            (F.col("c_nationkey") >= F.col("_orig_c_nationkey") - 10)
+            & (F.col("c_nationkey") <= F.col("_orig_c_nationkey") + 100)
+        ).alias("nat_in_range"),
+        (
+            (F.col("c_acctbal") >= F.col("_orig_c_acctbal") - 10.0)
+            & (F.col("c_acctbal") <= F.col("_orig_c_acctbal") + 100.0)
+        ).alias("bal_in_range"),
+    )
 
 
 def _q_identity_scramble(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Identity block-allocator analog — rows-only (uniqueness asserted
-    in tests)."""
+    """Identity block-allocator analog. The allocator's contract is
+    exactly SQL-checkable: allocated ids are max(orig) + 1 + a
+    permutation of [1..n] — so (id - base) sorted equals row_number()
+    sorted, and every id is fresh (> every original)."""
     from neosync_spark.operators.defaults import scramble_identity
 
     _views(spark, sf_dir, ["orders"])
-    return scramble_identity(spark.table("orders"), "o_orderkey").select(
-        "o_orderkey", "o_custkey"
+    orders = spark.table("orders")
+    base = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    out = scramble_identity(orders, "o_orderkey")
+    return out.select(
+        (F.col("o_orderkey") - F.lit(base)).alias("alloc_rank"),
+        (F.col("o_orderkey") > F.lit(base - 1)).alias("fresh"),
     )
 
 
 def _q_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The `generate` input analog: spark.range + seeded generators
-    (rows-only; generator semantics unit-tested)."""
+    """The `generate` input analog: spark.range + seeded generators.
+    Oracled through the generators' format contracts (computed from the
+    actual generated values — not constants on the Spark side): email
+    validity, two-word names, the SSN digit shape."""
     from neosync_spark.functions import transformers as X
     from neosync_spark.functions.transformers import as_udf
 
     rng = spark.range(0, 1000).select(F.col("id").cast("string").alias("key"))
     null_v = F.lit(None).cast("string")
-    return rng.select(
+    gen = rng.select(
         "key",
         as_udf(X.generate_email(seed=42))(null_v, F.col("key")).alias("email"),
         as_udf(X.generate_full_name(seed=42))(null_v, F.col("key")).alias("name"),
         as_udf(X.generate_ssn(seed=42))(null_v, F.col("key")).alias("ssn"),
     )
+    return gen.select(
+        "key",
+        F.col("email").rlike(r"^[a-z]+\.[a-z]+[0-9]{1,2}@[a-z.]+$").alias("email_valid"),
+        (F.size(F.split(F.col("name"), " ")) == 2).alias("name_two_words"),
+        F.regexp_replace(F.col("ssn"), "[0-9]", "9").alias("ssn_shape"),
+    )
+
+
+def _embedding_near_dup_oracle(n_planes: int = 12, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB replay of the hyperplane-LSH near-dup query: the seeded
+    planes are deterministic numpy output, embedded as literals."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+    def arr(row) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in row) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {arr(planes[p])}) >= 0 THEN 1 ELSE 0 END) * {2**p}"
+        for p in range(n_planes)
+    )
+    cos = (
+        "floor(list_dot_product(l.v, r.v) / "
+        "(sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))"
+        " * 10000 + 0.5) / 10000"
+    )
+    return f"""
+        WITH base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          UNION ALL
+          SELECT CAST(-1 AS BIGINT),
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+          FROM embeddings WHERE vec_id = 0
+        ), tagged AS (
+          SELECT vec_id, v, {bucket} AS bucket FROM base
+        )
+        SELECT l.vec_id AS id_a, r.vec_id AS id_b, {cos} AS cosine
+        FROM tagged l JOIN tagged r
+          ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        WHERE {cos} >= 0.9
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -965,7 +1107,48 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS sha256
             FROM documents
         """,
+        "embedding_near_dup": _embedding_near_dup_oracle(),
+        "anonymize_transform_udfs": f"""
+            WITH d AS (SELECT doc_id, {_PII_TEXT} AS pii_text FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(pii_text,
+                         '{_X.PII_EMAIL_RE}', '<EMAIL_ADDRESS>', 'g'),
+                       '{_X.PII_SSN_RE}', '<US_SSN>', 'g'),
+                     '{_X.PII_PHONE_RE}', '<PHONE_NUMBER>', 'g') AS redacted,
+                   {_SHAPE_SQL.format("pii_text")} AS scrambled_shape,
+                   TRUE AS scrambled_differs
+            FROM d
+        """,
+        "json_anonymize": """
+            SELECT doc_id,
+                   source AS name_kept,
+                   '99999999' AS q_shape,
+                   TRUE AS q_differs
+            FROM documents
+        """,
+        "default_transforms": f"""
+            SELECT c_custkey, c_mktsegment,
+                   {_SHAPE_SQL.format("c_name")} AS name_shape,
+                   TRUE AS name_differs,
+                   TRUE AS nat_in_range,
+                   TRUE AS bal_in_range
+            FROM customer
+        """,
+        "identity_scramble": """
+            SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS alloc_rank,
+                   TRUE AS fresh
+            FROM orders
+        """,
+        "synth_generators": """
+            SELECT CAST(r.range AS STRING) AS key,
+                   TRUE AS email_valid,
+                   TRUE AS name_two_words,
+                   '999-99-9999' AS ssn_shape
+            FROM range(0, 1000) r
+        """,
         # rows-only (non-SQL-expressible): dedup_minhash_pairs,
-        # dedup_simhash_pairs, embedding_near_dup, anonymize_transform_udfs,
-        # media_image_features, synth_generators
+        # dedup_simhash_pairs (xxhash64/simhash have no DuckDB
+        # equivalent), media_image_features (stubbed codec)
     }

@@ -158,11 +158,15 @@ class ReplayEngine:
         if self.config.quarantine:
             from pyspark.sql import Observation
 
-            valid = (
+            # coalesce to False: a NULL op makes isin() three-valued NULL,
+            # which both filter(valid) and filter(~valid) would drop —
+            # the poison row must land in exactly one side
+            valid = F.coalesce(
                 F.col("op").isin("insert", "update", "delete")
                 & F.col("conv_id").isNotNull()
                 & F.col("turn_idx").isNotNull()
-                & F.col("lsn").isNotNull()
+                & F.col("lsn").isNotNull(),
+                F.lit(False),
             )
             obs = Observation()
             batch = batch.observe(

@@ -32,24 +32,26 @@ from .transformers import TransformFn
 def anonymize_json_field(
     col: Column | str,
     schema: T.StructType,
-    field_exprs: dict[str, Column],
+    field_exprs: dict[str, Column | Callable[[Column], Column]],
 ) -> Column:
     """Schema-known JSON anonymization, all JVM-side.
 
-    ``field_exprs`` maps top-level field names to replacement Column
-    expressions over the parsed struct (reference them via
-    ``F.col("_j.<field>")``).
+    ``field_exprs`` maps top-level field names to replacements: either a
+    ready Column expression, or a callable that receives the parsed
+    field Column (``lambda f: F.sha2(f, 256)``) — use the callable form
+    to transform the field's own value.
     """
     c = F.col(col) if isinstance(col, str) else col
     parsed = F.from_json(c, schema)
     rebuilt = []
     for f_ in schema.fields:
         if f_.name in field_exprs:
-            rebuilt.append(field_exprs[f_.name].alias(f_.name))
+            e = field_exprs[f_.name]
+            if callable(e) and not isinstance(e, Column):
+                e = e(parsed.getField(f_.name))
+            rebuilt.append(e.alias(f_.name))
         else:
             rebuilt.append(parsed.getField(f_.name).alias(f_.name))
-    # note: callers' field_exprs should be built against `parsed`; we
-    # re-alias the parsed struct as _j for convenience
     return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
         F.to_json(F.struct(*rebuilt))
     )

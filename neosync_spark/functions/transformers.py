@@ -320,16 +320,13 @@ def transform_character_scramble(
                 out.append(None)
                 continue
             v = str(v)
-            if False:
-                pass
-            else:
-                pieces, last = [], 0
-                for j, m in enumerate(pattern.finditer(v)):
-                    pieces.append(v[last : m.start()])
-                    pieces.append(scramble_str(m.group(0), _stream(h, j)))
-                    last = m.end()
-                pieces.append(v[last:])
-                out.append("".join(pieces))
+            pieces, last = [], 0
+            for j, m in enumerate(pattern.finditer(v)):
+                pieces.append(v[last : m.start()])
+                pieces.append(scramble_str(m.group(0), _stream(h, j)))
+                last = m.end()
+            pieces.append(v[last:])
+            out.append("".join(pieces))
         return pd.Series(out, index=values.index, dtype=object)
 
     return fn
@@ -343,12 +340,18 @@ def transform_int64(
 
     def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
         hs = _row_hashes(seed, "transform_int64", keys, values.astype("string"))
-        v = values.to_numpy(dtype="float64", na_value=np.nan)
+        # compute only the small delta in float; add it to the original
+        # values kept as Int64 — a float64 round-trip of the value itself
+        # would corrupt int64 above 2^53
+        na = pd.isna(values).to_numpy()
         span = float(randomization_range_min + randomization_range_max)
-        delta = np.floor(u01(hs) * (span + 1.0)) - float(randomization_range_min)
-        out = v + delta
-        res = pd.array(out, dtype="Int64")
-        res[pd.isna(values).to_numpy()] = pd.NA
+        delta = (
+            np.floor(u01(hs) * (span + 1.0)).astype(np.int64)
+            - int(randomization_range_min)
+        )
+        base = pd.array(values, dtype="Int64")
+        res = base + pd.array(delta, dtype="Int64")
+        res[na] = pd.NA
         return pd.Series(res, index=values.index)
 
     return fn
@@ -722,20 +725,65 @@ def generate_card_number(seed: int = 42, valid_luhn: bool = True) -> TransformFn
     return fn
 
 
+_USER_CODE_ALLOWED_NODES = (
+    "Expression", "BoolOp", "BinOp", "UnaryOp", "IfExp", "Compare", "Call",
+    "Constant", "Name", "Load", "Attribute", "Subscript", "Slice", "Tuple",
+    "List", "Dict", "Set", "JoinedStr", "FormattedValue",
+    # operator nodes
+    "And", "Or", "Not", "Add", "Sub", "Mult", "Div", "FloorDiv", "Mod",
+    "Pow", "USub", "UAdd", "Eq", "NotEq", "Lt", "LtE", "Gt", "GtE", "In",
+    "NotIn", "Is", "IsNot",
+)
+
+_USER_CODE_FUNCS = {
+    "len": len, "str": str, "int": int, "float": float, "abs": abs,
+    "min": min, "max": max, "round": round, "bool": bool,
+}
+
+
+def _validate_user_code(tree) -> None:
+    """AST whitelist for user expressions: expression-only nodes, no
+    dunder attribute access (blocks ``().__class__`` escape chains), no
+    names outside value/key/the function whitelist. This is a *guard*,
+    not a full sandbox — job specs are still driver-authored config,
+    like the reference's user JS (processor.go runs arbitrary goja)."""
+    import ast
+
+    for node in ast.walk(tree):
+        kind = type(node).__name__
+        if kind not in _USER_CODE_ALLOWED_NODES:
+            raise ValueError(f"transform_user_code: disallowed syntax {kind!r}")
+        if isinstance(node, ast.Attribute) and node.attr.startswith("_"):
+            raise ValueError(
+                f"transform_user_code: underscore attribute {node.attr!r} not allowed"
+            )
+        if isinstance(node, ast.Name) and node.id not in (
+            "value", "key", *_USER_CODE_FUNCS
+        ):
+            raise ValueError(f"transform_user_code: unknown name {node.id!r}")
+
+
 def transform_user_code(code: str = "value", **_: object) -> TransformFn:
     """User-defined per-value transform — the analog of the reference's
     goja-executed user JS transformers (transform_javascript /
     generate_javascript, /root/reference/worker/pkg/benthos/javascript/
     processor.go; codegen builders/processors.go:482-502). ``code`` is a
     Python expression over ``value`` and ``key`` evaluated per row
-    inside the Arrow batch (user-supplied by the job author, exactly
-    like the reference's user JS)."""
-    compiled = compile(code, "<transform_user_code>", "eval")
+    inside the Arrow batch. The expression is AST-whitelisted (see
+    _validate_user_code); ``code`` still comes from the job author and
+    is treated as driver-trusted configuration."""
+    import ast
+
+    tree = ast.parse(code, "<transform_user_code>", mode="eval")
+    _validate_user_code(tree)
+    compiled = compile(tree, "<transform_user_code>", "eval")
 
     def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
         out = []
         for v, k in zip(values, keys):
-            out.append(eval(compiled, {"__builtins__": {}}, {"value": v, "key": k, "len": len, "str": str, "int": int, "float": float}))
+            out.append(
+                eval(compiled, {"__builtins__": {}}, {**_USER_CODE_FUNCS, "value": v, "key": k})
+            )
         return pd.Series(out, index=values.index, dtype=object)
 
     return fn

@@ -326,6 +326,14 @@ class SnapshotTable:
         (False) the caller provides a key-unique, already-transformed
         batch, which is persisted to avoid recomputing it twice.
         """
+        if target_df is not None and prune_buckets:
+            # a chained state must cover the WHOLE table: with pruning on,
+            # untouched buckets' file lists would be replaced by the
+            # (source-only) merge output, silently dropping committed rows
+            raise ValueError(
+                "target_df (chained state) requires prune_buckets=False — "
+                "the supplied state must cover every bucket"
+            )
         m = self.manifest(refresh=True)
         if applied_range is not None and self.is_applied(*applied_range):
             return CommitInfo(m["snapshot_id"], 0, 0, applied_range)

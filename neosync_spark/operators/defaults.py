@@ -9,10 +9,15 @@ scramble.
 * ``scramble_identity`` — the analog of the identity block allocator
   (/root/reference/worker/pkg/workflows/tablesync/shared/
   identity-allocator.go:14-126): auto-increment values are replaced by
-  fresh unique ids handed out in per-partition blocks; Spark's
-  ``monotonically_increasing_id`` IS a per-partition block allocator
-  (31-bit partition id << 33 + per-partition counter), so the operator
-  is one expression, collision-free across 10^9-row partitions.
+  fresh unique ids handed out in per-bucket blocks. Unlike
+  ``monotonically_increasing_id`` (whose output changes under task
+  retry/speculation), the allocation here is a pure function of the
+  column's value set: bucket = xxhash64(value) % n_buckets, block
+  offsets = cumulative bucket counts (one tiny agg), rank = row_number
+  within bucket ordered by value. All ids land ABOVE the current max
+  (never the input value — the reference contract,
+  identity-allocator.go:88-126) and the window is partitioned by
+  bucket, so the sort parallelizes across the cluster.
 """
 
 from __future__ import annotations
@@ -62,8 +67,44 @@ def apply_default_transforms(
     return out
 
 
-def scramble_identity(df: DataFrame, col: str, offset: int = 1) -> DataFrame:
-    """Replace an identity/auto-increment column with fresh unique ids
-    (never the input value — reference contract). Block-allocated per
-    partition, no shuffle, no coordination."""
-    return df.withColumn(col, (F.monotonically_increasing_id() + F.lit(offset)).cast("long"))
+def scramble_identity(
+    df: DataFrame, col: str, offset: int = 1, n_buckets: int = 256
+) -> DataFrame:
+    """Replace an identity/auto-increment column with fresh unique ids.
+
+    Deterministic under any partitioning / task retry (pure function of
+    the column's value set), collision-free, and never the input value:
+    the allocated ids are exactly ``max(col) + offset + [1..n]``, block-
+    assigned per hash bucket. Requires ``col`` values to be unique
+    (it is an identity column). Two jobs: one tiny per-bucket count agg
+    (map-side combined), then a bucket-partitioned window — no global
+    sort, no driver-sized collect.
+    """
+    from pyspark.sql.window import Window
+
+    b = F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+    tagged = df.withColumn("_ib", b)
+    stats = (
+        tagged.groupBy("_ib")
+        .agg(F.count(F.lit(1)).alias("n"), F.max(F.col(col)).alias("mx"))
+        .collect()
+    )  # <= n_buckets rows — driver-side block planning, as the reference
+    if not stats:
+        return df
+    base = max(int(r["mx"]) for r in stats) + offset
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(stats, key=lambda r: r["_ib"]):
+        offsets[int(r["_ib"])] = acc
+        acc += int(r["n"])
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    rank = F.row_number().over(Window.partitionBy("_ib").orderBy(F.col(col)))
+    return (
+        tagged.withColumn(
+            col,
+            (F.lit(base) + off_map[F.col("_ib")] + rank).cast("long"),
+        )
+        .drop("_ib")
+    )

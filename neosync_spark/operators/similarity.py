@@ -80,6 +80,9 @@ def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) ->
     )
 
 
+_MERSENNE_31 = 2_147_483_647  # 2^31 - 1, prime
+
+
 def minhash_signatures(
     df: DataFrame,
     shingles_col: str,
@@ -87,21 +90,46 @@ def minhash_signatures(
     num_hashes: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """k-minhash signatures via explode → k codegen'd xxhash64 columns →
-    partial+final hash-agg of k mins → array. Every stage is whole-stage
-    codegen (the HOF variant is interpreted and ~100× slower); the agg
-    combines map-side, so giant documents don't skew the shuffle."""
+    """k-minhash signatures via explode → TWO codegen'd xxhash64 evals →
+    k affine combinations h1 + j·h2 (mod 2^31-1) → partial+final
+    hash-agg of k mins → array.
+
+    The affine-combination family is the standard k-minhash trick
+    (Indyk/Broder): per shingle only 2 real hash evaluations, the other
+    k-2 are one multiply-add each — ~30× less hash work than k
+    independent hashes. Mod-prime keeps every intermediate < 2^37, so
+    the arithmetic is overflow-free under ANSI SQL mode. Every stage is
+    whole-stage codegen (the HOF variant is interpreted and ~100×
+    slower); the agg combines map-side, so giant documents don't skew
+    the shuffle."""
+    p = F.lit(_MERSENNE_31)
     exploded = df.select(
         F.col(id_col), F.explode(F.col(shingles_col)).alias("_s")
     )
-    hashed = exploded.select(
-        id_col, *[F.xxhash64("_s", F.lit(seed + j)).alias(f"_h{j}") for j in range(num_hashes)]
+    based = exploded.select(
+        id_col,
+        F.pmod(F.xxhash64("_s", F.lit(seed)), p).alias("_b1"),
+        # +1 guards the degenerate h2=0 row (all combos would collapse)
+        (F.pmod(F.xxhash64("_s", F.lit(seed + 0x9E3779B9)), p - 1) + F.lit(1)).alias("_b2"),
     )
-    agg = hashed.groupBy(id_col).agg(
-        *[F.min(f"_h{j}").alias(f"_h{j}") for j in range(num_hashes)]
+    # transpose: explode j instead of materializing k wide columns — the
+    # narrow (id, j, h) schema codegens small and the (id, j) hash-agg
+    # combines map-side, so the shuffle carries only ids × k rows
+    jexp = based.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("_j"),
+        F.col("_b1"),
+        F.col("_b2"),
+    ).select(
+        id_col,
+        "_j",
+        F.pmod(F.col("_b1") + F.col("_j") * F.col("_b2"), p).alias("_h"),
     )
-    return agg.select(
-        id_col, F.array(*[F.col(f"_h{j}") for j in range(num_hashes)]).alias("_sig")
+    mins = jexp.groupBy(id_col, "_j").agg(F.min("_h").alias("_h"))
+    return mins.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_j", "_h"))), lambda s: s["_h"]
+        ).alias("_sig")
     )
 
 

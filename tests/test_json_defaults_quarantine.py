@@ -111,3 +111,43 @@ def test_quarantine_poison_rows(spark, tmp_path):
     assert set(q["lsn"]) == {10, 20, 30}
     # the rest of the log was applied
     assert t.read().count() > 0
+
+
+def test_scramble_identity_deterministic_fresh_never_input(spark):
+    """Round-2 contract: pure function of the value set (same result
+    under any repartitioning), ids are max+1..max+n, never the input
+    (reference identity-allocator.go:88-126 never hands back the old id)."""
+    vals = [(i * 7 + 3,) for i in range(500)]
+    a = scramble_identity(
+        spark.createDataFrame(vals, ["id"]).repartition(13), "id"
+    ).toPandas()
+    b = scramble_identity(
+        spark.createDataFrame(vals, ["id"]).repartition(2), "id"
+    ).toPandas()
+    assert sorted(a["id"]) == sorted(b["id"])  # deterministic allocation
+    mx = max(v[0] for v in vals)
+    assert set(a["id"]) == set(range(mx + 2, mx + 2 + 500))  # max+offset+[1..n]
+    assert not (set(a["id"]) & {v[0] for v in vals})  # never the input
+
+
+def test_quarantine_null_op_rows(spark, tmp_path):
+    """A NULL op must be quarantined, not silently dropped by
+    three-valued logic (round-2 fix: coalesce(valid, false))."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+    from neosync_spark.synth import SynthConfig, generate_pandas
+
+    log = generate_pandas(SynthConfig(n_events=500, n_convs=20))
+    log.loc[7, "op"] = None
+    sdf = spark.createDataFrame(log)
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), key_cols=KEY_COLS, n_buckets=4
+    )
+    eng = ReplayEngine(
+        spark, t, config=EngineConfig(batch_lsn_size=1000, quarantine=True)
+    )
+    eng.replay(lambda lo, hi: sdf.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)),
+               lsn_lo=0, lsn_hi=499)
+    q = spark.read.parquet(str(tmp_path / "t" / "metadata" / "quarantine")).toPandas()
+    assert set(q["lsn"]) == {7}

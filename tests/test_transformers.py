@@ -230,3 +230,50 @@ def test_udf_matches_pandas(spark):
     exp = fn(pdf["email"], pdf["key"])
     pdf2 = pdf.assign(out=exp).sort_values("key").reset_index(drop=True)
     assert got["out"].tolist() == pdf2["out"].tolist()
+
+
+def test_transform_int64_preserves_big_values():
+    """Round-2 fix: no float64 round-trip — int64 above 2^53 keeps the
+    documented jitter range (reference operates in int64)."""
+    big = 2**60 + 12345
+    fn = X.transform_int64(seed=42, randomization_range_min=10, randomization_range_max=100)
+    out = fn(pd.Series([big, None], dtype="Int64"), pd.Series(["k1", "k2"]))
+    delta = int(out.iloc[0]) - big
+    assert -10 <= delta <= 100
+    assert pd.isna(out.iloc[1])
+
+
+def test_transform_user_code_sandbox_rejects_escapes():
+    import pytest as _pytest
+
+    ok = X.transform_user_code("str(value) + '-' + key")
+    assert ok(pd.Series(["a"]), pd.Series(["k"])).iloc[0] == "a-k"
+    assert X.transform_user_code("value.upper()")(
+        pd.Series(["ab"]), pd.Series(["k"])
+    ).iloc[0] == "AB"
+    for bad in (
+        "().__class__",
+        "__import__('os')",
+        "open('/etc/passwd')",
+        "[x for x in (1,)]",
+        "value.__class__.__mro__",
+    ):
+        with _pytest.raises(ValueError):
+            X.transform_user_code(bad)
+
+
+def test_merge_cdc_rejects_chained_state_with_pruning(spark, tmp_path):
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), key_cols=KEY_COLS, n_buckets=4
+    )
+    df = spark.createDataFrame([], t.current_schema()).withColumns(
+        {"op": F.lit("insert"), "lsn": F.lit(0).cast("long")}
+    )
+    with _pytest.raises(ValueError, match="prune_buckets"):
+        t.merge_cdc(df, target_df=df, prune_buckets=True)
