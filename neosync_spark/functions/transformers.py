@@ -71,6 +71,24 @@ def _rand_chars(h: int, length: int, alphabet: str) -> str:
     return a[idx.astype(np.int64)].tobytes().decode()
 
 
+def _rand_chars_batch(hs: np.ndarray, lengths, alphabet: str) -> list[str]:
+    """Whole-batch _rand_chars over one flat buffer — bit-identical to
+    the scalar version per row (same mix64(h, position) stream)."""
+    lens = np.asarray(lengths, dtype=np.int64).clip(min=0)
+    n = len(lens)
+    total = int(lens.sum())
+    if total == 0:
+        return [""] * n
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    row = np.repeat(np.arange(n), lens)
+    pos = np.arange(total, dtype=np.uint64) - starts.astype(np.uint64)[row]
+    r = mix64(np.asarray(hs, dtype=np.uint64)[row], pos)
+    a = np.frombuffer(alphabet.encode(), dtype=np.uint8)
+    buf = a[(r % np.uint64(len(a))).astype(np.int64)].tobytes()
+    ends = starts + lens
+    return [buf[s:e].decode() for s, e in zip(starts, ends)]
+
+
 def _clamp(s: str, max_length: int | None) -> str:
     if max_length is not None and len(s) > max_length:
         return s[:max_length]
@@ -118,46 +136,68 @@ def transform_email(
     generate}.
     """
     excluded = {d.lower() for d in excluded_domains}
+    _first_lower = [n.lower() for n in D.FIRST_NAMES]
 
     def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
         hs = _row_hashes(seed, "transform_email", keys, values)
-        out = []
-        for v, h in zip(values, hs):
-            if v is None or (isinstance(v, float) and pd.isna(v)):
-                out.append(None)
-                continue
-            v = str(v)
-            if v == "":
-                out.append(None)
-                continue
-            if not _EMAIL_RE.match(v):
-                if invalid_email_action == "passthrough":
-                    out.append(_clamp(v, max_length))
-                elif invalid_email_action == "null":
-                    out.append(None)
-                elif invalid_email_action == "reject":
-                    raise ValueError(f"invalid email: {v!r}")
-                else:  # generate
-                    local = _rand_chars(_stream(h, 0), 8, string.ascii_lowercase)
-                    dom = str(_pick(D.EMAIL_DOMAINS, _stream(h, 1)))
-                    out.append(_clamp(f"{local}@{dom}", max_length))
-                continue
-            local, domain = v.rsplit("@", 1)
-            keep_domain = preserve_domain
-            if domain.lower() in excluded:
-                keep_domain = not keep_domain  # exclusion flips preservation
-            new_domain = (
-                domain if keep_domain else str(_pick(D.EMAIL_DOMAINS, _stream(h, 1)))
+        n = len(values)
+        out = np.full(n, None, dtype=object)
+        present = values.notna().to_numpy()
+        if not present.any():
+            return pd.Series(out, index=values.index, dtype=object)
+        strs = values[present].astype(str)
+        nonempty = (strs != "").to_numpy()
+        valid = strs.str.match(_EMAIL_RE.pattern).to_numpy() & nonempty
+        idx = np.flatnonzero(present)
+        hsv = np.asarray(hs)[idx]
+
+        # invalid, non-empty rows per action
+        inv = nonempty & ~valid
+        if inv.any():
+            if invalid_email_action == "reject":
+                bad = strs[inv].iloc[0]
+                raise ValueError(f"invalid email: {bad!r}")
+            if invalid_email_action == "passthrough":
+                out[idx[inv]] = [_clamp(s, max_length) for s in strs[inv]]
+            elif invalid_email_action == "null":
+                pass  # stays None
+            else:  # generate
+                h_inv = hsv[inv]
+                locals_ = _rand_chars_batch(
+                    _stream(h_inv, 0), np.full(inv.sum(), 8), string.ascii_lowercase
+                )
+                doms = _pick(D.EMAIL_DOMAINS, _stream(h_inv, 1))
+                out[idx[inv]] = [
+                    _clamp(f"{l_}@{d}", max_length) for l_, d in zip(locals_, doms)
+                ]
+
+        if valid.any():
+            h_ok = hsv[valid]
+            sv = strs[valid]
+            parts = sv.str.rpartition("@")
+            local = parts[0]
+            domain = parts[2]
+            keep = np.full(valid.sum(), preserve_domain)
+            if excluded:
+                keep ^= domain.str.lower().isin(excluded).to_numpy()  # flip
+            new_domain = np.where(
+                keep, domain.to_numpy(dtype=object), _pick(D.EMAIL_DOMAINS, _stream(h_ok, 1))
             )
             if preserve_length:
-                new_local = _rand_chars(
-                    _stream(h, 0), len(local), string.ascii_lowercase + string.digits
+                new_local = _rand_chars_batch(
+                    _stream(h_ok, 0),
+                    local.str.len().to_numpy(),
+                    string.ascii_lowercase + string.digits,
                 )
             else:
-                first = str(_pick(D.FIRST_NAMES, _stream(h, 2))).lower()
-                sfx = _rand_chars(_stream(h, 3), 4, string.digits)
-                new_local = f"{first}{sfx}"
-            out.append(_clamp(f"{new_local}@{new_domain}", max_length))
+                firsts = _pick(_first_lower, _stream(h_ok, 2))
+                sfx = _rand_chars_batch(
+                    _stream(h_ok, 3), np.full(valid.sum(), 4), string.digits
+                )
+                new_local = [f"{a}{b}" for a, b in zip(firsts, sfx)]
+            out[idx[valid]] = [
+                _clamp(f"{l_}@{d}", max_length) for l_, d in zip(new_local, new_domain)
+            ]
         return pd.Series(out, index=values.index, dtype=object)
 
     return fn
@@ -171,23 +211,36 @@ def _name_transform(
     ) -> TransformFn:
         def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
             hs = _row_hashes(seed, name, keys, values)
-            out = []
-            for v, h in zip(values, hs):
-                if v is None or (isinstance(v, float) and pd.isna(v)):
-                    out.append(None)
-                    continue
-                v = str(v)
-                if preserve_length:
-                    pool = by_len.get(len(v))
+            n = len(values)
+            out = np.full(n, None, dtype=object)
+            present = values.notna().to_numpy()
+            if not present.any():
+                return pd.Series(out, index=values.index, dtype=object)
+            idx = np.flatnonzero(present)
+            h0 = _stream(np.asarray(hs)[idx], 0)
+            strs = values[present].astype(str)
+            if not preserve_length:
+                out[idx] = _pick(names, h0)
+            else:
+                lens = strs.str.len().to_numpy()
+                # vectorize per distinct length (few of them per batch)
+                for L in np.unique(lens):
+                    sub = lens == L
+                    pool = by_len.get(int(L))
                     if pool:
-                        nv = str(_pick(pool, _stream(h, 0)))
+                        out[idx[sub]] = _pick(pool, h0[sub])
                     else:
                         # no same-length name: random padded (reference
                         # pads with generateRandomCharacterString on miss)
-                        nv = _rand_chars(_stream(h, 0), len(v), string.ascii_lowercase).capitalize()
-                else:
-                    nv = str(_pick(names, _stream(h, 0)))
-                out.append(_clamp(nv, max_length))
+                        out[idx[sub]] = [
+                            s.capitalize()
+                            for s in _rand_chars_batch(
+                                h0[sub], np.full(int(sub.sum()), int(L)),
+                                string.ascii_lowercase,
+                            )
+                        ]
+            if max_length is not None:
+                out[idx] = [_clamp(s, max_length) for s in out[idx]]
             return pd.Series(out, index=values.index, dtype=object)
 
         return fn
@@ -212,16 +265,25 @@ def transform_full_name(
     def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
         f = first(values, keys)
         l_ = last(values, keys)
-        out = []
-        for v, a, b in zip(values, f, l_):
-            if v is None or (isinstance(v, float) and pd.isna(v)):
-                out.append(None)
-                continue
-            nv = f"{a} {b}"
-            if preserve_length and len(nv) != len(str(v)):
-                target = len(str(v))
-                nv = (nv + "x" * target)[:target] if target > 0 else ""
-            out.append(_clamp(nv, max_length))
+        n = len(values)
+        out = np.full(n, None, dtype=object)
+        present = values.notna().to_numpy()
+        idx = np.flatnonzero(present)
+        joined = (f[present].astype(str) + " " + l_[present].astype(str)).to_numpy(
+            dtype=object
+        )
+        if preserve_length:
+            targets = values[present].astype(str).str.len().to_numpy()
+            joined = np.asarray(
+                [
+                    nv if len(nv) == t else ((nv + "x" * t)[:t] if t > 0 else "")
+                    for nv, t in zip(joined, targets)
+                ],
+                dtype=object,
+            )
+        if max_length is not None:
+            joined = np.asarray([_clamp(s, max_length) for s in joined], dtype=object)
+        out[idx] = joined
         return pd.Series(out, index=values.index, dtype=object)
 
     return fn
@@ -235,20 +297,22 @@ def transform_string(
 ) -> TransformFn:
     def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
         hs = _row_hashes(seed, "transform_string", keys, values)
-        out = []
-        for v, h in zip(values, hs):
-            if v is None or (isinstance(v, float) and pd.isna(v)):
-                out.append(None)
-                continue
-            v = str(v)
-            if preserve_length:
-                n = len(v)
-            else:
-                hi = max_length or 20
-                n = min_length + int(
-                    _stream(h, 1) % np.uint64(max(1, hi - min_length + 1))
-                )
-            out.append(_rand_chars(_stream(h, 0), n, string.ascii_lowercase + string.digits))
+        n = len(values)
+        out = np.full(n, None, dtype=object)
+        present = values.notna().to_numpy()
+        if not present.any():
+            return pd.Series(out, index=values.index, dtype=object)
+        idx = np.flatnonzero(present)
+        hsv = np.asarray(hs)[idx]
+        if preserve_length:
+            lens = values[present].astype(str).str.len().to_numpy()
+        else:
+            hi = max_length or 20
+            span = np.uint64(max(1, hi - min_length + 1))
+            lens = (_stream(hsv, 1) % span).astype(np.int64) + min_length
+        out[idx] = _rand_chars_batch(
+            _stream(hsv, 0), lens, string.ascii_lowercase + string.digits
+        )
         return pd.Series(out, index=values.index, dtype=object)
 
     return fn
@@ -382,23 +446,59 @@ def transform_string_phone_number(
     """Digits replaced by random digits, formatting kept when
     preserve_length, else a fresh 10-digit number."""
 
+    def scramble_digits_batch(strs: list[str], hs: np.ndarray) -> list[str]:
+        """Whole-batch digit replacement over one flat buffer — identical
+        per-row to mix64(h, char_position) % 10. ASCII-only batch (phone
+        strings); callers route non-ASCII rows to the scalar path."""
+        enc = [s.encode() for s in strs]
+        lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
+        total = int(lens.sum())
+        if total == 0:
+            return list(strs)
+        flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        row = np.repeat(np.arange(len(enc)), lens)
+        pos = np.arange(total, dtype=np.uint64) - starts.astype(np.uint64)[row]
+        r = mix64(np.asarray(hs, dtype=np.uint64)[row], pos)
+        digit = (flat >= 48) & (flat <= 57)
+        out_b = flat.copy()
+        out_b[digit] = _DIGIT[(r[digit] % np.uint64(10)).astype(np.int64)]
+        buf = out_b.tobytes()
+        ends = starts + lens
+        return [buf[s:e].decode() for s, e in zip(starts, ends)]
+
     def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
         hs = _row_hashes(seed, "transform_string_phone_number", keys, values)
-        out = []
-        for v, h in zip(values, hs):
-            if v is None or (isinstance(v, float) and pd.isna(v)):
-                out.append(None)
-                continue
-            v = str(v)
-            if preserve_length:
-                b = list(v)
-                r = mix64(int(h), np.arange(len(b), dtype=np.uint64))
-                for i2, ch in enumerate(b):
-                    if ch.isdigit():
-                        b[i2] = str(int(r[i2] % np.uint64(10)))
-                out.append(_clamp("".join(b), max_length))
+        n = len(values)
+        out = np.full(n, None, dtype=object)
+        present = values.notna().to_numpy()
+        if not present.any():
+            return pd.Series(out, index=values.index, dtype=object)
+        idx = np.flatnonzero(present)
+        hsv = np.asarray(hs)[idx]
+        strs = values[present].astype(str)
+        if preserve_length:
+            ascii_ok = np.asarray(
+                [s.isascii() for s in strs], dtype=bool
+            )
+            if ascii_ok.all():
+                res = scramble_digits_batch(list(strs), hsv)
             else:
-                out.append(_clamp(_rand_chars(_stream(h, 0), 10, string.digits), max_length))
+                # rare unicode rows: scalar char-position path (the batch
+                # path indexes byte positions, which diverge on multibyte)
+                res = []
+                for s, h in zip(strs, hsv):
+                    b = list(s)
+                    r = mix64(int(h), np.arange(len(b), dtype=np.uint64))
+                    for i2, ch in enumerate(b):
+                        if ch.isdigit():
+                            b[i2] = str(int(r[i2] % np.uint64(10)))
+                    res.append("".join(b))
+        else:
+            res = _rand_chars_batch(
+                _stream(hsv, 0), np.full(len(idx), 10), string.digits
+            )
+        out[idx] = [_clamp(s, max_length) for s in res]
         return pd.Series(out, index=values.index, dtype=object)
 
     return fn
@@ -497,6 +597,17 @@ def transform_pii_text(
         )
 
     def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        if not allowed_phrases:
+            # fast path: plain vectorized substitution, no per-match
+            # python callback
+            present = values.notna()
+            s = values.where(present).astype("string")
+            for ent, pat in recognizers:
+                token = repl.get(ent, f"<{ent}>")
+                s = s.str.replace(pat, token, regex=True)
+            out_arr = np.full(len(values), None, dtype=object)
+            out_arr[present.to_numpy()] = s[present].to_numpy(dtype=object)
+            return pd.Series(out_arr, index=values.index, dtype=object)
         out = []
         for v in values:
             if v is None or (isinstance(v, float) and pd.isna(v)):
@@ -523,11 +634,22 @@ def transform_pii_text(
 # --------------------------------------------------------------------------
 
 
-def _generator(name: str, make_one: Callable[[np.uint64], object]):
+def _generator(
+    name: str,
+    make_one: Callable[[np.uint64], object],
+    make_batch: Callable[..., list] | None = None,
+):
+    """``make_one`` is the scalar spec; ``make_batch`` (optional) is a
+    vectorized implementation over the whole hash array that must
+    produce identical values."""
+
     def make(seed: int = 42, **kw) -> TransformFn:
         def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
             hs = mix64(seed, str_seed(name), hash_series(keys))
-            out = [make_one(h, **kw) for h in hs]
+            if make_batch is not None:
+                out = make_batch(hs, **kw)
+            else:
+                out = [make_one(h, **kw) for h in hs]
             return pd.Series(out, index=keys.index, dtype=object)
 
         return fn
@@ -543,10 +665,37 @@ def _gen_last(h, **kw):
     return str(_pick(D.LAST_NAMES, _stream(h, 0)))
 
 
+_FIRST_LOWER = [n.lower() for n in D.FIRST_NAMES]
+_LAST_LOWER = [n.lower() for n in D.LAST_NAMES]
+
+
+def _gen_full_name_batch(hs: np.ndarray, **kw) -> list[str]:
+    f = _pick(D.FIRST_NAMES, _stream(hs, 0))
+    l_ = _pick(D.LAST_NAMES, _stream(_stream(hs, 9), 0))
+    return [f"{a} {b}" for a, b in zip(f, l_)]
+
+
+def _gen_email_batch(hs: np.ndarray, **kw) -> list[str]:
+    f = _pick(_FIRST_LOWER, _stream(hs, 0))
+    l_ = _pick(_LAST_LOWER, _stream(_stream(hs, 9), 0))
+    num = (_stream(hs, 1) % np.uint64(100)).astype(np.int64)
+    dom = _pick(D.EMAIL_DOMAINS, _stream(hs, 2))
+    return [f"{a}.{b}{c}@{d}" for a, b, c, d in zip(f, l_, num, dom)]
+
+
+def _gen_ssn_batch(hs: np.ndarray, **kw) -> list[str]:
+    a = (hs % np.uint64(900)).astype(np.int64) + 100
+    b = (_stream(hs, 1) % np.uint64(99)).astype(np.int64) + 1
+    c = (_stream(hs, 2) % np.uint64(10000)).astype(np.int64)
+    return [f"{x:03d}-{y:02d}-{z:04d}" for x, y, z in zip(a, b, c)]
+
+
 generate_first_name = _generator("generate_first_name", _gen_first)
 generate_last_name = _generator("generate_last_name", _gen_last)
 generate_full_name = _generator(
-    "generate_full_name", lambda h, **kw: f"{_gen_first(h)} {_gen_last(_stream(h, 9))}"
+    "generate_full_name",
+    lambda h, **kw: f"{_gen_first(h)} {_gen_last(_stream(h, 9))}",
+    make_batch=_gen_full_name_batch,
 )
 generate_email = _generator(
     "generate_email",
@@ -554,6 +703,7 @@ generate_email = _generator(
         f"{_gen_first(h).lower()}.{_gen_last(_stream(h, 9)).lower()}"
         f"{int(_stream(h, 1) % np.uint64(100))}@{_pick(D.EMAIL_DOMAINS, _stream(h, 2))}"
     ),
+    make_batch=_gen_email_batch,
 )
 generate_bool = _generator("generate_bool", lambda h, **kw: bool(h % np.uint64(2)))
 generate_uuid = _generator(
@@ -630,6 +780,7 @@ generate_ssn = _generator(
         f"{int(_stream(h, 1) % np.uint64(99)) + 1:02d}-"
         f"{int(_stream(h, 2) % np.uint64(10000)):04d}"
     ),
+    make_batch=_gen_ssn_batch,
 )
 generate_ip_address = _generator(
     "generate_ip_address",

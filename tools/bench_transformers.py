@@ -57,10 +57,14 @@ def main() -> None:
     }
     out = {}
     for name, (fn, vals) in cases.items():
-        t0 = time.time()
-        fn(vals, keys)
-        dt = time.time() - t0
-        out[name] = round(N / dt)
+        fn(vals.head(1000), keys.head(1000))  # warm-up (numpy/regex init)
+        best = None
+        for _ in range(3):  # noisy shared VM: take the best of 3
+            t0 = time.time()
+            fn(vals, keys)
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        out[name] = round(N / best)
     print(json.dumps({"rows": N, "rows_per_sec_1core": out}, indent=1))
 
 
