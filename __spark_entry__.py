@@ -305,6 +305,37 @@ def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", redact_pii("pii_text").alias("redacted"))
 
 
+def _q_redact_person_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-backed PERSON recognition (the Presidio-NER analog):
+    names planted deterministically from the shipped name lists, full
+    recognizer chain (PERSON + EMAIL/SSN/PHONE) through the pandas UDF;
+    DuckDB replays the same regex chain with the name lists inlined."""
+    from neosync_spark.functions import datasets as D
+    from neosync_spark.functions import transformers as X
+    from neosync_spark.functions.transformers import as_udf, key_col
+
+    _views(spark, sf_dir, ["documents"])
+    first = F.element_at(
+        F.array(*[F.lit(n) for n in D.FIRST_NAMES]),
+        (F.col("doc_id") % len(D.FIRST_NAMES) + 1).cast("int"),
+    )
+    last = F.element_at(
+        F.array(*[F.lit(n) for n in D.LAST_NAMES]),
+        (F.col("doc_id") % len(D.LAST_NAMES) + 1).cast("int"),
+    )
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" escalated by "), first, F.lit(" "), last,
+            F.lit(" per policy"),
+        ).alias("t"),
+    )
+    fn = X.transform_pii_text(seed=42, recognize_person_names=True)
+    return docs.select(
+        "doc_id", as_udf(fn)(F.col("t"), key_col("doc_id")).alias("redacted")
+    )
+
+
 def _q_shape_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.functions.masking import shape_mask
 
@@ -415,6 +446,41 @@ def _q_subset_fk_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         FkEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
     ]
     sub = subset_tables(tables, edges, "customer", "c_mktsegment = 'BUILDING'")
+    return (
+        sub["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.floor(F.sum("l_quantity") * 100 + F.lit(0.5)) / 100).alias("sum_qty"),
+        )
+    )
+
+
+def _q_subset_multi_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset planning with TWO where-clause roots (customer segment AND
+    order status): every table is semijoined through each root's FK
+    chain — intersection semantics, like the reference's per-root
+    INNER-JOIN-chain plan (runconfigs/builder.go:84-203)."""
+    from neosync_spark.operators.subset import FkEdge, subset_tables
+
+    _views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    tables = {
+        "customer": spark.table("customer"),
+        "orders": spark.table("orders"),
+        "lineitem": spark.table("lineitem"),
+    }
+    edges = [
+        FkEdge("orders", "o_custkey", "customer", "c_custkey"),
+        FkEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ]
+    sub = subset_tables(
+        tables,
+        edges,
+        roots={
+            "customer": "c_mktsegment = 'BUILDING'",
+            "orders": "o_orderstatus = 'O'",
+        },
+    )
     return (
         sub["lineitem"]
         .groupBy("l_returnflag")
@@ -722,6 +788,34 @@ def _q_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _redact_person_names_oracle() -> str:
+    from neosync_spark.functions import datasets as D
+
+    firsts = "[" + ", ".join(f"'{n}'" for n in D.FIRST_NAMES) + "]"
+    lasts = "[" + ", ".join(f"'{n}'" for n in D.LAST_NAMES) + "]"
+    person_re = _X.person_name_regex()
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || ' escalated by ' ||
+                 list_extract({firsts}, CAST(doc_id % {len(D.FIRST_NAMES)} AS INT) + 1) ||
+                 ' ' ||
+                 list_extract({lasts}, CAST(doc_id % {len(D.LAST_NAMES)} AS INT) + 1) ||
+                 ' per policy' AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(t, '{person_re}', '<PERSON>', 'g'),
+                     '{_X.PII_EMAIL_RE}', '<EMAIL_ADDRESS>', 'g'),
+                   '{_X.PII_SSN_RE}', '<US_SSN>', 'g'),
+                 '{_X.PII_PHONE_RE}', '<PHONE_NUMBER>', 'g') AS redacted
+        FROM d
+    """
+
+
 def _embedding_near_dup_oracle(n_planes: int = 12, dim: int = 64, seed: int = 42) -> str:
     """DuckDB replay of the hyperplane-LSH near-dup query: the seeded
     planes are deterministic numpy output, embedded as literals."""
@@ -783,11 +877,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_email": _q_mask_email,
         "mask_phone_keep_last4": _q_mask_phone,
         "redact_pii_text": _q_redact_pii,
+        "redact_person_names": _q_redact_person_names,
         "shape_mask": _q_shape_mask,
         "key_mapping_consistency": _q_key_mapping,
         "anonymize_transform_udfs": _q_anonymize_udfs,
         "subset_semijoin": _q_subset_semijoin,
         "subset_fk_chain": _q_subset_fk_chain,
+        "subset_multi_root": _q_subset_multi_root,
         "dedup_exact": _q_exact_dedup,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -991,6 +1087,21 @@ def oracle_sql() -> dict[str, str]:
                 WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'))
             GROUP BY l_returnflag
         """,
+        "subset_multi_root": """
+            SELECT l_returnflag,
+                   count(*) AS n_items,
+                   floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+            FROM lineitem l
+            WHERE EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_orderstatus = 'O'
+                AND EXISTS (
+                  SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment = 'BUILDING'))
+            GROUP BY l_returnflag
+        """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text)
@@ -1108,6 +1219,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "embedding_near_dup": _embedding_near_dup_oracle(),
+        "redact_person_names": _redact_person_names_oracle(),
         "anonymize_transform_udfs": f"""
             WITH d AS (SELECT doc_id, {_PII_TEXT} AS pii_text FROM documents)
             SELECT doc_id,

@@ -100,9 +100,14 @@ class ReplayEngine:
         return lww_dedup(batch, KEY_COLS, ["ts", "lsn"])
 
     def transform_batch(self, batch: DataFrame) -> DataFrame:
-        """Apply the anonymization UDFs to payload columns. Row-local →
-        safe to salt-repartition on conv_id for hot-conversation
-        splitting before the (Python-bound) UDF stage."""
+        """Apply the anonymization transforms to payload columns.
+
+        Transformers carrying a ``column_expr`` (deterministic regex /
+        string ops) run as JVM Column expressions inside whole-stage
+        codegen; only seeded-random transformers pay the Arrow
+        round-trip into a pandas UDF. Row-local → safe to
+        salt-repartition on conv_id for hot-conversation splitting
+        before the (Python-bound) UDF stage."""
         if not self.transforms:
             return batch
         out = batch
@@ -116,7 +121,10 @@ class ReplayEngine:
         k = key_col(*KEY_COLS)
         for col, fn in self.transforms.items():
             if col in out.columns:
-                out = out.withColumn(col, as_udf(fn)(F.col(col), k))
+                expr = getattr(fn, "column_expr", None)
+                out = out.withColumn(
+                    col, expr(F.col(col)) if expr else as_udf(fn)(F.col(col), k)
+                )
         return out
 
     def pandas_transform(self, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -57,23 +57,44 @@ def anonymize_json_field(
     )
 
 
-def _set_path(doc: dict, path: list[str], value) -> None:
-    cur = doc
-    for p in path[:-1]:
-        if not isinstance(cur, dict) or p not in cur:
-            return
-        cur = cur[p]
-    if isinstance(cur, dict) and path[-1] in cur:
-        cur[path[-1]] = value
+def _path_tokens(p: str) -> tuple[str, ...]:
+    """'$.users[].contact.email' → ('users', '[]', 'contact', 'email').
+    A trailing '[]' on a segment is the gojq array-wildcard analog
+    (reference compiles full jq programs, json-anonymizer.go:215-236;
+    dot paths + [] wildcards cover the documented mapping surface)."""
+    toks: list[str] = []
+    for seg in p.lstrip("$.").split("."):
+        if seg.endswith("[]"):
+            if seg[:-2]:
+                toks.append(seg[:-2])
+            toks.append("[]")
+        elif seg:
+            toks.append(seg)
+    return tuple(toks)
 
 
-def _get_path(doc: dict, path: list[str]):
-    cur = doc
-    for p in path:
-        if not isinstance(cur, dict) or p not in cur:
-            return None
-        cur = cur[p]
-    return cur
+def _transform_path(node, toks: tuple[str, ...], i: int, apply_one, key: str) -> None:
+    """Apply ``apply_one(old_value, key)`` at every location matching
+    the token path (wildcards fan out over list elements)."""
+    if i >= len(toks):
+        return
+    t = toks[i]
+    last = i == len(toks) - 1
+    if t == "[]":
+        if isinstance(node, list):
+            for j, item in enumerate(node):
+                if last:
+                    if item is not None:
+                        node[j] = apply_one(item, f"{key}[{j}]")
+                else:
+                    _transform_path(item, toks, i + 1, apply_one, f"{key}[{j}]")
+        return
+    if isinstance(node, dict) and t in node:
+        if last:
+            if node[t] is not None:
+                node[t] = apply_one(node[t], key)
+        else:
+            _transform_path(node[t], toks, i + 1, apply_one, key)
 
 
 def anonymize_json_udf(
@@ -83,19 +104,24 @@ def anonymize_json_udf(
 ) -> Callable[[pd.Series, pd.Series], pd.Series]:
     """Schemaless JSON anonymizer as a (values, keys) pandas function.
 
-    ``mapping``: dot-path → transformer (applied where the path exists);
+    ``mapping``: dot-path → transformer (applied where the path exists;
+    ``[]`` segments fan out over arrays, e.g. ``$.users[].email``);
     ``default_string``: optional type-based default applied to every
     other string leaf (reference applyDefaultTransformers), except
     ``skip_paths``.
     """
-    compiled = {tuple(p.lstrip("$.").split(".")): fn for p, fn in mapping.items()}
-    skips = {tuple(p.lstrip("$.").split(".")) for p in skip_paths}
+    compiled = {_path_tokens(p): fn for p, fn in mapping.items()}
+    skips = {_path_tokens(p) for p in skip_paths}
+    # walk_defaults builds list-free paths (list hops keep the prefix),
+    # so exclusion matching compares with '[]' tokens dropped
+    _mapped_flat = {tuple(t for t in p if t != "[]") for p in compiled}
+    _skip_flat = {tuple(t for t in p if t != "[]") for p in skips}
 
     def walk_defaults(doc, fn_apply, prefix=()):
         if isinstance(doc, dict):
             for k, v in doc.items():
                 path = prefix + (k,)
-                if path in skips or path in compiled:
+                if path in _skip_flat or path in _mapped_flat:
                     continue
                 if isinstance(v, str):
                     doc[k] = fn_apply(v, ".".join(path))
@@ -120,12 +146,16 @@ def anonymize_json_udf(
                 out.append(v)  # not JSON: passthrough
                 continue
             for path, tfn in compiled.items():
-                old = _get_path(doc, list(path))
-                if old is not None:
-                    new = tfn(
-                        pd.Series([old]), pd.Series([f"{k}|{'.'.join(path)}"])
-                    ).iloc[0]
-                    _set_path(doc, list(path), new)
+                base_key = f"{k}|{'.'.join(t for t in path if t != '[]')}"
+                _transform_path(
+                    doc,
+                    path,
+                    0,
+                    lambda old, kk, _t=tfn: _t(
+                        pd.Series([old]), pd.Series([kk])
+                    ).iloc[0],
+                    base_key,
+                )
             if default_string is not None and isinstance(doc, dict):
                 walk_defaults(
                     doc,

@@ -558,12 +558,23 @@ PII_PHONE_RE = r"\+?\d[\d\-\.\s\(\)]{6,}\d"
 PII_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
 
 
+def person_name_regex() -> str:
+    """Word-boundary alternation over the shipped first+last name
+    datasets — dataset-backed PERSON recognition (the reference routes
+    this entity to Presidio NER; the name lists make it expressible as
+    a plain regex that Spark, Python and DuckDB evaluate identically)."""
+    firsts = "|".join(re.escape(n) for n in D.FIRST_NAMES)
+    lasts = "|".join(re.escape(n) for n in D.LAST_NAMES)
+    return rf"\b(?:{firsts})\s+(?:{lasts})\b"
+
+
 def transform_pii_text(
     seed: int = 42,
     allowed_phrases: tuple[str, ...] = (),
     allowed_entities: tuple[str, ...] | None = None,
     deny_words: tuple[str, ...] = (),
     entity_replacements: dict[str, str] | None = None,
+    recognize_person_names: bool = False,
 ) -> TransformFn:
     """Free-text PII redaction via regex recognizers + deny-word lists —
     the OSS-scope variant of the reference's transform_pii_text
@@ -572,10 +583,12 @@ def transform_pii_text(
     reference delegates NER to a per-value Presidio RPC; here the
     recognizers run in-executor, vectorized per Arrow batch.
 
-    Entities: EMAIL_ADDRESS, PHONE_NUMBER, US_SSN, DENY_WORD.
-    ``allowed_phrases`` are never redacted; ``allowed_entities`` (when
-    set) limits which recognizers run; replacement defaults to
-    ``<ENTITY_TYPE>``.
+    Entities: PERSON (opt-in dataset-backed recognizer — word-boundary
+    first+last-name pairs from the shipped name datasets, the in-process
+    stand-in for Presidio's PERSON NER), EMAIL_ADDRESS, PHONE_NUMBER,
+    US_SSN, DENY_WORD. ``allowed_phrases`` are never redacted;
+    ``allowed_entities`` (when set) limits which recognizers run;
+    replacement defaults to ``<ENTITY_TYPE>``.
     """
     repl = entity_replacements or {}
     recognizers: list[tuple[str, re.Pattern]] = []
@@ -584,6 +597,8 @@ def transform_pii_text(
     def want(e: str) -> bool:
         return ents is None or e in ents
 
+    if recognize_person_names and want("PERSON"):
+        recognizers.append(("PERSON", re.compile(person_name_regex())))
     if want("EMAIL_ADDRESS"):
         recognizers.append(("EMAIL_ADDRESS", re.compile(PII_EMAIL_RE)))
     if want("US_SSN"):
@@ -608,6 +623,9 @@ def transform_pii_text(
             out_arr = np.full(len(values), None, dtype=object)
             out_arr[present.to_numpy()] = s[present].to_numpy(dtype=object)
             return pd.Series(out_arr, index=values.index, dtype=object)
+        return _slow(values)
+
+    def _slow(values: pd.Series) -> pd.Series:
         out = []
         for v in values:
             if v is None or (isinstance(v, float) and pd.isna(v)):
@@ -626,6 +644,24 @@ def transform_pii_text(
             out.append(s)
         return pd.Series(out, index=values.index, dtype=object)
 
+    # JVM column-expression form: the regex redaction is deterministic
+    # and expressible as a regexp_replace chain, so pipelines can keep
+    # it inside whole-stage codegen (UDFs are the slow path). Attached
+    # only when semantics translate exactly: no allowed_phrases
+    # (callback logic) and no Java-special chars in replacements.
+    tokens_safe = all(
+        "$" not in repl.get(e, "") and "\\" not in repl.get(e, "")
+        for e, _ in recognizers
+    )
+    if not allowed_phrases and tokens_safe:
+        def column_expr(c):
+            out_c = F.col(c) if isinstance(c, str) else c
+            for ent, pat in recognizers:
+                token = repl.get(ent, f"<{ent}>")
+                out_c = F.regexp_replace(out_c, pat.pattern, token)
+            return out_c
+
+        fn.column_expr = column_expr
     return fn
 
 
@@ -945,6 +981,7 @@ def transform_null(**_: object) -> TransformFn:
     def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
         return pd.Series([None] * len(values), index=values.index, dtype=object)
 
+    fn.column_expr = lambda c: F.lit(None).cast("string")
     return fn
 
 
@@ -952,6 +989,7 @@ def transform_passthrough(**_: object) -> TransformFn:
     def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
         return values
 
+    fn.column_expr = lambda c: (F.col(c) if isinstance(c, str) else c)
     return fn
 
 

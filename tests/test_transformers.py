@@ -277,3 +277,58 @@ def test_merge_cdc_rejects_chained_state_with_pruning(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="prune_buckets"):
         t.merge_cdc(df, target_df=df, prune_buckets=True)
+
+
+def test_pii_text_column_expr_matches_pandas(spark):
+    """The JVM column-expression form of transform_pii_text (engine fast
+    path) must agree byte-for-byte with the pandas oracle path —
+    Java regex vs Python re on the shipped recognizers."""
+    from pyspark.sql import functions as F
+
+    fn = X.transform_pii_text(seed=42)
+    assert hasattr(fn, "column_expr")
+    rows = [
+        "reach me at jo.doe+x@corp.example or 555-123-4567 today",
+        "ssn 123-45-6789 and +1 (555) 123.4567; not-pii 12",
+        "no pii here",
+        "",
+        None,
+        "double a@b.co c@d.io and 999-88-7777 111-22-3333",
+        "event #123456 {'k': 'v'}",
+    ]
+    df = spark.createDataFrame([(r,) for r in rows], ["t"])
+    got = [r["out"] for r in df.select(fn.column_expr("t").alias("out")).collect()]
+    exp = fn(pd.Series(rows), pd.Series(["k"] * len(rows))).tolist()
+    assert got == exp
+    # deny-words + custom replacement also expressible
+    fn2 = X.transform_pii_text(
+        seed=1, deny_words=("secret", "códigos"),
+        entity_replacements={"DENY_WORD": "[redacted]"},
+    )
+    assert hasattr(fn2, "column_expr")
+    rows2 = ["a Secret plan", "los códigos aqui", "secretive (no match)"]
+    df2 = spark.createDataFrame([(r,) for r in rows2], ["t"])
+    got2 = [r["out"] for r in df2.select(fn2.column_expr("t").alias("out")).collect()]
+    exp2 = fn2(pd.Series(rows2), pd.Series(["k"] * len(rows2))).tolist()
+    assert got2 == exp2
+
+
+def test_pii_person_recognizer():
+    fn = X.transform_pii_text(seed=1, recognize_person_names=True)
+    from neosync_spark.functions import datasets as D
+
+    name = f"{D.FIRST_NAMES[0]} {D.LAST_NAMES[0]}"
+    out = fn(
+        pd.Series([f"ticket from {name} re 111-22-3333", "no names"]),
+        pd.Series(["a", "b"]),
+    )
+    assert out.iloc[0] == "ticket from <PERSON> re <US_SSN>"
+    assert out.iloc[1] == "no names"
+    # off by default
+    fn0 = X.transform_pii_text(seed=1)
+    assert name in fn0(pd.Series([f"x {name} y"]), pd.Series(["a"])).iloc[0]
+    # allowed_entities scoping applies
+    fn2 = X.transform_pii_text(
+        seed=1, recognize_person_names=True, allowed_entities=("US_SSN",)
+    )
+    assert name in fn2(pd.Series([f"x {name} 111-22-3333"]), pd.Series(["a"])).iloc[0]
