@@ -346,6 +346,62 @@ def ivf_centroids(
     return cent
 
 
+def ivf_centroids_distributed(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    iters: int = 8,
+) -> np.ndarray:
+    """Spark-side Lloyd's: only the k seed vectors and the k×dim
+    per-iteration centroid stats ever reach the driver — the index
+    build scales to 10^9 vectors (the driver-sample variant collects a
+    whole sample).
+
+    Per iteration: broadcast centroids into a vectorized assign UDF →
+    posexplode the vectors → partial-agg (sum, count) per (cell, dim) —
+    map-side combine reduces the shuffle to n_centroids × dim rows per
+    partition. Seeding is value-keyed (smallest xxhash64(id, seed)), so
+    the build is reproducible; component means are quantized to 1e-6 to
+    absorb float reduce-order jitter across partitionings."""
+    seed_rows = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .withColumn("_h", F.xxhash64(F.col("_id"), F.lit(seed)))
+        .orderBy("_h", "_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    cent = np.array([r["_v"] for r in seed_rows], dtype=np.float64)
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    for _ in range(iters):
+        cent_n = cent / (np.linalg.norm(cent, axis=1, keepdims=True) + 1e-12)
+
+        @F.pandas_udf(T.IntegerType())
+        def assign(batch: pd.Series) -> pd.Series:
+            m = np.array(batch.tolist(), dtype=np.float64)
+            m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
+            return pd.Series((m @ cent_n.T).argmax(axis=1).astype(np.int32))
+
+        stats = (
+            vecs.select(assign(F.col("_v")).alias("_c"), F.posexplode("_v"))
+            .groupBy("_c", "pos")
+            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )  # n_centroids × dim rows — driver-tiny at any data scale
+        new = cent.copy()
+        counts = np.zeros(len(cent))
+        for r in stats:
+            new[r["_c"], r["pos"]] = r["s"] / r["n"]
+            counts[r["_c"]] = r["n"]
+        new[counts == 0] = cent[counts == 0]  # empty cells keep position
+        cent = np.round(new, 6)
+    return cent
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str,
@@ -356,13 +412,21 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     centroids: np.ndarray | None = None,
+    distributed_build: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: vectors are assigned to their nearest
     centroid (one vectorized matmul per Arrow batch); the query probes
     only the ``n_probe`` nearest cells, so the scan covers
     ~n_probe/n_centroids of the data — the ANN scale path next to the
-    brute-force baseline (cosine_topk)."""
-    cent = centroids if centroids is not None else ivf_centroids(df, vec_col, n_centroids, seed)
+    brute-force baseline (cosine_topk). The index build is distributed
+    by default (ivf_centroids_distributed); pass
+    ``distributed_build=False`` for the quick driver-sample build."""
+    if centroids is not None:
+        cent = centroids
+    elif distributed_build:
+        cent = ivf_centroids_distributed(df, vec_col, id_col, n_centroids, seed)
+    else:
+        cent = ivf_centroids(df, vec_col, n_centroids, seed)
     cent_norm = cent / (np.linalg.norm(cent, axis=1, keepdims=True) + 1e-12)
 
     @F.pandas_udf(T.IntegerType())
