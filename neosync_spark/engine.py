@@ -256,7 +256,10 @@ class ReplayEngine:
             if self.registry is not None and self.registry.versions:
                 declared = self.registry.version_for_lsn(hi - 1)
                 ops = ensure_table_schema(
-                    self.table, declared.schema, self.registry.policy
+                    self.table,
+                    declared.schema,
+                    self.registry.policy,
+                    renames=getattr(declared, "rename_map", None),
                 )
                 stats.schema_ops.extend(ops)
                 if ops and self._chained_state is not None:

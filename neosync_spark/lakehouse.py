@@ -242,16 +242,30 @@ class SnapshotTable:
                     by_schema.setdefault(str(e["schema_id"]), []).append(e["path"])
             return by_schema
 
+        renames = m.get("renames", {})
+
+        def _resolve_name(name: str, have: set[str]) -> str | None:
+            """Walk the rename chain current→historical until a name the
+            file actually has (or None → column added after the file)."""
+            seen = set()
+            while name not in have:
+                if name in seen or name not in renames:
+                    return None
+                seen.add(name)
+                name = renames[name]
+            return name
+
         def _union(by_schema: dict[str, list[str]]) -> DataFrame | None:
             parts: list[DataFrame] = []
             for sid, paths in by_schema.items():
                 file_schema = self._storage_schema(m["schemas"][sid])
                 df = self.spark.read.schema(file_schema).parquet(*paths)
-                cols = []
                 have = {f.name: f for f in file_schema.fields}
+                cols = []
                 for f_ in cur.fields:
-                    if f_.name in have:
-                        cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+                    src = _resolve_name(f_.name, set(have))
+                    if src is not None:
+                        cols.append(F.col(src).cast(f_.dataType).alias(f_.name))
                     else:
                         cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
                 cols.append(F.col(_LSN_COL))
@@ -718,21 +732,44 @@ class SnapshotTable:
 
     # ---------- schema evolution ----------
 
-    def alter_schema(self, new_schema: T.StructType) -> int:
-        """Metadata-only ALTER: add nullable columns / widen int→long,
-        float→double. Existing files stay; reads align (see read()).
+    def alter_schema(
+        self,
+        new_schema: T.StructType,
+        renames: dict[str, str] | None = None,
+    ) -> int:
+        """Metadata-only ALTER: add nullable columns, widen int→long /
+        float→double, DROP non-key columns, RENAME columns
+        (``renames`` maps new_name → old_name). Existing files stay;
+        reads align (missing → null, widened → cast, renamed → aliased
+        through the rename chain). The reference's analog is the ordered
+        DDL diff incl. drops/renames
+        (internal/schema-manager/mysql/mysql.go:220-351).
+
+        Without Iceberg field-ids, re-adding a previously dropped or
+        renamed-away column name would resurrect stale file data — such
+        names are permanently retired (loud error).
         Returns the new snapshot id."""
         m = self.manifest(refresh=True)
         cur = self.current_schema(m)
-        _validate_evolution(cur, new_schema)
+        renames = dict(renames or {})
+        protected = set(m["key_cols"]) | {"ts"}
+        retired = set(m.get("retired_cols", []))
+        _validate_evolution(cur, new_schema, renames, protected, retired)
         new_schema_id = max(int(k) for k in m["schemas"]) + 1
         new_sid = m["snapshot_id"] + 1
+        cur_names = {f.name for f in cur.fields}
+        new_names = {f.name for f in new_schema.fields}
+        dropped = cur_names - new_names - set(renames.values())
+        newly_retired = sorted(retired | dropped | set(renames.values()))
         new_m = {
             **m,
             "snapshot_id": new_sid,
             "parent": m["snapshot_id"],
             "schema_id": new_schema_id,
             "schemas": {**m["schemas"], str(new_schema_id): new_schema.jsonValue()},
+            # cumulative rename chain: current name -> name at write time
+            "renames": {**m.get("renames", {}), **renames},
+            "retired_cols": newly_retired,
             "summary": {"operation": "alter_schema"},
         }
         self._write_manifest(new_m)
@@ -762,11 +799,34 @@ _WIDENINGS = {
 }
 
 
-def _validate_evolution(cur: T.StructType, new: T.StructType) -> None:
+def _validate_evolution(
+    cur: T.StructType,
+    new: T.StructType,
+    renames: dict[str, str] | None = None,
+    protected: set[str] | None = None,
+    retired: set[str] | None = None,
+) -> None:
+    renames = renames or {}
+    protected = protected or set()
+    retired = retired or set()
     cur_by_name = {f.name: f for f in cur.fields}
+    new_names = {f.name for f in new.fields}
+    for new_name, old_name in renames.items():
+        if old_name not in cur_by_name:
+            raise ValueError(f"rename source column {old_name!r} does not exist")
+        if new_name not in new_names:
+            raise ValueError(f"rename target {new_name!r} missing from new schema")
+        if old_name in protected:
+            raise ValueError(f"cannot rename key/order column {old_name!r}")
     for f_ in new.fields:
-        old = cur_by_name.get(f_.name)
+        old = cur_by_name.get(renames.get(f_.name, f_.name))
         if old is None:
+            if f_.name in retired:
+                raise ValueError(
+                    f"column name {f_.name!r} was dropped/renamed away and is "
+                    "retired (no Iceberg field-ids: re-adding would resurrect "
+                    "stale file data)"
+                )
             if not f_.nullable:
                 raise ValueError(f"new column {f_.name} must be nullable")
             continue
@@ -777,6 +837,7 @@ def _validate_evolution(cur: T.StructType, new: T.StructType) -> None:
             raise ValueError(
                 f"illegal type change for {f_.name}: {pair[0]} -> {pair[1]}"
             )
-    dropped = set(cur_by_name) - {f.name for f in new.fields}
-    if dropped:
-        raise ValueError(f"dropping columns not supported: {sorted(dropped)}")
+    dropped = set(cur_by_name) - new_names - set(renames.values())
+    bad = dropped & protected
+    if bad:
+        raise ValueError(f"cannot drop key/order columns: {sorted(bad)}")

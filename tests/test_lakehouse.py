@@ -168,9 +168,21 @@ def test_alter_schema_rejects_illegal(spark, tmp_path):
     import pyspark.sql.types as T
 
     t = _mk(spark, tmp_path / "t")
-    bad = T.StructType([f for f in transcript_schema().fields if f.name != "text"])
-    with pytest.raises(ValueError):
-        t.alter_schema(bad)
+    # dropping payload columns is legal since round 2 — but key/order
+    # columns and type narrowings stay illegal
+    bad_key = T.StructType(
+        [f for f in transcript_schema().fields if f.name != "conv_id"]
+    )
+    with pytest.raises(ValueError, match="key/order"):
+        t.alter_schema(bad_key)
+    narrowed = T.StructType(
+        [
+            f if f.name != "turn_idx" else T.StructField("turn_idx", T.ShortType(), True)
+            for f in transcript_schema().fields
+        ]
+    )
+    with pytest.raises(ValueError, match="illegal type change"):
+        t.alter_schema(narrowed)
 
 
 def test_expire_snapshots_gc(spark, tmp_path):
