@@ -73,3 +73,57 @@ def test_streaming_sessionize(spark, tmp_path):
     assert len(got) == 2
     assert got[got.user_id == 1]["n_events"].tolist() == [2]
     assert got[got.user_id == 2]["n_events"].tolist() == [1]
+
+
+def test_streaming_lww_stateful_updates(spark, tmp_path):
+    """applyInPandasWithState LWW upsert stream: per key only winner
+    CHANGES are emitted; stale events arriving in later micro-batches
+    are absorbed by the state store; the union of last emissions ==
+    the batch LWW oracle."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from neosync_spark.schema import change_event_schema
+    from neosync_spark.streaming.stateful import streaming_lww_updates
+
+    log = generate_pandas(SynthConfig(n_events=3_000, n_convs=150))
+    log_dir = str(tmp_path / "log")
+    # several files => several micro-batches; lsn-interleaved so late
+    # (older-ts) events land in later batches too
+    sdf = spark.createDataFrame(log).repartition(5)
+    sdf.write.parquet(log_dir)
+
+    stream = (
+        spark.readStream.schema(change_event_schema(True))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(log_dir)
+    )
+    updates = streaming_lww_updates(stream)
+    q = (
+        updates.writeStream.format("memory")
+        .queryName("lww_updates")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.table("lww_updates").toPandas()
+    # last emission per key == global LWW winner
+    last = (
+        got.sort_values(["ts_us", "lsn"], kind="mergesort")
+        .groupby(["conv_id", "turn_idx"])
+        .tail(1)
+    )
+    alive = last[~last["deleted"]][["conv_id", "turn_idx", "role", "text"]]
+    exp = expected_final_state(log)[["conv_id", "turn_idx", "role", "text"]]
+    assert_pdf_equal(
+        alive.reset_index(drop=True), exp, ["conv_id", "turn_idx"]
+    )
+    # the stream emitted no more rows than events, and strictly fewer
+    # rows than a naive per-event relay when duplicates/stale exist
+    assert len(got) <= len(log)
+    # per key, no (ts_us, lsn) pair is emitted twice (duplicates and
+    # stale deliveries are absorbed by the state, never re-emitted)
+    assert not got.duplicated(["conv_id", "turn_idx", "ts_us", "lsn"]).any()
