@@ -976,6 +976,74 @@ def transform_user_code(code: str = "value", **_: object) -> TransformFn:
     return fn
 
 
+def transform_binary(seed: int = 42, preserve_length: bool = True) -> TransformFn:
+    """Length-preserving anonymization of opaque binary values (the
+    bytea round-trip surface of the reference's record mappers,
+    internal/database-record-mapper/postgres/mapper.go:33-91): output
+    bytes are a pure function of (seed, key, value)."""
+
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        hs = _row_hashes(seed, "transform_binary", keys, values.astype("string"))
+        out = []
+        for v, h in zip(values, hs):
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                out.append(None)
+                continue
+            b = bytes(v)
+            n = len(b) if preserve_length else 16
+            r = mix64(int(h), np.arange(n, dtype=np.uint64))
+            out.append((r % np.uint64(256)).astype(np.uint8).tobytes())
+        return pd.Series(out, index=values.index, dtype=object)
+
+    return fn
+
+
+def transform_date(
+    seed: int = 42, randomization_range_min: int = 30, randomization_range_max: int = 30
+) -> TransformFn:
+    """Date jitter: value ± bounded days (transform_int64 semantics on
+    the day number — keeps order-of-magnitude recency, breaks exact
+    dates)."""
+
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        hs = _row_hashes(seed, "transform_date", keys, values.astype("string"))
+        span = float(randomization_range_min + randomization_range_max)
+        delta = (
+            np.floor(u01(hs) * (span + 1.0)).astype(np.int64)
+            - int(randomization_range_min)
+        )
+        dt = pd.to_datetime(values)
+        out = dt + pd.to_timedelta(delta, unit="D")
+        res = pd.Series(out.dt.date, index=values.index, dtype=object)
+        res[pd.isna(values)] = None
+        return res
+
+    return fn
+
+
+def transform_array(inner: TransformFn) -> TransformFn:
+    """Elementwise anonymization of array values with per-element keys
+    (key[i]); composes recursively for N-dimensional arrays — the
+    N-dim-array surface of the reference's record mappers
+    (postgres/mapper.go:434+)."""
+
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        out = []
+        for v, k in zip(values, keys):
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                out.append(None)
+                continue
+            arr = list(v)
+            res = inner(
+                pd.Series(arr, dtype=object),
+                pd.Series([f"{k}[{i}]" for i in range(len(arr))]),
+            )
+            out.append(list(res))
+        return pd.Series(out, index=values.index, dtype=object)
+
+    return fn
+
+
 # meta-transformers (reference builders/processors.go:784-854)
 def transform_null(**_: object) -> TransformFn:
     def fn(values: pd.Series, keys: pd.Series) -> pd.Series:

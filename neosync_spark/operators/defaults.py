@@ -32,8 +32,10 @@ from ..functions.transformers import TransformFn, as_udf, key_col
 
 def default_transformer_for(dtype: T.DataType, seed: int = 42) -> TransformFn | None:
     """Per-type default: strings scramble (class-preserving), integers
-    jitter, floats jitter, bools regenerate — mirroring the reference's
-    bool/str/number defaults."""
+    jitter, floats jitter, bools regenerate, dates jitter days, binary
+    rewrites length-preserving, arrays recurse elementwise (N-dim) —
+    mirroring the reference's type defaults plus its record-mapper
+    exotic-type surface (postgres/mapper.go:33-91, 434+)."""
     if isinstance(dtype, T.StringType):
         return X.transform_character_scramble(seed=seed)
     if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType)):
@@ -42,6 +44,13 @@ def default_transformer_for(dtype: T.DataType, seed: int = 42) -> TransformFn | 
         return X.transform_float64(seed=seed)
     if isinstance(dtype, T.BooleanType):
         return X.generate_bool(seed=seed)
+    if isinstance(dtype, T.BinaryType):
+        return X.transform_binary(seed=seed)
+    if isinstance(dtype, T.DateType):
+        return X.transform_date(seed=seed)
+    if isinstance(dtype, T.ArrayType):
+        inner = default_transformer_for(dtype.elementType, seed)
+        return X.transform_array(inner) if inner is not None else None
     return None
 
 

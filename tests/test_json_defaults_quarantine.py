@@ -201,3 +201,81 @@ class TestJsonArrayWildcards:
         out = json.loads(fn(pd.Series([doc]), pd.Series(["k"])).iloc[0])
         assert out["users"][0]["email"] == "keep@x.co"  # mapped: not defaulted
         assert out["users"][0]["name"] != "Bob"  # defaulted
+
+
+def test_default_transforms_exotic_types(spark):
+    """Binary / date / array (incl. nested) defaults: deterministic,
+    type- and shape-preserving (the record-mapper exotic-type surface)."""
+    from datetime import date
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+            T.StructField("d", T.DateType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField("grid", T.ArrayType(T.ArrayType(T.LongType()))),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, b"secret-bytes", date(2024, 6, 1), ["Alpha", "Beta"], [[1, 2], [3]]),
+            (2, None, None, None, None),
+        ],
+        schema,
+    )
+    out = apply_default_transforms(df, mapped_cols=set(), key_cols=["id"], seed=7)
+    rows = {r["id"]: r for r in out.collect()}
+    r1 = rows[1]
+    assert r1["blob"] != b"secret-bytes" and len(r1["blob"]) == len(b"secret-bytes")
+    assert r1["d"] is not None and abs((r1["d"] - date(2024, 6, 1)).days) <= 30
+    assert len(r1["tags"]) == 2 and all(len(t) == 5 or len(t) == 4 for t in r1["tags"])
+    assert r1["tags"][0] != "Alpha"
+    assert [len(g) for g in r1["grid"]] == [2, 1]
+    assert r1["grid"][0][0] != 1 or r1["grid"][0][1] != 2  # jittered
+    # nulls stay null
+    r2 = rows[2]
+    assert r2["blob"] is None and r2["d"] is None and r2["tags"] is None
+    # deterministic under re-run
+    out2 = {r["id"]: r for r in apply_default_transforms(
+        df, mapped_cols=set(), key_cols=["id"], seed=7).collect()}
+    assert out2[1]["blob"] == r1["blob"] and out2[1]["tags"] == r1["tags"]
+
+
+def test_lakehouse_roundtrip_exotic_types(spark, tmp_path):
+    """Merge + read round-trips binary / date / array columns exactly."""
+    from datetime import date, datetime
+
+    from pyspark.sql import types as T
+
+    from neosync_spark.lakehouse import SnapshotTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("blob", T.BinaryType()),
+            T.StructField("d", T.DateType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), schema, key_cols=["k"], n_buckets=2
+    )
+    batch = spark.createDataFrame(
+        [
+            ("a", b"\x00\x01\xff", date(2024, 1, 2), ["x", "y"],
+             datetime(2025, 1, 1), 1, "insert"),
+        ],
+        T.StructType(
+            list(schema.fields)
+            + [T.StructField("lsn", T.LongType()), T.StructField("op", T.StringType())]
+        ),
+    )
+    t.merge_cdc(batch, applied_range=(0, 2))
+    row = t.read().collect()[0]
+    assert bytes(row["blob"]) == b"\x00\x01\xff"
+    assert row["d"] == date(2024, 1, 2)
+    assert list(row["tags"]) == ["x", "y"]
