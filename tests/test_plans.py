@@ -76,3 +76,39 @@ def test_merge_plan_no_sort(spark, tmp_path, log_path):
     assert "partial_max_by" in plan
     # exactly one exchange: in-batch dedup costs a single key shuffle
     assert plan.count("Exchange") == 1
+
+
+def test_transform_stage_jvm_fast_path(spark):
+    """Deterministic transformers stay in codegen: the transform stage
+    plan has the regexp chain inside a Project and exactly ONE
+    ArrowEvalPython (the seeded scramble) — not one per transformer."""
+    import tempfile
+
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.functions import transformers as X
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.dedup import lww_dedup
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+    import __spark_entry__ as E
+
+    tbl = SnapshotTable.create(
+        spark, tempfile.mkdtemp() + "/t", transcript_schema(),
+        key_cols=KEY_COLS, n_buckets=4,
+    )
+    eng = ReplayEngine(
+        spark, tbl,
+        transforms={
+            "text": X.transform_pii_text(seed=42),
+            "tool": X.transform_character_scramble(seed=42),
+        },
+        config=EngineConfig(),
+    )
+    log = E._derived_log(spark, "/root/testdata/sf0.001")
+    won = lww_dedup(log, KEY_COLS, ["ts", "lsn"])
+    plan = _plan(eng.transform_batch(won))
+    assert plan.count("ArrowEvalPython") >= 1
+    # the pii redaction must NOT appear as a python UDF stage: the
+    # regexp replacement string is in the plan's Project output
+    assert "<EMAIL_ADDRESS>" in plan
+    # only the one scramble UDF crosses into python
+    assert plan.count("ArrowEvalPython") == 1
