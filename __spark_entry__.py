@@ -9,9 +9,12 @@ The CDC queries derive a deterministic change log from the `events`
 table with arithmetic that evaluates identically in Spark SQL and
 DuckDB (shared text in _CDC_DERIVATION), so the engine's replay/LWW/
 merge semantics are value-verified against an independent engine.
-Seeded-random transformers and LSH ops are not SQL-expressible — those
-entries omit the oracle (rows-only check) and are value-verified in
-tests/ against pandas oracles instead.
+Seeded-random transformers are oracled through invariants the
+transform guarantees (class-preserving SHAPE projections, jitter
+ranges, allocator rank sets) — DuckDB recomputes the same projection
+from the INPUT; LSH pair sets are oracled against DuckDB brute-force
+ground truth. 36 of the 37 queries carry value oracles; only
+media_image_features (stubbed codec) is rows-only.
 """
 
 from __future__ import annotations
@@ -539,7 +542,9 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.operators.similarity import simhash_near_pairs
 
     _views(spark, sf_dir, ["documents"])
-    return simhash_near_pairs(spark.table("documents"), "text", "doc_id", max_hamming=6)
+    # radius 3 = the pigeonhole-EXACT regime for 4 chunks (every
+    # qualifying pair is guaranteed a colliding chunk — no best-effort)
+    return simhash_near_pairs(spark.table("documents"), "text", "doc_id", max_hamming=3)
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -813,6 +818,49 @@ def _redact_person_names_oracle() -> str:
                    '{_X.PII_SSN_RE}', '<US_SSN>', 'g'),
                  '{_X.PII_PHONE_RE}', '<PHONE_NUMBER>', 'g') AS redacted
         FROM d
+    """
+
+
+def _simhash_pairs_oracle(max_hamming: int = 6) -> str:
+    """DuckDB replay of the full simhash pipeline: md5-derived 60-bit
+    token hashes → per-bit weighted vote → 15-bit-chunk pigeonhole
+    collision → hamming filter. Bit arithmetic generated per bit."""
+    from neosync_spark.operators.similarity import SIMHASH_BITS
+
+    vote_cols = ", ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    )
+    chunk_collide = " OR ".join(
+        f"((a.simhash >> {15 * j}) & 32767) = ((b.simhash >> {15 * j}) & 32767)"
+        for j in range(4)
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                   x -> x <> '')) AS tok
+          FROM documents
+        ), h AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM t
+        ), v AS (
+          SELECT doc_id, {vote_cols} FROM h GROUP BY doc_id
+        ), sig0 AS (
+          SELECT doc_id, {assemble} AS simhash FROM v
+        ), sig AS (
+          SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+          FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE ({chunk_collide})
+          AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
 
 
@@ -1250,6 +1298,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "redact_person_names": _redact_person_names_oracle(),
+        "dedup_simhash_pairs": _simhash_pairs_oracle(max_hamming=3),
         "anonymize_transform_udfs": f"""
             WITH d AS (SELECT doc_id, {_PII_TEXT} AS pii_text FROM documents)
             SELECT doc_id,
@@ -1290,8 +1339,5 @@ def oracle_sql() -> dict[str, str]:
                    '999-99-9999' AS ssn_shape
             FROM range(0, 1000) r
         """,
-        # rows-only (non-SQL-expressible): dedup_simhash_pairs (the
-        # simhash function itself has no DuckDB equivalent, and the
-        # pair criterion depends on it), media_image_features
-        # (stubbed codec)
+        # rows-only: media_image_features (stubbed codec)
     }

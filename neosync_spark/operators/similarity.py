@@ -205,34 +205,54 @@ def minhash_dedup_pairs(
 
 # --------------------------------------------------------------- simhash
 
-@F.pandas_udf(T.LongType())
-def _simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit simhash: per-token hash, per-bit weighted vote (Charikar).
-    Vectorized per Arrow batch with numpy bit tricks."""
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if t is None:
-            out[i] = 0
-            continue
-        toks = str(t).lower().split()
-        if not toks:
-            out[i] = 0
-            continue
-        hs = pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int64
-        )
-        votes = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for b in np.nonzero(votes > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig.astype(np.int64))
-    return pd.Series(out)
+SIMHASH_BITS = 60  # 15 hex chars of md5 — engine-portable (fits BIGINT)
 
 
 def simhash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
-    return df.select(
-        F.col(id_col), _simhash64(F.col(content_col)).alias("simhash")
+    """60-bit simhash (Charikar): per-token md5-derived hash, per-bit
+    weighted vote — ALL JVM-side built-ins, no Python.
+
+    Token hashes are the first 15 hex chars of md5(token), so an
+    independent engine (the DuckDB oracle) reproduces the signature
+    bit-for-bit — unlike a pandas/xxhash-based simhash. Plan shape:
+    explode tokens → md5 → explode bit index (narrow codegen rows) →
+    partial-agg vote sum per (id, bit) → one small agg to assemble the
+    signature. Map-side combine keeps the shuffle at ids × 60 rows."""
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(content_col)), "\\s+", " ")), " "),
+        lambda t: t != "",
+    )
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("_t"))
+    hashed = exploded.select(
+        id_col,
+        F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long").alias("_hv"),
+    )
+    jexp = hashed.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("_b"),
+        F.col("_hv"),
+    ).select(
+        id_col,
+        "_b",
+        # integer shift (column shift amount via SQL form) — a double
+        # division would corrupt low bits of values above 2^53
+        F.expr("CAST(shiftrightunsigned(_hv, _b) % 2 AS BIGINT)").alias("_bit"),
+    )
+    votes = jexp.groupBy(id_col, "_b").agg(
+        F.sum(F.col("_bit") * 2 - 1).alias("_v")
+    )
+    sig = votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("_v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), _b)")
+            ).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+    # empty/blank docs produce no tokens: signature 0
+    return (
+        df.select(id_col)
+        .join(sig, on=id_col, how="left")
+        .select(id_col, F.coalesce("simhash", F.lit(0)).alias("simhash"))
     )
 
 
@@ -240,7 +260,8 @@ def simhash_near_pairs(
     df: DataFrame, content_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance, bucketed by the 4
-    16-bit chunks (pigeonhole: distance ≤3 ⇒ some chunk equal)."""
+    15-bit chunks (pigeonhole: distance ≤3 ⇒ some chunk equal; larger
+    radii are best-effort within colliding chunks)."""
     sig = simhash(df, content_col, id_col)
     chunks = sig.select(
         id_col,
@@ -250,8 +271,8 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(j).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * j)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), 15 * j)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("val"),
                     )
                     for j in range(4)
