@@ -130,6 +130,7 @@ def _replay_run(cores: int, log_path: str, merge_mode: str = "cow") -> dict:
                 seed=42, user_provided_regex='"q":"[^"]*"'
             ),
         }
+        pipelined = merge_mode == "mor-pipe"
         eng = ReplayEngine(
             spark,
             table,
@@ -144,7 +145,7 @@ def _replay_run(cores: int, log_path: str, merge_mode: str = "cow") -> dict:
                 salt_partitions=None,
                 lineage=True,
                 prune_buckets=False,
-                merge_mode=merge_mode,
+                merge_mode="mor" if pipelined else merge_mode,
                 # mor micro-batches defer LWW to read/compaction — no
                 # per-batch full-table rewrite (O(batch) amplification)
                 compact_deltas_over=None,
@@ -154,7 +155,7 @@ def _replay_run(cores: int, log_path: str, merge_mode: str = "cow") -> dict:
             ),
         )
         t0 = time.time()
-        stats = eng.replay(src)
+        stats = eng.replay(src, pipeline_batches=N_BATCHES if pipelined else 1)
         wall = time.time() - t0
         if best is None or wall < best["wall_sec"]:
             best = {
@@ -255,6 +256,10 @@ def main() -> None:
     # plus the bulk configuration at full cores (peak events/sec)
     runs[CPUS] = _sub(CPUS, N_BATCHES)
     mor_full = _sub(CPUS, N_BATCHES, "mor") if N_BATCHES > 1 else None
+    # pipelined mor: delta writes overlapped as concurrent jobs,
+    # manifests committed in lsn order — checkpoint cadence at
+    # near-bulk throughput
+    pipe_full = _sub(CPUS, N_BATCHES, "mor-pipe") if N_BATCHES > 1 else None
     bulk_full = _sub(CPUS, 1) if CPUS not in (scale_n, scale_4n) else runs[CPUS]
 
     eps_n = runs[scale_n]["events_per_sec"]
@@ -279,6 +284,7 @@ def main() -> None:
             "events_per_sec_4n": eps_4n,
             "events_per_sec_full": runs[CPUS]["events_per_sec"],
             "events_per_sec_full_mor": mor_full["events_per_sec"] if mor_full else None,
+            "events_per_sec_full_mor_pipelined": pipe_full["events_per_sec"] if pipe_full else None,
             "events_per_sec_full_bulk": bulk_full["events_per_sec"],
             "scaling_efficiency_n_to_4n": efficiency,
             "final_rows": runs[CPUS]["final_rows"],

@@ -393,19 +393,7 @@ class SnapshotTable:
                 affected = None
                 n_src = None
 
-            s_cols = []
-            for f_ in cur.fields:
-                if f_.name in src.columns:
-                    s_cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
-                else:
-                    s_cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
-            s_side = src.select(
-                *s_cols,
-                F.col("lsn").cast("long").alias(_LSN_COL),
-                (F.col("op") == "delete").alias("_del"),
-                F.lit(1).alias("_src"),
-                F.col(_BUCKET_COL),
-            )
+            s_side = self._source_side(src, cur)
 
             if mode == "mor":
                 # delta write: LWW deferred to read/compact; raw batches
@@ -446,23 +434,7 @@ class SnapshotTable:
                     kept_rows = won.filter(F.col("_src") != 1)
                     won = new_rows.unionByName(kept_rows)
 
-            # deleted rows stay as tombstones: payload nulled, key +
-            # (ts, _lsn) retained for future LWW comparisons
-            null_if_del = [
-                F.when(F.col("_del"), F.lit(None).cast(f_.dataType))
-                .otherwise(F.col(f_.name))
-                .alias(f_.name)
-                for f_ in cur.fields
-                if f_.name not in key_cols and f_.name != "ts"
-            ]
-            out = won.select(
-                *key_cols,
-                *null_if_del,
-                F.col("ts"),
-                F.col(_LSN_COL),
-                F.col("_del").alias(_DELETED_COL),
-                F.col(_BUCKET_COL),
-            )
+            out = self._finalize_rows(won, cur, key_cols)
 
             new_sid = m["snapshot_id"] + 1
             commit_dir = os.path.join(
@@ -540,6 +512,137 @@ class SnapshotTable:
         finally:
             if persisted:
                 src.unpersist()
+
+    @staticmethod
+    def _source_side(src: DataFrame, cur: T.StructType) -> DataFrame:
+        """CDC batch → storage projection (payload aligned to the
+        current schema + _lsn/_del/_src/_bucket)."""
+        s_cols = []
+        for f_ in cur.fields:
+            if f_.name in src.columns:
+                s_cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+            else:
+                s_cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+        return src.select(
+            *s_cols,
+            F.col("lsn").cast("long").alias(_LSN_COL),
+            (F.col("op") == "delete").alias("_del"),
+            F.lit(1).alias("_src"),
+            F.col(_BUCKET_COL),
+        )
+
+    @staticmethod
+    def _finalize_rows(
+        won: DataFrame, cur: T.StructType, key_cols: Sequence[str]
+    ) -> DataFrame:
+        """Winners → written rows: deleted rows stay as tombstones
+        (payload nulled, key + (ts, _lsn) retained for future LWW)."""
+        null_if_del = [
+            F.when(F.col("_del"), F.lit(None).cast(f_.dataType))
+            .otherwise(F.col(f_.name))
+            .alias(f_.name)
+            for f_ in cur.fields
+            if f_.name not in key_cols and f_.name != "ts"
+        ]
+        return won.select(
+            *key_cols,
+            *null_if_del,
+            F.col("ts"),
+            F.col(_LSN_COL),
+            F.col("_del").alias(_DELETED_COL),
+            F.col(_BUCKET_COL),
+        )
+
+    # ---------- pipelined MoR commits ----------
+
+    def prepare_delta(
+        self,
+        batch: DataFrame,
+        transform=None,
+        source_is_raw: bool = True,
+    ) -> tuple[dict[int, list[str]], int, int]:
+        """Data-plane of a MoR delta commit WITHOUT the manifest write:
+        in-batch LWW dedup + transform + bucket-partitioned delta file
+        write to a fresh directory. Touches no shared table state, so
+        disjoint lsn ranges can run CONCURRENTLY (pipelined commits);
+        ``commit_delta`` serializes the metadata afterwards. Returns
+        (written files per bucket, source row count, schema_id the
+        files were written under)."""
+        from pyspark.sql import Observation
+
+        m = self.manifest(refresh=True)
+        required = {"op", "lsn", "ts", *m["key_cols"]}
+        missing = required - set(batch.columns)
+        if missing:
+            raise ValueError(f"CDC batch is missing required columns {sorted(missing)}")
+        key_cols = m["key_cols"]
+        nb = m["bucket_count"]
+        cur = self.current_schema(m)
+
+        src = batch.withColumn(_BUCKET_COL, bucket_expr(key_cols[0], nb))
+        obs = Observation()
+        src = src.observe(obs, F.count(F.lit(1)).alias("n_src"))
+        won = self._source_side(src, cur)
+        if source_is_raw:
+            won = lww_dedup(won, key_cols, ["ts", _LSN_COL])
+        if transform is not None:
+            won = transform(won)
+        out = self._finalize_rows(won, cur, key_cols)
+        commit_dir = os.path.join(self.path, "data", f"delta-{uuid.uuid4().hex[:12]}")
+        out.repartition(max(1, min(nb, 256)), F.col(_BUCKET_COL)).write.partitionBy(
+            _BUCKET_COL
+        ).parquet(commit_dir)
+        written = self._list_commit_files(commit_dir)
+        return written, int(obs.get["n_src"]), m["schema_id"]
+
+    def commit_delta(
+        self,
+        written: dict[int, list[str]],
+        applied_range: tuple[int, int] | None,
+        n_src: int,
+        schema_id: int,
+        lineage: bool = True,
+    ) -> CommitInfo:
+        """Metadata half of a pipelined MoR commit: register the delta
+        files + ledger range atomically. Must be called in lsn order
+        (single writer). A crash before this point leaves orphan files
+        only — the range is not in the ledger, so replay re-does it."""
+        m = self.manifest(refresh=True)
+        if applied_range is not None and self.is_applied(*applied_range):
+            return CommitInfo(m["snapshot_id"], 0, 0, applied_range)
+        if schema_id != m["schema_id"]:
+            raise CommitConflictError(
+                f"schema advanced ({schema_id} -> {m['schema_id']}) while the "
+                "delta was in flight — re-prepare under the current schema"
+            )
+        new_sid = m["snapshot_id"] + 1
+        new_files = {b: list(v) for b, v in m["files"].items()}
+        for b, paths in written.items():
+            new_files.setdefault(str(b), []).extend(
+                {"path": p, "schema_id": schema_id, "kind": "delta"}
+                for p in sorted(paths)
+            )
+        ledger = list(m["checkpoint"]["applied"])
+        if applied_range is not None:
+            ledger.append(
+                [int(applied_range[0]), int(applied_range[1]), new_sid, n_src]
+            )
+        new_m = {
+            **m,
+            "snapshot_id": new_sid,
+            "parent": m["snapshot_id"],
+            "files": new_files,
+            "checkpoint": {"applied": ledger},
+            "summary": {
+                "operation": "merge_mor_pipelined",
+                "source_rows": n_src,
+                "buckets_rewritten": len(written),
+            },
+        }
+        if lineage:
+            self._write_lineage(self._footer_counts(written), new_sid, applied_range)
+        self._write_manifest(new_m)
+        return CommitInfo(new_sid, n_src, len(written), applied_range)
 
     @staticmethod
     def _footer_counts(written: dict[int, list[str]]) -> dict[int, int]:

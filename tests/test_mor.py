@@ -90,3 +90,51 @@ def test_mor_exactly_once(spark, tmp_path, log_path):
     s = eng.replay(ChangeLogSource(spark, log_path))
     assert s.batches_applied == 0 and s.batches_skipped == 4
     assert t.manifest(refresh=True)["snapshot_id"] == sid
+
+
+def test_pipelined_mor_replay_matches_oracle(spark, tmp_path):
+    """Pipelined MoR: concurrent delta writes + ordered manifest
+    commits reach the same final state as serial replay; the ledger
+    holds every range; resume is a no-op."""
+    from pyspark.sql import functions as F
+
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+    from neosync_spark.synth import SynthConfig, expected_final_state, generate_pandas
+
+    from .conftest import assert_pdf_equal
+
+    log = generate_pandas(SynthConfig(n_events=8_000, n_convs=300))
+    sdf = spark.createDataFrame(log)
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), key_cols=KEY_COLS, n_buckets=8
+    )
+    eng = ReplayEngine(
+        spark, t,
+        config=EngineConfig(
+            batch_lsn_size=2_000, merge_mode="mor", prune_buckets=False,
+            compact_deltas_over=None,
+        ),
+    )
+
+    def slicer(lo, hi):
+        return sdf.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+
+    stats = eng.replay(slicer, lsn_lo=0, lsn_hi=7_999, pipeline_batches=4)
+    assert stats.batches_applied == 4
+    got = t.read().toPandas()
+    exp = expected_final_state(log)
+    assert_pdf_equal(got, exp, ["conv_id", "turn_idx"])
+    assert len(t.applied_ranges()) == 4
+    # resume: everything already applied
+    stats2 = eng.replay(slicer, lsn_lo=0, lsn_hi=7_999, pipeline_batches=4)
+    assert stats2.batches_applied == 0 and stats2.batches_skipped == 4
+    # guard: pipelining requires mor
+    eng_cow = ReplayEngine(
+        spark, t, config=EngineConfig(batch_lsn_size=2_000, merge_mode="cow")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mor"):
+        eng_cow.replay(slicer, lsn_lo=0, lsn_hi=7_999, pipeline_batches=4)
