@@ -51,6 +51,8 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--batch-size", type=int, default=500_000)
     r.add_argument("--buckets", type=int, default=64)
     r.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    r.add_argument("--pipeline", type=int, default=1,
+                   help="mor only: overlap N delta writes (pipelined commits)")
     r.add_argument("--no-prune", action="store_true")
     r.add_argument("--quarantine", action="store_true")
     r.add_argument("--seed", type=int, default=42)
@@ -96,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
             merge_mode=args.mode,
             prune_buckets=not args.no_prune,
             quarantine=args.quarantine,
+            pipeline_batches=args.pipeline,
         )
         stats = run_job(spark, job)
         print(json.dumps({

@@ -1076,6 +1076,8 @@ REGISTRY: dict[str, Callable[..., TransformFn]] = {
     "transform_int64_phone_number": transform_int64_phone_number,
     "transform_uuid": transform_uuid,
     "transform_pii_text": transform_pii_text,
+    "transform_binary": transform_binary,
+    "transform_date": transform_date,
     "null": transform_null,
     "passthrough": transform_passthrough,
     "transform_user_code": transform_user_code,

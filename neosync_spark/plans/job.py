@@ -48,6 +48,9 @@ class JobSpec:
     prune_buckets: bool = True
     quarantine: bool = False
     schema_policy: str = "automap"
+    # >1 (mor only): overlap that many delta writes as concurrent jobs,
+    # manifests still committed in lsn order (see ReplayEngine.replay)
+    pipeline_batches: int = 1
 
 
 def resolve_transformer(m: ColumnMapping, seed: int) -> TransformFn:
@@ -105,4 +108,4 @@ def run_job(
 ) -> ReplayStats:
     """Execute (or resume) the sync job end-to-end."""
     engine, source = compile_job(spark, job, registry)
-    return engine.replay(source)
+    return engine.replay(source, pipeline_batches=job.pipeline_batches)
