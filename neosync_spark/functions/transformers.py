@@ -989,7 +989,7 @@ def transform_binary(seed: int = 42, preserve_length: bool = True) -> TransformF
             if v is None or (isinstance(v, float) and pd.isna(v)):
                 out.append(None)
                 continue
-            b = bytes(v)
+            b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
             n = len(b) if preserve_length else 16
             r = mix64(int(h), np.arange(n, dtype=np.uint64))
             out.append((r % np.uint64(256)).astype(np.uint8).tobytes())
@@ -1012,10 +1012,10 @@ def transform_date(
             np.floor(u01(hs) * (span + 1.0)).astype(np.int64)
             - int(randomization_range_min)
         )
-        dt = pd.to_datetime(values)
+        dt = pd.to_datetime(values, errors="coerce")
         out = dt + pd.to_timedelta(delta, unit="D")
         res = pd.Series(out.dt.date, index=values.index, dtype=object)
-        res[pd.isna(values)] = None
+        res[pd.isna(dt)] = None
         return res
 
     return fn

@@ -151,6 +151,10 @@ class TestDeterminism:
             fn = factory(seed=42)
             if name in numeric:
                 vals = pd.Series([100, 200], dtype="Int64")
+            elif name == "transform_binary":
+                vals = pd.Series([b"ab", b"cdef"], dtype=object)
+            elif name == "transform_date":
+                vals = pd.Series(["2024-01-01", "2024-06-15"], dtype=object)
             else:
                 vals = v("alice@corp.io", "bob")
             a = fn(vals, k("k1", "k2"))
