@@ -668,6 +668,25 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas audio decode plumbing (stubbed codec) — rows-only;
+    scalar outputs only (duration rounded for stable hashing)."""
+    from neosync_spark.operators.multimodal import decode_audio_features
+
+    _views(spark, sf_dir, ["documents"])
+    blobs = spark.table("documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    )
+    feats = decode_audio_features(blobs, "blob", "doc_id")
+    return feats.select(
+        "id",
+        "n_samples",
+        "sample_rate",
+        (F.floor(F.col("duration_s") * 10000 + F.lit(0.5)) / 10000).alias("duration_s"),
+        (F.floor(F.col("rms") * 10000 + F.lit(0.5)) / 10000).alias("rms"),
+    )
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream (lag + running-sum
     windows)."""
@@ -945,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "media_metadata": _q_media_metadata,
         "media_image_features": _q_image_features,
+        "media_audio_features": _q_audio_features,
         "synth_generators": _q_generators,
         "events_sessionize": _q_sessionize,
         "json_anonymize": _q_json_anonymize,

@@ -113,7 +113,9 @@ def frame_sample(
 ) -> DataFrame:
     """'Frame sampling' plumbing for video blobs: emits one row per
     sampled offset with a slice hash (stub for keyframe extraction —
-    the partitioning/explode shape is the real part)."""
+    the partitioning/explode shape is the real part). frame_id is
+    value-keyed (xxhash64 of id + offset), so it is stable under task
+    retry/repartitioning — unlike monotonically_increasing_id."""
     c = F.col(binary_col)
     n = F.length(c)
     offs = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n_bytes))
@@ -121,4 +123,56 @@ def frame_sample(
         F.col(id_col),
         F.explode(offs).alias("frame_offset"),
         n.alias("n_bytes"),
-    ).withColumn("frame_id", F.monotonically_increasing_id())
+    ).withColumn("frame_id", F.xxhash64(F.col(id_col), F.col("frame_offset")))
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "id long, n_samples long, sample_rate int, duration_s double, rms double"
+)
+
+
+def _fake_audio_features(blob: bytes) -> tuple[int, int, float, float]:
+    """Deterministic fake decoder (container has no audio libs —
+    librosa/soundfile absent). CLEARLY A STUB: derives stable pseudo-
+    features from the bytes; swap for a real PCM decode on a cluster."""
+    h = np.frombuffer(
+        pd.util.hash_array(np.frombuffer(blob or b"\x00", dtype=np.uint8)).tobytes(),
+        dtype=np.uint64,
+    )
+    rng = np.random.default_rng(int(h[0] % np.uint64(2**63)))
+    sample_rate = int([8000, 16000, 22050, 44100][int(h[0] % np.uint64(4))])
+    n_samples = int(np.uint64(len(blob or b"")) * np.uint64(4) + (h[-1] % np.uint64(1000)))
+    return n_samples, sample_rate, n_samples / sample_rate, float(rng.uniform(0, 1))
+
+
+def decode_audio_features(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    strict: bool = False,
+) -> DataFrame:
+    """mapInPandas audio decode → (sample count, rate, duration, rms).
+    Same Arrow-batch plumbing shape as decode_image_features; the codec
+    is stubbed (see _fake_audio_features)."""
+    try:
+        import soundfile  # noqa: F401
+
+        has_codec = True
+    except Exception:
+        has_codec = False
+    if strict and not has_codec:
+        raise NotImplementedError(
+            "audio decode requires soundfile/librosa, not present in this container"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[binary_col]):
+                n, sr, dur, rms = _fake_audio_features(bytes(blob or b""))
+                rows.append((int(i), n, sr, dur, rms))
+            yield pd.DataFrame(
+                rows, columns=["id", "n_samples", "sample_rate", "duration_s", "rms"]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)

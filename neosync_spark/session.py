@@ -35,6 +35,17 @@ def get_spark(
         else:
             shuffle_partitions = os.cpu_count() or 8
 
+    # shuffle/spill scratch on memory-backed storage when available:
+    # the LWW shuffle is the engine's hottest exchange, and a shared
+    # disk makes its latency hostage to co-tenant IO (the cluster
+    # analog is NVMe/ram-backed local dirs). Opt out by setting
+    # NEOSYNC_SPARK_LOCAL_DIR to any other path.
+    local_dir = os.environ.get("NEOSYNC_SPARK_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/neosync-spark-local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -53,6 +64,8 @@ def get_spark(
         # driver-side rename of every bucket dir dominates small commits
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

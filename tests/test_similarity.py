@@ -131,3 +131,28 @@ def test_ivf_distributed_build_deterministic_and_driver_light(spark):
     # the vectors themselves — assert by construction on a big frame:
     # build over 10x data, same centroid count, still returns k x dim
     assert c1.shape == (4, 64)
+
+
+def test_frame_sample_deterministic_and_audio_stub(spark):
+    from pyspark.sql import functions as F
+
+    from neosync_spark.operators.multimodal import decode_audio_features, frame_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    blobs = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    a = frame_sample(blobs.repartition(7), "blob", "doc_id").toPandas()
+    b = frame_sample(blobs.repartition(2), "blob", "doc_id").toPandas()
+    # frame ids are a pure function of (doc, offset): identical under
+    # any partitioning (round-2 determinism contract)
+    ka = sorted(map(tuple, a[["doc_id", "frame_offset", "frame_id"]].values.tolist()))
+    kb = sorted(map(tuple, b[["doc_id", "frame_offset", "frame_id"]].values.tolist()))
+    assert ka == kb
+    feats = decode_audio_features(blobs, "blob", "doc_id").toPandas()
+    assert len(feats) == 20
+    assert (feats["duration_s"] > 0).all()
+    assert set(feats["sample_rate"]).issubset({8000, 16000, 22050, 44100})
+    # stub is honest: strict mode raises without a codec
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_audio_features(blobs, "blob", "doc_id", strict=True).count()
