@@ -311,6 +311,7 @@ class SnapshotTable:
         prune_buckets: bool = True,
         target_df: DataFrame | None = None,
         chain_state: bool = False,
+        debug_assert_unique: bool = False,
     ) -> CommitInfo:
         """Apply a key-unique CDC batch (cols: op + payload + ts + lsn).
 
@@ -331,6 +332,11 @@ class SnapshotTable:
         If ``applied_range`` is already in the ledger this is a NO-OP
         (exactly-once replay; reference analog retry⇒DO NOTHING).
 
+        With ``debug_assert_unique=True`` a non-key-unique batch under
+        ``source_is_raw=False`` fails loudly instead of silently keeping
+        an arbitrary row (the MERGE-cardinality-violation guard,
+        SURVEY §7.3; the reference's MERGE would crash).
+
         ``source_is_raw=True`` is the engine fast path: the batch may
         hold many events per key and is not yet anonymized — the stats
         pre-pass then runs on the cheap raw scan (no UDFs), in-batch
@@ -340,6 +346,8 @@ class SnapshotTable:
         (False) the caller provides a key-unique, already-transformed
         batch, which is persisted to avoid recomputing it twice.
         """
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown merge mode {mode!r}; use 'cow' or 'mor'")
         if target_df is not None and prune_buckets:
             # a chained state must cover the WHOLE table: with pruning on,
             # untouched buckets' file lists would be replaced by the
@@ -365,6 +373,15 @@ class SnapshotTable:
         cur = self.current_schema(m)
         payload_cols = [f.name for f in cur.fields]
 
+        if debug_assert_unique and not source_is_raw:
+            dup = (
+                batch.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"merge source is not key-unique (e.g. {tuple(dup[0])[:-1]}); "
+                    "LWW-dedup the batch or pass source_is_raw=True"
+                )
         src = batch.withColumn(_BUCKET_COL, bucket_expr(key_cols[0], nb))
         persisted = not source_is_raw
         if persisted:

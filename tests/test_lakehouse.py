@@ -228,3 +228,16 @@ def test_merge_rejects_malformed_batch(spark, tmp_path):
     bad = spark.createDataFrame([(1, "x")], ["lsn", "text"])
     with pytest.raises(ValueError, match="missing required columns"):
         t.merge_cdc(bad, applied_range=(0, 10))
+
+
+def test_merge_debug_assert_unique(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    b = _batch(spark, [
+        (1, "insert", "c1", 0, "user", "a", None, "2024-01-01 00:00:01"),
+        (2, "insert", "c1", 0, "user", "b", None, "2024-01-01 00:00:02"),
+    ])
+    with pytest.raises(ValueError, match="key-unique"):
+        t.merge_cdc(b, applied_range=(0, 4), source_is_raw=False,
+                    debug_assert_unique=True)
+    with pytest.raises(ValueError, match="merge mode"):
+        t.merge_cdc(b, applied_range=(0, 4), mode="upsert")
