@@ -1044,6 +1044,66 @@ def transform_array(inner: TransformFn) -> TransformFn:
     return fn
 
 
+def transform_javascript(
+    code: str = "return value;",
+    timeout: float = 120.0,
+    skip_nulls: bool = True,
+    **_: object,
+) -> TransformFn:
+    """REAL user-JavaScript transformer — the analog of the reference's
+    goja-executed transform_javascript
+    (/root/reference/worker/pkg/benthos/javascript/processor.go;
+    codegen builders/processors.go:482-502). ``code`` is the body of
+    ``function(value, key)``; it runs in a Node subprocess once per
+    Arrow batch (single JSON round-trip for the whole batch — never
+    per-row process spawns). Like the reference's goja, the JS is
+    driver-authored job configuration, not untrusted input."""
+    import json as _json
+    import shutil
+    import subprocess
+
+    node = shutil.which("node")
+    null_guard = "if(v===null)return null;" if skip_nulls else ""
+    runner = (
+        "let chunks=[];process.stdin.on('data',c=>chunks.push(c));"
+        "process.stdin.on('end',()=>{const rows=JSON.parse(chunks.join(''));"
+        "const f=function(value,key){" + code + "\n};"
+        "process.stdout.write(JSON.stringify(rows.map(([v,k])=>{"
+        + null_guard  # null passthrough (transform); generators see null
+        + "const r=f(v,k);return r===undefined?null:r;})));});"
+    )
+
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        if node is None:
+            raise NotImplementedError(
+                "transform_javascript requires a node runtime on the executors"
+            )
+        payload = _json.dumps(
+            [
+                [None if (v is None or (isinstance(v, float) and pd.isna(v))) else v, k]
+                for v, k in zip(values, keys)
+            ]
+        )
+        proc = subprocess.run(
+            [node, "-e", runner],
+            input=payload,
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(f"user javascript failed: {proc.stderr[:500]}")
+        return pd.Series(_json.loads(proc.stdout), index=values.index, dtype=object)
+
+    return fn
+
+
+def generate_javascript(code: str = "return key;", timeout: float = 120.0, **_: object) -> TransformFn:
+    """generate_javascript analog: same Node-backed execution, invoked
+    with value=null (synthesize from the row key alone)."""
+    return transform_javascript(code, timeout, skip_nulls=False)
+
+
 # meta-transformers (reference builders/processors.go:784-854)
 def transform_null(**_: object) -> TransformFn:
     def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
@@ -1081,6 +1141,8 @@ REGISTRY: dict[str, Callable[..., TransformFn]] = {
     "null": transform_null,
     "passthrough": transform_passthrough,
     "transform_user_code": transform_user_code,
+    "transform_javascript": transform_javascript,
+    "generate_javascript": generate_javascript,
     "generate_first_name": generate_first_name,
     "generate_last_name": generate_last_name,
     "generate_full_name": generate_full_name,

@@ -336,3 +336,47 @@ def test_pii_person_recognizer():
         seed=1, recognize_person_names=True, allowed_entities=("US_SSN",)
     )
     assert name in fn2(pd.Series([f"x {name} 111-22-3333"]), pd.Series(["a"])).iloc[0]
+
+
+def test_transform_javascript_real_js():
+    """Node-backed user JS (the goja analog): real JS semantics, batch
+    IPC, null handling, key access, loud failure on bad code."""
+    import shutil
+
+    if shutil.which("node") is None:
+        pytest.skip("no node runtime")
+    fn = X.transform_javascript("return value.toUpperCase() + '-' + key;")
+    out = fn(pd.Series(["ab", None, "cd"]), pd.Series(["k1", "k2", "k3"]))
+    assert out.tolist()[0] == "AB-k1"
+    assert out.tolist()[2] == "CD-k3"
+    # JS-side null propagation is the author's contract; here value is
+    # null -> toUpperCase would throw, so guard in the user code
+    fn2 = X.transform_javascript(
+        "return value === null ? null : value.split('@')[0] + '@masked';"
+    )
+    out2 = fn2(pd.Series(["a@b.co", None]), pd.Series(["k", "k"]))
+    assert out2.tolist() == ["a@masked", None]
+    gen = X.generate_javascript("return 'user-' + key.length;")
+    assert gen(pd.Series([None]), pd.Series(["abc"])).iloc[0] == "user-3"
+    with pytest.raises(RuntimeError, match="javascript"):
+        X.transform_javascript("throw new Error('boom');")(
+            pd.Series(["x"]), pd.Series(["k"])
+        )
+
+
+def test_transform_javascript_through_spark(spark):
+    import shutil
+
+    if shutil.which("node") is None:
+        pytest.skip("no node runtime")
+    from pyspark.sql import functions as F
+
+    from neosync_spark.functions.transformers import as_udf, key_col
+
+    fn = X.transform_javascript("return value === null ? null : value.length + ':' + value;")
+    df = spark.createDataFrame([("hello", 1), (None, 2)], ["t", "id"])
+    got = df.select(
+        as_udf(fn)(F.col("t"), key_col("id")).alias("out")
+    ).collect()
+    assert got[0]["out"] == "5:hello"
+    assert got[1]["out"] is None
