@@ -11,7 +11,7 @@ Two parts:
    (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS];
 2. the target-metric run: end-to-end CDC replay (synth log → LWW dedup →
    vectorized anonymization → MERGE commits) at TWO parallelism levels
-   (N and N/4 cores, same input) — the sandbox evidence for the
+   (N and 4N cores, same input) — the sandbox evidence for the
    "scaling efficiency >= 0.8 from N to 4N executors" criterion:
    efficiency = throughput(4N) / (4 * throughput(N)).
 Each parallelism level runs in its own subprocess (fresh JVM) so the
