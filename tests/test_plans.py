@@ -112,3 +112,14 @@ def test_transform_stage_jvm_fast_path(spark):
     assert "<EMAIL_ADDRESS>" in plan
     # only the one scramble UDF crosses into python
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_simhash_plan_is_pure_jvm(spark):
+    """Round-2 simhash has no Python stage: token hash + bit votes are
+    built-ins (md5/conv/shift), the whole pipeline codegens."""
+    from neosync_spark.operators.similarity import simhash
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(simhash(docs, "text", "doc_id"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "md5" in plan
