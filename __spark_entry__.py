@@ -629,6 +629,26 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS partial-overlap sketch) —
+    md5-derived k-gram hashes, sliding-window min; exact DuckDB replay."""
+    from neosync_spark.operators.text import winnow_fingerprints
+
+    _views(spark, sf_dir, ["documents"])
+    return winnow_fingerprints(spark.table("documents"), "text", "doc_id")
+
+
+def _q_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-duplicate pairs by shared winnowing fingerprints
+    (fingerprint-bucket join — candidates ∝ collisions, never n²)."""
+    from neosync_spark.operators.text import fingerprint_overlap_pairs
+
+    _views(spark, sf_dir, ["documents"])
+    return fingerprint_overlap_pairs(
+        spark.table("documents"), "text", "doc_id", min_shared=20
+    )
+
+
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: text bytes as a stand-in binary column; the
     metadata struct (size/hash/magic) is the real, SQL-verifiable part."""
@@ -840,6 +860,29 @@ def _redact_person_names_oracle() -> str:
     """
 
 
+# winnowing fingerprints (k=8, window=8): shared CTE for the
+# fingerprint and the overlap-pair oracles
+_WINNOW_SQL = """
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, t,
+             unnest(range(1, greatest(length(t) - 7, 0) + 1)) AS i
+      FROM n
+    ), h AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT AS hv
+      FROM pos
+    ), winnowed AS (
+      SELECT doc_id,
+             min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+      FROM h
+    )
+"""
+
+
 def _simhash_pairs_oracle(max_hamming: int = 6) -> str:
     """DuckDB replay of the full simhash pipeline: md5-derived 60-bit
     token hashes → per-bit weighted vote → 15-bit-chunk pigeonhole
@@ -962,6 +1005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
+        "text_winnow_fingerprints": _q_winnow,
+        "dedup_fingerprint_overlap": _q_fingerprint_overlap,
         "media_metadata": _q_media_metadata,
         "media_image_features": _q_image_features,
         "media_audio_features": _q_audio_features,
@@ -1309,6 +1354,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
             FROM documents
+        """,
+        "text_winnow_fingerprints": _WINNOW_SQL + """
+            SELECT DISTINCT doc_id, fp FROM winnowed
+        """,
+        "dedup_fingerprint_overlap": _WINNOW_SQL + """
+            , fps AS (SELECT DISTINCT doc_id, fp FROM winnowed)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(DISTINCT a.fp) AS shared_fps
+            FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(DISTINCT a.fp) >= 20
         """,
         "media_metadata": """
             SELECT doc_id,

@@ -108,3 +108,78 @@ def fingerprint(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     norm = F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
     return F.md5(norm)
+
+
+# ----------------------------------------------------------- winnowing
+
+def winnow_fingerprints(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 8,
+    window: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): k-gram hashes over the normalized text, keep the
+    MINIMUM hash of every length-``window`` run — a robust sketch for
+    PARTIAL-overlap detection (content moved/edited locally still
+    shares most selected fingerprints, unlike a whole-document hash).
+
+    All JVM built-ins: positions explode → substring k-grams →
+    md5-derived 60-bit hashes (engine-portable, same trick as simhash)
+    → sliding-window min (window partitioned per doc, so docs
+    parallelize across the cluster) → distinct. Returns (id, fp)."""
+    from pyspark.sql.window import Window
+
+    c = F.col(content_col)
+    norm = F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+    n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(0))
+    # guard: sequence(1, 0) in Spark is DESCENDING [1, 0] — short docs
+    # must produce an empty position list, not two bogus positions
+    positions = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pos = df.select(
+        F.col(id_col).alias("_id"),
+        norm.alias("_n"),
+        F.explode(positions).alias("_i"),
+    )
+    hashed = pos.select(
+        "_id",
+        "_i",
+        F.conv(F.substring(F.md5(F.expr(f"substring(_n, _i, {k})")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_h"),
+    )
+    w = (
+        Window.partitionBy("_id")
+        .orderBy("_i")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        hashed.select("_id", F.min("_h").over(w).alias("fp"))
+        .distinct()
+        .select(F.col("_id").alias(id_col), "fp")
+    )
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    min_shared: int = 5,
+    k: int = 8,
+    window: int = 8,
+) -> DataFrame:
+    """Partial-duplicate pairs by shared winnowing fingerprints: join on
+    the fingerprint (candidates ∝ collisions, never n²), count distinct
+    shared prints per pair, keep pairs sharing ≥ ``min_shared``."""
+    fps = winnow_fingerprints(df, content_col, id_col, k, window)
+    l, r = fps.alias("l"), fps.alias("r")
+    idl, idr = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
+    return (
+        l.join(r, on=[F.col("l.fp") == F.col("r.fp"), idl < idr])
+        .groupBy(idl.alias("id_a"), idr.alias("id_b"))
+        .agg(F.countDistinct(F.col("l.fp")).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

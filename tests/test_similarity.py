@@ -156,3 +156,38 @@ def test_frame_sample_deterministic_and_audio_stub(spark):
 
     with _pytest.raises(NotImplementedError):
         decode_audio_features(blobs, "blob", "doc_id", strict=True).count()
+
+
+def test_winnowing_partial_overlap(spark):
+    """Winnowing detects PARTIAL overlap that a whole-doc hash misses:
+    a doc sharing a long span with another shares many fingerprints;
+    unrelated docs share few. Empty/short docs yield no prints."""
+    from neosync_spark.operators.text import (
+        fingerprint_overlap_pairs,
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, shared + " tail zero unique suffix here"),
+        (1, "prefix one entirely different " + shared),
+        (2, "completely unrelated content with nothing in common at all xyz"),
+        (3, "x"),   # shorter than k: no k-grams
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(docs, "text", "doc_id").toPandas()
+    assert set(fps[fps.doc_id == 3].fp) == set()
+    assert set(fps[fps.doc_id == 4].fp) == set()
+    pairs = fingerprint_overlap_pairs(
+        docs, "text", "doc_id", min_shared=4
+    ).toPandas()
+    assert (0, 1) in set(zip(pairs.id_a, pairs.id_b))  # share the span
+    assert (0, 2) not in set(zip(pairs.id_a, pairs.id_b))
+    # determinism under repartitioning
+    fps2 = winnow_fingerprints(
+        docs.repartition(5), "text", "doc_id"
+    ).toPandas()
+    assert sorted(map(tuple, fps.values.tolist())) == sorted(
+        map(tuple, fps2.values.tolist())
+    )
