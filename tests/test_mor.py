@@ -138,3 +138,34 @@ def test_pipelined_mor_replay_matches_oracle(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="mor"):
         eng_cow.replay(slicer, lsn_lo=0, lsn_hi=7_999, pipeline_batches=4)
+
+
+def test_commit_delta_rejects_stale_schema(spark, tmp_path):
+    """A delta prepared under an old schema must not commit after an
+    evolution (the pipelined-path analog of the COW conflict guard)."""
+    from pyspark.sql import types as T
+
+    from neosync_spark.lakehouse import CommitConflictError, SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), key_cols=KEY_COLS, n_buckets=4
+    )
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [[1, "insert", "c1", 0, "user", "x", None, pd.Timestamp("2024-01-01")]],
+        columns=["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    batch = spark.createDataFrame(pdf)
+    written, n_src, sid = t.prepare_delta(batch)
+    # schema evolves while the delta is in flight
+    cur = t.current_schema()
+    t.alter_schema(
+        T.StructType(list(cur.fields) + [T.StructField("extra", T.StringType(), True)])
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(CommitConflictError, match="schema advanced"):
+        t.commit_delta(written, (0, 2), n_src, sid)
