@@ -1359,7 +1359,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id, fp FROM winnowed
         """,
         "dedup_fingerprint_overlap": _WINNOW_SQL + """
-            , fps AS (SELECT DISTINCT doc_id, fp FROM winnowed)
+            , fps0 AS (SELECT DISTINCT doc_id, fp FROM winnowed)
+            , fps AS (
+              SELECT doc_id, fp FROM (
+                SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS dfreq
+                FROM fps0
+              ) WHERE dfreq <= 50
+            )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    count(DISTINCT a.fp) AS shared_fps
             FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "subset_fk_chain",
     "dedup_exact",
     "dedup_minhash_pairs",
+    "dedup_fingerprint_overlap",
     "ann_cosine_topk",
     "text_quality_score",
     "text_lang_id",

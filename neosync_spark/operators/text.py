@@ -139,7 +139,11 @@ def winnow_fingerprints(
     positions = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
         F.array().cast("array<int>")
     )
-    pos = df.select(
+    # a documents table often arrives as few/small files (one input
+    # task) while the k-gram fan-out is ~|text| rows per doc — spread
+    # docs across the cluster BEFORE the heavy projection
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pos = df.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("_id"),
         norm.alias("_n"),
         F.explode(positions).alias("_i"),
@@ -170,12 +174,25 @@ def fingerprint_overlap_pairs(
     min_shared: int = 5,
     k: int = 8,
     window: int = 8,
+    max_df: int = 50,
 ) -> DataFrame:
     """Partial-duplicate pairs by shared winnowing fingerprints: join on
     the fingerprint (candidates ∝ collisions, never n²), count distinct
-    shared prints per pair, keep pairs sharing ≥ ``min_shared``."""
+    shared prints per pair, keep pairs sharing ≥ ``min_shared``.
+
+    ``max_df`` drops ubiquitous fingerprints (document frequency above
+    the cap) BEFORE the self-join — the stop-print filter. A template
+    phrase shared by d documents would alone contribute d·(d-1)/2 join
+    rows (the n² trap in skew form) while carrying no dedup signal;
+    capping document frequency bounds per-fingerprint fan-out, exactly
+    like dropping stopwords before an inverted-index join."""
     fps = winnow_fingerprints(df, content_col, id_col, k, window)
-    l, r = fps.alias("l"), fps.alias("r")
+    from pyspark.sql.window import Window
+
+    rare = fps.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    ).filter(F.col("_df") <= max_df).drop("_df")
+    l, r = rare.alias("l"), rare.alias("r")
     idl, idr = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
     return (
         l.join(r, on=[F.col("l.fp") == F.col("r.fp"), idl < idr])
