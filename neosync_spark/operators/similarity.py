@@ -222,7 +222,12 @@ def simhash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
         F.split(F.trim(F.regexp_replace(F.lower(F.col(content_col)), "\\s+", " ")), " "),
         lambda t: t != "",
     )
-    exploded = df.select(F.col(id_col), F.explode(toks).alias("_t"))
+    # tokens × 60 bit-votes per doc from a possibly single-file scan:
+    # spread docs before the fan-out (same trap as winnowing/minhash)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    exploded = df.repartition(par, F.col(id_col)).select(
+        F.col(id_col), F.explode(toks).alias("_t")
+    )
     hashed = exploded.select(
         id_col,
         F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long").alias("_hv"),
