@@ -315,7 +315,12 @@ class ReplayEngine:
                     "schema evolves inside the pipelined range — replay "
                     "serially across the evolution point"
                 )
-            ensure_table_schema(self.table, v_hi.schema, self.registry.policy)
+            ensure_table_schema(
+                self.table,
+                v_hi.schema,
+                self.registry.policy,
+                renames=getattr(v_hi, "rename_map", None),
+            )
 
         ranges = [
             r for r in self.plan_ranges(lsn_lo, lsn_hi)

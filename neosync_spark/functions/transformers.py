@@ -619,7 +619,10 @@ def transform_pii_text(
             s = values.where(present).astype("string")
             for ent, pat in recognizers:
                 token = repl.get(ent, f"<{ent}>")
-                s = s.str.replace(pat, token, regex=True)
+                # re.sub replacement templates expand \g<..>/\1 refs;
+                # escape backslashes so custom tokens insert literally
+                # (matching the slow path's callback insertion).
+                s = s.str.replace(pat, token.replace("\\", "\\\\"), regex=True)
             out_arr = np.full(len(values), None, dtype=object)
             out_arr[present.to_numpy()] = s[present].to_numpy(dtype=object)
             return pd.Series(out_arr, index=values.index, dtype=object)

@@ -938,6 +938,15 @@ def _validate_evolution(
             raise ValueError(f"rename target {new_name!r} missing from new schema")
         if old_name in protected:
             raise ValueError(f"cannot rename key/order column {old_name!r}")
+        if new_name in retired:
+            # A rename target that reuses a dropped/retired name would make
+            # _resolve_name read the stale physical column from pre-drop files
+            # — same resurrection hazard as re-adding the column directly.
+            raise ValueError(
+                f"rename target {new_name!r} was dropped/renamed away and is "
+                "retired (no Iceberg field-ids: reusing the name would "
+                "resurrect stale file data)"
+            )
     for f_ in new.fields:
         old = cur_by_name.get(renames.get(f_.name, f_.name))
         if old is None:

@@ -77,7 +77,11 @@ def apply_default_transforms(
 
 
 def scramble_identity(
-    df: DataFrame, col: str, offset: int = 1, n_buckets: int = 256
+    df: DataFrame,
+    col: str,
+    offset: int = 1,
+    n_buckets: int = 256,
+    assert_unique: bool = False,
 ) -> DataFrame:
     """Replace an identity/auto-increment column with fresh unique ids.
 
@@ -93,13 +97,27 @@ def scramble_identity(
 
     b = F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
     tagged = df.withColumn("_ib", b)
-    stats = (
-        tagged.groupBy("_ib")
-        .agg(F.count(F.lit(1)).alias("n"), F.max(F.col(col)).alias("mx"))
-        .collect()
-    )  # <= n_buckets rows — driver-side block planning, as the reference
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.col(col)).alias("mx"),
+        F.sum(F.col(col).isNull().cast("long")).alias("nnull"),
+    ]
+    if assert_unique:
+        aggs.append(F.countDistinct(F.col(col)).alias("nd"))
+    stats = tagged.groupBy("_ib").agg(*aggs).collect()
+    # <= n_buckets rows — driver-side block planning, as the reference
     if not stats:
         return df
+    if any(int(r["nnull"]) for r in stats):
+        raise ValueError(
+            f"scramble_identity: column {col!r} contains NULLs — an "
+            "identity column must be non-null (NULLs would break the "
+            "allocator's uniqueness contract)"
+        )
+    if assert_unique and any(int(r["nd"]) != int(r["n"]) for r in stats):
+        raise ValueError(
+            f"scramble_identity: column {col!r} contains duplicate values"
+        )
     base = max(int(r["mx"]) for r in stats) + offset
     offsets: dict[int, int] = {}
     acc = 0

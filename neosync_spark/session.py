@@ -42,7 +42,15 @@ def get_spark(
     # NEOSYNC_SPARK_LOCAL_DIR to any other path.
     local_dir = os.environ.get("NEOSYNC_SPARK_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/neosync-spark-local"
+        # Containers commonly mount a tiny (64 MB) shm; shuffle spill
+        # there would die with ENOSPC. Only default to it when the
+        # mount actually has room for a shuffle (>= 8 GiB free).
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 8 * 1024**3:
+                local_dir = "/dev/shm/neosync-spark-local"
+        except OSError:
+            pass
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)
 

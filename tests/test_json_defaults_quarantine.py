@@ -83,6 +83,20 @@ def test_scramble_identity_unique_and_changed(spark):
     assert len(out) == 1000
 
 
+def test_scramble_identity_rejects_nulls_and_dupes(spark):
+    import pytest
+
+    with_null = spark.createDataFrame([(1,), (2,), (None,)], "id long")
+    with pytest.raises(ValueError, match="NULL"):
+        scramble_identity(with_null, "id")
+    with_dupe = spark.createDataFrame([(1,), (2,), (2,)], "id long")
+    with pytest.raises(ValueError, match="duplicate"):
+        scramble_identity(with_dupe, "id", assert_unique=True)
+    # without the opt-in check, duplicates pass through (documented:
+    # identity columns are assumed unique)
+    assert scramble_identity(with_dupe, "id").count() == 3
+
+
 def test_quarantine_poison_rows(spark, tmp_path):
     import numpy as np
 

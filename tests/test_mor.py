@@ -169,3 +169,57 @@ def test_commit_delta_rejects_stale_schema(spark, tmp_path):
 
     with _pytest.raises(CommitConflictError, match="schema advanced"):
         t.commit_delta(written, (0, 2), n_src, sid)
+
+
+def test_pipelined_replay_applies_pending_rename(spark, tmp_path):
+    """A rename pending at v_hi must reach the pipelined pre-flight
+    ensure_table_schema as a rename (not drop+add), so pre-rename data
+    keeps its column history."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from neosync_spark.schema_registry import SchemaRegistry, SchemaVersion
+
+    v1 = transcript_schema()
+    v2 = T.StructType(
+        [
+            f if f.name != "text" else T.StructField("content", f.dataType, True)
+            for f in v1.fields
+        ]
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), v1, key_cols=KEY_COLS, n_buckets=4
+    )
+    # seed a row under v1 — its text must survive the rename
+    seed = pd.DataFrame(
+        [[10_000, "insert", "seed", 0, "user", "seedval", None,
+          pd.Timestamp("2024-01-01")]],
+        columns=["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    seed["turn_idx"] = seed["turn_idx"].astype("int32")
+    t.merge_cdc(spark.createDataFrame(seed), applied_range=(10_000, 10_001))
+
+    log = generate_pandas(SynthConfig(n_events=4_000, n_convs=150))
+    sdf = spark.createDataFrame(log).withColumnRenamed("text", "content")
+    reg = SchemaRegistry(
+        versions=[
+            SchemaVersion(1, v1, 0),
+            SchemaVersion(2, v2, 0, renames=(("content", "text"),)),
+        ]
+    )
+    eng = ReplayEngine(
+        spark, t, registry=reg,
+        config=EngineConfig(
+            batch_lsn_size=2_000, merge_mode="mor", prune_buckets=False,
+            compact_deltas_over=None,
+        ),
+    )
+    eng.replay(
+        lambda lo, hi: sdf.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)),
+        lsn_lo=0, lsn_hi=3_999, pipeline_batches=2,
+    )
+    out = t.read()
+    assert "content" in out.columns and "text" not in out.columns
+    got = out.filter(F.col("conv_id") == "seed").select("content").collect()
+    assert [r[0] for r in got] == ["seedval"]

@@ -129,6 +129,24 @@ class TestDropsRenamesPolicies:
         with pytest.raises(ValueError, match="retired"):
             t.alter_schema(cur)
 
+    def test_rename_onto_retired_name_rejected(self, spark, tmp_path):
+        # drop x, then rename y -> x: the rename target reuses a retired
+        # physical name and would resurrect pre-drop file data
+        from pyspark.sql import types as T
+
+        t = self._mk(spark, tmp_path)
+        cur = t.current_schema()
+        dropped = T.StructType([f for f in cur.fields if f.name != "tool"])
+        t.alter_schema(dropped)
+        renamed = T.StructType(
+            [
+                f if f.name != "text" else T.StructField("tool", f.dataType, True)
+                for f in dropped.fields
+            ]
+        )
+        with pytest.raises(ValueError, match="retired"):
+            t.alter_schema(renamed, renames={"tool": "text"})
+
     def test_drop_key_column_rejected(self, spark, tmp_path):
         from pyspark.sql import types as T
 

@@ -118,6 +118,18 @@ class TestPiiText:
         fn = X.transform_pii_text(entity_replacements={"EMAIL_ADDRESS": "[email]"})
         assert fn(v("a@b.co"), k("a")).iloc[0] == "[email]"
 
+    def test_backslash_replacement_inserted_literally(self):
+        # fast path uses re.sub templates where \1/\g<> expand; the
+        # token must land verbatim, matching the slow path's callback
+        fn = X.transform_pii_text(entity_replacements={"EMAIL_ADDRESS": r"\x<E>"})
+        fast = fn(v("a@b.co"), k("a")).iloc[0]
+        slow_fn = X.transform_pii_text(
+            entity_replacements={"EMAIL_ADDRESS": r"\x<E>"},
+            allowed_phrases=("zzz-never-matches",),
+        )
+        slow = slow_fn(v("a@b.co"), k("a")).iloc[0]
+        assert fast == slow == r"\x<E>"
+
 
 class TestNamesPhones:
     def test_first_name_preserve_length(self):
