@@ -518,12 +518,12 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard of each doc against doc_id 0 (SQL-checkable
     slice of the near-dup verification stage)."""
-    from neosync_spark.operators.similarity import ngram_jaccard, word_shingles
+    from neosync_spark.operators.similarity import ngram_jaccard, shingle_docs
     from neosync_spark.util import round_half_up
 
     _views(spark, sf_dir, ["documents"])
-    docs = spark.table("documents").select(
-        "doc_id", word_shingles("text", 3).alias("sh")
+    docs = shingle_docs(spark.table("documents"), "text", "doc_id").select(
+        F.col("_id").alias("doc_id"), F.col("_sh").alias("sh")
     )
     ref = docs.filter(F.col("doc_id") == 0).select(
         F.col("sh").alias("ref_sh")

@@ -41,21 +41,62 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 # -------------------------------------------------------------- shingles
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams (shingles) of a document, JVM-side:
-    split → sliding slices via transform(sequence(...))."""
+def tokenize_words(col: Column | str) -> Column:
+    """Normalized word tokens: lowercase, collapse whitespace, split,
+    drop empties. All JVM built-ins."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.filter(F.split(F.trim(F.regexp_replace(F.lower(c), "\\s+", " ")), " "),
-                    lambda t: t != "")
-    k = F.size(toks) - F.lit(n - 1)
+    return F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(c), "\\s+", " ")), " "),
+        lambda t: t != "",
+    )
+
+
+def word_shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams from a token ARRAY COLUMN. ``toks`` must be
+    a materialized attribute (not an inline expression): higher-order
+    lambdas re-evaluate referenced subtrees per element, so an inline
+    tokenizer here costs O(tokens²) per document."""
+    tc = F.col(toks) if isinstance(toks, str) else toks
+    k = F.size(tc) - F.lit(n - 1)
     grams = F.when(
         k > 0,
         F.transform(
             F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            lambda i: F.concat_ws(" ", F.slice(tc, i, n)),
         ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    ).otherwise(F.array(F.concat_ws(" ", tc)))
     return F.array_distinct(grams)
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (shingles) of a document as one Column
+    expression. WARNING: interpreted HOF lambdas re-evaluate the inlined
+    tokenizer per shingle (O(tokens²) per doc) — for DataFrame-level
+    use, prefer :func:`shingle_docs`, which puts the token array behind
+    a projection boundary (measured 10× on the sf0.1 documents table)."""
+    return word_shingles_from_tokens(tokenize_words(col), n)
+
+
+def shingle_docs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    n: int = 3,
+    repartition: bool = True,
+) -> DataFrame:
+    """(_id, _sh) shingled documents, shaped for scale: tokenize behind
+    a projection boundary (single evaluation per doc — CollapseProject
+    leaves it alone because the token array is non-cheap and referenced
+    repeatedly), and spread docs across the cluster BEFORE the shingle
+    fan-out (a documents table often arrives as one small file = one
+    input task)."""
+    out = df.select(
+        F.col(id_col).alias("_id"), tokenize_words(content_col).alias("_toks")
+    )
+    if repartition:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        out = out.repartition(par, "_id")
+    return out.select("_id", word_shingles_from_tokens("_toks", n).alias("_sh"))
 
 
 def ngram_jaccard(a: Column, b: Column) -> Column:
@@ -102,6 +143,23 @@ def minhash_signatures(
     whole-stage codegen (the HOF variant is interpreted and ~100×
     slower); the agg combines map-side, so giant documents don't skew
     the shuffle."""
+    mins = _minhash_mins(df, shingles_col, id_col, num_hashes, seed)
+    return mins.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_j", "_h"))), lambda s: s["_h"]
+        ).alias("_sig")
+    )
+
+
+def _minhash_mins(
+    df: DataFrame,
+    shingles_col: str,
+    id_col: str,
+    num_hashes: int,
+    seed: int,
+) -> DataFrame:
+    """Narrow (id, _j, _h) per-slot minhash minima — the codegen'd core
+    shared by the signature-array and band-bucket forms."""
     p = F.lit(_MERSENNE_31)
     exploded = df.select(
         F.col(id_col), F.explode(F.col(shingles_col)).alias("_s")
@@ -125,11 +183,32 @@ def minhash_signatures(
         "_j",
         F.pmod(F.col("_b1") + F.col("_j") * F.col("_b2"), p).alias("_h"),
     )
-    mins = jexp.groupBy(id_col, "_j").agg(F.min("_h").alias("_h"))
-    return mins.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("_j", "_h"))), lambda s: s["_h"]
-        ).alias("_sig")
+    return jexp.groupBy(id_col, "_j").agg(F.min("_h").alias("_h"))
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    shingles_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band, band_hash) LSH buckets straight off the narrow
+    (id, j, min-h) form — no signature-array assembly. The band hash is
+    an order-independent XOR combine of xxhash64(j, h) over the band's
+    r slots: equal band contents always collide (recall is identical to
+    slicing the signature array), and a spurious XOR collision only
+    adds a candidate pair that the exact-Jaccard verify stage drops."""
+    rows = num_hashes // bands
+    mins = _minhash_mins(df, shingles_col, id_col, num_hashes, seed)
+    return (
+        mins.groupBy(
+            id_col, (F.col("_j") / F.lit(rows)).cast("int").alias("band")
+        )
+        .agg(
+            F.expr("bit_xor(xxhash64(_j, _h))").alias("band_hash")
+        )
     )
 
 
@@ -160,23 +239,17 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
-    Plan shape: per-doc signature (no shuffle) → explode bands →
-    shuffle on (band, band_hash) → within-bucket self-join → distinct
-    candidate pairs → verify Jaccard on the original shingles.
+    Plan shape: shingle (tokens behind a projection boundary, docs
+    repartitioned before the fan-out) → narrow (id, j, min-h) hash-agg →
+    band buckets straight off the narrow form (no signature-array
+    assembly) → shuffle on (band, band_hash) → within-bucket self-join →
+    distinct candidate pairs → verify Jaccard on the persisted shingles.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    rows = num_hashes // bands
-    spark = df.sparkSession
-    shingled = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(content_col, shingle_n).alias("_sh"),
-    ).repartition(spark.sparkContext.defaultParallelism, "_id")
-    shingled = shingled.persist()
-    sigs = minhash_signatures(shingled, "_sh", "_id", num_hashes, seed)
-
-    banded = sigs.select(
-        "_id", F.explode(minhash_bands(F.col("_sig"), bands, rows)).alias("bb")
-    ).select("_id", "bb.band", "bb.band_hash")
+    shingled = shingle_docs(df, content_col, id_col, shingle_n).persist()
+    banded = minhash_band_buckets(
+        shingled, "_sh", "_id", num_hashes, bands, seed
+    )
 
     cands = (
         banded.alias("l")
