@@ -339,6 +339,63 @@ def _q_redact_person_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MULTI_CARDS = [
+    "4111111111111111",  # Luhn-valid
+    "4111111111111112",  # invalid — recognizer must leave it alone
+    "5500005555555559",  # Luhn-valid
+    "1234567812345678",  # invalid
+]
+
+
+def _q_redact_multi_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-entity PII with per-entity anonymizers (the reference's
+    entity_anonymizers map, transform_pii_text.go:92-129 routed through
+    internal/ee/transformers/functions/functions.go:371-419): CREDIT_CARD
+    Luhn-validated then masked (12 chars, last 4 visible), IP_ADDRESS
+    md5-hashed, DATE_TIME replaced, EMAIL_ADDRESS default-replaced.
+    DuckDB replays the Luhn checksum with a list_transform lambda."""
+    from neosync_spark.functions import transformers as X
+    from neosync_spark.functions.transformers import as_udf, key_col
+
+    _views(spark, sf_dir, ["documents"])
+    card = F.element_at(
+        F.array(*[F.lit(c) for c in _MULTI_CARDS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    ip = F.concat(
+        F.lit("10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+    )
+    dt = F.concat(
+        F.lit("2024-"),
+        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+    )
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("card "), card, F.lit(" from "), ip, F.lit(" on "), dt,
+            F.lit(" contact a@b.co"),
+        ).alias("t"),
+    )
+    fn = X.transform_pii_text(
+        allowed_entities=(
+            "CREDIT_CARD", "IP_ADDRESS", "DATE_TIME", "EMAIL_ADDRESS",
+        ),
+        entity_anonymizers={
+            "CREDIT_CARD": X.PiiAnonymizer(
+                "mask", chars_to_mask=12, from_end=False, masking_char="*"
+            ),
+            "IP_ADDRESS": X.PiiAnonymizer("hash", algo="md5"),
+            "DATE_TIME": X.PiiAnonymizer("replace", value="<DATE_TIME>"),
+        },
+    )
+    return docs.select(
+        "doc_id", as_udf(fn)(F.col("t"), key_col("doc_id")).alias("redacted")
+    )
+
+
 def _q_shape_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.functions.masking import shape_mask
 
@@ -988,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_phone_keep_last4": _q_mask_phone,
         "redact_pii_text": _q_redact_pii,
         "redact_person_names": _q_redact_person_names,
+        "redact_multi_entity": _q_redact_multi_entity,
         "shape_mask": _q_shape_mask,
         "key_mapping_consistency": _q_key_mapping,
         "anonymize_transform_udfs": _q_anonymize_udfs,
@@ -1380,6 +1438,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "redact_person_names": _redact_person_names_oracle(),
+        "redact_multi_entity": """
+            WITH d AS (
+              SELECT doc_id,
+                ['4111111111111111','4111111111111112',
+                 '5500005555555559','1234567812345678']
+                  [CAST(doc_id % 4 AS INT) + 1] AS card,
+                '10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                      || CAST(doc_id % 100 AS VARCHAR) AS ip
+              FROM documents
+            ), luhn AS (
+              SELECT doc_id, card, ip,
+                list_sum(list_transform(range(1, length(card) + 1), i ->
+                  CASE WHEN i % 2 = 0 THEN
+                    CASE WHEN 2 * CAST(substr(reverse(card), i, 1) AS INT) > 9
+                         THEN 2 * CAST(substr(reverse(card), i, 1) AS INT) - 9
+                         ELSE 2 * CAST(substr(reverse(card), i, 1) AS INT) END
+                  ELSE CAST(substr(reverse(card), i, 1) AS INT) END
+                )) % 10 = 0 AS valid
+              FROM d
+            )
+            SELECT doc_id,
+              'card '
+              || CASE WHEN valid
+                      THEN repeat('*', 12) || substr(card, 13, 4)
+                      ELSE card END
+              || ' from ' || md5(ip)
+              || ' on <DATE_TIME> contact <EMAIL_ADDRESS>' AS redacted
+            FROM luhn
+        """,
         "dedup_simhash_pairs": _simhash_pairs_oracle(max_hamming=3),
         "anonymize_transform_udfs": f"""
             WITH d AS (SELECT doc_id, {_PII_TEXT} AS pii_text FROM documents)

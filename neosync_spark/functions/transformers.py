@@ -556,6 +556,78 @@ def transform_uuid(seed: int = 42) -> TransformFn:
 PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 PII_PHONE_RE = r"\+?\d[\d\-\.\s\(\)]{6,}\d"
 PII_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+# Extended entities (reference: Presidio builtin recognizers routed via
+# transform_pii_text.go:92-129). Patterns are engine-portable: Python re,
+# Java regex (Spark regexp_replace) and DuckDB RE2 all read them alike.
+PII_CREDIT_CARD_RE = r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,4}\b"
+PII_IP_RE = (
+    r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+    r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b"
+)
+PII_DATE_RE = r"\b\d{4}-\d{2}-\d{2}\b|\b\d{1,2}/\d{1,2}/\d{4}\b"
+
+
+def _luhn_valid(text: str) -> bool:
+    """True iff the digits of ``text`` pass the Luhn checksum (13-19
+    digits) — the validation step of Presidio's CreditCardRecognizer."""
+    digits = re.sub(r"\D", "", text)
+    if not 13 <= len(digits) <= 19:
+        return False
+    total = 0
+    for i, d in enumerate(reversed(digits)):
+        n = int(d)
+        if i % 2 == 1:
+            n *= 2
+            if n > 9:
+                n -= 9
+        total += n
+    return total % 10 == 0
+
+
+class PiiAnonymizer:
+    """Per-entity anonymizer — the four Presidio-backed kinds the
+    reference maps in toPresidioAnonymizerConfig
+    (/root/reference/internal/ee/transformers/functions/functions.go:371-419):
+    replace (fixed value), redact (remove), hash (md5/sha256/sha512 of
+    the matched text), mask (n chars from start/end)."""
+
+    __slots__ = ("kind", "value", "algo", "chars_to_mask", "from_end", "masking_char")
+
+    def __init__(
+        self,
+        kind: str = "replace",
+        value: str | None = None,
+        algo: str = "md5",
+        chars_to_mask: int = 0,
+        from_end: bool = False,
+        masking_char: str = "*",
+    ):
+        if kind not in ("replace", "redact", "hash", "mask"):
+            raise ValueError(f"unknown anonymizer kind {kind!r}")
+        if kind == "hash" and algo not in ("md5", "sha256", "sha512"):
+            raise ValueError(f"unknown hash algo {algo!r}")
+        self.kind = kind
+        self.value = value
+        self.algo = algo
+        self.chars_to_mask = chars_to_mask
+        self.from_end = from_end
+        self.masking_char = masking_char
+
+    def render(self, entity: str, matched: str) -> str:
+        if self.kind == "redact":
+            return ""
+        if self.kind == "replace":
+            return self.value if self.value is not None else f"<{entity}>"
+        if self.kind == "hash":
+            import hashlib
+
+            return getattr(hashlib, self.algo)(matched.encode()).hexdigest()
+        n = min(self.chars_to_mask, len(matched))
+        if n <= 0:
+            return matched
+        if self.from_end:
+            return matched[:-n] + self.masking_char * n
+        return self.masking_char * n + matched[n:]
 
 
 def person_name_regex() -> str:
@@ -575,6 +647,7 @@ def transform_pii_text(
     deny_words: tuple[str, ...] = (),
     entity_replacements: dict[str, str] | None = None,
     recognize_person_names: bool = False,
+    entity_anonymizers: dict[str, "PiiAnonymizer"] | None = None,
 ) -> TransformFn:
     """Free-text PII redaction via regex recognizers + deny-word lists —
     the OSS-scope variant of the reference's transform_pii_text
@@ -583,46 +656,102 @@ def transform_pii_text(
     reference delegates NER to a per-value Presidio RPC; here the
     recognizers run in-executor, vectorized per Arrow batch.
 
-    Entities: PERSON (opt-in dataset-backed recognizer — word-boundary
-    first+last-name pairs from the shipped name datasets, the in-process
-    stand-in for Presidio's PERSON NER), EMAIL_ADDRESS, PHONE_NUMBER,
-    US_SSN, DENY_WORD. ``allowed_phrases`` are never redacted;
-    ``allowed_entities`` (when set) limits which recognizers run;
-    replacement defaults to ``<ENTITY_TYPE>``.
-    """
-    repl = entity_replacements or {}
-    recognizers: list[tuple[str, re.Pattern]] = []
-    ents = allowed_entities
+    Default entities: PERSON (opt-in dataset-backed recognizer —
+    word-boundary first+last-name pairs from the shipped name datasets,
+    the in-process stand-in for Presidio's PERSON NER), EMAIL_ADDRESS,
+    PHONE_NUMBER, US_SSN, DENY_WORD. Extended entities — CREDIT_CARD
+    (Luhn-validated, Presidio CreditCardRecognizer semantics),
+    IP_ADDRESS, DATE_TIME — activate when named in ``allowed_entities``
+    or configured in ``entity_anonymizers`` (the reference likewise
+    unions configured-entity keys into the active set,
+    functions.go:268-275).
 
-    def want(e: str) -> bool:
-        return ents is None or e in ents
+    ``allowed_phrases`` are never redacted; ``allowed_entities`` (when
+    set) limits which recognizers run; ``entity_anonymizers`` maps
+    entity → :class:`PiiAnonymizer` (replace / redact / hash / mask);
+    ``entity_replacements`` is sugar for replace-anonymizers; the
+    default anonymizer is replace with ``<ENTITY_TYPE>``.
+    """
+    anons: dict[str, PiiAnonymizer] = {}
+    for e, tok in (entity_replacements or {}).items():
+        anons[e] = PiiAnonymizer("replace", value=tok)
+    for e, a in (entity_anonymizers or {}).items():
+        anons[e] = a
+    # (ent, pattern, validator-or-None)
+    recognizers: list[tuple[str, re.Pattern, Callable[[str], bool] | None]] = []
+    ents = allowed_entities
+    configured = set(anons)
+
+    def want(e: str, default: bool = True) -> bool:
+        if ents is not None:
+            return e in ents or e in configured
+        return default or e in configured
 
     if recognize_person_names and want("PERSON"):
-        recognizers.append(("PERSON", re.compile(person_name_regex())))
+        recognizers.append(("PERSON", re.compile(person_name_regex()), None))
+    if want("CREDIT_CARD", default=False):
+        recognizers.append(
+            ("CREDIT_CARD", re.compile(PII_CREDIT_CARD_RE), _luhn_valid)
+        )
     if want("EMAIL_ADDRESS"):
-        recognizers.append(("EMAIL_ADDRESS", re.compile(PII_EMAIL_RE)))
+        recognizers.append(("EMAIL_ADDRESS", re.compile(PII_EMAIL_RE), None))
     if want("US_SSN"):
-        recognizers.append(("US_SSN", re.compile(PII_SSN_RE)))
+        recognizers.append(("US_SSN", re.compile(PII_SSN_RE), None))
+    if want("IP_ADDRESS", default=False):
+        recognizers.append(("IP_ADDRESS", re.compile(PII_IP_RE), None))
+    if want("DATE_TIME", default=False):
+        recognizers.append(("DATE_TIME", re.compile(PII_DATE_RE), None))
     if want("PHONE_NUMBER"):
-        recognizers.append(("PHONE_NUMBER", re.compile(PII_PHONE_RE)))
+        recognizers.append(("PHONE_NUMBER", re.compile(PII_PHONE_RE), None))
     if deny_words and want("DENY_WORD"):
         dw = sorted(deny_words, key=len, reverse=True)
         recognizers.append(
-            ("DENY_WORD", re.compile(r"(?i)\b(?:" + "|".join(map(re.escape, dw)) + r")\b"))
+            ("DENY_WORD",
+             re.compile(r"(?i)\b(?:" + "|".join(map(re.escape, dw)) + r")\b"),
+             None)
         )
+
+    def _render(ent: str, matched: str) -> str:
+        a = anons.get(ent)
+        if a is None:
+            return f"<{ent}>"
+        return a.render(ent, matched)
+
+    def _plain_token(ent: str) -> str | None:
+        """The fixed replacement string, when the anonymizer is a plain
+        replace (match-independent) — enables the vectorized path."""
+        a = anons.get(ent)
+        if a is None:
+            return f"<{ent}>"
+        if a.kind == "replace":
+            return a.value if a.value is not None else f"<{ent}>"
+        if a.kind == "redact":
+            return ""
+        return None  # hash/mask depend on the matched text
 
     def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
         if not allowed_phrases:
-            # fast path: plain vectorized substitution, no per-match
-            # python callback
+            # fast path: vectorized substitution; match-dependent
+            # anonymizers (hash/mask) and validators (Luhn) use a
+            # per-match callback, still C-loop driven by re.sub
             present = values.notna()
             s = values.where(present).astype("string")
-            for ent, pat in recognizers:
-                token = repl.get(ent, f"<{ent}>")
-                # re.sub replacement templates expand \g<..>/\1 refs;
-                # escape backslashes so custom tokens insert literally
-                # (matching the slow path's callback insertion).
-                s = s.str.replace(pat, token.replace("\\", "\\\\"), regex=True)
+            for ent, pat, validate in recognizers:
+                token = _plain_token(ent)
+                if validate is None and token is not None:
+                    # re.sub replacement templates expand \g<..>/\1
+                    # refs; escape backslashes so custom tokens insert
+                    # literally (matching the callback paths).
+                    s = s.str.replace(
+                        pat, token.replace("\\", "\\\\"), regex=True
+                    )
+                else:
+                    def sub(m: re.Match, _e=ent, _v=validate) -> str:
+                        if _v is not None and not _v(m.group(0)):
+                            return m.group(0)
+                        return _render(_e, m.group(0))
+
+                    s = s.str.replace(pat, sub, regex=True)
             out_arr = np.full(len(values), None, dtype=object)
             out_arr[present.to_numpy()] = s[present].to_numpy(dtype=object)
             return pd.Series(out_arr, index=values.index, dtype=object)
@@ -635,13 +764,13 @@ def transform_pii_text(
                 out.append(None)
                 continue
             s = str(v)
-            for ent, pat in recognizers:
-                token = repl.get(ent, f"<{ent}>")
-
-                def sub(m: re.Match, _t=token) -> str:
+            for ent, pat, validate in recognizers:
+                def sub(m: re.Match, _e=ent, _v=validate) -> str:
                     if any(p in m.group(0) for p in allowed_phrases):
                         return m.group(0)
-                    return _t
+                    if _v is not None and not _v(m.group(0)):
+                        return m.group(0)
+                    return _render(_e, m.group(0))
 
                 s = pat.sub(sub, s)
             out.append(s)
@@ -651,17 +780,19 @@ def transform_pii_text(
     # and expressible as a regexp_replace chain, so pipelines can keep
     # it inside whole-stage codegen (UDFs are the slow path). Attached
     # only when semantics translate exactly: no allowed_phrases
-    # (callback logic) and no Java-special chars in replacements.
+    # (callback logic), no validators (Luhn), every anonymizer a fixed
+    # string, and no Java-special chars in replacements.
+    plain = {e: _plain_token(e) for e, _, _ in recognizers}
     tokens_safe = all(
-        "$" not in repl.get(e, "") and "\\" not in repl.get(e, "")
-        for e, _ in recognizers
+        v is not None and "$" not in v and "\\" not in v
+        for v in plain.values()
     )
-    if not allowed_phrases and tokens_safe:
+    no_validators = all(val is None for _, _, val in recognizers)
+    if not allowed_phrases and tokens_safe and no_validators:
         def column_expr(c):
             out_c = F.col(c) if isinstance(c, str) else c
-            for ent, pat in recognizers:
-                token = repl.get(ent, f"<{ent}>")
-                out_c = F.regexp_replace(out_c, pat.pattern, token)
+            for ent, pat, _ in recognizers:
+                out_c = F.regexp_replace(out_c, pat.pattern, plain[ent])
             return out_c
 
         fn.column_expr = column_expr

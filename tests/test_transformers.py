@@ -118,6 +118,64 @@ class TestPiiText:
         fn = X.transform_pii_text(entity_replacements={"EMAIL_ADDRESS": "[email]"})
         assert fn(v("a@b.co"), k("a")).iloc[0] == "[email]"
 
+    def test_extended_entities_off_by_default(self):
+        # CREDIT_CARD/IP_ADDRESS/DATE_TIME activate only when named in
+        # allowed_entities or configured with an anonymizer
+        fn = X.transform_pii_text()
+        t = "card 4111111111111111 ip 10.0.0.1 on 2024-12-25"
+        out = fn(v(t), k("a")).iloc[0]
+        assert "<CREDIT_CARD>" not in out and "<IP_ADDRESS>" not in out
+
+    def test_credit_card_luhn_validation(self):
+        fn = X.transform_pii_text(allowed_entities=("CREDIT_CARD",))
+        assert fn(v("pay 4111111111111111 now"), k("a")).iloc[0] == "pay <CREDIT_CARD> now"
+        assert fn(v("pay 4111-1111-1111-1111 now"), k("a")).iloc[0] == "pay <CREDIT_CARD> now"
+        # invalid checksum is NOT PII per Presidio's CreditCardRecognizer
+        assert fn(v("ref 4111111111111112 now"), k("a")).iloc[0] == "ref 4111111111111112 now"
+
+    def test_ip_and_date_entities(self):
+        fn = X.transform_pii_text(allowed_entities=("IP_ADDRESS", "DATE_TIME"))
+        out = fn(v("from 192.168.1.254 on 2024-12-25 and 1/7/2024"), k("a")).iloc[0]
+        assert out == "from <IP_ADDRESS> on <DATE_TIME> and <DATE_TIME>"
+        # 999 is not a valid octet
+        assert "<IP_ADDRESS>" not in fn(v("v 999.1.1.1"), k("a")).iloc[0]
+
+    def test_entity_anonymizers_mask_hash_redact(self):
+        import hashlib
+
+        an = {
+            "CREDIT_CARD": X.PiiAnonymizer("mask", chars_to_mask=12, masking_char="*"),
+            "IP_ADDRESS": X.PiiAnonymizer("hash", algo="sha256"),
+            "DATE_TIME": X.PiiAnonymizer("redact"),
+        }
+        # configuring an anonymizer activates the entity (reference
+        # unions entity_anonymizers keys into the active set)
+        fn = X.transform_pii_text(allowed_entities=(), entity_anonymizers=an)
+        out = fn(v("card 4111111111111111 ip 10.0.0.1 on 2024-12-25"), k("a")).iloc[0]
+        assert "************1111" in out
+        assert hashlib.sha256(b"10.0.0.1").hexdigest() in out
+        assert "2024-12-25" not in out
+        # mask from_end
+        fe = X.transform_pii_text(
+            allowed_entities=("CREDIT_CARD",),
+            entity_anonymizers={"CREDIT_CARD": X.PiiAnonymizer(
+                "mask", chars_to_mask=4, from_end=True, masking_char="#")},
+        )
+        assert fe(v("4111111111111111"), k("a")).iloc[0] == "411111111111####"
+
+    def test_anonymizer_fast_slow_parity(self):
+        an = {"IP_ADDRESS": X.PiiAnonymizer("hash", algo="md5")}
+        t = "ip 10.1.2.3 card 5500005555555559 mail a@b.co"
+        fast = X.transform_pii_text(
+            allowed_entities=("IP_ADDRESS", "CREDIT_CARD", "EMAIL_ADDRESS"),
+            entity_anonymizers=an,
+        )(v(t), k("a")).iloc[0]
+        slow = X.transform_pii_text(
+            allowed_entities=("IP_ADDRESS", "CREDIT_CARD", "EMAIL_ADDRESS"),
+            entity_anonymizers=an, allowed_phrases=("zzz",),
+        )(v(t), k("a")).iloc[0]
+        assert fast == slow
+
     def test_backslash_replacement_inserted_literally(self):
         # fast path uses re.sub templates where \1/\g<> expand; the
         # token must land verbatim, matching the slow path's callback
