@@ -792,14 +792,46 @@ def _q_json_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _views(spark, sf_dir, ["documents"])
     docs = spark.sql(f"SELECT doc_id, source, {_TOOL_JSON} AS tool FROM documents")
+    from pyspark.sql import types as T
+
+    from neosync_spark.functions.json_anonymizer import anonymize_json_field
+
     fn = anonymize_json_udf(
         {"$.name": X.transform_passthrough()},
         default_string=X.transform_character_scramble(seed=42),
+    )
+
+    # conditional selector (jq `.messages[] | select(.role=="user") |
+    # .text` analog) — exercised through BOTH paths: the schemaless
+    # walker and the JVM transform(...CASE WHEN...) compile
+    def _redact(values, keys):
+        import pandas as pd
+
+        return pd.Series(["<R>"] * len(values), index=values.index, dtype=object)
+
+    cond_fn = anonymize_json_udf({"$.messages[?role==user].text": _redact})
+    msgs_schema = T.StructType([
+        T.StructField("messages", T.ArrayType(T.StructType([
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]))),
+    ])
+    msgs = F.concat(
+        F.lit('{"messages":[{"role":"user","text":"u'),
+        F.col("doc_id").cast("string"),
+        F.lit('"},{"role":"assistant","text":"a'),
+        F.col("doc_id").cast("string"),
+        F.lit('"}]}'),
     )
     out = docs.select(
         "doc_id",
         "tool",
         as_udf(fn)(F.col("tool"), key_col("doc_id")).alias("tool_anon"),
+        msgs.alias("msgs"),
+        as_udf(cond_fn)(msgs, key_col("doc_id")).alias("msgs_anon"),
+        anonymize_json_field(
+            msgs, msgs_schema, {"messages[?role==user].text": F.lit("<R>")}
+        ).alias("msgs_anon_jvm"),
     )
     return out.select(
         "doc_id",
@@ -809,6 +841,9 @@ def _q_json_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("tool_anon", "$.q")
             != F.get_json_object("tool", "$.q")
         ).alias("q_differs"),
+        F.get_json_object("msgs_anon", "$.messages[0].text").alias("u_text"),
+        F.get_json_object("msgs_anon", "$.messages[1].text").alias("a_text"),
+        (F.col("msgs_anon_jvm") == F.col("msgs_anon")).alias("jvm_matches_udf"),
     )
 
 
@@ -1485,7 +1520,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    source AS name_kept,
                    '99999999' AS q_shape,
-                   TRUE AS q_differs
+                   TRUE AS q_differs,
+                   '<R>' AS u_text,
+                   'a' || CAST(doc_id AS VARCHAR) AS a_text,
+                   TRUE AS jvm_matches_udf
             FROM documents
         """,
         "default_transforms": f"""

@@ -19,6 +19,7 @@ Two Spark-first paths:
 from __future__ import annotations
 
 import json
+import re
 from collections.abc import Callable
 
 import pandas as pd
@@ -40,16 +41,69 @@ def anonymize_json_field(
     ready Column expression, or a callable that receives the parsed
     field Column (``lambda f: F.sha2(f, 256)``) — use the callable form
     to transform the field's own value.
+
+    Conditional array selectors — the jq ``.arr[] | select(.f=="v") |
+    .target`` analog the reference compiles via gojq
+    (json-anonymizer.go:215-236) — are supported as keys of the form
+    ``"arr[?field==value].target"``: compiled to a JVM
+    ``transform(arr, x -> when(x.field == value, <replace target>, x))``
+    over a typed array<struct> field. Zero Python, codegen-friendly.
     """
     c = F.col(col) if isinstance(col, str) else col
     parsed = F.from_json(c, schema)
+    plain: dict[str, object] = {}
+    conds: dict[str, list[tuple[str, str, str, object]]] = {}
+    for key, e in field_exprs.items():
+        m = _COND_KEY_RE.match(key)
+        if m:
+            arr_f, cond_f, cond_v, target_f = m.groups()
+            conds.setdefault(arr_f, []).append((cond_f, cond_v, target_f, e))
+        else:
+            plain[key] = e
     rebuilt = []
     for f_ in schema.fields:
-        if f_.name in field_exprs:
-            e = field_exprs[f_.name]
+        if f_.name in plain:
+            e = plain[f_.name]
             if callable(e) and not isinstance(e, Column):
                 e = e(parsed.getField(f_.name))
             rebuilt.append(e.alias(f_.name))
+        elif f_.name in conds:
+            if not (
+                isinstance(f_.dataType, T.ArrayType)
+                and isinstance(f_.dataType.elementType, T.StructType)
+            ):
+                raise ValueError(
+                    f"conditional selector on {f_.name!r} requires an "
+                    "array<struct> field"
+                )
+            elem_fields = [ef.name for ef in f_.dataType.elementType.fields]
+            arr = parsed.getField(f_.name)
+            for cond_f, cond_v, target_f, e in conds[f_.name]:
+                if cond_f not in elem_fields or target_f not in elem_fields:
+                    raise ValueError(
+                        f"unknown element field in selector "
+                        f"{f_.name}[?{cond_f}=={cond_v}].{target_f}"
+                    )
+
+                def _mk(_cf, _cv, _tf, _e):
+                    def _elem(x):
+                        def fld(name):
+                            if name != _tf:
+                                return x.getField(name).alias(name)
+                            v = _e
+                            if callable(v) and not isinstance(v, Column):
+                                v = v(x.getField(name))
+                            return v.alias(name)
+
+                        replaced = F.struct(*[fld(n) for n in elem_fields])
+                        return F.when(
+                            x.getField(_cf) == F.lit(_cv), replaced
+                        ).otherwise(x)
+
+                    return _elem
+
+                arr = F.transform(arr, _mk(cond_f, cond_v, target_f, e))
+            rebuilt.append(arr.alias(f_.name))
         else:
             rebuilt.append(parsed.getField(f_.name).alias(f_.name))
     return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
@@ -57,20 +111,40 @@ def anonymize_json_field(
     )
 
 
-def _path_tokens(p: str) -> tuple[str, ...]:
+# 'arr[?field==value].target' — conditional selector key
+_COND_KEY_RE = re.compile(r"^(\w+)\[\?(\w+)==([^\]]*)\]\.(\w+)$")
+
+
+_COND_SEG_RE = re.compile(r"^(\w*)\[\?(\w+)==([^\]]*)\]$")
+
+
+def _path_tokens(p: str) -> tuple:
     """'$.users[].contact.email' → ('users', '[]', 'contact', 'email').
-    A trailing '[]' on a segment is the gojq array-wildcard analog
-    (reference compiles full jq programs, json-anonymizer.go:215-236;
-    dot paths + [] wildcards cover the documented mapping surface)."""
-    toks: list[str] = []
+    A trailing '[]' on a segment is the gojq array-wildcard analog;
+    'users[?role==admin]' emits a conditional wildcard token
+    ('[?]', 'role', 'admin') — the ``.users[] | select(.role=="admin")``
+    analog (reference compiles full jq programs incl. selects/pipes,
+    json-anonymizer.go:215-236; dot paths + wildcards + selects cover
+    the documented mapping surface)."""
+    toks: list = []
     for seg in p.lstrip("$.").split("."):
-        if seg.endswith("[]"):
+        m = _COND_SEG_RE.match(seg)
+        if m:
+            name, cond_f, cond_v = m.groups()
+            if name:
+                toks.append(name)
+            toks.append(("[?]", cond_f, cond_v))
+        elif seg.endswith("[]"):
             if seg[:-2]:
                 toks.append(seg[:-2])
             toks.append("[]")
         elif seg:
             toks.append(seg)
     return tuple(toks)
+
+
+def _is_wild(t) -> bool:
+    return t == "[]" or isinstance(t, tuple)
 
 
 def _transform_path(node, toks: tuple[str, ...], i: int, apply_one, key: str) -> None:
@@ -80,9 +154,14 @@ def _transform_path(node, toks: tuple[str, ...], i: int, apply_one, key: str) ->
         return
     t = toks[i]
     last = i == len(toks) - 1
-    if t == "[]":
+    if _is_wild(t):
+        cond = t if isinstance(t, tuple) else None
         if isinstance(node, list):
             for j, item in enumerate(node):
+                if cond is not None:
+                    _, cf, cv = cond
+                    if not (isinstance(item, dict) and str(item.get(cf)) == cv):
+                        continue
                 if last:
                     if item is not None:
                         node[j] = apply_one(item, f"{key}[{j}]")
@@ -113,9 +192,9 @@ def anonymize_json_udf(
     compiled = {_path_tokens(p): fn for p, fn in mapping.items()}
     skips = {_path_tokens(p) for p in skip_paths}
     # walk_defaults builds list-free paths (list hops keep the prefix),
-    # so exclusion matching compares with '[]' tokens dropped
-    _mapped_flat = {tuple(t for t in p if t != "[]") for p in compiled}
-    _skip_flat = {tuple(t for t in p if t != "[]") for p in skips}
+    # so exclusion matching compares with wildcard tokens dropped
+    _mapped_flat = {tuple(t for t in p if not _is_wild(t)) for p in compiled}
+    _skip_flat = {tuple(t for t in p if not _is_wild(t)) for p in skips}
 
     def walk_defaults(doc, fn_apply, prefix=()):
         if isinstance(doc, dict):
@@ -146,7 +225,7 @@ def anonymize_json_udf(
                 out.append(v)  # not JSON: passthrough
                 continue
             for path, tfn in compiled.items():
-                base_key = f"{k}|{'.'.join(t for t in path if t != '[]')}"
+                base_key = f"{k}|{'.'.join(t for t in path if not _is_wild(t))}"
                 _transform_path(
                     doc,
                     path,

@@ -293,3 +293,80 @@ def test_lakehouse_roundtrip_exotic_types(spark, tmp_path):
     assert bytes(row["blob"]) == b"\x00\x01\xff"
     assert row["d"] == date(2024, 1, 2)
     assert list(row["tags"]) == ["x", "y"]
+
+
+class TestJsonConditionalSelectors:
+    def test_walker_select_by_field(self):
+        def redact(values, keys):
+            return pd.Series(["<R>"] * len(values), index=values.index, dtype=object)
+
+        fn = anonymize_json_udf({"$.messages[?role==user].text": redact})
+        doc = json.dumps({"messages": [
+            {"role": "user", "text": "hi"},
+            {"role": "assistant", "text": "yo"},
+            {"role": "user", "text": "more"},
+            {"role": "user"},  # no target field: untouched
+        ]})
+        out = json.loads(fn(pd.Series([doc]), pd.Series(["k"])).iloc[0])
+        texts = [m.get("text") for m in out["messages"]]
+        assert texts == ["<R>", "yo", "<R>", None]
+
+    def test_walker_select_nested_continuation(self):
+        def redact(values, keys):
+            return pd.Series(["<R>"] * len(values), index=values.index, dtype=object)
+
+        fn = anonymize_json_udf({"$.convs[?kind==priv].meta.owner": redact})
+        doc = json.dumps({"convs": [
+            {"kind": "priv", "meta": {"owner": "alice"}},
+            {"kind": "pub", "meta": {"owner": "bob"}},
+        ]})
+        out = json.loads(fn(pd.Series([doc]), pd.Series(["k"])).iloc[0])
+        assert out["convs"][0]["meta"]["owner"] == "<R>"
+        assert out["convs"][1]["meta"]["owner"] == "bob"
+
+    def test_jvm_select_compiles_and_matches_walker(self, spark):
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("messages", T.ArrayType(T.StructType([
+                T.StructField("role", T.StringType()),
+                T.StructField("text", T.StringType()),
+            ]))),
+        ])
+        df = spark.createDataFrame(
+            [('{"messages":[{"role":"user","text":"hi"},'
+              '{"role":"assistant","text":"yo"}]}',), (None,)],
+            "j string",
+        )
+        out = df.select(anonymize_json_field(
+            "j", schema, {"messages[?role==user].text": F.lit("<R>")}
+        ).alias("a")).collect()
+        vals = [r["a"] for r in out]
+        assert vals[1] is None
+        got = json.loads(vals[0])
+        assert got["messages"][0]["text"] == "<R>"
+        assert got["messages"][1]["text"] == "yo"
+        # the compiled plan is pure JVM: no python UDF in it
+        plan = df.select(anonymize_json_field(
+            "j", schema, {"messages[?role==user].text": F.lit("<R>")}
+        ))._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_jvm_select_bad_field_raises(self, spark):
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("messages", T.ArrayType(T.StructType([
+                T.StructField("role", T.StringType()),
+            ]))),
+        ])
+        df = spark.createDataFrame([("{}",)], "j string")
+        with pytest.raises(ValueError, match="unknown element field"):
+            df.select(anonymize_json_field(
+                "j", schema, {"messages[?role==user].text": F.lit("x")}
+            ))
+        schema2 = T.StructType([T.StructField("messages", T.StringType())])
+        with pytest.raises(ValueError, match="array<struct>"):
+            df.select(anonymize_json_field(
+                "j", schema2, {"messages[?role==user].text": F.lit("x")}
+            ))
