@@ -1188,46 +1188,22 @@ def transform_javascript(
     goja-executed transform_javascript
     (/root/reference/worker/pkg/benthos/javascript/processor.go;
     codegen builders/processors.go:482-502). ``code`` is the body of
-    ``function(value, key)``; it runs in a Node subprocess once per
-    Arrow batch (single JSON round-trip for the whole batch — never
-    per-row process spawns). Like the reference's goja, the JS is
-    driver-authored job configuration, not untrusted input."""
-    import json as _json
-    import shutil
-    import subprocess
-
-    node = shutil.which("node")
-    null_guard = "if(v===null)return null;" if skip_nulls else ""
-    runner = (
-        "let chunks=[];process.stdin.on('data',c=>chunks.push(c));"
-        "process.stdin.on('end',()=>{const rows=JSON.parse(chunks.join(''));"
-        "const f=function(value,key){" + code + "\n};"
-        "process.stdout.write(JSON.stringify(rows.map(([v,k])=>{"
-        + null_guard  # null passthrough (transform); generators see null
-        + "const r=f(v,k);return r===undefined?null:r;})));});"
-    )
+    ``function(value, key)``; it runs in a PERSISTENT Node worker (one
+    long-lived child per executor process, line-delimited JSON over
+    stdin/stdout — see js_worker.py), one round-trip per Arrow batch
+    with the compiled function cached worker-side: the
+    pool-of-reused-goja-VMs analog, and the fix for the round-2
+    process-per-batch spawn overhead. Like the reference's goja, the JS
+    is driver-authored job configuration, not untrusted input."""
+    from .js_worker import NodeWorker
 
     def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
-        if node is None:
-            raise NotImplementedError(
-                "transform_javascript requires a node runtime on the executors"
-            )
-        payload = _json.dumps(
-            [
-                [None if (v is None or (isinstance(v, float) and pd.isna(v))) else v, k]
-                for v, k in zip(values, keys)
-            ]
-        )
-        proc = subprocess.run(
-            [node, "-e", runner],
-            input=payload,
-            capture_output=True,
-            text=True,
-            timeout=timeout,
-        )
-        if proc.returncode != 0:
-            raise RuntimeError(f"user javascript failed: {proc.stderr[:500]}")
-        return pd.Series(_json.loads(proc.stdout), index=values.index, dtype=object)
+        rows = [
+            [None if (v is None or (isinstance(v, float) and pd.isna(v))) else v, k]
+            for v, k in zip(values, keys)
+        ]
+        out = NodeWorker.get().eval(code, rows, skip_nulls, timeout)
+        return pd.Series(out, index=values.index, dtype=object)
 
     return fn
 

@@ -450,3 +450,32 @@ def test_transform_javascript_through_spark(spark):
     ).collect()
     assert got[0]["out"] == "5:hello"
     assert got[1]["out"] is None
+
+
+def test_js_worker_persistent_and_crash_safe():
+    """One long-lived Node child serves many batches; user-code errors
+    don't kill it; a hard crash (process.exit) respawns transparently."""
+    from neosync_spark.functions.js_worker import NodeWorker
+
+    fn = X.transform_javascript("return value + '!';")
+    fn(v("a"), k("k1"))
+    pid1 = NodeWorker.get().proc.pid
+    fn(v("b", "c"), k("k2", "k3"))
+    assert NodeWorker.get().proc.pid == pid1  # same worker reused
+
+    # a user-code error fails the request, not the worker
+    with pytest.raises(RuntimeError, match="javascript"):
+        X.transform_javascript("throw new Error('boom');")(v("x"), k("k"))
+    assert NodeWorker.get().proc.pid == pid1
+
+    # console.log in user code must not corrupt the protocol stream
+    noisy = X.transform_javascript("console.log('spam'); return value;")
+    assert noisy(v("ok"), k("k")).iloc[0] == "ok"
+    assert NodeWorker.get().proc.pid == pid1
+
+    # hard crash: next call respawns a fresh worker
+    with pytest.raises((RuntimeError, TimeoutError)):
+        X.transform_javascript("process.exit(1);", timeout=10)(v("x"), k("k"))
+    out = fn(v("back"), k("k"))
+    assert out.iloc[0] == "back!"
+    assert NodeWorker.get().proc.pid != pid1

@@ -55,6 +55,10 @@ def main() -> None:
         "generate_ssn": (X.generate_ssn(), nulls),
         "generate_uuid": (X.generate_uuid(), nulls),
     }
+    cases["transform_javascript"] = (
+        X.transform_javascript("return value + '|' + key;"),
+        names,
+    )
     out = {}
     for name, (fn, vals) in cases.items():
         fn(vals.head(1000), keys.head(1000))  # warm-up (numpy/regex init)
@@ -65,7 +69,23 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
         out[name] = round(N / best)
-    print(json.dumps({"rows": N, "rows_per_sec_1core": out}, indent=1))
+
+    # small-batch JS: the case the persistent Node worker exists for —
+    # per-batch process spawns would dominate at this granularity
+    js = X.transform_javascript("return value + '!';")
+    small_v, small_k = names.head(100), keys.head(100)
+    js(small_v, small_k)  # warm (spawns the worker)
+    t0 = time.time()
+    n_calls = 200
+    for _ in range(n_calls):
+        js(small_v, small_k)
+    js_batches = round(n_calls / (time.time() - t0), 1)
+
+    print(json.dumps({
+        "rows": N,
+        "rows_per_sec_1core": out,
+        "js_small_batch_100rows_batches_per_sec": js_batches,
+    }, indent=1))
 
 
 if __name__ == "__main__":
