@@ -48,15 +48,23 @@ def semijoin_subset(
     parent_selected: DataFrame,
     fk_col: str | Sequence[str],
     pk_col: str | Sequence[str],
-    broadcast: bool = True,
+    broadcast: bool | None = None,
 ) -> DataFrame:
-    """Rows of `child` whose FK tuple exists in the selected parent."""
+    """Rows of `child` whose FK tuple exists in the selected parent.
+
+    ``broadcast``: None (default) lets Catalyst/AQE pick the strategy
+    from size estimates — small selected-key sets still broadcast
+    (autoBroadcastJoinThreshold), but a huge root selection falls back
+    to a shuffled semijoin instead of OOMing the driver with a forced
+    broadcast. True forces the hint; False forbids it."""
     fk, pk = _cols(fk_col), _cols(pk_col)
     keys = parent_selected.select(
         *[F.col(p).alias(f) for p, f in zip(pk, fk)]
     ).distinct()
     if broadcast:
         keys = F.broadcast(keys)
+    elif broadcast is False:
+        keys = keys.hint("shuffle_hash")
     return child.join(keys, on=list(fk), how="left_semi")
 
 

@@ -51,6 +51,34 @@ def test_semijoin_broadcasts(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
 
+def test_semijoin_large_root_not_broadcast(spark):
+    """broadcast=None lets Catalyst size the selected-key set: a huge
+    root selection must plan a shuffled semijoin, not a forced driver
+    broadcast (round-2 advice: OOM guard)."""
+    from neosync_spark.operators.subset import semijoin_subset
+
+    cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    ords = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try:
+        out = semijoin_subset(ords, cust, "o_custkey", "c_custkey")
+        plan = _plan(out)
+        assert "BroadcastHashJoin" not in plan
+        assert "LeftSemi" in plan
+        # explicit opt-out forbids the hint even for a tiny parent
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        tiny = cust.limit(3)
+        forced_off = semijoin_subset(
+            ords, tiny, "o_custkey", "c_custkey", broadcast=False
+        )
+        assert "BroadcastHashJoin" not in _plan(forced_off)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
 def test_merge_plan_no_sort(spark, tmp_path, log_path):
     """The COW merge must be agg-based (partial+final), never a global
     sort or window."""
