@@ -551,6 +551,28 @@ def _q_subset_multi_root(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fk_skip_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level FK-violation skip (skip_foreign_key_violations,
+    output_sql_insert.go:310-348): rows whose FK misses the parent key
+    set are skipped, the rest apply — Spark-first as one semi + one
+    anti join instead of a per-row retry loop. Oracle is a DuckDB
+    EXISTS anti-join over the same narrowed parent set."""
+    from neosync_spark.operators.subset import fk_violation_split
+
+    _views(spark, sf_dir, ["orders", "customer"])
+    parent = spark.table("customer").filter("c_custkey % 7 != 0")
+    applied, skipped = fk_violation_split(
+        spark.table("orders"), parent, "o_custkey", "c_custkey"
+    )
+    return applied.select(
+        "o_orderkey", "o_custkey", F.lit("applied").alias("status")
+    ).unionByName(
+        skipped.select(
+            "o_orderkey", "o_custkey", F.lit("skipped_fk").alias("status")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
@@ -1087,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subset_semijoin": _q_subset_semijoin,
         "subset_fk_chain": _q_subset_fk_chain,
         "subset_multi_root": _q_subset_multi_root,
+        "fk_skip_split": _q_fk_skip_split,
         "dedup_exact": _q_exact_dedup,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -1307,6 +1330,14 @@ def oracle_sql() -> dict[str, str]:
                   WHERE c.c_custkey = o.o_custkey
                     AND c.c_mktsegment = 'BUILDING'))
             GROUP BY l_returnflag
+        """,
+        "fk_skip_split": """
+            SELECT o.o_orderkey, o.o_custkey,
+                   CASE WHEN EXISTS (
+                     SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 7 != 0
+                   ) THEN 'applied' ELSE 'skipped_fk' END AS status
+            FROM orders o
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -64,6 +64,23 @@ class EngineConfig:
     # Memory: holds one table-copy in executor cache — right when the
     # hot working set fits (or spills) per executor.
     chain_state: bool = False
+    # row-level FK-violation skip (skip_foreign_key_violations,
+    # output_sql_insert.go:310-348): rows whose FK tuple misses the
+    # parent key set are quarantined to <table>/metadata/quarantine_fk
+    # and counted; the rest of the batch applies normally
+    fk_check: "FkCheck | None" = None
+
+
+@dataclass
+class FkCheck:
+    """Declarative FK constraint for the engine's skip-violators path.
+    ``parent`` holds the valid key set (broadcast by default — pass
+    broadcast=None/False for a huge parent, see semijoin_subset)."""
+
+    parent: "DataFrame"
+    fk_col: str | tuple[str, ...]
+    pk_col: str | tuple[str, ...]
+    broadcast: bool | None = True
 
 
 @dataclass
@@ -71,6 +88,7 @@ class ReplayStats:
     batches_applied: int = 0
     batches_skipped: int = 0
     rows_applied: int = 0
+    rows_skipped_fk: int = 0
     commits: list[CommitInfo] = field(default_factory=list)
     schema_ops: list[dict] = field(default_factory=list)
 
@@ -90,6 +108,7 @@ class ReplayEngine:
         self.registry = registry
         self.config = config or EngineConfig()
         self._chained_state: DataFrame | None = None
+        self._last_fk_skipped = 0
 
     # ---------- stages ----------
 
@@ -180,6 +199,29 @@ class ReplayEngine:
             batch = batch.observe(
                 obs, F.sum((~valid).cast("long")).alias("n_bad")
             ).filter(valid)
+        self._last_fk_skipped = 0
+        if self.config.fk_check is not None:
+            import os as _os
+
+            from .operators.subset import fk_violation_split
+
+            fkc = self.config.fk_check
+            batch, skipped = fk_violation_split(
+                batch, fkc.parent, fkc.fk_col, fkc.pk_col, fkc.broadcast
+            )
+            skipped = skipped.persist()
+            n_skip = skipped.count()
+            if n_skip:
+                (
+                    skipped
+                    .withColumn("_quarantined_range", F.lit(str(applied_range)))
+                    .write.mode("append")
+                    .parquet(
+                        _os.path.join(self.table.path, "metadata", "quarantine_fk")
+                    )
+                )
+            skipped.unpersist()
+            self._last_fk_skipped = n_skip
         chaining = (
             self.config.chain_state
             and self.config.merge_mode == "cow"
@@ -280,6 +322,7 @@ class ReplayEngine:
             info = self.apply_batch(slicer(lo, hi), (lo, hi))
             stats.batches_applied += 1
             stats.rows_applied += info.rows_written
+            stats.rows_skipped_fk += self._last_fk_skipped
             stats.commits.append(info)
             if (
                 stop_after_batches is not None
@@ -307,6 +350,8 @@ class ReplayEngine:
             raise ValueError("pipeline_batches > 1 requires merge_mode='mor'")
         if self.config.quarantine:
             raise ValueError("pipelined replay does not support quarantine yet")
+        if self.config.fk_check is not None:
+            raise ValueError("pipelined replay does not support fk_check yet")
         if self.registry is not None and self.registry.versions:
             v_lo = self.registry.version_for_lsn(lsn_lo)
             v_hi = self.registry.version_for_lsn(lsn_hi)

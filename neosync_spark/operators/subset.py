@@ -68,6 +68,43 @@ def semijoin_subset(
     return child.join(keys, on=list(fk), how="left_semi")
 
 
+def fk_violation_split(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_col: str | Sequence[str],
+    pk_col: str | Sequence[str],
+    broadcast: bool | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(applied, skipped): child rows whose FK tuple exists in the
+    parent key set vs rows that would violate the constraint — the
+    ``skip_foreign_key_violations`` analog (reference retries batches
+    row by row, skipping FK violators and counting both,
+    worker/pkg/benthos/sql/output_sql_insert.go:310-348; Spark-first
+    this is one semi + one anti join on the same broadcastable key set,
+    not a per-row retry loop).
+
+    NULL semantics follow SQL ``MATCH SIMPLE``: a tuple with any NULL
+    FK component cannot violate the constraint, so it lands in
+    ``applied``.
+    """
+    fk, pk = _cols(fk_col), _cols(pk_col)
+    keys = parent.select(*[F.col(p).alias(f) for p, f in zip(pk, fk)]).distinct()
+    if broadcast:
+        keys = F.broadcast(keys)
+    elif broadcast is False:
+        keys = keys.hint("shuffle_hash")
+    any_null = None
+    for f_ in fk:
+        c = F.col(f_).isNull()
+        any_null = c if any_null is None else (any_null | c)
+    non_null = child.filter(~any_null)
+    applied = non_null.join(keys, on=list(fk), how="left_semi").unionByName(
+        child.filter(any_null)
+    )
+    skipped = non_null.join(keys, on=list(fk), how="left_anti")
+    return applied, skipped
+
+
 def subset_tables(
     tables: dict[str, DataFrame],
     edges: list[FkEdge],

@@ -97,3 +97,64 @@ def test_deterministic_across_runs(spark, sources):
     a = a.sort_values("c_custkey").reset_index(drop=True)
     b = b.sort_values("c_custkey").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_fk_violation_split_null_match_simple(spark):
+    """SQL MATCH SIMPLE: a NULL FK component can't violate — lands in
+    applied; non-null misses are skipped."""
+    from neosync_spark.operators.subset import fk_violation_split
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None), (4, 20)], "id int, fk int"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk int")
+    applied, skipped = fk_violation_split(child, parent, "fk", "pk")
+    assert sorted(r["id"] for r in applied.collect()) == [1, 3, 4]
+    assert [r["id"] for r in skipped.collect()] == [2]
+
+
+def test_engine_fk_check_quarantines_and_counts(spark, tmp_path):
+    """Engine-level skip_foreign_key_violations: violators land in
+    metadata/quarantine_fk, the rest apply, stats count both."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from neosync_spark.engine import EngineConfig, FkCheck, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+    from neosync_spark.synth import SynthConfig, expected_final_state, generate_pandas
+
+    log = generate_pandas(SynthConfig(n_events=2000, n_convs=100))
+    sdf = spark.createDataFrame(log)
+    # parent "conversations registry" missing some conv_ids
+    convs = sorted(log["conv_id"].unique())
+    allowed = convs[: len(convs) - 10]
+    parent = spark.createDataFrame([(c,) for c in allowed], "conv_id string")
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), key_cols=KEY_COLS, n_buckets=4
+    )
+    eng = ReplayEngine(
+        spark, t,
+        config=EngineConfig(
+            batch_lsn_size=1000,
+            fk_check=FkCheck(parent, "conv_id", "conv_id"),
+        ),
+    )
+    stats = eng.replay(
+        lambda lo, hi: sdf.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)),
+        lsn_lo=0, lsn_hi=1999,
+    )
+    n_viol = int((~log["conv_id"].isin(allowed)).sum())
+    assert stats.rows_skipped_fk == n_viol > 0
+    q = spark.read.parquet(
+        str(tmp_path / "t" / "metadata" / "quarantine_fk")
+    ).toPandas()
+    assert len(q) == n_viol
+    assert not set(q["conv_id"]) & set(allowed)
+    # final state == oracle over only the allowed conversations
+    got = t.read().toPandas()
+    exp = expected_final_state(log[log["conv_id"].isin(allowed)])
+    from .conftest import assert_pdf_equal
+
+    assert_pdf_equal(got, exp, ["conv_id", "turn_idx"])
