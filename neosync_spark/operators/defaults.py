@@ -54,6 +54,13 @@ def default_transformer_for(dtype: T.DataType, seed: int = 42) -> TransformFn | 
     return None
 
 
+def _is_interval_struct(dtype: T.DataType) -> bool:
+    return (
+        isinstance(dtype, T.StructType)
+        and [f.name for f in dtype.fields] == ["months", "days", "micros"]
+    )
+
+
 def apply_default_transforms(
     df: DataFrame,
     mapped_cols: set[str],
@@ -67,6 +74,25 @@ def apply_default_transforms(
     out = df
     for f_ in df.schema.fields:
         if f_.name in skip or f_.name.startswith("_"):
+            continue
+        if _is_interval_struct(f_.dataType):
+            # interval encode (functions/intervals.py, the reference's
+            # months/days/micros triple): jitter the micros component,
+            # keep the calendar components
+            c = F.col(f_.name)
+            new_micros = as_udf(X.transform_int64(seed=seed), T.LongType())(
+                c.getField("micros"), k
+            )
+            out = out.withColumn(
+                f_.name,
+                F.when(c.isNull(), F.lit(None).cast(f_.dataType)).otherwise(
+                    F.struct(
+                        c.getField("months").alias("months"),
+                        c.getField("days").alias("days"),
+                        new_micros.cast("long").alias("micros"),
+                    )
+                ),
+            )
             continue
         fn = default_transformer_for(f_.dataType, seed)
         if fn is None:
