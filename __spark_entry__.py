@@ -13,8 +13,9 @@ Seeded-random transformers are oracled through invariants the
 transform guarantees (class-preserving SHAPE projections, jitter
 ranges, allocator rank sets) — DuckDB recomputes the same projection
 from the INPUT; LSH pair sets are oracled against DuckDB brute-force
-ground truth. 36 of the 37 queries carry value oracles; only
-media_image_features (stubbed codec) is rows-only.
+ground truth. The media codec stubs derive features from md5 of the
+bytes, so even those mapInPandas pipelines are value-oracled (DuckDB
+replays the md5-slice arithmetic). Every query carries a value oracle.
 """
 
 from __future__ import annotations
@@ -746,9 +747,11 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode plumbing (stubbed codec) — rows-only check.
+    """mapInPandas decode plumbing (codec stubbed, md5-derived fake) —
+    fully value-oracled: DuckDB replays the md5-slice derivation.
     Returns SCALARS only (the harness canonicalizer cannot hash list
-    columns): the feature vector is projected to a sha256 digest."""
+    columns): the feature vector is projected to a sha256 digest of its
+    integer renderings."""
     from neosync_spark.operators.multimodal import decode_image_features
 
     _views(spark, sf_dir, ["documents"])
@@ -761,15 +764,25 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         (F.floor(F.col("mean_luma") * 10000 + F.lit(0.5)) / 10000).alias("mean_luma"),
-        F.sha2(F.concat_ws(",", F.col("feature").cast("array<string>")), 256).alias(
-            "feature_sha"
-        ),
+        # stub features are integer-valued (exact in float32 AND in any
+        # SQL engine) — hash the integer renderings, never raw float
+        # formatting, so DuckDB can replay the digest
+        F.sha2(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.col("feature"), lambda x: x.cast("long").cast("string")
+                ),
+            ),
+            256,
+        ).alias("feature_sha"),
     )
 
 
 def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas audio decode plumbing (stubbed codec) — rows-only;
-    scalar outputs only (duration rounded for stable hashing)."""
+    """mapInPandas audio decode plumbing (codec stubbed, md5-derived
+    fake) — fully value-oracled; scalar outputs only (duration rounded
+    for stable hashing)."""
     from neosync_spark.operators.multimodal import decode_audio_features
 
     _views(spark, sf_dir, ["documents"])
@@ -1577,5 +1590,42 @@ def oracle_sql() -> dict[str, str]:
                    '999-99-9999' AS ssn_shape
             FROM range(0, 1000) r
         """,
-        # rows-only: media_image_features (stubbed codec)
+        # the codecs are stubs, but the stub derivation is md5-based so
+        # the mapInPandas PLUMBING is fully value-oracled: DuckDB
+        # replays the same md5-slice arithmetic over the same bytes
+        "media_image_features": """
+            WITH h AS (SELECT doc_id, md5(text) AS m FROM documents)
+            SELECT doc_id AS id,
+                   CAST(16 + (('0x' || substr(m, 1, 8))::BIGINT % 1024)
+                        AS INTEGER) AS width,
+                   CAST(16 + (('0x' || substr(m, 9, 8))::BIGINT % 1024)
+                        AS INTEGER) AS height,
+                   floor(((('0x' || substr(m, 17, 8))::BIGINT % 256000)
+                          / 1000.0) * 10000 + 0.5) / 10000 AS mean_luma,
+                   sha256(array_to_string(list_transform(range(0, 8), j ->
+                     CAST((('0x' || substr(md5(m || '|' || j), 1, 8))::BIGINT
+                           % 4096) - 2048 AS VARCHAR)), ',')) AS feature_sha
+            FROM h
+        """,
+        "media_audio_features": """
+            WITH h AS (
+              SELECT doc_id, md5(text) AS m,
+                     octet_length(encode(text)) AS nb
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     CAST(nb * 4 + (('0x' || substr(m, 3, 6))::BIGINT % 1000)
+                          AS BIGINT) AS n_samples,
+                     CAST([8000, 16000, 22050, 44100]
+                          [CAST(('0x' || substr(m, 1, 2))::BIGINT % 4 AS INT) + 1]
+                          AS INTEGER) AS sample_rate,
+                     (('0x' || substr(m, 9, 8))::BIGINT % 10000) / 10000.0 AS rms
+              FROM h
+            )
+            SELECT doc_id AS id, n_samples, sample_rate,
+                   floor((n_samples / sample_rate) * 10000 + 0.5) / 10000
+                     AS duration_s,
+                   floor(rms * 10000 + 0.5) / 10000 AS rms
+            FROM f
+        """,
     }

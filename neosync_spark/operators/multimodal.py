@@ -58,17 +58,27 @@ IMAGE_FEATURES_SCHEMA = "id long, width int, height int, mean_luma double, featu
 
 def _fake_image_features(blob: bytes, feat_dim: int) -> tuple[int, int, float, np.ndarray]:
     """Deterministic fake decoder (container has no image libs): derives
-    stable pseudo-features from the bytes. CLEARLY A STUB — swap for a
-    PIL/torchvision decode on a real cluster."""
-    h = np.frombuffer(
-        pd.util.hash_array(np.frombuffer(blob or b"\x00", dtype=np.uint8)).tobytes(),
-        dtype=np.uint64,
+    stable pseudo-features from md5 of the bytes. CLEARLY A STUB — swap
+    for a PIL/torchvision decode on a real cluster. md5-derived (not
+    pandas-hash) so an INDEPENDENT engine can replay the derivation and
+    value-oracle the mapInPandas plumbing end-to-end; feature values
+    are integers in [-2048, 2048) (exact in float32 and in any SQL
+    engine's cast)."""
+    import hashlib
+
+    hhex = hashlib.md5(blob).hexdigest()
+    width = 16 + int(hhex[0:8], 16) % 1024
+    height = 16 + int(hhex[8:16], 16) % 1024
+    mean_luma = (int(hhex[16:24], 16) % 256000) / 1000.0
+    feats = np.array(
+        [
+            (int(hashlib.md5(f"{hhex}|{j}".encode()).hexdigest()[:8], 16) % 4096)
+            - 2048
+            for j in range(feat_dim)
+        ],
+        dtype=np.float32,
     )
-    rng = np.random.default_rng(int(h[0] % np.uint64(2**63)))
-    width = int(16 + (h[0] % np.uint64(1024)))
-    height = int(16 + (h[-1] % np.uint64(1024)))
-    feats = rng.standard_normal(feat_dim).astype(np.float32)
-    return width, height, float(rng.uniform(0, 255)), feats
+    return width, height, mean_luma, feats
 
 
 def decode_image_features(
@@ -134,15 +144,16 @@ AUDIO_FEATURES_SCHEMA = (
 def _fake_audio_features(blob: bytes) -> tuple[int, int, float, float]:
     """Deterministic fake decoder (container has no audio libs —
     librosa/soundfile absent). CLEARLY A STUB: derives stable pseudo-
-    features from the bytes; swap for a real PCM decode on a cluster."""
-    h = np.frombuffer(
-        pd.util.hash_array(np.frombuffer(blob or b"\x00", dtype=np.uint8)).tobytes(),
-        dtype=np.uint64,
-    )
-    rng = np.random.default_rng(int(h[0] % np.uint64(2**63)))
-    sample_rate = int([8000, 16000, 22050, 44100][int(h[0] % np.uint64(4))])
-    n_samples = int(np.uint64(len(blob or b"")) * np.uint64(4) + (h[-1] % np.uint64(1000)))
-    return n_samples, sample_rate, n_samples / sample_rate, float(rng.uniform(0, 1))
+    features from md5 of the bytes (engine-replayable, same rationale
+    as _fake_image_features); swap for a real PCM decode on a
+    cluster."""
+    import hashlib
+
+    hhex = hashlib.md5(blob).hexdigest()
+    sample_rate = [8000, 16000, 22050, 44100][int(hhex[0:2], 16) % 4]
+    n_samples = len(blob) * 4 + int(hhex[2:8], 16) % 1000
+    rms = (int(hhex[8:16], 16) % 10000) / 10000.0
+    return n_samples, sample_rate, n_samples / sample_rate, rms
 
 
 def decode_audio_features(
