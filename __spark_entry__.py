@@ -574,6 +574,41 @@ def _q_fk_skip_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed constraint enforcement (the sqlmanager-introspection
+    analog made Spark-native, schema_constraints.py): declared
+    PK/unique/check/FK constraints validated as groupBy/filter/anti-join
+    jobs; DuckDB recomputes each violation count independently."""
+    from neosync_spark.schema_constraints import (
+        Constraint,
+        ConstraintSet,
+        ForeignKey,
+        validate_constraints,
+    )
+
+    _views(spark, sf_dir, ["orders", "customer", "documents"])
+    cs = ConstraintSet()
+    cs.add(Constraint("orders_pk", "orders", "primary_key", ("o_orderkey",)))
+    cs.add(Constraint("docs_text_uq", "documents", "unique", ("text",)))
+    cs.add(
+        Constraint(
+            "orders_price_ck", "orders", "check", expr="o_totalprice >= 50000"
+        )
+    )
+    cs.add(
+        ForeignKey(
+            "orders_cust_fk", "orders", ("o_custkey",), "customer", ("c_custkey",)
+        )
+    )
+    tables = {
+        "orders": spark.table("orders"),
+        "documents": spark.table("documents"),
+        # narrowed parent set => some real FK violations to count
+        "customer": spark.table("customer").filter("c_custkey % 7 != 0"),
+    }
+    return validate_constraints(tables, cs)
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
@@ -1123,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subset_fk_chain": _q_subset_fk_chain,
         "subset_multi_root": _q_subset_multi_root,
         "fk_skip_split": _q_fk_skip_split,
+        "constraint_violations": _q_constraint_violations,
         "dedup_exact": _q_exact_dedup,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -1351,6 +1387,32 @@ def oracle_sql() -> dict[str, str]:
                      WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 7 != 0
                    ) THEN 'applied' ELSE 'skipped_fk' END AS status
             FROM orders o
+        """,
+        "constraint_violations": """
+            SELECT 'orders_pk' AS constraint_name, 'orders' AS "table",
+                   'primary_key' AS kind,
+                   (SELECT COALESCE(SUM(c - 1), 0)
+                    FROM (SELECT count(*) AS c FROM orders
+                          WHERE o_orderkey IS NOT NULL
+                          GROUP BY o_orderkey))
+                   + (SELECT count(*) FROM orders WHERE o_orderkey IS NULL)
+                   AS n_violations
+            UNION ALL
+            SELECT 'docs_text_uq', 'documents', 'unique',
+                   (SELECT COALESCE(SUM(c - 1), 0)
+                    FROM (SELECT count(*) AS c FROM documents
+                          WHERE text IS NOT NULL GROUP BY text))
+            UNION ALL
+            SELECT 'orders_price_ck', 'orders', 'check',
+                   (SELECT count(*) FROM orders
+                    WHERE NOT COALESCE(o_totalprice >= 50000, TRUE))
+            UNION ALL
+            SELECT 'orders_cust_fk', 'orders', 'foreign_key',
+                   (SELECT count(*) FROM orders o
+                    WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+                      SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey
+                        AND c.c_custkey % 7 != 0))
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
