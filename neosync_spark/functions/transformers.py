@@ -648,6 +648,9 @@ def transform_pii_text(
     entity_replacements: dict[str, str] | None = None,
     recognize_person_names: bool = False,
     entity_anonymizers: dict[str, "PiiAnonymizer"] | None = None,
+    deny_recognizers: dict[str, tuple[str, ...]] | None = None,
+    score_threshold: float = 0.5,
+    language: str = "en",
 ) -> TransformFn:
     """Free-text PII redaction via regex recognizers + deny-word lists —
     the OSS-scope variant of the reference's transform_pii_text
@@ -671,7 +674,20 @@ def transform_pii_text(
     entity → :class:`PiiAnonymizer` (replace / redact / hash / mask);
     ``entity_replacements`` is sugar for replace-anonymizers; the
     default anonymizer is replace with ``<ENTITY_TYPE>``.
+
+    ``deny_recognizers`` maps a recognizer NAME to its deny-word list —
+    each entry becomes its own entity (matching, anonymizer routing and
+    ``allowed_entities`` filtering all by that name), the ad-hoc
+    PatternRecognizer analog (functions.go buildAdhocRecognizers:
+    SupportedEntity = the recognizer's name); ``deny_words`` remains the
+    single-entity DENY_WORD shorthand. ``score_threshold`` and
+    ``language`` mirror the reference config surface; the regex
+    recognizers here are binary matchers scored 1.0 for en-like text,
+    so a threshold in (0, 1] keeps them all active and values > 1
+    disable recognition (documented divergence from Presidio's
+    per-model confidence scores).
     """
+    _ = language  # recognizers are language-agnostic regexes (en-tuned)
     anons: dict[str, PiiAnonymizer] = {}
     for e, tok in (entity_replacements or {}).items():
         anons[e] = PiiAnonymizer("replace", value=tok)
@@ -710,6 +726,19 @@ def transform_pii_text(
              re.compile(r"(?i)\b(?:" + "|".join(map(re.escape, dw)) + r")\b"),
              None)
         )
+    for rec_name, words in (deny_recognizers or {}).items():
+        if words and want(rec_name):
+            dw = sorted(words, key=len, reverse=True)
+            recognizers.append(
+                (rec_name,
+                 re.compile(
+                     r"(?i)\b(?:" + "|".join(map(re.escape, dw)) + r")\b"
+                 ),
+                 None)
+            )
+    if score_threshold > 1.0:
+        # nothing can reach an impossible confidence bar
+        recognizers = []
 
     def _render(ent: str, matched: str) -> str:
         a = anons.get(ent)

@@ -479,3 +479,32 @@ def test_js_worker_persistent_and_crash_safe():
     out = fn(v("back"), k("k"))
     assert out.iloc[0] == "back!"
     assert NodeWorker.get().proc.pid != pid1
+
+
+def test_deny_recognizers_named_entities():
+    """Each deny_recognizers entry is its own entity: name-routed
+    anonymizers and allowed_entities filtering (the reference's ad-hoc
+    PatternRecognizer list, SupportedEntity = name)."""
+    fn = X.transform_pii_text(
+        deny_recognizers={
+            "PROJECT_CODE": ("zephyr", "atlasx"),
+            "TEAM_NAME": ("redteam",),
+        },
+        entity_replacements={"PROJECT_CODE": "[proj]"},
+    )
+    out = fn(v("ship Zephyr with redteam before atlasx"), k("a")).iloc[0]
+    assert out == "ship [proj] with <TEAM_NAME> before [proj]"
+    # allowed_entities filters by the recognizer's name
+    only = X.transform_pii_text(
+        allowed_entities=("TEAM_NAME",),
+        deny_recognizers={"PROJECT_CODE": ("zephyr",), "TEAM_NAME": ("redteam",)},
+    )
+    out2 = only(v("zephyr redteam"), k("a")).iloc[0]
+    assert out2 == "zephyr <TEAM_NAME>"
+
+
+def test_score_threshold_gate():
+    fn = X.transform_pii_text(score_threshold=1.5)
+    t = "a@b.co and 123-45-6789"
+    assert fn(v(t), k("a")).iloc[0] == t  # impossible bar: nothing redacts
+    assert X.transform_pii_text(score_threshold=0.9)(v("a@b.co"), k("a")).iloc[0] == "<EMAIL_ADDRESS>"
