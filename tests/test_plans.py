@@ -151,3 +151,22 @@ def test_simhash_plan_is_pure_jvm(spark):
     plan = _plan(simhash(docs, "text", "doc_id"))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "md5" in plan
+
+
+def test_shingle_projection_boundary_and_prefanout_repartition(spark):
+    """Guards the round-3 minhash fix: the tokenizer must be evaluated
+    ONCE per doc behind a projection boundary (an inlined tokenizer is
+    re-evaluated per transform-lambda element — O(tokens²) per doc),
+    and the shingle fan-out must run AFTER the repartition (above the
+    Exchange), not on the single input task."""
+    from neosync_spark.operators.similarity import shingle_docs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(shingle_docs(docs, "text", "doc_id"))
+    # the tokenizer (regexp_replace ... split ... filter) appears once
+    assert plan.count("regexp_replace") == 1
+    # shingle transform sits ABOVE the exchange in the printed tree
+    # (earlier index = later stage): fan-out happens post-shuffle
+    assert "Exchange" in plan
+    assert plan.index("slice(") < plan.index("Exchange")
+    assert plan.index("regexp_replace") > plan.index("Exchange")
