@@ -609,6 +609,27 @@ def _q_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate_constraints(tables, cs)
 
 
+def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style context-window packing (concat-and-chunk): corpus as a
+    token stream in id order, cut into 512-token chunks, one row per
+    (doc, chunk) overlap. The global offset is a DISTRIBUTED prefix sum
+    (per-partition sums + literal offset map — no single-task window);
+    DuckDB recomputes it with an ordered window cumsum."""
+    from neosync_spark.operators.text import pack_token_chunks
+
+    _views(spark, sf_dir, ["documents"])
+    return pack_token_chunks(spark.table("documents"), "text", "doc_id", 512)
+
+
+def _q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate (Rae et al. 2021 heuristics) — boolean
+    per-rule flags keep the oracle exact across engines."""
+    from neosync_spark.operators.text import gopher_quality_flags
+
+    _views(spark, sf_dir, ["documents"])
+    return gopher_quality_flags(spark.table("documents"), "text", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
@@ -1159,6 +1180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subset_multi_root": _q_subset_multi_root,
         "fk_skip_split": _q_fk_skip_split,
         "constraint_violations": _q_constraint_violations,
+        "pack_context_chunks": _q_pack_chunks,
+        "gopher_quality_flags": _q_gopher_flags,
         "dedup_exact": _q_exact_dedup,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -1413,6 +1436,67 @@ def oracle_sql() -> dict[str, str]:
                       SELECT 1 FROM customer c
                       WHERE c.c_custkey = o.o_custkey
                         AND c.c_custkey % 7 != 0))
+        """,
+        "pack_context_chunks": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt
+              FROM documents
+            ), nz AS (SELECT * FROM t WHERE nt > 0),
+            c AS (
+              SELECT doc_id, nt,
+                     CAST(SUM(nt) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - nt AS BIGINT) AS st
+              FROM nz
+            )
+            SELECT doc_id,
+                   CAST(u.chunk_id AS BIGINT) AS chunk_id,
+                   CAST(greatest(u.chunk_id * 512 - st, 0) AS BIGINT)
+                     AS doc_tok_start,
+                   CAST(least((u.chunk_id + 1) * 512, st + nt) - st AS BIGINT)
+                     AS doc_tok_end
+            FROM c, unnest(range(st // 512, (st + nt - 1) // 512 + 1))
+                    AS u(chunk_id)
+        """,
+        "gopher_quality_flags": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     list_sum(list_transform(toks, x -> length(x))) AS total_len,
+                     len(list_filter(toks, x -> contains(x, '#')))
+                       + len(string_split(text, '...')) - 1 AS n_sym,
+                     len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                       AS alpha_words,
+                     len(list_filter(list_transform(
+                           list_filter(string_split(lower(text), ' '),
+                                       x -> x <> ''), x -> x),
+                         x -> list_contains(['the','and','of','to','a','in',
+                                             'is','it','that','for'], x)))
+                       AS stop_hits
+              FROM t
+            )
+            SELECT doc_id, n_words,
+                   n_words >= 50 AND n_words <= 100000 AS ok_words,
+                   COALESCE(n_words > 0
+                     AND total_len / n_words >= 3.0
+                     AND total_len / n_words <= 10.0, FALSE) AS ok_mean_len,
+                   COALESCE(n_words > 0
+                     AND n_sym / n_words <= 0.1, FALSE) AS ok_symbols,
+                   COALESCE(n_words > 0
+                     AND alpha_words / n_words >= 0.8, FALSE) AS ok_alpha,
+                   stop_hits >= 2 AS ok_stopwords,
+                   (n_words >= 50 AND n_words <= 100000)
+                     AND COALESCE(n_words > 0 AND total_len / n_words >= 3.0
+                                  AND total_len / n_words <= 10.0, FALSE)
+                     AND COALESCE(n_words > 0 AND n_sym / n_words <= 0.1, FALSE)
+                     AND COALESCE(n_words > 0
+                                  AND alpha_words / n_words >= 0.8, FALSE)
+                     AND stop_hits >= 2 AS keep
+            FROM f
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -200,3 +200,149 @@ def fingerprint_overlap_pairs(
         .agg(F.countDistinct(F.col("l.fp")).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+# ------------------------------------------------- context-window packing
+
+def pack_token_chunks(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    budget: int = 512,
+    partitions: int | None = None,
+) -> DataFrame:
+    """GPT-style context-window packing: the corpus is one token stream
+    in ascending id order, cut into fixed-``budget`` chunks; a document
+    appears once per chunk its token range overlaps. Returns
+    (id, chunk_id, doc_tok_start, doc_tok_end) where the start/end are
+    the DOC-RELATIVE token slice landing in that chunk (end exclusive).
+
+    Scale shape: the global running offset is a DISTRIBUTED prefix sum
+    — range-partition by id, per-partition token sums to the driver
+    (one tiny row per partition), prefix offsets rejoined as a literal
+    map, local cumsum via a per-partition window. No single-task global
+    window, ever; the driver sees O(partitions) rows.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    toks = df.select(
+        F.col(id_col).alias("_id"), token_count(content_col).alias("_nt")
+    ).filter(F.col("_nt") > 0)
+    parts = toks.repartitionByRange(n, "_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    psums = parts.groupBy("_pid").agg(
+        F.sum("_nt").alias("s"), F.min("_id").alias("mn")
+    ).collect()
+    out_schema = (
+        f"{id_col} long, chunk_id long, doc_tok_start long, doc_tok_end long"
+    )
+    if not psums:
+        return spark.createDataFrame([], out_schema)
+    offsets: dict[int, int] = {}
+    acc = 0
+    # range partitions carry disjoint ascending id ranges: ordering the
+    # per-partition sums by min id yields the global prefix
+    for r in sorted(psums, key=lambda r: r["mn"]):
+        offsets[int(r["_pid"])] = acc
+        acc += int(r["s"])
+    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_pid").orderBy("_id")
+    b = F.lit(budget)
+    local = parts.withColumn(
+        "_start", off_map[F.col("_pid")] + F.sum("_nt").over(w) - F.col("_nt")
+    )
+    spanned = local.select(
+        "_id",
+        "_nt",
+        "_start",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_start") / b),
+                F.floor((F.col("_start") + F.col("_nt") - 1) / b),
+            )
+        ).alias("chunk_id"),
+    )
+    chunk_lo = F.col("chunk_id") * b
+    return spanned.select(
+        F.col("_id").alias(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.greatest(chunk_lo - F.col("_start"), F.lit(0))
+        .cast("long")
+        .alias("doc_tok_start"),
+        (
+            F.least(chunk_lo + b, F.col("_start") + F.col("_nt"))
+            - F.col("_start")
+        )
+        .cast("long")
+        .alias("doc_tok_end"),
+    )
+
+
+# ------------------------------------------------ Gopher-style repetition/
+# quality filter rules (Rae et al. 2021 §A1.1 heuristics, adapted)
+
+def gopher_quality_flags(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher-rule booleans + the composite keep flag —
+    the standard pretraining-corpus quality gate, all JVM built-ins:
+
+    * word count within [min_words, max_words]
+    * mean word length within [min, max]
+    * symbol-to-word ratio (``#`` and ``...``) below threshold
+    * fraction of words with an alphabetic character above threshold
+    * at least ``min_stopword_hits`` English stopwords
+
+    Returns (id, n_words, ok_words, ok_mean_len, ok_symbols, ok_alpha,
+    ok_stopwords, keep). Boolean outputs keep the oracle exact — no
+    float formatting crosses engines.
+    """
+    c = F.col(content_col)
+    toks = _tokens(c)
+    n_words = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    mean_len = total_len / n_words
+    n_sym = F.size(F.filter(toks, lambda t: t.contains("#"))) + F.size(
+        F.split(c, r"\.\.\.")
+    ) - 1
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    stop_hits = _stopword_hits(c, STOPWORDS["en"])
+    # empty docs fail every ratio rule (lazy CASE WHEN branches: under
+    # ANSI mode an eager x/n_words would raise DIVIDE_BY_ZERO)
+    nz = n_words > 0
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_mean = F.when(
+        nz,
+        (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len),
+    ).otherwise(F.lit(False))
+    ok_sym = F.when(nz, (n_sym / n_words) <= max_symbol_ratio).otherwise(
+        F.lit(False)
+    )
+    ok_alpha = F.when(
+        nz, (alpha_words / n_words) >= min_alpha_word_ratio
+    ).otherwise(F.lit(False))
+    ok_stop = stop_hits >= min_stopword_hits
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        ok_words.alias("ok_words"),
+        ok_mean.alias("ok_mean_len"),
+        ok_sym.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_mean & ok_sym & ok_alpha & ok_stop).alias("keep"),
+    )

@@ -43,3 +43,65 @@ def test_lww_agg_is_partial_agg_plan(spark):
     plan = lww_dedup(sdf, ["conv_id", "turn_idx"], ["ts", "lsn"])._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_pack_token_chunks_partitions_docs_exactly(spark):
+    """Concat-and-chunk invariants: chunk sizes == budget (except the
+    tail), each doc's slices partition its tokens, and the output is
+    identical under different partition counts (the distributed prefix
+    sum is partitioning-independent)."""
+    from pyspark.sql import functions as F
+
+    from neosync_spark.operators.text import pack_token_chunks
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range((i * 13) % 40 + 1))) for i in range(50)]
+        + [(99, "")],  # empty doc: excluded
+        "doc_id long, text string",
+    )
+    out = pack_token_chunks(docs, "text", "doc_id", budget=32).toPandas()
+    assert 99 not in set(out["doc_id"])
+    # each doc's slices cover [0, n_tokens) contiguously
+    ntok = {i: (i * 13) % 40 + 1 for i in range(50)}
+    for i, grp in out.groupby("doc_id"):
+        grp = grp.sort_values("chunk_id")
+        assert grp["doc_tok_start"].iloc[0] == 0
+        assert grp["doc_tok_end"].iloc[-1] == ntok[i]
+        assert (grp["doc_tok_start"].iloc[1:].to_numpy()
+                == grp["doc_tok_end"].iloc[:-1].to_numpy()).all()
+    # every chunk holds exactly `budget` tokens except the last
+    per_chunk = (
+        out.assign(n=out["doc_tok_end"] - out["doc_tok_start"])
+        .groupby("chunk_id")["n"].sum().sort_index()
+    )
+    total = sum(ntok.values())
+    assert (per_chunk.iloc[:-1] == 32).all()
+    assert per_chunk.sum() == total
+    # partition-count independence
+    out2 = pack_token_chunks(docs, "text", "doc_id", budget=32, partitions=3).toPandas()
+    a = out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    b = out2.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_gopher_flags_rules(spark):
+    from neosync_spark.operators.text import gopher_quality_flags
+
+    good = "the quick brown fox and the lazy dog go to town for it " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, good),                      # passes everything
+            (2, "short text the and"),      # too few words
+            (3, ("#tag " * 60) + "the and of to"),  # symbol ratio too high
+            (4, ""),                        # empty: fails ratio rules, not NULL
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(docs, "text", "doc_id", min_words=20).collect()
+    }
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["ok_words"] is False
+    assert got[3]["ok_symbols"] is False
+    assert got[4]["keep"] is False and got[4]["ok_alpha"] is False
