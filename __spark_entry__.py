@@ -621,6 +621,25 @@ def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_token_chunks(spark.table("documents"), "text", "doc_id", 512)
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-keyed stratified sampling (pretraining-mix
+    rebalancing): membership = md5(salt|seed|id) bucket under the
+    stratum's fraction — a pure function of the id, identical in any
+    engine (unlike partition-seeded RNG sampling)."""
+    from neosync_spark.operators.text import stratified_sample
+
+    _views(spark, sf_dir, ["documents"])
+    out = stratified_sample(
+        spark.table("documents"),
+        "doc_id",
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        seed=7,
+        default_fraction=0.1,
+    )
+    return out.select("doc_id", "source")
+
+
 def _q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality gate (Rae et al. 2021 heuristics) — boolean
     per-rule flags keep the oracle exact across engines."""
@@ -1181,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_skip_split": _q_fk_skip_split,
         "constraint_violations": _q_constraint_violations,
         "pack_context_chunks": _q_pack_chunks,
+        "stratified_sample": _q_stratified_sample,
         "gopher_quality_flags": _q_gopher_flags,
         "dedup_exact": _q_exact_dedup,
         "dedup_minhash_pairs": _q_minhash_pairs,
@@ -1497,6 +1517,21 @@ def oracle_sql() -> dict[str, str]:
                                   AND alpha_words / n_words >= 0.8, FALSE)
                      AND stop_hits >= 2 AS keep
             FROM f
+        """,
+        "stratified_sample": """
+            WITH b AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5('ns|7|' || CAST(doc_id AS VARCHAR)),
+                                     1, 8))::BIGINT % 1000000 AS bucket
+              FROM documents
+            )
+            SELECT doc_id, source
+            FROM b
+            WHERE bucket < CASE source
+                             WHEN 'src0' THEN 1000000
+                             WHEN 'src1' THEN 500000
+                             WHEN 'src2' THEN 250000
+                             ELSE 100000 END
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -346,3 +346,52 @@ def gopher_quality_flags(
         ok_stop.alias("ok_stopwords"),
         (ok_words & ok_mean & ok_sym & ok_alpha & ok_stop).alias("keep"),
     )
+
+
+# ----------------------------------------------- deterministic sampling
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    seed: int = 42,
+    salt: str = "ns",
+) -> DataFrame:
+    """Hash-keyed Bernoulli sample: keep a row iff
+    md5(salt|seed|id) mod 10^6 < fraction·10^6.
+
+    Unlike ``df.sample`` (partition-seeded RNG: resample under retry /
+    repartition), membership is a pure function of the id — stable
+    across runs, partitionings and engines (an independent SQL engine
+    reproduces the exact row set), and a join of two samples with the
+    same seed is consistent. The standard curation primitive for
+    held-out splits at corpus scale.
+    """
+    c = F.concat(
+        F.lit(f"{salt}|{seed}|"), F.col(id_col).cast("string")
+    )
+    bucket = F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % 1_000_000
+    return df.filter(bucket < int(fraction * 1_000_000))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. rebalance sources or
+    languages in a pretraining mix): each stratum keeps its own
+    fraction, same hash-keyed membership as
+    :func:`deterministic_sample`. Strata missing from ``fractions``
+    keep ``default_fraction``. One scan, zero shuffles."""
+    c = F.concat(F.lit(f"ns|{seed}|"), F.col(id_col).cast("string"))
+    bucket = F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % 1_000_000
+    thr = F.lit(int(default_fraction * 1_000_000))
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(frac * 1_000_000))
+        ).otherwise(thr)
+    return df.filter(bucket < thr)

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 from neosync_spark.operators.dedup import lww_dedup, lww_dedup_window
 from neosync_spark.synth import SynthConfig, generate_pandas
 
@@ -105,3 +106,25 @@ def test_gopher_flags_rules(spark):
     assert got[2]["keep"] is False and got[2]["ok_words"] is False
     assert got[3]["ok_symbols"] is False
     assert got[4]["keep"] is False and got[4]["ok_alpha"] is False
+
+
+def test_deterministic_sample_stable_and_sized(spark):
+    from neosync_spark.operators.text import deterministic_sample, stratified_sample
+
+    df = spark.range(0, 20_000).withColumnRenamed("id", "doc_id")
+    s1 = deterministic_sample(df, "doc_id", 0.25, seed=3)
+    s2 = deterministic_sample(df.repartition(7), "doc_id", 0.25, seed=3)
+    a = sorted(r["doc_id"] for r in s1.collect())
+    assert a == sorted(r["doc_id"] for r in s2.collect())  # partition-stable
+    assert abs(len(a) / 20_000 - 0.25) < 0.02
+    # nested property: a smaller fraction with the same seed is a subset
+    s3 = set(r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.1, seed=3).collect())
+    assert s3 <= set(a)
+    # stratified: per-stratum rates honored
+    strat = df.withColumn("src", (F.col("doc_id") % 2 == 0).cast("string"))
+    out = stratified_sample(strat, "doc_id", "src", {"true": 0.5, "false": 0.05})
+    rates = {
+        r["src"]: r["n"] / 10_000
+        for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(rates["true"] - 0.5) < 0.03 and abs(rates["false"] - 0.05) < 0.02
