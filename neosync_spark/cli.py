@@ -56,6 +56,12 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--no-prune", action="store_true")
     r.add_argument("--quarantine", action="store_true")
     r.add_argument("--seed", type=int, default=42)
+    r.add_argument("--fk-parent", default=None,
+                   help="parquet path of the parent key set: rows whose FK "
+                        "misses it are quarantined, not failed "
+                        "(skip_foreign_key_violations analog)")
+    r.add_argument("--fk-col", default="conv_id")
+    r.add_argument("--fk-ref-col", default="conv_id")
 
     c = sub.add_parser("compact", help="fold MoR delta files")
     c.add_argument("--table", required=True)
@@ -66,6 +72,18 @@ def main(argv: list[str] | None = None) -> int:
 
     w = sub.add_parser("show", help="snapshot history + ledger")
     w.add_argument("--table", required=True)
+
+    vc = sub.add_parser(
+        "validate",
+        help="distributed constraint validation (PK/unique/check/not_null/FK)",
+    )
+    vc.add_argument("--tables", action="append", required=True,
+                    help="name=parquet-or-snapshot-table-path, repeatable")
+    vc.add_argument(
+        "--constraint", action="append", required=True,
+        help="pk:<table>:<cols> | unique:<table>:<cols> | "
+             "not_null:<table>:<cols> | check:<table>:<expr> | "
+             "fk:<child>:<cols>:<parent>:<refcols>  (cols comma-separated)")
 
     args = p.parse_args(argv)
 
@@ -99,12 +117,16 @@ def main(argv: list[str] | None = None) -> int:
             prune_buckets=not args.no_prune,
             quarantine=args.quarantine,
             pipeline_batches=args.pipeline,
+            fk_parent_path=args.fk_parent,
+            fk_col=args.fk_col,
+            fk_ref_col=args.fk_ref_col,
         )
         stats = run_job(spark, job)
         print(json.dumps({
             "batches_applied": stats.batches_applied,
             "batches_skipped": stats.batches_skipped,
             "rows_applied": stats.rows_applied,
+            "rows_skipped_fk": stats.rows_skipped_fk,
             "schema_ops": stats.schema_ops,
         }))
         return 0
@@ -132,6 +154,48 @@ def main(argv: list[str] | None = None) -> int:
         ok = n_table == n_expected
         print(json.dumps({"table_rows": n_table, "expected_rows": n_expected, "match": ok}))
         return 0 if ok else 1
+
+    if args.cmd == "validate":
+        from .lakehouse import SnapshotTable
+        from .schema_constraints import (
+            Constraint,
+            ConstraintSet,
+            ForeignKey,
+            validate_constraints,
+        )
+
+        tables = {}
+        for it in args.tables:
+            name, _, path = it.partition("=")
+            if SnapshotTable.exists(path):
+                tables[name] = SnapshotTable.load(spark, path).read()
+            else:
+                tables[name] = spark.read.parquet(path)
+        cs = ConstraintSet()
+        for i, spec in enumerate(args.constraint):
+            parts = spec.split(":")
+            kind = parts[0]
+            if kind == "fk":
+                _, child, cols, parent, refcols = parts
+                cs.add(ForeignKey(
+                    f"fk_{i}", child, tuple(cols.split(",")),
+                    parent, tuple(refcols.split(",")),
+                ))
+            elif kind == "check":
+                _, tbl, expr = parts[0], parts[1], ":".join(parts[2:])
+                cs.add(Constraint(f"check_{i}", tbl, "check", expr=expr))
+            elif kind in ("pk", "unique", "not_null"):
+                _, tbl, cols = parts
+                full = {"pk": "primary_key"}.get(kind, kind)
+                cs.add(Constraint(
+                    f"{kind}_{i}", tbl, full, tuple(cols.split(",")),
+                ))
+            else:
+                raise SystemExit(f"unknown constraint kind {kind!r}")
+        rows = validate_constraints(tables, cs).collect()
+        out = [r.asDict() for r in rows]
+        print(json.dumps({"constraints": out}))
+        return 0 if all(r["n_violations"] == 0 for r in out) else 1
 
     if args.cmd == "show":
         from .lakehouse import SnapshotTable

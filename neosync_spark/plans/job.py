@@ -19,7 +19,7 @@ from typing import Any
 
 from pyspark.sql import SparkSession
 
-from ..engine import EngineConfig, ReplayEngine, ReplayStats
+from ..engine import EngineConfig, FkCheck, ReplayEngine, ReplayStats
 from ..functions.transformers import REGISTRY, TransformFn
 from ..lakehouse import SnapshotTable
 from ..schema import KEY_COLS, transcript_schema
@@ -51,6 +51,11 @@ class JobSpec:
     # >1 (mor only): overlap that many delta writes as concurrent jobs,
     # manifests still committed in lsn order (see ReplayEngine.replay)
     pipeline_batches: int = 1
+    # skip_foreign_key_violations analog: parquet path of the parent
+    # key set; batch rows whose FK misses it are quarantined + counted
+    fk_parent_path: str | None = None
+    fk_col: str = "conv_id"
+    fk_ref_col: str = "conv_id"
 
 
 def resolve_transformer(m: ColumnMapping, seed: int) -> TransformFn:
@@ -98,6 +103,15 @@ def compile_job(
             merge_mode=job.merge_mode,
             prune_buckets=job.prune_buckets,
             quarantine=job.quarantine,
+            fk_check=(
+                FkCheck(
+                    spark.read.parquet(job.fk_parent_path),
+                    job.fk_col,
+                    job.fk_ref_col,
+                )
+                if job.fk_parent_path
+                else None
+            ),
         ),
     )
     return engine, ChangeLogSource(spark, job.source_path)
