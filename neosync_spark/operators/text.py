@@ -218,10 +218,13 @@ def pack_token_chunks(
     the DOC-RELATIVE token slice landing in that chunk (end exclusive).
 
     Scale shape: the global running offset is a DISTRIBUTED prefix sum
-    — range-partition by id, per-partition token sums to the driver
-    (one tiny row per partition), prefix offsets rejoined as a literal
-    map, local cumsum via a per-partition window. No single-task global
-    window, ever; the driver sees O(partitions) rows.
+    — ids are sharded by DRIVER-FROZEN quantile bounds (a pure function
+    of the id value: stable across jobs, retries and AQE re-planning,
+    unlike spark_partition_id, which can differ between the two
+    executions of a range exchange and silently drop rows), shard token
+    sums come to the driver (O(shards) rows), prefix offsets rejoin as
+    a literal map, local cumsum via a per-shard window. No single-task
+    global window, ever.
     """
     from pyspark.sql.window import Window
 
@@ -230,29 +233,35 @@ def pack_token_chunks(
     toks = df.select(
         F.col(id_col).alias("_id"), token_count(content_col).alias("_nt")
     ).filter(F.col("_nt") > 0)
-    parts = toks.repartitionByRange(n, "_id").withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    psums = parts.groupBy("_pid").agg(
-        F.sum("_nt").alias("s"), F.min("_id").alias("mn")
-    ).collect()
     out_schema = (
         f"{id_col} long, chunk_id long, doc_tok_start long, doc_tok_end long"
     )
+    bounds = sorted(
+        set(
+            toks.stat.approxQuantile(
+                "_id", [i / n for i in range(1, n)], 0.001
+            )
+        )
+    )
+    # shard = number of frozen cutpoints <= id: ascending in id, so
+    # shard order IS global id order
+    shard = F.lit(0)
+    for q in bounds:
+        shard = shard + (F.col("_id") > F.lit(q)).cast("int")
+    parts = toks.withColumn("_sh", shard)
+    psums = parts.groupBy("_sh").agg(F.sum("_nt").alias("s")).collect()
     if not psums:
         return spark.createDataFrame([], out_schema)
     offsets: dict[int, int] = {}
     acc = 0
-    # range partitions carry disjoint ascending id ranges: ordering the
-    # per-partition sums by min id yields the global prefix
-    for r in sorted(psums, key=lambda r: r["mn"]):
-        offsets[int(r["_pid"])] = acc
+    for r in sorted(psums, key=lambda r: r["_sh"]):
+        offsets[int(r["_sh"])] = acc
         acc += int(r["s"])
     off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    w = Window.partitionBy("_pid").orderBy("_id")
+    w = Window.partitionBy("_sh").orderBy("_id")
     b = F.lit(budget)
     local = parts.withColumn(
-        "_start", off_map[F.col("_pid")] + F.sum("_nt").over(w) - F.col("_nt")
+        "_start", off_map[F.col("_sh")] + F.sum("_nt").over(w) - F.col("_nt")
     )
     spanned = local.select(
         "_id",
