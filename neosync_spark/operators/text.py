@@ -192,6 +192,10 @@ def fingerprint_overlap_pairs(
     rare = fps.withColumn(
         "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
     ).filter(F.col("_df") <= max_df).drop("_df")
+    # the self-join would otherwise evaluate the whole winnow pipeline
+    # twice (no exchange reuse across the aliased sides — measured 6
+    # exchanges, 0 reused); persist the small (id, fp) set instead
+    rare = rare.persist()
     l, r = rare.alias("l"), rare.alias("r")
     idl, idr = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
     return (
