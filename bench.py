@@ -247,12 +247,13 @@ def main() -> None:
     # ratchet the denominator (a lucky-fast N run permanently deflates
     # the ratio even though it measures the same engine).
     attempts: list[tuple[dict, dict]] = []
-    for _attempt in range(3):
+    max_attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "4"))
+    for _attempt in range(max_attempts):
         pair = (_sub(scale_n, 1), _sub(scale_4n, 1))
         attempts.append(pair)
         eff_a = pair[1]["events_per_sec"] / (4.0 * pair[0]["events_per_sec"])
         print(f"# scaling attempt {_attempt + 1}: efficiency {eff_a:.3f}", file=sys.stderr)
-        if eff_a >= 0.8:
+        if eff_a >= 0.82:
             break
     best_pair = max(
         attempts,
