@@ -1425,7 +1425,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fk_skip_split": """
             SELECT o.o_orderkey, o.o_custkey,
-                   CASE WHEN EXISTS (
+                   CASE WHEN o.o_custkey IS NULL OR EXISTS (
                      SELECT 1 FROM customer c
                      WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 7 != 0
                    ) THEN 'applied' ELSE 'skipped_fk' END AS status

@@ -176,15 +176,28 @@ def main(argv: list[str] | None = None) -> int:
             parts = spec.split(":")
             kind = parts[0]
             if kind == "fk":
+                if len(parts) != 5:
+                    raise SystemExit(
+                        f"bad constraint {spec!r}: expected "
+                        "fk:<child>:<cols>:<parent>:<refcols>"
+                    )
                 _, child, cols, parent, refcols = parts
                 cs.add(ForeignKey(
                     f"fk_{i}", child, tuple(cols.split(",")),
                     parent, tuple(refcols.split(",")),
                 ))
             elif kind == "check":
-                _, tbl, expr = parts[0], parts[1], ":".join(parts[2:])
+                if len(parts) < 3:
+                    raise SystemExit(
+                        f"bad constraint {spec!r}: expected check:<table>:<expr>"
+                    )
+                tbl, expr = parts[1], ":".join(parts[2:])
                 cs.add(Constraint(f"check_{i}", tbl, "check", expr=expr))
             elif kind in ("pk", "unique", "not_null"):
+                if len(parts) != 3:
+                    raise SystemExit(
+                        f"bad constraint {spec!r}: expected {kind}:<table>:<cols>"
+                    )
                 _, tbl, cols = parts
                 full = {"pk": "primary_key"}.get(kind, kind)
                 cs.add(Constraint(

@@ -109,6 +109,7 @@ class ReplayEngine:
         self.config = config or EngineConfig()
         self._chained_state: DataFrame | None = None
         self._last_fk_skipped = 0
+        self._fk_parent_keys: DataFrame | None = None
 
     # ---------- stages ----------
 
@@ -206,19 +207,33 @@ class ReplayEngine:
             from .operators.subset import fk_violation_split
 
             fkc = self.config.fk_check
+            if self._fk_parent_keys is None:
+                # the parent key set is re-joined every batch: project +
+                # distinct + persist it ONCE instead of re-scanning the
+                # parent per batch (O(batches) redundant reads)
+                from .operators.subset import _cols
+
+                self._fk_parent_keys = (
+                    fkc.parent.select(*_cols(fkc.pk_col)).distinct().persist()
+                )
             batch, skipped = fk_violation_split(
-                batch, fkc.parent, fkc.fk_col, fkc.pk_col, fkc.broadcast
+                batch, self._fk_parent_keys, fkc.fk_col, fkc.pk_col,
+                fkc.broadcast,
             )
             skipped = skipped.persist()
             n_skip = skipped.count()
             if n_skip:
+                # range-keyed OVERWRITE, not append: a crash between
+                # this write and the batch commit replays the batch on
+                # resume — an append would double-count the violators
                 (
                     skipped
                     .withColumn("_quarantined_range", F.lit(str(applied_range)))
-                    .write.mode("append")
-                    .parquet(
-                        _os.path.join(self.table.path, "metadata", "quarantine_fk")
-                    )
+                    .write.mode("overwrite")
+                    .parquet(_os.path.join(
+                        self.table.path, "metadata", "quarantine_fk",
+                        f"range={applied_range[0]}_{applied_range[1]}",
+                    ))
                 )
             skipped.unpersist()
             self._last_fk_skipped = n_skip
@@ -249,11 +264,16 @@ class ReplayEngine:
             # violations + error output)
             import os as _os
 
+            # range-keyed overwrite: idempotent under crash-resume
+            # replays of the same batch (append would duplicate rows)
             (
                 original.filter(~valid)
                 .withColumn("_quarantined_range", F.lit(str(applied_range)))
-                .write.mode("append")
-                .parquet(_os.path.join(self.table.path, "metadata", "quarantine"))
+                .write.mode("overwrite")
+                .parquet(_os.path.join(
+                    self.table.path, "metadata", "quarantine",
+                    f"range={applied_range[0]}_{applied_range[1]}",
+                ))
             )
         if (
             self.config.merge_mode == "mor"

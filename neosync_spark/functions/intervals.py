@@ -108,10 +108,19 @@ def interval_to_text(col: Column | str) -> Column:
     months, days, micros = c.getField("months"), c.getField("days"), c.getField("micros")
     yy = (months / 12).cast("int")
     mm_ = months - yy * 12
+
+    def _idiv(a, b: int):
+        # exact integer division for the full int64 domain: long `/`
+        # (and even decimal(38) `/`) round for |a| >= 2^53, so hh near
+        # int64-max micros came out one second high. (a - a%b) is an
+        # exact multiple of b: its double quotient is within q·2^-52
+        # (< 1e-6 here) of the true integer, which round() recovers.
+        return F.round((a - a % F.lit(b)) / F.lit(b)).cast("long")
+
     abs_us = F.abs(micros)
-    hh = (abs_us / F.lit(3_600_000_000)).cast("long")
-    mi = ((abs_us / F.lit(60_000_000)) % 60).cast("long")
-    ss = ((abs_us / F.lit(1_000_000)) % 60).cast("long")
+    hh = _idiv(abs_us, 3_600_000_000)
+    mi = _idiv(abs_us % 3_600_000_000, 60_000_000)
+    ss = _idiv(abs_us % 60_000_000, 1_000_000)
     us = (abs_us % 1_000_000).cast("long")
     frac = F.when(
         us > 0,
@@ -123,9 +132,11 @@ def interval_to_text(col: Column | str) -> Column:
     ).otherwise(F.lit(""))
     time_part = F.concat(
         F.when(micros < 0, F.lit("-")).otherwise(F.lit("")),
-        F.lpad(hh.cast("string"), 2, "0"), F.lit(":"),
-        F.lpad(mi.cast("string"), 2, "0"), F.lit(":"),
-        F.lpad(ss.cast("string"), 2, "0"),
+        # NOT lpad: Spark's lpad TRUNCATES strings longer than the pad
+        # width ("1999999999" hours -> "19"); %02d only ever widens
+        F.format_string("%02d", hh), F.lit(":"),
+        F.format_string("%02d", mi), F.lit(":"),
+        F.format_string("%02d", ss),
         frac,
     )
     parts = F.concat_ws(

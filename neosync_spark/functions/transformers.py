@@ -559,7 +559,9 @@ PII_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
 # Extended entities (reference: Presidio builtin recognizers routed via
 # transform_pii_text.go:92-129). Patterns are engine-portable: Python re,
 # Java regex (Spark regexp_replace) and DuckDB RE2 all read them alike.
-PII_CREDIT_CARD_RE = r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,4}\b"
+# 13-19 digits with optional single separators (Presidio's
+# CreditCardRecognizer window; the Luhn validator rejects noise)
+PII_CREDIT_CARD_RE = r"\b(?:\d[ -]?){12,18}\d\b"
 PII_IP_RE = (
     r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
     r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b"

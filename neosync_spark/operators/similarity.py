@@ -212,21 +212,6 @@ def minhash_band_buckets(
     )
 
 
-def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
-    """Split a signature into b bands of r rows; each entry is
-    (band_idx, band_hash). Documents sharing any band bucket are
-    near-dup candidates."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(F.concat_ws(",", F.slice(sig, b * rows + 1, rows)), b).alias(
-                "band_hash"
-            ),
-        ),
-    )
-
-
 def minhash_dedup_pairs(
     df: DataFrame,
     content_col: str,

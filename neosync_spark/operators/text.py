@@ -194,7 +194,11 @@ def fingerprint_overlap_pairs(
     ).filter(F.col("_df") <= max_df).drop("_df")
     # the self-join would otherwise evaluate the whole winnow pipeline
     # twice (no exchange reuse across the aliased sides — measured 6
-    # exchanges, 0 reused); persist the small (id, fp) set instead
+    # exchanges, 0 reused); persist the small (id, fp) set instead.
+    # Lifecycle: the cache lives until the SparkSession ends (same
+    # caller-owned pattern as minhash_dedup_pairs' shingles) — a
+    # long-lived service should spark.catalog.clearCache() between
+    # corpus runs.
     rare = rare.persist()
     l, r = rare.alias("l"), rare.alias("r")
     idl, idr = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")

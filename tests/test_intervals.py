@@ -80,3 +80,16 @@ def test_interval_default_transform(spark):
     assert got["months"] == 12 and got["days"] == 3
     assert got["micros"] != 3_600_000_000  # jittered
     assert got.asDict().keys() == {"months", "days", "micros"}
+
+
+def test_round_trip_near_int64_max(spark):
+    """Review finding: double division rounded hh for |micros| >= 2^53;
+    rendering must use exact integer arithmetic."""
+    big = 7_199_999_999_999_999_999
+    df = spark.createDataFrame([(3, 1, big), (0, 0, -big)], "m int, d int, u long")
+    iv = df.select(interval_struct("m", "d", "u").alias("iv"))
+    rt = iv.select(
+        "iv", parse_pg_interval(interval_to_text("iv")).alias("iv2")
+    ).collect()
+    for r in rt:
+        assert r["iv"] == r["iv2"], (r["iv"], r["iv2"])

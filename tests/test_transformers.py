@@ -132,6 +132,11 @@ class TestPiiText:
         assert fn(v("pay 4111-1111-1111-1111 now"), k("a")).iloc[0] == "pay <CREDIT_CARD> now"
         # invalid checksum is NOT PII per Presidio's CreditCardRecognizer
         assert fn(v("ref 4111111111111112 now"), k("a")).iloc[0] == "ref 4111111111111112 now"
+        # the full Presidio window: 13-digit and 19-digit valid PANs
+        assert fn(v("pay 4222222222222 now"), k("a")).iloc[0] == "pay <CREDIT_CARD> now"
+        assert fn(v("pay 6221261111111111113 now"), k("a")).iloc[0] == "pay <CREDIT_CARD> now"
+        # 12 digits: below the window, untouched
+        assert fn(v("ref 123456789012 now"), k("a")).iloc[0] == "ref 123456789012 now"
 
     def test_ip_and_date_entities(self):
         fn = X.transform_pii_text(allowed_entities=("IP_ADDRESS", "DATE_TIME"))
