@@ -640,6 +640,27 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (dup-line fraction + top-2-gram share)
+    over a constructed multi-line doc: text repeated with a planted
+    duplicated line every third doc, so both rules discriminate."""
+    from neosync_spark.operators.text import gopher_repetition_flags
+
+    _views(spark, sf_dir, ["documents"])
+    # build multi-line docs: text + a second line that repeats the
+    # first for doc_id % 3 == 0 (planted duplicate), else a distinct tail
+    docs = spark.sql(
+        """
+        SELECT doc_id,
+               text || '\n' ||
+               CASE WHEN doc_id % 3 = 0 THEN text
+                    ELSE 'tail ' || CAST(doc_id AS STRING) END AS t
+        FROM documents
+        """
+    )
+    return gopher_repetition_flags(docs, "t", "doc_id")
+
+
 def _q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality gate (Rae et al. 2021 heuristics) — boolean
     per-rule flags keep the oracle exact across engines."""
@@ -1202,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_context_chunks": _q_pack_chunks,
         "stratified_sample": _q_stratified_sample,
         "gopher_quality_flags": _q_gopher_flags,
+        "gopher_repetition_flags": _q_gopher_repetition,
         "dedup_exact": _q_exact_dedup,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -1532,6 +1554,58 @@ def oracle_sql() -> dict[str, str]:
                              WHEN 'src1' THEN 500000
                              WHEN 'src2' THEN 250000
                              ELSE 100000 END
+        """,
+        "gopher_repetition_flags": """
+            WITH base AS (
+              SELECT doc_id,
+                     text || chr(10) ||
+                     CASE WHEN doc_id % 3 = 0 THEN text
+                          ELSE 'tail ' || CAST(doc_id AS VARCHAR) END AS t
+              FROM documents
+            ), l AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(t, chr(10)),
+                                        x -> trim(x) <> '')) AS ln
+              FROM base
+            ), lc AS (
+              SELECT doc_id, ln, count(*) AS c FROM l GROUP BY 1, 2
+            ), ls AS (
+              SELECT doc_id, SUM(c) AS n_lines,
+                     SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+              FROM lc GROUP BY 1
+            ), tk AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(t), ' '), x -> x <> '')
+                       AS toks
+              FROM base
+            ), g AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1])) AS gm
+              FROM tk WHERE len(toks) >= 2
+            ), gc AS (
+              SELECT doc_id, gm, count(*) AS c FROM g GROUP BY 1, 2
+            ), gs AS (
+              SELECT doc_id, SUM(c) AS ng, MAX(c) AS top FROM gc GROUP BY 1
+            ), j AS (
+              SELECT b.doc_id,
+                     COALESCE(ls.n_lines, 0) AS n_lines,
+                     CASE WHEN COALESCE(ls.n_lines, 0) > 0
+                          THEN ls.dup * 1.0 / ls.n_lines ELSE 0.0 END AS df_,
+                     CASE WHEN COALESCE(gs.ng, 0) > 0
+                          THEN gs.top * 1.0 / gs.ng ELSE 0.0 END AS tf_
+              FROM base b
+              LEFT JOIN ls ON b.doc_id = ls.doc_id
+              LEFT JOIN gs ON b.doc_id = gs.doc_id
+            )
+            SELECT doc_id,
+                   CAST(n_lines AS BIGINT) AS n_lines,
+                   floor(df_ * 10000 + 0.5) / 10000 AS dup_line_frac,
+                   floor(tf_ * 10000 + 0.5) / 10000 AS top_2gram_frac,
+                   df_ <= 0.30 AS ok_dup_lines,
+                   tf_ <= 0.20 AS ok_top_2gram,
+                   df_ <= 0.30 AND tf_ <= 0.20 AS keep
+            FROM j
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -412,3 +412,89 @@ def stratified_sample(
             F.col(strata_col) == stratum, F.lit(int(frac * 1_000_000))
         ).otherwise(thr)
     return df.filter(bucket < thr)
+
+
+def gopher_repetition_flags(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    max_dup_line_frac: float = 0.30,
+    max_top_2gram_frac: float = 0.20,
+) -> DataFrame:
+    """The repetition half of the Gopher filters (Rae et al. 2021
+    §A1.1): fraction of a document's lines that are duplicates of
+    another line, and the share of 2-grams taken by the most frequent
+    2-gram. Returns (id, n_lines, dup_line_frac, top_2gram_frac,
+    ok_dup_lines, ok_top_2gram, keep) with fractions rounded half-up to
+    4 places (the cross-engine-stable projection used throughout).
+
+    Plan shape: docs repartitioned BEFORE the line/2-gram fan-outs
+    (single-input-task trap), per-(doc, line) and per-(doc, gram)
+    hash-aggs with map-side combine, per-doc rollup, one broadcastable
+    join back to the doc spine. No Python anywhere.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(par, F.col(id_col)).select(
+        F.col(id_col).alias("_id"), F.col(content_col).alias("_t")
+    )
+
+    lines = base.select(
+        "_id",
+        F.explode(
+            F.filter(F.split("_t", "\n"), lambda ln: F.trim(ln) != "")
+        ).alias("_ln"),
+    )
+    line_stats = (
+        lines.groupBy("_id", "_ln")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("_id")
+        .agg(
+            F.sum("_c").alias("n_lines"),
+            F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(0)).alias("_dup"),
+        )
+    )
+
+    toks = base.select("_id", _tokens(F.lower(F.col("_t"))).alias("_toks"))
+    grams = toks.select(
+        "_id",
+        F.explode(
+            F.when(
+                F.size("_toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("_toks"), i, 2)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_g"),
+    )
+    gram_stats = (
+        grams.groupBy("_id", "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("_id")
+        .agg(F.sum("_c").alias("_ng"), F.max("_c").alias("_top"))
+    )
+
+    spine = base.select("_id")
+    out = (
+        spine.join(line_stats, "_id", "left")
+        .join(gram_stats, "_id", "left")
+    )
+    dup_frac = F.when(
+        F.col("n_lines") > 0, F.col("_dup") / F.col("n_lines")
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        F.col("_ng") > 0, F.col("_top") / F.col("_ng")
+    ).otherwise(F.lit(0.0))
+    ok_dup = dup_frac <= max_dup_line_frac
+    ok_top = top_frac <= max_top_2gram_frac
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+        round_half_up(dup_frac, 4).alias("dup_line_frac"),
+        round_half_up(top_frac, 4).alias("top_2gram_frac"),
+        ok_dup.alias("ok_dup_lines"),
+        ok_top.alias("ok_top_2gram"),
+        (ok_dup & ok_top).alias("keep"),
+    )

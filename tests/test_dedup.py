@@ -128,3 +128,25 @@ def test_deterministic_sample_stable_and_sized(spark):
         for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()
     }
     assert abs(rates["true"] - 0.5) < 0.03 and abs(rates["false"] - 0.05) < 0.02
+
+
+def test_gopher_repetition_rules(spark):
+    from neosync_spark.operators.text import gopher_repetition_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a unique first line\nanother fine line\nthird line here"),
+            (2, "same line\nsame line\nsame line"),          # all dup lines
+            (3, "go go go go go go"),                        # one 2-gram dominates
+            (4, "one two three four five six seven eight"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in gopher_repetition_flags(docs, "text", "doc_id").collect()
+    }
+    assert got[1]["keep"] is True and got[1]["dup_line_frac"] == 0.0
+    assert got[2]["ok_dup_lines"] is False and got[2]["dup_line_frac"] == 1.0
+    assert got[3]["ok_top_2gram"] is False and got[3]["top_2gram_frac"] == 1.0
+    assert got[4]["keep"] is True
