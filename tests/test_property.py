@@ -88,3 +88,81 @@ def test_replay_always_matches_oracle(spark, table_root, events):
         got = t.read().toPandas()
         exp = expected_final_state(log)
         assert_pdf_equal(got, exp, ["conv_id", "turn_idx"], msg=f"mode={mode}")
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab cd\n.!", min_size=0, max_size=60),
+        min_size=1,
+        max_size=25,
+    ),
+    budget=st.integers(2, 16),
+)
+def test_pack_chunks_partition_property(spark, docs, budget):
+    """Random corpora: chunk slices partition each doc's tokens, chunk
+    totals equal the budget except the tail, output is independent of
+    the shard count."""
+    from pyspark.sql import functions as F
+
+    from neosync_spark.operators.text import pack_token_chunks, token_count
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    ntok = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", token_count("text").alias("n")).collect()
+    }
+    out = pack_token_chunks(df, "text", "doc_id", budget=budget).toPandas()
+    assert set(out["doc_id"]) == {i for i, n in ntok.items() if n > 0}
+    for i, grp in out.groupby("doc_id"):
+        grp = grp.sort_values("chunk_id")
+        assert grp["doc_tok_start"].iloc[0] == 0
+        assert grp["doc_tok_end"].iloc[-1] == ntok[i]
+        assert (grp["doc_tok_start"].iloc[1:].to_numpy()
+                == grp["doc_tok_end"].iloc[:-1].to_numpy()).all()
+    if len(out):
+        per_chunk = (
+            out.assign(n=out["doc_tok_end"] - out["doc_tok_start"])
+            .groupby("chunk_id")["n"].sum().sort_index()
+        )
+        assert (per_chunk.iloc[:-1] == budget).all()
+        assert per_chunk.sum() == sum(ntok.values())
+    out2 = pack_token_chunks(
+        df, "text", "doc_id", budget=budget, partitions=2
+    ).toPandas()
+    a = out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    b = out2.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    months=st.integers(-10_000, 10_000),
+    days=st.integers(-100_000, 100_000),
+    micros=st.integers(-(2**63) + 1, 2**63 - 1),
+)
+def test_interval_round_trip_property(spark, months, days, micros):
+    """Any (months, days, micros) triple survives render -> parse."""
+    from neosync_spark.functions.intervals import (
+        interval_struct,
+        interval_to_text,
+        parse_pg_interval,
+    )
+
+    df = spark.createDataFrame([(months, days, micros)], "m int, d int, u long")
+    got = (
+        df.select(interval_struct("m", "d", "u").alias("iv"))
+        .select("iv", parse_pg_interval(interval_to_text("iv")).alias("iv2"))
+        .collect()[0]
+    )
+    assert got["iv"] == got["iv2"], (months, days, micros, got)
