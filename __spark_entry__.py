@@ -768,13 +768,18 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from neosync_spark.operators.text import subword_token_estimate, token_count
+    from neosync_spark.operators.text import (
+        bpe_pretoken_count,
+        subword_token_estimate,
+        token_count,
+    )
 
     _views(spark, sf_dir, ["documents"])
     return spark.table("documents").select(
         "doc_id",
         token_count("text").alias("n_tokens"),
         subword_token_estimate("text").alias("n_subword_est"),
+        bpe_pretoken_count("text").alias("n_pretokens"),
     )
 
 
@@ -1691,7 +1696,9 @@ def oracle_sql() -> dict[str, str]:
         "text_token_count": """
             SELECT doc_id,
                    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
-                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subword_est
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subword_est,
+                   len(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+')) AS n_pretokens
             FROM documents
         """,
         "text_quality_score": """

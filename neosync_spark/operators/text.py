@@ -2,7 +2,8 @@
 (built-in functions, whole-stage codegen), designed to stream over a
 100 TB documents table with zero Python in the hot path.
 
-* token counting (whitespace + a BPE-ish sub-word estimate)
+* token counting (whitespace + BPE-ish sub-word estimate + GPT-2-style
+  pretokenizer count via regexp_extract_all, cross-engine-verified)
 * quality scoring (length / punctuation / stopword / alpha ratios)
 * language ID (stopword-hit heuristic over a small per-language set)
 * document fingerprinting (normalized-content hash)
@@ -498,3 +499,19 @@ def gopher_repetition_flags(
         ok_top.alias("ok_top_2gram"),
         (ok_dup & ok_top).alias("keep"),
     )
+
+
+# GPT-2-style pretokenizer, RE2/Java-compatible variant: contractions,
+# optionally-space-prefixed letter runs / digit runs / symbol runs,
+# then whitespace runs. (The original's `\s+(?!\S)` lookahead is not
+# RE2-expressible; DuckDB shares this pattern verbatim, so the count is
+# verifiable cross-engine.)
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_pretoken_count(col: Column | str) -> Column:
+    """Count of GPT-2-style pretokens — the units a BPE tokenizer would
+    merge within; a far better LLM-token estimate than whitespace words
+    for code/punctuation-heavy text. Pure JVM regexp_extract_all."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_RE), 0))
