@@ -38,7 +38,10 @@ class StreamingReplay:
 
             declared = self.engine.registry.version_for_lsn(rng[1] - 1)
             ensure_table_schema(
-                self.engine.table, declared.schema, self.engine.registry.policy
+                self.engine.table,
+                declared.schema,
+                self.engine.registry.policy,
+                renames=getattr(declared, "rename_map", None),
             )
         self.engine.apply_batch(batch, rng)
 

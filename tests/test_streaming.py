@@ -127,3 +127,40 @@ def test_streaming_lww_stateful_updates(spark, tmp_path):
     # per key, no (ts_us, lsn) pair is emitted twice (duplicates and
     # stale deliveries are absorbed by the state, never re-emitted)
     assert not got.duplicated(["conv_id", "turn_idx", "ts_us", "lsn"]).any()
+
+
+def test_streaming_fk_check(spark, tmp_path):
+    """The FK row-skip path composes with the streaming front-end
+    unchanged: foreachBatch drives the same apply_batch."""
+    from pyspark.sql import functions as F
+
+    from neosync_spark.engine import FkCheck
+
+    log = generate_pandas(CFG)
+    sdf = spark.createDataFrame(log).repartition(4)
+    log_dir = str(tmp_path / "log")
+    sdf.write.parquet(log_dir)
+
+    convs = sorted(log["conv_id"].unique())
+    allowed = convs[: len(convs) - 10]
+    parent = spark.createDataFrame([(c,) for c in allowed], "conv_id string")
+
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), key_cols=KEY_COLS, n_buckets=8
+    )
+    eng = ReplayEngine(
+        spark, table,
+        config=EngineConfig(fk_check=FkCheck(parent, "conv_id", "conv_id")),
+    )
+    q = StreamingReplay(eng).start(
+        log_dir, str(tmp_path / "ckpt"), max_files_per_trigger=2
+    )
+    q.awaitTermination(120)
+
+    got = table.read().toPandas()
+    exp = expected_final_state(log[log["conv_id"].isin(allowed)])
+    assert_pdf_equal(got, exp, ["conv_id", "turn_idx"])
+    quarantined = spark.read.parquet(
+        str(tmp_path / "t" / "metadata" / "quarantine_fk")
+    ).toPandas()
+    assert len(quarantined) == int((~log["conv_id"].isin(allowed)).sum())
