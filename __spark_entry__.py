@@ -1698,7 +1698,7 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
                    CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subword_est,
                    len(regexp_extract_all(text,
-                     '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+')) AS n_pretokens
+                     '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0B\f\r'']+|[ \t\n\x0B\f\r]+')) AS n_pretokens
             FROM documents
         """,
         "text_quality_score": """

@@ -209,8 +209,11 @@ class ReplayEngine:
             fkc = self.config.fk_check
             if self._fk_parent_keys is None:
                 # the parent key set is re-joined every batch: project +
-                # distinct + persist it ONCE instead of re-scanning the
-                # parent per batch (O(batches) redundant reads)
+                # distinct + persist it ONCE per replay instead of
+                # re-scanning the parent per batch (O(batches) redundant
+                # reads). Snapshot semantics: parents appearing MID-
+                # replay are not seen until the next replay() call
+                # (which re-snapshots; see the unpersist in replay()).
                 from .operators.subset import _cols
 
                 self._fk_parent_keys = (
@@ -222,19 +225,30 @@ class ReplayEngine:
             )
             skipped = skipped.persist()
             n_skip = skipped.count()
+            qdir = _os.path.join(
+                self.table.path, "metadata", "quarantine_fk",
+                f"range={applied_range[0]}_{applied_range[1]}",
+            )
             if n_skip:
                 # range-keyed OVERWRITE, not append: a crash between
                 # this write and the batch commit replays the batch on
-                # resume — an append would double-count the violators
+                # resume — an append would double-count the violators.
+                # (Layout note: tables quarantined by the pre-range
+                # flat-append layout need their old part files moved
+                # into a range=legacy/ subdir before mixing layouts.)
                 (
                     skipped
                     .withColumn("_quarantined_range", F.lit(str(applied_range)))
                     .write.mode("overwrite")
-                    .parquet(_os.path.join(
-                        self.table.path, "metadata", "quarantine_fk",
-                        f"range={applied_range[0]}_{applied_range[1]}",
-                    ))
+                    .parquet(qdir)
                 )
+            elif _os.path.isdir(qdir):
+                # zero violators on a re-run (e.g. the parent gained the
+                # keys between crash and resume): stale rows from the
+                # earlier attempt must not survive
+                import shutil as _shutil
+
+                _shutil.rmtree(qdir, ignore_errors=True)
             skipped.unpersist()
             self._last_fk_skipped = n_skip
         chaining = (
@@ -275,6 +289,16 @@ class ReplayEngine:
                     f"range={applied_range[0]}_{applied_range[1]}",
                 ))
             )
+        elif obs is not None:
+            import os as _os
+            import shutil as _shutil
+
+            stale = _os.path.join(
+                self.table.path, "metadata", "quarantine",
+                f"range={applied_range[0]}_{applied_range[1]}",
+            )
+            if _os.path.isdir(stale):
+                _shutil.rmtree(stale, ignore_errors=True)
         if (
             self.config.merge_mode == "mor"
             and self.config.compact_deltas_over is not None
@@ -322,6 +346,10 @@ class ReplayEngine:
             return self._replay_pipelined(
                 slicer, lsn_lo, lsn_hi, pipeline_batches, stats
             )
+        if self._fk_parent_keys is not None:
+            # fresh snapshot of the parent key set per replay() call
+            self._fk_parent_keys.unpersist()
+            self._fk_parent_keys = None
         for lo, hi in self.plan_ranges(lsn_lo, lsn_hi):
             if self.table.is_applied(lo, hi):
                 stats.batches_skipped += 1

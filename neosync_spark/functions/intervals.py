@@ -73,8 +73,13 @@ def parse_pg_interval(col: Column | str) -> Column:
         F.when(frac != "", F.rpad(frac, 6, "0")).cast("long"),
         F.lit(0).cast("long"),
     )
-    abs_us = (hh * 3600 + mm * 60 + ss) * F.lit(1_000_000) + frac_us
-    micros = F.when(neg_t, -abs_us).otherwise(abs_us)
+    # decimal domain: |int64 min| = 2^63 is unrepresentable in long —
+    # the positive magnitude would overflow under ANSI before negation
+    abs_dec = (
+        (hh.cast("decimal(38,0)") * 3600 + mm * 60 + ss) * F.lit(1_000_000)
+        + frac_us
+    )
+    micros = F.when(neg_t, -abs_dec).otherwise(abs_dec).cast("long")
     return F.when(
         c.isNull() | (F.trim(c) == ""), F.lit(None).cast(INTERVAL_STRUCT)
     ).otherwise(
@@ -117,7 +122,9 @@ def interval_to_text(col: Column | str) -> Column:
         # (< 1e-6 here) of the true integer, which round() recovers.
         return F.round((a - a % F.lit(b)) / F.lit(b)).cast("long")
 
-    abs_us = F.abs(micros)
+    # abs in decimal: F.abs(int64 min) overflows under ANSI mode —
+    # 2^63 needs the wider domain (later mods shrink it back to long)
+    abs_us = F.abs(micros.cast("decimal(38,0)"))
     hh = _idiv(abs_us, 3_600_000_000)
     mi = _idiv(abs_us % 3_600_000_000, 60_000_000)
     ss = _idiv(abs_us % 60_000_000, 1_000_000)

@@ -559,9 +559,12 @@ PII_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
 # Extended entities (reference: Presidio builtin recognizers routed via
 # transform_pii_text.go:92-129). Patterns are engine-portable: Python re,
 # Java regex (Spark regexp_replace) and DuckDB RE2 all read them alike.
-# 13-19 digits with optional single separators (Presidio's
-# CreditCardRecognizer window; the Luhn validator rejects noise)
-PII_CREDIT_CARD_RE = r"\b(?:\d[ -]?){12,18}\d\b"
+# Presidio-like grouped shape: 3-5 groups of 3-6 digits with optional
+# single separators; total 13-19 digits + Luhn enforced by the
+# validator. Grouping (not a bare digit-run window) keeps spaced phone
+# numbers like '+44 20 7946 0958' (2-digit groups) out of the card path
+# even when their digits happen to pass Luhn.
+PII_CREDIT_CARD_RE = r"\b\d{3,6}(?:[ -]?\d{3,6}){2,4}\b"
 PII_IP_RE = (
     r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
     r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b"

@@ -505,8 +505,14 @@ def gopher_repetition_flags(
 # optionally-space-prefixed letter runs / digit runs / symbol runs,
 # then whitespace runs. (The original's `\s+(?!\S)` lookahead is not
 # RE2-expressible; DuckDB shares this pattern verbatim, so the count is
-# verifiable cross-engine.)
-BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+# verifiable cross-engine. Whitespace is an EXPLICIT class: Java's \s
+# includes \x0B, RE2's does not — the shorthand would diverge on
+# vertical tabs.)
+_WS = r" \t\n\x0B\f\r"
+BPE_PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    rf"| ?[^A-Za-z0-9{_WS}']+|[{_WS}]+"
+)
 
 
 def bpe_pretoken_count(col: Column | str) -> Column:

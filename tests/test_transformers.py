@@ -513,3 +513,17 @@ def test_score_threshold_gate():
     t = "a@b.co and 123-45-6789"
     assert fn(v(t), k("a")).iloc[0] == t  # impossible bar: nothing redacts
     assert X.transform_pii_text(score_threshold=0.9)(v("a@b.co"), k("a")).iloc[0] == "<EMAIL_ADDRESS>"
+
+
+def test_credit_card_rejects_small_digit_groups():
+    """Review finding: a bare 13-19-digit window would swallow spaced
+    phone numbers; the grouped pattern (3-6 digit groups) rejects them
+    even when the digits happen to pass Luhn."""
+    fn = X.transform_pii_text(allowed_entities=("CREDIT_CARD",))
+    # UK-style phone with 2-digit groups: digits pass or fail Luhn,
+    # either way the SHAPE must not match
+    t = "call 44 20 7946 0958 12 34 now"
+    assert fn(v(t), k("a")).iloc[0] == t
+    # grouped card shapes still match
+    assert fn(v("4111-1111-1111-1111"), k("a")).iloc[0] == "<CREDIT_CARD>"
+    assert fn(v("4111 1111 1111 1111"), k("a")).iloc[0] == "<CREDIT_CARD>"
