@@ -216,6 +216,48 @@ def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("conv_id", "turn_idx", "role", "text", _fmt_ts("ts"))
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental read / CDC-out (lakehouse.snapshot_diff): replay the
+    first half of the log, snapshot, replay the rest, then ask the
+    TABLE for the net changes between the two snapshots — bucket-pruned
+    by manifest file-list diff, classified by a null-safe full-outer
+    key join. DuckDB recomputes the same diff from the two LWW states.
+    (Reference analog: none — Neosync replays the upstream log; the
+    table-side change feed is the Iceberg changelog-scan concept.)"""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    mid = hi // 2
+
+    path = tempfile.mkdtemp(prefix="ns_cdc_snapdiff_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+    eng = ReplayEngine(
+        spark,
+        table,
+        config=EngineConfig(
+            batch_lsn_size=max(1, mid), lineage=False, prune_buckets=False
+        ),
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    # plan_ranges is inclusive of lsn_hi: hi=mid-1 yields the single
+    # range [0, mid) — events with lsn < mid exactly
+    eng.replay(slicer, lsn_lo=0, lsn_hi=mid - 1)
+    s1 = table.manifest(refresh=True)["snapshot_id"]
+    eng.replay(slicer, lsn_lo=mid, lsn_hi=hi)
+    s2 = table.manifest(refresh=True)["snapshot_id"]
+    return table.snapshot_diff(s1, s2).select(
+        "change_type", "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
 def _q_delete_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation: alive turns vs tombstoned turns after LWW."""
     from neosync_spark.operators.dedup import lww_dedup
@@ -673,6 +715,37 @@ def _q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup GROUPING: MinHash+LSH verified pairs → distributed
+    connected components (min-label propagation + pointer jumping,
+    O(log diameter) rounds) → (doc, cluster, representative). DuckDB
+    recomputes the transitive closure with a recursive CTE over the
+    brute-force all-pairs ground truth."""
+    from neosync_spark.operators.similarity import minhash_dedup_clusters
+
+    _views(spark, sf_dir, ["documents"])
+    out = minhash_dedup_clusters(
+        spark.table("documents"), "text", "doc_id", threshold=0.8
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "cluster_id", "is_representative"
+    )
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM recipe): flag training
+    docs sharing any 5-word-gram with the eval split (doc_id % 37 == 0
+    here). Eval grams collapse to a distinct set first; the collision
+    join is AQE-planned (broadcast when the eval set is small)."""
+    from neosync_spark.operators.text import ngram_decontaminate
+
+    _views(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    evals = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    return ngram_decontaminate(train, evals, "text", "doc_id", n=5)
 
 
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1209,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_dedup_window": _q_lww_window,
         "cdc_merge_upsert": _q_merge_upsert,
         "cdc_delete_semantics": _q_delete_semantics,
+        "cdc_snapshot_diff": _q_snapshot_diff,
         "cdc_keyset_page": _q_keyset_page,
         "cdc_hot_keys": _q_hot_keys,
         "cdc_changelog_metrics": _q_changelog_metrics,
@@ -1230,6 +1304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_flags": _q_gopher_flags,
         "gopher_repetition_flags": _q_gopher_repetition,
         "dedup_exact": _q_exact_dedup,
+        "dedup_cluster_assign": _q_dedup_clusters,
+        "decontaminate_ngrams": _q_decontaminate,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash_pairs": _q_simhash_pairs,
@@ -1323,6 +1399,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS alive_turns,
                    CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS deleted_turns
             FROM ({lww}) GROUP BY conv_id
+        """,
+        "cdc_snapshot_diff": f"""
+            WITH log AS {log},
+            mx AS (SELECT max(lsn) // 2 AS mid FROM log),
+            old_state AS (
+              SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+                SELECT l.*, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+                FROM log l WHERE lsn < (SELECT mid FROM mx)
+              ) WHERE rn = 1 AND op <> 'delete'
+            ),
+            new_state AS (
+              SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+                SELECT l.*, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+                FROM log l
+              ) WHERE rn = 1 AND op <> 'delete'
+            )
+            SELECT 'insert' AS change_type, n.conv_id, n.turn_idx, n.role, n.text,
+                   n.tool, strftime(n.ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM new_state n WHERE NOT EXISTS (
+              SELECT 1 FROM old_state o
+              WHERE o.conv_id = n.conv_id AND o.turn_idx = n.turn_idx)
+            UNION ALL
+            SELECT 'update_postimage', n.conv_id, n.turn_idx, n.role, n.text,
+                   n.tool, strftime(n.ts, '%Y-%m-%d %H:%M:%S')
+            FROM new_state n JOIN old_state o
+              ON o.conv_id = n.conv_id AND o.turn_idx = n.turn_idx
+            WHERE NOT (n.role IS NOT DISTINCT FROM o.role
+                   AND n.text IS NOT DISTINCT FROM o.text
+                   AND n.tool IS NOT DISTINCT FROM o.tool
+                   AND n.ts   IS NOT DISTINCT FROM o.ts)
+            UNION ALL
+            SELECT 'delete', o.conv_id, o.turn_idx, o.role, o.text,
+                   o.tool, strftime(o.ts, '%Y-%m-%d %H:%M:%S')
+            FROM old_state o WHERE NOT EXISTS (
+              SELECT 1 FROM new_state n
+              WHERE n.conv_id = o.conv_id AND n.turn_idx = o.turn_idx)
         """,
         "cdc_keyset_page": """
             WITH ck AS (
@@ -1645,6 +1759,71 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.grams, b.grams)) > 0
               AND floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
                         len(list_distinct(list_concat(a.grams, b.grams))) * 10000 + 0.5) / 10000 >= 0.8
+        """,
+        "dedup_cluster_assign": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(toks) >= 3 THEN
+                         list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       ELSE [array_to_string(toks, ' ')] END) AS grams
+              FROM (
+                SELECT doc_id,
+                       list_filter(string_split(
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS toks
+                FROM documents)
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.grams, b.grams)) > 0
+                AND floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                          len(list_distinct(list_concat(a.grams, b.grams))) * 10000 + 0.5) / 10000 >= 0.8
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            r(id, lab) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.id
+            )
+            SELECT id AS doc_id, min(lab) AS cluster_id,
+                   (id = min(lab)) AS is_representative
+            FROM r GROUP BY id
+        """,
+        "decontaminate_ngrams": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(toks) >= 5 THEN
+                         list_transform(range(1, len(toks) - 3),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                || ' ' || toks[i+3] || ' ' || toks[i+4])
+                       ELSE [array_to_string(toks, ' ')] END) AS grams
+              FROM (
+                SELECT doc_id,
+                       list_filter(string_split(
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS toks
+                FROM documents)
+            ),
+            ev AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 37 = 0),
+            hits AS (
+              SELECT t.doc_id, count(*) AS n_overlap_grams
+              FROM (SELECT doc_id, unnest(grams) AS g FROM sh
+                    WHERE doc_id % 37 <> 0) t
+              JOIN ev USING (g) GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.n_overlap_grams, 0) AS n_overlap_grams,
+                   COALESCE(h.n_overlap_grams, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 37 <> 0
         """,
         "dedup_ngram_jaccard": """
             WITH sh AS (

@@ -261,6 +261,106 @@ def minhash_dedup_pairs(
     return verified
 
 
+# -------------------------------------------------- dedup cluster assignment
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → cluster ids:
+    ``(id, cluster_id)`` where ``cluster_id`` is the component's minimum
+    member id (the canonical representative — MinHashLSH dedup keeps
+    one doc per cluster, so pair lists alone aren't actionable; the
+    reference's dedup analog stops at per-key LWW, this is the
+    transitive closure a corpus-level dedup needs).
+
+    Min-label propagation WITH pointer jumping: every node starts
+    labeled with itself; each round takes the minimum over (a) its own
+    label, (b) neighbors' labels across edges in both directions, and
+    (c) its label's label (path halving). (c) makes convergence
+    O(log diameter) instead of O(diameter) — a 10^6-node chain settles
+    in ~20 rounds, and the shallow star/clique components real dedup
+    produces settle in 2-3. Each round is two shuffle joins + one
+    hash-agg; nothing driver-sided but the convergence counter. Labels
+    are eagerly localCheckpoint'ed EVERY round: without lineage
+    truncation the plan tree doubles per round and Catalyst planning
+    time (not data) becomes the bottleneck after ~4 rounds. (On a real
+    cluster prefer a reliable checkpoint dir if executor loss matters —
+    localCheckpoint is non-resilient.)
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst"))
+        .unionByName(
+            pairs.select(
+                F.col(id_b).alias("_src"), F.col(id_a).alias("_dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("_src").alias("_id"))
+        .distinct()
+        .withColumn("_lab", F.col("_id"))
+        .persist()
+    )
+    labels.count()
+    for it in range(max_iter):
+        via = (
+            edges.join(labels, edges["_src"] == labels["_id"])
+            .select(F.col("_dst").alias("_id"), F.col("_lab"))
+        )
+        jump = (
+            labels.alias("a")
+            .join(labels.alias("b"), F.col("a._lab") == F.col("b._id"))
+            .select(F.col("a._id").alias("_id"), F.col("b._lab").alias("_lab"))
+        )
+        new_labels = (
+            labels.unionByName(via)
+            .unionByName(jump)
+            .groupBy("_id")
+            .agg(F.min("_lab").alias("_lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "_id")
+            .filter(F.col("o._lab") != F.col("n._lab"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("_id").alias("id"), F.col("_lab").alias("cluster_id"))
+
+
+def minhash_dedup_clusters(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end corpus dedup grouping: MinHash+LSH verified pairs →
+    connected components → ``(id, cluster_id, is_representative)``.
+    Docs with no near-duplicate are their own singleton cluster (not
+    listed — callers keep every doc absent from this frame)."""
+    pairs = minhash_dedup_pairs(
+        df, content_col, id_col, shingle_n, num_hashes, bands, threshold, seed
+    )
+    cc = connected_components(pairs)
+    return cc.withColumn(
+        "is_representative", (F.col("id") == F.col("cluster_id"))
+    )
+
+
 # --------------------------------------------------------------- simhash
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 — engine-portable (fits BIGINT)

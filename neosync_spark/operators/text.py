@@ -521,3 +521,56 @@ def bpe_pretoken_count(col: Column | str) -> Column:
     for code/punctuation-heavy text. Pure JVM regexp_extract_all."""
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_RE), 0))
+
+
+def ngram_decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    content_col: str,
+    id_col: str,
+    n: int = 8,
+    broadcast_eval: bool | None = None,
+) -> DataFrame:
+    """Benchmark decontamination by word n-gram collision (the
+    GPT-3/PaLM recipe: a training doc is contaminated if it shares any
+    length-``n`` word gram with an evaluation document).
+
+    Returns one row per train doc: ``(id, n_overlap_grams,
+    contaminated)`` where ``n_overlap_grams`` counts DISTINCT eval
+    grams hit.
+
+    Scale shape: the eval side collapses to its distinct gram set
+    first (benchmark suites are tiny next to a 100 TB corpus), the
+    train side explodes grams AFTER a repartition (documents tables
+    often arrive as one file = one input task), and the collision join
+    runs eval-side-broadcast when ``broadcast_eval`` is True — with
+    ``None`` the sizes are left to Catalyst/AQE, mirroring
+    `semijoin_subset`'s guard; a 10^9-gram eval set would OOM a forced
+    broadcast. Gram-hit counting aggregates map-side before the final
+    per-doc count."""
+    from .similarity import shingle_docs
+
+    eval_grams = (
+        shingle_docs(eval_df, content_col, id_col, n)
+        .select(F.explode("_sh").alias("_g"))
+        .distinct()
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    train_grams = shingle_docs(train_df, content_col, id_col, n).select(
+        "_id", F.explode("_sh").alias("_g")
+    )
+    hits = (
+        train_grams.join(eval_grams, "_g")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap_grams"))
+    )
+    return (
+        train_df.select(F.col(id_col).alias("_id"))
+        .join(hits, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_overlap_grams", F.lit(0)).alias("n_overlap_grams"),
+            (F.coalesce("n_overlap_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

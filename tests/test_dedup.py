@@ -150,3 +150,36 @@ def test_gopher_repetition_rules(spark):
     assert got[2]["ok_dup_lines"] is False and got[2]["dup_line_frac"] == 1.0
     assert got[3]["ok_top_2gram"] is False and got[3]["top_2gram_frac"] == 1.0
     assert got[4]["keep"] is True
+
+
+def test_ngram_decontaminate(spark):
+    from neosync_spark.operators.text import ngram_decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text with no overlap at all here"),
+            (3, "quick brown fox jumps over something else entirely now"),
+        ],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame(
+        [(100, "a quick brown fox jumps over fences")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: (r["n_overlap_grams"], r["contaminated"])
+        for r in ngram_decontaminate(train, evals, "text", "doc_id", n=4).collect()
+    }
+    # 4-grams of eval: "a quick brown fox", "quick brown fox jumps",
+    # "brown fox jumps over", "fox jumps over fences"
+    assert out[1] == (2, True)   # shares "quick brown fox jumps", "brown fox jumps over"
+    assert out[2] == (0, False)
+    assert out[3] == (2, True)
+    # forced-broadcast variant agrees
+    out_b = {
+        r["doc_id"]: r["n_overlap_grams"]
+        for r in ngram_decontaminate(
+            train, evals, "text", "doc_id", n=4, broadcast_eval=True
+        ).collect()
+    }
+    assert out_b == {k: v[0] for k, v in out.items()}

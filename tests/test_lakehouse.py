@@ -241,3 +241,93 @@ def test_merge_debug_assert_unique(spark, tmp_path):
                     debug_assert_unique=True)
     with pytest.raises(ValueError, match="merge mode"):
         t.merge_cdc(b, applied_range=(0, 4), mode="upsert")
+
+
+# ----------------------------------------------------- snapshot diff
+
+def test_snapshot_diff_insert_update_delete(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.merge_cdc(_batch(spark, [
+        (1, "insert", "c1", 0, "user", "hello", None, "2024-01-01 00:00:01"),
+        (2, "insert", "c1", 1, "assistant", "hi", None, "2024-01-01 00:00:02"),
+        (3, "insert", "c2", 0, "user", "yo", None, "2024-01-01 00:00:03"),
+        (4, "insert", "c4", 2, "user", "stays", None, "2024-01-01 00:00:04"),
+    ]), applied_range=(0, 10))
+    s1 = t.manifest(refresh=True)["snapshot_id"]
+    t.merge_cdc(_batch(spark, [
+        (11, "update", "c1", 1, "assistant", "hi there", None, "2024-01-01 00:00:11"),
+        (12, "delete", "c2", 0, None, None, None, "2024-01-01 00:00:12"),
+        (13, "insert", "c3", 5, "user", "new conv", None, "2024-01-01 00:00:13"),
+    ]), applied_range=(10, 20))
+    s2 = t.manifest(refresh=True)["snapshot_id"]
+
+    diff = t.snapshot_diff(s1, s2).toPandas()
+    got = {
+        (r.change_type, r.conv_id, r.turn_idx): r.text
+        for r in diff.itertuples()
+    }
+    assert got == {
+        ("update_postimage", "c1", 1): "hi there",
+        ("delete", "c2", 0): "yo",
+        ("insert", "c3", 5): "new conv",
+    }
+    # unchanged row (c4) and unchanged c1/0 are absent; diff of a
+    # snapshot with itself is empty
+    assert t.snapshot_diff(s2, s2).count() == 0
+
+
+def test_snapshot_diff_prunes_unchanged_buckets(spark, tmp_path):
+    """Only buckets whose file lists changed participate in the join:
+    diff sees a change confined to one conversation even when other
+    buckets hold data."""
+    t = _mk(spark, tmp_path / "t")
+    rows = [
+        (i, "insert", f"c{i}", 0, "user", f"t{i}", None,
+         f"2024-01-01 00:00:{i:02d}")
+        for i in range(1, 9)
+    ]
+    t.merge_cdc(_batch(spark, rows), applied_range=(0, 100))
+    s1 = t.manifest(refresh=True)["snapshot_id"]
+    t.merge_cdc(_batch(spark, [
+        (200, "update", "c1", 0, "user", "changed", None, "2024-01-01 00:01:00"),
+    ]), applied_range=(100, 300))
+    s2 = t.manifest(refresh=True)["snapshot_id"]
+
+    m1, m2 = t.manifest(s1), t.manifest(s2)
+    changed = [
+        b for b in set(m1["files"]) | set(m2["files"])
+        if [e["path"] for e in m1["files"].get(b, [])]
+        != [e["path"] for e in m2["files"].get(b, [])]
+    ]
+    assert len(changed) < t.manifest()["bucket_count"]  # pruning is real
+
+    diff = t.snapshot_diff(s1, s2).toPandas()
+    assert len(diff) == 1
+    assert diff.iloc[0]["change_type"] == "update_postimage"
+    assert diff.iloc[0]["text"] == "changed"
+
+
+def test_snapshot_diff_across_schema_evolution(spark, tmp_path):
+    """Column added between the two snapshots: old side reads NULL for
+    it; rows differing only in the new column flag as updates."""
+    from pyspark.sql import types as T
+
+    t = _mk(spark, tmp_path / "t")
+    t.merge_cdc(_batch(spark, [
+        (1, "insert", "c1", 0, "user", "hello", None, "2024-01-01 00:00:01"),
+    ]), applied_range=(0, 10))
+    s1 = t.manifest(refresh=True)["snapshot_id"]
+
+    new_schema = T.StructType(
+        t.current_schema().fields + [T.StructField("extra", T.StringType())]
+    )
+    t.alter_schema(new_schema)
+    b = _batch(spark, [
+        (11, "update", "c1", 0, "user", "hello", None, "2024-01-01 00:00:11"),
+    ]).withColumn("extra", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("x"))
+    t.merge_cdc(b, applied_range=(10, 20))
+    s2 = t.manifest(refresh=True)["snapshot_id"]
+
+    diff = t.snapshot_diff(s1, s2).toPandas()
+    assert list(diff["change_type"]) == ["update_postimage"]
+    assert diff.iloc[0]["extra"] == "x"

@@ -191,3 +191,49 @@ def test_winnowing_partial_overlap(spark):
     assert sorted(map(tuple, fps.values.tolist())) == sorted(
         map(tuple, fps2.values.tolist())
     )
+
+
+# ------------------------------------------------ connected components
+
+def test_connected_components_basic(spark):
+    from neosync_spark.operators.similarity import connected_components
+
+    # two components: {1,2,3,4} (a chain) and {10, 11}
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from neosync_spark.operators.similarity import connected_components
+
+    # worst-case diameter: a 40-node path — exercises the checkpointed
+    # multi-round propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"]
+    )
+    out = connected_components(pairs).collect()
+    assert len(out) == 41
+    assert all(r["cluster_id"] == 0 for r in out)
+
+
+def test_minhash_dedup_clusters_representatives(spark, docs):
+    from neosync_spark.operators.similarity import (
+        minhash_dedup_clusters,
+        minhash_dedup_pairs,
+    )
+
+    clusters = minhash_dedup_clusters(docs, "text", "doc_id", threshold=0.8)
+    pdf = clusters.toPandas()
+    pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.8).toPandas()
+    # every paired doc is clustered; representative == min id of cluster
+    paired_ids = set(pairs["id_a"]) | set(pairs["id_b"])
+    assert set(pdf["id"]) == paired_ids
+    for cid, grp in pdf.groupby("cluster_id"):
+        assert cid == grp["id"].min()
+        assert grp["is_representative"].sum() == 1
