@@ -258,6 +258,61 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view: a per-conversation rollup table
+    kept in sync from snapshot_diff output — full build at the first
+    snapshot, then ONLY the touched conversations re-aggregated for the
+    second half of the log (work ∝ diff, not table size). The oracle is
+    the invariant: incremental maintenance == full recompute over the
+    final LWW state."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.rollup import (
+        ROLLUP_SCHEMA,
+        incremental_rollup_sync,
+    )
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    mid = hi // 2
+
+    src = SnapshotTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="ns_cdc_rollup_src_"),
+        transcript_schema(),
+        key_cols=KEY_COLS,
+        n_buckets=16,
+    )
+    dst = SnapshotTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="ns_cdc_rollup_dst_"),
+        ROLLUP_SCHEMA,
+        key_cols=["conv_id"],
+        n_buckets=16,
+    )
+    eng = ReplayEngine(
+        spark,
+        src,
+        config=EngineConfig(
+            batch_lsn_size=max(1, mid), lineage=False, prune_buckets=False
+        ),
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    eng.replay(slicer, lsn_lo=0, lsn_hi=mid - 1)
+    s1 = src.manifest(refresh=True)["snapshot_id"]
+    incremental_rollup_sync(src, dst, None, s1)
+    eng.replay(slicer, lsn_lo=mid, lsn_hi=hi)
+    s2 = src.manifest(refresh=True)["snapshot_id"]
+    incremental_rollup_sync(src, dst, s1, s2)
+    return dst.read().select(
+        "conv_id", "n_turns", "n_user_turns", "total_chars"
+    )
+
+
 def _q_delete_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation: alive turns vs tombstoned turns after LWW."""
     from neosync_spark.operators.dedup import lww_dedup
@@ -1283,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_upsert": _q_merge_upsert,
         "cdc_delete_semantics": _q_delete_semantics,
         "cdc_snapshot_diff": _q_snapshot_diff,
+        "cdc_incremental_rollup": _q_incremental_rollup,
         "cdc_keyset_page": _q_keyset_page,
         "cdc_hot_keys": _q_hot_keys,
         "cdc_changelog_metrics": _q_changelog_metrics,
@@ -1437,6 +1493,15 @@ def oracle_sql() -> dict[str, str]:
             FROM old_state o WHERE NOT EXISTS (
               SELECT 1 FROM new_state n
               WHERE n.conv_id = o.conv_id AND n.turn_idx = o.turn_idx)
+        """,
+        "cdc_incremental_rollup": f"""
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_user_turns,
+                   CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars
+            FROM ({lww}) WHERE op <> 'delete'
+            GROUP BY conv_id
         """,
         "cdc_keyset_page": """
             WITH ck AS (

@@ -1,0 +1,114 @@
+"""Incremental materialized-view maintenance over SnapshotTable.
+
+A derived (rollup) table is kept in sync from ``snapshot_diff`` output
+instead of recomputed from scratch: at 10^10 events a per-conversation
+rollup touches only the conversations that changed between two
+snapshots — work ∝ diff size, not table size. (Reference analog: none;
+Neosync recomputes nothing downstream. This is the incremental-view
+half of the Iceberg changelog-scan concept that `snapshot_diff`
+provides the read side of.)
+
+Scale shape: the diff is bucket-pruned by manifest comparison
+(snapshot_diff), the touched-key set is a distinct projection of it,
+the re-aggregation reads the source at the target snapshot SEMI-JOINED
+to the touched keys (broadcast-able when the diff is small — AQE
+decides), and the merge into the destination reuses the exactly-once
+ledger with ``(from_snapshot, to_snapshot)`` as the applied range, so
+re-running a sync is a no-op.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..lakehouse import CommitInfo, SnapshotTable
+
+ROLLUP_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("n_turns", T.LongType(), True),
+        T.StructField("n_user_turns", T.LongType(), True),
+        T.StructField("total_chars", T.LongType(), True),
+        # LWW ordering column for the derived table's own merges: the
+        # high-watermark of change activity, not "max alive turn ts"
+        # (a delete of the newest turn must still advance the rollup)
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+
+def conversation_rollup(state: DataFrame, key: str = "conv_id") -> DataFrame:
+    """Per-conversation aggregate of an alive transcripts state — one
+    hash-agg with map-side combine."""
+    return state.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+        .cast("long")
+        .alias("n_user_turns"),
+        F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("total_chars"),
+        F.max("ts").alias("ts"),
+    )
+
+
+def incremental_rollup_sync(
+    src: SnapshotTable,
+    dst: SnapshotTable,
+    from_snapshot_id: int | None,
+    to_snapshot_id: int,
+    rollup_fn: Callable[[DataFrame], DataFrame] = conversation_rollup,
+    key: str = "conv_id",
+) -> CommitInfo:
+    """Advance ``dst`` to reflect ``src`` at ``to_snapshot_id``.
+
+    ``from_snapshot_id=None`` is the initial full build. Otherwise:
+    diff the snapshots → distinct touched keys → re-aggregate ONLY
+    those keys from the to-snapshot state → upsert; keys whose group
+    vanished become delete events. Delete/upsert events carry the
+    per-key activity high-watermark ts (greatest of the fresh
+    aggregate's ts and any diff row's ts) with ``lsn =
+    to_snapshot_id``, so the destination's own ts-aware LWW can never
+    judge a sync stale against an earlier sync's rows.
+
+    The applied range is ``(from, to)`` in dst's ledger: re-running the
+    same sync is a no-op (exactly-once, same as the event replay path).
+    """
+    applied_range = (from_snapshot_id or 0, to_snapshot_id)
+    if dst.is_applied(*applied_range):
+        return CommitInfo(
+            dst.manifest(refresh=True)["snapshot_id"], 0, 0, applied_range
+        )
+
+    state = src.read(snapshot_id=to_snapshot_id)
+    if from_snapshot_id is None:
+        fresh = rollup_fn(state)
+        batch = fresh.withColumn("op", F.lit("insert")).withColumn(
+            "lsn", F.lit(to_snapshot_id).cast("long")
+        )
+        return dst.merge_cdc(batch, applied_range=applied_range)
+
+    diff = src.snapshot_diff(from_snapshot_id, to_snapshot_id)
+    hw = diff.groupBy(key).agg(F.max("ts").alias("_hw_ts"))
+    touched = hw.select(key)
+    fresh = rollup_fn(state.join(touched, key, "left_semi"))
+    upserts = (
+        fresh.join(hw, key, "left")
+        .withColumn("ts", F.greatest("ts", "_hw_ts"))
+        .drop("_hw_ts")
+        .withColumn("op", F.lit("update"))
+    )
+    vanished = hw.join(fresh.select(key), key, "left_anti")
+    payload = [f for f in fresh.schema.fields if f.name not in (key, "ts")]
+    deletes = vanished.select(
+        F.col(key),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in payload],
+        F.col("_hw_ts").alias("ts"),
+        F.lit("delete").alias("op"),
+    )
+    batch = upserts.unionByName(deletes).withColumn(
+        "lsn", F.lit(to_snapshot_id).cast("long")
+    )
+    return dst.merge_cdc(batch, applied_range=applied_range)
