@@ -10,7 +10,9 @@ Run via spark-submit with the package shipped as --py-files:
 
 Subcommands: synth (generate a change log), replay (run/resume a sync
 job), compact (fold MoR deltas), verify (final state vs oracle), show
-(snapshot/ledger info).
+(snapshot/ledger info), diff (net changes between snapshots — CDC-out),
+rollup-sync (incremental materialized-view maintenance), validate
+(distributed constraint checks).
 """
 
 from __future__ import annotations
@@ -72,6 +74,30 @@ def main(argv: list[str] | None = None) -> int:
 
     w = sub.add_parser("show", help="snapshot history + ledger")
     w.add_argument("--table", required=True)
+
+    d = sub.add_parser(
+        "diff", help="net row changes between two snapshots (CDC-out)"
+    )
+    d.add_argument("--table", required=True)
+    d.add_argument("--from-snapshot", type=int, required=True)
+    d.add_argument("--to-snapshot", type=int, default=None,
+                   help="default: current snapshot")
+    d.add_argument("--out", default=None,
+                   help="write the diff as parquet instead of printing counts")
+
+    rs = sub.add_parser(
+        "rollup-sync",
+        help="incrementally sync a per-conversation rollup table from "
+             "snapshot diffs (materialized-view maintenance)",
+    )
+    rs.add_argument("--src", required=True, help="transcripts SnapshotTable")
+    rs.add_argument("--dst", required=True,
+                    help="rollup SnapshotTable (created if absent)")
+    rs.add_argument("--from-snapshot", type=int, default=None,
+                    help="default: last synced snapshot recorded in dst's "
+                         "ledger (or full build if none)")
+    rs.add_argument("--to-snapshot", type=int, default=None,
+                    help="default: src's current snapshot")
 
     vc = sub.add_parser(
         "validate",
@@ -154,6 +180,59 @@ def main(argv: list[str] | None = None) -> int:
         ok = n_table == n_expected
         print(json.dumps({"table_rows": n_table, "expected_rows": n_expected, "match": ok}))
         return 0 if ok else 1
+
+    if args.cmd == "diff":
+        from pyspark.sql import functions as F
+
+        from .lakehouse import SnapshotTable
+
+        t = SnapshotTable.load(spark, args.table)
+        to_id = args.to_snapshot
+        if to_id is None:
+            to_id = t.manifest(refresh=True)["snapshot_id"]
+        diff = t.snapshot_diff(args.from_snapshot, to_id)
+        if args.out:
+            diff.write.mode("overwrite").parquet(args.out)
+        counts = {
+            r["change_type"]: r["n"]
+            for r in diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        print(json.dumps({
+            "from_snapshot": args.from_snapshot,
+            "to_snapshot": to_id,
+            "changes": counts,
+            "written": args.out,
+        }))
+        return 0
+
+    if args.cmd == "rollup-sync":
+        from .lakehouse import SnapshotTable
+        from .operators.rollup import ROLLUP_SCHEMA, incremental_rollup_sync
+
+        src = SnapshotTable.load(spark, args.src)
+        to_id = args.to_snapshot
+        if to_id is None:
+            to_id = src.manifest(refresh=True)["snapshot_id"]
+        if SnapshotTable.exists(args.dst):
+            dst = SnapshotTable.load(spark, args.dst)
+        else:
+            dst = SnapshotTable.create(
+                spark, args.dst, ROLLUP_SCHEMA,
+                key_cols=["conv_id"], order_cols=["ts"], n_buckets=16,
+            )
+        from_id = args.from_snapshot
+        if from_id is None:
+            ranges = dst.applied_ranges()
+            from_id = max((r[1] for r in ranges), default=None)
+        info = incremental_rollup_sync(src, dst, from_id, to_id)
+        print(json.dumps({
+            "from_snapshot": from_id,
+            "to_snapshot": to_id,
+            "rows_written": info.rows_written,
+            "dst_snapshot": info.snapshot_id,
+            "noop": info.rows_written == 0 and from_id == to_id,
+        }))
+        return 0
 
     if args.cmd == "validate":
         from .lakehouse import SnapshotTable

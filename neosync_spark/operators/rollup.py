@@ -77,7 +77,7 @@ def incremental_rollup_sync(
     same sync is a no-op (exactly-once, same as the event replay path).
     """
     applied_range = (from_snapshot_id or 0, to_snapshot_id)
-    if dst.is_applied(*applied_range):
+    if from_snapshot_id == to_snapshot_id or dst.is_applied(*applied_range):
         return CommitInfo(
             dst.manifest(refresh=True)["snapshot_id"], 0, 0, applied_range
         )

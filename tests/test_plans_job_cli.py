@@ -135,3 +135,42 @@ def test_cli_synth_replay_show_verify(spark, tmp_path, capsys):
     assert main(["verify", "--log", log_dir, "--table", table]) == 0
     out = capsys.readouterr().out
     assert '"match": true' in out
+
+
+def test_cli_diff_and_rollup_sync(spark, tmp_path, capsys):
+    import json
+
+    from neosync_spark.cli import main
+
+    log_dir = str(tmp_path / "log")
+    table = str(tmp_path / "t")
+    rollup = str(tmp_path / "r")
+    assert main(["synth", "--out", log_dir, "--events", "2000"]) == 0
+    # two batches => at least two data snapshots
+    assert main([
+        "replay", "--log", log_dir, "--table", table, "--batch-size", "1200",
+    ]) == 0
+    capsys.readouterr()
+
+    assert main(["diff", "--table", table, "--from-snapshot", "1"]) == 0
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["from_snapshot"] == 1 and d["to_snapshot"] >= 2
+    assert sum(d["changes"].values()) > 0
+
+    # full build, then an (idempotent) re-sync at the same snapshot
+    assert main(["rollup-sync", "--src", table, "--dst", rollup]) == 0
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["rows_written"] > 0
+    assert main(["rollup-sync", "--src", table, "--dst", rollup]) == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["rows_written"] == 0
+
+    # rollup content equals a full recompute of the live table
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.rollup import conversation_rollup
+
+    t = SnapshotTable.load(spark, table)
+    rt = SnapshotTable.load(spark, rollup)
+    got = {r["conv_id"]: r["n_turns"] for r in rt.read().collect()}
+    exp = {r["conv_id"]: r["n_turns"] for r in conversation_rollup(t.read()).collect()}
+    assert got == exp
