@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "text_quality_score",
     "text_lang_id",
+    "dedup_cluster_assign",
+    "decontaminate_ngrams",
 ]
 
 

@@ -75,6 +75,12 @@ def main(argv: list[str] | None = None) -> int:
     w = sub.add_parser("show", help="snapshot history + ledger")
     w.add_argument("--table", required=True)
 
+    ex = sub.add_parser(
+        "expire", help="expire old snapshots and delete unreferenced files"
+    )
+    ex.add_argument("--table", required=True)
+    ex.add_argument("--keep-last", type=int, default=3)
+
     d = sub.add_parser(
         "diff", help="net row changes between two snapshots (CDC-out)"
     )
@@ -180,6 +186,13 @@ def main(argv: list[str] | None = None) -> int:
         ok = n_table == n_expected
         print(json.dumps({"table_rows": n_table, "expected_rows": n_expected, "match": ok}))
         return 0 if ok else 1
+
+    if args.cmd == "expire":
+        from .lakehouse import SnapshotTable
+
+        t = SnapshotTable.load(spark, args.table)
+        print(json.dumps(t.expire_snapshots(keep_last=args.keep_last)))
+        return 0
 
     if args.cmd == "diff":
         from pyspark.sql import functions as F

@@ -307,31 +307,39 @@ def connected_components(
         .persist()
     )
     labels.count()
+    lab_t = labels.schema["_lab"].dataType
     for it in range(max_iter):
-        via = (
-            edges.join(labels, edges["_src"] == labels["_id"])
-            .select(F.col("_dst").alias("_id"), F.col("_lab"))
+        # the self rows carry their label twice: _old rides through the
+        # min-agg (exactly one self row per node → max(_old) = previous
+        # label), so convergence is a cheap filter on the checkpointed
+        # aggregate instead of an extra per-round join
+        self_side = labels.select(
+            "_id", "_lab", F.col("_lab").alias("_old")
+        )
+        via = edges.join(labels, edges["_src"] == labels["_id"]).select(
+            F.col("_dst").alias("_id"),
+            F.col("_lab"),
+            F.lit(None).cast(lab_t).alias("_old"),
         )
         jump = (
             labels.alias("a")
             .join(labels.alias("b"), F.col("a._lab") == F.col("b._id"))
-            .select(F.col("a._id").alias("_id"), F.col("b._lab").alias("_lab"))
+            .select(
+                F.col("a._id").alias("_id"),
+                F.col("b._lab").alias("_lab"),
+                F.lit(None).cast(lab_t).alias("_old"),
+            )
         )
-        new_labels = (
-            labels.unionByName(via)
+        agged = (
+            self_side.unionByName(via)
             .unionByName(jump)
             .groupBy("_id")
-            .agg(F.min("_lab").alias("_lab"))
+            .agg(F.min("_lab").alias("_lab"), F.max("_old").alias("_old"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "_id")
-            .filter(F.col("o._lab") != F.col("n._lab"))
-            .count()
-        )
+        changed = agged.filter(F.col("_lab") < F.col("_old")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = agged.drop("_old")
         if changed == 0:
             break
     edges.unpersist()
@@ -347,14 +355,45 @@ def minhash_dedup_clusters(
     bands: int = 16,
     threshold: float = 0.7,
     seed: int = 42,
+    verify: bool = True,
 ) -> DataFrame:
-    """End-to-end corpus dedup grouping: MinHash+LSH verified pairs →
+    """End-to-end corpus dedup grouping: MinHash+LSH →
     connected components → ``(id, cluster_id, is_representative)``.
     Docs with no near-duplicate are their own singleton cluster (not
-    listed — callers keep every doc absent from this frame)."""
-    pairs = minhash_dedup_pairs(
-        df, content_col, id_col, shingle_n, num_hashes, bands, threshold, seed
-    )
+    listed — callers keep every doc absent from this frame).
+
+    ``verify=True`` (default, the gate-oracled path) builds the graph
+    from exact-Jaccard-verified pairs. Its pair materialization is
+    Θ(c²) per duplicate cluster of size c — correct and fine up to
+    ~10⁴-doc clusters, but a boilerplate-heavy 100 TB corpus can hold
+    10⁶-doc clusters (5·10¹¹ pairs: game over).
+
+    ``verify=False`` is the scale path (the BigCode/SlimPajama-style
+    NearDedup recipe): connect every doc to the MINIMUM doc id of each
+    LSH bucket it lands in — O(docs × bands) star edges, never
+    quadratic, identical components to the all-pairs bucket graph
+    (within a bucket everything is connected through the min).
+    Tradeoff: no Jaccard verification, so an LSH false positive can
+    merge two true clusters (supersets, never splits — asserted by
+    tests)."""
+    if verify:
+        pairs = minhash_dedup_pairs(
+            df, content_col, id_col, shingle_n, num_hashes, bands, threshold, seed
+        )
+    else:
+        shingled = shingle_docs(df, content_col, id_col, shingle_n)
+        banded = minhash_band_buckets(
+            shingled, "_sh", "_id", num_hashes, bands, seed
+        )
+        w = banded.groupBy("band", "band_hash").agg(
+            F.min("_id").alias("id_a"), F.count(F.lit(1)).alias("_n")
+        )
+        pairs = (
+            banded.join(w, ["band", "band_hash"])
+            .filter((F.col("_n") > 1) & (F.col("_id") != F.col("id_a")))
+            .select("id_a", F.col("_id").alias("id_b"))
+            .distinct()
+        )
     cc = connected_components(pairs)
     return cc.withColumn(
         "is_representative", (F.col("id") == F.col("cluster_id"))

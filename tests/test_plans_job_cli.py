@@ -174,3 +174,9 @@ def test_cli_diff_and_rollup_sync(spark, tmp_path, capsys):
     got = {r["conv_id"]: r["n_turns"] for r in rt.read().collect()}
     exp = {r["conv_id"]: r["n_turns"] for r in conversation_rollup(t.read()).collect()}
     assert got == exp
+
+    # expire keeps the table readable at the retained snapshots
+    assert main(["expire", "--table", table, "--keep-last", "1"]) == 0
+    e = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(e["retained_snapshots"]) <= 2  # current (+ its parent chain cap)
+    assert SnapshotTable.load(spark, table).read().count() == t.read().count()

@@ -237,3 +237,25 @@ def test_minhash_dedup_clusters_representatives(spark, docs):
     for cid, grp in pdf.groupby("cluster_id"):
         assert cid == grp["id"].min()
         assert grp["is_representative"].sum() == 1
+
+
+def test_minhash_clusters_unverified_scale_path(spark, docs):
+    """verify=False (bucket-min star edges, never quadratic) must
+    produce clusters that are a coarsening of the verified ones: every
+    verified pair lands in one unverified cluster, and no unverified
+    cluster splits a verified one."""
+    from neosync_spark.operators.similarity import (
+        minhash_dedup_clusters,
+        minhash_dedup_pairs,
+    )
+
+    fast = {
+        r["id"]: r["cluster_id"]
+        for r in minhash_dedup_clusters(
+            docs, "text", "doc_id", threshold=0.8, verify=False
+        ).collect()
+    }
+    pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.8).collect()
+    assert pairs, "fixture should contain near-duplicates"
+    for p in pairs:
+        assert fast[p["id_a"]] == fast[p["id_b"]]

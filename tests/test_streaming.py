@@ -164,3 +164,51 @@ def test_streaming_fk_check(spark, tmp_path):
         str(tmp_path / "t" / "metadata" / "quarantine_fk")
     ).toPandas()
     assert len(quarantined) == int((~log["conv_id"].isin(allowed)).sum())
+
+
+def test_streaming_then_incremental_rollup(spark, tmp_path):
+    """Full incremental pipeline: stream-tail the log into the table,
+    then advance a rollup table from the snapshots the stream produced —
+    rollup == full recompute of the final state."""
+    from neosync_spark.operators.rollup import (
+        ROLLUP_SCHEMA,
+        conversation_rollup,
+        incremental_rollup_sync,
+    )
+
+    log = generate_pandas(CFG)
+    sdf = spark.createDataFrame(log).repartition(4)
+    log_dir = str(tmp_path / "log")
+    sdf.write.parquet(log_dir)
+
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), key_cols=KEY_COLS, n_buckets=8
+    )
+    dst = SnapshotTable.create(
+        spark, str(tmp_path / "r"), ROLLUP_SCHEMA,
+        key_cols=["conv_id"], order_cols=["ts"], n_buckets=8,
+    )
+    eng = ReplayEngine(spark, table, config=EngineConfig())
+    q = StreamingReplay(eng).start(
+        log_dir, str(tmp_path / "ckpt"), max_files_per_trigger=2
+    )
+    q.awaitTermination(120)
+
+    history = table.history()
+    sids = sorted(h["snapshot_id"] for h in history)
+    # sync in two hops through an intermediate snapshot, then to head
+    mid = sids[len(sids) // 2]
+    head = sids[-1]
+    incremental_rollup_sync(table, dst, None, mid)
+    if head != mid:
+        incremental_rollup_sync(table, dst, mid, head)
+
+    got = {
+        (r["conv_id"]): (r["n_turns"], r["total_chars"])
+        for r in dst.read().collect()
+    }
+    exp = {
+        (r["conv_id"]): (r["n_turns"], r["total_chars"])
+        for r in conversation_rollup(table.read()).collect()
+    }
+    assert got == exp
