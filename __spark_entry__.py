@@ -758,6 +758,30 @@ def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_repetition_flags(docs, "t", "doc_id")
 
 
+_C4_DOC_SQL = """
+SELECT doc_id,
+       text || '. ' || chr(10) ||
+       CASE WHEN doc_id % 3 = 0 THEN 'This is a proper sentence line ending well.'
+            WHEN doc_id % 3 = 1 THEN 'short line.'
+            ELSE 'This line mentions javascript libraries heavily every day.' END ||
+       CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'plus lorem ipsum filler text' ELSE '' END ||
+       CASE WHEN doc_id % 7 = 0 THEN ' {' ELSE '' END AS t
+FROM documents
+"""
+
+
+def _q_c4_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page/line heuristics (Raffel et al. 2020) over docs with
+    planted features (kept/short/javascript lines, lorem-ipsum tails,
+    braces) so every rule discriminates; the doc-construction SQL is
+    shared verbatim with the DuckDB oracle."""
+    from neosync_spark.operators.text import c4_quality_flags
+
+    _views(spark, sf_dir, ["documents"])
+    docs = spark.sql(_C4_DOC_SQL)
+    return c4_quality_flags(docs, "t", "doc_id")
+
+
 def _q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality gate (Rae et al. 2021 heuristics) — boolean
     per-rule flags keep the oracle exact across engines."""
@@ -1359,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "gopher_quality_flags": _q_gopher_flags,
         "gopher_repetition_flags": _q_gopher_repetition,
+        "c4_quality_flags": _q_c4_flags,
         "dedup_exact": _q_exact_dedup,
         "dedup_cluster_assign": _q_dedup_clusters,
         "decontaminate_ngrams": _q_decontaminate,
@@ -1758,38 +1783,98 @@ def oracle_sql() -> dict[str, str]:
                      SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
               FROM lc GROUP BY 1
             ), tk AS (
-              SELECT doc_id,
+              SELECT doc_id, length(t) AS chars,
                      list_filter(string_split(lower(t), ' '), x -> x <> '')
                        AS toks
               FROM base
-            ), g AS (
+            ), g2 AS (
               SELECT doc_id,
                      unnest(list_transform(range(1, len(toks)),
                             i -> toks[i] || ' ' || toks[i + 1])) AS gm
               FROM tk WHERE len(toks) >= 2
-            ), gc AS (
-              SELECT doc_id, gm, count(*) AS c FROM g GROUP BY 1, 2
-            ), gs AS (
-              SELECT doc_id, SUM(c) AS ng, MAX(c) AS top FROM gc GROUP BY 1
+            ), g2c AS (
+              SELECT doc_id, gm, count(*) AS c FROM g2 GROUP BY 1, 2
+            ), g2s AS (
+              SELECT doc_id, SUM(c) AS ng, MAX(c) AS top FROM g2c GROUP BY 1
+            ), g3 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gm
+              FROM tk WHERE len(toks) >= 3
+            ), g3c AS (
+              SELECT doc_id, gm, count(*) AS c FROM g3 GROUP BY 1, 2
+            ), g3s AS (
+              SELECT doc_id, SUM(c) AS ng, MAX(c) AS top FROM g3c GROUP BY 1
+            ), g5 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 3),
+                            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                                 || ' ' || toks[i + 3] || ' ' || toks[i + 4])) AS gm
+              FROM tk WHERE len(toks) >= 5
+            ), g5c AS (
+              SELECT doc_id, gm, count(*) AS c FROM g5 GROUP BY 1, 2
+            ), g5s AS (
+              SELECT doc_id, SUM((c - 1) * length(gm)) AS dup5_chars
+              FROM g5c WHERE c > 1 GROUP BY 1
             ), j AS (
-              SELECT b.doc_id,
+              SELECT tk.doc_id,
                      COALESCE(ls.n_lines, 0) AS n_lines,
                      CASE WHEN COALESCE(ls.n_lines, 0) > 0
                           THEN ls.dup * 1.0 / ls.n_lines ELSE 0.0 END AS df_,
-                     CASE WHEN COALESCE(gs.ng, 0) > 0
-                          THEN gs.top * 1.0 / gs.ng ELSE 0.0 END AS tf_
-              FROM base b
-              LEFT JOIN ls ON b.doc_id = ls.doc_id
-              LEFT JOIN gs ON b.doc_id = gs.doc_id
+                     CASE WHEN COALESCE(g2s.ng, 0) > 0
+                          THEN g2s.top * 1.0 / g2s.ng ELSE 0.0 END AS t2_,
+                     CASE WHEN COALESCE(g3s.ng, 0) > 0
+                          THEN g3s.top * 1.0 / g3s.ng ELSE 0.0 END AS t3_,
+                     CASE WHEN tk.chars > 0
+                          THEN least(COALESCE(g5s.dup5_chars, 0) * 1.0 / tk.chars, 1.0)
+                          ELSE 0.0 END AS d5_
+              FROM tk
+              LEFT JOIN ls ON tk.doc_id = ls.doc_id
+              LEFT JOIN g2s ON tk.doc_id = g2s.doc_id
+              LEFT JOIN g3s ON tk.doc_id = g3s.doc_id
+              LEFT JOIN g5s ON tk.doc_id = g5s.doc_id
             )
             SELECT doc_id,
                    CAST(n_lines AS BIGINT) AS n_lines,
                    floor(df_ * 10000 + 0.5) / 10000 AS dup_line_frac,
-                   floor(tf_ * 10000 + 0.5) / 10000 AS top_2gram_frac,
+                   floor(t2_ * 10000 + 0.5) / 10000 AS top_2gram_frac,
+                   floor(t3_ * 10000 + 0.5) / 10000 AS top_3gram_frac,
+                   floor(d5_ * 10000 + 0.5) / 10000 AS dup_5gram_char_frac,
                    df_ <= 0.30 AS ok_dup_lines,
-                   tf_ <= 0.20 AS ok_top_2gram,
-                   df_ <= 0.30 AND tf_ <= 0.20 AS keep
+                   t2_ <= 0.20 AS ok_top_2gram,
+                   t3_ <= 0.18 AS ok_top_3gram,
+                   d5_ <= 0.15 AS ok_dup_5gram,
+                   df_ <= 0.30 AND t2_ <= 0.20 AND t3_ <= 0.18 AND d5_ <= 0.15 AS keep
             FROM j
+        """,
+        "c4_quality_flags": f"""
+            WITH base AS ({_C4_DOC_SQL}),
+            feat AS (
+              SELECT doc_id, t,
+                     list_filter(string_split(t, chr(10)),
+                                 x -> trim(x) <> '') AS lines
+              FROM base
+            ), feat2 AS (
+              SELECT doc_id, t, len(lines) AS n_lines,
+                     len(list_filter(lines, ln ->
+                           regexp_matches(trim(ln), '[.!?"]$')
+                           AND len(list_filter(string_split(trim(ln), ' '),
+                                               w -> w <> '')) >= 5
+                           AND NOT contains(lower(trim(ln)), 'javascript')))
+                       AS n_kept,
+                     len(regexp_extract_all(t, '[.!?]')) AS n_sent,
+                     contains(lower(t), 'lorem ipsum') AS lorem,
+                     contains(t, '{{') AS brace
+              FROM feat
+            )
+            SELECT doc_id,
+                   CAST(n_lines AS BIGINT) AS n_lines,
+                   CAST(n_kept AS BIGINT) AS n_kept_lines,
+                   CAST(n_sent AS BIGINT) AS n_sentences,
+                   lorem AS has_lorem_ipsum,
+                   brace AS has_brace,
+                   n_sent >= 3 AND NOT lorem AND NOT brace AND n_kept > 0 AS keep
+            FROM feat2
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies

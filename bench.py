@@ -249,7 +249,12 @@ def main() -> None:
     # ratchet the denominator (a lucky-fast N run permanently deflates
     # the ratio even though it measures the same engine).
     attempts: list[tuple[dict, dict]] = []
-    max_attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "4"))
+    # 6 paired attempts by default: the host shows multi-minute bad
+    # windows (all 4 attempts of one run landed 0.51-0.77 while a
+    # phase-isolated LWW run in a good window scaled at 0.99) — extra
+    # attempts only cost time on exactly the windows that need them,
+    # since a >= 0.82 attempt stops the loop early
+    max_attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "6"))
     for _attempt in range(max_attempts):
         pair = (_sub(scale_n, 1), _sub(scale_4n, 1))
         attempts.append(pair)

@@ -415,24 +415,47 @@ def stratified_sample(
     return df.filter(bucket < thr)
 
 
+def _word_grams(toks: Column | str, n: int) -> Column:
+    """All (non-distinct) word n-grams of a token array — empty array
+    below n tokens."""
+    tc = F.col(toks) if isinstance(toks, str) else toks
+    return F.when(
+        F.size(tc) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tc) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tc, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def gopher_repetition_flags(
     df: DataFrame,
     content_col: str,
     id_col: str,
     max_dup_line_frac: float = 0.30,
     max_top_2gram_frac: float = 0.20,
+    max_top_3gram_frac: float = 0.18,
+    max_dup_5gram_char_frac: float = 0.15,
 ) -> DataFrame:
     """The repetition half of the Gopher filters (Rae et al. 2021
     §A1.1): fraction of a document's lines that are duplicates of
-    another line, and the share of 2-grams taken by the most frequent
-    2-gram. Returns (id, n_lines, dup_line_frac, top_2gram_frac,
-    ok_dup_lines, ok_top_2gram, keep) with fractions rounded half-up to
-    4 places (the cross-engine-stable projection used throughout).
+    another line, the share of {2,3}-grams taken by the most frequent
+    one, and the fraction of characters inside duplicated 5-grams.
+    Returns (id, n_lines, dup_line_frac, top_2gram_frac,
+    top_3gram_frac, dup_5gram_char_frac, ok_*, keep) with fractions
+    rounded half-up to 4 places (the cross-engine-stable projection
+    used throughout).
 
-    Plan shape: docs repartitioned BEFORE the line/2-gram fan-outs
+    The dup-n-gram char fraction counts sum((count−1) · len(gram))
+    over duplicated grams against total text chars — the
+    non-overlap-deduplicated variant (interval-union coverage is not
+    engine-portable; repeated text scores high under either
+    definition, clamped to 1).
+
+    Plan shape: docs repartitioned BEFORE the line/gram fan-outs
     (single-input-task trap), per-(doc, line) and per-(doc, gram)
-    hash-aggs with map-side combine, per-doc rollup, one broadcastable
-    join back to the doc spine. No Python anywhere.
+    hash-aggs with map-side combine, per-doc rollup, broadcastable
+    joins back to the doc spine. No Python anywhere.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     base = df.repartition(par, F.col(id_col)).select(
@@ -455,49 +478,74 @@ def gopher_repetition_flags(
         )
     )
 
-    toks = base.select("_id", _tokens(F.lower(F.col("_t"))).alias("_toks"))
-    grams = toks.select(
+    toks = base.select(
         "_id",
-        F.explode(
-            F.when(
-                F.size("_toks") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_toks") - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.col("_toks"), i, 2)
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("_g"),
-    )
-    gram_stats = (
-        grams.groupBy("_id", "_g")
+        _tokens(F.lower(F.col("_t"))).alias("_toks"),
+        F.length("_t").alias("_chars"),
+    ).persist()
+
+    def _top_share(n: int) -> DataFrame:
+        grams = toks.select("_id", F.explode(_word_grams("_toks", n)).alias("_g"))
+        return (
+            grams.groupBy("_id", "_g")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy("_id")
+            .agg(F.sum("_c").alias(f"_ng{n}"), F.max("_c").alias(f"_top{n}"))
+        )
+
+    g2 = _top_share(2)
+    g3 = _top_share(3)
+    # duplicated 5-gram chars: sum((count-1) * len(gram)) per doc
+    g5 = (
+        toks.select("_id", F.explode(_word_grams("_toks", 5)).alias("_g"))
+        .groupBy("_id", "_g")
         .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
         .groupBy("_id")
-        .agg(F.sum("_c").alias("_ng"), F.max("_c").alias("_top"))
+        .agg(
+            F.sum((F.col("_c") - 1) * F.length("_g")).alias("_dup5_chars")
+        )
     )
 
-    spine = base.select("_id")
+    spine = toks.select("_id", "_chars")
     out = (
         spine.join(line_stats, "_id", "left")
-        .join(gram_stats, "_id", "left")
+        .join(g2, "_id", "left")
+        .join(g3, "_id", "left")
+        .join(g5, "_id", "left")
     )
     dup_frac = F.when(
         F.col("n_lines") > 0, F.col("_dup") / F.col("n_lines")
     ).otherwise(F.lit(0.0))
-    top_frac = F.when(
-        F.col("_ng") > 0, F.col("_top") / F.col("_ng")
+    top2_frac = F.when(
+        F.col("_ng2") > 0, F.col("_top2") / F.col("_ng2")
+    ).otherwise(F.lit(0.0))
+    top3_frac = F.when(
+        F.col("_ng3") > 0, F.col("_top3") / F.col("_ng3")
+    ).otherwise(F.lit(0.0))
+    dup5_frac = F.when(
+        F.col("_chars") > 0,
+        F.least(
+            F.coalesce(F.col("_dup5_chars"), F.lit(0)) / F.col("_chars"),
+            F.lit(1.0),
+        ),
     ).otherwise(F.lit(0.0))
     ok_dup = dup_frac <= max_dup_line_frac
-    ok_top = top_frac <= max_top_2gram_frac
+    ok_top2 = top2_frac <= max_top_2gram_frac
+    ok_top3 = top3_frac <= max_top_3gram_frac
+    ok_dup5 = dup5_frac <= max_dup_5gram_char_frac
     return out.select(
         F.col("_id").alias(id_col),
         F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
         round_half_up(dup_frac, 4).alias("dup_line_frac"),
-        round_half_up(top_frac, 4).alias("top_2gram_frac"),
+        round_half_up(top2_frac, 4).alias("top_2gram_frac"),
+        round_half_up(top3_frac, 4).alias("top_3gram_frac"),
+        round_half_up(dup5_frac, 4).alias("dup_5gram_char_frac"),
         ok_dup.alias("ok_dup_lines"),
-        ok_top.alias("ok_top_2gram"),
-        (ok_dup & ok_top).alias("keep"),
+        ok_top2.alias("ok_top_2gram"),
+        ok_top3.alias("ok_top_3gram"),
+        ok_dup5.alias("ok_dup_5gram"),
+        (ok_dup & ok_top2 & ok_top3 & ok_dup5).alias("keep"),
     )
 
 
@@ -573,4 +621,56 @@ def ngram_decontaminate(
             F.coalesce("n_overlap_grams", F.lit(0)).alias("n_overlap_grams"),
             (F.coalesce("n_overlap_grams", F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+def c4_quality_flags(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4 page/line heuristics (Raffel et al. 2020 §2.2), all JVM
+    higher-order functions over the line array — no explode, no Python:
+
+    * a line is KEPT iff it ends in terminal punctuation (. ! ? or a
+      closing quote), has ≥ ``min_words_per_line`` words, and does not
+      mention "javascript";
+    * the page is dropped if it has "lorem ipsum", a curly brace, or
+      fewer than ``min_sentences`` sentences (terminal-punctuation
+      count), or no kept lines.
+
+    Returns (id, n_lines, n_kept_lines, n_sentences, has_lorem_ipsum,
+    has_brace, keep). Each predicate is a plain SQL expression the
+    DuckDB oracle replays verbatim.
+    """
+
+    def _is_kept(ln: Column) -> Column:
+        t = F.trim(ln)
+        words = F.size(F.filter(F.split(t, " "), lambda w: w != ""))
+        return (
+            t.rlike('[.!?"]$')
+            & (words >= min_words_per_line)
+            & ~F.lower(t).contains("javascript")
+        )
+
+    c = F.col(content_col)
+    lines = F.filter(F.split(c, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines)
+    n_kept = F.size(F.filter(lines, _is_kept))
+    n_sent = F.size(F.regexp_extract_all(c, F.lit("[.!?]"), 0))
+    lorem = F.lower(c).contains("lorem ipsum")
+    brace = c.contains("{")
+    keep = (
+        (n_sent >= min_sentences) & ~lorem & ~brace & (n_kept > 0)
+    )
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept_lines"),
+        n_sent.cast("long").alias("n_sentences"),
+        lorem.alias("has_lorem_ipsum"),
+        brace.alias("has_brace"),
+        keep.alias("keep"),
     )

@@ -183,3 +183,57 @@ def test_ngram_decontaminate(spark):
         ).collect()
     }
     assert out_b == {k: v[0] for k, v in out.items()}
+
+
+def test_gopher_repetition_ngram_extensions(spark):
+    from neosync_spark.operators.text import gopher_repetition_flags
+
+    rep = "alpha beta gamma delta epsilon " * 8  # dup 5-grams everywhere
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight nine ten"),
+            (2, rep.strip()),
+            (3, "go go go stop go go go stop stop stop here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in gopher_repetition_flags(docs, "text", "doc_id").collect()
+    }
+    assert got[1]["keep"] is True and got[1]["dup_5gram_char_frac"] == 0.0
+    # heavy 5-gram repetition: most chars sit in duplicated 5-grams
+    assert got[2]["ok_dup_5gram"] is False
+    assert got[2]["dup_5gram_char_frac"] > 0.5
+    # 'go go go' dominates 3-grams
+    assert got[3]["top_3gram_frac"] > 0.18 and got[3]["ok_top_3gram"] is False
+
+
+def test_c4_quality_flags(spark):
+    from neosync_spark.operators.text import c4_quality_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "This is a good sentence line right here.\n"
+                "Another proper sentence with plenty of words follows.\n"
+                "And a third one closes the page neatly."),
+            (2, "short.\ntiny line.\nwee."),                   # no >=5-word lines
+            (3, "This page talks about javascript frameworks today.\n"
+                "More javascript content in every single line here."),
+            (4, "Fine sentence one is right here today.\n"
+                "lorem ipsum dolor sit amet and more.\n"
+                "Third proper sentence rounds this out."),
+            (5, "A page with code blocks { inside it.\n"
+                "Otherwise this sentence would be quite acceptable.\n"
+                "Final sentence keeps the page long enough."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in c4_quality_flags(docs, "text", "doc_id").collect()
+    }
+    assert got[1]["keep"] is True and got[1]["n_kept_lines"] == 3
+    assert got[2]["keep"] is False          # every line under the word floor
+    assert got[3]["n_kept_lines"] == 0 and got[3]["keep"] is False
+    assert got[4]["has_lorem_ipsum"] is True and got[4]["keep"] is False
+    assert got[5]["has_brace"] is True and got[5]["keep"] is False
