@@ -331,3 +331,50 @@ def test_snapshot_diff_across_schema_evolution(spark, tmp_path):
     diff = t.snapshot_diff(s1, s2).toPandas()
     assert list(diff["change_type"]) == ["update_postimage"]
     assert diff.iloc[0]["extra"] == "x"
+
+
+def test_snapshot_diff_replays_as_change_feed(spark, tmp_path):
+    """Chaining invariant: state(s1) + diff(s1,s2) applied as CDC
+    events == state(s2) — the diff is a correct change feed for a
+    downstream table, not just a report."""
+    from pyspark.sql import functions as F
+
+    src = _mk(spark, tmp_path / "src")
+    src.merge_cdc(_batch(spark, [
+        (1, "insert", "c1", 0, "user", "hello", None, "2024-01-01 00:00:01"),
+        (2, "insert", "c1", 1, "assistant", "hi", None, "2024-01-01 00:00:02"),
+        (3, "insert", "c2", 0, "user", "yo", None, "2024-01-01 00:00:03"),
+        (4, "insert", "c3", 0, "user", "stays", None, "2024-01-01 00:00:04"),
+    ]), applied_range=(0, 10))
+    s1 = src.manifest(refresh=True)["snapshot_id"]
+    src.merge_cdc(_batch(spark, [
+        (11, "update", "c1", 1, "user", "hi there", None, "2024-01-01 00:00:11"),
+        (12, "delete", "c2", 0, None, None, None, "2024-01-01 00:00:12"),
+        (13, "insert", "c4", 7, "user", "new", None, "2024-01-01 00:00:13"),
+    ]), applied_range=(10, 20))
+    s2 = src.manifest(refresh=True)["snapshot_id"]
+
+    # downstream table: seed with state(s1), then apply the diff as events
+    dst = _mk(spark, tmp_path / "dst")
+    seed = src.read(snapshot_id=s1).withColumns(
+        {"op": F.lit("insert"), "lsn": F.lit(0).cast("long")}
+    )
+    dst.merge_cdc(seed, applied_range=(0, 1))
+    feed = src.snapshot_diff(s1, s2).withColumns(
+        {
+            "op": F.when(
+                F.col("change_type") == "delete", F.lit("delete")
+            ).otherwise(F.lit("update")),
+            "lsn": F.lit(1).cast("long"),
+        }
+    ).drop("change_type")
+    dst.merge_cdc(feed, applied_range=(1, 2))
+
+    from .conftest import assert_pdf_equal
+
+    assert_pdf_equal(
+        dst.read().toPandas(),
+        src.read(snapshot_id=s2).toPandas(),
+        ["conv_id", "turn_idx"],
+        "diff-as-change-feed must reproduce state(s2)",
+    )
