@@ -11,7 +11,8 @@ Run via spark-submit with the package shipped as --py-files:
 Subcommands: synth (generate a change log), replay (run/resume a sync
 job), compact (fold MoR deltas), verify (final state vs oracle), show
 (snapshot/ledger info), diff (net changes between snapshots — CDC-out),
-rollup-sync (incremental materialized-view maintenance), validate
+rollup-sync (incremental materialized-view maintenance), rollback
+(restore files + ledger to a snapshot), expire (snapshot GC), validate
 (distributed constraint checks).
 """
 
@@ -74,6 +75,13 @@ def main(argv: list[str] | None = None) -> int:
 
     w = sub.add_parser("show", help="snapshot history + ledger")
     w.add_argument("--table", required=True)
+
+    rb = sub.add_parser(
+        "rollback",
+        help="restore the table (files + ledger) to a previous snapshot",
+    )
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--to-snapshot", type=int, required=True)
 
     ex = sub.add_parser(
         "expire", help="expire old snapshots and delete unreferenced files"
@@ -186,6 +194,17 @@ def main(argv: list[str] | None = None) -> int:
         ok = n_table == n_expected
         print(json.dumps({"table_rows": n_table, "expected_rows": n_expected, "match": ok}))
         return 0 if ok else 1
+
+    if args.cmd == "rollback":
+        from .lakehouse import SnapshotTable
+
+        t = SnapshotTable.load(spark, args.table)
+        new_sid = t.rollback(args.to_snapshot)
+        print(json.dumps({
+            "rolled_back_to": args.to_snapshot,
+            "new_snapshot": new_sid,
+        }))
+        return 0
 
     if args.cmd == "expire":
         from .lakehouse import SnapshotTable

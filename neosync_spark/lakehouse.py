@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from collections.abc import Sequence
 from dataclasses import dataclass
@@ -172,6 +173,7 @@ class SnapshotTable:
                 f"table advanced to snapshot {current} while committing "
                 f"child of {parent} — concurrent writer detected"
             )
+        manifest["committed_at"] = time.time()
         sid = manifest["snapshot_id"]
         mpath = os.path.join(self.path, "metadata", f"snap-{sid}.json")
         with open(mpath, "w") as f:
@@ -297,6 +299,43 @@ class SnapshotTable:
                 _LSN_COL, _DELETED_COL
             )
         return out
+
+    def snapshot_as_of(self, ts: float) -> int:
+        """Newest snapshot committed at or before epoch-seconds ``ts``
+        (timestamp time travel: ``read(snapshot_id=t.snapshot_as_of(ts))``).
+        Walks the parent chain; raises if the table didn't exist yet or
+        the chain predates committed_at stamping."""
+        m = self.manifest(refresh=True)
+        while True:
+            at = m.get("committed_at")
+            if at is not None and at <= ts:
+                return int(m["snapshot_id"])
+            parent = m.get("parent")
+            if parent is None:
+                raise ValueError(
+                    f"no snapshot committed at or before {ts}"
+                )
+            m = self.manifest(parent)
+
+    def rollback(self, snapshot_id: int) -> int:
+        """Restore the table to a previous snapshot (the Iceberg
+        rollback analog): commits a NEW snapshot whose file set, schema
+        history, AND checkpoint ledger are the target's. Reverting the
+        ledger is the point — lsn ranges applied after the target stop
+        being 'applied', so the standard resume path replays them (bad
+        deploy → rollback → fixed replay, exactly-once preserved).
+        History is never rewritten; the rollback is itself a snapshot.
+        Returns the new snapshot id."""
+        target = self.manifest(snapshot_id)
+        cur = self.manifest(refresh=True)
+        if snapshot_id == cur["snapshot_id"]:
+            return int(cur["snapshot_id"])
+        new_m = json.loads(json.dumps(target))  # deep copy
+        new_m["snapshot_id"] = cur["snapshot_id"] + 1
+        new_m["parent"] = cur["snapshot_id"]
+        new_m["summary"] = {"operation": "rollback", "to": int(snapshot_id)}
+        self._write_manifest(new_m)
+        return int(new_m["snapshot_id"])
 
     def snapshot_diff(
         self, from_snapshot_id: int, to_snapshot_id: int

@@ -378,3 +378,56 @@ def test_snapshot_diff_replays_as_change_feed(spark, tmp_path):
         ["conv_id", "turn_idx"],
         "diff-as-change-feed must reproduce state(s2)",
     )
+
+
+def test_rollback_reverts_state_and_ledger(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    b1 = _batch(spark, [
+        (1, "insert", "c1", 0, "user", "good", None, "2024-01-01 00:00:01"),
+    ])
+    t.merge_cdc(b1, applied_range=(0, 10))
+    s1 = t.manifest(refresh=True)["snapshot_id"]
+    bad = _batch(spark, [
+        (11, "update", "c1", 0, "user", "BAD DEPLOY", None, "2024-01-01 00:00:11"),
+        (12, "insert", "c9", 0, "user", "also bad", None, "2024-01-01 00:00:12"),
+    ])
+    t.merge_cdc(bad, applied_range=(10, 20))
+
+    new_sid = t.rollback(s1)
+    assert new_sid > s1
+    assert t.read().toPandas()["text"].tolist() == ["good"]
+    # ledger reverted: the bad range is no longer applied -> replayable
+    assert t.is_applied(0, 10)
+    assert not t.is_applied(10, 20)
+    fixed = _batch(spark, [
+        (11, "update", "c1", 0, "user", "fixed", None, "2024-01-01 00:00:11"),
+    ])
+    t.merge_cdc(fixed, applied_range=(10, 20))
+    assert sorted(t.read().toPandas()["text"]) == ["fixed"]
+    # rollback appears in history as its own snapshot
+    ops = [h["summary"].get("operation") for h in t.history()]
+    assert "rollback" in ops
+    # rolling back to the current snapshot is a no-op
+    cur = t.manifest(refresh=True)["snapshot_id"]
+    assert t.rollback(cur) == cur
+
+
+def test_snapshot_as_of_timestamp(spark, tmp_path):
+    import time as _time
+
+    t = _mk(spark, tmp_path / "t")
+    t.merge_cdc(_batch(spark, [
+        (1, "insert", "c1", 0, "user", "v1", None, "2024-01-01 00:00:01"),
+    ]), applied_range=(0, 10))
+    mid_ts = _time.time()
+    s1 = t.manifest(refresh=True)["snapshot_id"]
+    _time.sleep(0.05)
+    t.merge_cdc(_batch(spark, [
+        (11, "update", "c1", 0, "user", "v2", None, "2024-01-01 00:00:11"),
+    ]), applied_range=(10, 20))
+
+    assert t.snapshot_as_of(mid_ts) == s1
+    assert t.read(snapshot_id=t.snapshot_as_of(mid_ts)).toPandas()["text"].tolist() == ["v1"]
+    assert t.snapshot_as_of(_time.time()) == t.manifest(refresh=True)["snapshot_id"]
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.snapshot_as_of(0.0)
