@@ -224,7 +224,10 @@ def main(argv: list[str] | None = None) -> int:
             to_id = t.manifest(refresh=True)["snapshot_id"]
         diff = t.snapshot_diff(args.from_snapshot, to_id)
         if args.out:
+            # count from the just-written files, not a second run of the
+            # full-outer diff join
             diff.write.mode("overwrite").parquet(args.out)
+            diff = spark.read.parquet(args.out)
         counts = {
             r["change_type"]: r["n"]
             for r in diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()

@@ -247,15 +247,7 @@ class SnapshotTable:
         renames = m.get("renames", {})
 
         def _resolve_name(name: str, have: set[str]) -> str | None:
-            """Walk the rename chain current→historical until a name the
-            file actually has (or None → column added after the file)."""
-            seen = set()
-            while name not in have:
-                if name in seen or name not in renames:
-                    return None
-                seen.add(name)
-                name = renames[name]
-            return name
+            return self._walk_renames(name, have, renames)
 
         def _union(by_schema: dict[str, list[str]]) -> DataFrame | None:
             parts: list[DataFrame] = []
@@ -300,6 +292,18 @@ class SnapshotTable:
             )
         return out
 
+    @staticmethod
+    def _walk_renames(name: str, have: set[str], renames: dict) -> str | None:
+        """Walk the rename chain current→historical until a name the
+        file/snapshot actually has (or None → column added later)."""
+        seen: set[str] = set()
+        while name not in have:
+            if name in seen or name not in renames:
+                return None
+            seen.add(name)
+            name = renames[name]
+        return name
+
     def snapshot_as_of(self, ts: float) -> int:
         """Newest snapshot committed at or before epoch-seconds ``ts``
         (timestamp time travel: ``read(snapshot_id=t.snapshot_as_of(ts))``).
@@ -315,7 +319,15 @@ class SnapshotTable:
                 raise ValueError(
                     f"no snapshot committed at or before {ts}"
                 )
-            m = self.manifest(parent)
+            try:
+                m = self.manifest(parent)
+            except FileNotFoundError:
+                # parent expired by expire_snapshots — nothing retained
+                # is old enough
+                raise ValueError(
+                    f"no retained snapshot committed at or before {ts} "
+                    f"(older snapshots were expired)"
+                ) from None
 
     def rollback(self, snapshot_id: int) -> int:
         """Restore the table to a previous snapshot (the Iceberg
@@ -374,17 +386,14 @@ class SnapshotTable:
         new_df = self.read(to_snapshot_id, buckets=changed)
 
         # align the old side to the to-snapshot schema (rename-chain
-        # aware, same walk as read()'s per-file alignment)
+        # aware — the same walk read() applies per file)
         renames = m_to.get("renames", {})
         have = set(old_df.columns)
         aligned = []
         for f_ in new_schema.fields:
-            name, seen = f_.name, set()
-            while name not in have and name in renames and name not in seen:
-                seen.add(name)
-                name = renames[name]
-            if name in have:
-                aligned.append(F.col(name).cast(f_.dataType).alias(f_.name))
+            src_name = self._walk_renames(f_.name, have, renames)
+            if src_name is not None:
+                aligned.append(F.col(src_name).cast(f_.dataType).alias(f_.name))
             else:
                 aligned.append(F.lit(None).cast(f_.dataType).alias(f_.name))
         old_df = old_df.select(*aligned)

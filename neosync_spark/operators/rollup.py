@@ -33,9 +33,16 @@ ROLLUP_SCHEMA = T.StructType(
         T.StructField("n_turns", T.LongType(), True),
         T.StructField("n_user_turns", T.LongType(), True),
         T.StructField("total_chars", T.LongType(), True),
-        # LWW ordering column for the derived table's own merges: the
-        # high-watermark of change activity, not "max alive turn ts"
-        # (a delete of the newest turn must still advance the rollup)
+        # max alive turn ts of the group — payload, NOT the LWW column
+        T.StructField("last_ts", T.TimestampType(), True),
+        # LWW ordering column for the derived table's own merges: a
+        # SYNC ORDINAL (the source snapshot id as epoch seconds).
+        # Snapshot ids are strictly increasing, so a later sync always
+        # wins LWW for every key it touches. Using any event-derived
+        # timestamp here is wrong: a delete's pre-image ts (or an
+        # out-of-order source event) can move a key's watermark
+        # BACKWARD between syncs, and the destination's ts-first LWW
+        # would then silently drop the later sync's row.
         T.StructField("ts", T.TimestampType(), True),
     ]
 )
@@ -43,14 +50,15 @@ ROLLUP_SCHEMA = T.StructType(
 
 def conversation_rollup(state: DataFrame, key: str = "conv_id") -> DataFrame:
     """Per-conversation aggregate of an alive transcripts state — one
-    hash-agg with map-side combine."""
+    hash-agg with map-side combine. Emits payload columns only; the
+    sync layer owns the LWW ``ts`` ordinal."""
     return state.groupBy(key).agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
         .cast("long")
         .alias("n_user_turns"),
         F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("total_chars"),
-        F.max("ts").alias("ts"),
+        F.max("ts").alias("last_ts"),
     )
 
 
@@ -67,11 +75,13 @@ def incremental_rollup_sync(
     ``from_snapshot_id=None`` is the initial full build. Otherwise:
     diff the snapshots → distinct touched keys → re-aggregate ONLY
     those keys from the to-snapshot state → upsert; keys whose group
-    vanished become delete events. Delete/upsert events carry the
-    per-key activity high-watermark ts (greatest of the fresh
-    aggregate's ts and any diff row's ts) with ``lsn =
-    to_snapshot_id``, so the destination's own ts-aware LWW can never
-    judge a sync stale against an earlier sync's rows.
+    vanished become delete events. Every event of a sync carries
+    ``ts = to_snapshot_id`` as epoch seconds and ``lsn =
+    to_snapshot_id`` — a per-sync ordinal that is monotone across
+    syncs by construction, so the destination's (ts, lsn) LWW can
+    never judge a later sync stale (event-derived watermarks can move
+    backward: a delete's pre-image ts is OLDER than the state it
+    removes).
 
     The applied range is ``(from, to)`` in dst's ledger: re-running the
     same sync is a no-op (exactly-once, same as the event replay path).
@@ -82,30 +92,27 @@ def incremental_rollup_sync(
             dst.manifest(refresh=True)["snapshot_id"], 0, 0, applied_range
         )
 
+    ordinal = F.timestamp_seconds(F.lit(to_snapshot_id))
     state = src.read(snapshot_id=to_snapshot_id)
     if from_snapshot_id is None:
         fresh = rollup_fn(state)
-        batch = fresh.withColumn("op", F.lit("insert")).withColumn(
-            "lsn", F.lit(to_snapshot_id).cast("long")
+        batch = (
+            fresh.withColumn("ts", ordinal)
+            .withColumn("op", F.lit("insert"))
+            .withColumn("lsn", F.lit(to_snapshot_id).cast("long"))
         )
         return dst.merge_cdc(batch, applied_range=applied_range)
 
     diff = src.snapshot_diff(from_snapshot_id, to_snapshot_id)
-    hw = diff.groupBy(key).agg(F.max("ts").alias("_hw_ts"))
-    touched = hw.select(key)
+    touched = diff.select(key).distinct()
     fresh = rollup_fn(state.join(touched, key, "left_semi"))
-    upserts = (
-        fresh.join(hw, key, "left")
-        .withColumn("ts", F.greatest("ts", "_hw_ts"))
-        .drop("_hw_ts")
-        .withColumn("op", F.lit("update"))
-    )
-    vanished = hw.join(fresh.select(key), key, "left_anti")
-    payload = [f for f in fresh.schema.fields if f.name not in (key, "ts")]
+    upserts = fresh.withColumn("ts", ordinal).withColumn("op", F.lit("update"))
+    vanished = touched.join(fresh.select(key), key, "left_anti")
+    payload = [f for f in fresh.schema.fields if f.name != key]
     deletes = vanished.select(
         F.col(key),
         *[F.lit(None).cast(f.dataType).alias(f.name) for f in payload],
-        F.col("_hw_ts").alias("ts"),
+        ordinal.alias("ts"),
         F.lit("delete").alias("op"),
     )
     batch = upserts.unionByName(deletes).withColumn(

@@ -342,6 +342,13 @@ def connected_components(
         labels = agged.drop("_old")
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter "
+            "(pointer jumping needs ~log2(diameter) rounds)"
+        )
     edges.unpersist()
     return labels.select(F.col("_id").alias("id"), F.col("_lab").alias("cluster_id"))
 
@@ -380,11 +387,16 @@ def minhash_dedup_clusters(
         pairs = minhash_dedup_pairs(
             df, content_col, id_col, shingle_n, num_hashes, bands, threshold, seed
         )
+        cc = connected_components(pairs)
     else:
         shingled = shingle_docs(df, content_col, id_col, shingle_n)
+        # banded feeds both the per-bucket min and the join back onto
+        # itself — persist, or the dominant shingle+minhash pipeline
+        # runs twice; connected_components materializes eagerly
+        # (per-round localCheckpoint), so unpersisting after it is safe
         banded = minhash_band_buckets(
             shingled, "_sh", "_id", num_hashes, bands, seed
-        )
+        ).persist()
         w = banded.groupBy("band", "band_hash").agg(
             F.min("_id").alias("id_a"), F.count(F.lit(1)).alias("_n")
         )
@@ -394,7 +406,8 @@ def minhash_dedup_clusters(
             .select("id_a", F.col("_id").alias("id_b"))
             .distinct()
         )
-    cc = connected_components(pairs)
+        cc = connected_components(pairs)
+        banded.unpersist()
     return cc.withColumn(
         "is_representative", (F.col("id") == F.col("cluster_id"))
     )

@@ -479,40 +479,50 @@ def gopher_repetition_flags(
     )
 
     toks = base.select(
+        "_id", _tokens(F.lower(F.col("_t"))).alias("_toks")
+    )
+    # ONE explode over the tagged union of all three gram families: the
+    # token array crosses a single projection boundary (no persist —
+    # a cached frame here would leak for the session lifetime — and no
+    # recompute), then one (id, n, gram) count shuffle and one per-doc
+    # rollup with conditional aggregates
+    def _tag(n: int):
+        # NB: a (g, n=n) default-arg lambda would become transform's
+        # TWO-argument form, where the second parameter is the element
+        # INDEX — a closure keeps n a Python constant
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    tagged = toks.select(
         "_id",
-        _tokens(F.lower(F.col("_t"))).alias("_toks"),
-        F.length("_t").alias("_chars"),
-    ).persist()
-
-    def _top_share(n: int) -> DataFrame:
-        grams = toks.select("_id", F.explode(_word_grams("_toks", n)).alias("_g"))
-        return (
-            grams.groupBy("_id", "_g")
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .groupBy("_id")
-            .agg(F.sum("_c").alias(f"_ng{n}"), F.max("_c").alias(f"_top{n}"))
-        )
-
-    g2 = _top_share(2)
-    g3 = _top_share(3)
-    # duplicated 5-gram chars: sum((count-1) * len(gram)) per doc
-    g5 = (
-        toks.select("_id", F.explode(_word_grams("_toks", 5)).alias("_g"))
-        .groupBy("_id", "_g")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > 1)
-        .groupBy("_id")
-        .agg(
-            F.sum((F.col("_c") - 1) * F.length("_g")).alias("_dup5_chars")
-        )
+        F.explode(
+            F.concat(
+                *[
+                    F.transform(_word_grams("_toks", n), _tag(n))
+                    for n in (2, 3, 5)
+                ]
+            )
+        ).alias("_x"),
+    ).select("_id", F.col("_x.n").alias("_n"), F.col("_x.g").alias("_g"))
+    counts = tagged.groupBy("_id", "_n", "_g").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    gram_stats = counts.groupBy("_id").agg(
+        F.sum(F.when(F.col("_n") == 2, F.col("_c"))).alias("_ng2"),
+        F.max(F.when(F.col("_n") == 2, F.col("_c"))).alias("_top2"),
+        F.sum(F.when(F.col("_n") == 3, F.col("_c"))).alias("_ng3"),
+        F.max(F.when(F.col("_n") == 3, F.col("_c"))).alias("_top3"),
+        F.sum(
+            F.when(
+                (F.col("_n") == 5) & (F.col("_c") > 1),
+                (F.col("_c") - 1) * F.length("_g"),
+            )
+        ).alias("_dup5_chars"),
     )
 
-    spine = toks.select("_id", "_chars")
+    spine = base.select("_id", F.length("_t").alias("_chars"))
     out = (
         spine.join(line_stats, "_id", "left")
-        .join(g2, "_id", "left")
-        .join(g3, "_id", "left")
-        .join(g5, "_id", "left")
+        .join(gram_stats, "_id", "left")
     )
     dup_frac = F.when(
         F.col("n_lines") > 0, F.col("_dup") / F.col("n_lines")

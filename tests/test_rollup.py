@@ -105,3 +105,41 @@ def test_rollup_delete_of_newest_turn_still_advances(spark, tmp_path):
     incremental_rollup_sync(src, dst, s1, s2)
     assert _rollup_state(dst)["c1"] == (1, 1, 3)
     assert _rollup_state(dst) == _expected(src)
+
+
+def test_rollup_two_hop_backward_watermark(spark, tmp_path):
+    """Regression (code review): chained incremental syncs where the
+    second hop's change activity carries OLDER event timestamps than
+    the first (delete the newest turn, then the older one). With an
+    event-derived watermark the second sync's delete would lose LWW in
+    dst and the vanished conversation would survive forever; the sync
+    ordinal makes each later sync win by construction."""
+    src = _mk_src(spark, tmp_path / "src")
+    dst = _mk_dst(spark, tmp_path / "dst")
+    src.merge_cdc(_batch(spark, [
+        (1, "insert", "c1", 0, "user", "old turn", None, "2024-01-01 00:00:01"),
+        (2, "insert", "c1", 1, "user", "newest", None, "2024-01-01 00:09:00"),
+        (3, "insert", "c2", 0, "user", "bystander", None, "2024-01-01 00:00:03"),
+    ]), applied_range=(0, 10))
+    s1 = src.manifest(refresh=True)["snapshot_id"]
+    incremental_rollup_sync(src, dst, None, s1)
+
+    # hop 1: delete the NEWEST turn (diff activity ts = 00:09)
+    src.merge_cdc(_batch(spark, [
+        (11, "delete", "c1", 1, None, None, None, "2024-01-01 00:09:30"),
+    ]), applied_range=(10, 20))
+    s2 = src.manifest(refresh=True)["snapshot_id"]
+    incremental_rollup_sync(src, dst, s1, s2)
+    assert _rollup_state(dst)["c1"] == (1, 1, 8)
+
+    # hop 2: delete the OLDER turn (diff pre-image ts = 00:00:01 —
+    # strictly older than hop 1's activity) -> the group vanishes
+    src.merge_cdc(_batch(spark, [
+        (21, "delete", "c1", 0, None, None, None, "2024-01-01 00:09:45"),
+    ]), applied_range=(20, 30))
+    s3 = src.manifest(refresh=True)["snapshot_id"]
+    incremental_rollup_sync(src, dst, s2, s3)
+
+    state = _rollup_state(dst)
+    assert "c1" not in state, "vanished group must not survive a later sync"
+    assert state == _expected(src)
