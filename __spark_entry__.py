@@ -649,6 +649,53 @@ def _q_subset_multi_root(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multi_table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multi-table sync-and-anonymize (the runconfigs + redis-
+    key-cache pipeline end-to-end): subset along the FK chain from the
+    customer root, DAG-order the loads, pseudonymize the customer key
+    with the deterministic sha transformer, and rewrite orders.o_custkey
+    through the parent's key mapping. DuckDB replays the subset EXISTS
+    and the sha256 pseudonym, so referential rewrite correctness is
+    value-checked, not just row-counted."""
+    from neosync_spark.operators.subset import FkEdge
+    from neosync_spark.plans.job import ColumnMapping
+    from neosync_spark.plans.multi import (
+        MultiTableJob,
+        TableSpec,
+        run_multi_table_sync,
+    )
+
+    _views(spark, sf_dir, ["customer", "orders"])
+    job = MultiTableJob(
+        tables={
+            "customer": TableSpec(
+                "customer",
+                key_cols=["c_custkey"],
+                mappings=[
+                    ColumnMapping(
+                        "c_custkey", "transform_sha256_pseudonym", {"salt": "k"}
+                    )
+                ],
+            ),
+            "orders": TableSpec(
+                "orders",
+                key_cols=["o_orderkey"],
+                fk_rewrites={"o_custkey": ("customer", "c_custkey")},
+            ),
+        },
+        edges=[FkEdge("orders", "o_custkey", "customer", "c_custkey")],
+        subset_root="customer",
+        subset_where="c_mktsegment = 'BUILDING'",
+        seed=5,
+    )
+    out = run_multi_table_sync(
+        spark,
+        job,
+        {"customer": spark.table("customer"), "orders": spark.table("orders")},
+    )
+    return out["orders"].select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
 def _q_fk_skip_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level FK-violation skip (skip_foreign_key_violations,
     output_sql_insert.go:310-348): rows whose FK misses the parent key
@@ -1377,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subset_semijoin": _q_subset_semijoin,
         "subset_fk_chain": _q_subset_fk_chain,
         "subset_multi_root": _q_subset_multi_root,
+        "multi_table_sync": _q_multi_table_sync,
         "fk_skip_split": _q_fk_skip_split,
         "constraint_violations": _q_constraint_violations,
         "pack_context_chunks": _q_pack_chunks,
@@ -1653,6 +1701,17 @@ def oracle_sql() -> dict[str, str]:
                   WHERE c.c_custkey = o.o_custkey
                     AND c.c_mktsegment = 'BUILDING'))
             GROUP BY l_returnflag
+        """,
+        "multi_table_sync": """
+            SELECT o.o_orderkey,
+                   substring(sha256('k' || CAST(o.o_custkey AS VARCHAR)), 1, 12)
+                     AS o_custkey,
+                   o.o_orderstatus
+            FROM orders o
+            WHERE EXISTS (
+              SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey
+                AND c.c_mktsegment = 'BUILDING')
         """,
         "fk_skip_split": """
             SELECT o.o_orderkey, o.o_custkey,

@@ -529,6 +529,41 @@ def transform_int64_phone_number(seed: int = 42) -> TransformFn:
     return fn
 
 
+def transform_sha256_pseudonym(
+    seed: int = 42, salt: str = "ns", length: int = 12
+) -> TransformFn:
+    """Deterministic hash pseudonym: hex prefix of sha256(salt||value).
+    The stateless form of the reference's cross-table key-consistency
+    cache (redis output_hash.go stores old→new per key; a pure function
+    needs no store — same value in ANY table ⇒ same pseudonym), usable
+    as a key transformer in multi-table jobs so FK rewrites stay
+    referentially intact AND value-oracle-able (DuckDB sha256 replays
+    it). ``seed`` is accepted for registry uniformity but unused — the
+    whole point is determinism across jobs."""
+    import hashlib
+
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        def h(v):
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                return None
+            return hashlib.sha256((salt + str(v)).encode()).hexdigest()[:length]
+
+        return values.map(h)
+
+    fn.column_expr = lambda c: F.substring(
+        F.sha2(
+            F.concat(
+                F.lit(salt),
+                (F.col(c) if isinstance(c, str) else c).cast("string"),
+            ),
+            256,
+        ),
+        1,
+        length,
+    )
+    return fn
+
+
 def transform_uuid(seed: int = 42) -> TransformFn:
     def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
         hs = _row_hashes(seed, "transform_uuid", keys, values)
@@ -1303,6 +1338,7 @@ REGISTRY: dict[str, Callable[..., TransformFn]] = {
     "generate_business_name": generate_business_name,
     "generate_username": generate_username,
     "generate_sha256hash": generate_sha256hash,
+    "transform_sha256_pseudonym": transform_sha256_pseudonym,
     "generate_string_phone_number": generate_string_phone_number,
     "generate_int64_phone_number": generate_int64_phone_number,
     "generate_international_phone_number": generate_international_phone_number,

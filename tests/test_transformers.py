@@ -527,3 +527,21 @@ def test_credit_card_rejects_small_digit_groups():
     # grouped card shapes still match
     assert fn(v("4111-1111-1111-1111"), k("a")).iloc[0] == "<CREDIT_CARD>"
     assert fn(v("4111 1111 1111 1111"), k("a")).iloc[0] == "<CREDIT_CARD>"
+
+
+def test_transform_sha256_pseudonym_parity(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from neosync_spark.functions.transformers import transform_sha256_pseudonym
+
+    fn = transform_sha256_pseudonym(salt="k", length=12)
+    vals = pd.Series(["123", "abc", None, "123"])
+    out = fn(vals, vals)
+    assert out[0] == out[3] and out[0] != out[1]  # pure function of value
+    assert out[2] is None
+    assert len(out[0]) == 12
+    # JVM column_expr == pandas path
+    df = spark.createDataFrame([("123",), ("abc",)], ["v"])
+    jvm = {r["v"]: r["p"] for r in df.select("v", fn.column_expr("v").alias("p")).collect()}
+    assert jvm["123"] == out[0] and jvm["abc"] == out[1]
