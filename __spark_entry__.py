@@ -966,6 +966,38 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup GROUPS: hyperplane-LSH verified
+    pairs → connected components. Planted family: -1 = 1.5×vec0 and
+    -2 = 2×vec0 (one 3-node component through vec 0) plus -3 = 1.5×vec1
+    (a 2-node component) — positive scaling preserves every hyperplane
+    sign and cosine 1.0 in both engines."""
+    from neosync_spark.operators.similarity import (
+        connected_components,
+        embedding_near_dup_pairs,
+    )
+
+    _views(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    def scaled(src_id: int, new_id: int, k: float) -> DataFrame:
+        return emb.filter(F.col("vec_id") == src_id).select(
+            F.lit(new_id).cast("long").alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x * k).alias("embedding"),
+        )
+
+    full = (
+        emb.unionByName(scaled(0, -1, 1.5))
+        .unionByName(scaled(0, -2, 2.0))
+        .unionByName(scaled(1, -3, 1.5))
+    )
+    pairs = embedding_near_dup_pairs(full, "embedding", "vec_id", threshold=0.9)
+    cc = connected_components(pairs)
+    return cc.select(F.col("id").alias("vec_id"), "cluster_id")
+
+
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.operators.text import (
         bpe_pretoken_count,
@@ -1389,6 +1421,61 @@ def _embedding_near_dup_oracle(n_planes: int = 12, dim: int = 64, seed: int = 42
     """
 
 
+def _embedding_clusters_oracle(n_planes: int = 12, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB replay of the SemDeDup-style clustering: hyperplane-LSH
+    pairs (same plane literals as the near-dup oracle, planted scaled
+    family) → recursive-CTE connected components with min-label."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+    def arr(row) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in row) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {arr(planes[p])}) >= 0 THEN 1 ELSE 0 END) * {2**p}"
+        for p in range(n_planes)
+    )
+    cos = (
+        "floor(list_dot_product(l.v, r.v) / "
+        "(sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))"
+        " * 10000 + 0.5) / 10000"
+    )
+    return f"""
+        WITH RECURSIVE base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          UNION ALL
+          SELECT CAST(-1 AS BIGINT),
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+          FROM embeddings WHERE vec_id = 0
+          UNION ALL
+          SELECT CAST(-2 AS BIGINT),
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+          FROM embeddings WHERE vec_id = 0
+          UNION ALL
+          SELECT CAST(-3 AS BIGINT),
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+          FROM embeddings WHERE vec_id = 1
+        ), tagged AS (
+          SELECT vec_id, v, {bucket} AS bucket FROM base
+        ), pairs AS (
+          SELECT l.vec_id AS id_a, r.vec_id AS id_b
+          FROM tagged l JOIN tagged r
+            ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+          WHERE {cos} >= 0.9
+        ), edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), nodes AS (SELECT DISTINCT a AS id FROM edges),
+        r(id, lab) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.id
+        )
+        SELECT id AS vec_id, min(lab) AS cluster_id FROM r GROUP BY id
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1441,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_dedup_clusters": _q_embedding_clusters,
         "text_token_count": _q_token_count,
         "text_quality_score": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -2166,6 +2254,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "embedding_near_dup": _embedding_near_dup_oracle(),
+        "embedding_dedup_clusters": _embedding_clusters_oracle(),
         "redact_person_names": _redact_person_names_oracle(),
         "redact_multi_entity": """
             WITH d AS (
