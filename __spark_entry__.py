@@ -966,6 +966,24 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-mix report: per (source, lang) document/char/token
+    totals — one hash-agg with map-side combine over the corpus (the
+    shape a 100 TB mix audit runs nightly)."""
+    from neosync_spark.operators.text import token_count
+
+    _views(spark, sf_dir, ["documents"])
+    d = spark.table("documents")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(token_count("text")).alias("total_tokens"),
+        (F.floor(F.avg(F.length("text")) * 100 + F.lit(0.5)) / 100).alias(
+            "avg_chars"
+        ),
+    )
+
+
 def _q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding dedup GROUPS: hyperplane-LSH verified
     pairs → connected components. Planted family: -1 = 1.5×vec0 and
@@ -1529,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_dedup_clusters": _q_embedding_clusters,
+        "corpus_stats": _q_corpus_stats,
         "text_token_count": _q_token_count,
         "text_quality_score": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -2168,6 +2187,16 @@ def oracle_sql() -> dict[str, str]:
                       sqrt(list_dot_product(qv, qv))) * 10000 + 0.5) / 10000 AS cosine
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "corpus_stats": """
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST(sum(len(list_filter(string_split(text, ' '),
+                                            x -> x <> ''))) AS BIGINT)
+                     AS total_tokens,
+                   floor(avg(length(text)) * 100 + 0.5) / 100 AS avg_chars
+            FROM documents GROUP BY source, lang
         """,
         "text_token_count": """
             SELECT doc_id,
