@@ -386,12 +386,27 @@ class SnapshotTable:
         new_df = self.read(to_snapshot_id, buckets=changed)
 
         # align the old side to the to-snapshot schema (rename-chain
-        # aware — the same walk read() applies per file)
+        # aware — the same walk read() applies per file). A rollback can
+        # REVERT a rename, leaving the to-manifest chain without the
+        # entry (to-name 'text', old column 'body'): fall back to the
+        # FROM-manifest's chain — if walking an old column's history
+        # reaches the new name, that column is the match (without this,
+        # every unchanged row of a reverted rename diffs as an update).
         renames = m_to.get("renames", {})
+        renames_from = m_from.get("renames", {})
         have = set(old_df.columns)
         aligned = []
         for f_ in new_schema.fields:
             src_name = self._walk_renames(f_.name, have, renames)
+            if src_name is None:
+                for oc in old_df.columns:
+                    chain, n = {oc}, oc
+                    while n in renames_from and renames_from[n] not in chain:
+                        n = renames_from[n]
+                        chain.add(n)
+                    if f_.name in chain:
+                        src_name = oc
+                        break
             if src_name is not None:
                 aligned.append(F.col(src_name).cast(f_.dataType).alias(f_.name))
             else:

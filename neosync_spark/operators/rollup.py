@@ -92,10 +92,18 @@ def incremental_rollup_sync(
             dst.manifest(refresh=True)["snapshot_id"], 0, 0, applied_range
         )
 
+    def _check(fresh: DataFrame) -> DataFrame:
+        if "ts" in fresh.columns:
+            raise ValueError(
+                "rollup_fn must not emit a 'ts' column — the sync owns "
+                "the LWW ordinal; name activity timestamps e.g. 'last_ts'"
+            )
+        return fresh
+
     ordinal = F.timestamp_seconds(F.lit(to_snapshot_id))
     state = src.read(snapshot_id=to_snapshot_id)
     if from_snapshot_id is None:
-        fresh = rollup_fn(state)
+        fresh = _check(rollup_fn(state))
         batch = (
             fresh.withColumn("ts", ordinal)
             .withColumn("op", F.lit("insert"))
@@ -105,7 +113,7 @@ def incremental_rollup_sync(
 
     diff = src.snapshot_diff(from_snapshot_id, to_snapshot_id)
     touched = diff.select(key).distinct()
-    fresh = rollup_fn(state.join(touched, key, "left_semi"))
+    fresh = _check(rollup_fn(state.join(touched, key, "left_semi")))
     upserts = fresh.withColumn("ts", ordinal).withColumn("op", F.lit("update"))
     vanished = touched.join(fresh.select(key), key, "left_anti")
     payload = [f for f in fresh.schema.fields if f.name != key]

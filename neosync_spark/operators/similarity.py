@@ -290,6 +290,8 @@ def connected_components(
     cluster prefer a reliable checkpoint dir if executor loss matters —
     localCheckpoint is non-resilient.)
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = (
         pairs.select(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst"))
         .unionByName(
@@ -397,17 +399,19 @@ def minhash_dedup_clusters(
         banded = minhash_band_buckets(
             shingled, "_sh", "_id", num_hashes, bands, seed
         ).persist()
-        w = banded.groupBy("band", "band_hash").agg(
-            F.min("_id").alias("id_a"), F.count(F.lit(1)).alias("_n")
-        )
-        pairs = (
-            banded.join(w, ["band", "band_hash"])
-            .filter((F.col("_n") > 1) & (F.col("_id") != F.col("id_a")))
-            .select("id_a", F.col("_id").alias("id_b"))
-            .distinct()
-        )
-        cc = connected_components(pairs)
-        banded.unpersist()
+        try:
+            w = banded.groupBy("band", "band_hash").agg(
+                F.min("_id").alias("id_a"), F.count(F.lit(1)).alias("_n")
+            )
+            pairs = (
+                banded.join(w, ["band", "band_hash"])
+                .filter((F.col("_n") > 1) & (F.col("_id") != F.col("id_a")))
+                .select("id_a", F.col("_id").alias("id_b"))
+                .distinct()
+            )
+            cc = connected_components(pairs)
+        finally:
+            banded.unpersist()
     return cc.withColumn(
         "is_representative", (F.col("id") == F.col("cluster_id"))
     )

@@ -431,3 +431,30 @@ def test_snapshot_as_of_timestamp(spark, tmp_path):
     assert t.snapshot_as_of(_time.time()) == t.manifest(refresh=True)["snapshot_id"]
     with pytest.raises(ValueError, match="no snapshot"):
         t.snapshot_as_of(0.0)
+
+
+def test_snapshot_diff_across_rollback_reverted_rename(spark, tmp_path):
+    """Regression (code review): diffing from a renamed snapshot to a
+    rollback that REVERTED the rename must not flag unchanged rows as
+    updates — the old side aligns through the FROM-manifest's chain."""
+    import pyspark.sql.types as T
+
+    t = _mk(spark, tmp_path / "t")
+    t.merge_cdc(_batch(spark, [
+        (1, "insert", "c1", 0, "user", "same text", None, "2024-01-01 00:00:01"),
+        (2, "insert", "c2", 0, "user", "other text", None, "2024-01-01 00:00:02"),
+    ]), applied_range=(0, 10))
+    s1 = t.manifest(refresh=True)["snapshot_id"]
+
+    renamed = T.StructType([
+        f if f.name != "text" else T.StructField("body", f.dataType, True)
+        for f in t.current_schema().fields
+    ])
+    t.alter_schema(renamed, renames={"body": "text"})
+    s2 = t.manifest(refresh=True)["snapshot_id"]
+
+    t.rollback(s1)  # schema back to 'text', rename chain gone
+    s3 = t.manifest(refresh=True)["snapshot_id"]
+
+    diff = t.snapshot_diff(s2, s3).toPandas()
+    assert len(diff) == 0, f"reverted rename produced spurious diffs: {diff}"

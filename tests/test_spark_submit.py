@@ -34,6 +34,12 @@ def test_spark_submit_py_files_replay_verify(tmp_path):
     log = str(tmp_path / "log")
     table = str(tmp_path / "t")
 
+    # copy the entry script OUT of the repo: Python puts the script's
+    # own directory at sys.path[0], so submitting repo/run_cdc.py would
+    # silently import the package from the checkout instead of the zip
+    entry = str(tmp_path / "run_cdc.py")
+    shutil.copyfile(os.path.join(REPO, "run_cdc.py"), entry)
+
     def submit(*args: str) -> subprocess.CompletedProcess:
         return subprocess.run(
             [
@@ -41,7 +47,7 @@ def test_spark_submit_py_files_replay_verify(tmp_path):
                 "--master", "local[4]",
                 "--conf", "spark.sql.shuffle.partitions=4",
                 "--py-files", pkg_zip,
-                os.path.join(REPO, "run_cdc.py"),
+                entry,
                 *args,
             ],
             env=env,
