@@ -99,6 +99,22 @@ def main() -> None:
         "train grams explode after a repartition of the doc scan.",
     )
 
+    cap(
+        "Multi-table sync (subset → DAG → pseudonymize → FK rewrite)",
+        E.queries()["multi_table_sync"](spark, SF),
+        "customer root predicate semijoins orders; the parent key "
+        "mapping joins back as a broadcast hash join; the sha256 "
+        "pseudonym is a JVM column expression inside the Project.",
+    )
+    cap(
+        "Dedup cluster assignment (minhash → connected components)",
+        E.queries()["dedup_cluster_assign"](spark, SF),
+        "the label frame is localCheckpoint'ed every round, so this "
+        "final plan is shallow regardless of rounds — the iterative "
+        "lineage never reaches Catalyst (plan depth, not data, is the "
+        "hazard in iterative DataFrame algorithms).",
+    )
+
     # the engine's transform stage: deterministic transformers run as
     # JVM column expressions (regexp_replace in the Project, inside
     # codegen); only the seeded scramble pays ArrowEvalPython
