@@ -11,7 +11,8 @@ Run via spark-submit with the package shipped as --py-files:
 Subcommands: synth (generate a change log), replay (run/resume a sync
 job), compact (fold MoR deltas), verify (final state vs oracle), show
 (snapshot/ledger info), diff (net changes between snapshots — CDC-out),
-rollup-sync (incremental materialized-view maintenance), rollback
+rollup-sync (incremental materialized-view maintenance), requeue
+(re-apply FK-quarantined rows once the parent caught up), rollback
 (restore files + ledger to a snapshot), expire (snapshot GC), validate
 (distributed constraint checks).
 """
@@ -75,6 +76,22 @@ def main(argv: list[str] | None = None) -> int:
 
     w = sub.add_parser("show", help="snapshot history + ledger")
     w.add_argument("--table", required=True)
+
+    rq = sub.add_parser(
+        "requeue",
+        help="re-apply FK-quarantined rows after the parent caught up "
+             "(the deferred half of skip_foreign_key_violations)",
+    )
+    rq.add_argument("--table", required=True)
+    rq.add_argument("--fk-parent", default=None,
+                    help="parquet path of the CURRENT parent key set; "
+                         "omitted = requeue everything")
+    rq.add_argument("--fk-col", default="conv_id")
+    rq.add_argument("--fk-ref-col", default="conv_id")
+    rq.add_argument("--mapping", action="append", default=[],
+                    help="col=transformer[:json-params] (same transforms "
+                         "as the original replay)")
+    rq.add_argument("--seed", type=int, default=42)
 
     rb = sub.add_parser(
         "rollback",
@@ -194,6 +211,29 @@ def main(argv: list[str] | None = None) -> int:
         ok = n_table == n_expected
         print(json.dumps({"table_rows": n_table, "expected_rows": n_expected, "match": ok}))
         return 0 if ok else 1
+
+    if args.cmd == "requeue":
+        from .engine import EngineConfig, FkCheck, ReplayEngine
+        from .lakehouse import SnapshotTable
+        from .plans.job import resolve_transformer
+
+        t = SnapshotTable.load(spark, args.table)
+        fk = None
+        if args.fk_parent:
+            fk = FkCheck(
+                spark.read.parquet(args.fk_parent),
+                args.fk_col,
+                args.fk_ref_col,
+            )
+        transforms = {
+            m.column: resolve_transformer(m, args.seed)
+            for m in _parse_mapping(args.mapping)
+        }
+        eng = ReplayEngine(
+            spark, t, transforms=transforms, config=EngineConfig(fk_check=fk)
+        )
+        print(json.dumps(eng.requeue_fk_quarantine()))
+        return 0
 
     if args.cmd == "rollback":
         from .lakehouse import SnapshotTable

@@ -444,3 +444,63 @@ class ReplayEngine:
             if hot:
                 self.table.compact(buckets=hot)
         return stats
+
+    def requeue_fk_quarantine(self) -> dict:
+        """Re-apply rows quarantined by the FK row-skip once the parent
+        side has caught up — the deferred half of
+        ``skip_foreign_key_violations`` (the reference can only skip;
+        a lakehouse can heal).
+
+        Reads every quarantined range, re-validates against the CURRENT
+        parent key set (``config.fk_check``; no check configured ⇒ all
+        rows are taken), merges the now-valid rows through the normal
+        transform+LWW path WITHOUT a ledger range (their original
+        ranges are already applied; re-applying an identical row is an
+        LWW no-op, so a crash between merge and cleanup is safe), and
+        rewrites the quarantine to hold only the still-violating rows.
+        Returns {"requeued": n, "still_skipped": n}.
+        """
+        import glob
+        import os
+        import shutil
+
+        from .operators.subset import fk_violation_split
+
+        qroot = os.path.join(self.table.path, "metadata", "quarantine_fk")
+        range_dirs = sorted(glob.glob(os.path.join(qroot, "range=*")))
+        if not range_dirs:
+            return {"requeued": 0, "still_skipped": 0}
+        rows = self.spark.read.parquet(*range_dirs).drop("_quarantined_range")
+
+        fkc = self.config.fk_check
+        if fkc is not None:
+            ok, still = fk_violation_split(
+                rows, fkc.parent, fkc.fk_col, fkc.pk_col, fkc.broadcast
+            )
+        else:
+            ok, still = rows, rows.limit(0)
+        still = still.persist()
+        n_still = still.count()
+        # materialize the survivors BEFORE touching the dirs they're
+        # read from
+        backlog = os.path.join(qroot, "_backlog_tmp")
+        if n_still:
+            still.withColumn(
+                "_quarantined_range", F.lit("requeue_backlog")
+            ).write.mode("overwrite").parquet(backlog)
+        still.unpersist()
+
+        info = self.table.merge_cdc(
+            ok,
+            applied_range=None,
+            lineage=self.config.lineage,
+            mode=self.config.merge_mode,
+            transform=self.transform_batch if self.transforms else None,
+            source_is_raw=True,
+            prune_buckets=self.config.prune_buckets,
+        )
+        for d in range_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        if n_still:
+            os.replace(backlog, os.path.join(qroot, "range=requeue_backlog"))
+        return {"requeued": info.rows_written, "still_skipped": n_still}

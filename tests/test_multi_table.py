@@ -158,3 +158,99 @@ def test_engine_fk_check_quarantines_and_counts(spark, tmp_path):
     from .conftest import assert_pdf_equal
 
     assert_pdf_equal(got, exp, ["conv_id", "turn_idx"])
+
+
+def test_requeue_fk_quarantine_heals(spark, tmp_path):
+    """After the parent catches up, requeue applies the quarantined
+    rows through the normal transform+LWW path and the table converges
+    to the no-violation final state; a second requeue is a no-op."""
+    from pyspark.sql import functions as F
+
+    from neosync_spark.engine import EngineConfig, FkCheck, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+    from neosync_spark.synth import SynthConfig, expected_final_state, generate_pandas
+
+    log = generate_pandas(SynthConfig(n_events=2000, n_convs=100))
+    sdf = spark.createDataFrame(log)
+    convs = sorted(log["conv_id"].unique())
+    narrowed = spark.createDataFrame(
+        [(c,) for c in convs[: len(convs) - 10]], "conv_id string"
+    )
+    full = spark.createDataFrame([(c,) for c in convs], "conv_id string")
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), key_cols=KEY_COLS, n_buckets=4
+    )
+    eng = ReplayEngine(
+        spark, t,
+        config=EngineConfig(
+            batch_lsn_size=1000, fk_check=FkCheck(narrowed, "conv_id", "conv_id")
+        ),
+    )
+    stats = eng.replay(
+        lambda lo, hi: sdf.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)),
+        lsn_lo=0, lsn_hi=1999,
+    )
+    assert stats.rows_skipped_fk > 0
+
+    # the parent catches up: requeue against the full key set
+    heal = ReplayEngine(
+        spark, t,
+        config=EngineConfig(fk_check=FkCheck(full, "conv_id", "conv_id")),
+    )
+    res = heal.requeue_fk_quarantine()
+    assert res["requeued"] > 0 and res["still_skipped"] == 0
+
+    from .conftest import assert_pdf_equal
+
+    assert_pdf_equal(
+        t.read().toPandas(), expected_final_state(log), ["conv_id", "turn_idx"]
+    )
+    # quarantine drained; second requeue is a no-op
+    assert heal.requeue_fk_quarantine() == {"requeued": 0, "still_skipped": 0}
+
+
+def test_requeue_partial_parent_keeps_backlog(spark, tmp_path):
+    """A requeue against a still-incomplete parent applies only the
+    now-valid rows and keeps the rest as backlog for the next requeue."""
+    from pyspark.sql import functions as F
+
+    from neosync_spark.engine import EngineConfig, FkCheck, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+    from neosync_spark.synth import SynthConfig, expected_final_state, generate_pandas
+
+    log = generate_pandas(SynthConfig(n_events=2000, n_convs=100))
+    sdf = spark.createDataFrame(log)
+    convs = sorted(log["conv_id"].unique())
+    p1 = spark.createDataFrame([(c,) for c in convs[:-10]], "conv_id string")
+    p2 = spark.createDataFrame([(c,) for c in convs[:-5]], "conv_id string")
+    full = spark.createDataFrame([(c,) for c in convs], "conv_id string")
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), key_cols=KEY_COLS, n_buckets=4
+    )
+    ReplayEngine(
+        spark, t,
+        config=EngineConfig(batch_lsn_size=1000, fk_check=FkCheck(p1, "conv_id", "conv_id")),
+    ).replay(
+        lambda lo, hi: sdf.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)),
+        lsn_lo=0, lsn_hi=1999,
+    )
+
+    mid = ReplayEngine(
+        spark, t, config=EngineConfig(fk_check=FkCheck(p2, "conv_id", "conv_id"))
+    ).requeue_fk_quarantine()
+    assert mid["requeued"] > 0 and mid["still_skipped"] > 0
+
+    fin = ReplayEngine(
+        spark, t, config=EngineConfig(fk_check=FkCheck(full, "conv_id", "conv_id"))
+    ).requeue_fk_quarantine()
+    assert fin["requeued"] > 0 and fin["still_skipped"] == 0
+
+    from .conftest import assert_pdf_equal
+
+    assert_pdf_equal(
+        t.read().toPandas(), expected_final_state(log), ["conv_id", "turn_idx"]
+    )
