@@ -451,56 +451,111 @@ class ReplayEngine:
         ``skip_foreign_key_violations`` (the reference can only skip;
         a lakehouse can heal).
 
-        Reads every quarantined range, re-validates against the CURRENT
-        parent key set (``config.fk_check``; no check configured ⇒ all
-        rows are taken), merges the now-valid rows through the normal
+        Reads every quarantined range (mergeSchema across epochs,
+        rename-chain column alignment, exact-duplicate drop — crash
+        recovery may leave the same row in two dirs), re-validates
+        against the CURRENT parent key set (``config.fk_check``,
+        snapshotted+persisted once; no check configured ⇒ all rows are
+        taken), merges the now-valid rows through the normal
         transform+LWW path WITHOUT a ledger range (their original
         ranges are already applied; re-applying an identical row is an
-        LWW no-op, so a crash between merge and cleanup is safe), and
-        rewrites the quarantine to hold only the still-violating rows.
+        LWW no-op), and leaves only the still-violating rows behind.
+
+        Crash ordering: the surviving backlog is renamed INTO the
+        quarantine under a fresh ``range=backlog-*`` name BEFORE the
+        merge and before the old dirs are removed — at every
+        interruption point each quarantined row exists in at least one
+        readable dir, and re-reading it twice is harmless (duplicates
+        dropped, merge idempotent). A zero-heal requeue performs no
+        merge commit. Invalidates any chained COW state (the cached
+        target would be missing the healed rows).
         Returns {"requeued": n, "still_skipped": n}.
         """
         import glob
         import os
         import shutil
+        import uuid as _uuid
 
-        from .operators.subset import fk_violation_split
+        from .operators.subset import _cols, fk_violation_split
 
         qroot = os.path.join(self.table.path, "metadata", "quarantine_fk")
         range_dirs = sorted(glob.glob(os.path.join(qroot, "range=*")))
+        # a crash between backlog-write and rename strands rows in the
+        # tmp dir — recover them too
+        stranded = os.path.join(qroot, "_backlog_tmp")
+        if os.path.isdir(stranded):
+            range_dirs.append(stranded)
         if not range_dirs:
             return {"requeued": 0, "still_skipped": 0}
-        rows = self.spark.read.parquet(*range_dirs).drop("_quarantined_range")
+        rows = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*range_dirs)
+            .drop("_quarantined_range")
+            .dropDuplicates()
+        )
+        # quarantine files carry the column names of their batch's
+        # schema epoch — walk the rename chain to the current names
+        m = self.table.manifest(refresh=True)
+        renames = m.get("renames", {})
+        have = set(rows.columns)
+        for f_ in self.table.current_schema(m).fields:
+            if f_.name not in have:
+                src = SnapshotTable._walk_renames(f_.name, have, renames)
+                if src is not None:
+                    rows = rows.withColumnRenamed(src, f_.name)
 
         fkc = self.config.fk_check
-        if fkc is not None:
-            ok, still = fk_violation_split(
-                rows, fkc.parent, fkc.fk_col, fkc.pk_col, fkc.broadcast
-            )
-        else:
-            ok, still = rows, rows.limit(0)
-        still = still.persist()
-        n_still = still.count()
-        # materialize the survivors BEFORE touching the dirs they're
-        # read from
-        backlog = os.path.join(qroot, "_backlog_tmp")
-        if n_still:
-            still.withColumn(
-                "_quarantined_range", F.lit("requeue_backlog")
-            ).write.mode("overwrite").parquet(backlog)
-        still.unpersist()
+        keys = None
+        try:
+            if fkc is not None:
+                # snapshot + persist the parent key set once (same
+                # rationale as apply_batch): several actions below
+                # would otherwise re-scan + re-distinct the parent,
+                # and a parent changing on disk mid-requeue could
+                # classify a row differently between backlog and merge
+                keys = (
+                    fkc.parent.select(*_cols(fkc.pk_col)).distinct().persist()
+                )
+                ok, still = fk_violation_split(
+                    rows, keys, fkc.fk_col, fkc.pk_col, fkc.broadcast
+                )
+            else:
+                ok, still = rows, rows.limit(0)
+            still = still.persist()
+            n_still = still.count()
+            n_total = rows.count()
 
-        info = self.table.merge_cdc(
-            ok,
-            applied_range=None,
-            lineage=self.config.lineage,
-            mode=self.config.merge_mode,
-            transform=self.transform_batch if self.transforms else None,
-            source_is_raw=True,
-            prune_buckets=self.config.prune_buckets,
-        )
+            # survivors become a NEW backlog dir inside the quarantine
+            # BEFORE anything is deleted or merged
+            if n_still:
+                tmp = os.path.join(qroot, "_backlog_tmp")
+                still.withColumn(
+                    "_quarantined_range", F.lit("requeue_backlog")
+                ).write.mode("overwrite").parquet(tmp)
+                os.replace(
+                    tmp,
+                    os.path.join(qroot, f"range=backlog-{_uuid.uuid4().hex[:8]}"),
+                )
+            still.unpersist()
+
+            n_ok = n_total - n_still
+            if n_ok:
+                self.table.merge_cdc(
+                    ok,
+                    applied_range=None,
+                    lineage=self.config.lineage,
+                    mode=self.config.merge_mode,
+                    transform=self.transform_batch if self.transforms else None,
+                    source_is_raw=True,
+                    prune_buckets=self.config.prune_buckets,
+                )
+                if self._chained_state is not None:
+                    # the cached COW target predates the healed rows
+                    self._chained_state.unpersist()
+                    self._chained_state = None
+        finally:
+            if keys is not None:
+                keys.unpersist()
         for d in range_dirs:
             shutil.rmtree(d, ignore_errors=True)
-        if n_still:
-            os.replace(backlog, os.path.join(qroot, "range=requeue_backlog"))
-        return {"requeued": info.rows_written, "still_skipped": n_still}
+        return {"requeued": n_ok, "still_skipped": n_still}

@@ -254,3 +254,48 @@ def test_requeue_partial_parent_keeps_backlog(spark, tmp_path):
     assert_pdf_equal(
         t.read().toPandas(), expected_final_state(log), ["conv_id", "turn_idx"]
     )
+
+
+def test_requeue_zero_heal_no_commit(spark, tmp_path):
+    """A requeue where nothing heals must not commit a snapshot (no
+    retention erosion from failed attempts) and must keep the backlog."""
+    from pyspark.sql import functions as F
+
+    from neosync_spark.engine import EngineConfig, FkCheck, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+    from neosync_spark.synth import SynthConfig, generate_pandas
+
+    log = generate_pandas(SynthConfig(n_events=1000, n_convs=50))
+    sdf = spark.createDataFrame(log)
+    convs = sorted(log["conv_id"].unique())
+    narrowed = spark.createDataFrame(
+        [(c,) for c in convs[:-10]], "conv_id string"
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), key_cols=KEY_COLS, n_buckets=4
+    )
+    eng = ReplayEngine(
+        spark, t,
+        config=EngineConfig(
+            batch_lsn_size=1000, fk_check=FkCheck(narrowed, "conv_id", "conv_id")
+        ),
+    )
+    eng.replay(
+        lambda lo, hi: sdf.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)),
+        lsn_lo=0, lsn_hi=999,
+    )
+    sid_before = t.manifest(refresh=True)["snapshot_id"]
+
+    # same (still-narrowed) parent: nothing heals
+    res = eng.requeue_fk_quarantine()
+    assert res["requeued"] == 0 and res["still_skipped"] > 0
+    assert t.manifest(refresh=True)["snapshot_id"] == sid_before
+
+    # backlog survives for a later requeue that CAN heal
+    full = spark.createDataFrame([(c,) for c in convs], "conv_id string")
+    res2 = ReplayEngine(
+        spark, t, config=EngineConfig(fk_check=FkCheck(full, "conv_id", "conv_id"))
+    ).requeue_fk_quarantine()
+    assert res2["requeued"] == res["still_skipped"]
+    assert res2["still_skipped"] == 0
