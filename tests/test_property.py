@@ -166,3 +166,98 @@ def test_interval_round_trip_property(spark, months, days, micros):
         .collect()[0]
     )
     assert got["iv"] == got["iv2"], (months, days, micros, got)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    events=st.lists(_event, min_size=2, max_size=40),
+    split_frac=st.floats(0.1, 0.9),
+)
+def test_snapshot_diff_chain_property(spark, table_root, events, split_frac):
+    """Random logs, random split: state(s1) + diff(s1,s2) applied as a
+    change feed reproduces state(s2), and the incremental rollup equals
+    a full recompute — the two derived-data invariants, adversarially."""
+    from pyspark.sql import functions as F
+
+    from neosync_spark.operators.rollup import (
+        ROLLUP_SCHEMA,
+        conversation_rollup,
+        incremental_rollup_sync,
+    )
+
+    log = _mk_log(events)
+    hi = int(log["lsn"].max())
+    mid = max(1, int(hi * split_frac))
+    counter["i"] += 1
+    t = SnapshotTable.create(
+        spark,
+        str(table_root / f"d{counter['i']}"),
+        transcript_schema(),
+        key_cols=KEY_COLS,
+        n_buckets=2,
+    )
+    dst = SnapshotTable.create(
+        spark,
+        str(table_root / f"r{counter['i']}"),
+        ROLLUP_SCHEMA,
+        key_cols=["conv_id"],
+        order_cols=["ts"],
+        n_buckets=2,
+    )
+    sdf = spark.createDataFrame(log)
+
+    def slicer(lo, hi_):
+        return sdf.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    eng = ReplayEngine(
+        spark, t, config=EngineConfig(batch_lsn_size=max(1, mid), lineage=False)
+    )
+    eng.replay(slicer, lsn_lo=0, lsn_hi=mid - 1)
+    s1 = t.manifest(refresh=True)["snapshot_id"]
+    incremental_rollup_sync(t, dst, None, s1)
+    eng.replay(slicer, lsn_lo=mid, lsn_hi=hi)
+    s2 = t.manifest(refresh=True)["snapshot_id"]
+    incremental_rollup_sync(t, dst, s1, s2)
+
+    # diff-as-change-feed invariant
+    seed = t.read(snapshot_id=s1).withColumns(
+        {"op": F.lit("insert"), "lsn": F.lit(0).cast("long")}
+    )
+    replay_t = SnapshotTable.create(
+        spark,
+        str(table_root / f"c{counter['i']}"),
+        transcript_schema(),
+        key_cols=KEY_COLS,
+        n_buckets=2,
+    )
+    replay_t.merge_cdc(seed, applied_range=(0, 1))
+    feed = t.snapshot_diff(s1, s2).withColumns(
+        {
+            "op": F.when(
+                F.col("change_type") == "delete", F.lit("delete")
+            ).otherwise(F.lit("update")),
+            "lsn": F.lit(1).cast("long"),
+        }
+    ).drop("change_type")
+    replay_t.merge_cdc(feed, applied_range=(1, 2))
+    assert_pdf_equal(
+        replay_t.read().toPandas(),
+        t.read(snapshot_id=s2).toPandas(),
+        ["conv_id", "turn_idx"],
+        msg="diff-as-change-feed",
+    )
+
+    # incremental rollup == full recompute
+    got = {
+        r["conv_id"]: (r["n_turns"], r["total_chars"])
+        for r in dst.read().collect()
+    }
+    exp = {
+        r["conv_id"]: (r["n_turns"], r["total_chars"])
+        for r in conversation_rollup(t.read()).collect()
+    }
+    assert got == exp, "incremental rollup diverged from full recompute"
