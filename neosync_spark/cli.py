@@ -69,6 +69,9 @@ def main(argv: list[str] | None = None) -> int:
 
     c = sub.add_parser("compact", help="fold MoR delta files")
     c.add_argument("--table", required=True)
+    c.add_argument("--sort-by-key", action="store_true",
+                   help="cluster rows by key within bucket files "
+                        "(row-group stats line up with the key)")
 
     v = sub.add_parser("verify", help="replay-vs-oracle final state check")
     v.add_argument("--log", required=True)
@@ -192,7 +195,7 @@ def main(argv: list[str] | None = None) -> int:
         from .lakehouse import SnapshotTable
 
         t = SnapshotTable.load(spark, args.table)
-        info = t.compact()
+        info = t.compact(sort_by_key=args.sort_by_key)
         print(json.dumps({"compacted": bool(info), "snapshot": info.snapshot_id if info else None}))
         return 0
 

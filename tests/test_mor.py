@@ -223,3 +223,45 @@ def test_pipelined_replay_applies_pending_rename(spark, tmp_path):
     assert "content" in out.columns and "text" not in out.columns
     got = out.filter(F.col("conv_id") == "seed").select("content").collect()
     assert [r[0] for r in got] == ["seedval"]
+
+
+def test_compact_sort_by_key_clusters_files(spark, tmp_path):
+    """sort_by_key compaction: identical data, but each bucket file is
+    key-sorted so row-group stats line up with the key."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(),
+        key_cols=KEY_COLS, order_cols=["ts"], n_buckets=2,
+    )
+    rows = []
+    for i in range(200):
+        rows.append((i, "insert", f"c{i % 37}", i % 5, "user", f"m{i}", None,
+                     pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i)))
+    pdf = pd.DataFrame(rows, columns=[
+        "lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    t.merge_cdc(spark.createDataFrame(pdf), applied_range=(0, 500), mode="mor")
+
+    before = t.read().toPandas()
+    t.compact(sort_by_key=True)
+    after = t.read().toPandas()
+    from .conftest import assert_pdf_equal
+
+    assert_pdf_equal(after, before, ["conv_id", "turn_idx"])
+
+    # every compacted file is sorted by the key columns
+    m = t.manifest(refresh=True)
+    for entries in m["files"].values():
+        for e in entries:
+            tbl = pq.read_table(e["path"], columns=["conv_id", "turn_idx"])
+            df = tbl.to_pandas()
+            assert (
+                df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+                .reset_index(drop=True)
+                .equals(df.reset_index(drop=True))
+            ), f"file {e['path']} not key-sorted"
