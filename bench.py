@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "text_lang_id",
     "dedup_cluster_assign",
     "decontaminate_ngrams",
+    "multi_table_sync",
+    "corpus_stats",
 ]
 
 
