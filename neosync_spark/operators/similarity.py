@@ -302,10 +302,14 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # seed labels with min(self, min neighbor): the first propagation
+    # hop comes out of the same aggregation that enumerates the nodes,
+    # saving one full round on the shallow star/clique components real
+    # dedup produces
     labels = (
-        edges.select(F.col("_src").alias("_id"))
-        .distinct()
-        .withColumn("_lab", F.col("_id"))
+        edges.groupBy(F.col("_src").alias("_id"))
+        .agg(F.min("_dst").alias("_nbr"))
+        .select("_id", F.least("_id", "_nbr").alias("_lab"))
         .persist()
     )
     labels.count()
