@@ -313,6 +313,61 @@ def _q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_requeue_heal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK row-skip + heal, end-to-end: replay against a parent registry
+    missing 20% of conversations (violators quarantined, not failed),
+    then the registry catches up and requeue_fk_quarantine merges the
+    backlog — the healed table must equal the ORACLE STATE AS IF no
+    violation ever happened (the strongest statement of the
+    skip-then-heal semantics)."""
+    from neosync_spark.engine import EngineConfig, FkCheck, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    convs = log.select("conv_id").distinct()
+    narrowed = convs.filter(
+        F.regexp_extract("conv_id", "(\\d+)$", 1).cast("int") % 5 != 0
+    )
+
+    path = tempfile.mkdtemp(prefix="ns_cdc_requeue_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    eng = ReplayEngine(
+        spark,
+        table,
+        config=EngineConfig(
+            batch_lsn_size=max(1000, (hi + 4) // 4),
+            lineage=False,
+            prune_buckets=False,
+            fk_check=FkCheck(narrowed, "conv_id", "conv_id"),
+        ),
+    )
+    stats = eng.replay(slicer, lsn_lo=0, lsn_hi=hi)
+    assert stats.rows_skipped_fk > 0, "fixture must produce violations"
+
+    healer = ReplayEngine(
+        spark,
+        table,
+        config=EngineConfig(
+            lineage=False,
+            prune_buckets=False,
+            fk_check=FkCheck(convs, "conv_id", "conv_id"),
+        ),
+    )
+    res = healer.requeue_fk_quarantine()
+    assert res["still_skipped"] == 0
+    return table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
 def _q_delete_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation: alive turns vs tombstoned turns after LWW."""
     from neosync_spark.operators.dedup import lww_dedup
@@ -1515,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_delete_semantics": _q_delete_semantics,
         "cdc_snapshot_diff": _q_snapshot_diff,
         "cdc_incremental_rollup": _q_incremental_rollup,
+        "cdc_requeue_heal": _q_requeue_heal,
         "cdc_keyset_page": _q_keyset_page,
         "cdc_hot_keys": _q_hot_keys,
         "cdc_changelog_metrics": _q_changelog_metrics,
@@ -1635,6 +1691,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS alive_turns,
                    CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS deleted_turns
             FROM ({lww}) GROUP BY conv_id
+        """,
+        "cdc_requeue_heal": f"""
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM ({lww}) WHERE op <> 'delete'
         """,
         "cdc_snapshot_diff": f"""
             WITH log AS {log},
