@@ -918,7 +918,14 @@ class SnapshotTable:
         n_out = max(1, min(len(buckets), 256))
         out = out.repartition(n_out, F.col(_BUCKET_COL))
         if sort_by_key:
-            out = out.sortWithinPartitions(*m["key_cols"])
+            # the partitionBy writer REQUIRES an ordering on the
+            # partition column and plans its own Sort(_bucket) on top,
+            # which would eliminate a bare key sort (files would come
+            # out in scan order — a silent no-op). Leading with the
+            # bucket column satisfies the writer's requirement, so THIS
+            # sort is the one that survives and files come out
+            # key-clustered.
+            out = out.sortWithinPartitions(_BUCKET_COL, *m["key_cols"])
         out.write.partitionBy(_BUCKET_COL).parquet(commit_dir)
         new_files = {b: list(v) for b, v in m["files"].items()}
         for b in buckets:

@@ -227,41 +227,70 @@ def test_pipelined_replay_applies_pending_rename(spark, tmp_path):
 
 def test_compact_sort_by_key_clusters_files(spark, tmp_path):
     """sort_by_key compaction: identical data, but each bucket file is
-    key-sorted so row-group stats line up with the key."""
+    key-sorted so row-group stats line up with the key. Adversarial
+    settings (AQE off, several shuffle partitions, scrambled insert
+    order) so incidental ordering can't mask a sort that the
+    partitionBy writer optimized away; the sort_by_key=False control
+    must come out UNsorted under the same settings."""
     import pandas as pd
     import pyarrow.parquet as pq
 
     from neosync_spark.lakehouse import SnapshotTable
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
-    t = SnapshotTable.create(
-        spark, str(tmp_path / "t"), transcript_schema(),
-        key_cols=KEY_COLS, order_cols=["ts"], n_buckets=2,
-    )
-    rows = []
-    for i in range(200):
-        rows.append((i, "insert", f"c{i % 37}", i % 5, "user", f"m{i}", None,
-                     pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i)))
-    pdf = pd.DataFrame(rows, columns=[
-        "lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"])
-    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
-    t.merge_cdc(spark.createDataFrame(pdf), applied_range=(0, 500), mode="mor")
+    def build(path, sort_flag):
+        t = SnapshotTable.create(
+            spark, str(path), transcript_schema(),
+            key_cols=KEY_COLS, order_cols=["ts"], n_buckets=2,
+        )
+        rows = []
+        for i in range(2000):
+            j = (i * 613) % 2000  # scrambled key order
+            rows.append((i, "insert", f"c{j % 97}", j % 7, "user", f"m{j}",
+                         None,
+                         pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i)))
+        pdf = pd.DataFrame(rows, columns=[
+            "lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"])
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        t.merge_cdc(spark.createDataFrame(pdf).repartition(8),
+                    applied_range=(0, 5000), mode="mor")
+        t.compact(sort_by_key=sort_flag)
+        return t
 
-    before = t.read().toPandas()
-    t.compact(sort_by_key=True)
-    after = t.read().toPandas()
+    def files_sorted(t):
+        out = []
+        m = t.manifest(refresh=True)
+        for entries in m["files"].values():
+            for e in entries:
+                df = pq.read_table(
+                    e["path"], columns=["conv_id", "turn_idx"]
+                ).to_pandas()
+                out.append(
+                    df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+                    .reset_index(drop=True)
+                    .equals(df.reset_index(drop=True))
+                )
+        return out
+
+    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        t_sorted = build(tmp_path / "sorted", True)
+        t_plain = build(tmp_path / "plain", False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+    assert all(files_sorted(t_sorted)), "sort_by_key files must be key-sorted"
+    # identical data either way
     from .conftest import assert_pdf_equal
 
-    assert_pdf_equal(after, before, ["conv_id", "turn_idx"])
-
-    # every compacted file is sorted by the key columns
-    m = t.manifest(refresh=True)
-    for entries in m["files"].values():
-        for e in entries:
-            tbl = pq.read_table(e["path"], columns=["conv_id", "turn_idx"])
-            df = tbl.to_pandas()
-            assert (
-                df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-                .reset_index(drop=True)
-                .equals(df.reset_index(drop=True))
-            ), f"file {e['path']} not key-sorted"
+    assert_pdf_equal(
+        t_sorted.read().toPandas(), t_plain.read().toPandas(),
+        ["conv_id", "turn_idx"],
+    )
+    # negative control: without the flag the scrambled order survives —
+    # if this starts passing sorted, the positive assertion is vacuous
+    assert not all(files_sorted(t_plain)), (
+        "control files came out sorted; the fixture no longer "
+        "discriminates and the positive assertion proves nothing"
+    )
