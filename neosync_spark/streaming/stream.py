@@ -21,8 +21,15 @@ from ..schema import change_event_schema
 
 
 class StreamingReplay:
-    def __init__(self, engine: ReplayEngine):
+    def __init__(self, engine: ReplayEngine, rollup_dst=None):
+        """``rollup_dst``: an optional rollup SnapshotTable — after
+        each committed epoch the derived table is advanced from the
+        epoch's snapshot pair via ``incremental_rollup_sync`` (work ∝
+        the epoch's diff; the sync's own (from,to) ledger makes an
+        epoch retry's re-sync a no-op), so the materialized view tails
+        the stream end-to-end with no full recompute anywhere."""
         self.engine = engine
+        self.rollup_dst = rollup_dst
 
     def _apply_epoch(self, batch: DataFrame, epoch_id: int) -> None:
         bounds = batch.agg(
@@ -32,6 +39,9 @@ class StreamingReplay:
             return
         rng = (int(bounds["lo"]), int(bounds["hi"]) + 1)
         if self.engine.table.is_applied(*rng):
+            # epoch retry: the merge already committed, but a crash may
+            # have landed between merge and rollup sync — catch up
+            self._sync_rollup()
             return
         if self.engine.registry is not None and self.engine.registry.versions:
             from ..schema_registry import ensure_table_schema
@@ -44,6 +54,25 @@ class StreamingReplay:
                 renames=getattr(declared, "rename_map", None),
             )
         self.engine.apply_batch(batch, rng)
+        self._sync_rollup()
+
+    def _sync_rollup(self) -> None:
+        """Advance the rollup to the table's head, FROM the rollup's
+        own ledger — not the epoch's snapshot pair — so a crash between
+        merge and sync (or a multi-epoch outage of the derived table)
+        self-heals: the next sync diffs across everything missed."""
+        if self.rollup_dst is None:
+            return
+        from ..operators.rollup import incremental_rollup_sync
+
+        head = self.engine.table.manifest(refresh=True)["snapshot_id"]
+        last = max(
+            (r[1] for r in self.rollup_dst.applied_ranges()), default=None
+        )
+        if last != head:
+            incremental_rollup_sync(
+                self.engine.table, self.rollup_dst, last, head
+            )
 
     def start(
         self,

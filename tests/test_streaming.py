@@ -212,3 +212,43 @@ def test_streaming_then_incremental_rollup(spark, tmp_path):
         for r in conversation_rollup(table.read()).collect()
     }
     assert got == exp
+
+
+def test_streaming_auto_rollup_tail(spark, tmp_path):
+    """rollup_dst wired into StreamingReplay: the derived table tails
+    the stream epoch by epoch (ledger-driven from-snapshot, so crashes
+    and multi-epoch gaps self-heal) and ends equal to a full recompute."""
+    from neosync_spark.operators.rollup import (
+        ROLLUP_SCHEMA,
+        conversation_rollup,
+    )
+
+    log = generate_pandas(CFG)
+    sdf = spark.createDataFrame(log).repartition(6)
+    log_dir = str(tmp_path / "log")
+    sdf.write.parquet(log_dir)
+
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), key_cols=KEY_COLS, n_buckets=8
+    )
+    dst = SnapshotTable.create(
+        spark, str(tmp_path / "r"), ROLLUP_SCHEMA,
+        key_cols=["conv_id"], order_cols=["ts"], n_buckets=8,
+    )
+    eng = ReplayEngine(spark, table, config=EngineConfig())
+    q = StreamingReplay(eng, rollup_dst=dst).start(
+        log_dir, str(tmp_path / "ckpt"), max_files_per_trigger=2
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["conv_id"]: (r["n_turns"], r["total_chars"])
+        for r in dst.read().collect()
+    }
+    exp = {
+        r["conv_id"]: (r["n_turns"], r["total_chars"])
+        for r in conversation_rollup(table.read()).collect()
+    }
+    assert got == exp
+    # multiple epochs => multiple rollup syncs in dst's ledger
+    assert len(dst.applied_ranges()) >= 2
