@@ -180,3 +180,57 @@ def test_cli_diff_and_rollup_sync(spark, tmp_path, capsys):
     e = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(e["retained_snapshots"]) <= 2  # current (+ its parent chain cap)
     assert SnapshotTable.load(spark, table).read().count() == t.read().count()
+
+
+def test_cli_rollback_and_requeue(spark, tmp_path, capsys):
+    import json
+
+    import duckdb
+
+    from neosync_spark.cli import main
+    from neosync_spark.lakehouse import SnapshotTable
+
+    log_dir = str(tmp_path / "log")
+    table = str(tmp_path / "t")
+    assert main(["synth", "--out", log_dir, "--events", "2000"]) == 0
+    # narrowed parent: every conv except a handful
+    con = duckdb.connect()
+    parent_dir = str(tmp_path / "parent.parquet")
+    con.execute(
+        f"""COPY (SELECT DISTINCT conv_id FROM read_parquet('{log_dir}/*.parquet')
+            WHERE conv_id NOT IN (
+              SELECT DISTINCT conv_id FROM read_parquet('{log_dir}/*.parquet')
+              ORDER BY conv_id LIMIT 5))
+            TO '{parent_dir}' (FORMAT PARQUET)"""
+    )
+    full_dir = str(tmp_path / "full.parquet")
+    con.execute(
+        f"""COPY (SELECT DISTINCT conv_id FROM read_parquet('{log_dir}/*.parquet'))
+            TO '{full_dir}' (FORMAT PARQUET)"""
+    )
+    assert main([
+        "replay", "--log", log_dir, "--table", table,
+        "--batch-size", "1000", "--fk-parent", parent_dir,
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_skipped_fk"] > 0
+
+    # requeue against the caught-up parent heals everything
+    assert main(["requeue", "--table", table, "--fk-parent", full_dir]) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # requeued may be slightly below the skip count: exact duplicate
+    # deliveries quarantined twice collapse under requeue's dropDuplicates
+    assert 0 < r["requeued"] <= out["rows_skipped_fk"]
+    assert r["still_skipped"] == 0
+    assert main(["verify", "--log", log_dir, "--table", table]) == 0
+    capsys.readouterr()
+
+    # rollback to the pre-heal snapshot and back
+    t = SnapshotTable.load(spark, table)
+    healed_sid = t.manifest(refresh=True)["snapshot_id"]
+    assert main([
+        "rollback", "--table", table, "--to-snapshot", str(healed_sid - 1),
+    ]) == 0
+    rb = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rb["new_snapshot"] > healed_sid
+    assert main(["verify", "--log", log_dir, "--table", table]) == 1  # pre-heal
