@@ -135,6 +135,59 @@ def _q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish: first half of the log lands on main, the
+    second half is STAGED on a branch (invisible to main readers),
+    audited (no alive row may carry a NULL role — true of the derived
+    log, so the audit passes), then published by atomic fast-forward.
+    Output = main's state while the branch was staged (phase='staged')
+    ∪ the post-publish state (phase='published'); the published half
+    must equal the full-log LWW oracle, proving the staged commits and
+    their ledger ranges moved atomically with the pointer."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    mid = hi // 2
+
+    path = tempfile.mkdtemp(prefix="ns_cdc_wap_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    cfg = dict(lineage=False, prune_buckets=False)
+    ReplayEngine(
+        spark, table, config=EngineConfig(batch_lsn_size=mid, **cfg)
+    ).replay(slicer, lsn_lo=0, lsn_hi=mid - 1)
+    # main's published state is pinned here: read() resolves the file
+    # list from the CURRENT main manifest, before any staging
+    staged_view = table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+    table.create_branch("stage")
+    ReplayEngine(
+        spark,
+        table.branch("stage"),
+        config=EngineConfig(batch_lsn_size=hi - mid + 1, **cfg),
+    ).replay(slicer, lsn_lo=mid, lsn_hi=hi)
+
+    table.publish_branch(
+        "stage", audit=lambda df: df.filter(F.col("role").isNull()).count()
+    )
+    published = table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+    return staged_view.withColumn("phase", F.lit("staged")).unionByName(
+        published.withColumn("phase", F.lit("published"))
+    )
+
+
 def _q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay with a mid-log schema evolution: the table starts WITHOUT
     `tool` (v1); the registry declares v2 (adds tool, widens turn_idx to
@@ -1563,6 +1616,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": _q_cdc_replay,
+        "cdc_wap_publish": _q_wap_publish,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_lww_dedup_agg": _q_lww_agg,
         "cdc_lww_dedup_window": _q_lww_window,
@@ -1633,6 +1687,21 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay_final_state": f"""
             SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM ({lww}) WHERE op <> 'delete'
+        """,
+        "cdc_wap_publish": f"""
+            WITH log AS ({_CDC_DERIVATION}),
+            mx AS (SELECT max(lsn) // 2 AS mid FROM log)
+            SELECT 'staged' AS phase, conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM (
+              SELECT l.*, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+              FROM log l WHERE lsn < (SELECT mid FROM mx)
+            ) WHERE rn = 1 AND op <> 'delete'
+            UNION ALL
+            SELECT 'published' AS phase, conv_id, turn_idx, role, text, tool,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'
         """,

@@ -66,6 +66,11 @@ class CommitConflictError(RuntimeError):
     """
 
 
+class BranchAuditError(RuntimeError):
+    """A write-audit-publish audit found violations in the staged
+    branch state; the publish was aborted and main is untouched."""
+
+
 @dataclass
 class CommitInfo:
     snapshot_id: int
@@ -89,9 +94,10 @@ class SnapshotTable:
         path/data/commit-<id>-<uuid>/_bucket=<k>/part-*.parquet
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, ref: str = "main"):
         self.spark = spark
         self.path = path
+        self.ref = ref
         self._manifest: dict | None = None
 
     # ---------- lifecycle ----------
@@ -137,8 +143,30 @@ class SnapshotTable:
 
     # ---------- manifest plumbing ----------
 
-    def _hint_path(self) -> str:
-        return os.path.join(self.path, "metadata", "version-hint.txt")
+    def _hint_path(self, ref: str | None = None) -> str:
+        """Current-snapshot pointer for a ref. ``main`` is the published
+        table (``version-hint.txt``, what every reader sees by default);
+        other refs are branch heads (``ref-<name>.txt``) advanced only
+        by writers holding a branch view."""
+        ref = self.ref if ref is None else ref
+        if ref == "main":
+            return os.path.join(self.path, "metadata", "version-hint.txt")
+        return os.path.join(self.path, "metadata", f"ref-{ref}.txt")
+
+    def _next_snapshot_id(self) -> int:
+        """Globally-unique snapshot id: 1 + max over ALL manifests on
+        disk (not head+1 — two refs advancing concurrently must never
+        collide on snap-<id>.json). Ids stay monotonic per ref because
+        every commit's id exceeds every id that existed when it ran."""
+        meta = os.path.join(self.path, "metadata")
+        mx = -1
+        for f in os.listdir(meta):
+            if f.startswith("snap-") and f.endswith(".json"):
+                try:
+                    mx = max(mx, int(f[len("snap-"):-len(".json")]))
+                except ValueError:
+                    continue
+        return mx + 1
 
     def manifest(self, snapshot_id: int | None = None, refresh: bool = False) -> dict:
         if snapshot_id is None:
@@ -343,11 +371,139 @@ class SnapshotTable:
         if snapshot_id == cur["snapshot_id"]:
             return int(cur["snapshot_id"])
         new_m = json.loads(json.dumps(target))  # deep copy
-        new_m["snapshot_id"] = cur["snapshot_id"] + 1
+        new_m["snapshot_id"] = self._next_snapshot_id()
         new_m["parent"] = cur["snapshot_id"]
         new_m["summary"] = {"operation": "rollback", "to": int(snapshot_id)}
         self._write_manifest(new_m)
         return int(new_m["snapshot_id"])
+
+    # ---------- branches (write-audit-publish) ----------
+    #
+    # The Iceberg branch / WAP analog (the reference has no staging
+    # concept — its sync writes land directly). A branch is a named ref
+    # (metadata/ref-<name>.txt) whose head advances through the SAME
+    # commit path as main; readers of the published table never see
+    # staged snapshots until publish_branch() fast-forwards main's
+    # pointer. Because the checkpoint ledger lives inside the manifest,
+    # publishing also publishes the staged lsn ranges atomically —
+    # exactly-once survives the indirection (a re-replay of a published
+    # range is a no-op on main, exactly as if it had been applied there).
+
+    @staticmethod
+    def _check_ref_name(name: str) -> None:
+        import re
+
+        if name == "main" or not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+            raise ValueError(
+                f"invalid branch name {name!r} (1-64 chars of [A-Za-z0-9._-], "
+                "not 'main')"
+            )
+
+    def create_branch(self, name: str, from_snapshot_id: int | None = None) -> int:
+        """Create branch ``name`` at ``from_snapshot_id`` (default: this
+        view's current head). Returns the branch head id."""
+        self._check_ref_name(name)
+        rp = self._hint_path(name)
+        if os.path.exists(rp):
+            raise ValueError(f"branch {name!r} already exists")
+        head = (
+            int(from_snapshot_id)
+            if from_snapshot_id is not None
+            else self.manifest(refresh=True)["snapshot_id"]
+        )
+        self.manifest(head)  # must resolve to a real manifest
+        tmp = rp + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(head))
+        os.replace(tmp, rp)
+        return head
+
+    def branch(self, name: str) -> "SnapshotTable":
+        """A writable view of branch ``name`` (same table path, own
+        head pointer). All reads/commits through the view stay on the
+        branch."""
+        if name != "main":
+            self._check_ref_name(name)
+            if not os.path.exists(self._hint_path(name)):
+                raise ValueError(f"branch {name!r} does not exist")
+        return SnapshotTable(self.spark, self.path, ref=name)
+
+    def list_branches(self) -> dict[str, int]:
+        """All refs -> head snapshot id (including main)."""
+        meta = os.path.join(self.path, "metadata")
+        out = {"main": self._read_ref("main")}
+        for f in os.listdir(meta):
+            if f.startswith("ref-") and f.endswith(".txt"):
+                out[f[len("ref-"):-len(".txt")]] = self._read_ref(
+                    f[len("ref-"):-len(".txt")]
+                )
+        return out
+
+    def _read_ref(self, ref: str) -> int:
+        with open(self._hint_path(ref)) as f:
+            return int(f.read().strip())
+
+    def drop_branch(self, name: str) -> None:
+        self._check_ref_name(name)
+        try:
+            os.remove(self._hint_path(name))
+        except FileNotFoundError:
+            pass
+
+    def _is_ancestor(self, ancestor_id: int, descendant_id: int) -> bool:
+        sid: int | None = descendant_id
+        while sid is not None:
+            if sid == ancestor_id:
+                return True
+            try:
+                sid = self.manifest(sid)["parent"]
+            except FileNotFoundError:
+                return False
+        return False
+
+    def publish_branch(
+        self, name: str, audit=None, drop_after: bool = True
+    ) -> int:
+        """Fast-forward main to branch ``name``'s head (the Iceberg
+        ``fast_forward`` / WAP publish). Requires main's current head to
+        be an ancestor of the branch head — if main advanced since the
+        fork, the staged commits were planned against a stale base and
+        publishing would silently drop main's rows, so this raises
+        CommitConflictError (re-stage on a fresh branch instead).
+
+        ``audit``: optional callable ``DataFrame -> int`` run over the
+        BRANCH head's table state before the pointer moves; a non-zero
+        return aborts the publish (BranchAuditError) and main is
+        untouched — the Audit in write-audit-publish. Returns the new
+        main head id."""
+        self._check_ref_name(name)
+        bhead = self._read_ref(name)
+        main_cur = self._read_ref("main")
+        if bhead != main_cur:
+            if not self._is_ancestor(main_cur, bhead):
+                raise CommitConflictError(
+                    f"main advanced to snapshot {main_cur}, which is not an "
+                    f"ancestor of branch {name!r} head {bhead} — re-stage the "
+                    "branch from the current main before publishing"
+                )
+            if audit is not None:
+                staged = SnapshotTable(self.spark, self.path, ref=name)
+                n_bad = int(audit(staged.read()))
+                if n_bad:
+                    raise BranchAuditError(
+                        f"audit failed for branch {name!r} at snapshot "
+                        f"{bhead}: {n_bad} violation(s); main stays at "
+                        f"{main_cur}"
+                    )
+            tmp = self._hint_path("main") + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(str(bhead))
+            os.replace(tmp, self._hint_path("main"))
+            if self.ref == "main":
+                self._manifest = None  # head moved under this view
+        if drop_after:
+            self.drop_branch(name)
+        return bhead
 
     def snapshot_diff(
         self, from_snapshot_id: int, to_snapshot_id: int
@@ -600,7 +756,7 @@ class SnapshotTable:
 
             out = self._finalize_rows(won, cur, key_cols)
 
-            new_sid = m["snapshot_id"] + 1
+            new_sid = self._next_snapshot_id()
             commit_dir = os.path.join(
                 self.path, "data", f"commit-{new_sid}-{uuid.uuid4().hex[:8]}"
             )
@@ -779,7 +935,7 @@ class SnapshotTable:
                 f"schema advanced ({schema_id} -> {m['schema_id']}) while the "
                 "delta was in flight — re-prepare under the current schema"
             )
-        new_sid = m["snapshot_id"] + 1
+        new_sid = self._next_snapshot_id()
         new_files = {b: list(v) for b, v in m["files"].items()}
         for b, paths in written.items():
             new_files.setdefault(str(b), []).extend(
@@ -911,7 +1067,7 @@ class SnapshotTable:
         out = rows.withColumn(
             _BUCKET_COL, bucket_expr(m["key_cols"][0], m["bucket_count"])
         )
-        new_sid = m["snapshot_id"] + 1
+        new_sid = self._next_snapshot_id()
         commit_dir = os.path.join(
             self.path, "data", f"commit-{new_sid}-{uuid.uuid4().hex[:8]}"
         )
@@ -951,15 +1107,21 @@ class SnapshotTable:
         snapshot (plus orphans from crashed commits). Time travel
         remains available within the retained window; the ledger lives
         in the current manifest and is unaffected."""
-        cur = self.manifest(refresh=True)
-        retained_ids = []
-        sid = cur["snapshot_id"]
-        while sid is not None and len(retained_ids) < keep_last:
-            retained_ids.append(sid)
-            try:
-                sid = self.manifest(sid)["parent"]
-            except FileNotFoundError:
-                break
+        retained_ids: list[int] = []
+        # every ref head (main + branches) anchors its own retention
+        # window — expiring main must never delete a staged branch's
+        # files out from under a later publish
+        for head in self.list_branches().values():
+            sid: int | None = head
+            kept = 0
+            while sid is not None and kept < keep_last:
+                if sid not in retained_ids:
+                    retained_ids.append(sid)
+                kept += 1
+                try:
+                    sid = self.manifest(sid)["parent"]
+                except FileNotFoundError:
+                    break
 
         keep_files: set[str] = set()
         for rid in retained_ids:
@@ -1039,7 +1201,7 @@ class SnapshotTable:
         retired = set(m.get("retired_cols", []))
         _validate_evolution(cur, new_schema, renames, protected, retired)
         new_schema_id = max(int(k) for k in m["schemas"]) + 1
-        new_sid = m["snapshot_id"] + 1
+        new_sid = self._next_snapshot_id()
         cur_names = {f.name for f in cur.fields}
         new_names = {f.name for f in new_schema.fields}
         dropped = cur_names - new_names - set(renames.values())
