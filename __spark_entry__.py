@@ -1303,6 +1303,11 @@ def _q_json_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(["<R>"] * len(values), index=values.index, dtype=object)
 
     cond_fn = anonymize_json_udf({"$.messages[?role==user].text": _redact})
+    # same mapping written as the gojq program a reference user would
+    # port verbatim — must compile to the identical walker tokens
+    pipe_fn = anonymize_json_udf(
+        {'.messages[] | select(.role=="user") | .text': _redact}
+    )
     msgs_schema = T.StructType([
         T.StructField("messages", T.ArrayType(T.StructType([
             T.StructField("role", T.StringType()),
@@ -1322,6 +1327,7 @@ def _q_json_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_udf(fn)(F.col("tool"), key_col("doc_id")).alias("tool_anon"),
         msgs.alias("msgs"),
         as_udf(cond_fn)(msgs, key_col("doc_id")).alias("msgs_anon"),
+        as_udf(pipe_fn)(msgs, key_col("doc_id")).alias("msgs_anon_pipe"),
         anonymize_json_field(
             msgs, msgs_schema, {"messages[?role==user].text": F.lit("<R>")}
         ).alias("msgs_anon_jvm"),
@@ -1337,6 +1343,9 @@ def _q_json_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("msgs_anon", "$.messages[0].text").alias("u_text"),
         F.get_json_object("msgs_anon", "$.messages[1].text").alias("a_text"),
         (F.col("msgs_anon_jvm") == F.col("msgs_anon")).alias("jvm_matches_udf"),
+        (F.col("msgs_anon_pipe") == F.col("msgs_anon")).alias(
+            "jq_pipe_matches_bracket"
+        ),
     )
 
 
@@ -2465,7 +2474,8 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS q_differs,
                    '<R>' AS u_text,
                    'a' || CAST(doc_id AS VARCHAR) AS a_text,
-                   TRUE AS jvm_matches_udf
+                   TRUE AS jvm_matches_udf,
+                   TRUE AS jq_pipe_matches_bracket
             FROM documents
         """,
         "default_transforms": f"""

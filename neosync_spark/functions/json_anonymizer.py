@@ -54,6 +54,30 @@ def anonymize_json_field(
     plain: dict[str, object] = {}
     conds: dict[str, list[tuple[str, str, str, object]]] = {}
     for key, e in field_exprs.items():
+        if _looks_like_jq(key):
+            toks = parse_jq(key)
+            if len(toks) == 1:
+                plain[toks[0]] = e
+                continue
+            if (
+                len(toks) == 4
+                and isinstance(toks[0], str)
+                and toks[1] == "[]"
+                and isinstance(toks[2], tuple)
+                and toks[2][0] == "sel"
+                and toks[2][2] == "=="
+                and "." not in toks[2][1]
+                and isinstance(toks[3], str)
+            ):
+                conds.setdefault(toks[0], []).append(
+                    (toks[2][1], toks[2][3], toks[3], e)
+                )
+                continue
+            raise ValueError(
+                f"jq program {key!r} exceeds the schema-known JVM surface "
+                '(a top-level field or `.arr[] | select(.f=="v") | .target`);'
+                " use anonymize_json_udf for the full walker"
+            )
         m = _COND_KEY_RE.match(key)
         if m:
             arr_f, cond_f, cond_v, target_f = m.groups()
@@ -115,6 +139,125 @@ def anonymize_json_field(
 _COND_KEY_RE = re.compile(r"^(\w+)\[\?(\w+)==([^\]]*)\]\.(\w+)$")
 
 
+# ---------------------------------------------------------------------------
+# jq-syntax front-end
+# ---------------------------------------------------------------------------
+# The reference's mapping keys are gojq programs
+# (json-anonymizer.go:215-236 buildJqQuery). The subset a user actually
+# writes in anonymization configs — dot paths, `[]` iteration, numeric
+# indices, `select(.f == <literal>)` with == / !=, and pipes — compiles
+# here onto the SAME walker tokens the bracket syntax uses, so
+# `.messages[] | select(.role=="user") | .text` and
+# `$.messages[?role==user].text` are one code path.
+
+_JQ_SELECT_RE = re.compile(
+    r"^select\(\s*\.([A-Za-z_][\w.]*)\s*(==|!=)\s*(.+?)\s*\)$"
+)
+_JQ_SEG_RE = re.compile(r"\.([A-Za-z_]\w*)|\[(-?\d+)\]|(\[\])")
+
+
+def _split_pipes(s: str) -> list[str]:
+    """Split on top-level '|' (not inside quotes or parens)."""
+    parts, buf, depth, q = [], [], 0, None
+    for ch in s:
+        if q is not None:
+            buf.append(ch)
+            if ch == q:
+                q = None
+        elif ch in "\"'":
+            q = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "|" and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf).strip())
+    return parts
+
+
+def _parse_jq_literal(lit: str):
+    try:
+        return json.loads(lit)
+    except json.JSONDecodeError:
+        if len(lit) >= 2 and lit[0] == lit[-1] == "'":
+            return lit[1:-1]
+        raise ValueError(f"unsupported jq literal {lit!r}") from None
+
+
+def _parse_path_stage(stage: str) -> list:
+    if stage == ".":
+        return []
+    s = stage[1:] if stage.startswith(".[") else stage
+    toks, pos = [], 0
+    for m in _JQ_SEG_RE.finditer(s):
+        if m.start() != pos:
+            break
+        pos = m.end()
+        if m.group(1):
+            toks.append(m.group(1))
+        elif m.group(2) is not None:
+            toks.append(("idx", int(m.group(2))))
+        else:
+            toks.append("[]")
+    if pos != len(s) or not toks:
+        raise ValueError(f"unsupported jq path segment {stage!r}")
+    return toks
+
+
+def parse_jq(program: str) -> tuple:
+    """Compile a restricted jq program to walker tokens.
+
+    Supported: `.a.b`, `.a[]`, `.[]`, `.a[3]`, pipes, and
+    `select(.f == <json literal>)` / `!=` (dotted .f allowed; a missing
+    field compares as null, matching jq). The program must end in a
+    field path (anonymization targets a value, not a filtered stream).
+    """
+    toks: list = []
+    for stage in _split_pipes(program):
+        m = _JQ_SELECT_RE.match(stage)
+        if m:
+            if not toks:
+                raise ValueError(
+                    f"jq program {program!r} cannot start with select()"
+                )
+            cf, op, lit = m.groups()
+            toks.append(("sel", cf, op, _parse_jq_literal(lit)))
+        else:
+            toks.extend(_parse_path_stage(stage))
+    if not toks or (isinstance(toks[-1], tuple) and toks[-1][0] == "sel"):
+        raise ValueError(
+            f"jq program {program!r} must end in a value path "
+            "(the anonymization target), not a select() filter"
+        )
+    return tuple(toks)
+
+
+def _looks_like_jq(key: str) -> bool:
+    return key.startswith(".") or "|" in key
+
+
+def _cond_resolve(item, dotted: str):
+    cur = item
+    for part in dotted.split("."):
+        if not isinstance(cur, dict):
+            return None
+        cur = cur.get(part)
+    return cur
+
+
+def _sel_ok(item, t: tuple) -> bool:
+    _, cf, op, val = t
+    eq = _cond_resolve(item, cf) == val
+    return eq if op == "==" else not eq
+
+
 _COND_SEG_RE = re.compile(r"^(\w*)\[\?(\w+)==([^\]]*)\]$")
 
 
@@ -154,6 +297,22 @@ def _transform_path(node, toks: tuple[str, ...], i: int, apply_one, key: str) ->
         return
     t = toks[i]
     last = i == len(toks) - 1
+    if isinstance(t, tuple) and t[0] == "sel":
+        # object-level select(): gate on the CURRENT node (parse_jq
+        # guarantees 'sel' is never last). On a list, jq streams `[]`
+        # first; a select directly on a list node matches nothing.
+        if isinstance(node, dict) and _sel_ok(node, t):
+            _transform_path(node, toks, i + 1, apply_one, key)
+        return
+    if isinstance(t, tuple) and t[0] == "idx":
+        j = t[1]
+        if isinstance(node, list) and -len(node) <= j < len(node):
+            if last:
+                if node[j] is not None:
+                    node[j] = apply_one(node[j], f"{key}[{j}]")
+            else:
+                _transform_path(node[j], toks, i + 1, apply_one, f"{key}[{j}]")
+        return
     if _is_wild(t):
         cond = t if isinstance(t, tuple) else None
         if isinstance(node, list):
@@ -189,8 +348,11 @@ def anonymize_json_udf(
     other string leaf (reference applyDefaultTransformers), except
     ``skip_paths``.
     """
-    compiled = {_path_tokens(p): fn for p, fn in mapping.items()}
-    skips = {_path_tokens(p) for p in skip_paths}
+    def _compile_key(p: str) -> tuple:
+        return parse_jq(p) if _looks_like_jq(p) else _path_tokens(p)
+
+    compiled = {_compile_key(p): fn for p, fn in mapping.items()}
+    skips = {_compile_key(p) for p in skip_paths}
     # walk_defaults builds list-free paths (list hops keep the prefix),
     # so exclusion matching compares with wildcard tokens dropped
     _mapped_flat = {tuple(t for t in p if not _is_wild(t)) for p in compiled}

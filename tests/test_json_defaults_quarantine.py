@@ -217,6 +217,128 @@ class TestJsonArrayWildcards:
         assert out["users"][0]["name"] != "Bob"  # defaulted
 
 
+class TestJqSyntax:
+    """jq front-end (`parse_jq`): the gojq-program mapping keys a user
+    ports from the reference compile onto the same walker tokens as the
+    bracket syntax (json-anonymizer.go:215-236 buildJqQuery)."""
+
+    def _redact(self):
+        return lambda v, k: pd.Series(["<R>"] * len(v), index=v.index, dtype=object)
+
+    def test_pipe_select_equals_bracket_syntax(self):
+        doc = json.dumps(
+            {"messages": [
+                {"role": "user", "text": "hi"},
+                {"role": "assistant", "text": "yo"},
+            ]}
+        )
+        jq = anonymize_json_udf(
+            {'.messages[] | select(.role=="user") | .text': self._redact()}
+        )
+        br = anonymize_json_udf({"$.messages[?role==user].text": self._redact()})
+        assert (
+            jq(pd.Series([doc]), pd.Series(["k"])).iloc[0]
+            == br(pd.Series([doc]), pd.Series(["k"])).iloc[0]
+        )
+        out = json.loads(jq(pd.Series([doc]), pd.Series(["k"])).iloc[0])
+        assert out["messages"][0]["text"] == "<R>"
+        assert out["messages"][1]["text"] == "yo"
+
+    def test_object_select_neq_index_and_literals(self):
+        fn = anonymize_json_udf(
+            {
+                '.meta | select(.env != "prod") | .secret': self._redact(),
+                ".items[0]": self._redact(),
+                ".rows[] | select(.n == 3) | .v": self._redact(),
+                ".rows[] | select(.flag == true) | .w": self._redact(),
+            }
+        )
+        doc = json.dumps(
+            {
+                "meta": {"env": "dev", "secret": "s"},
+                "items": ["a", "b"],
+                "rows": [
+                    {"n": 3, "v": "x", "flag": True, "w": "y"},
+                    {"n": 4, "v": "keep", "flag": False, "w": "keep"},
+                ],
+            }
+        )
+        out = json.loads(fn(pd.Series([doc]), pd.Series(["k"])).iloc[0])
+        assert out["meta"]["secret"] == "<R>"
+        assert out["items"] == ["<R>", "b"]
+        assert out["rows"][0]["v"] == "<R>" and out["rows"][0]["w"] == "<R>"
+        assert out["rows"][1]["v"] == "keep" and out["rows"][1]["w"] == "keep"
+        # prod doc: select(.env != "prod") gates the transform off
+        doc2 = json.dumps({"meta": {"env": "prod", "secret": "s"}})
+        out2 = json.loads(fn(pd.Series([doc2]), pd.Series(["k"])).iloc[0])
+        assert out2["meta"]["secret"] == "s"
+
+    def test_missing_field_compares_as_null(self):
+        # jq: .gone on a missing key is null, so .gone != "x" matches
+        fn = anonymize_json_udf(
+            {'.rows[] | select(.gone != "x") | .z': self._redact()}
+        )
+        doc = json.dumps({"rows": [{"z": "a"}, {"gone": "x", "z": "b"}]})
+        out = json.loads(fn(pd.Series([doc]), pd.Series(["k"])).iloc[0])
+        assert out["rows"][0]["z"] == "<R>" and out["rows"][1]["z"] == "b"
+
+    def test_rejected_programs(self):
+        from neosync_spark.functions.json_anonymizer import parse_jq
+
+        for bad in (
+            '.messages[] | select(.role=="user")',  # ends in a filter
+            ".a | map(.b)",  # unsupported builtin
+            'select(.x=="y") | .a',  # select first
+            ".a | .b[1:3]",  # slices unsupported
+        ):
+            with pytest.raises(ValueError):
+                parse_jq(bad)
+
+    def test_jvm_path_accepts_jq_keys(self, spark):
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("name", T.StringType()),
+                T.StructField(
+                    "messages",
+                    T.ArrayType(
+                        T.StructType(
+                            [
+                                T.StructField("role", T.StringType()),
+                                T.StructField("text", T.StringType()),
+                            ]
+                        )
+                    ),
+                ),
+            ]
+        )
+        doc = json.dumps(
+            {"name": "n", "messages": [
+                {"role": "user", "text": "hi"},
+                {"role": "assistant", "text": "yo"},
+            ]}
+        )
+        df = spark.createDataFrame([(doc,)], "j string")
+        got = df.select(
+            anonymize_json_field(
+                "j",
+                schema,
+                {
+                    ".name": F.lit("<N>"),
+                    '.messages[] | select(.role=="user") | .text': F.lit("<R>"),
+                },
+            ).alias("out")
+        ).collect()[0]["out"]
+        parsed = json.loads(got)
+        assert parsed["name"] == "<N>"
+        assert parsed["messages"][0]["text"] == "<R>"
+        assert parsed["messages"][1]["text"] == "yo"
+        with pytest.raises(ValueError):
+            anonymize_json_field("j", schema, {".a.b[].c": F.lit("x")})
+
+
 def test_default_transforms_exotic_types(spark):
     """Binary / date / array (incl. nested) defaults: deterministic,
     type- and shape-preserving (the record-mapper exotic-type surface)."""
