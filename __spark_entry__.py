@@ -892,6 +892,37 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed
+    unigram+bigram bag distributions over 1024 md5 buckets fit on a
+    target slice (source='src0') and the raw corpus; per-doc importance
+    = Σ log p_tgt/p_raw; Gumbel top-k (seed 7) selects k=200 docs
+    without replacement ∝ exp(importance). Fully JVM (md5/conv/log) —
+    the whole derivation replays in DuckDB."""
+    from neosync_spark.operators.mixing import dsir_importance, dsir_resample
+
+    _views(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    scored = dsir_importance(
+        docs,
+        docs.filter(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+        n_buckets=1024,
+        alpha=1.0,
+        ns=(1, 2),
+    )
+    sel = dsir_resample(scored, "doc_id", k=200, seed=7)
+    return sel.select(
+        "doc_id",
+        "n_grams",
+        (F.floor(F.col("log_importance") * 10000 + F.lit(0.5)) / 10000).alias(
+            "log_importance_r"
+        ),
+        "selected",
+    )
+
+
 def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition filters (dup-line fraction + top-2-gram share)
     over a constructed multi-line doc: text repeated with a planted
@@ -1653,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_violations": _q_constraint_violations,
         "pack_context_chunks": _q_pack_chunks,
         "stratified_sample": _q_stratified_sample,
+        "dsir_importance_weights": _q_dsir_weights,
         "gopher_quality_flags": _q_gopher_flags,
         "gopher_repetition_flags": _q_gopher_repetition,
         "c4_quality_flags": _q_c4_flags,
@@ -2053,6 +2085,62 @@ def oracle_sql() -> dict[str, str]:
                                   AND alpha_words / n_words >= 0.8, FALSE)
                      AND stop_hits >= 2 AS keep
             FROM f
+        """,
+        "dsir_importance_weights": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, unnest(tk) AS g FROM toks
+              UNION ALL
+              SELECT doc_id,
+                     unnest(CASE WHEN len(tk) >= 2 THEN
+                       list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                     ELSE CAST([] AS VARCHAR[]) END) AS g
+              FROM toks
+            ),
+            bk AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b
+              FROM grams
+            ),
+            rawc AS (SELECT b, count(*) AS c_raw FROM bk GROUP BY b),
+            tgtc AS (
+              SELECT bk.b AS b, count(*) AS c_tgt
+              FROM bk JOIN documents d USING (doc_id)
+              WHERE d.source = 'src0' GROUP BY bk.b
+            ),
+            tots AS (
+              SELECT (SELECT count(*) FROM bk) AS n_raw,
+                     (SELECT count(*) FROM bk JOIN documents d USING (doc_id)
+                      WHERE d.source = 'src0') AS n_tgt
+            ),
+            dist AS (
+              SELECT COALESCE(rawc.b, tgtc.b) AS b,
+                     ln((COALESCE(c_tgt, 0) + 1.0) / (n_tgt + 1024.0))
+                     - ln((COALESCE(c_raw, 0) + 1.0) / (n_raw + 1024.0)) AS lr
+              FROM rawc FULL OUTER JOIN tgtc ON rawc.b = tgtc.b, tots
+            ),
+            scores AS (
+              SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+                     sum(n * lr) AS li
+              FROM (SELECT doc_id, b, count(*) AS n FROM bk GROUP BY doc_id, b) db
+              JOIN dist USING (b) GROUP BY doc_id
+            ),
+            keyed AS (
+              SELECT d.doc_id,
+                     COALESCE(s.n_grams, 0) AS n_grams,
+                     floor(COALESCE(s.li, 0) * 10000 + 0.5) / 10000 AS log_importance_r,
+                     COALESCE(s.li, 0)
+                       - ln(-ln((('0x' || substr(md5('7|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                                / 4294967296.0)) AS gk
+              FROM documents d LEFT JOIN scores s USING (doc_id)
+            )
+            SELECT doc_id, n_grams, log_importance_r,
+                   row_number() OVER (ORDER BY gk DESC, doc_id) <= 200 AS selected
+            FROM keyed
         """,
         "stratified_sample": """
             WITH b AS (

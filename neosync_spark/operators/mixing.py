@@ -1,0 +1,181 @@
+"""Data-mixture selection: DSIR-style hashed n-gram importance
+resampling (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling" — public method; no reference counterpart, part
+of the training-data-pipeline surface).
+
+The estimator is a bag-of-hashed-n-grams language model: unigram+bigram
+features hashed into ``n_buckets`` buckets, a smoothed categorical
+distribution fit on a (small) TARGET corpus and on the RAW corpus, and
+per-document importance ``log w(x) = Σ_grams log p_tgt[b(g)] −
+log p_raw[b(g)]``. Selection is Gumbel top-k on the perturbed
+log-weights — sampling without replacement from the importance
+distribution, deterministic here via md5-seeded noise (retry/replay
+stable, like every sampler in this repo).
+
+Scale shape (100 TB raw corpus, 1000 executors):
+- the two distributions collapse to ≤ n_buckets rows each (4096
+  default) — a broadcast join, never a shuffle of the corpus;
+- doc grams explode AFTER a repartition on the doc id (single-input-
+  file trap) and aggregate per (doc, bucket) with map-side combine
+  before the per-doc score rollup — one key shuffle total;
+- everything is JVM built-ins (md5 / conv / aggregate) — zero Python,
+  and the md5-derived bucketing replays exactly in DuckDB for the
+  oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import _tokens, _word_grams
+
+
+def _gram_bucket(gram: Column, n_buckets: int) -> Column:
+    """Engine-portable feature hash: first 8 hex chars of md5 → int
+    mod n_buckets (same trick as deterministic_sample/simhash)."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    ).cast("int")
+
+
+def hashed_ngram_buckets(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    n_buckets: int = 4096,
+    ns: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """One row per n-gram OCCURRENCE: (_id, _b). Lowercased,
+    whitespace-tokenized, n ∈ ``ns`` word grams, md5-bucketed."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(par, F.col(id_col)).select(
+        F.col(id_col).alias("_id"),
+        _tokens(F.lower(F.col(content_col))).alias("_toks"),
+    )
+    grams = F.concat(*[_word_grams("_toks", n) for n in ns])
+    return base.select(
+        "_id", F.explode(grams).alias("_g")
+    ).select("_id", _gram_bucket(F.col("_g"), n_buckets).alias("_b"))
+
+
+def _bucket_counts(bucket_rows: DataFrame, name: str) -> DataFrame:
+    return bucket_rows.groupBy("_b").agg(F.count(F.lit(1)).alias(name))
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    content_col: str,
+    id_col: str,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    ns: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """Per-raw-document DSIR importance log-weight.
+
+    Returns ``(id_col, n_grams, log_importance)`` where
+    ``log_importance = Σ_g [ log((c_tgt[b]+α)/(N_tgt+α·B)) −
+    log((c_raw[b]+α)/(N_raw+α·B)) ]`` (Laplace-α smoothing, so buckets
+    unseen in the target still score via the floor). Docs with no grams
+    score 0.
+    """
+    raw_b = hashed_ngram_buckets(raw, content_col, id_col, n_buckets, ns)
+    tgt_b = hashed_ngram_buckets(target, content_col, id_col, n_buckets, ns)
+
+    raw_counts = _bucket_counts(raw_b, "_c_raw")
+    tgt_counts = _bucket_counts(tgt_b, "_c_tgt")
+    # totals are 1-row aggregates (driver-side scalars, not data joins)
+    n_raw = raw_b.count()
+    n_tgt = tgt_b.count()
+    b = float(n_buckets)
+
+    # ≤ n_buckets rows after the full-outer merge — always broadcast
+    dist = F.broadcast(
+        raw_counts.join(tgt_counts, "_b", "full_outer").select(
+            "_b",
+            (
+                F.log(
+                    (F.coalesce("_c_tgt", F.lit(0)) + F.lit(alpha))
+                    / F.lit(n_tgt + alpha * b)
+                )
+                - F.log(
+                    (F.coalesce("_c_raw", F.lit(0)) + F.lit(alpha))
+                    / F.lit(n_raw + alpha * b)
+                )
+            ).alias("_lr"),
+        )
+    )
+
+    # per-(doc,bucket) count first: map-side combine shrinks the join
+    # input for repetitive docs, then one per-doc rollup
+    doc_buckets = raw_b.groupBy("_id", "_b").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    scores = (
+        doc_buckets.join(dist, "_b")
+        .groupBy("_id")
+        .agg(
+            F.sum("_n").alias("n_grams"),
+            F.sum(F.col("_n") * F.col("_lr")).alias("_li"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col).alias("_id"))
+        .join(scores, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("_li", F.lit(0.0)).alias("log_importance"),
+        )
+    )
+
+
+def gumbel_key(id_col: str, seed: int = 0) -> Column:
+    """Deterministic standard-Gumbel noise keyed by (seed, id):
+    u = (md5-bucket + 0.5)/2^32 ∈ (0,1), g = −ln(−ln u). A pure
+    function of the id — stable under retry and repartition."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    return -F.log(-F.log(u))
+
+
+def dsir_resample(
+    scored: DataFrame,
+    id_col: str,
+    k: int,
+    seed: int = 0,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Gumbel top-k selection = sampling k docs WITHOUT replacement
+    with probability ∝ exp(log_importance/temperature) (the standard
+    Gumbel-max coupling DSIR uses). Adds ``gumbel_key`` and
+    ``selected``; exactly ``k`` rows have selected=true (ties broken
+    by id for determinism). One TakeOrderedAndProject-style global
+    top-k — no full sort materialized."""
+    keyed = scored.withColumn(
+        "gumbel_key",
+        F.col("log_importance") / F.lit(temperature) + gumbel_key(id_col, seed),
+    ).persist()
+    topk = (
+        keyed.select(F.col("gumbel_key").alias("_gk"), F.col(id_col).alias("_tid"))
+        .orderBy(F.col("_gk").desc(), F.col("_tid"))
+        .limit(k)
+    )
+    # the k-th perturbed key is the selection threshold; the collects
+    # are 1-row aggregates over a k-row frame, not a corpus collect
+    cg = topk.agg(F.min("_gk")).collect()[0][0]
+    if cg is None:
+        return keyed.withColumn("selected", F.lit(False))
+    ct = topk.filter(F.col("_gk") == cg).agg(F.max("_tid")).collect()[0][0]
+    sel = (F.col("gumbel_key") > F.lit(cg)) | (
+        (F.col("gumbel_key") == F.lit(cg)) & (F.col(id_col) <= F.lit(ct))
+    )
+    return keyed.withColumn("selected", sel)
