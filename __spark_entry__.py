@@ -1029,6 +1029,44 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH index: the corpus arrives in two CDC
+    epochs (doc_id parity); each epoch shingles ONLY its new docs and
+    collides them against the persisted band index. The union of the
+    per-epoch pair emissions must equal the single-shot full-corpus
+    LSH (whose DuckDB oracle is the brute-force all-pairs Jaccard
+    ground truth) — incremental maintenance loses/invents nothing."""
+    from neosync_spark.operators.dedup_index import (
+        create_minhash_index,
+        minhash_index_sync,
+    )
+
+    _views(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    idx = create_minhash_index(
+        spark, tempfile.mkdtemp(prefix="ns_mhidx_"), n_buckets=8
+    )
+    p1 = minhash_index_sync(
+        idx,
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs,
+        "text",
+        "doc_id",
+        threshold=0.8,
+        applied_range=(0, 1),
+    )
+    p2 = minhash_index_sync(
+        idx,
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs,
+        "text",
+        "doc_id",
+        threshold=0.8,
+        applied_range=(1, 2),
+    )
+    return p1.unionByName(p2).distinct()
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard of each doc against doc_id 0 (SQL-checkable
     slice of the near-dup verification stage)."""
@@ -1692,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_assign": _q_dedup_clusters,
         "decontaminate_ngrams": _q_decontaminate,
         "dedup_minhash_pairs": _q_minhash_pairs,
+        "dedup_index_sync": _q_dedup_index_sync,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_topk,
@@ -2281,6 +2320,29 @@ def oracle_sql() -> dict[str, str]:
         # positive — verified exact against this oracle at all three
         # shipped scales (28/25/256 pairs).
         "dedup_minhash_pairs": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(toks) >= 3 THEN
+                         list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       ELSE [array_to_string(toks, ' ')] END) AS grams
+              FROM (
+                SELECT doc_id,
+                       list_filter(string_split(
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS toks
+                FROM documents)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                         len(list_distinct(list_concat(a.grams, b.grams))) * 10000 + 0.5) / 10000 AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams)) > 0
+              AND floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                        len(list_distinct(list_concat(a.grams, b.grams))) * 10000 + 0.5) / 10000 >= 0.8
+        """,
+        "dedup_index_sync": """
             WITH sh AS (
               SELECT doc_id,
                      list_distinct(

@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "decontaminate_ngrams",
     "multi_table_sync",
     "corpus_stats",
+    "cdc_wap_publish",
+    "dsir_importance_weights",
 ]
 
 

@@ -1,0 +1,175 @@
+"""Incremental MinHash-LSH dedup index — near-duplicate detection as a
+CDC consumer.
+
+At 10^10 documents you cannot re-shingle the corpus every time a batch
+of new documents lands. This module persists the LSH *band index* —
+one (doc_id, band, band_hash) row per document per band — in a
+SnapshotTable, so an epoch's work is O(new docs):
+
+1. shingle + minhash + band ONLY the new docs (the same codegen'd
+   2-hash affine pipeline as `similarity.minhash_dedup_pairs`);
+2. collide the new band rows against the persisted index (cross-epoch
+   pairs) and against themselves (within-epoch pairs) — the join input
+   is |new bands| × matches, never corpus-sized on the probe side;
+3. verify candidates by exact n-gram Jaccard, shingling ONLY the
+   candidate docs (a semi-join prune against the lake — old docs'
+   text is fetched per candidate, not per epoch);
+4. merge the new band rows into the index through the ledgered
+   `merge_cdc` — an epoch replay after a crash is a table no-op, and
+   the emitted pair set is a deterministic function of (index state,
+   new docs), so re-emission is idempotent too.
+
+Invariant (oracled in the gate): the union of per-epoch pair sets over
+any epoch partitioning of the corpus equals the single-shot
+`minhash_dedup_pairs` over the full corpus — incremental maintenance
+never loses or invents a duplicate pair.
+
+No reference counterpart (Neosync has no dedup); the pattern follows
+the public BigQuery/Spark LSH-at-scale literature (SURVEY §6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..lakehouse import SnapshotTable
+from .similarity import (
+    minhash_band_buckets,
+    ngram_jaccard,
+    round_half_up,
+    shingle_docs,
+)
+
+INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("band_hash", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def create_minhash_index(
+    spark: SparkSession, path: str, n_buckets: int = 64
+) -> SnapshotTable:
+    """An empty band-index table keyed by (doc_id, band)."""
+    return SnapshotTable.create(
+        spark,
+        path,
+        INDEX_SCHEMA,
+        key_cols=["doc_id", "band"],
+        order_cols=["ts"],
+        n_buckets=n_buckets,
+    )
+
+
+def minhash_index_sync(
+    index: SnapshotTable,
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    content_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    applied_range: tuple[int, int] | None = None,
+) -> DataFrame:
+    """One incremental epoch: index the new docs, return the verified
+    near-duplicate pairs they introduce — ``(id_a, id_b, jaccard)``
+    with id_a < id_b, covering new×indexed and new×new.
+
+    ``corpus`` is the document lake (must contain at least the indexed
+    + new docs' text); it is touched only through a candidate-id
+    semi-join. ``applied_range`` is the epoch's ledger key: a replayed
+    epoch leaves the index unchanged and re-emits the same pairs.
+    """
+    shingled_new = shingle_docs(new_docs, content_col, id_col, shingle_n)
+    banded_new = minhash_band_buckets(
+        shingled_new, "_sh", "_id", num_hashes, bands, seed
+    ).persist()
+
+    existing = index.read().select(
+        F.col("doc_id").alias("_id"), "band", "band_hash"
+    )
+    # a replayed epoch finds its own rows already indexed; dropping
+    # them here keeps cross-epoch candidates disjoint from new×new
+    existing = existing.join(
+        banded_new.select("_id").distinct(), "_id", "left_anti"
+    )
+
+    cross = (
+        banded_new.alias("n")
+        .join(
+            existing.alias("o"),
+            on=[
+                F.col("n.band") == F.col("o.band"),
+                F.col("n.band_hash") == F.col("o.band_hash"),
+            ],
+        )
+        .select(
+            F.least(F.col("n._id"), F.col("o._id")).alias("id_a"),
+            F.greatest(F.col("n._id"), F.col("o._id")).alias("id_b"),
+        )
+    )
+    within = (
+        banded_new.alias("l")
+        .join(
+            banded_new.alias("r"),
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l._id") < F.col("r._id"),
+            ],
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+    )
+    cands = cross.unionByName(within).distinct().persist()
+
+    # shingle ONLY candidate docs (old docs re-shingled per candidate,
+    # not per epoch — the index holds hashes, the lake holds text)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("_cid"))
+        .unionByName(cands.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    cand_docs = corpus.join(
+        cand_ids, corpus[id_col] == F.col("_cid"), "left_semi"
+    )
+    sh = shingle_docs(cand_docs, content_col, id_col, shingle_n).persist()
+
+    verified = (
+        cands.join(
+            sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sb")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard", round_half_up(ngram_jaccard(F.col("_sa"), F.col("_sb")), 4)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+    # band rows join the index through the ledgered merge (write-once
+    # per (doc_id, band); the lsn/ts carry the epoch ordinal)
+    lo = applied_range[0] if applied_range is not None else 0
+    batch = banded_new.select(
+        F.lit("insert").alias("op"),
+        F.col("_id").alias("doc_id"),
+        "band",
+        "band_hash",
+        F.timestamp_seconds(F.lit(lo)).alias("ts"),
+        F.lit(int(lo)).alias("lsn"),
+    )
+    index.merge_cdc(batch, applied_range=applied_range, lineage=False)
+    return verified
