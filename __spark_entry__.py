@@ -188,6 +188,46 @@ def _q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map scan pruning: replay the log as 4 MoR delta epochs,
+    then tail-read the table with a ts lower bound (last 2 days). The
+    stats_filter opens only delta files whose footer max(ts) reaches
+    the bound (test_stats_pruning asserts the file-count drop); the
+    result must be EXACTLY the alive LWW winners with ts >= cutoff."""
+    import datetime
+
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    row = log.agg(F.max("lsn"), F.max("ts")).collect()[0]
+    hi, max_ts = int(row[0] or 0), row[1]
+    batch = max(1000, (hi + 4) // 4)
+
+    path = tempfile.mkdtemp(prefix="ns_cdc_zonemap_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+    eng = ReplayEngine(
+        spark,
+        table,
+        config=EngineConfig(
+            batch_lsn_size=batch, lineage=False, merge_mode="mor"
+        ),
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    eng.replay(slicer, lsn_lo=0, lsn_hi=hi)
+    cutoff = max_ts - datetime.timedelta(days=2)
+    out = table.read(stats_filter={"ts": (cutoff, None)})
+    return out.select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
 def _q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay with a mid-log schema evolution: the table starts WITHOUT
     `tool` (v1); the registry declares v2 (adds tool, widens turn_idx to
@@ -1695,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": _q_cdc_replay,
         "cdc_wap_publish": _q_wap_publish,
+        "cdc_stats_pruned_read": _q_stats_pruned_read,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_lww_dedup_agg": _q_lww_agg,
         "cdc_lww_dedup_window": _q_lww_window,
@@ -1769,6 +1810,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'
+        """,
+        "cdc_stats_pruned_read": f"""
+            WITH log AS ({_CDC_DERIVATION}),
+            mx AS (SELECT max(ts) - INTERVAL 2 DAY AS cutoff FROM log)
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM (
+              SELECT l.*, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+              FROM log l
+            ) WHERE rn = 1 AND op <> 'delete'
+              AND ts >= (SELECT cutoff FROM mx)
         """,
         "cdc_wap_publish": f"""
             WITH log AS ({_CDC_DERIVATION}),

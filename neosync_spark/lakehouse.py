@@ -123,8 +123,11 @@ class SnapshotTable:
             "bucket_count": n_buckets,
             "schema_id": 0,
             "schemas": {"0": schema.jsonValue()},
-            "files": {},  # bucket(str) -> [{"path":..., "schema_id":...}]
+            "files": {},  # bucket(str) -> [{"path":..., "schema_id":..., "stats": {col: [min,max]}}]
             "checkpoint": {"applied": []},  # [lsn_lo, lsn_hi, snapshot_id, rows]
+            # zone-map columns: per-file min/max recorded at commit time
+            # (parquet footers, driver-side) for scan pruning
+            "stats_cols": [list(key_cols)[0], *order_cols, _LSN_COL],
             "summary": {"operation": "create"},
         }
         t = cls(spark, path)
@@ -244,14 +247,21 @@ class SnapshotTable:
         snapshot_id: int | None = None,
         buckets: Sequence[int] | None = None,
         internal: bool = False,
+        stats_filter: dict | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot, optionally pruned to a bucket
         subset (the COW-merge fast path). File groups written under old
         schema ids are aligned to the current schema (missing columns →
-        null, widened types → cast)."""
+        null, widened types → cast).
+
+        ``stats_filter={col: (lo, hi)}`` (inclusive bounds; None = open
+        end) returns exactly ``read().filter(lo <= col <= hi)`` but
+        opens only files whose zone-map [min,max] intersects the range
+        (bucket-granular over MoR buckets — see _prune_by_stats)."""
         m = self.manifest(snapshot_id)
         cur = self.current_schema(m)
         want = set(int(b) for b in buckets) if buckets is not None else None
+        vis_files, _, _ = self._prune_by_stats(m, stats_filter)
 
         # buckets holding delta (merge-on-read) files need LWW at read
         # time over base ∪ deltas; pure-base buckets read directly
@@ -263,7 +273,7 @@ class SnapshotTable:
 
         def _collect(filter_delta: bool) -> dict[str, list[str]]:
             by_schema: dict[str, list[str]] = {}
-            for b, entries in m["files"].items():
+            for b, entries in vis_files.items():
                 if want is not None and int(b) not in want:
                     continue
                 if (int(b) in delta_buckets) != filter_delta:
@@ -314,6 +324,14 @@ class SnapshotTable:
         else:
             empty = self._storage_schema(m["schemas"][str(m["schema_id"])])
             out = self.spark.createDataFrame([], empty)
+        if stats_filter:
+            # re-apply as a row predicate: file pruning is a superset
+            # guarantee, the filter is the exact semantics
+            for col, (lo, hi) in stats_filter.items():
+                if lo is not None:
+                    out = out.filter(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    out = out.filter(F.col(col) <= F.lit(hi))
         if not internal:
             out = out.filter(~F.coalesce(F.col(_DELETED_COL), F.lit(False))).drop(
                 _LSN_COL, _DELETED_COL
@@ -770,6 +788,7 @@ class SnapshotTable:
             out.write.partitionBy(_BUCKET_COL).parquet(commit_dir)
 
             written = self._list_commit_files(commit_dir)
+            fstats = self._collect_file_stats(written, self._stats_cols(m))
             if affected is None:  # no-prepass mode: stats post-hoc
                 affected = sorted(written)
                 n_src = int(observation.get["n_src"])
@@ -779,7 +798,8 @@ class SnapshotTable:
             if mode == "mor":
                 for b, paths in written.items():
                     new_files.setdefault(str(b), []).extend(
-                        {"path": p, "schema_id": m["schema_id"], "kind": "delta"}
+                        {"path": p, "schema_id": m["schema_id"], "kind": "delta",
+                         **({"stats": fstats[p]} if p in fstats else {})}
                         for p in sorted(paths)
                     )
             elif prune_buckets:
@@ -787,14 +807,18 @@ class SnapshotTable:
                     new_files[str(b)] = []  # rewritten below (may stay empty)
                 for b, paths in written.items():
                     new_files[str(b)] = [
-                        {"path": p, "schema_id": m["schema_id"]} for p in sorted(paths)
+                        {"path": p, "schema_id": m["schema_id"],
+                         **({"stats": fstats[p]} if p in fstats else {})}
+                        for p in sorted(paths)
                     ]
                 new_files = {b: v for b, v in new_files.items() if v}
             else:
                 # full-table COW rewrite: the written set IS the table
                 new_files = {
                     str(b): [
-                        {"path": p, "schema_id": m["schema_id"]} for p in sorted(paths)
+                        {"path": p, "schema_id": m["schema_id"],
+                         **({"stats": fstats[p]} if p in fstats else {})}
+                        for p in sorted(paths)
                     ]
                     for b, paths in written.items()
                 }
@@ -937,9 +961,11 @@ class SnapshotTable:
             )
         new_sid = self._next_snapshot_id()
         new_files = {b: list(v) for b, v in m["files"].items()}
+        fstats = self._collect_file_stats(written, self._stats_cols(m))
         for b, paths in written.items():
             new_files.setdefault(str(b), []).extend(
-                {"path": p, "schema_id": schema_id, "kind": "delta"}
+                {"path": p, "schema_id": schema_id, "kind": "delta",
+                 **({"stats": fstats[p]} if p in fstats else {})}
                 for p in sorted(paths)
             )
         ledger = list(m["checkpoint"]["applied"])
@@ -963,6 +989,161 @@ class SnapshotTable:
             self._write_lineage(self._footer_counts(written), new_sid, applied_range)
         self._write_manifest(new_m)
         return CommitInfo(new_sid, n_src, len(written), applied_range)
+
+    def _stats_cols(self, m: dict) -> list[str]:
+        return m.get(
+            "stats_cols", [m["key_cols"][0], *m.get("order_cols", []), _LSN_COL]
+        )
+
+    @staticmethod
+    def _norm_stat(v):
+        """Normalize a footer min/max to a JSON-comparable primitive
+        (timestamps → epoch micros, bytes → str)."""
+        import datetime
+
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            return int(
+                (v - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+            )
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            return v.decode("utf-8", "replace")
+        return v
+
+    @classmethod
+    def _collect_file_stats(
+        cls, written: dict[int, list[str]], cols: list[str]
+    ) -> dict[str, dict]:
+        """Per-file column min/max from parquet footers (driver-side,
+        no job — the Iceberg manifest-stats analog). Files whose footer
+        lacks stats for a column simply omit it (read keeps them)."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for paths in written.values():
+            for p in paths:
+                md = pq.ParquetFile(p).metadata
+                idx = {
+                    md.schema.column(i).name: i for i in range(md.num_columns)
+                }
+                colstats: dict[str, list] = {}
+                for col in cols:
+                    if col not in idx:
+                        continue
+                    mins, maxs = [], []
+                    ok = True
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx[col]).statistics
+                        if st is None or not st.has_min_max:
+                            ok = False
+                            break
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                    if ok and mins:
+                        colstats[col] = [
+                            cls._norm_stat(min(mins)),
+                            cls._norm_stat(max(maxs)),
+                        ]
+                if colstats:
+                    out[p] = colstats
+        return out
+
+    def _prune_by_stats(
+        self, m: dict, stats_filter: dict | None
+    ) -> tuple[dict, int, int]:
+        """Zone-map scan pruning: drop file entries whose recorded
+        [min,max] is disjoint from every filter range. SOUNDNESS: in a
+        COW bucket every key appears exactly once table-wide, so
+        dropping a non-matching file never hides a newer version; in a
+        bucket holding MoR delta files a key's winner may sit in a
+        different file, so pruning there is BUCKET-granular (all files
+        kept unless none matches). Files without stats are kept.
+        Returns (pruned files-dict, files_total, files_kept)."""
+        files = m["files"]
+        total = sum(len(v) for v in files.values())
+        if not stats_filter:
+            return files, total, total
+        norm_filter = {
+            c: (self._norm_stat(lo), self._norm_stat(hi))
+            for c, (lo, hi) in stats_filter.items()
+        }
+        renames = m.get("renames", {})
+
+        def _entry_matches(e: dict) -> bool:
+            st = e.get("stats")
+            if not st:
+                return True
+            for col, (lo, hi) in norm_filter.items():
+                src = self._walk_renames(col, set(st), renames) or col
+                rng = st.get(src)
+                if not rng:
+                    continue
+                mn, mx = rng
+                try:
+                    if (hi is not None and mn > hi) or (
+                        lo is not None and mx < lo
+                    ):
+                        return False
+                except TypeError:  # incomparable types: keep the file
+                    continue
+            return True
+
+        # In a MoR bucket, per-file pruning is additionally sound for
+        # the LOWER bound of an LWW order column: a file wholly below
+        # ``lo`` holds only rows that either lose LWW to a newer row in
+        # a kept file or fail the row predicate themselves — and it
+        # cannot promote a stale winner, because any surviving older
+        # version is also below ``lo`` and the re-applied predicate
+        # drops it. (Upper bounds stay bucket-granular: dropping newer
+        # files would turn "current rows with col <= hi" into an as-of
+        # read.) This is the tail-read fast path: "deltas since lsn X"
+        # skips every old delta file.
+        order_cols = set(m.get("order_cols", [])) | {_LSN_COL}
+
+        def _below_lower_bound(e: dict) -> bool:
+            st = e.get("stats")
+            if not st:
+                return False
+            for col, (lo, _hi) in norm_filter.items():
+                if col not in order_cols or lo is None:
+                    continue
+                src = self._walk_renames(col, set(st), renames) or col
+                rng = st.get(src)
+                if not rng:
+                    continue
+                try:
+                    if rng[1] < lo:
+                        return True
+                except TypeError:
+                    continue
+            return False
+
+        out: dict[str, list] = {}
+        for b, entries in files.items():
+            has_delta = any(e.get("kind") == "delta" for e in entries)
+            if has_delta:
+                if any(_entry_matches(e) for e in entries):
+                    kept = [e for e in entries if not _below_lower_bound(e)]
+                    if kept:
+                        out[b] = kept
+            else:
+                kept = [e for e in entries if _entry_matches(e)]
+                if kept:
+                    out[b] = kept
+        kept_n = sum(len(v) for v in out.values())
+        return out, total, kept_n
+
+    def scan_stats(
+        self, stats_filter: dict, snapshot_id: int | None = None
+    ) -> dict:
+        """Pruning diagnostics: how many files a stats-filtered read
+        would open."""
+        m = self.manifest(snapshot_id)
+        _, total, kept = self._prune_by_stats(m, stats_filter)
+        return {"files_total": total, "files_kept": kept}
 
     @staticmethod
     def _footer_counts(written: dict[int, list[str]]) -> dict[int, int]:
@@ -1086,9 +1267,13 @@ class SnapshotTable:
         new_files = {b: list(v) for b, v in m["files"].items()}
         for b in buckets:
             new_files[str(b)] = []
-        for b, paths in self._list_commit_files(commit_dir).items():
+        written_c = self._list_commit_files(commit_dir)
+        fstats = self._collect_file_stats(written_c, self._stats_cols(m))
+        for b, paths in written_c.items():
             new_files[str(b)] = [
-                {"path": p, "schema_id": m["schema_id"]} for p in sorted(paths)
+                {"path": p, "schema_id": m["schema_id"],
+                 **({"stats": fstats[p]} if p in fstats else {})}
+                for p in sorted(paths)
             ]
         new_files = {b: v for b, v in new_files.items() if v}
         new_m = {

@@ -1,0 +1,102 @@
+"""Zone-map (per-file min/max) scan pruning: COW per-file, MoR
+bucket-granular with the order-col lower-bound refinement; pruned reads
+are always exactly read().filter(pred)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from .test_lakehouse import _batch, _mk
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_mor_tail_read_prunes_old_deltas(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    for e in range(5):
+        rows = [
+            (e * 10 + i, "insert" if e == 0 else "update", f"k{i}", 0,
+             "user", f"v{e}", None, f"2026-0{e + 1}-01")
+            for i in range(6)
+        ]
+        t.merge_cdc(_batch(spark, rows), applied_range=(e * 10, e * 10 + 9), mode="mor")
+
+    full = t.scan_stats({})
+    pruned = t.scan_stats({"_lsn": (40, None)})
+    assert pruned["files_total"] == full["files_total"]
+    # only the last epoch's delta files survive the lower bound
+    assert pruned["files_kept"] < full["files_kept"] / 2
+
+    got = t.read(stats_filter={"_lsn": (40, None)}, internal=True)
+    want = t.read(internal=True).filter(F.col("_lsn") >= 40)
+    assert got.count() == want.count() == 6
+    # LWW winners unaffected by the machinery
+    assert {r["text"] for r in t.read().collect()} == {"v4"}
+
+
+def test_mor_upper_bound_stays_sound(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.merge_cdc(
+        _batch(spark, [(1, "insert", "x", 0, "user", "old", None, "2026-01-01")]),
+        applied_range=(0, 1),
+    )
+    t.merge_cdc(
+        _batch(spark, [(2, "update", "x", 0, "user", "new", None, "2026-06-01")]),
+        applied_range=(1, 2),
+        mode="mor",
+    )
+    # upper-bounded filter: the newer delta must still suppress the old
+    # row (bucket-granular keep) — NOT resurface it as an as-of read
+    got = t.read(stats_filter={"ts": (_ts("2026-01-01"), _ts("2026-01-31"))})
+    assert got.count() == 0
+    got2 = t.read(stats_filter={"ts": (_ts("2026-05-01"), None)})
+    assert [r["text"] for r in got2.collect()] == ["new"]
+
+
+def test_cow_pruned_read_equals_filtered_read(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    for ci, (day, pref) in enumerate(
+        [("2026-01-01", "a"), ("2026-02-01", "b"), ("2026-03-01", "c")]
+    ):
+        rows = [
+            (ci * 100 + i, "insert", f"{pref}{i}", 0, "user", f"t{i}", None, day)
+            for i in range(20)
+        ]
+        t.merge_cdc(_batch(spark, rows), applied_range=(ci * 100, ci * 100 + 99))
+    flt = {"ts": (_ts("2026-02-01"), _ts("2026-02-28"))}
+    got = t.read(stats_filter=flt).toPandas()
+    want = (
+        t.read()
+        .filter((F.col("ts") >= "2026-02-01") & (F.col("ts") <= "2026-02-28"))
+        .toPandas()
+    )
+    assert len(got) == len(want) == 20
+    assert sorted(got["conv_id"]) == sorted(want["conv_id"])
+
+
+def test_stats_survive_manifest_roundtrip_and_missing_stats_kept(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.merge_cdc(
+        _batch(spark, [(1, "insert", "a", 0, "user", "x", None, "2026-01-01")]),
+        applied_range=(0, 1),
+    )
+    m = t.manifest(refresh=True)
+    entries = [e for v in m["files"].values() for e in v]
+    assert all("stats" in e for e in entries)
+    assert all("_lsn" in e["stats"] and "ts" in e["stats"] for e in entries)
+    # a file entry WITHOUT stats (pre-feature commit) is conservatively kept
+    import json
+    import os
+
+    for e in entries:
+        e.pop("stats")
+    mpath = os.path.join(str(tmp_path / "t"), "metadata", f"snap-{m['snapshot_id']}.json")
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    t._manifest = None
+    assert t.scan_stats({"ts": (_ts("2030-01-01"), None)})["files_kept"] == len(entries)
+    assert t.read(stats_filter={"ts": (_ts("2030-01-01"), None)}).count() == 0
