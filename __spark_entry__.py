@@ -1069,6 +1069,23 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span extraction (Lee et al. 2021 analog over
+    word windows): maximal per-doc regions covered by 12-token windows
+    whose exact text repeats anywhere in the corpus."""
+    from neosync_spark.operators.text import duplicate_spans
+
+    _views(spark, sf_dir, ["documents"])
+    out = duplicate_spans(spark.table("documents"), "text", "doc_id", k=12)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+        "span_md5",
+    )
+
+
 def _q_dedup_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash-LSH index: the corpus arrives in two CDC
     epochs (doc_id parity); each epoch shingles ONLY its new docs and
@@ -1772,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngrams": _q_decontaminate,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_index_sync": _q_dedup_index_sync,
+        "dedup_exact_spans": _q_duplicate_spans,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_topk,
@@ -2394,6 +2412,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.grams, b.grams)) > 0
               AND floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
                         len(list_distinct(list_concat(a.grams, b.grams))) * 10000 + 0.5) / 10000 >= 0.8
+        """,
+        "dedup_exact_spans": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, p,
+                     md5(array_to_string(tk[p+1:p+12], ' ')) AS wh
+              FROM toks,
+                   UNNEST(CASE WHEN len(tk) >= 12 THEN range(0, len(tk) - 11)
+                          ELSE CAST([] AS BIGINT[]) END) AS t(p)
+            ),
+            dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+            hits AS (SELECT w.doc_id, w.p FROM wins w JOIN dup USING (wh)),
+            isl AS (
+              SELECT doc_id, p,
+                     CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                               OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 12
+                          THEN 1 ELSE 0 END AS newf
+              FROM hits
+            ),
+            isl2 AS (
+              SELECT doc_id, p,
+                     sum(newf) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+              FROM isl
+            ),
+            spans AS (
+              SELECT doc_id, grp,
+                     min(p) AS span_start, max(p) + 12 AS span_end,
+                     count(*) AS n_dup_windows
+              FROM isl2 GROUP BY doc_id, grp
+            )
+            SELECT s.doc_id,
+                   CAST(span_start AS BIGINT) AS span_start,
+                   CAST(span_end AS BIGINT) AS span_end,
+                   CAST(n_dup_windows AS BIGINT) AS n_dup_windows,
+                   md5(array_to_string(t.tk[span_start+1:span_end], ' ')) AS span_md5
+            FROM spans s JOIN toks t USING (doc_id)
         """,
         "dedup_index_sync": """
             WITH sh AS (

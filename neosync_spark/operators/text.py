@@ -168,6 +168,105 @@ def winnow_fingerprints(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 20,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact duplicated-span extraction — the distributed analog of the
+    suffix-array exact-substring dedup of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed over word windows: every ``k``-token window whose
+    exact text occurs more than once in the corpus (any doc, any
+    position, including self-repeats) marks its tokens as duplicated;
+    per document, overlapping/adjacent duplicated windows merge into
+    MAXIMAL spans — the removable regions.
+
+    Returns ``(id, span_start, span_end, n_dup_windows, span_md5)``
+    with token-index bounds [span_start, span_end) and an md5 of the
+    span's token text (cross-engine verifiable).
+
+    Scale shape: docs repartitioned before the window fan-out; one
+    hash-agg counts window occurrences corpus-wide (map-side combine —
+    a window repeated 10^6 times collapses per task before the
+    shuffle); one join window→count (no pair join anywhere, unlike the
+    O(pairs) fingerprint-overlap path); span merging is gaps-and-islands
+    per doc (lag + running max over a per-doc window — doc-local work,
+    bounded by doc length). ``max_df`` optionally drops boilerplate
+    windows above a document-frequency cap, like the stop-print filter.
+    """
+    from pyspark.sql.window import Window
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(par, F.col(id_col)).select(
+        F.col(id_col).alias("_id"), _tokens(F.lower(F.col(content_col))).alias("_tk")
+    )
+    n_win = F.greatest(F.size("_tk") - F.lit(k - 1), F.lit(0))
+    positions = F.when(n_win >= 1, F.sequence(F.lit(0), n_win - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = base.select(
+        "_id",
+        "_tk",
+        F.explode(positions).alias("_p"),
+    ).select(
+        "_id",
+        "_p",
+        F.md5(F.concat_ws(" ", F.slice("_tk", F.col("_p") + 1, k))).alias("_wh"),
+    )
+
+    counts = wins.groupBy("_wh").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_distinct("_id").alias("_df"),
+    )
+    dup = counts.filter(F.col("_n") >= 2)
+    if max_df is not None:
+        dup = dup.filter(F.col("_df") <= max_df)
+
+    hits = wins.join(dup.select("_wh"), "_wh").select("_id", "_p")
+
+    # gaps-and-islands: a new span starts when this window no longer
+    # overlaps/touches the previous one (gap > k)
+    w_ord = Window.partitionBy("_id").orderBy("_p")
+    isl = (
+        hits.withColumn("_prev", F.lag("_p").over(w_ord))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("_p") > F.col("_prev") + k),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("_isl", F.sum("_new").over(w_ord))
+    )
+    spans = isl.groupBy("_id", "_isl").agg(
+        F.min("_p").alias("span_start"),
+        (F.max("_p") + F.lit(k)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_dup_windows"),
+    )
+    return (
+        spans.join(base, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            "span_end",
+            "n_dup_windows",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        "_tk",
+                        F.col("span_start") + 1,
+                        F.col("span_end") - F.col("span_start"),
+                    ),
+                )
+            ).alias("span_md5"),
+        )
+    )
+
+
 def fingerprint_overlap_pairs(
     df: DataFrame,
     content_col: str,

@@ -259,3 +259,60 @@ def test_minhash_clusters_unverified_scale_path(spark, docs):
     assert pairs, "fixture should contain near-duplicates"
     for p in pairs:
         assert fast[p["id_a"]] == fast[p["id_b"]]
+
+
+def test_duplicate_spans_exact_substring(spark):
+    """Lee-et-al-style exact-span extraction: shared K-token runs merge
+    into maximal spans; unique text yields nothing; self-repeats count."""
+    from neosync_spark.operators.text import duplicate_spans
+
+    common = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (1, "intro unique one " + common + " tail alpha"),
+        (2, "different opening words here " + common + " other ending"),
+        (3, "totally unrelated text " + " ".join(f"x{i}" for i in range(40))),
+        (4, common + " " + common),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r
+        for r in duplicate_spans(docs, "text", "doc_id", k=10).collect()
+    }
+    # docs 1/2 share the 30-token block at their own offsets, same md5
+    assert (1, 3, 33) in out and (2, 4, 34) in out
+    assert out[(1, 3, 33)]["span_md5"] == out[(2, 4, 34)]["span_md5"]
+    # doc 4: the self-repeat plus the corpus-shared block merge into ONE
+    # maximal span covering the whole doc (60 tokens)
+    assert (4, 0, 60) in out
+    # doc 3 (unique) contributes no span
+    assert not any(k[0] == 3 for k in out)
+
+
+def test_duplicate_spans_islands_split_on_gap(spark):
+    from neosync_spark.operators.text import duplicate_spans
+
+    a = " ".join(f"a{i}" for i in range(12))
+    b = " ".join(f"b{i}" for i in range(12))
+    gap = " ".join(f"u{i}" for i in range(25))  # unique separator
+    rows = [
+        (1, a + " " + gap + " " + b),
+        (2, a + " middle-of-other-things entirely " + b),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = [
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(docs, "text", "doc_id", k=12).collect()
+    ]
+    # two separate islands per doc (the gap breaks the merge)
+    assert sorted(s for s in spans if s[0] == 1) == [(1, 0, 12), (1, 37, 49)]
+
+
+def test_duplicate_spans_max_df_drops_boilerplate(spark):
+    from neosync_spark.operators.text import duplicate_spans
+
+    boiler = " ".join(f"c{i}" for i in range(12))
+    rows = [(i, boiler + f" unique tail {i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with_cap = duplicate_spans(docs, "text", "doc_id", k=12, max_df=5).collect()
+    without = duplicate_spans(docs, "text", "doc_id", k=12).collect()
+    assert len(without) == 10 and with_cap == []
