@@ -14,7 +14,9 @@ job), compact (fold MoR deltas), verify (final state vs oracle), show
 rollup-sync (incremental materialized-view maintenance), requeue
 (re-apply FK-quarantined rows once the parent caught up), rollback
 (restore files + ledger to a snapshot), expire (snapshot GC), validate
-(distributed constraint checks).
+(distributed constraint checks), branch (write-audit-publish refs:
+create/list/drop/publish with an optional not-null audit; stage commits
+with `replay --branch <name>`).
 """
 
 from __future__ import annotations
@@ -66,6 +68,10 @@ def main(argv: list[str] | None = None) -> int:
                         "(skip_foreign_key_violations analog)")
     r.add_argument("--fk-col", default="conv_id")
     r.add_argument("--fk-ref-col", default="conv_id")
+    r.add_argument("--branch", default=None,
+                   help="stage commits on this branch ref (created at the "
+                        "current main head if absent); publish with the "
+                        "'branch publish' subcommand")
 
     c = sub.add_parser("compact", help="fold MoR delta files")
     c.add_argument("--table", required=True)
@@ -108,6 +114,25 @@ def main(argv: list[str] | None = None) -> int:
     )
     ex.add_argument("--table", required=True)
     ex.add_argument("--keep-last", type=int, default=3)
+
+    br = sub.add_parser(
+        "branch", help="write-audit-publish branch management"
+    )
+    br.add_argument("--table", required=True)
+    br.add_argument(
+        "action", choices=["create", "list", "drop", "publish"],
+    )
+    br.add_argument("--name", default=None, help="branch name")
+    br.add_argument("--from-snapshot", type=int, default=None)
+    br.add_argument(
+        "--audit-not-null", default=None,
+        help="publish audit: comma-separated columns that must be "
+             "non-null in every staged row (violations abort)",
+    )
+    br.add_argument(
+        "--keep", action="store_true",
+        help="keep the branch ref after a successful publish",
+    )
 
     d = sub.add_parser(
         "diff", help="net row changes between two snapshots (CDC-out)"
@@ -180,6 +205,7 @@ def main(argv: list[str] | None = None) -> int:
             fk_parent_path=args.fk_parent,
             fk_col=args.fk_col,
             fk_ref_col=args.fk_ref_col,
+            branch=args.branch,
         )
         stats = run_job(spark, job)
         print(json.dumps({
@@ -254,6 +280,46 @@ def main(argv: list[str] | None = None) -> int:
 
         t = SnapshotTable.load(spark, args.table)
         print(json.dumps(t.expire_snapshots(keep_last=args.keep_last)))
+        return 0
+
+    if args.cmd == "branch":
+        from pyspark.sql import functions as F
+
+        from .lakehouse import BranchAuditError, SnapshotTable
+
+        t = SnapshotTable.load(spark, args.table)
+        if args.action == "list":
+            print(json.dumps(t.list_branches()))
+            return 0
+        if args.name is None:
+            p.error("--name is required for create/drop/publish")
+        if args.action == "create":
+            head = t.create_branch(args.name, args.from_snapshot)
+            print(json.dumps({"branch": args.name, "head": head}))
+            return 0
+        if args.action == "drop":
+            t.drop_branch(args.name)
+            print(json.dumps({"dropped": args.name}))
+            return 0
+        audit = None
+        if args.audit_not_null:
+            cols = [c.strip() for c in args.audit_not_null.split(",") if c.strip()]
+
+            def audit(df, _cols=cols):  # noqa: F811
+                cond = None
+                for c in _cols:
+                    nn = F.col(c).isNull()
+                    cond = nn if cond is None else (cond | nn)
+                return df.filter(cond).count()
+
+        try:
+            head = t.publish_branch(
+                args.name, audit=audit, drop_after=not args.keep
+            )
+        except BranchAuditError as e:
+            print(json.dumps({"published": False, "error": str(e)}))
+            return 1
+        print(json.dumps({"published": True, "main_head": head}))
         return 0
 
     if args.cmd == "diff":

@@ -56,6 +56,9 @@ class JobSpec:
     fk_parent_path: str | None = None
     fk_col: str = "conv_id"
     fk_ref_col: str = "conv_id"
+    # write-audit-publish: commit onto this branch ref instead of main
+    # (created at the current main head if absent); publish separately
+    branch: str | None = None
 
 
 def resolve_transformer(m: ColumnMapping, seed: int) -> TransformFn:
@@ -93,6 +96,12 @@ def compile_job(
             key_cols=KEY_COLS,
             n_buckets=job.n_buckets,
         )
+    if job.branch:
+        import os
+
+        if not os.path.exists(table._hint_path(job.branch)):
+            table.create_branch(job.branch)
+        table = table.branch(job.branch)
     engine = ReplayEngine(
         spark,
         table,

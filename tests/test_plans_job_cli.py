@@ -234,3 +234,49 @@ def test_cli_rollback_and_requeue(spark, tmp_path, capsys):
     rb = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rb["new_snapshot"] > healed_sid
     assert main(["verify", "--log", log_dir, "--table", table]) == 1  # pre-heal
+
+
+def test_cli_branch_create_publish_audit(spark, tmp_path, capsys):
+    import json
+
+    from neosync_spark.cli import main
+
+    log_dir = str(tmp_path / "log")
+    table = str(tmp_path / "t")
+    assert main(["synth", "--out", log_dir, "--events", "1000"]) == 0
+    assert main(["replay", "--log", log_dir, "--table", table,
+                 "--batch-size", "2000"]) == 0
+    assert main(["branch", "--table", table, "create", "--name", "stage"]) == 0
+    assert main(["branch", "--table", table, "list"]) == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")]
+    branches = json.loads(lines[-1])
+    assert "stage" in branches and branches["stage"] == branches["main"]
+    # audit passes (conv_id is never null) -> publish fast-forwards + drops ref
+    assert main(["branch", "--table", table, "publish", "--name", "stage",
+                 "--audit-not-null", "conv_id"]) == 0
+    assert main(["branch", "--table", table, "list"]) == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")]
+    assert "stage" not in json.loads(lines[-1])
+    # audit failure path: stage NEW commits on a branch via replay
+    # --branch (a fresh log segment), then publish with an audit a
+    # staged column can't satisfy ('tool' is mostly null in synth data)
+    log2 = str(tmp_path / "log2")
+    assert main(["synth", "--out", log2, "--events", "1000",
+                 "--seed", "7"]) == 0
+    # NB --batch-size 1000, not 2000: the branch inherits main's ledger
+    # and log2 reuses the lsn range of log1, so identical ranges would
+    # be exactly-once SKIPPED (range-keyed, not content-keyed)
+    assert main(["replay", "--log", log2, "--table", table,
+                 "--batch-size", "1000", "--branch", "s2"]) == 0
+    rc = main(["branch", "--table", table, "publish", "--name", "s2",
+               "--audit-not-null", "tool"])
+    out = capsys.readouterr().out
+    assert rc == 1 and '"published": false' in out
+    # branch survives the failed audit; main untouched
+    assert main(["branch", "--table", table, "list"]) == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")]
+    branches = json.loads(lines[-1])
+    assert "s2" in branches and branches["s2"] != branches["main"]
+    # audit on an always-non-null column publishes the staged commits
+    assert main(["branch", "--table", table, "publish", "--name", "s2",
+                 "--audit-not-null", "conv_id"]) == 0
