@@ -78,6 +78,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--sort-by-key", action="store_true",
                    help="cluster rows by key within bucket files "
                         "(row-group stats line up with the key)")
+    c.add_argument("--max-records-per-file", type=int, default=None,
+                   help="split each bucket into several key-clustered "
+                        "files so per-file zone maps prune point lookups")
 
     v = sub.add_parser("verify", help="replay-vs-oracle final state check")
     v.add_argument("--log", required=True)
@@ -221,7 +224,10 @@ def main(argv: list[str] | None = None) -> int:
         from .lakehouse import SnapshotTable
 
         t = SnapshotTable.load(spark, args.table)
-        info = t.compact(sort_by_key=args.sort_by_key)
+        info = t.compact(
+            sort_by_key=args.sort_by_key,
+            max_records_per_file=args.max_records_per_file,
+        )
         print(json.dumps({"compacted": bool(info), "snapshot": info.snapshot_id if info else None}))
         return 0
 

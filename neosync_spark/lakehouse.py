@@ -1221,6 +1221,7 @@ class SnapshotTable:
         buckets: Sequence[int] | None = None,
         expire_tombstones_before=None,
         sort_by_key: bool = False,
+        max_records_per_file: int | None = None,
     ) -> CommitInfo | None:
         """Fold delta files into base files (LWW resolved once, at
         write). Optionally expire tombstones with ts older than the
@@ -1233,7 +1234,11 @@ class SnapshotTable:
         parquet row-group min/max stats then line up with the key, so
         point/range reads of a conversation skip most row groups — the
         Z-order-lite file-clustering step a 100 TB table runs during
-        its maintenance window."""
+        its maintenance window. With ``max_records_per_file`` the
+        writer splits each bucket into several files along that sort
+        order — each file then covers a contiguous key range, so the
+        manifest's per-FILE zone maps (not just row groups) prune point
+        lookups down to ~one file per bucket."""
         m = self.manifest(refresh=True)
         if buckets is None:
             buckets = sorted(self.delta_file_counts())
@@ -1263,7 +1268,10 @@ class SnapshotTable:
             # sort is the one that survives and files come out
             # key-clustered.
             out = out.sortWithinPartitions(_BUCKET_COL, *m["key_cols"])
-        out.write.partitionBy(_BUCKET_COL).parquet(commit_dir)
+        writer = out.write
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+        writer.partitionBy(_BUCKET_COL).parquet(commit_dir)
         new_files = {b: list(v) for b, v in m["files"].items()}
         for b in buckets:
             new_files[str(b)] = []

@@ -100,3 +100,25 @@ def test_stats_survive_manifest_roundtrip_and_missing_stats_kept(spark, tmp_path
     t._manifest = None
     assert t.scan_stats({"ts": (_ts("2030-01-01"), None)})["files_kept"] == len(entries)
     assert t.read(stats_filter={"ts": (_ts("2030-01-01"), None)}).count() == 0
+
+
+def test_clustered_compaction_enables_point_lookup_pruning(spark, tmp_path):
+    """compact(sort_by_key, max_records_per_file): each split file
+    covers a contiguous key range, so a conversation point-lookup opens
+    ~one file per bucket instead of the whole bucket."""
+    t = _mk(spark, tmp_path / "t")
+    rows = [
+        (i, "insert", f"conv-{i % 40:03d}", i // 40, "user", f"x{i}", None,
+         "2026-01-01")
+        for i in range(400)
+    ]
+    t.merge_cdc(_batch(spark, rows), applied_range=(0, 400), mode="mor")
+    t.compact(sort_by_key=True, max_records_per_file=50)
+
+    total = t.scan_stats({})["files_total"]
+    point = t.scan_stats({"conv_id": ("conv-007", "conv-007")})
+    assert total >= 8  # the split actually produced multiple files
+    assert point["files_kept"] <= max(2, total // 3)
+    got = t.read(stats_filter={"conv_id": ("conv-007", "conv-007")})
+    assert got.count() == 10
+    assert {r["conv_id"] for r in got.collect()} == {"conv-007"}
