@@ -1646,6 +1646,73 @@ def _simhash_pairs_oracle(max_hamming: int = 6) -> str:
     """
 
 
+def _pq_codebooks(m: int = 8, ksub: int = 16, dim: int = 64, seed: int = 7):
+    import numpy as np
+
+    return np.random.default_rng(seed).standard_normal((m, ksub, dim // m))
+
+
+def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k (Jégou et al. 2011): vectors compressed
+    to m=8 codes against seeded codebooks, query scored via a literal
+    m×ksub distance table summed JVM-side — top-20 by approximate
+    squared L2. The oracle replays encode + ADC with DuckDB list
+    lambdas over the same codebook literals."""
+    from neosync_spark.operators.similarity import pq_topk
+
+    _views(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return pq_topk(
+        emb, "embedding", "vec_id", [float(x) for x in q], k=20,
+        codebooks=_pq_codebooks(),
+    )
+
+
+def _ann_pq_oracle(m: int = 8, ksub: int = 16, dim: int = 64, seed: int = 7) -> str:
+    """DuckDB replay of PQ encode + ADC against the seeded codebooks."""
+    cb = _pq_codebooks(m, ksub, dim, seed)
+    dsub = dim // m
+
+    def arr(row) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in row) + "]"
+
+    def arr2(mat) -> str:
+        return "[" + ", ".join(arr(r) for r in mat) + "]"
+
+    # per-subspace code: first-argmin over the ksub centroid distances
+    dls = ", ".join(
+        f"list_transform({arr2(cb[j])}, c -> "
+        f"list_sum(list_transform(range(1, {dsub + 1}), "
+        f"d -> (v[{j * dsub} + d] - c[d]) * (v[{j * dsub} + d] - c[d])))) AS _dl{j}"
+        for j in range(m)
+    )
+    codes = ", ".join(
+        f"(list_position(_dl{j}, list_min(_dl{j})) - 1) AS _c{j}" for j in range(m)
+    )
+    return f"""
+        WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        ), dt AS (
+          SELECT {', '.join(
+            f"list_transform({arr2(cb[j])}, c -> "
+            f"list_sum(list_transform(range(1, {dsub + 1}), "
+            f"d -> (qv[{j * dsub} + d] - c[d]) * (qv[{j * dsub} + d] - c[d])))) AS _dt{j}"
+            for j in range(m))}
+          FROM q
+        ), coded AS (
+          SELECT vec_id, {dls.replace('v[', 'CAST(embedding AS DOUBLE[])[')}
+          FROM embeddings
+        ), scored AS (
+          SELECT vec_id,
+                 {' + '.join(f"_dt{j}[_c{j} + 1]" for j in range(m))} AS s
+          FROM (SELECT vec_id, {codes} FROM coded), dt
+        )
+        SELECT vec_id, floor(s * 10000 + 0.5) / 10000 AS approx_l2sq
+        FROM scored ORDER BY approx_l2sq, vec_id LIMIT 20
+    """
+
+
 def _embedding_near_dup_oracle(n_planes: int = 12, dim: int = 64, seed: int = 42) -> str:
     """DuckDB replay of the hyperplane-LSH near-dup query: the seeded
     planes are deterministic numpy output, embedded as literals."""
@@ -1794,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_pq_topk": _q_ann_pq,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_dedup_clusters": _q_embedding_clusters,
         "corpus_stats": _q_corpus_stats,
@@ -2575,6 +2643,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
+        "ann_pq_topk": _ann_pq_oracle(),
         "ann_ivf_topk": """
             WITH q AS (
               SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0

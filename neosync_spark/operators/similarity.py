@@ -688,6 +688,158 @@ def ivf_topk(
     return cosine_topk(pruned, vec_col, id_col, list(map(float, query)), k)
 
 
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    iters: int = 6,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011): the vector
+    space is split into ``m`` subspaces and each learns its own
+    ``ksub``-centroid codebook — (m, ksub, dsub) ndarray.
+
+    All m subspace k-means run JOINTLY: one job per Lloyd's iteration
+    regardless of m (sub-vectors tagged by subspace index, one
+    vectorized assign per Arrow batch, one (j, cell, dim) partial-agg
+    whose output is m·ksub·dsub rows — driver-tiny at any corpus
+    size). Seeding is value-keyed per subspace (smallest
+    xxhash64(id, seed·(j+1))), so the build is reproducible."""
+    from pyspark.sql.window import Window
+
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+
+    sub = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice("_v", j * F.lit(dsub) + 1, dsub),
+            )
+        ).alias("_j", "_sv"),
+    )
+
+    w = Window.partitionBy("_j").orderBy("_h", "_id")
+    seeds = (
+        sub.withColumn(
+            "_h", F.xxhash64(F.col("_id"), (F.col("_j") + 1) * F.lit(seed))
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= ksub)
+        .select("_j", "_rn", "_sv")
+        .collect()
+    )
+    cb = np.zeros((m, ksub, dsub))
+    for r in seeds:
+        cb[r["_j"], r["_rn"] - 1] = r["_sv"]
+
+    svs = sub.select("_j", "_sv").persist()
+    for _ in range(iters):
+        bcb = cb.copy()
+
+        @F.pandas_udf(T.IntegerType())
+        def assign(j: pd.Series, sv: pd.Series) -> pd.Series:
+            out = np.empty(len(j), dtype=np.int32)
+            mat = np.array(sv.tolist(), dtype=np.float64)
+            jv = j.to_numpy()
+            for jj in np.unique(jv):
+                rows = jv == jj
+                d = ((mat[rows, None, :] - bcb[jj][None, :, :]) ** 2).sum(-1)
+                out[rows] = d.argmin(axis=1)
+            return pd.Series(out)
+
+        stats = (
+            svs.select("_j", assign("_j", "_sv").alias("_c"), F.posexplode("_sv"))
+            .groupBy("_j", "_c", "pos")
+            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )  # m × ksub × dsub rows
+        new = cb.copy()
+        for r in stats:
+            new[r["_j"], r["_c"], r["pos"]] = r["s"] / r["n"]
+        cb = np.round(new, 6)
+    svs.unpersist()
+    return cb
+
+
+def _pq_codes_udf(codebooks: np.ndarray):
+    m, ksub, dsub = codebooks.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            subm = mat[:, j * dsub : (j + 1) * dsub]
+            d = ((subm[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, id_col: str, codebooks: np.ndarray
+) -> DataFrame:
+    """(id, codes) — each vector compressed to m uint8-sized codes
+    (dim·8 bytes → m bytes at scale; one vectorized matmul per Arrow
+    batch, ties to the first centroid like np.argmin)."""
+    enc = _pq_codes_udf(codebooks)
+    return df.select(
+        F.col(id_col), enc(F.col(vec_col).cast("array<double>")).alias("codes")
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    codebooks: np.ndarray | None = None,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance computation (ADC):
+    the query's per-subspace distance table (m×ksub floats) is embedded
+    as a literal, each row's approximate squared-L2 is a JVM aggregate
+    over its m codes — no Python in the scan, the shuffle carries only
+    (id, score), and the plan ends in TakeOrderedAndProject. Returns
+    (id, approx_l2sq) ascending (smaller = closer)."""
+    if codebooks is None:
+        codebooks = pq_train(df, vec_col, id_col, m, ksub, seed)
+    m, ksub, dsub = codebooks.shape
+    q = np.asarray(query, dtype=np.float64)
+    dtab = (
+        (q.reshape(m, dsub)[:, None, :] - codebooks) ** 2
+    ).sum(-1)  # (m, ksub)
+
+    dt_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in dtab[j]]) for j in range(m)]
+    )
+    coded = pq_encode(df, vec_col, id_col, codebooks).withColumn("_dt", dt_lit)
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(F.element_at("_dt", j + 1), F.element_at("codes", j + 1) + 1),
+    )
+    return (
+        coded.select(F.col(id_col), round_half_up(score, 4).alias("approx_l2sq"))
+        .orderBy(F.col("approx_l2sq"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,

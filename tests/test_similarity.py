@@ -316,3 +316,53 @@ def test_duplicate_spans_max_df_drops_boilerplate(spark):
     with_cap = duplicate_spans(docs, "text", "doc_id", k=12, max_df=5).collect()
     without = duplicate_spans(docs, "text", "doc_id", k=12).collect()
     assert len(without) == 10 and with_cap == []
+
+
+def test_pq_adc_exact_when_vectors_are_codebook_points(spark):
+    """PQ with zero quantization error (vectors ARE concatenations of
+    codebook centroids) must reproduce exact L2 top-k."""
+    import numpy as np
+
+    from neosync_spark.operators.similarity import pq_topk
+
+    rng = np.random.default_rng(0)
+    cb = rng.standard_normal((4, 8, 4))  # m=4, ksub=8, dsub=4 -> dim 16
+    codes = rng.integers(0, 8, size=(50, 4))
+    vecs = np.concatenate([cb[j][codes[:, j]] for j in range(4)], axis=1)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(50)],
+        "vid long, v array<double>",
+    )
+    top = pq_topk(df, "v", "vid", vecs[7].tolist(), k=5, codebooks=cb).collect()
+    assert top[0]["vid"] == 7 and top[0]["approx_l2sq"] == 0.0
+    exact = sorted(
+        ((i, round(float(((vecs[i] - vecs[7]) ** 2).sum()), 4)) for i in range(50)),
+        key=lambda t: (t[1], t[0]),
+    )[:5]
+    assert [(r["vid"], r["approx_l2sq"]) for r in top] == exact
+
+
+def test_pq_train_deterministic_and_distributed_stats(spark):
+    import numpy as np
+
+    from neosync_spark.operators.similarity import pq_encode, pq_train
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((120, 16))
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vid long, v array<double>")
+    cb1 = pq_train(df, "v", "vid", m=4, ksub=4, seed=9, iters=3)
+    cb2 = pq_train(df.repartition(7), "v", "vid", m=4, ksub=4, seed=9, iters=3)
+    assert cb1.shape == (4, 4, 4)
+    assert np.array_equal(cb1, cb2)  # value-keyed seeds + 1e-6 quantized means
+    # encode matches a direct numpy argmin
+    got = {
+        r["vid"]: list(r["codes"])
+        for r in pq_encode(df, "v", "vid", cb1).collect()
+    }
+    for i in (0, 5, 77):
+        want = [
+            int(((vecs[i, j * 4:(j + 1) * 4] - cb1[j]) ** 2).sum(-1).argmin())
+            for j in range(4)
+        ]
+        assert got[i] == want
