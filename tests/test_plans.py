@@ -170,3 +170,52 @@ def test_shingle_projection_boundary_and_prefanout_repartition(spark):
     assert "Exchange" in plan
     assert plan.index("slice(") < plan.index("Exchange")
     assert plan.index("regexp_replace") > plan.index("Exchange")
+
+
+def test_dsir_plan_no_python_and_broadcast_dist(spark):
+    """DSIR scoring is all JVM (md5 bucketing, log arithmetic) and the
+    ≤B-row distribution table joins by BROADCAST — the corpus is never
+    shuffled to meet it."""
+    from pyspark.sql import functions as F
+
+    from neosync_spark.operators.mixing import dsir_importance
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scored = dsir_importance(
+        docs, docs.filter(F.col("source") == "src0"), "text", "doc_id",
+        n_buckets=256,
+    )
+    plan = _plan(scored)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    # map-side combine on the per-(doc,bucket) agg
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_duplicate_spans_plan_no_pair_join(spark):
+    """Exact-span extraction must stay O(corpus): one hash-agg over
+    window hashes, no join of docs against docs (the only joins are
+    window→count and span→tokens), no Python anywhere."""
+    from neosync_spark.operators.text import duplicate_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(duplicate_spans(docs, "text", "doc_id", k=12))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # fan-out happens after a repartition of the docs
+    assert "Exchange" in plan
+
+
+def test_pq_adc_scan_is_jvm_after_encode(spark):
+    """PQ top-k: the only Python stage is the Arrow-batch encode; the
+    ADC scoring aggregate and the top-k run JVM-side."""
+    import numpy as np
+
+    from neosync_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = np.random.default_rng(7).standard_normal((8, 16, 8))
+    q = [0.0] * 64
+    plan = _plan(pq_topk(emb, "embedding", "vec_id", q, k=5, codebooks=cb))
+    assert plan.count("ArrowEvalPython") == 1  # encode only
+    assert "TakeOrderedAndProject" in plan

@@ -145,6 +145,44 @@ def main() -> None:
         "character scramble crosses into ArrowEvalPython.",
     )
 
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from neosync_spark.operators.mixing import dsir_importance
+    from neosync_spark.operators.similarity import pq_topk
+    from neosync_spark.operators.text import duplicate_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cap(
+        "DSIR importance scoring",
+        dsir_importance(
+            docs, docs.filter(F.col("source") == "src0"), "text", "doc_id",
+            n_buckets=256,
+        ),
+        "All JVM (md5 bucketing, log arithmetic); the <=B-row "
+        "distribution table arrives by BroadcastHashJoin — the corpus "
+        "is never shuffled to meet it; per-(doc,bucket) partial agg "
+        "combines map-side before the per-doc rollup.",
+    )
+    cap(
+        "Exact duplicated spans",
+        duplicate_spans(docs, "text", "doc_id", k=12),
+        "O(corpus), no pair join: one hash-agg of window-hash counts "
+        "(map-side combine collapses a 10^6-times-repeated window per "
+        "task), join window->count, per-doc gaps-and-islands window.",
+    )
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cap(
+        "PQ / ADC top-k",
+        pq_topk(
+            emb, "embedding", "vec_id", [0.0] * 64, k=5,
+            codebooks=np.random.default_rng(7).standard_normal((8, 16, 8)),
+        ),
+        "One ArrowEvalPython (the batch encode) and nothing else in "
+        "Python; ADC scoring is a JVM aggregate over the literal "
+        "distance table; TakeOrderedAndProject finishes the top-k.",
+    )
+
     hdr = (
         "# PLANS — formatted physical plans of load-bearing operators\n\n"
         "Generated by tools/gen_plans.py (`df.explain('formatted')` at sf0.001).\n"
