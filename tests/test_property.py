@@ -261,3 +261,69 @@ def test_snapshot_diff_chain_property(spark, table_root, events, split_frac):
         for r in conversation_rollup(t.read()).collect()
     }
     assert got == exp, "incremental rollup diverged from full recompute"
+
+
+_event2 = st.tuples(
+    st.sampled_from(["insert", "update", "delete"]),
+    st.integers(0, 5),
+    st.integers(0, 3),
+    st.integers(0, 3600),
+    st.text("ab", min_size=0, max_size=4),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    events=st.lists(_event2, min_size=1, max_size=30),
+    lo_s=st.integers(0, 3600),
+    width=st.integers(0, 1800),
+    lsn_lo=st.integers(0, 40),
+)
+def test_stats_pruned_read_always_equals_filtered_read(
+    spark, table_root, events, lo_s, width, lsn_lo
+):
+    """Zone-map soundness as a property: for ANY mix of COW/MoR commits
+    and ANY (ts range, lsn lower bound) filter, the pruned read equals
+    the unpruned read + row predicate — files may be skipped, rows
+    never."""
+    from pyspark.sql import functions as F
+
+    log = _mk_log(events)
+    counter["i"] += 1
+    t = SnapshotTable.create(
+        spark,
+        str(table_root / f"z{counter['i']}"),
+        transcript_schema(),
+        key_cols=KEY_COLS,
+        n_buckets=2,
+    )
+    sdf = spark.createDataFrame(log)
+    hi = int(log["lsn"].max())
+    # alternate commit modes so the table holds base AND delta files
+    for i, lo in enumerate(range(0, hi + 1, 7)):
+        t.merge_cdc(
+            sdf.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + 7)),
+            applied_range=(lo, lo + 7),
+            mode="mor" if i % 2 else "cow",
+            lineage=False,
+        )
+    ts_lo = pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=lo_s)
+    ts_hi = ts_lo + pd.Timedelta(seconds=width)
+    flt = {"ts": (ts_lo.to_pydatetime(), ts_hi.to_pydatetime()),
+           "_lsn": (lsn_lo, None)}
+    got = t.read(stats_filter=flt, internal=True).toPandas()
+    want = (
+        t.read(internal=True)
+        .filter((F.col("ts") >= F.lit(ts_lo)) & (F.col("ts") <= F.lit(ts_hi)))
+        .filter(F.col("_lsn") >= lsn_lo)
+        .toPandas()
+    )
+    assert len(got) == len(want)
+    if len(got):
+        assert_pdf_equal(
+            got, want, ["conv_id", "turn_idx"], msg="pruned != filtered"
+        )
