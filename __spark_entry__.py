@@ -932,6 +932,21 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def _q_transcript_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level structural quality over the replayed final
+    state: turn continuity, role discipline, within-conversation
+    duplicate-turn fraction — the transcript analog of the Gopher/C4
+    document rules."""
+    from neosync_spark.operators.conversations import conversation_quality_flags
+    from neosync_spark.operators.dedup import lww_dedup
+
+    log = _derived_log(spark, sf_dir)
+    alive = lww_dedup(log, ["conv_id", "turn_idx"], ["ts", "lsn"]).filter(
+        F.col("op") != "delete"
+    )
+    return conversation_quality_flags(alive)
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): hashed
     unigram+bigram bag distributions over 1024 md5 buckets fit on a
@@ -1848,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_context_chunks": _q_pack_chunks,
         "stratified_sample": _q_stratified_sample,
         "dsir_importance_weights": _q_dsir_weights,
+        "transcript_quality_flags": _q_transcript_quality,
         "gopher_quality_flags": _q_gopher_flags,
         "gopher_repetition_flags": _q_gopher_repetition,
         "c4_quality_flags": _q_c4_flags,
@@ -2263,6 +2279,45 @@ def oracle_sql() -> dict[str, str]:
                                   AND alpha_words / n_words >= 0.8, FALSE)
                      AND stop_hits >= 2 AS keep
             FROM f
+        """,
+        "transcript_quality_flags": f"""
+            WITH alive AS (
+              SELECT * FROM ({lww}) WHERE op <> 'delete'
+            ), turns AS (
+              SELECT conv_id AS c, turn_idx AS t, role AS r, text AS x,
+                     lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pt,
+                     lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pr
+              FROM alive
+            ), per AS (
+              SELECT c, t, r, x,
+                     CASE WHEN pt IS NOT NULL AND t > pt + 1 THEN 1 ELSE 0 END AS gap,
+                     CASE WHEN pr IS NOT NULL AND r = pr AND r <> 'system'
+                          THEN 1 ELSE 0 END AS brk
+              FROM turns
+            ), dup AS (
+              SELECT c, SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS dup_turns
+              FROM (SELECT c, x, count(*) AS n FROM per GROUP BY c, x)
+              GROUP BY c
+            ), agg AS (
+              SELECT c, count(*) AS n_turns,
+                     CAST(sum(gap) AS BIGINT) AS n_gaps,
+                     min(t) AS first_t,
+                     CAST(sum(brk) AS BIGINT) AS alternation_breaks,
+                     CAST(count(DISTINCT r) AS BIGINT) AS n_roles,
+                     arg_min(r, t) AS first_role,
+                     floor(avg(length(x)) * 100 + 0.5) / 100 AS mean_turn_chars
+              FROM per GROUP BY c
+            )
+            SELECT a.c AS conv_id, n_turns, n_gaps,
+                   (first_t = 0 AND n_gaps = 0) AS contiguous,
+                   (first_role = 'user') AS starts_with_user,
+                   alternation_breaks, n_roles,
+                   floor(COALESCE(d.dup_turns, 0) * 1.0 / n_turns * 10000 + 0.5) / 10000 AS dup_turn_frac,
+                   mean_turn_chars,
+                   ((first_t = 0 AND n_gaps = 0) AND first_role = 'user'
+                    AND floor(COALESCE(d.dup_turns, 0) * 1.0 / n_turns * 10000 + 0.5) / 10000 <= 0.5
+                    AND n_turns >= 2) AS keep
+            FROM agg a LEFT JOIN dup d USING (c)
         """,
         "dsir_importance_weights": """
             WITH toks AS (

@@ -1,0 +1,68 @@
+"""Conversation-level structural quality flags."""
+
+from __future__ import annotations
+
+from neosync_spark.operators.conversations import conversation_quality_flags
+
+
+def _flags(spark, rows):
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    return {
+        r["conv_id"]: r.asDict()
+        for r in conversation_quality_flags(df).collect()
+    }
+
+
+def test_clean_conversation_keeps(spark):
+    rows = [
+        ("c1", 0, "user", "hi"),
+        ("c1", 1, "assistant", "hello"),
+        ("c1", 2, "user", "bye"),
+        ("c1", 3, "assistant", "later"),
+    ]
+    f = _flags(spark, rows)["c1"]
+    assert f["keep"] and f["contiguous"] and f["starts_with_user"]
+    assert f["n_gaps"] == 0 and f["alternation_breaks"] == 0
+    assert f["dup_turn_frac"] == 0.0 and f["n_turns"] == 4
+
+
+def test_gap_and_nonzero_start_flagged(spark):
+    rows = [
+        ("c2", 1, "user", "a"), ("c2", 2, "assistant", "b"),  # starts at 1
+        ("c3", 0, "user", "a"), ("c3", 3, "assistant", "b"),  # gap 0->3
+    ]
+    f = _flags(spark, rows)
+    assert not f["c2"]["contiguous"] and f["c2"]["n_gaps"] == 0
+    assert not f["c3"]["contiguous"] and f["c3"]["n_gaps"] == 1
+    assert not f["c2"]["keep"] and not f["c3"]["keep"]
+
+
+def test_alternation_breaks_system_exempt(spark):
+    rows = [
+        ("c4", 0, "user", "a"),
+        ("c4", 1, "assistant", "b"),
+        ("c4", 2, "assistant", "c"),  # break
+        ("c5", 0, "system", "s"),
+        ("c5", 1, "system", "s2"),  # system-system: exempt
+        ("c5", 2, "user", "u"),
+    ]
+    f = _flags(spark, rows)
+    assert f["c4"]["alternation_breaks"] == 1
+    assert f["c5"]["alternation_breaks"] == 0
+    assert not f["c5"]["starts_with_user"]
+
+
+def test_degenerate_repetition_dropped(spark):
+    rows = [("c6", i, "user" if i % 2 == 0 else "assistant", "same same")
+            for i in range(6)]
+    rows += [("c7", 0, "user", "x"), ("c7", 1, "assistant", "y")]
+    f = _flags(spark, rows)
+    assert f["c6"]["dup_turn_frac"] == 1.0 and not f["c6"]["keep"]
+    assert f["c7"]["keep"]
+
+
+def test_single_turn_too_short(spark):
+    f = _flags(spark, [("c8", 0, "user", "hi")])
+    assert f["c8"]["n_turns"] == 1 and not f["c8"]["keep"]
