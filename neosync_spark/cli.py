@@ -310,6 +310,8 @@ def main(argv: list[str] | None = None) -> int:
         audit = None
         if args.audit_not_null:
             cols = [c.strip() for c in args.audit_not_null.split(",") if c.strip()]
+            if not cols:
+                p.error("--audit-not-null needs at least one column name")
 
             def audit(df, _cols=cols):  # noqa: F811
                 cond = None

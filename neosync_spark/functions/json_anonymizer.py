@@ -56,7 +56,7 @@ def anonymize_json_field(
     for key, e in field_exprs.items():
         if _looks_like_jq(key):
             toks = parse_jq(key)
-            if len(toks) == 1:
+            if len(toks) == 1 and isinstance(toks[0], str) and toks[0] != "[]":
                 plain[toks[0]] = e
                 continue
             if (

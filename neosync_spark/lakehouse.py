@@ -207,8 +207,18 @@ class SnapshotTable:
         manifest["committed_at"] = time.time()
         sid = manifest["snapshot_id"]
         mpath = os.path.join(self.path, "metadata", f"snap-{sid}.json")
-        with open(mpath, "w") as f:
-            json.dump(manifest, f, indent=1)
+        try:
+            # exclusive create: two refs racing to the same id (both
+            # listed metadata/ before either wrote) must fail loudly,
+            # not silently overwrite the other's manifest
+            with open(mpath, "x") as f:
+                json.dump(manifest, f, indent=1)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"snapshot id {sid} was claimed by a concurrent writer on "
+                f"another ref while this commit ran — re-run the commit "
+                "(data files are orphaned, GC-able)"
+            ) from None
         tmp = self._hint_path() + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(str(sid))
@@ -513,6 +523,15 @@ class SnapshotTable:
                         f"{bhead}: {n_bad} violation(s); main stays at "
                         f"{main_cur}"
                     )
+            # optimistic re-check at swap time: the audit may have run
+            # for minutes — a main commit that landed meanwhile must
+            # conflict here exactly as it would in _write_manifest,
+            # never be silently discarded by the pointer swap
+            if self._read_ref("main") != main_cur:
+                raise CommitConflictError(
+                    f"main advanced past snapshot {main_cur} while the "
+                    f"audit of branch {name!r} ran — re-stage and retry"
+                )
             tmp = self._hint_path("main") + f".tmp-{uuid.uuid4().hex}"
             with open(tmp, "w") as f:
                 f.write(str(bhead))
@@ -1092,16 +1111,23 @@ class SnapshotTable:
             return True
 
         # In a MoR bucket, per-file pruning is additionally sound for
-        # the LOWER bound of an LWW order column: a file wholly below
-        # ``lo`` holds only rows that either lose LWW to a newer row in
-        # a kept file or fail the row predicate themselves — and it
-        # cannot promote a stale winner, because any surviving older
-        # version is also below ``lo`` and the re-applied predicate
-        # drops it. (Upper bounds stay bucket-granular: dropping newer
-        # files would turn "current rows with col <= hi" into an as-of
-        # read.) This is the tail-read fast path: "deltas since lsn X"
-        # skips every old delta file.
-        order_cols = set(m.get("order_cols", [])) | {_LSN_COL}
+        # the LOWER bound of the PRIMARY LWW order column (order_cols[0],
+        # typically ts): a file wholly below ``lo`` holds only rows that
+        # either lose LWW to a newer row in a kept file or fail the row
+        # predicate themselves — and it cannot promote a stale winner,
+        # because any surviving version of the same key is ordered below
+        # the dropped winner on that column too, hence also below ``lo``
+        # and dropped by the re-applied predicate. The argument is FALSE
+        # for tie-breaker columns like _lsn: a late-arriving event can
+        # carry (low ts, high lsn), so a file wholly below an _lsn bound
+        # may hold the true (high-ts) winner while a high-lsn LOSER
+        # survives elsewhere and passes the predicate — those columns
+        # stay bucket-granular. (Upper bounds stay bucket-granular
+        # always: dropping newer files would turn "current rows with
+        # col <= hi" into an as-of read.) This is the tail-read fast
+        # path: "rows touched since time T" skips every old delta file.
+        oc = m.get("order_cols", [])
+        order_cols = {oc[0]} if oc else set()
 
         def _below_lower_bound(e: dict) -> bool:
             st = e.get("stats")
@@ -1301,16 +1327,26 @@ class SnapshotTable:
         remains available within the retained window; the ledger lives
         in the current manifest and is unaffected."""
         retained_ids: list[int] = []
-        # every ref head (main + branches) anchors its own retention
-        # window — expiring main must never delete a staged branch's
-        # files out from under a later publish
-        for head in self.list_branches().values():
-            sid: int | None = head
-            kept = 0
-            while sid is not None and kept < keep_last:
-                if sid not in retained_ids:
-                    retained_ids.append(sid)
-                kept += 1
+        # main anchors a keep_last window; every BRANCH head retains its
+        # ENTIRE ancestry chain down to an already-retained snapshot —
+        # publish_branch's ancestry walk needs each intermediate
+        # manifest, so a keep_last-bounded branch walk would make staged
+        # work unpublishable after routine GC
+        refs = self.list_branches()
+        sid: int | None = refs.pop("main")
+        kept = 0
+        while sid is not None and kept < keep_last:
+            if sid not in retained_ids:
+                retained_ids.append(sid)
+            kept += 1
+            try:
+                sid = self.manifest(sid)["parent"]
+            except FileNotFoundError:
+                break
+        for head in refs.values():
+            sid = head
+            while sid is not None and sid not in retained_ids:
+                retained_ids.append(sid)
                 try:
                     sid = self.manifest(sid)["parent"]
                 except FileNotFoundError:

@@ -41,18 +41,17 @@ def conversation_quality_flags(
     """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(conv_col).orderBy(turn_col)
-    turns = df.select(
-        F.col(conv_col).alias("_c"),
-        F.col(turn_col).alias("_t"),
-        F.col(role_col).alias("_r"),
-        F.col(text_col).alias("_x"),
-    ).withColumn("_prev_t", F.lag("_t").over(
-        Window.partitionBy("_c").orderBy("_t"))
-    ).withColumn("_prev_r", F.lag("_r").over(
-        Window.partitionBy("_c").orderBy("_t"))
+    w = Window.partitionBy("_c").orderBy("_t")
+    turns = (
+        df.select(
+            F.col(conv_col).alias("_c"),
+            F.col(turn_col).alias("_t"),
+            F.col(role_col).alias("_r"),
+            F.col(text_col).alias("_x"),
+        )
+        .withColumn("_prev_t", F.lag("_t").over(w))
+        .withColumn("_prev_r", F.lag("_r").over(w))
     )
-    del w
 
     per_turn = turns.select(
         "_c",

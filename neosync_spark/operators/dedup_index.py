@@ -172,4 +172,11 @@ def minhash_index_sync(
         F.lit(int(lo)).alias("lsn"),
     )
     index.merge_cdc(batch, applied_range=applied_range, lineage=False)
+    # epochs run for the lifetime of the tailing driver: materialize
+    # the (small) pair set, then release the per-epoch caches — only
+    # `verified` stays pinned, and the caller owns its lifetime
+    verified = verified.persist()
+    verified.count()
+    for df_ in (banded_new, cands, sh):
+        df_.unpersist()
     return verified

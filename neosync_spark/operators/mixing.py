@@ -80,15 +80,29 @@ def dsir_importance(
     log((c_raw[b]+α)/(N_raw+α·B)) ]`` (Laplace-α smoothing, so buckets
     unseen in the target still score via the floor). Docs with no grams
     score 0.
+
+    The returned DataFrame keeps the per-(doc,bucket) aggregate and the
+    target count table cached (they back both the totals and the score
+    join); long-running drivers scoring many corpora should unpersist
+    via ``spark.catalog.clearCache()`` after materializing.
     """
     raw_b = hashed_ngram_buckets(raw, content_col, id_col, n_buckets, ns)
     tgt_b = hashed_ngram_buckets(target, content_col, id_col, n_buckets, ns)
 
-    raw_counts = _bucket_counts(raw_b, "_c_raw")
-    tgt_counts = _bucket_counts(tgt_b, "_c_tgt")
-    # totals are 1-row aggregates (driver-side scalars, not data joins)
-    n_raw = raw_b.count()
-    n_tgt = tgt_b.count()
+    # ONE pass over the raw corpus: the per-(doc,bucket) aggregate is
+    # both the join input for scoring AND the source of the bucket
+    # counts/total (persisted — far smaller than the gram explosion).
+    # The target side collapses to its <= n_buckets-row count table
+    # before anything else touches it.
+    doc_buckets = raw_b.groupBy("_id", "_b").agg(
+        F.count(F.lit(1)).alias("_n")
+    ).persist()
+    raw_counts = doc_buckets.groupBy("_b").agg(F.sum("_n").alias("_c_raw"))
+    tgt_counts = _bucket_counts(tgt_b, "_c_tgt").persist()
+    # totals are 1-row aggregates over the (persisted) aggregates —
+    # never a second scan of the corpus
+    n_raw = raw_counts.agg(F.coalesce(F.sum("_c_raw"), F.lit(0))).collect()[0][0]
+    n_tgt = tgt_counts.agg(F.coalesce(F.sum("_c_tgt"), F.lit(0))).collect()[0][0]
     b = float(n_buckets)
 
     # ≤ n_buckets rows after the full-outer merge — always broadcast
@@ -108,11 +122,6 @@ def dsir_importance(
         )
     )
 
-    # per-(doc,bucket) count first: map-side combine shrinks the join
-    # input for repetitive docs, then one per-doc rollup
-    doc_buckets = raw_b.groupBy("_id", "_b").agg(
-        F.count(F.lit(1)).alias("_n")
-    )
     scores = (
         doc_buckets.join(dist, "_b")
         .groupBy("_id")

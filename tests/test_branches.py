@@ -155,3 +155,22 @@ def test_branch_name_validation_and_drop(spark, tmp_path):
     assert "ok-1" not in t.list_branches()
     with pytest.raises(ValueError):
         t.branch("ok-1")
+
+
+def test_publish_succeeds_after_expire_with_deep_branch(spark, tmp_path):
+    """Review-confirmed: GC must retain a branch's ENTIRE ancestry
+    chain (not a keep_last window) or publish_branch's ancestry walk
+    breaks on the expired intermediate manifests."""
+    t = _mk(spark, tmp_path / "t")
+    t.create_branch("stage")
+    b = t.branch("stage")
+    for i in range(5):  # deeper than keep_last
+        b.merge_cdc(
+            _batch(spark, [(i + 1, "insert", f"s{i}", 0, "user", "x", None,
+                            "2026-01-01")]),
+            applied_range=(i * 10, i * 10 + 10),
+        )
+    t.expire_snapshots(keep_last=3)
+    head = t.publish_branch("stage")
+    assert t.manifest(refresh=True)["snapshot_id"] == head
+    assert t.read().count() == 5

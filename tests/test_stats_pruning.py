@@ -26,16 +26,49 @@ def test_mor_tail_read_prunes_old_deltas(spark, tmp_path):
         t.merge_cdc(_batch(spark, rows), applied_range=(e * 10, e * 10 + 9), mode="mor")
 
     full = t.scan_stats({})
-    pruned = t.scan_stats({"_lsn": (40, None)})
+    # ts is the PRIMARY LWW order column -> lower-bound per-file prune
+    pruned = t.scan_stats({"ts": (_ts("2026-05-01"), None)})
     assert pruned["files_total"] == full["files_total"]
     # only the last epoch's delta files survive the lower bound
     assert pruned["files_kept"] < full["files_kept"] / 2
+    got = t.read(stats_filter={"ts": (_ts("2026-05-01"), None)})
+    assert got.count() == 6 and {r["text"] for r in got.collect()} == {"v4"}
 
-    got = t.read(stats_filter={"_lsn": (40, None)}, internal=True)
-    want = t.read(internal=True).filter(F.col("_lsn") >= 40)
-    assert got.count() == want.count() == 6
+    # _lsn is only the LWW tie-breaker: its lower bound must NOT prune
+    # per-file in MoR buckets (unsound — see the stale-winner test),
+    # but the filtered read is still exactly correct
+    lsn_pruned = t.scan_stats({"_lsn": (40, None)})
+    assert lsn_pruned["files_kept"] == full["files_kept"]
+    got2 = t.read(stats_filter={"_lsn": (40, None)}, internal=True)
+    want2 = t.read(internal=True).filter(F.col("_lsn") >= 40)
+    assert got2.count() == want2.count() == 6
     # LWW winners unaffected by the machinery
     assert {r["text"] for r in t.read().collect()} == {"v4"}
+
+
+def test_lsn_lower_bound_never_promotes_stale_winner(spark, tmp_path):
+    """Review-confirmed soundness case: a late-arriving event carries
+    (low ts, HIGH lsn). Pruning the old delta file on an _lsn lower
+    bound would drop the true (high-ts, low-lsn) winner and let the
+    high-lsn LOSER surface. The fix keeps tie-breaker columns
+    bucket-granular, so the pruned read equals the filtered read."""
+    t = _mk(spark, tmp_path / "t")
+    # commit 1: the WINNER (newest ts, low lsn)
+    t.merge_cdc(
+        _batch(spark, [(1, "insert", "k", 0, "user", "winner", None, "2026-06-01")]),
+        applied_range=(0, 2),
+        mode="mor",
+    )
+    # commit 2: late-arriving older event (old ts, high lsn) — a loser
+    t.merge_cdc(
+        _batch(spark, [(10, "update", "k", 0, "user", "stale", None, "2026-01-01")]),
+        applied_range=(2, 11),
+        mode="mor",
+    )
+    got = t.read(stats_filter={"_lsn": (5, None)}, internal=True).collect()
+    want = t.read(internal=True).filter(F.col("_lsn") >= 5).collect()
+    assert [r["text"] for r in got] == [r["text"] for r in want] == []
+    assert {r["text"] for r in t.read().collect()} == {"winner"}
 
 
 def test_mor_upper_bound_stays_sound(spark, tmp_path):
