@@ -16,7 +16,8 @@ rollup-sync (incremental materialized-view maintenance), requeue
 (restore files + ledger to a snapshot), expire (snapshot GC), validate
 (distributed constraint checks), branch (write-audit-publish refs:
 create/list/drop/publish with an optional not-null audit; stage commits
-with `replay --branch <name>`).
+with `replay --branch <name>`), index-sync (incremental MinHash-LSH
+dedup index: per-epoch O(new docs), ledgered).
 """
 
 from __future__ import annotations
@@ -160,6 +161,27 @@ def main(argv: list[str] | None = None) -> int:
                          "ledger (or full build if none)")
     rs.add_argument("--to-snapshot", type=int, default=None,
                     help="default: src's current snapshot")
+
+    ix = sub.add_parser(
+        "index-sync",
+        help="incrementally index new documents into a MinHash-LSH dedup "
+             "index table and emit the near-duplicate pairs they introduce",
+    )
+    ix.add_argument("--docs", required=True,
+                    help="parquet of NEW documents (id + content columns)")
+    ix.add_argument("--corpus", required=True,
+                    help="parquet of the full document lake (for the exact-"
+                         "Jaccard verification of candidate pairs)")
+    ix.add_argument("--index", required=True,
+                    help="band-index SnapshotTable root (created if absent)")
+    ix.add_argument("--id-col", default="doc_id")
+    ix.add_argument("--content-col", default="text")
+    ix.add_argument("--threshold", type=float, default=0.7)
+    ix.add_argument("--epoch", type=int, default=None,
+                    help="epoch ordinal for the exactly-once ledger "
+                         "(replay of the same epoch is a no-op)")
+    ix.add_argument("--pairs-out", default=None,
+                    help="write pairs as parquet instead of printing counts")
 
     vc = sub.add_parser(
         "validate",
@@ -383,6 +405,34 @@ def main(argv: list[str] | None = None) -> int:
             "rows_written": info.rows_written,
             "dst_snapshot": info.snapshot_id,
             "noop": info.rows_written == 0 and from_id == to_id,
+        }))
+        return 0
+
+    if args.cmd == "index-sync":
+        from .lakehouse import SnapshotTable
+        from .operators.dedup_index import create_minhash_index, minhash_index_sync
+
+        if SnapshotTable.exists(args.index):
+            idx = SnapshotTable.load(spark, args.index)
+        else:
+            idx = create_minhash_index(spark, args.index)
+        new_docs = spark.read.parquet(args.docs)
+        corpus = spark.read.parquet(args.corpus)
+        epoch = args.epoch
+        if epoch is None:
+            ranges = idx.applied_ranges()
+            epoch = max((r[1] for r in ranges), default=0)
+        pairs = minhash_index_sync(
+            idx, new_docs, corpus, args.content_col, args.id_col,
+            threshold=args.threshold, applied_range=(epoch, epoch + 1),
+        )
+        n = pairs.count()
+        if args.pairs_out:
+            pairs.write.mode("overwrite").parquet(args.pairs_out)
+        print(json.dumps({
+            "epoch": [epoch, epoch + 1],
+            "new_pairs": n,
+            "index_snapshot": idx.manifest(refresh=True)["snapshot_id"],
         }))
         return 0
 

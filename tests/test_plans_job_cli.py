@@ -280,3 +280,41 @@ def test_cli_branch_create_publish_audit(spark, tmp_path, capsys):
     # audit on an always-non-null column publishes the staged commits
     assert main(["branch", "--table", table, "publish", "--name", "s2",
                  "--audit-not-null", "conv_id"]) == 0
+
+
+def test_cli_index_sync_epochs_idempotent(spark, tmp_path, capsys):
+    import json
+
+    from neosync_spark.cli import main
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from the loud hunters"
+    )
+    rows = [(1, base), (2, base + " tonight"), (3, "totally different "
+            "text about cooking pasta with garlic butter and basil")]
+    later = [(10, base + " quietly")]
+    all_rows = rows + later
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "e1"))
+    spark.createDataFrame(later, "doc_id long, text string").write.parquet(
+        str(tmp_path / "e2"))
+    spark.createDataFrame(all_rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "lake"))
+    idx = str(tmp_path / "idx")
+
+    def run(docs, epoch):
+        assert main(["index-sync", "--docs", docs, "--corpus",
+                     str(tmp_path / "lake"), "--index", idx,
+                     "--threshold", "0.5", "--epoch", str(epoch)]) == 0
+        lines = [ln for ln in capsys.readouterr().out.splitlines()
+                 if ln.startswith("{")]
+        return json.loads(lines[-1])
+
+    r1 = run(str(tmp_path / "e1"), 0)
+    assert r1["new_pairs"] == 1  # (1,2)
+    r2 = run(str(tmp_path / "e2"), 1)
+    assert r2["new_pairs"] == 2  # (1,10), (2,10) via the persisted index
+    r2b = run(str(tmp_path / "e2"), 1)  # replay: same pairs, same snapshot
+    assert r2b["new_pairs"] == 2
+    assert r2b["index_snapshot"] == r2["index_snapshot"]
