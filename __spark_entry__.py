@@ -932,6 +932,77 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan report (the audit half of the anonymizer): per
+    (column, entity) recognizer hit counts over a deterministic
+    PII-rich column + the raw documents text — one table pass, all
+    JVM (regexp_extract_all + a Luhn aggregate lambda)."""
+    from neosync_spark.functions.pii_scan import scan_pii
+
+    _views(spark, sf_dir, ["documents"])
+    d = spark.sql(
+        """
+        SELECT doc_id,
+               'card ' || element_at(array('4111111111111111',
+                 '4111111111111112','5500005555555559','1234567812345678'),
+                 CAST(doc_id % 4 AS INT) + 1)
+               || ' from 10.' || CAST(doc_id % 256 AS STRING) || '.0.'
+               || CAST(doc_id % 100 AS STRING)
+               || ' mail u' || CAST(doc_id AS STRING) || '@example.com' AS pii,
+               text
+        FROM documents
+        """
+    )
+    return scan_pii(d, ["pii", "text"])
+
+
+def _pii_scan_oracle() -> str:
+    from neosync_spark.functions.pii_scan import SCAN_ENTITIES
+
+    cols = ["pii", "text"]
+    luhn = (
+        "list_sum(list_transform(range(1, length(m) + 1), i -> "
+        "CASE WHEN i % 2 = 0 THEN "
+        "CASE WHEN 2 * CAST(substr(reverse(m), i, 1) AS INT) > 9 "
+        "THEN 2 * CAST(substr(reverse(m), i, 1) AS INT) - 9 "
+        "ELSE 2 * CAST(substr(reverse(m), i, 1) AS INT) END "
+        "ELSE CAST(substr(reverse(m), i, 1) AS INT) END)) % 10 = 0"
+    )
+    pieces = []
+    for c in cols:
+        for e, pat in SCAN_ENTITIES.items():
+            base = f"regexp_extract_all(COALESCE({c}, ''), '{pat}')"
+            if e == "CREDIT_CARD":
+                hits = (
+                    f"list_filter(list_transform({base}, "
+                    "x -> regexp_replace(x, '\\D', '', 'g')), m -> "
+                    f"length(m) BETWEEN 13 AND 19 AND {luhn})"
+                )
+            else:
+                hits = base
+            pieces.append(
+                f"SELECT '{c}' AS column, '{e}' AS entity, "
+                f"CAST(sum(CASE WHEN len({hits}) > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+                " AS n_rows_with_hit, "
+                f"CAST(sum(len({hits})) AS BIGINT) AS n_hits FROM d"
+            )
+    union = " UNION ALL ".join(pieces)
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 'card ' || (['4111111111111111','4111111111111112',
+                   '5500005555555559','1234567812345678'])
+                   [CAST(doc_id % 4 AS INT) + 1]
+                 || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                 || CAST(doc_id % 100 AS VARCHAR)
+                 || ' mail u' || CAST(doc_id AS VARCHAR) || '@example.com' AS pii,
+                 text
+          FROM documents
+        )
+        SELECT * FROM ({union}) ORDER BY "column", entity
+    """
+
+
 def _q_transcript_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level structural quality over the replayed final
     state: turn continuity, role discipline, within-conversation
@@ -1864,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "dsir_importance_weights": _q_dsir_weights,
         "transcript_quality_flags": _q_transcript_quality,
+        "pii_scan_report": _q_pii_scan,
         "gopher_quality_flags": _q_gopher_flags,
         "gopher_repetition_flags": _q_gopher_repetition,
         "c4_quality_flags": _q_c4_flags,
@@ -2280,6 +2352,7 @@ def oracle_sql() -> dict[str, str]:
                      AND stop_hits >= 2 AS keep
             FROM f
         """,
+        "pii_scan_report": _pii_scan_oracle(),
         "transcript_quality_flags": f"""
             WITH alive AS (
               SELECT * FROM ({lww}) WHERE op <> 'delete'

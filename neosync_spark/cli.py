@@ -124,7 +124,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     br.add_argument("--table", required=True)
     br.add_argument(
-        "action", choices=["create", "list", "drop", "publish"],
+        "action", choices=["create", "list", "drop", "publish", "diff"],
     )
     br.add_argument("--name", default=None, help="branch name")
     br.add_argument("--from-snapshot", type=int, default=None)
@@ -328,6 +328,22 @@ def main(argv: list[str] | None = None) -> int:
         if args.action == "drop":
             t.drop_branch(args.name)
             print(json.dumps({"dropped": args.name}))
+            return 0
+        if args.action == "diff":
+            # publish preview: net row changes main -> branch head
+            bhead = t._read_ref(args.name)
+            main_cur = t._read_ref("main")
+            diff = t.snapshot_diff(main_cur, bhead)
+            counts = {
+                r["change_type"]: r["n"]
+                for r in diff.groupBy("change_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            print(json.dumps({
+                "branch": args.name, "main": main_cur, "head": bhead,
+                "changes": counts,
+            }))
             return 0
         audit = None
         if args.audit_not_null:

@@ -545,3 +545,41 @@ def test_transform_sha256_pseudonym_parity(spark):
     df = spark.createDataFrame([("123",), ("abc",)], ["v"])
     jvm = {r["v"]: r["p"] for r in df.select("v", fn.column_expr("v").alias("p")).collect()}
     assert jvm["123"] == out[0] and jvm["abc"] == out[1]
+
+
+class TestPiiScan:
+    def test_scan_counts_and_luhn_validation(self, spark):
+        from neosync_spark.functions.pii_scan import scan_pii
+
+        rows = [
+            (1, "mail a.b@x.com or c@y.org", "4111111111111111"),
+            (2, "ssn 123-45-6789 on 2026-01-02", "4111111111111112"),
+            (3, "call +1 (555) 123-4567", "10.0.0.1 and 192.168.1.254"),
+            (4, None, "nothing"),
+        ]
+        df = spark.createDataFrame(rows, "id long, a string, b string")
+        got = {
+            (r["column"], r["entity"]): (r["n_rows_with_hit"], r["n_hits"])
+            for r in scan_pii(df, ["a", "b"]).collect()
+        }
+        assert got[("a", "EMAIL_ADDRESS")] == (1, 2)
+        assert got[("a", "US_SSN")] == (1, 1)
+        assert got[("a", "DATE_TIME")] == (1, 1)
+        # only the Luhn-valid card counts
+        assert got[("b", "CREDIT_CARD")] == (1, 1)
+        assert got[("b", "IP_ADDRESS")] == (1, 2)
+        assert got[("b", "EMAIL_ADDRESS")] == (0, 0)
+
+    def test_scan_is_jvm_only(self, spark):
+        from neosync_spark.functions.pii_scan import scan_pii
+
+        df = spark.createDataFrame([(1, "x")], "id long, a string")
+        plan = scan_pii(df, ["a"])._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_entity_subset(self, spark):
+        from neosync_spark.functions.pii_scan import scan_pii
+
+        df = spark.createDataFrame([(1, "a@b.co")], "id long, a string")
+        out = scan_pii(df, ["a"], entities=["EMAIL_ADDRESS"]).collect()
+        assert len(out) == 1 and out[0]["n_hits"] == 1
