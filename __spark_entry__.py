@@ -1172,6 +1172,25 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination: corpus docs near-duplicating any eval-set
+    doc (doc_id % 37 == 0, the same split as decontaminate_ngrams) at
+    Jaccard >= 0.8 via cross-corpus MinHash-LSH with a broadcast eval
+    band table — the paraphrase-robust complement of the exact n-gram
+    collision check."""
+    from neosync_spark.operators.similarity import fuzzy_decontaminate
+
+    _views(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    return fuzzy_decontaminate(
+        docs.filter(F.col("doc_id") % 37 != 0),
+        docs.filter(F.col("doc_id") % 37 == 0),
+        "text",
+        "doc_id",
+        threshold=0.8,
+    )
+
+
 def _q_dedup_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash-LSH index: the corpus arrives in two CDC
     epochs (doc_id parity); each epoch shingles ONLY its new docs and
@@ -1944,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngrams": _q_decontaminate,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_index_sync": _q_dedup_index_sync,
+        "decontaminate_fuzzy": _q_fuzzy_decontaminate,
         "dedup_exact_spans": _q_duplicate_spans,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_simhash_pairs": _q_simhash_pairs,
@@ -2648,6 +2668,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_dup_windows AS BIGINT) AS n_dup_windows,
                    md5(array_to_string(t.tk[span_start+1:span_end], ' ')) AS span_md5
             FROM spans s JOIN toks t USING (doc_id)
+        """,
+        "decontaminate_fuzzy": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(toks) >= 3 THEN
+                         list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       ELSE [array_to_string(toks, ' ')] END) AS grams
+              FROM (
+                SELECT doc_id,
+                       list_filter(string_split(
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS toks
+                FROM documents)
+            ),
+            hits AS (
+              SELECT c.doc_id AS corpus_id,
+                     count(*) AS n_eval_matches,
+                     max(floor(CAST(len(list_intersect(c.grams, e.grams)) AS DOUBLE) /
+                         len(list_distinct(list_concat(c.grams, e.grams))) * 10000 + 0.5) / 10000)
+                       AS max_jaccard
+              FROM sh c JOIN sh e
+                ON c.doc_id % 37 <> 0 AND e.doc_id % 37 = 0
+               AND len(list_intersect(c.grams, e.grams)) > 0
+               AND floor(CAST(len(list_intersect(c.grams, e.grams)) AS DOUBLE) /
+                   len(list_distinct(list_concat(c.grams, e.grams))) * 10000 + 0.5) / 10000 >= 0.8
+              GROUP BY c.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_eval_matches, 0) AS BIGINT) AS n_eval_matches,
+                   COALESCE(h.max_jaccard, 0.0) AS max_jaccard,
+                   COALESCE(h.n_eval_matches, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.corpus_id
+            WHERE d.doc_id % 37 <> 0
         """,
         "dedup_index_sync": """
             WITH sh AS (

@@ -261,6 +261,105 @@ def minhash_dedup_pairs(
     return verified
 
 
+def minhash_cross_pairs(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    content_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH near-duplicate pairs — fuzzy
+    decontamination (the GPT-3 appendix-C recipe's fuzzy half: exact
+    n-gram collision lives in text.ngram_decontaminate; this catches
+    paraphrased/reformatted benchmark leakage).
+
+    Returns ``(corpus_id, eval_id, jaccard)`` with jaccard >=
+    ``threshold`` between a corpus doc and an eval doc.
+
+    Scale shape: both sides run the same 2-hash affine band pipeline;
+    the EVAL side (benchmark suites — tiny next to a 100 TB corpus)
+    collapses to its band table and is broadcast, so the corpus is
+    touched once with a map-side join, no shuffle of corpus bands.
+    Verification shingles only candidate docs from each side.
+    """
+    sh_c = shingle_docs(corpus, content_col, id_col, shingle_n).persist()
+    sh_e = shingle_docs(eval_df, content_col, id_col, shingle_n).persist()
+    b_c = minhash_band_buckets(sh_c, "_sh", "_id", num_hashes, bands, seed)
+    b_e = minhash_band_buckets(sh_e, "_sh", "_id", num_hashes, bands, seed)
+    if broadcast_eval:
+        b_e = F.broadcast(b_e)
+    cands = (
+        b_c.alias("c")
+        .join(
+            b_e.alias("e"),
+            on=[
+                F.col("c.band") == F.col("e.band"),
+                F.col("c.band_hash") == F.col("e.band_hash"),
+            ],
+        )
+        .select(
+            F.col("c._id").alias("corpus_id"), F.col("e._id").alias("eval_id")
+        )
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            sh_c.select(F.col("_id").alias("corpus_id"), F.col("_sh").alias("_sa")),
+            "corpus_id",
+        )
+        .join(
+            sh_e.select(F.col("_id").alias("eval_id"), F.col("_sh").alias("_sb")),
+            "eval_id",
+        )
+        .withColumn(
+            "jaccard", round_half_up(ngram_jaccard(F.col("_sa"), F.col("_sb")), 4)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("corpus_id", "eval_id", "jaccard")
+        .persist()
+    )
+    verified.count()
+    sh_c.unpersist()
+    sh_e.unpersist()
+    return verified
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    content_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    **kwargs,
+) -> DataFrame:
+    """Per-corpus-doc fuzzy contamination verdict: ``(id,
+    n_eval_matches, max_jaccard, contaminated)`` — a doc is
+    contaminated if any eval doc is a near-duplicate at ``threshold``.
+    """
+    pairs = minhash_cross_pairs(
+        corpus, eval_df, content_col, id_col, threshold=threshold, **kwargs
+    )
+    hits = pairs.groupBy("corpus_id").agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return (
+        corpus.select(F.col(id_col).alias("corpus_id"))
+        .join(hits, "corpus_id", "left")
+        .select(
+            F.col("corpus_id").alias(id_col),
+            F.coalesce("n_eval_matches", F.lit(0)).alias("n_eval_matches"),
+            F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+            (F.coalesce("n_eval_matches", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 # -------------------------------------------------- dedup cluster assignment
 
 def connected_components(

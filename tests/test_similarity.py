@@ -366,3 +366,36 @@ def test_pq_train_deterministic_and_distributed_stats(spark):
             for j in range(4)
         ]
         assert got[i] == want
+
+
+def test_fuzzy_decontaminate_cross_corpus(spark):
+    from neosync_spark.operators.similarity import (
+        fuzzy_decontaminate,
+        minhash_cross_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from the loud hunters"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base + " tonight"),  # near-dup of eval doc
+         (2, "completely different cooking text with garlic and basil "
+             "simmered gently in olive oil for twenty whole minutes")],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, base)], "doc_id long, text string"
+    )
+    pairs = minhash_cross_pairs(
+        corpus, eval_df, "text", "doc_id", threshold=0.5
+    ).collect()
+    assert {(r["corpus_id"], r["eval_id"]) for r in pairs} == {(1, 100)}
+
+    verdict = {
+        r["doc_id"]: r["contaminated"]
+        for r in fuzzy_decontaminate(
+            corpus, eval_df, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert verdict == {1: True, 2: False}
