@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "corpus_stats",
     "cdc_wap_publish",
     "dsir_importance_weights",
+    "decontaminate_fuzzy",
+    "pii_scan_report",
+    "transcript_quality_flags",
 ]
 
 
