@@ -27,6 +27,18 @@ import json
 import sys
 
 
+def _change_counts(diff_df) -> dict:
+    """change_type -> row count for a snapshot_diff frame."""
+    from pyspark.sql import functions as F
+
+    return {
+        r["change_type"]: r["n"]
+        for r in diff_df.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
 def _parse_mapping(items: list[str]):
     from .plans.job import ColumnMapping
 
@@ -320,7 +332,7 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(t.list_branches()))
             return 0
         if args.name is None:
-            p.error("--name is required for create/drop/publish")
+            p.error("--name is required for create/drop/publish/diff")
         if args.action == "create":
             head = t.create_branch(args.name, args.from_snapshot)
             print(json.dumps({"branch": args.name, "head": head}))
@@ -331,18 +343,18 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         if args.action == "diff":
             # publish preview: net row changes main -> branch head
+            import os as _os
+
+            t._check_ref_name(args.name)
+            if not _os.path.exists(t._hint_path(args.name)):
+                print(json.dumps({"error": f"branch {args.name!r} does not exist"}))
+                return 1
             bhead = t._read_ref(args.name)
             main_cur = t._read_ref("main")
             diff = t.snapshot_diff(main_cur, bhead)
-            counts = {
-                r["change_type"]: r["n"]
-                for r in diff.groupBy("change_type")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
             print(json.dumps({
                 "branch": args.name, "main": main_cur, "head": bhead,
-                "changes": counts,
+                "changes": _change_counts(diff),
             }))
             return 0
         audit = None
@@ -383,10 +395,7 @@ def main(argv: list[str] | None = None) -> int:
             # full-outer diff join
             diff.write.mode("overwrite").parquet(args.out)
             diff = spark.read.parquet(args.out)
-        counts = {
-            r["change_type"]: r["n"]
-            for r in diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
+        counts = _change_counts(diff)
         print(json.dumps({
             "from_snapshot": args.from_snapshot,
             "to_snapshot": to_id,
@@ -412,8 +421,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         from_id = args.from_snapshot
         if from_id is None:
-            ranges = dst.applied_ranges()
-            from_id = max((r[1] for r in ranges), default=None)
+            from_id = dst.last_applied_lsn()
         info = incremental_rollup_sync(src, dst, from_id, to_id)
         print(json.dumps({
             "from_snapshot": from_id,
@@ -436,8 +444,21 @@ def main(argv: list[str] | None = None) -> int:
         corpus = spark.read.parquet(args.corpus)
         epoch = args.epoch
         if epoch is None:
-            ranges = idx.applied_ranges()
-            epoch = max((r[1] for r in ranges), default=0)
+            # content-keyed default: the SAME --docs input always maps to
+            # the same epoch, so an unparameterized scheduler retry is the
+            # documented exactly-once no-op (a ledger-watermark default
+            # would hand a retry a FRESH epoch and re-emit every pair)
+            import hashlib
+            import os as _os
+
+            listing = "|".join(
+                f"{f}:{_os.path.getsize(_os.path.join(args.docs, f))}"
+                for f in sorted(_os.listdir(args.docs))
+                if not f.startswith(("_", "."))
+            )
+            epoch = int.from_bytes(
+                hashlib.md5(listing.encode()).digest()[:8], "big"
+            ) & ((1 << 62) - 1)
         pairs = minhash_index_sync(
             idx, new_docs, corpus, args.content_col, args.id_col,
             threshold=args.threshold, applied_range=(epoch, epoch + 1),

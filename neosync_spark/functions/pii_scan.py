@@ -79,16 +79,28 @@ def scan_pii(
     column then entity — ``n_hits`` counts every match occurrence,
     ``n_rows_with_hit`` the rows containing at least one.
     """
-    ents = {e: SCAN_ENTITIES[e] for e in (entities or SCAN_ENTITIES)}
+    names = list(SCAN_ENTITIES) if entities is None else list(entities)
+    ents = {e: SCAN_ENTITIES[e] for e in names}
+    # project each match count ONCE, then aggregate the projected
+    # columns — guarantees a single regex (+ Luhn) evaluation per row
+    # per entity instead of trusting aggregate-level subexpression
+    # elimination with two embedded copies
+    proj = df.select(
+        *[
+            F.size(_hits(F.col(c), e, pat)).alias(f"n|{c}|{e}")
+            for c in cols
+            for e, pat in ents.items()
+        ]
+    )
     aggs = []
     for c in cols:
-        for e, pat in ents.items():
-            n = F.size(_hits(F.col(c), e, pat))
+        for e in ents:
+            n = F.col(f"n|{c}|{e}")
             aggs.append(F.sum(n).alias(f"h|{c}|{e}"))
             aggs.append(
                 F.sum(F.when(n > 0, 1).otherwise(0)).alias(f"r|{c}|{e}")
             )
-    wide = df.agg(*aggs)
+    wide = proj.agg(*aggs)
     stack_items = ", ".join(
         f"'{c}', '{e}', `r|{c}|{e}`, `h|{c}|{e}`" for c in cols for e in ents
     )

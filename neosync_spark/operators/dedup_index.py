@@ -168,7 +168,9 @@ def minhash_index_sync(
         F.col("_id").alias("doc_id"),
         "band",
         "band_hash",
-        F.timestamp_seconds(F.lit(lo)).alias("ts"),
+        # ts is cosmetic for write-once band rows; bound it so huge
+        # (content-keyed) epoch ordinals can't overflow the timestamp
+        F.timestamp_seconds(F.lit(int(lo) % 1_000_000_000)).alias("ts"),
         F.lit(int(lo)).alias("lsn"),
     )
     index.merge_cdc(batch, applied_range=applied_range, lineage=False)

@@ -344,10 +344,14 @@ def fuzzy_decontaminate(
     pairs = minhash_cross_pairs(
         corpus, eval_df, content_col, id_col, threshold=threshold, **kwargs
     )
+    # roll up to the (small) per-contaminated-doc table, release the
+    # pair cache: the caller's verdict frame then pins only `hits`
     hits = pairs.groupBy("corpus_id").agg(
         F.count(F.lit(1)).alias("n_eval_matches"),
         F.max("jaccard").alias("max_jaccard"),
-    )
+    ).persist()
+    hits.count()
+    pairs.unpersist()
     return (
         corpus.select(F.col(id_col).alias("corpus_id"))
         .join(hits, "corpus_id", "left")

@@ -318,3 +318,43 @@ def test_cli_index_sync_epochs_idempotent(spark, tmp_path, capsys):
     r2b = run(str(tmp_path / "e2"), 1)  # replay: same pairs, same snapshot
     assert r2b["new_pairs"] == 2
     assert r2b["index_snapshot"] == r2["index_snapshot"]
+
+
+def test_cli_index_sync_default_epoch_retry_is_noop(spark, tmp_path, capsys):
+    """Content-keyed default epoch: an unparameterized retry of the same
+    --docs input is the exactly-once no-op (same epoch, same snapshot)."""
+    import json
+
+    from neosync_spark.cli import main
+
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "docs"))
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "lake"))
+    idx = str(tmp_path / "idx")
+
+    def run():
+        assert main(["index-sync", "--docs", str(tmp_path / "docs"),
+                     "--corpus", str(tmp_path / "lake"), "--index", idx]) == 0
+        lines = [ln for ln in capsys.readouterr().out.splitlines()
+                 if ln.startswith("{")]
+        return json.loads(lines[-1])
+
+    r1 = run()
+    r2 = run()
+    assert r1["epoch"] == r2["epoch"]
+    assert r1["index_snapshot"] == r2["index_snapshot"]  # ledger no-op
+
+
+def test_cli_branch_diff_errors(spark, tmp_path, capsys):
+    from neosync_spark.cli import main
+
+    log_dir = str(tmp_path / "log")
+    table = str(tmp_path / "t")
+    assert main(["synth", "--out", log_dir, "--events", "500"]) == 0
+    assert main(["replay", "--log", log_dir, "--table", table]) == 0
+    capsys.readouterr()
+    assert main(["branch", "--table", table, "diff", "--name", "nosuch"]) == 1
+    out = capsys.readouterr().out
+    assert "does not exist" in out
