@@ -932,6 +932,35 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def _q_replica_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica checksums (pt-table-checksum analog): order-independent
+    per-chunk digests of the LWW final state — one scan, no sort, every
+    digest replayed bit-for-bit by DuckDB. Comparing two replicas is
+    then O(chunks), and a divergence localizes to its chunk."""
+    from neosync_spark.operators.checksum import chunk_checksums
+    from neosync_spark.operators.dedup import lww_dedup
+
+    log = _derived_log(spark, sf_dir)
+    alive = lww_dedup(log, ["conv_id", "turn_idx"], ["ts", "lsn"]).filter(
+        F.col("op") != "delete"
+    )
+    state = alive.select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+    out = chunk_checksums(
+        state,
+        "conv_id",
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts_s"],
+        n_chunks=16,
+    )
+    # exact 94-bit sums survive the pandas hop as strings (a DECIMAL
+    # would arrive as lossy float64 from DuckDB)
+    return out.select(
+        "chunk", "n_rows", "digest_xor",
+        F.col("digest_sum").cast("string").alias("digest_sum_s"),
+    )
+
+
 def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scan report (the audit half of the anonymizer): per
     (column, entity) recognizer hit counts over a deterministic
@@ -1955,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_weights": _q_dsir_weights,
         "transcript_quality_flags": _q_transcript_quality,
         "pii_scan_report": _q_pii_scan,
+        "cdc_replica_checksum": _q_replica_checksum,
         "gopher_quality_flags": _q_gopher_flags,
         "gopher_repetition_flags": _q_gopher_repetition,
         "c4_quality_flags": _q_c4_flags,
@@ -2371,6 +2401,29 @@ def oracle_sql() -> dict[str, str]:
                                   AND alpha_words / n_words >= 0.8, FALSE)
                      AND stop_hits >= 2 AS keep
             FROM f
+        """,
+        "cdc_replica_checksum": f"""
+            WITH state AS (
+              SELECT conv_id, turn_idx, role, text, tool,
+                     strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+              FROM ({lww}) WHERE op <> 'delete'
+            ), dig AS (
+              SELECT CAST(('0x' || substr(md5(CAST(conv_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS INT) AS chunk,
+                     ('0x' || substr(md5(
+                        concat_ws(chr(31),
+                          COALESCE(CAST(conv_id AS VARCHAR), chr(30) || chr(1) || 'NULL' || chr(1) || chr(30)),
+                          COALESCE(CAST(turn_idx AS VARCHAR), chr(30) || chr(1) || 'NULL' || chr(1) || chr(30)),
+                          COALESCE(role, chr(30) || chr(1) || 'NULL' || chr(1) || chr(30)),
+                          COALESCE(text, chr(30) || chr(1) || 'NULL' || chr(1) || chr(30)),
+                          COALESCE(tool, chr(30) || chr(1) || 'NULL' || chr(1) || chr(30)),
+                          COALESCE(ts_s, chr(30) || chr(1) || 'NULL' || chr(1) || chr(30))
+                        )), 1, 15))::BIGINT AS d
+              FROM state
+            )
+            SELECT chunk, count(*) AS n_rows,
+                   bit_xor(d) AS digest_xor,
+                   CAST(CAST(sum(d) AS HUGEINT) AS VARCHAR) AS digest_sum_s
+            FROM dig GROUP BY chunk
         """,
         "pii_scan_report": _pii_scan_oracle(),
         "transcript_quality_flags": f"""

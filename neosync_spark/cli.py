@@ -17,7 +17,8 @@ rollup-sync (incremental materialized-view maintenance), requeue
 (distributed constraint checks), branch (write-audit-publish refs:
 create/list/drop/publish with an optional not-null audit; stage commits
 with `replay --branch <name>`), index-sync (incremental MinHash-LSH
-dedup index: per-epoch O(new docs), ledgered).
+dedup index: per-epoch O(new docs), ledgered), checksum (order-
+independent replica digests; --against localizes divergent chunks).
 """
 
 from __future__ import annotations
@@ -194,6 +195,19 @@ def main(argv: list[str] | None = None) -> int:
                          "(replay of the same epoch is a no-op)")
     ix.add_argument("--pairs-out", default=None,
                     help="write pairs as parquet instead of printing counts")
+
+    ck = sub.add_parser(
+        "checksum",
+        help="order-independent replica checksum (pt-table-checksum "
+             "analog): digest one table, or localize divergence "
+             "against another",
+    )
+    ck.add_argument("--table", required=True,
+                    help="SnapshotTable root or plain parquet dir")
+    ck.add_argument("--against", default=None,
+                    help="second table: print diverged chunks instead")
+    ck.add_argument("--key-col", default="conv_id")
+    ck.add_argument("--chunks", type=int, default=64)
 
     vc = sub.add_parser(
         "validate",
@@ -472,6 +486,37 @@ def main(argv: list[str] | None = None) -> int:
             "index_snapshot": idx.manifest(refresh=True)["snapshot_id"],
         }))
         return 0
+
+    if args.cmd == "checksum":
+        from .lakehouse import SnapshotTable
+        from .operators.checksum import diverged_chunks, table_checksum
+
+        def _load(path):
+            if SnapshotTable.exists(path):
+                return SnapshotTable.load(spark, path).read()
+            return spark.read.parquet(path)
+
+        a = _load(args.table)
+        if args.against is None:
+            row = table_checksum(a).collect()[0]
+            print(json.dumps({
+                "n_rows": row["n_rows"],
+                "digest_xor": row["digest_xor"],
+                "digest_sum": str(row["digest_sum"]),
+            }))
+            return 0
+        b = _load(args.against)
+        div = diverged_chunks(a, b, args.key_col, n_chunks=args.chunks).collect()
+        print(json.dumps({
+            "chunks": args.chunks,
+            "diverged": [
+                {"chunk": r["chunk"], "src_rows": r["src_rows"],
+                 "dst_rows": r["dst_rows"]}
+                for r in div
+            ],
+            "match": not div,
+        }))
+        return 0 if not div else 1
 
     if args.cmd == "validate":
         from .lakehouse import SnapshotTable
