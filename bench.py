@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "decontaminate_fuzzy",
     "pii_scan_report",
     "transcript_quality_flags",
+    "cdc_replica_checksum",
+    "dedup_exact_spans",
+    "ann_pq_topk",
 ]
 
 

@@ -89,6 +89,12 @@ def minhash_index_sync(
     + new docs' text); it is touched only through a candidate-id
     semi-join. ``applied_range`` is the epoch's ledger key: a replayed
     epoch leaves the index unchanged and re-emits the same pairs.
+
+    Cost model: each epoch runs a fixed number of Spark actions (band
+    pre-pass, index merge commit, verification materialize) on top of
+    the O(new docs) data work — per-epoch overhead of a few seconds
+    that amortizes at design scale (10^6+ new docs/epoch) but dominates
+    toy epochs; batch tiny arrivals before syncing.
     """
     shingled_new = shingle_docs(new_docs, content_col, id_col, shingle_n)
     banded_new = minhash_band_buckets(
