@@ -492,3 +492,72 @@ class TestJsonConditionalSelectors:
             df.select(anonymize_json_field(
                 "j", schema2, {"messages[?role==user].text": F.lit("x")}
             ))
+
+
+class TestJqProperty:
+    """Hypothesis: every bracket-translatable jq program produces the
+    SAME walker tokens as its bracket form, and parse_jq is total over
+    generated valid programs."""
+
+    def test_pipe_bracket_token_equivalence(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from neosync_spark.functions.json_anonymizer import (
+            _path_tokens,
+            parse_jq,
+        )
+
+        name = st.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True)
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            arr=name, cond_f=name, cond_v=name, target=name,
+            prefix=st.lists(name, max_size=2),
+        )
+        def check(arr, cond_f, cond_v, target, prefix):
+            pre_jq = "".join(f".{p}" for p in prefix)
+            pre_br = "".join(f"{p}." for p in prefix)
+            jq = f"{pre_jq}.{arr}[] | select(.{cond_f}==\"{cond_v}\") | .{target}"
+            br = f"$.{pre_br}{arr}[?{cond_f}=={cond_v}].{target}"
+            jt = parse_jq(jq)
+            bt = _path_tokens(br)
+            # bracket conds are legacy 3-tuples ('[?]', f, v); jq emits
+            # '[]' + ('sel', f, '==', v) — same semantics, so compare
+            # after normalizing both to the jq form
+            norm = []
+            for t in bt:
+                if isinstance(t, tuple) and t[0] == "[?]":
+                    norm.extend(["[]", ("sel", t[1], "==", t[2])])
+                else:
+                    norm.append(t)
+            assert jt == tuple(norm)
+
+        check()
+
+    def test_parse_jq_total_on_valid_paths(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from neosync_spark.functions.json_anonymizer import parse_jq
+
+        seg = st.one_of(
+            st.from_regex(r"\.[a-z][a-z0-9_]{0,5}", fullmatch=True),
+            st.just("[]"),
+            st.builds(lambda n: f"[{n}]", st.integers(0, 9)),
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(segs=st.lists(seg, min_size=1, max_size=6))
+        def check(segs):
+            if not segs[0].startswith("."):
+                segs = [".a"] + segs
+            prog = "".join(segs)
+            if not segs[-1].startswith("."):
+                prog += ".leaf"
+            toks = parse_jq(prog)
+            assert toks and not (
+                isinstance(toks[-1], tuple) and toks[-1][0] == "sel"
+            )
+
+        check()
