@@ -18,7 +18,8 @@ rollup-sync (incremental materialized-view maintenance), requeue
 create/list/drop/publish with an optional not-null audit; stage commits
 with `replay --branch <name>`), index-sync (incremental MinHash-LSH
 dedup index: per-epoch O(new docs), ledgered), checksum (order-
-independent replica digests; --against localizes divergent chunks).
+independent replica digests; --against localizes divergent chunks),
+rescale (bucket-count evolution under one atomic snapshot).
 """
 
 from __future__ import annotations
@@ -195,6 +196,15 @@ def main(argv: list[str] | None = None) -> int:
                          "(replay of the same epoch is a no-op)")
     ix.add_argument("--pairs-out", default=None,
                     help="write pairs as parquet instead of printing counts")
+
+    rsc = sub.add_parser(
+        "rescale",
+        help="bucket-count evolution: rewrite the table under a new "
+             "bucket count (one atomic snapshot; ledger preserved)",
+    )
+    rsc.add_argument("--table", required=True)
+    rsc.add_argument("--buckets", type=int, required=True)
+    rsc.add_argument("--max-records-per-file", type=int, default=None)
 
     ck = sub.add_parser(
         "checksum",
@@ -484,6 +494,19 @@ def main(argv: list[str] | None = None) -> int:
             "epoch": [epoch, epoch + 1],
             "new_pairs": n,
             "index_snapshot": idx.manifest(refresh=True)["snapshot_id"],
+        }))
+        return 0
+
+    if args.cmd == "rescale":
+        from .lakehouse import SnapshotTable
+
+        t = SnapshotTable.load(spark, args.table)
+        info = t.rescale_buckets(
+            args.buckets, max_records_per_file=args.max_records_per_file
+        )
+        print(json.dumps({
+            "snapshot": info.snapshot_id,
+            "buckets": args.buckets,
         }))
         return 0
 

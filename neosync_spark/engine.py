@@ -429,9 +429,9 @@ class ReplayEngine:
                 for lo, hi in ranges
             ]
             for (lo, hi), fut in zip(ranges, futures):
-                written, n_src, schema_id = fut.result()
+                written, n_src, schema_token = fut.result()
                 info = self.table.commit_delta(
-                    written, (lo, hi), n_src, schema_id, lineage=self.config.lineage
+                    written, (lo, hi), n_src, schema_token, lineage=self.config.lineage
                 )
                 stats.batches_applied += 1
                 stats.rows_applied += info.rows_written

@@ -956,14 +956,14 @@ class SnapshotTable:
             _BUCKET_COL
         ).parquet(commit_dir)
         written = self._list_commit_files(commit_dir)
-        return written, int(obs.get["n_src"]), m["schema_id"]
+        return written, int(obs.get["n_src"]), (m["schema_id"], nb)
 
     def commit_delta(
         self,
         written: dict[int, list[str]],
         applied_range: tuple[int, int] | None,
         n_src: int,
-        schema_id: int,
+        schema_id: "int | tuple[int, int]",
         lineage: bool = True,
     ) -> CommitInfo:
         """Metadata half of a pipelined MoR commit: register the delta
@@ -973,10 +973,19 @@ class SnapshotTable:
         m = self.manifest(refresh=True)
         if applied_range is not None and self.is_applied(*applied_range):
             return CommitInfo(m["snapshot_id"], 0, 0, applied_range)
+        bucket_count = None
+        if isinstance(schema_id, tuple):
+            schema_id, bucket_count = schema_id
         if schema_id != m["schema_id"]:
             raise CommitConflictError(
                 f"schema advanced ({schema_id} -> {m['schema_id']}) while the "
                 "delta was in flight — re-prepare under the current schema"
+            )
+        if bucket_count is not None and bucket_count != m["bucket_count"]:
+            raise CommitConflictError(
+                f"bucket count rescaled ({bucket_count} -> "
+                f"{m['bucket_count']}) while the delta was in flight — "
+                "the files are bucketed under the old layout; re-prepare"
             )
         new_sid = self._next_snapshot_id()
         new_files = {b: list(v) for b, v in m["files"].items()}
@@ -1319,6 +1328,65 @@ class SnapshotTable:
         }
         self._write_manifest(new_m)
         return CommitInfo(new_sid, 0, len(buckets), None)
+
+    def rescale_buckets(
+        self, new_bucket_count: int, max_records_per_file: int | None = None
+    ) -> CommitInfo:
+        """Bucket-count evolution (the Iceberg partition-evolution
+        analog): rewrite the table under a new bucket count — the
+        maintenance operation for data that outgrew its create-time
+        bucketing (bucket ≈ a few GB is the merge/prune sweet spot; at
+        100× growth a 2^6-bucket table wants 2^13). One atomic
+        snapshot: readers see the old or the new layout, never a mix;
+        the exactly-once ledger, schema history and branch ancestry all
+        carry over, and subsequent merges prune under the new count.
+        MoR delta files are folded (LWW resolved once) during the
+        rewrite, like compact(). ``snapshot_diff`` across a rescale
+        stays correct but unpruned (every bucket's file list differs).
+        """
+        if new_bucket_count < 1:
+            raise ValueError("bucket count must be >= 1")
+        m = self.manifest(refresh=True)
+        if new_bucket_count == m["bucket_count"]:
+            return CommitInfo(m["snapshot_id"], 0, 0, None)
+        rows = self.read(internal=True)  # LWW resolved, tombstones kept
+        out = rows.withColumn(
+            _BUCKET_COL, bucket_expr(m["key_cols"][0], new_bucket_count)
+        )
+        new_sid = self._next_snapshot_id()
+        commit_dir = os.path.join(
+            self.path, "data", f"commit-{new_sid}-{uuid.uuid4().hex[:8]}"
+        )
+        n_out = max(1, min(new_bucket_count, 256))
+        out = out.repartition(n_out, F.col(_BUCKET_COL))
+        writer = out.write
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+        writer.partitionBy(_BUCKET_COL).parquet(commit_dir)
+        written = self._list_commit_files(commit_dir)
+        fstats = self._collect_file_stats(written, self._stats_cols(m))
+        new_files = {
+            str(b): [
+                {"path": p, "schema_id": m["schema_id"],
+                 **({"stats": fstats[p]} if p in fstats else {})}
+                for p in sorted(paths)
+            ]
+            for b, paths in written.items()
+        }
+        new_m = {
+            **m,
+            "snapshot_id": new_sid,
+            "parent": m["snapshot_id"],
+            "bucket_count": int(new_bucket_count),
+            "files": new_files,
+            "summary": {
+                "operation": "rescale",
+                "from_buckets": m["bucket_count"],
+                "to_buckets": int(new_bucket_count),
+            },
+        }
+        self._write_manifest(new_m)
+        return CommitInfo(new_sid, 0, len(new_files), None)
 
     def expire_snapshots(self, keep_last: int = 3) -> dict:
         """GC: drop manifests older than the last ``keep_last``

@@ -458,3 +458,55 @@ def test_snapshot_diff_across_rollback_reverted_rename(spark, tmp_path):
 
     diff = t.snapshot_diff(s2, s3).toPandas()
     assert len(diff) == 0, f"reverted rename produced spurious diffs: {diff}"
+
+
+def test_rescale_buckets_preserves_state_and_ledger(spark, tmp_path):
+    """Bucket-count evolution: same rows, same ledger, subsequent
+    merges bucket/prune under the new count; in-flight deltas prepared
+    under the old layout are rejected at commit."""
+    t = _mk(spark, tmp_path / "t")  # 4 buckets
+    rows = [(i, "insert", f"c{i % 20}", i // 20, "user", f"v{i}", None,
+             "2026-01-01") for i in range(100)]
+    t.merge_cdc(_batch(spark, rows), applied_range=(0, 100), mode="mor")
+    before = t.read().orderBy("conv_id", "turn_idx").toPandas()
+
+    info = t.rescale_buckets(16)
+    m = t.manifest(refresh=True)
+    assert m["bucket_count"] == 16 and m["snapshot_id"] == info.snapshot_id
+    after = t.read().orderBy("conv_id", "turn_idx").toPandas()
+    assert before.equals(after)
+    # ledger intact: the replay of the applied range is still a no-op
+    assert t.merge_cdc(
+        _batch(spark, rows[:1]), applied_range=(0, 100)
+    ).rows_written == 0
+    # deltas folded into base files during the rewrite
+    assert t.delta_file_counts() == {}
+    # a following merge works and buckets land in the new keyspace
+    t.merge_cdc(
+        _batch(spark, [(200, "insert", "zz", 0, "user", "new", None,
+                        "2026-02-01")]),
+        applied_range=(200, 201),
+    )
+    assert t.read().count() == len(after) + 1
+    assert all(0 <= int(b) < 16 for b in t.manifest(refresh=True)["files"])
+    # same-count rescale is a no-op commit
+    sid = t.manifest(refresh=True)["snapshot_id"]
+    assert t.rescale_buckets(16).snapshot_id == sid
+
+
+def test_rescale_conflicts_inflight_delta(spark, tmp_path):
+    import pytest
+
+    from neosync_spark.lakehouse import CommitConflictError
+
+    t = _mk(spark, tmp_path / "t")
+    t.merge_cdc(
+        _batch(spark, [(1, "insert", "a", 0, "user", "x", None, "2026-01-01")]),
+        applied_range=(0, 10),
+    )
+    written, n_src, token = t.prepare_delta(
+        _batch(spark, [(11, "insert", "b", 0, "user", "y", None, "2026-01-02")])
+    )
+    t.rescale_buckets(8)
+    with pytest.raises(CommitConflictError, match="rescaled"):
+        t.commit_delta(written, (10, 20), n_src, token)
