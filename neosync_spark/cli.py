@@ -369,7 +369,11 @@ def main(argv: list[str] | None = None) -> int:
             # publish preview: net row changes main -> branch head
             import os as _os
 
-            t._check_ref_name(args.name)
+            try:
+                t._check_ref_name(args.name)
+            except ValueError as e:
+                print(json.dumps({"error": str(e)}))
+                return 1
             if not _os.path.exists(t._hint_path(args.name)):
                 print(json.dumps({"error": f"branch {args.name!r} does not exist"}))
                 return 1
@@ -475,11 +479,17 @@ def main(argv: list[str] | None = None) -> int:
             import hashlib
             import os as _os
 
-            listing = "|".join(
-                f"{f}:{_os.path.getsize(_os.path.join(args.docs, f))}"
-                for f in sorted(_os.listdir(args.docs))
-                if not f.startswith(("_", "."))
-            )
+            entries = []
+            for root, _dirs, files in _os.walk(args.docs):
+                for f in files:
+                    if f.startswith(("_", ".")):
+                        continue
+                    p = _os.path.join(root, f)
+                    st = _os.stat(p)
+                    entries.append(
+                        f"{_os.path.relpath(p, args.docs)}:{st.st_size}:{st.st_mtime_ns}"
+                    )
+            listing = "|".join(sorted(entries))
             epoch = int.from_bytes(
                 hashlib.md5(listing.encode()).digest()[:8], "big"
             ) & ((1 << 62) - 1)

@@ -80,6 +80,11 @@ def scan_pii(
     ``n_rows_with_hit`` the rows containing at least one.
     """
     names = list(SCAN_ENTITIES) if entities is None else list(entities)
+    if not names or not cols:
+        raise ValueError(
+            "scan_pii needs at least one column and one entity "
+            "(entities=None scans all)"
+        )
     ents = {e: SCAN_ENTITIES[e] for e in names}
     # project each match count ONCE, then aggregate the projected
     # columns — guarantees a single regex (+ Luhn) evaluation per row

@@ -923,14 +923,14 @@ class SnapshotTable:
         batch: DataFrame,
         transform=None,
         source_is_raw: bool = True,
-    ) -> tuple[dict[int, list[str]], int, int]:
+    ) -> tuple[dict[int, list[str]], int, tuple[int, int]]:
         """Data-plane of a MoR delta commit WITHOUT the manifest write:
         in-batch LWW dedup + transform + bucket-partitioned delta file
         write to a fresh directory. Touches no shared table state, so
         disjoint lsn ranges can run CONCURRENTLY (pipelined commits);
         ``commit_delta`` serializes the metadata afterwards. Returns
-        (written files per bucket, source row count, schema_id the
-        files were written under)."""
+        (written files per bucket, source row count, (schema_id,
+        bucket_count) the files were written under)."""
         from pyspark.sql import Observation
 
         m = self.manifest(refresh=True)

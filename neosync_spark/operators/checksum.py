@@ -104,9 +104,21 @@ def diverged_chunks(
     dst_rows, rows_match, digest_match)`` for every differing chunk
     (a chunk missing entirely on one side appears with NULL counts).
     Empty result == replicas identical."""
+    # align digests to the SOURCE column list so a column-order or
+    # extra-column difference is a loud schema error, not 64 falsely
+    # diverged chunks
+    cols = list(cols) if cols is not None else list(src.columns)
+    missing = [c for c in cols + [key_col] if isinstance(c, str) and c not in dst.columns]
+    if missing:
+        raise ValueError(
+            f"target is missing digest columns {missing}; align schemas "
+            "or pass an explicit column list"
+        )
     a = chunk_checksums(src, key_col, cols, n_chunks).alias("s")
     b = chunk_checksums(dst, key_col, cols, n_chunks).alias("d")
-    j = a.join(b, F.col("s.chunk") == F.col("d.chunk"), "full_outer")
+    # NULL keys hash to a NULL chunk: eqNullSafe keeps the two sides'
+    # NULL-chunk groups matched instead of reporting phantom divergence
+    j = a.join(b, F.col("s.chunk").eqNullSafe(F.col("d.chunk")), "full_outer")
     return (
         j.select(
             F.coalesce(F.col("s.chunk"), F.col("d.chunk")).alias("chunk"),

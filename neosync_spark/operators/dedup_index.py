@@ -166,17 +166,22 @@ def minhash_index_sync(
         .select("id_a", "id_b", "jaccard")
     )
 
-    # band rows join the index through the ledgered merge (write-once
-    # per (doc_id, band); the lsn/ts carry the epoch ordinal)
+    # band rows join the index through the ledgered merge. LWW order
+    # must be MONOTONIC across epochs so a re-synced doc's fresh band
+    # rows beat stale ones — but content-keyed epoch values are random
+    # 62-bit ints, so (lo, lo) would let an earlier epoch with a larger
+    # value win forever. Order by the index's own applied-epoch count:
+    # strictly increasing per applied epoch, and crash-replay-safe (an
+    # unapplied epoch recomputes the same ordinal; an applied one never
+    # reaches the merge, and merge_cdc breaks ties source-wins).
     lo = applied_range[0] if applied_range is not None else 0
+    ordinal = len(index.applied_ranges()) + 1
     batch = banded_new.select(
         F.lit("insert").alias("op"),
         F.col("_id").alias("doc_id"),
         "band",
         "band_hash",
-        # ts is cosmetic for write-once band rows; bound it so huge
-        # (content-keyed) epoch ordinals can't overflow the timestamp
-        F.timestamp_seconds(F.lit(int(lo) % 1_000_000_000)).alias("ts"),
+        F.timestamp_seconds(F.lit(ordinal)).alias("ts"),
         F.lit(int(lo)).alias("lsn"),
     )
     index.merge_cdc(batch, applied_range=applied_range, lineage=False)

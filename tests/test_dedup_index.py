@@ -85,3 +85,47 @@ def test_threshold_filters_weak_candidates(spark, tmp_path):
         idx, docs, docs, "text", "doc_id", threshold=0.9, applied_range=(0, 1)
     ).collect()
     assert strict == []  # candidate collides but fails the 0.9 verify
+
+
+def test_resync_updated_doc_wins_under_nonmonotonic_epochs(spark, tmp_path):
+    """Content-keyed epochs are random ints: a re-synced doc's fresh
+    band rows must beat the stale ones even when the second epoch's
+    ledger value is NUMERICALLY SMALLER than the first (LWW orders by
+    the index's applied-epoch ordinal, not the epoch value)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from the loud hunters"
+    )
+    v1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    edited = (
+        "an entirely rewritten document describing slow cooked stews "
+        "with root vegetables thyme bay leaves and a splash of red wine"
+    )
+    v2 = spark.createDataFrame([(1, edited)], "doc_id long, text string")
+
+    idx = create_minhash_index(spark, str(tmp_path / "idx"), n_buckets=2)
+    # first epoch under a LARGE content-keyed value
+    minhash_index_sync(
+        idx, v1, v1, "text", "doc_id", threshold=0.5,
+        applied_range=(9_000_000_000, 9_000_000_001),
+    ).collect()
+    hashes_v1 = {
+        (r["band"], r["band_hash"]) for r in idx.read().collect()
+    }
+    # re-sync the edited doc under a SMALLER epoch value
+    minhash_index_sync(
+        idx, v2, v2, "text", "doc_id", threshold=0.5,
+        applied_range=(17, 18),
+    ).collect()
+    hashes_v2 = {
+        (r["band"], r["band_hash"]) for r in idx.read().collect()
+    }
+    assert hashes_v2 != hashes_v1  # stale signature was replaced
+
+    # and the index now matches a fresh index built from the edit alone
+    idx2 = create_minhash_index(spark, str(tmp_path / "idx2"), n_buckets=2)
+    minhash_index_sync(
+        idx2, v2, v2, "text", "doc_id", threshold=0.5, applied_range=(0, 1)
+    ).collect()
+    fresh = {(r["band"], r["band_hash"]) for r in idx2.read().collect()}
+    assert hashes_v2 == fresh
