@@ -807,11 +807,14 @@ class SnapshotTable:
             out.write.partitionBy(_BUCKET_COL).parquet(commit_dir)
 
             written = self._list_commit_files(commit_dir)
-            fstats = self._collect_file_stats(written, self._stats_cols(m))
+            footers = self._read_footers(written)
+            fstats = self._collect_file_stats(
+                written, self._stats_cols(m), footers
+            )
             if affected is None:  # no-prepass mode: stats post-hoc
                 affected = sorted(written)
                 n_src = int(observation.get["n_src"])
-                bucket_counts = self._footer_counts(written)
+                bucket_counts = self._footer_counts(written, footers)
 
             new_files = {b: list(v) for b, v in m["files"].items()}
             if mode == "mor":
@@ -989,7 +992,8 @@ class SnapshotTable:
             )
         new_sid = self._next_snapshot_id()
         new_files = {b: list(v) for b, v in m["files"].items()}
-        fstats = self._collect_file_stats(written, self._stats_cols(m))
+        footers = self._read_footers(written)
+        fstats = self._collect_file_stats(written, self._stats_cols(m), footers)
         for b, paths in written.items():
             new_files.setdefault(str(b), []).extend(
                 {"path": p, "schema_id": schema_id, "kind": "delta",
@@ -1014,7 +1018,9 @@ class SnapshotTable:
             },
         }
         if lineage:
-            self._write_lineage(self._footer_counts(written), new_sid, applied_range)
+            self._write_lineage(
+                self._footer_counts(written, footers), new_sid, applied_range
+            )
         self._write_manifest(new_m)
         return CommitInfo(new_sid, n_src, len(written), applied_range)
 
@@ -1043,17 +1049,21 @@ class SnapshotTable:
 
     @classmethod
     def _collect_file_stats(
-        cls, written: dict[int, list[str]], cols: list[str]
+        cls,
+        written: dict[int, list[str]],
+        cols: list[str],
+        footers: dict[str, object] | None = None,
     ) -> dict[str, dict]:
         """Per-file column min/max from parquet footers (driver-side,
         no job — the Iceberg manifest-stats analog). Files whose footer
         lacks stats for a column simply omit it (read keeps them)."""
-        import pyarrow.parquet as pq
+        if footers is None:
+            footers = cls._read_footers(written)
 
         out: dict[str, dict] = {}
         for paths in written.values():
             for p in paths:
-                md = pq.ParquetFile(p).metadata
+                md = footers[p]
                 idx = {
                     md.schema.column(i).name: i for i in range(md.num_columns)
                 }
@@ -1181,16 +1191,38 @@ class SnapshotTable:
         return {"files_total": total, "files_kept": kept}
 
     @staticmethod
-    def _footer_counts(written: dict[int, list[str]]) -> dict[int, int]:
+    def _footer_counts(
+        written: dict[int, list[str]],
+        footers: dict[str, object] | None = None,
+    ) -> dict[int, int]:
         """Rows per bucket from parquet footers (driver-side, no job).
         In no-prepass mode lineage rows_applied are post-merge bucket
         row counts (the batch total is exact, from observe())."""
-        import pyarrow.parquet as pq
-
+        if footers is None:
+            footers = SnapshotTable._read_footers(written)
         return {
-            b: sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+            b: sum(footers[p].num_rows for p in paths)
             for b, paths in written.items()
         }
+
+    @staticmethod
+    def _read_footers(written: dict[int, list[str]]) -> dict[str, object]:
+        """path → parquet footer metadata, read ONCE per file on a
+        thread pool (I/O-bound; pyarrow releases the GIL). A commit
+        touching hundreds of bucket files pays one round of concurrent
+        footer opens instead of 2× serial opens (stats + counts)."""
+        import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
+
+        paths = [p for ps in written.values() for p in ps]
+        if not paths:
+            return {}
+        if len(paths) == 1:
+            return {paths[0]: pq.ParquetFile(paths[0]).metadata}
+        with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+            return dict(
+                ex.map(lambda p: (p, pq.ParquetFile(p).metadata), paths)
+            )
 
     def _list_commit_files(self, commit_dir: str) -> dict[int, list[str]]:
         found: dict[int, list[str]] = {}
