@@ -1047,6 +1047,22 @@ def _q_transcript_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_quality_flags(alive)
 
 
+def _q_tool_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call promotion + usage rollup: parse the semi-structured
+    `tool` JSON payload of the replayed final state into typed columns
+    (from_json, JVM-side) and aggregate per tool — n_calls, reach in
+    conversations, distinct query-arg count, mean arg length. Invalid
+    payloads roll up under tool_name = NULL."""
+    from neosync_spark.operators.conversations import tool_call_stats
+    from neosync_spark.operators.dedup import lww_dedup
+
+    log = _derived_log(spark, sf_dir)
+    alive = lww_dedup(log, ["conv_id", "turn_idx"], ["ts", "lsn"]).filter(
+        F.col("op") != "delete"
+    )
+    return tool_call_stats(alive)
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): hashed
     unigram+bigram bag distributions over 1024 md5 buckets fit on a
@@ -1983,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "dsir_importance_weights": _q_dsir_weights,
         "transcript_quality_flags": _q_transcript_quality,
+        "transcript_tool_calls": _q_tool_calls,
         "pii_scan_report": _q_pii_scan,
         "cdc_replica_checksum": _q_replica_checksum,
         "gopher_quality_flags": _q_gopher_flags,
@@ -2464,6 +2481,26 @@ def oracle_sql() -> dict[str, str]:
                     AND floor(COALESCE(d.dup_turns, 0) * 1.0 / n_turns * 10000 + 0.5) / 10000 <= 0.5
                     AND n_turns >= 2) AS keep
             FROM agg a LEFT JOIN dup d USING (c)
+        """,
+        "transcript_tool_calls": f"""
+            WITH alive AS (
+              SELECT * FROM ({lww}) WHERE op <> 'delete' AND tool IS NOT NULL
+            ), calls AS (
+              SELECT conv_id,
+                     CASE WHEN json_valid(tool)
+                          THEN json_extract_string(tool, '$.name') END
+                       AS tool_name,
+                     CASE WHEN json_valid(tool)
+                          THEN json_extract_string(tool, '$.args.q') END
+                       AS a
+              FROM alive
+            )
+            SELECT tool_name,
+                   count(*) AS n_calls,
+                   count(DISTINCT conv_id) AS n_convs,
+                   count(DISTINCT a) AS n_distinct_args,
+                   floor(avg(length(a)) * 100 + 0.5) / 100 AS mean_arg_chars
+            FROM calls GROUP BY tool_name
         """,
         "dsir_importance_weights": """
             WITH toks AS (

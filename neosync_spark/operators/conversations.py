@@ -120,3 +120,78 @@ def conversation_quality_flags(
         & (F.col("dup_turn_frac") <= max_dup_turn_frac)
         & (F.col("n_turns") >= min_turns),
     )
+
+
+def extract_tool_calls(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Promote the semi-structured ``tool`` payload to typed columns —
+    the ETL step between a raw transcript lake and tool-use analytics
+    or function-calling training data.
+
+    The reference ships tool/JSON payloads through as opaque strings
+    and anonymizes inside them (internal/json-anonymizer); promotion to
+    columns is the complementary read path. Per turn carrying a tool
+    payload, returns::
+
+        (conv_id, turn_idx, tool_name, tool_args: map<string,string>,
+         valid: bool)
+
+    ``valid=false`` marks payloads that are not a JSON object of the
+    expected shape (``from_json`` yields NULL) — the quarantine
+    predicate for a schema-on-read scan. Everything is JVM built-ins
+    (`from_json` into a fixed struct; no Python): one narrow projection,
+    no shuffle, and the parse prunes to exactly the two referenced
+    fields at 100 TB.
+    """
+    parsed = F.from_json(
+        F.col(tool_col),
+        "name string, args map<string,string>",
+    )
+    return (
+        df.filter(F.col(tool_col).isNotNull())
+        .select(
+            F.col(conv_col),
+            F.col(turn_col),
+            parsed["name"].alias("tool_name"),
+            parsed["args"].alias("tool_args"),
+            # a parseable object missing `name` is still invalid for
+            # tool-call purposes: route it to the same quarantine
+            parsed["name"].isNotNull().alias("valid"),
+        )
+    )
+
+
+def tool_call_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    tool_col: str = "tool",
+    arg_key: str = "q",
+) -> DataFrame:
+    """Per-tool usage rollup over the extracted calls: ``(tool_name,
+    n_calls, n_convs, n_distinct_args, mean_arg_chars)`` — one
+    hash-agg shuffle on tool_name (tiny cardinality), partial
+    aggregation map-side. Invalid payloads roll up under
+    ``tool_name = NULL`` so damage is visible, not dropped."""
+    calls = extract_tool_calls(df, conv_col, turn_col, tool_col)
+    arg = F.col("tool_args").getItem(arg_key)
+    return (
+        calls.select(
+            F.when(F.col("valid"), F.col("tool_name")).alias("tool_name"),
+            F.col(conv_col).alias("_c"),
+            arg.alias("_a"),
+        )
+        .groupBy("tool_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.count_distinct("_c").alias("n_convs"),
+            F.count_distinct("_a").alias("n_distinct_args"),
+            (
+                F.floor(F.avg(F.length("_a")) * 100 + F.lit(0.5)) / 100
+            ).alias("mean_arg_chars"),
+        )
+    )

@@ -66,3 +66,44 @@ def test_degenerate_repetition_dropped(spark):
 def test_single_turn_too_short(spark):
     f = _flags(spark, [("c8", 0, "user", "hi")])
     assert f["c8"]["n_turns"] == 1 and not f["c8"]["keep"]
+
+
+def test_extract_tool_calls_valid_invalid_and_missing_name(spark):
+    from neosync_spark.operators.conversations import (
+        extract_tool_calls,
+        tool_call_stats,
+    )
+
+    rows = [
+        ("c1", 0, '{"name":"search","args":{"q":"spark"}}'),
+        ("c1", 2, '{"name":"search","args":{"q":"duck"}}'),
+        ("c2", 0, '{"name":"calc","args":{"q":"1+1"}}'),
+        ("c2", 2, "not json at all {"),           # malformed
+        ("c3", 0, '{"args":{"q":"orphan"}}'),      # object, no name
+        ("c3", 2, None),                           # no payload: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, tool string"
+    )
+    calls = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in extract_tool_calls(df).collect()
+    }
+    assert set(calls) == {("c1", 0), ("c1", 2), ("c2", 0), ("c2", 2), ("c3", 0)}
+    assert calls[("c1", 0)]["tool_name"] == "search"
+    assert calls[("c1", 0)]["tool_args"]["q"] == "spark"
+    assert calls[("c1", 0)]["valid"] is True
+    assert calls[("c2", 2)]["valid"] is False        # malformed JSON
+    assert calls[("c2", 2)]["tool_name"] is None
+    assert calls[("c3", 0)]["valid"] is False        # missing name
+    assert calls[("c3", 0)]["tool_args"]["q"] == "orphan"  # args still usable
+
+    stats = {r["tool_name"]: r for r in tool_call_stats(df).collect()}
+    assert stats["search"]["n_calls"] == 2
+    assert stats["search"]["n_convs"] == 1
+    assert stats["search"]["n_distinct_args"] == 2
+    assert stats["search"]["mean_arg_chars"] == 4.5  # len(spark)=5, len(duck)=4
+    assert stats["calc"]["n_calls"] == 1
+    # both invalid payloads land in the visible NULL bucket
+    assert stats[None]["n_calls"] == 2
+    assert stats[None]["n_distinct_args"] == 1       # only c3's parsed arg
