@@ -96,6 +96,19 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--max-records-per-file", type=int, default=None,
                    help="split each bucket into several key-clustered "
                         "files so per-file zone maps prune point lookups")
+    c.add_argument("--auto", action="store_true",
+                   help="compact only buckets selected by the pressure "
+                        "policy (worst first) instead of every bucket "
+                        "holding deltas")
+    c.add_argument("--min-deltas", type=int, default=4,
+                   help="auto: schedule a bucket at >= this many delta "
+                        "files")
+    c.add_argument("--min-delta-bytes", type=int, default=None,
+                   help="auto: also schedule a bucket at >= this many "
+                        "delta bytes")
+    c.add_argument("--max-buckets", type=int, default=None,
+                   help="auto: bound the maintenance window to the K "
+                        "worst buckets")
 
     v = sub.add_parser("verify", help="replay-vs-oracle final state check")
     v.add_argument("--log", required=True)
@@ -282,11 +295,35 @@ def main(argv: list[str] | None = None) -> int:
         from .lakehouse import SnapshotTable
 
         t = SnapshotTable.load(spark, args.table)
+        buckets = None
+        plan = None
+        if args.auto:
+            plan = t.plan_compaction(
+                min_deltas=args.min_deltas,
+                min_delta_bytes=args.min_delta_bytes,
+                max_buckets=args.max_buckets,
+            )
+            if not plan:
+                print(json.dumps(
+                    {"compacted": False, "snapshot": None, "plan": []}
+                ))
+                return 0
+            buckets = [b for b, _n, _sz in plan]
         info = t.compact(
+            buckets=buckets,
             sort_by_key=args.sort_by_key,
             max_records_per_file=args.max_records_per_file,
         )
-        print(json.dumps({"compacted": bool(info), "snapshot": info.snapshot_id if info else None}))
+        out = {
+            "compacted": bool(info),
+            "snapshot": info.snapshot_id if info else None,
+        }
+        if plan is not None:
+            out["plan"] = [
+                {"bucket": b, "delta_files": n, "delta_bytes": sz}
+                for b, n, sz in plan
+            ]
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "verify":

@@ -1283,6 +1283,45 @@ class SnapshotTable:
             if any(e.get("kind") == "delta" for e in entries)
         }
 
+    def plan_compaction(
+        self,
+        min_deltas: int = 4,
+        min_delta_bytes: int | None = None,
+        max_buckets: int | None = None,
+    ) -> list[tuple[int, int, int]]:
+        """Maintenance-window scheduler: pick the buckets whose MoR
+        delta pressure warrants folding, worst first. Returns
+        ``(bucket, n_delta_files, delta_bytes)`` for buckets with
+        ``n_delta_files >= min_deltas`` OR (when given)
+        ``delta_bytes >= min_delta_bytes``, capped at ``max_buckets``.
+
+        ``max_buckets`` is the knob that bounds a maintenance window at
+        design scale: compact the K worst buckets per run and let the
+        cadence amortize — read amplification stays bounded at
+        ~min_deltas deltas/bucket without ever rewriting the whole
+        table in one job. Sizes come from driver-side stat calls on the
+        delta files only (the set the policy is bounding); entries
+        whose file has vanished count zero bytes rather than failing
+        the plan."""
+        m = self.manifest(refresh=True)
+        plan: list[tuple[int, int, int]] = []
+        for b, entries in m["files"].items():
+            deltas = [e for e in entries if e.get("kind") == "delta"]
+            if not deltas:
+                continue
+            nbytes = 0
+            for e in deltas:
+                try:
+                    nbytes += os.path.getsize(e["path"])
+                except OSError:
+                    pass
+            if len(deltas) >= min_deltas or (
+                min_delta_bytes is not None and nbytes >= min_delta_bytes
+            ):
+                plan.append((int(b), len(deltas), nbytes))
+        plan.sort(key=lambda t: (-t[1], -t[2], t[0]))
+        return plan[:max_buckets] if max_buckets is not None else plan
+
     def compact(
         self,
         buckets: Sequence[int] | None = None,

@@ -294,3 +294,57 @@ def test_compact_sort_by_key_clusters_files(spark, tmp_path):
         "control files came out sorted; the fixture no longer "
         "discriminates and the positive assertion proves nothing"
     )
+
+
+def test_plan_compaction_policy_and_auto_cli(spark, tmp_path, log_path):
+    """plan_compaction picks buckets by delta pressure, bounded by
+    max_buckets; CLI compact --auto folds exactly the planned buckets
+    and preserves state."""
+    import json as _json
+
+    from neosync_spark import cli
+
+    t = _run(spark, tmp_path / "t", log_path, "mor", compact_over=None)
+    counts = t.delta_file_counts()
+    assert counts  # 4 batches x 8 buckets => deltas everywhere
+
+    # threshold below the per-bucket count selects all; above selects none
+    n_min = min(counts.values())
+    full = t.plan_compaction(min_deltas=1)
+    assert {b for b, _n, _sz in full} == set(counts)
+    assert all(sz > 0 for _b, _n, sz in full)
+    # sorted by pressure: n_deltas desc, then bytes desc
+    assert [n for _b, n, _sz in full] == sorted(
+        (n for n in counts.values()), reverse=True
+    )
+    assert t.plan_compaction(min_deltas=max(counts.values()) + 1) == []
+    # byte threshold alone can also trigger
+    assert t.plan_compaction(
+        min_deltas=10**9, min_delta_bytes=1
+    ) == full
+
+    # bounded maintenance window: only the K worst buckets
+    k = 3
+    windowed = t.plan_compaction(min_deltas=n_min, max_buckets=k)
+    assert windowed == full[:k]
+
+    before = t.read().toPandas()
+    rc = cli.main([
+        "--master", "local[4]",
+        "compact", "--table", str(tmp_path / "t"),
+        "--auto", "--min-deltas", str(n_min), "--max-buckets", str(k),
+    ])
+    assert rc == 0
+    remaining = t.delta_file_counts()
+    assert set(remaining) == set(counts) - {b for b, _n, _sz in windowed}
+    assert_pdf_equal(t.read().toPandas(), before, ["conv_id", "turn_idx"])
+
+    # nothing above threshold => explicit no-op, no new snapshot
+    sid = t.manifest(refresh=True)["snapshot_id"]
+    rc = cli.main([
+        "--master", "local[4]",
+        "compact", "--table", str(tmp_path / "t"),
+        "--auto", "--min-deltas", "1000000",
+    ])
+    assert rc == 0
+    assert t.manifest(refresh=True)["snapshot_id"] == sid
