@@ -135,6 +135,53 @@ def _q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_purge_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten: replay the log into a MoR table, then
+    physically purge the first 20 conversations (lexicographic) —
+    bucket-bounded rewrite dropping live rows AND tombstones, snapshot
+    GC erasing prior history. Result = the remaining final state, which
+    DuckDB reproduces as the LWW state minus the subjects. The raw-file
+    erasure guarantee itself is pytest-verified (tests/test_purge.py
+    scans every parquet on disk)."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    batch = max(1000, (int(hi) + 2) // 2)
+    path = tempfile.mkdtemp(prefix="ns_purge_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+    eng = ReplayEngine(
+        spark,
+        table,
+        config=EngineConfig(
+            batch_lsn_size=batch, lineage=False, prune_buckets=False,
+            merge_mode="mor",
+        ),
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    eng.replay(slicer, lsn_lo=0, lsn_hi=int(hi))
+    subjects = [
+        r[0]
+        for r in table.read()
+        .select("conv_id")
+        .distinct()
+        .orderBy("conv_id")
+        .limit(20)
+        .collect()
+    ]
+    table.purge_keys(subjects, expire=True)
+    return table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
 def _q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish: first half of the log lands on main, the
     second half is STAGED on a branch (invisible to main readers),
@@ -1969,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": _q_cdc_replay,
         "cdc_wap_publish": _q_wap_publish,
+        "cdc_purge_subject": _q_purge_subject,
         "cdc_stats_pruned_read": _q_stats_pruned_read,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_lww_dedup_agg": _q_lww_agg,
@@ -2063,6 +2111,17 @@ def oracle_sql() -> dict[str, str]:
               FROM log l
             ) WHERE rn = 1 AND op <> 'delete'
               AND ts >= (SELECT cutoff FROM mx)
+        """,
+        "cdc_purge_subject": f"""
+            WITH alive AS (
+              SELECT * FROM ({lww}) WHERE op <> 'delete'
+            ), subjects AS (
+              SELECT DISTINCT conv_id FROM alive ORDER BY conv_id LIMIT 20
+            )
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM alive
+            WHERE conv_id NOT IN (SELECT conv_id FROM subjects)
         """,
         "cdc_wap_publish": f"""
             WITH log AS ({_CDC_DERIVATION}),

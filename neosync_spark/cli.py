@@ -41,6 +41,18 @@ def _change_counts(diff_df) -> dict:
     }
 
 
+def _cast_cli_value(v: str, dtype):
+    """Cast a CLI string to the table's key column type (the shapes a
+    key can realistically be: string / integral / decimal-ish)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(v)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(v)
+    return v
+
+
 def _parse_mapping(items: list[str]):
     from .plans.job import ColumnMapping
 
@@ -218,6 +230,22 @@ def main(argv: list[str] | None = None) -> int:
     rsc.add_argument("--table", required=True)
     rsc.add_argument("--buckets", type=int, required=True)
     rsc.add_argument("--max-records-per-file", type=int, default=None)
+
+    pg = sub.add_parser(
+        "purge",
+        help="right-to-be-forgotten: physically erase whole keys from "
+             "data files, quarantine sidecars and snapshot history",
+    )
+    pg.add_argument("--table", required=True)
+    pg.add_argument("--key", required=True, nargs="+",
+                    help="key value(s) to erase (cast to the key "
+                         "column's type)")
+    pg.add_argument("--no-expire", action="store_true",
+                    help="skip snapshot GC (purge NOT complete until "
+                         "expire runs)")
+    pg.add_argument("--keep-last", type=int, default=1)
+    pg.add_argument("--force", action="store_true",
+                    help="proceed even when branches pin history")
 
     ck = sub.add_parser(
         "checksum",
@@ -555,6 +583,27 @@ def main(argv: list[str] | None = None) -> int:
             "snapshot": info.snapshot_id,
             "buckets": args.buckets,
         }))
+        return 0
+
+    if args.cmd == "purge":
+        from .lakehouse import SnapshotTable
+
+        t = SnapshotTable.load(spark, args.table)
+        key_type = t.current_schema()[t.manifest()["key_cols"][0]].dataType
+        vals = [
+            _cast_cli_value(v, key_type) for v in args.key
+        ]
+        try:
+            out = t.purge_keys(
+                vals,
+                expire=not args.no_expire,
+                keep_last=args.keep_last,
+                force=args.force,
+            )
+        except ValueError as e:
+            print(json.dumps({"error": str(e)}))
+            return 1
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "checksum":

@@ -1400,6 +1400,171 @@ class SnapshotTable:
         self._write_manifest(new_m)
         return CommitInfo(new_sid, 0, len(buckets), None)
 
+    def purge_keys(
+        self,
+        values: Sequence,
+        expire: bool = True,
+        keep_last: int = 1,
+        scrub_quarantine: bool = True,
+        force: bool = False,
+    ) -> dict:
+        """Right-to-be-forgotten erasure of entire top-level keys
+        (e.g. every turn of a set of conversations): physically rewrite
+        the buckets holding the subjects' rows with every trace removed
+        — live rows AND tombstones (a tombstone still carries the key
+        value) — as ONE atomic snapshot, then expire prior snapshots so
+        no retained manifest references a file containing the data.
+        The Iceberg delete-and-expire compliance recipe; the reference
+        anonymizes PII in flight, this erases it at rest.
+
+        Documented semantics (none silent):
+
+        - The exactly-once ledger is untouched: already-applied lsn
+          ranges stay no-ops, so crash-recovery replays cannot
+          resurrect the subject. A genuinely NEW change event (future
+          range) re-inserts the key — correct CDC behavior; purge again
+          after, or mask at ingest.
+        - Tombstone removal trades late-arrival protection for erasure:
+          an out-of-order event older than the purged delete would
+          resurrect the key on a future merge. Erasure wins here.
+        - Branch heads retain their full ancestry through GC, so purge
+          REFUSES to run while branches other than main exist (their
+          snapshots keep the data alive) unless ``force=True``; the
+          returned ``refs_remaining`` lists what still pins history.
+        - ``expire=False`` skips the GC (e.g. batching several purges);
+          until ``expire_snapshots`` runs, prior snapshots still hold
+          the data and the purge is NOT complete.
+        - Quarantine sidecars (metadata/quarantine*) are scrubbed too
+          unless ``scrub_quarantine=False``.
+
+        At scale this touches only the |values| buckets the subjects
+        hash into — one bounded rewrite job, not a table scan."""
+        values = list(values)
+        if not values:
+            raise ValueError("purge_keys needs at least one key value")
+        m = self.manifest(refresh=True)
+        refs = self.list_branches()
+        other_refs = sorted(set(refs) - {"main"})
+        if other_refs and not force:
+            raise ValueError(
+                f"branches {other_refs} pin snapshot history containing "
+                "the subject; publish/drop them first or pass force=True "
+                "(the purge then reports them in refs_remaining)"
+            )
+        key_col = m["key_cols"][0]
+        nb = m["bucket_count"]
+        cur = self.current_schema(m)
+        key_type = cur[key_col].dataType
+        vals_df = self.spark.createDataFrame(
+            [(v,) for v in values], T.StructType([T.StructField(key_col, key_type)])
+        )
+        affected = sorted(
+            r[0]
+            for r in vals_df.select(bucket_expr(key_col, nb).alias("b"))
+            .distinct()
+            .collect()
+        )
+        present = {int(b) for b in m["files"]}
+        affected = [b for b in affected if b in present]
+
+        purged_rows = 0
+        info = None
+        if affected:
+            from pyspark.sql import Observation
+
+            rows = self.read(buckets=affected, internal=True)
+            obs_all = Observation()
+            rows = rows.observe(obs_all, F.count(F.lit(1)).alias("n_before"))
+            keep = rows.filter(~F.col(key_col).isin(values))
+            obs = Observation()
+            keep = keep.observe(obs, F.count(F.lit(1)).alias("n_keep"))
+            out = keep.withColumn(_BUCKET_COL, bucket_expr(key_col, nb))
+            new_sid = self._next_snapshot_id()
+            commit_dir = os.path.join(
+                self.path, "data", f"commit-{new_sid}-{uuid.uuid4().hex[:8]}"
+            )
+            out = out.repartition(
+                max(1, min(len(affected), 256)), F.col(_BUCKET_COL)
+            )
+            out.write.partitionBy(_BUCKET_COL).parquet(commit_dir)
+            purged_rows = int(obs_all.get["n_before"]) - int(obs.get["n_keep"])
+            new_files = {b: list(v) for b, v in m["files"].items()}
+            for b in affected:
+                new_files[str(b)] = []  # deltas fold into the rewrite
+            written = self._list_commit_files(commit_dir)
+            fstats = self._collect_file_stats(written, self._stats_cols(m))
+            for b, paths in written.items():
+                new_files[str(b)] = [
+                    {"path": p, "schema_id": m["schema_id"],
+                     **({"stats": fstats[p]} if p in fstats else {})}
+                    for p in sorted(paths)
+                ]
+            new_files = {b: v for b, v in new_files.items() if v}
+            new_m = {
+                **m,
+                "snapshot_id": new_sid,
+                "parent": m["snapshot_id"],
+                "files": new_files,
+                "summary": {
+                    "operation": "purge",
+                    "buckets": len(affected),
+                    "purged_rows": purged_rows,
+                },
+            }
+            self._write_manifest(new_m)
+            info = CommitInfo(new_sid, 0, len(affected), None)
+
+        scrubbed = 0
+        if scrub_quarantine:
+            scrubbed = self._scrub_sidecars(key_col, values)
+        gc: dict = {}
+        if expire:
+            gc = self.expire_snapshots(keep_last=keep_last)
+        return {
+            "snapshot": info.snapshot_id if info else m["snapshot_id"],
+            "buckets_rewritten": len(affected),
+            "purged_rows": purged_rows,
+            "quarantine_rows_scrubbed": scrubbed,
+            "expired": gc,
+            "refs_remaining": other_refs,
+        }
+
+    def _scrub_sidecars(self, key_col: str, values: list) -> int:
+        """Remove the subjects' rows from quarantine sidecar datasets
+        (each range=... dir is one small parquet dataset: rewrite it
+        filtered via a temp dir + atomic rename, or drop it if empty)."""
+        import shutil
+
+        scrubbed = 0
+        for side in ("quarantine", "quarantine_fk"):
+            root = os.path.join(self.path, "metadata", side)
+            if not os.path.isdir(root):
+                continue
+            for entry in sorted(os.listdir(root)):
+                d = os.path.join(root, entry)
+                if not os.path.isdir(d) or not any(
+                    f.endswith(".parquet") for f in os.listdir(d)
+                ):
+                    continue
+                df = self.spark.read.parquet(d)
+                if key_col not in df.columns:
+                    continue
+                hit = df.filter(F.col(key_col).isin(values)).count()
+                if not hit:
+                    continue
+                scrubbed += hit
+                kept = df.filter(~F.col(key_col).isin(values))
+                if kept.isEmpty():
+                    shutil.rmtree(d, ignore_errors=True)
+                    continue
+                tmp = d + f".scrub-{uuid.uuid4().hex[:8]}"
+                kept.write.parquet(tmp)
+                old = d + f".old-{uuid.uuid4().hex[:8]}"
+                os.rename(d, old)
+                os.rename(tmp, d)
+                shutil.rmtree(old, ignore_errors=True)
+        return scrubbed
+
     def rescale_buckets(
         self, new_bucket_count: int, max_records_per_file: int | None = None
     ) -> CommitInfo:
