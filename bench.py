@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "cdc_replica_checksum",
     "dedup_exact_spans",
     "ann_pq_topk",
+    "transcript_tool_calls",
 ]
 
 
