@@ -2001,6 +2001,51 @@ def _embedding_clusters_oracle(n_planes: int = 12, dim: int = 64, seed: int = 42
     """
 
 
+def _q_lateness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder per conversation over the change log in
+    arrival (lsn) order — the watermark-sizing measurement for the
+    streaming tail (max lateness IS the smallest safe watermark
+    delay). Microsecond integers end-to-end: exact in any engine."""
+    from neosync_spark.operators.sessions import lateness_stats
+
+    log = _derived_log(spark, sf_dir)
+    return lateness_stats(log, "conv_id", "ts", "lsn")
+
+
+def _q_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-mixing plan (alpha sampling) over the
+    documents corpus: per source, tokens → temperature share → planned
+    draw and epoch cap for a 1M-token budget."""
+    from neosync_spark.operators.mixing import temperature_mix_plan
+    from neosync_spark.operators.text import token_count
+
+    _views(spark, sf_dir, ["documents"])
+    return temperature_mix_plan(
+        spark.table("documents"),
+        "source",
+        token_count("text").cast("long"),
+        budget_tokens=1_000_000,
+        alpha=0.5,
+        max_epochs=4.0,
+    )
+
+
+_BM25_TERMS = ["merge", "window", "checkpoint"]
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed query-term bag over documents —
+    postings filtered to the query terms before any shuffle; stats and
+    df joined broadcast; deterministic tie-break on doc_id."""
+    from neosync_spark.operators.text import bm25_topk
+
+    _views(spark, sf_dir, ["documents"])
+    return bm25_topk(
+        spark.table("documents"), "text", "doc_id", _BM25_TERMS, k=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2079,6 +2124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_features": _q_audio_features,
         "synth_generators": _q_generators,
         "events_sessionize": _q_sessionize,
+        "cdc_lateness_stats": _q_lateness_stats,
+        "corpus_mix_plan": _q_mix_plan,
+        "text_bm25_search": _q_bm25_search,
         "json_anonymize": _q_json_anonymize,
         "default_transforms": _q_default_transforms,
         "identity_scramble": _q_identity_scramble,
@@ -2289,6 +2337,90 @@ def oracle_sql() -> dict[str, str]:
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
                    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
             FROM {log} GROUP BY op
+        """,
+        "cdc_lateness_stats": f"""
+            WITH hw AS (
+              SELECT conv_id,
+                     epoch_us(ts) AS ev,
+                     max(epoch_us(ts)) OVER (
+                       PARTITION BY conv_id ORDER BY lsn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS hwm
+              FROM {log}
+            ), lt AS (
+              SELECT conv_id,
+                     CASE WHEN hwm > ev THEN hwm - ev ELSE 0 END AS late_us
+              FROM hw
+            )
+            SELECT conv_id, count(*) AS n_events,
+                   sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS n_late,
+                   max(late_us) AS max_lateness_us,
+                   sum(late_us) AS sum_lateness_us
+            FROM lt GROUP BY conv_id
+        """,
+        "corpus_mix_plan": """
+            WITH per AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(len(list_filter(string_split(text, ' '),
+                                              x -> x <> ''))) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source
+            ), s AS (
+              SELECT source, n_docs, n_tokens,
+                     CAST(n_tokens AS DOUBLE)
+                       / sum(CAST(n_tokens AS DOUBLE)) OVER () AS raw,
+                     pow(CAST(n_tokens AS DOUBLE), 0.5)
+                       / sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) OVER () AS tmp
+              FROM per
+            )
+            SELECT source, n_docs, n_tokens,
+                   floor(raw * 1e4 + 0.5) / 1e4 AS raw_share,
+                   floor(tmp * 1e4 + 0.5) / 1e4 AS temp_share,
+                   CAST(floor(tmp * 1000000.0 + 0.5) AS BIGINT) AS planned_tokens,
+                   floor(least(CAST(floor(tmp * 1000000.0 + 0.5) AS BIGINT)
+                               / CAST(n_tokens AS DOUBLE), 4.0) * 1e4 + 0.5)
+                     / 1e4 AS epochs
+            FROM s
+        """,
+        "text_bm25_search": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ), stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     CAST(sum(len(tk)) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS avgdl
+              FROM base
+            ), hits AS (
+              SELECT doc_id, t,
+                     CAST(count(*) AS DOUBLE) AS tf,
+                     CAST(any_value(dl) AS DOUBLE) AS dl
+              FROM (
+                SELECT doc_id, len(tk) AS dl, unnest(tk) AS t FROM base
+              )
+              WHERE t IN ({_BM25_TERMS_SQL})
+              GROUP BY doc_id, t
+            ), dfreq AS (
+              SELECT t, CAST(count(*) AS DOUBLE) AS df FROM hits GROUP BY t
+            ), scored AS (
+              SELECT h.doc_id,
+                     ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       * (h.tf * 2.2)
+                       / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / s.avgdl))
+                       AS sc
+              FROM hits h JOIN dfreq d ON h.t = d.t CROSS JOIN stats s
+            ), per_doc AS (
+              SELECT doc_id, sum(sc) AS score,
+                     CAST(count(*) AS BIGINT) AS n_terms_hit
+              FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   floor(score * 1e4 + 0.5) / 1e4 AS bm25,
+                   n_terms_hit
+            FROM per_doc
+            ORDER BY score DESC, doc_id
+            LIMIT 10
         """,
         "mask_email": """
             WITH e AS (

@@ -25,7 +25,7 @@ Scale shape (100 TB raw corpus, 1000 executors):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import _tokens, _word_grams
@@ -188,3 +188,70 @@ def dsir_resample(
         (F.col("gumbel_key") == F.lit(cg)) & (F.col(id_col) <= F.lit(ct))
     )
     return keyed.withColumn("selected", sel)
+
+
+# --------------------------------------------- temperature mixture plan
+
+def temperature_mix_plan(
+    docs: DataFrame,
+    source_col: str,
+    token_count: Column | str,
+    budget_tokens: int,
+    alpha: float = 0.5,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Temperature-scaled source mixing plan — the multilingual /
+    multi-source sampling recipe (mC4/mT5-style alpha sampling; public
+    method, part of the training-data-pipeline surface): source ``i``
+    with ``c_i`` tokens gets mixture weight ``p_i = c_i^alpha / Σ_j
+    c_j^alpha``. ``alpha < 1`` upsamples low-resource sources toward
+    uniform; ``alpha = 1`` is proportional (no reweighting).
+
+    Per source the plan reports the raw and temperature shares, the
+    planned token draw ``round(p_i · budget)`` and the implied epoch
+    count over that source, capped at ``max_epochs`` so a tiny source
+    isn't repeated into memorization (the freed budget is NOT
+    redistributed — matching the published recipe, and keeping every
+    row independent of the cap decisions of other rows).
+
+    Scale shape: one hash-agg over the corpus (map-side combine) down
+    to ≤ |sources| rows, then two unpartitioned window sums over that
+    tiny frame — the corpus is touched exactly once; no driver math.
+
+    Returns ``(source, n_docs, n_tokens, raw_share, temp_share,
+    planned_tokens, epochs)`` with shares/epochs rounded to 4 decimals
+    (half-up) for cross-engine comparability.
+    """
+    from ..util import round_half_up
+
+    tok = F.col(token_count) if isinstance(token_count, str) else token_count
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tok).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    c = F.col("n_tokens").cast("double")
+    pw = F.pow(c, F.lit(float(alpha)))
+    shared = per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (c / F.sum(c).over(w)).alias("_raw"),
+        (pw / F.sum(pw).over(w)).alias("_tmp"),
+    )
+    planned = F.floor(
+        F.col("_tmp") * F.lit(float(budget_tokens)) + F.lit(0.5)
+    ).cast("long")
+    epochs = F.least(
+        planned.cast("double") / F.col("n_tokens").cast("double"),
+        F.lit(float(max_epochs)),
+    )
+    return shared.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        round_half_up(F.col("_raw"), 4).alias("raw_share"),
+        round_half_up(F.col("_tmp"), 4).alias("temp_share"),
+        planned.alias("planned_tokens"),
+        round_half_up(epochs, 4).alias("epochs"),
+    )

@@ -67,3 +67,46 @@ def sessionize_stream(
             "n_events",
         )
     )
+
+
+def lateness_stats(
+    log: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str = "lsn",
+) -> DataFrame:
+    """Event-time disorder metrics per key over a change log in ARRIVAL
+    order (``order_col``, the lsn): an event is LATE when its event
+    time is behind the running maximum event time of earlier arrivals
+    for the same key; its lateness is how far behind (microseconds).
+
+    This is the measurement a streaming tail needs to size its
+    watermark: ``withWatermark(ts, delay)`` drops events later than
+    ``delay`` behind the high-water mark, so ``max_lateness_us`` over a
+    representative log slice IS the smallest safe delay (cf.
+    ``streaming/stream.py``; the reference has no event-time notion —
+    its sync applies rows in query order — but any binlog/WAL tail at
+    scale sees cross-shard reordering).
+
+    Scale shape: one shuffle on ``key_col`` (window high-water mark +
+    hash-agg with map-side combine); microsecond integers end-to-end,
+    so the numbers are exact in any engine. Returns one row per key:
+    ``(key, n_events, n_late, max_lateness_us, sum_lateness_us)``.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    hwm = F.max(ev).over(w)
+    late_us = F.when(hwm > ev, hwm - ev).otherwise(F.lit(0).cast("long"))
+    per_event = log.select(
+        F.col(key_col), late_us.alias("_late_us")
+    )
+    return per_event.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("_late_us") > 0).cast("long")).alias("n_late"),
+        F.max("_late_us").alias("max_lateness_us"),
+        F.sum("_late_us").alias("sum_lateness_us"),
+    )

@@ -783,3 +783,99 @@ def c4_quality_flags(
         brace.alias("has_brace"),
         keep.alias("keep"),
     )
+
+
+# ----------------------------------------------------------- BM25 search
+
+def bm25_topk(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 top-k document search for a bag of query terms — the
+    inverted-index ranking a corpus tooling layer needs (inspecting
+    dedup clusters, hunting boilerplate, pulling eval-adjacent docs).
+    No reference counterpart (its unit is a table sync); public
+    formula (Robertson/Sparck Jones).
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    with the standard smoothed ``idf = ln((N−df+0.5)/(df+0.5) + 1)``.
+
+    Scale shape: corpus stats (N, avgdl) collapse to ONE row
+    (broadcast); the postings build explodes tokens but filters to the
+    query terms BEFORE the shuffle (predicate on the exploded token —
+    at most |terms| postings lists survive), then one (doc, term)
+    hash-agg with map-side combine; df-per-term is a ≤|terms|-row agg
+    joined broadcast. Final per-doc rollup + TakeOrderedAndProject for
+    the top k. Everything is JVM built-ins; ties broken by id for
+    determinism. Scores rounded to 4 decimals (half-up).
+    """
+    from ..util import round_half_up
+
+    terms = sorted(set(t.lower() for t in query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        _tokens(F.lower(F.col(content_col))).alias("_tk"),
+    )
+    # avgdl via exact integer sum / count: float summation order varies
+    # with partial aggregation, an integer sum doesn't — the one double
+    # division is then bit-identical in any engine
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        (
+            F.sum(F.size("_tk").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_avgdl"),
+    )
+    hits = (
+        base.select("_id", F.size("_tk").cast("double").alias("_dl"),
+                    F.explode("_tk").alias("_t"))
+        .filter(F.col("_t").isin(terms))
+        .groupBy("_id", "_t")
+        .agg(F.count(F.lit(1)).cast("double").alias("_tf"),
+             F.first("_dl").alias("_dl"))
+    )
+    dfreq = hits.groupBy("_t").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "_t")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
+                / (F.col("_df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("_tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("_tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy("_id").agg(
+        F.sum("_s").alias("_score"),
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+    )
+    return (
+        per_doc.orderBy(F.col("_score").desc(), F.col("_id"))
+        .limit(k)
+        .select(
+            F.col("_id").alias(id_col),
+            round_half_up(F.col("_score"), 4).alias("bm25"),
+            "n_terms_hit",
+        )
+    )

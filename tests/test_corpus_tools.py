@@ -1,0 +1,151 @@
+"""Corpus-tooling operators added late in round 3: per-key lateness
+stats (watermark sizing), temperature-scaled mixing plan, BM25 top-k."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from neosync_spark.operators.mixing import temperature_mix_plan
+from neosync_spark.operators.sessions import lateness_stats
+from neosync_spark.operators.text import bm25_topk
+
+
+# --------------------------------------------------------- lateness_stats
+
+def _log(spark):
+    # key "a": arrival order (lsn) 1..4, event times 10s, 30s, 20s, 25s
+    #   -> events 3 and 4 are late by 10s and 5s
+    # key "b": perfectly ordered
+    rows = [
+        ("a", 1, "2024-01-01 00:00:10"),
+        ("a", 2, "2024-01-01 00:00:30"),
+        ("a", 3, "2024-01-01 00:00:20"),
+        ("a", 4, "2024-01-01 00:00:25"),
+        ("b", 5, "2024-01-01 00:00:01"),
+        ("b", 6, "2024-01-01 00:00:02"),
+    ]
+    return spark.createDataFrame(rows, "conv_id string, lsn long, ts string")
+
+
+def test_lateness_basic(spark):
+    out = {
+        r["conv_id"]: r
+        for r in lateness_stats(_log(spark), "conv_id", "ts", "lsn").collect()
+    }
+    a = out["a"]
+    assert a["n_events"] == 4
+    assert a["n_late"] == 2
+    assert a["max_lateness_us"] == 10_000_000
+    assert a["sum_lateness_us"] == 15_000_000
+    b = out["b"]
+    assert b["n_late"] == 0 and b["max_lateness_us"] == 0
+
+
+def test_lateness_first_event_never_late(spark):
+    one = spark.createDataFrame(
+        [("x", 1, "2024-01-01 00:00:00")], "conv_id string, lsn long, ts string"
+    )
+    r = lateness_stats(one, "conv_id", "ts", "lsn").collect()[0]
+    assert r["n_late"] == 0 and r["max_lateness_us"] == 0
+
+
+# ----------------------------------------------------- temperature_mix_plan
+
+def _docs(spark):
+    rows = []
+    for i in range(90):
+        rows.append((i, "web", "w " * 10))  # 10 tokens each -> 900
+    for i in range(90, 100):
+        rows.append((i, "code", "c " * 10))  # 10 tokens each -> 100
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_mix_plan_alpha_upsamples_small_source(spark):
+    from neosync_spark.operators.text import token_count
+
+    plan = temperature_mix_plan(
+        _docs(spark), "source", token_count("text").cast("long"),
+        budget_tokens=1000, alpha=0.5, max_epochs=4.0,
+    )
+    rows = {r["source"]: r for r in plan.collect()}
+    web, code = rows["web"], rows["code"]
+    assert web["n_tokens"] == 900 and code["n_tokens"] == 100
+    assert web["raw_share"] == 0.9 and code["raw_share"] == 0.1
+    # alpha=0.5: shares proportional to sqrt(tokens) -> 30 : 10 = 0.75 : 0.25
+    assert web["temp_share"] == 0.75 and code["temp_share"] == 0.25
+    assert web["planned_tokens"] == 750 and code["planned_tokens"] == 250
+    # code is upsampled 2.5 epochs; web undersampled
+    assert code["epochs"] == 2.5
+    assert abs(web["epochs"] - round(750 / 900, 4)) < 1e-9
+
+
+def test_mix_plan_epoch_cap(spark):
+    from neosync_spark.operators.text import token_count
+
+    plan = temperature_mix_plan(
+        _docs(spark), "source", token_count("text").cast("long"),
+        budget_tokens=100_000, alpha=0.5, max_epochs=4.0,
+    )
+    rows = {r["source"]: r for r in plan.collect()}
+    # code would need 25 epochs; capped at 4
+    assert rows["code"]["epochs"] == 4.0
+    # planned_tokens reports the uncapped plan (budget is not redistributed)
+    assert rows["code"]["planned_tokens"] == 25_000
+
+
+def test_mix_plan_alpha_one_is_proportional(spark):
+    from neosync_spark.operators.text import token_count
+
+    plan = temperature_mix_plan(
+        _docs(spark), "source", token_count("text").cast("long"),
+        budget_tokens=1000, alpha=1.0,
+    )
+    rows = {r["source"]: r for r in plan.collect()}
+    assert rows["web"]["temp_share"] == rows["web"]["raw_share"] == 0.9
+
+
+# ----------------------------------------------------------------- bm25
+
+def _search_corpus(spark):
+    rows = [
+        (1, "merge the window checkpoint merge merge"),
+        (2, "window window window and more window talk"),
+        (3, "checkpoint"),
+        (4, "nothing relevant here at all in this one"),
+        (5, "merge window"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_ranking_and_scores(spark):
+    out = bm25_topk(
+        _search_corpus(spark), "text", "doc_id",
+        ["merge", "window", "checkpoint"], k=10,
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    # doc 4 matches nothing -> absent
+    assert 4 not in got
+    assert len(out) == 4
+    # doc 1 hits all three terms and should beat single-term docs
+    assert out[0]["doc_id"] == 1 and got[1]["n_terms_hit"] == 3
+    # hand-computed check for doc 3 (tf=1, dl=1):
+    # N=5, avgdl=(6+7+1+8+2)/5=4.8; df(checkpoint)=2
+    idf = math.log((5 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    s = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 1 / 4.8))
+    assert abs(got[3]["bm25"] - round(s, 4)) < 1e-9
+
+
+def test_bm25_deterministic_tiebreak(spark):
+    rows = [(i, "merge") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, "text", "doc_id", ["merge"], k=5).collect()
+    assert [r["doc_id"] for r in out] == [0, 1, 2, 3, 4]
+
+
+def test_bm25_empty_terms_raises(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        bm25_topk(_search_corpus(spark), "text", "doc_id", [])
