@@ -2046,6 +2046,53 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality scoring: fit token counts on the
+    src0 reference slice, score every document's per-token
+    cross-entropy + OOV fraction under that model (add-0.5
+    smoothing). The low-perplexity tail is the reference-like
+    keep-set."""
+    from neosync_spark.operators.lm import lm_cross_entropy, unigram_lm
+
+    _views(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    model = unigram_lm(docs.filter(F.col("source") == "src0"))
+    return lm_cross_entropy(docs, model, add_k=0.5)
+
+
+def _q_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcripts → supervised fine-tuning pairs over the replayed
+    final state: every assistant turn becomes (context, target) with
+    the context left-truncated at whole-turn granularity to a 200-char
+    budget."""
+    from neosync_spark.operators.conversations import sft_examples
+    from neosync_spark.operators.dedup import lww_dedup
+
+    log = _derived_log(spark, sf_dir)
+    alive = lww_dedup(log, ["conv_id", "turn_idx"], ["ts", "lsn"]).filter(
+        F.col("op") != "delete"
+    )
+    return sft_examples(alive, context_budget_chars=200)
+
+
+def _q_template_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-conversation template detection over the final state: the
+    per-event ordinal is stripped first (text carries a unique '#lsn'
+    marker by construction) so the structural templates underneath
+    recur and the detector has real work."""
+    from neosync_spark.operators.conversations import template_turns
+    from neosync_spark.operators.dedup import lww_dedup
+
+    log = _derived_log(spark, sf_dir)
+    alive = lww_dedup(log, ["conv_id", "turn_idx"], ["ts", "lsn"]).filter(
+        F.col("op") != "delete"
+    )
+    stripped = alive.withColumn(
+        "text", F.regexp_replace("text", "#[0-9]+ ", "")
+    )
+    return template_turns(stripped, min_convs=3)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2127,6 +2174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lateness_stats": _q_lateness_stats,
         "corpus_mix_plan": _q_mix_plan,
         "text_bm25_search": _q_bm25_search,
+        "corpus_lm_score": _q_lm_score,
+        "transcript_sft_examples": _q_sft_examples,
+        "transcript_template_turns": _q_template_turns,
         "json_anonymize": _q_json_anonymize,
         "default_transforms": _q_default_transforms,
         "identity_scramble": _q_identity_scramble,
@@ -2421,6 +2471,96 @@ def oracle_sql() -> dict[str, str]:
             FROM per_doc
             ORDER BY score DESC, doc_id
             LIMIT 10
+        """,
+        "corpus_lm_score": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS token
+              FROM documents
+            ), model AS (
+              SELECT token, count(*) AS c
+              FROM toks JOIN documents USING (doc_id)
+              WHERE source = 'src0'
+              GROUP BY token
+            ), g AS (
+              SELECT CAST(sum(c) AS DOUBLE) AS T,
+                     CAST(count(*) AS DOUBLE) AS V
+              FROM model
+            ), tf AS (
+              SELECT doc_id, token, count(*) AS tf
+              FROM toks GROUP BY doc_id, token
+            ), j AS (
+              SELECT tf.doc_id, tf.tf, (m.c IS NULL) AS oov,
+                     ln(g.T + 0.5 * (g.V + 1))
+                       - ln(COALESCE(m.c, 0) + 0.5) AS nll
+              FROM tf LEFT JOIN model m USING (token) CROSS JOIN g
+            ), sc AS (
+              SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                     sum(CASE WHEN oov THEN tf ELSE 0 END) * 1.0
+                       / sum(tf) AS ofr,
+                     sum(nll * tf) / sum(tf) AS ce
+              FROM j GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(n_tokens, 0) AS n_tokens,
+                   floor(ofr * 1e4 + 0.5) / 1e4 AS oov_frac,
+                   floor(ce * 1e4 + 0.5) / 1e4 AS cross_entropy,
+                   floor(ce / 0.6931471805599453 * 1e4 + 0.5) / 1e4
+                     AS bits_per_token
+            FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
+        "transcript_sft_examples": f"""
+            WITH alive AS (
+              SELECT * FROM ({lww})
+              WHERE op <> 'delete' AND text IS NOT NULL
+            ), t AS (
+              SELECT conv_id AS c, turn_idx AS t, role AS r, text AS x
+              FROM alive
+            ), tgt AS (
+              SELECT * FROM t WHERE r = 'assistant'
+            ), pairs AS (
+              SELECT g.c, g.t AS gt, p.t AS pt, p.r, p.x,
+                     length(p.r) + 2 + length(p.x) + 1 AS cost
+              FROM tgt g JOIN t p ON p.c = g.c AND p.t < g.t
+            ), sfx AS (
+              SELECT c, gt, pt, r, x,
+                     sum(cost) OVER (
+                       PARTITION BY c, gt ORDER BY pt DESC
+                     ) AS sufsum
+              FROM pairs
+            ), ctx AS (
+              SELECT c, gt, count(*) AS k,
+                     string_agg(r || ': ' || x, chr(10) ORDER BY pt)
+                       AS context
+              FROM sfx WHERE sufsum <= 201
+              GROUP BY c, gt
+            )
+            SELECT g.c AS conv_id, g.t AS turn_idx,
+                   COALESCE(k, 0) AS n_context_turns,
+                   length(COALESCE(context, '')) AS context_chars,
+                   COALESCE(context, '') AS context,
+                   g.x AS target
+            FROM tgt g
+            LEFT JOIN ctx ON ctx.c = g.c AND ctx.gt = g.t
+        """,
+        "transcript_template_turns": f"""
+            WITH alive AS (
+              SELECT * FROM ({lww})
+              WHERE op <> 'delete' AND text IS NOT NULL
+            ), t AS (
+              SELECT role,
+                     trim(regexp_replace(
+                       lower(regexp_replace(text, '#[0-9]+ ', '', 'g')),
+                       '\\s+', ' ', 'g')) AS x,
+                     conv_id
+              FROM alive
+            )
+            SELECT role, md5(x) AS text_md5, min(x) AS sample_text,
+                   count(DISTINCT conv_id) AS n_convs,
+                   count(*) AS n_occurrences
+            FROM t GROUP BY role, x
+            HAVING count(DISTINCT conv_id) >= 3
         """,
         "mask_email": """
             WITH e AS (

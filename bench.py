@@ -65,6 +65,12 @@ BENCH_QUERIES = [
     "dedup_exact_spans",
     "ann_pq_topk",
     "transcript_tool_calls",
+    "cdc_lateness_stats",
+    "corpus_mix_plan",
+    "text_bm25_search",
+    "corpus_lm_score",
+    "transcript_sft_examples",
+    "transcript_template_turns",
 ]
 
 

@@ -195,3 +195,130 @@ def tool_call_stats(
             ).alias("mean_arg_chars"),
         )
     )
+
+
+def sft_examples(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    context_budget_chars: int = 2048,
+    target_role: str = "assistant",
+) -> DataFrame:
+    """Explode conversations into supervised fine-tuning pairs — the
+    transcripts-to-training-data conversion: every ``target_role`` turn
+    becomes one example whose ``target`` is that turn's text and whose
+    ``context`` is the maximal SUFFIX of prior turns (formatted
+    ``role: text``, joined by newline) fitting ``context_budget_chars``
+    — left truncation at whole-turn granularity, the standard chat-SFT
+    windowing. Turns with NULL text are dropped before pairing (they
+    can neither be targets nor context).
+
+    Returns ``(conv_id, turn_idx, n_context_turns, context_chars,
+    context, target)``; examples with no prior in-budget turn keep an
+    empty context (a first-turn assistant greeting still trains).
+
+    Scale shape: ONE shuffle on the conversation key; each
+    conversation's turns are assembled with ``collect_list`` +
+    ``sort_array`` (conversation-local, bounded by turn count — the
+    same boundedness every chat format assumes), then targets explode
+    and the suffix fit is a single O(turns) JVM ``aggregate`` fold per
+    target. No Python, no window over the exploded rows.
+
+    The cost model is exact: a suffix of k formatted turns occupies
+    ``sum(len(f_i)) + (k-1)`` chars, so a turn joins the context iff
+    its suffix total of ``len(f_i)+1`` stays within ``budget+1``
+    (monotone in k ⇒ the maximal suffix is per-element checkable).
+    """
+    b1 = int(context_budget_chars) + 1
+    turns = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(conv_col).alias("_c"),
+        F.struct(
+            F.col(turn_col).cast("long").alias("t"),
+            F.col(role_col).alias("r"),
+            F.col(text_col).alias("x"),
+        ).alias("_s"),
+    )
+    conv = turns.groupBy("_c").agg(
+        F.sort_array(F.collect_list("_s")).alias("_ts")
+    )
+    ex = conv.select(
+        "_c", "_ts", F.posexplode("_ts").alias("_p", "_t")
+    ).filter(F.col("_t")["r"] == target_role)
+    # prior turns, their join costs (len('role: text') + 1 separator),
+    # and the maximal in-budget suffix length k via one fold that
+    # latches on overflow (acc pinned past budget so a later small
+    # element can't re-enter a broken suffix)
+    prior = F.slice("_ts", 1, F.col("_p"))
+    kept = F.expr(
+        f"""
+        aggregate(
+          reverse(transform(slice(_ts, 1, _p),
+                            s -> length(s.r) + 2 + length(s.x) + 1)),
+          named_struct('acc', CAST(0 AS BIGINT), 'k', 0),
+          (st, c) -> IF(st.acc + c <= {b1},
+                        named_struct('acc', st.acc + c, 'k', st.k + 1),
+                        named_struct('acc', CAST({b1 + 1} AS BIGINT), 'k', st.k)),
+          st -> st.k)
+        """
+    )
+    win = F.slice(prior, F.col("_p") - F.col("_k") + 1, F.col("_k"))
+    ctx = F.concat_ws(
+        "\n", F.transform(win, lambda s: F.concat(s["r"], F.lit(": "), s["x"]))
+    )
+    return (
+        ex.withColumn("_k", kept)
+        .select(
+            F.col("_c").alias(conv_col),
+            F.col("_t")["t"].alias(turn_col),
+            F.col("_k").cast("long").alias("n_context_turns"),
+            F.length(ctx).cast("long").alias("context_chars"),
+            ctx.alias("context"),
+            F.col("_t")["x"].alias("target"),
+        )
+    )
+
+
+def template_turns(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_convs: int = 3,
+) -> DataFrame:
+    """Cross-conversation template detection: turns whose normalized
+    text (lowercased, whitespace collapsed) recurs across at least
+    ``min_convs`` DISTINCT conversations — canned greetings, refusal
+    boilerplate, scripted system prompts. Within-conversation repeats
+    are a degeneracy signal (``conversation_quality_flags``); ACROSS
+    conversations the same repeat is templating, and a template turn's
+    weight in a training mix should be its conversation count, not its
+    raw frequency.
+
+    Returns one row per ``(role, text_md5)`` template: ``(role,
+    text_md5, sample_text, n_convs, n_occurrences)``.
+
+    Scale shape: normalize + md5 JVM-side, one hash-agg on
+    ``(role, md5)`` with map-side combine (count + count_distinct conv
+    + min text); no joins, no windows — the same one-shuffle shape as
+    exact dedup, keyed a level finer.
+    """
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    )
+    t = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(role_col).alias("role"),
+        F.md5(norm).alias("text_md5"),
+        norm.alias("_x"),
+        F.col(conv_col).alias("_c"),
+    )
+    return (
+        t.groupBy("role", "text_md5")
+        .agg(
+            F.min("_x").alias("sample_text"),
+            F.count_distinct("_c").alias("n_convs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_convs") >= int(min_convs))
+    )
