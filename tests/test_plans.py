@@ -219,3 +219,68 @@ def test_pq_adc_scan_is_jvm_after_encode(spark):
     plan = _plan(pq_topk(emb, "embedding", "vec_id", q, k=5, codebooks=cb))
     assert plan.count("ArrowEvalPython") == 1  # encode only
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_postings_filtered_before_shuffle(spark):
+    """The query-term filter must sit under the (doc, term) exchange —
+    at most |terms| postings lists survive into any shuffle — and the
+    df/stats joins must broadcast. Pure JVM throughout."""
+    from neosync_spark.operators.text import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(bm25_topk(docs, "text", "doc_id", ["merge", "window"], k=5))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the IN (<terms>) filter must sit DIRECTLY above each explode —
+    # i.e. applied the moment a token exists, before any exchange sees
+    # the fan-out (tree positions across branches aren't comparable,
+    # so assert the adjacency, not a global index)
+    lines = plan.splitlines()
+    filt = [i for i, l in enumerate(lines) if "Filter _t#" in l and "IN (merge,window)" in l]
+    assert filt, plan
+    for i in filt:
+        assert "Generate explode" in lines[i + 1], lines[i : i + 2]
+
+
+def test_lm_score_model_broadcast_and_partial_agg(spark):
+    """Model join broadcasts by default; doc tokens pre-aggregate to
+    (doc, token, tf) with map-side combine before the join; no Python."""
+    from neosync_spark.operators.lm import lm_cross_entropy, unigram_lm
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = unigram_lm(docs.filter("source = 'src0'"))
+    plan = _plan(lm_cross_entropy(docs, model))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("partial_count") + plan.count("partial_sum") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sft_examples_single_conv_shuffle(spark):
+    """SFT assembly is one shuffle on the conversation key (the
+    collect_list agg); the suffix fit is a JVM fold over the collected
+    array — no window over exploded rows, no Python stage."""
+    from neosync_spark.operators.conversations import sft_examples
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "hi"), ("c1", 1, "assistant", "yo")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    plan = _plan(sft_examples(df))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lateness_stats_partial_agg_after_window(spark):
+    """One conv_id exchange feeds both the high-water-mark window and
+    the rollup agg; the final agg still map-side combines."""
+    from neosync_spark.operators.sessions import lateness_stats
+
+    df = spark.createDataFrame(
+        [("a", 1, "2024-01-01 00:00:10")],
+        "conv_id string, lsn long, ts string",
+    )
+    plan = _plan(lateness_stats(df))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_max" in plan or "partial_count" in plan

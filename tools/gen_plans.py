@@ -183,6 +183,30 @@ def main() -> None:
         "distance table; TakeOrderedAndProject finishes the top-k.",
     )
 
+    cap(
+        "BM25 top-k search",
+        E.queries()["text_bm25_search"](spark, SF),
+        "the IN(query-terms) filter sits directly above each token "
+        "explode — at most |terms| postings lists reach any exchange; "
+        "df and corpus stats join broadcast; TakeOrderedAndProject "
+        "finishes; zero Python.",
+    )
+    cap(
+        "Unigram LM scoring (CCNet-style)",
+        E.queries()["corpus_lm_score"](spark, SF),
+        "the model (vocab-bounded count table) joins broadcast; doc "
+        "tokens pre-aggregate to (doc, token, tf) with map-side "
+        "combine before meeting it; the one-row T/V globals ride a "
+        "broadcast nested-loop; zero Python.",
+    )
+    cap(
+        "SFT example extraction",
+        E.queries()["transcript_sft_examples"](spark, SF),
+        "one conversation-key exchange total (the collect_list agg); "
+        "the budget fit is an O(turns) JVM aggregate fold per target — "
+        "no window over exploded rows, no Python.",
+    )
+
     hdr = (
         "# PLANS — formatted physical plans of load-bearing operators\n\n"
         "Generated by tools/gen_plans.py (`df.explain('formatted')` at sf0.001).\n"
