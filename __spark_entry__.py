@@ -2093,6 +2093,15 @@ def _q_template_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return template_turns(stripped, min_convs=3)
 
 
+def _q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC pipeline health: hourly event-rate z-scores per operation
+    type over the change log — the delete-storm / replay-loop pager."""
+    from neosync_spark.operators.monitor import op_rate_anomalies
+
+    log = _derived_log(spark, sf_dir)
+    return op_rate_anomalies(log, bucket="hour", z_threshold=3.0)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2177,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_lm_score": _q_lm_score,
         "transcript_sft_examples": _q_sft_examples,
         "transcript_template_turns": _q_template_turns,
+        "cdc_rate_anomalies": _q_rate_anomalies,
         "json_anonymize": _q_json_anonymize,
         "default_transforms": _q_default_transforms,
         "identity_scramble": _q_identity_scramble,
@@ -2471,6 +2481,28 @@ def oracle_sql() -> dict[str, str]:
             FROM per_doc
             ORDER BY score DESC, doc_id
             LIMIT 10
+        """,
+        "cdc_rate_anomalies": f"""
+            WITH per AS (
+              SELECT op, date_trunc('hour', ts) AS b,
+                     count(*) AS n_events
+              FROM {log} GROUP BY op, b
+            ), s AS (
+              SELECT op, b, n_events,
+                     avg(n_events) OVER (PARTITION BY op) AS mean,
+                     stddev_pop(n_events) OVER (PARTITION BY op) AS sd
+              FROM per
+            )
+            SELECT op, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   n_events,
+                   floor(mean * 1e4 + 0.5) / 1e4 AS mean_rate,
+                   CASE WHEN sd > 0
+                        THEN floor((n_events - mean) / sd * 1e4 + 0.5) / 1e4
+                   END AS z_score,
+                   COALESCE(CASE WHEN sd > 0
+                                 THEN abs((n_events - mean) / sd) > 3.0
+                            END, FALSE) AS anomalous
+            FROM s
         """,
         "corpus_lm_score": """
             WITH toks AS (

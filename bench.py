@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "corpus_lm_score",
     "transcript_sft_examples",
     "transcript_template_turns",
+    "cdc_rate_anomalies",
 ]
 
 

@@ -149,3 +149,31 @@ def test_bm25_empty_terms_raises(spark):
 
     with pytest.raises(ValueError):
         bm25_topk(_search_corpus(spark), "text", "doc_id", [])
+
+
+# ---------------------------------------------------------- rate anomalies
+
+def test_rate_anomalies(spark):
+    from neosync_spark.operators.monitor import op_rate_anomalies
+
+    rows = []
+    # insert: 1/hour for 10 hours, then a 100-event spike in hour 10
+    for h in range(10):
+        rows.append(("insert", f"2024-01-01 {h:02d}:30:00"))
+    rows += [("insert", "2024-01-01 10:30:00")] * 100
+    # delete: perfectly flat -> stddev 0 -> NULL z, never anomalous
+    for h in range(5):
+        rows.append(("delete", f"2024-01-01 {h:02d}:15:00"))
+    df = spark.createDataFrame(rows, "op string, ts string")
+    out = op_rate_anomalies(df, bucket="hour", z_threshold=3.0).collect()
+    ins = {r["bucket_ts"]: r for r in out if r["op"] == "insert"}
+    assert len(ins) == 11
+    spike = ins["2024-01-01 10:00:00"]
+    assert spike["n_events"] == 100 and spike["anomalous"]
+    # mean = (10*1 + 100)/11 = 10.0
+    assert spike["mean_rate"] == 10.0
+    assert spike["z_score"] > 3.0
+    normal = ins["2024-01-01 05:00:00"]
+    assert not normal["anomalous"] and normal["z_score"] < 0
+    dels = [r for r in out if r["op"] == "delete"]
+    assert all(r["z_score"] is None and not r["anomalous"] for r in dels)
