@@ -2093,6 +2093,48 @@ def _q_template_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return template_turns(stripped, min_convs=3)
 
 
+def _q_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering end-to-end: replay the log, compact every
+    bucket with a (turn_idx, ts) Morton interleave into small files,
+    then read with a stats_filter on turn_idx — the NON-leading
+    dimension a key sort can't serve. The pruned read must be exactly
+    the alive LWW winners in the turn range (test_zorder asserts the
+    file-count drop; here the oracle asserts the values)."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    batch = max(1000, (hi + 4) // 4)
+
+    path = tempfile.mkdtemp(prefix="ns_cdc_zorder_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=8
+    )
+    eng = ReplayEngine(
+        spark,
+        table,
+        config=EngineConfig(
+            batch_lsn_size=batch, lineage=False, merge_mode="mor"
+        ),
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    eng.replay(slicer, lsn_lo=0, lsn_hi=hi)
+    table.compact(
+        buckets=list(range(8)),
+        zorder_cols=["turn_idx", "ts"],
+        max_records_per_file=200,
+    )
+    out = table.read(stats_filter={"turn_idx": (3, 6)})
+    return out.select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
 def _q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC pipeline health: hourly event-rate z-scores per operation
     type over the change log — the delete-storm / replay-loop pager."""
@@ -2187,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_sft_examples": _q_sft_examples,
         "transcript_template_turns": _q_template_turns,
         "cdc_rate_anomalies": _q_rate_anomalies,
+        "cdc_zorder_pruned_read": _q_zorder_pruned_read,
         "json_anonymize": _q_json_anonymize,
         "default_transforms": _q_default_transforms,
         "identity_scramble": _q_identity_scramble,
@@ -2481,6 +2524,13 @@ def oracle_sql() -> dict[str, str]:
             FROM per_doc
             ORDER BY score DESC, doc_id
             LIMIT 10
+        """,
+        "cdc_zorder_pruned_read": f"""
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM ({lww})
+            WHERE rn = 1 AND op <> 'delete'
+              AND turn_idx BETWEEN 3 AND 6
         """,
         "cdc_rate_anomalies": f"""
             WITH per AS (

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "transcript_sft_examples",
     "transcript_template_turns",
     "cdc_rate_anomalies",
+    "cdc_zorder_pruned_read",
 ]
 
 

@@ -108,6 +108,14 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--max-records-per-file", type=int, default=None,
                    help="split each bucket into several key-clustered "
                         "files so per-file zone maps prune point lookups")
+    c.add_argument("--zorder", default=None, metavar="COL,COL",
+                   help="cluster by the Morton interleave of these "
+                        "columns instead of the key sort (Delta "
+                        "OPTIMIZE ZORDER analog); zone maps then "
+                        "prune scans on ANY clustered column")
+    c.add_argument("--zorder-bits", type=int, default=4,
+                   help="rank-bucket bits per z-ordered column (2^bits "
+                        "equi-depth buckets each)")
     c.add_argument("--auto", action="store_true",
                    help="compact only buckets selected by the pressure "
                         "policy (worst first) instead of every bucket "
@@ -341,6 +349,8 @@ def main(argv: list[str] | None = None) -> int:
             buckets=buckets,
             sort_by_key=args.sort_by_key,
             max_records_per_file=args.max_records_per_file,
+            zorder_cols=args.zorder.split(",") if args.zorder else None,
+            zorder_bits=args.zorder_bits,
         )
         out = {
             "compacted": bool(info),

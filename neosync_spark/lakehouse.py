@@ -1328,6 +1328,8 @@ class SnapshotTable:
         expire_tombstones_before=None,
         sort_by_key: bool = False,
         max_records_per_file: int | None = None,
+        zorder_cols: Sequence[str] | None = None,
+        zorder_bits: int = 4,
     ) -> CommitInfo | None:
         """Fold delta files into base files (LWW resolved once, at
         write). Optionally expire tombstones with ts older than the
@@ -1344,10 +1346,31 @@ class SnapshotTable:
         writer splits each bucket into several files along that sort
         order — each file then covers a contiguous key range, so the
         manifest's per-FILE zone maps (not just row groups) prune point
-        lookups down to ~one file per bucket."""
+        lookups down to ~one file per bucket.
+
+        ``zorder_cols`` clusters by the Morton interleave of those
+        columns instead (Delta OPTIMIZE ZORDER analog, see
+        ``operators/zorder.py``): with ``max_records_per_file`` each
+        file covers a small z-cell, so zone maps prune scans filtered
+        on ANY clustered column, not just the sort leader. The
+        clustered columns are added to the manifest's ``stats_cols``
+        so this and every future commit records their per-file
+        min/max. Mutually exclusive with ``sort_by_key``."""
+        if zorder_cols and sort_by_key:
+            raise ValueError(
+                "compact: sort_by_key and zorder_cols are exclusive — "
+                "a file has one physical order"
+            )
         m = self.manifest(refresh=True)
         if buckets is None:
-            buckets = sorted(self.delta_file_counts())
+            if sort_by_key or zorder_cols:
+                # an explicit clustering request targets the whole
+                # table — a fully-COW table has no deltas to fold but
+                # still wants the rewrite (silent no-op surprise
+                # otherwise)
+                buckets = sorted(int(b) for b in self.manifest()["files"])
+            else:
+                buckets = sorted(self.delta_file_counts())
         buckets = [int(b) for b in buckets]
         if not buckets:
             return None
@@ -1374,6 +1397,17 @@ class SnapshotTable:
             # sort is the one that survives and files come out
             # key-clustered.
             out = out.sortWithinPartitions(_BUCKET_COL, *m["key_cols"])
+        elif zorder_cols:
+            # sort on the z EXPRESSION directly (no helper column: it
+            # would land in the data files and change the schema);
+            # same leading-bucket trick as above
+            from .operators.zorder import zorder_sort_key
+
+            z = zorder_sort_key(out, list(zorder_cols), zorder_bits)
+            out = out.sortWithinPartitions(F.col(_BUCKET_COL), z)
+        stats_cols = self._stats_cols(m)
+        if zorder_cols:
+            stats_cols = sorted(set(stats_cols) | set(zorder_cols))
         writer = out.write
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
@@ -1382,7 +1416,7 @@ class SnapshotTable:
         for b in buckets:
             new_files[str(b)] = []
         written_c = self._list_commit_files(commit_dir)
-        fstats = self._collect_file_stats(written_c, self._stats_cols(m))
+        fstats = self._collect_file_stats(written_c, stats_cols)
         for b, paths in written_c.items():
             new_files[str(b)] = [
                 {"path": p, "schema_id": m["schema_id"],
@@ -1395,6 +1429,7 @@ class SnapshotTable:
             "snapshot_id": new_sid,
             "parent": m["snapshot_id"],
             "files": new_files,
+            "stats_cols": stats_cols,
             "summary": {"operation": "compact", "buckets": len(buckets)},
         }
         self._write_manifest(new_m)
