@@ -2106,17 +2106,20 @@ def _q_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     log = _derived_log(spark, sf_dir)
     hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
-    batch = max(1000, (hi + 4) // 4)
+    batch = hi + 2  # one epoch: multi-batch replay has its own gates
 
     path = tempfile.mkdtemp(prefix="ns_cdc_zorder_")
     table = SnapshotTable.create(
         spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=8
     )
+    # COW + no prune pre-pass: uniform derived keys touch every bucket
+    # (same reasoning as the flagship); the MoR pruning path has its
+    # own gate entry (cdc_stats_pruned_read)
     eng = ReplayEngine(
         spark,
         table,
         config=EngineConfig(
-            batch_lsn_size=batch, lineage=False, merge_mode="mor"
+            batch_lsn_size=batch, lineage=False, prune_buckets=False
         ),
     )
 

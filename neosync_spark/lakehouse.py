@@ -1400,9 +1400,12 @@ class SnapshotTable:
         elif zorder_cols:
             # sort on the z EXPRESSION directly (no helper column: it
             # would land in the data files and change the schema);
-            # same leading-bucket trick as above
+            # same leading-bucket trick as above. The input is
+            # persisted first: the quantile job AND the write would
+            # otherwise each re-run the (possibly MoR-LWW) read.
             from .operators.zorder import zorder_sort_key
 
+            persisted = out = out.persist()
             z = zorder_sort_key(out, list(zorder_cols), zorder_bits)
             out = out.sortWithinPartitions(F.col(_BUCKET_COL), z)
         stats_cols = self._stats_cols(m)
@@ -1412,6 +1415,8 @@ class SnapshotTable:
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
         writer.partitionBy(_BUCKET_COL).parquet(commit_dir)
+        if zorder_cols:
+            persisted.unpersist()
         new_files = {b: list(v) for b, v in m["files"].items()}
         for b in buckets:
             new_files[str(b)] = []

@@ -819,7 +819,10 @@ def bm25_topk(
     terms = sorted(set(t.lower() for t in query_terms))
     if not terms:
         raise ValueError("query_terms must be non-empty")
-    base = df.select(
+    # spread the tokenize/explode across the cluster even when the
+    # corpus arrives as few input files (the single-input-task trap)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("_id"),
         _tokens(F.lower(F.col(content_col))).alias("_tk"),
     )
@@ -833,6 +836,9 @@ def bm25_topk(
             / F.count(F.lit(1)).cast("double")
         ).alias("_avgdl"),
     )
+    # persisted: df-per-term AND scoring both read it — without the
+    # persist the whole scan+explode subtree runs twice (it is tiny:
+    # at most |matching docs|·|terms| rows)
     hits = (
         base.select("_id", F.size("_tk").cast("double").alias("_dl"),
                     F.explode("_tk").alias("_t"))
@@ -840,7 +846,7 @@ def bm25_topk(
         .groupBy("_id", "_t")
         .agg(F.count(F.lit(1)).cast("double").alias("_tf"),
              F.first("_dl").alias("_dl"))
-    )
+    ).persist()
     dfreq = hits.groupBy("_t").agg(
         F.count(F.lit(1)).cast("double").alias("_df")
     )

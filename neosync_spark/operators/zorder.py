@@ -52,10 +52,10 @@ def zorder_bounds(
     n = 1 << bits
     casted = df.select(*[_to_double(df, c).alias(c) for c in cols])
     qs = [i / n for i in range(1, n)]
-    return {
-        c: sorted(set(casted.stat.approxQuantile(c, qs, 0.001)))
-        for c in cols
-    }
+    # ONE multi-column approxQuantile call: one job over the input,
+    # not one per clustered column
+    all_cuts = casted.stat.approxQuantile(list(cols), qs, 0.001)
+    return {c: sorted(set(cuts)) for c, cuts in zip(cols, all_cuts)}
 
 
 def zorder_expr(
