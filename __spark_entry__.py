@@ -2482,8 +2482,10 @@ def oracle_sql() -> dict[str, str]:
                    floor(raw * 1e4 + 0.5) / 1e4 AS raw_share,
                    floor(tmp * 1e4 + 0.5) / 1e4 AS temp_share,
                    CAST(floor(tmp * 1000000.0 + 0.5) AS BIGINT) AS planned_tokens,
-                   floor(least(CAST(floor(tmp * 1000000.0 + 0.5) AS BIGINT)
-                               / CAST(n_tokens AS DOUBLE), 4.0) * 1e4 + 0.5)
+                   floor(CASE WHEN n_tokens > 0 THEN
+                           least(CAST(floor(tmp * 1000000.0 + 0.5) AS BIGINT)
+                                 / CAST(n_tokens AS DOUBLE), 4.0)
+                         ELSE 0.0 END * 1e4 + 0.5)
                      / 1e4 AS epochs
             FROM s
         """,
@@ -2536,10 +2538,23 @@ def oracle_sql() -> dict[str, str]:
               AND turn_idx BETWEEN 3 AND 6
         """,
         "cdc_rate_anomalies": f"""
-            WITH per AS (
+            WITH per0 AS (
               SELECT op, date_trunc('hour', ts) AS b,
                      count(*) AS n_events
               FROM {log} GROUP BY op, b
+            ), span AS (
+              SELECT date_trunc('hour', min(ts)) AS lo,
+                     date_trunc('hour', max(ts)) AS hi
+              FROM {log}
+            ), grid AS (
+              SELECT op,
+                     unnest(generate_series(lo, hi, INTERVAL '1 hour'))
+                       AS b
+              FROM (SELECT DISTINCT op FROM {log}) CROSS JOIN span
+            ), per AS (
+              SELECT g.op, g.b, COALESCE(p.n_events, 0) AS n_events
+              FROM grid g
+              LEFT JOIN per0 p ON p.op = g.op AND p.b = g.b
             ), s AS (
               SELECT op, b, n_events,
                      avg(n_events) OVER (PARTITION BY op) AS mean,

@@ -345,13 +345,20 @@ def main(argv: list[str] | None = None) -> int:
                 ))
                 return 0
             buckets = [b for b, _n, _sz in plan]
-        info = t.compact(
-            buckets=buckets,
-            sort_by_key=args.sort_by_key,
-            max_records_per_file=args.max_records_per_file,
-            zorder_cols=args.zorder.split(",") if args.zorder else None,
-            zorder_bits=args.zorder_bits,
-        )
+        try:
+            info = t.compact(
+                buckets=buckets,
+                sort_by_key=args.sort_by_key,
+                max_records_per_file=args.max_records_per_file,
+                zorder_cols=(
+                    [c.strip() for c in args.zorder.split(",") if c.strip()]
+                    if args.zorder else None
+                ),
+                zorder_bits=args.zorder_bits,
+            )
+        except ValueError as e:
+            print(json.dumps({"error": str(e)}))
+            return 1
         out = {
             "compacted": bool(info),
             "snapshot": info.snapshot_id if info else None,

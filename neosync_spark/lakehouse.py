@@ -1368,7 +1368,7 @@ class SnapshotTable:
                 # table — a fully-COW table has no deltas to fold but
                 # still wants the rewrite (silent no-op surprise
                 # otherwise)
-                buckets = sorted(int(b) for b in self.manifest()["files"])
+                buckets = sorted(int(b) for b in m["files"])
             else:
                 buckets = sorted(self.delta_file_counts())
         buckets = [int(b) for b in buckets]
@@ -1388,35 +1388,41 @@ class SnapshotTable:
         )
         n_out = max(1, min(len(buckets), 256))
         out = out.repartition(n_out, F.col(_BUCKET_COL))
-        if sort_by_key:
-            # the partitionBy writer REQUIRES an ordering on the
-            # partition column and plans its own Sort(_bucket) on top,
-            # which would eliminate a bare key sort (files would come
-            # out in scan order — a silent no-op). Leading with the
-            # bucket column satisfies the writer's requirement, so THIS
-            # sort is the one that survives and files come out
-            # key-clustered.
-            out = out.sortWithinPartitions(_BUCKET_COL, *m["key_cols"])
-        elif zorder_cols:
-            # sort on the z EXPRESSION directly (no helper column: it
-            # would land in the data files and change the schema);
-            # same leading-bucket trick as above. The input is
-            # persisted first: the quantile job AND the write would
-            # otherwise each re-run the (possibly MoR-LWW) read.
-            from .operators.zorder import zorder_sort_key
-
-            persisted = out = out.persist()
-            z = zorder_sort_key(out, list(zorder_cols), zorder_bits)
-            out = out.sortWithinPartitions(F.col(_BUCKET_COL), z)
+        persisted = None
         stats_cols = self._stats_cols(m)
         if zorder_cols:
             stats_cols = sorted(set(stats_cols) | set(zorder_cols))
-        writer = out.write
-        if max_records_per_file:
-            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
-        writer.partitionBy(_BUCKET_COL).parquet(commit_dir)
-        if zorder_cols:
-            persisted.unpersist()
+        try:
+            if sort_by_key:
+                # the partitionBy writer REQUIRES an ordering on the
+                # partition column and plans its own Sort(_bucket) on top,
+                # which would eliminate a bare key sort (files would come
+                # out in scan order — a silent no-op). Leading with the
+                # bucket column satisfies the writer's requirement, so THIS
+                # sort is the one that survives and files come out
+                # key-clustered.
+                out = out.sortWithinPartitions(_BUCKET_COL, *m["key_cols"])
+            elif zorder_cols:
+                # sort on the z EXPRESSION directly (no helper column: it
+                # would land in the data files and change the schema);
+                # same leading-bucket trick as above. The input is
+                # persisted first: the quantile job AND the write would
+                # otherwise each re-run the (possibly MoR-LWW) read.
+                from .operators.zorder import zorder_sort_key
+
+                persisted = out = out.persist()
+                z = zorder_sort_key(out, list(zorder_cols), zorder_bits)
+                out = out.sortWithinPartitions(F.col(_BUCKET_COL), z)
+            writer = out.write
+            if max_records_per_file:
+                writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+            writer.partitionBy(_BUCKET_COL).parquet(commit_dir)
+        finally:
+            # release even when the sort-key build or write throws (a
+            # string --zorder column, a full disk): the cached read is
+            # the whole targeted bucket set
+            if persisted is not None:
+                persisted.unpersist()
         new_files = {b: list(v) for b, v in m["files"].items()}
         for b in buckets:
             new_files[str(b)] = []

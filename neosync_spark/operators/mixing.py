@@ -224,6 +224,11 @@ def temperature_mix_plan(
     """
     from ..util import round_half_up
 
+    if not 0.0 < alpha <= 1.0:
+        # alpha=0 would give a zero-token source pow(0,0)=1 positive
+        # share — a plan that draws from an empty source; >1 is
+        # anti-smoothing no published recipe uses
+        raise ValueError("temperature_mix_plan: alpha must be in (0, 1]")
     tok = F.col(token_count) if isinstance(token_count, str) else token_count
     per = docs.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -242,10 +247,14 @@ def temperature_mix_plan(
     planned = F.floor(
         F.col("_tmp") * F.lit(float(budget_tokens)) + F.lit(0.5)
     ).cast("long")
-    epochs = F.least(
-        planned.cast("double") / F.col("n_tokens").cast("double"),
-        F.lit(float(max_epochs)),
-    )
+    epochs = F.when(
+        F.col("n_tokens") > 0,
+        F.least(
+            planned.cast("double") / F.col("n_tokens").cast("double"),
+            F.lit(float(max_epochs)),
+        ),
+    ).otherwise(F.lit(0.0))  # empty source: nothing to draw (and the
+    # bare division would be NULL in Spark but inf in DuckDB)
     return shared.select(
         "source",
         "n_docs",

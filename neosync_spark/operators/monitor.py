@@ -40,12 +40,36 @@ def op_rate_anomalies(
     DuckDB define identically — the sample variant's n−1 denominator
     is an arbitrary choice for a complete (not sampled) log. Floats
     rounded to 4 decimals (half-up).
+
+    Empty buckets are GAP-FILLED: every op gets a row for every bucket
+    in the log's global time range, with ``n_events = 0`` — a total
+    outage is the loudest anomaly there is, and a groupBy alone would
+    silently omit exactly those buckets. The grid is |ops| × |buckets|
+    rows built from one 1-row min/max aggregate — never corpus-sized.
     """
     b = F.date_trunc(bucket, F.col(ts_col).cast("timestamp"))
-    per = (
+    observed = (
         log.select(F.col(op_col).alias("op"), b.alias("_b"))
         .groupBy("op", "_b")
         .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    span = log.agg(
+        F.date_trunc(bucket, F.min(F.col(ts_col).cast("timestamp"))).alias("_lo"),
+        F.date_trunc(bucket, F.max(F.col(ts_col).cast("timestamp"))).alias("_hi"),
+    )
+    grid = (
+        log.select(F.col(op_col).alias("op"))
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "op",
+            F.explode(
+                F.expr(f"sequence(_lo, _hi, interval 1 {bucket})")
+            ).alias("_b"),
+        )
+    )
+    per = grid.join(observed, ["op", "_b"], "left").select(
+        "op", "_b", F.coalesce("n_events", F.lit(0)).alias("n_events")
     )
     w = Window.partitionBy("op")
     mean = F.avg("n_events").over(w)

@@ -838,7 +838,9 @@ def bm25_topk(
     )
     # persisted: df-per-term AND scoring both read it — without the
     # persist the whole scan+explode subtree runs twice (it is tiny:
-    # at most |matching docs|·|terms| rows)
+    # at most |matching docs|·|terms| rows). Like the winnow cache
+    # above, the entry lives until the session ends or the caller
+    # clearCache()s — bounded by |terms| postings lists, not corpus.
     hits = (
         base.select("_id", F.size("_tk").cast("double").alias("_dl"),
                     F.explode("_tk").alias("_t"))

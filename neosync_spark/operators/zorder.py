@@ -66,8 +66,10 @@ def zorder_expr(
     """The Morton value as a pure JVM Column: per column, bucket =
     #cutpoints below the value (NULLs bucket 0, sorting first, like a
     SQL NULLS FIRST); then bit i of column j lands at position
-    ``i·ncols + j`` of the z-value."""
-    cols = sorted(bounds)
+    ``i·ncols + j`` of the z-value — j follows the CALLER's column
+    order (``bounds`` insertion order), so the first-listed column
+    takes the lower interleave position, as Delta's ZORDER BY does."""
+    cols = list(bounds)
     z = F.lit(0).cast("long")
     for j, c in enumerate(cols):
         v = _to_double(df, c)

@@ -161,8 +161,9 @@ def test_rate_anomalies(spark):
     for h in range(10):
         rows.append(("insert", f"2024-01-01 {h:02d}:30:00"))
     rows += [("insert", "2024-01-01 10:30:00")] * 100
-    # delete: perfectly flat -> stddev 0 -> NULL z, never anomalous
-    for h in range(5):
+    # delete: perfectly flat over the WHOLE global span (gap-fill
+    # would zero-fill any missing hour) -> stddev 0 -> NULL z
+    for h in range(11):
         rows.append(("delete", f"2024-01-01 {h:02d}:15:00"))
     df = spark.createDataFrame(rows, "op string, ts string")
     out = op_rate_anomalies(df, bucket="hour", z_threshold=3.0).collect()
@@ -177,3 +178,20 @@ def test_rate_anomalies(spark):
     assert not normal["anomalous"] and normal["z_score"] < 0
     dels = [r for r in out if r["op"] == "delete"]
     assert all(r["z_score"] is None and not r["anomalous"] for r in dels)
+
+
+def test_rate_anomalies_gap_fill_flags_outage(spark):
+    """A total outage must surface as zero-count buckets (and can be
+    anomalous), not silently vanish from the grid."""
+    from neosync_spark.operators.monitor import op_rate_anomalies
+
+    rows = []
+    for h in range(10):          # steady 20/hour...
+        rows += [("insert", f"2024-01-01 {h:02d}:30:00")] * 20
+    rows.append(("insert", "2024-01-01 15:30:00"))  # ...gap, then one event
+    df = spark.createDataFrame(rows, "op string, ts string")
+    out = {r["bucket_ts"]: r for r in op_rate_anomalies(df, bucket="hour").collect()}
+    # 16 buckets: 00..15 inclusive, the 10..14 outage gap-filled
+    assert len(out) == 16
+    gap = out["2024-01-01 12:00:00"]
+    assert gap["n_events"] == 0 and gap["z_score"] < 0
