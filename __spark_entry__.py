@@ -2138,6 +2138,41 @@ def _q_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment via the as-of join: every alive turn
+    gets the most recent delete event (a conversation wipe marker) at
+    or before its timestamp in the same conversation — the union-merge
+    window implementation vs DuckDB's native ASOF JOIN."""
+    from neosync_spark.operators.asof import asof_join
+    from neosync_spark.operators.dedup import lww_dedup
+
+    log = _derived_log(spark, sf_dir)
+    alive = lww_dedup(log, ["conv_id", "turn_idx"], ["ts", "lsn"]).filter(
+        F.col("op") != "delete"
+    )
+    dels = (
+        log.filter(F.col("op") == "delete")
+        .groupBy("conv_id", "ts")
+        .agg(F.max("lsn").alias("lsn"))
+    )
+    out = asof_join(
+        alive.select("conv_id", "turn_idx", "ts"),
+        dels,
+        on="conv_id",
+        right_cols=["lsn"],
+        prefix="last_wipe_",
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        _fmt_ts("ts"),
+        "last_wipe_lsn",
+        F.date_format("last_wipe_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "last_wipe_ts_s"
+        ),
+    )
+
+
 def _q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC pipeline health: hourly event-rate z-scores per operation
     type over the change log — the delete-storm / replay-loop pager."""
@@ -2233,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_template_turns": _q_template_turns,
         "cdc_rate_anomalies": _q_rate_anomalies,
         "cdc_zorder_pruned_read": _q_zorder_pruned_read,
+        "cdc_asof_enrich": _q_asof_enrich,
         "json_anonymize": _q_json_anonymize,
         "default_transforms": _q_default_transforms,
         "identity_scramble": _q_identity_scramble,
@@ -2536,6 +2572,22 @@ def oracle_sql() -> dict[str, str]:
             FROM ({lww})
             WHERE rn = 1 AND op <> 'delete'
               AND turn_idx BETWEEN 3 AND 6
+        """,
+        "cdc_asof_enrich": f"""
+            WITH alive AS (
+              SELECT conv_id, turn_idx, ts
+              FROM ({lww}) WHERE op <> 'delete'
+            ), dels AS (
+              SELECT conv_id, ts, max(lsn) AS lsn
+              FROM {log} WHERE op = 'delete'
+              GROUP BY conv_id, ts
+            )
+            SELECT a.conv_id, a.turn_idx,
+                   strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   d.lsn AS last_wipe_lsn,
+                   strftime(d.ts, '%Y-%m-%d %H:%M:%S') AS last_wipe_ts_s
+            FROM alive a ASOF LEFT JOIN dels d
+              ON a.conv_id = d.conv_id AND a.ts >= d.ts
         """,
         "cdc_rate_anomalies": f"""
             WITH per0 AS (

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "transcript_template_turns",
     "cdc_rate_anomalies",
     "cdc_zorder_pruned_read",
+    "cdc_asof_enrich",
 ]
 
 

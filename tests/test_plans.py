@@ -284,3 +284,21 @@ def test_lateness_stats_partial_agg_after_window(spark):
     plan = _plan(lateness_stats(df))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_max" in plan or "partial_count" in plan
+
+
+def test_asof_join_single_shuffle_no_nested_loop(spark):
+    """The union-merge as-of join must cost ONE key exchange + window —
+    never the O(n*m) BroadcastNestedLoopJoin a naive inequality join
+    plans."""
+    from neosync_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:05", 1)], "k string, ts string, ev int"
+    )
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:04", "r1")], "k string, ts string, state string"
+    )
+    plan = _plan(asof_join(left, right, "k"))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
