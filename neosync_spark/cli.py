@@ -134,6 +134,16 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--log", required=True)
     v.add_argument("--table", required=True)
 
+    wm = sub.add_parser(
+        "watermark",
+        help="size the streaming watermark from a log slice's "
+             "event-time disorder",
+    )
+    wm.add_argument("--log", required=True)
+    wm.add_argument("--quantile", type=float, default=0.999,
+                    help="admit this fraction of the slice's events "
+                         "(1.0 = zero-drop max lateness)")
+
     w = sub.add_parser("show", help="snapshot history + ledger")
     w.add_argument("--table", required=True)
 
@@ -368,6 +378,19 @@ def main(argv: list[str] | None = None) -> int:
                 {"bucket": b, "delta_files": n, "delta_bytes": sz}
                 for b, n, sz in plan
             ]
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "watermark":
+        from .operators.sessions import suggest_watermark
+
+        try:
+            out = suggest_watermark(
+                spark.read.parquet(args.log), quantile=args.quantile
+            )
+        except ValueError as e:
+            print(json.dumps({"error": str(e)}))
+            return 1
         print(json.dumps(out))
         return 0
 

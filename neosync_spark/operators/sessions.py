@@ -93,6 +93,21 @@ def lateness_stats(
     so the numbers are exact in any engine. Returns one row per key:
     ``(key, n_events, n_late, max_lateness_us, sum_lateness_us)``.
     """
+    per_event = _lateness_per_event(log, key_col, ts_col, order_col)
+    return per_event.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("_late_us") > 0).cast("long")).alias("n_late"),
+        F.max("_late_us").alias("max_lateness_us"),
+        F.sum("_late_us").alias("sum_lateness_us"),
+    )
+
+
+def _lateness_per_event(
+    log: DataFrame, key_col: str, ts_col: str, order_col: str
+) -> DataFrame:
+    """(key, _late_us) per event: microseconds behind the per-key
+    running event-time high-water mark in arrival order (0 if on
+    time)."""
     w = (
         Window.partitionBy(key_col)
         .orderBy(order_col)
@@ -101,12 +116,43 @@ def lateness_stats(
     ev = F.unix_micros(F.col(ts_col).cast("timestamp"))
     hwm = F.max(ev).over(w)
     late_us = F.when(hwm > ev, hwm - ev).otherwise(F.lit(0).cast("long"))
-    per_event = log.select(
-        F.col(key_col), late_us.alias("_late_us")
-    )
-    return per_event.groupBy(key_col).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum((F.col("_late_us") > 0).cast("long")).alias("n_late"),
-        F.max("_late_us").alias("max_lateness_us"),
-        F.sum("_late_us").alias("sum_lateness_us"),
-    )
+    return log.select(F.col(key_col), late_us.alias("_late_us"))
+
+
+def suggest_watermark(
+    log: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str = "lsn",
+    quantile: float = 0.999,
+) -> dict:
+    """Size the streaming watermark from a representative log slice:
+    the smallest ``withWatermark`` delay that would have admitted a
+    ``quantile`` fraction of this log's events. Returns a small dict
+    (driver-side — this is a configuration decision, not a dataset):
+
+    ``{"quantile": q, "lateness_us": exact-quantile lateness,
+    "max_lateness_us": the zero-drop bound, "delay": "<N> seconds"}``
+
+    ``delay`` is ``lateness_us`` rounded UP to whole seconds — ready
+    to paste into ``withWatermark(ts, delay)`` (cf.
+    ``streaming/stream.py``); ``quantile=1.0`` reproduces the
+    max-lateness zero-loss setting. Exact percentile over the
+    per-event lateness: the state is one long per event after the
+    same single key shuffle ``lateness_stats`` pays.
+    """
+    if not 0.0 < quantile <= 1.0:
+        raise ValueError("suggest_watermark: quantile must be in (0, 1]")
+    per_event = _lateness_per_event(log, key_col, ts_col, order_col)
+    row = per_event.agg(
+        F.expr(f"percentile(_late_us, {quantile})").alias("q"),
+        F.max("_late_us").alias("mx"),
+    ).collect()[0]
+    q_us = int(row["q"] or 0)
+    secs = -(-q_us // 1_000_000)  # ceil
+    return {
+        "quantile": quantile,
+        "lateness_us": q_us,
+        "max_lateness_us": int(row["mx"] or 0),
+        "delay": f"{secs} seconds",
+    }

@@ -195,3 +195,21 @@ def test_rate_anomalies_gap_fill_flags_outage(spark):
     assert len(out) == 16
     gap = out["2024-01-01 12:00:00"]
     assert gap["n_events"] == 0 and gap["z_score"] < 0
+
+
+def test_suggest_watermark(spark):
+    from neosync_spark.operators.sessions import suggest_watermark
+
+    rows = [("a", i, f"2024-01-01 00:00:{i:02d}") for i in range(1, 50)]
+    rows.append(("a", 50, "2024-01-01 00:00:10"))  # 39s late
+    df = spark.createDataFrame(rows, "conv_id string, lsn long, ts string")
+    zero_loss = suggest_watermark(df, quantile=1.0)
+    assert zero_loss["lateness_us"] == 39_000_000
+    assert zero_loss["delay"] == "39 seconds"
+    assert zero_loss["max_lateness_us"] == 39_000_000
+    # p50 of a mostly-on-time stream: no delay needed
+    assert suggest_watermark(df, quantile=0.5)["delay"] == "0 seconds"
+    import pytest
+
+    with pytest.raises(ValueError):
+        suggest_watermark(df, quantile=0.0)
