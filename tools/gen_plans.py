@@ -206,6 +206,31 @@ def main() -> None:
         "the budget fit is an O(turns) JVM aggregate fold per target — "
         "no window over exploded rows, no Python.",
     )
+    cap(
+        "As-of (point-in-time) join",
+        E.queries()["cdc_asof_enrich"](spark, SF),
+        "union-merge: ONE key Exchange over the tagged union, a per-key "
+        "sort, last(ignorenulls) carry-forward Window — no "
+        "BroadcastNestedLoopJoin (the plan Catalyst would pick for the "
+        "equivalent inequality join + argmax), no row expansion, zero "
+        "Python.",
+    )
+    cap(
+        "Watermark lateness stats",
+        E.queries()["cdc_lateness_stats"](spark, SF),
+        "one conv_id Exchange feeds the arrival-order running-max "
+        "Window; the per-key rollup partial-aggregates (map-side "
+        "combine) on the SAME partitioning — no second shuffle; "
+        "microsecond-integer arithmetic end-to-end, zero Python.",
+    )
+    cap(
+        "CDC op-rate anomaly detection",
+        E.queries()["cdc_rate_anomalies"](spark, SF),
+        "the corpus-sized log collapses to (op x hour-bucket) in ONE "
+        "map-side-combined hash-agg; the z-score window runs over that "
+        "tiny frame (|ops| x |buckets| rows) — the log is scanned "
+        "exactly once, zero Python.",
+    )
 
     hdr = (
         "# PLANS — formatted physical plans of load-bearing operators\n\n"
