@@ -1580,6 +1580,27 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (multimodal.frame_sample): one row
+    per sampled byte offset of each blob — pure JVM sequence + explode,
+    so DuckDB replays it exactly with generate_series. The value-keyed
+    frame_id (Spark xxhash64) has no DuckDB analog and is projected
+    out; its retry/repartition stability is pytest-verified
+    (tests/test_similarity.py)."""
+    from neosync_spark.operators.multimodal import frame_sample
+
+    _views(spark, sf_dir, ["documents"])
+    blobs = spark.table("documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    )
+    frames = frame_sample(blobs, "blob", "doc_id", every_n_bytes=256)
+    return frames.select(
+        "doc_id",
+        F.col("frame_offset").cast("long").alias("frame_offset"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream (lag + running-sum
     windows)."""
@@ -2258,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_metadata,
         "media_image_features": _q_image_features,
         "media_audio_features": _q_audio_features,
+        "media_frame_sample": _q_frame_sample,
         "synth_generators": _q_generators,
         "events_sessionize": _q_sessionize,
         "cdc_lateness_stats": _q_lateness_stats,
@@ -3506,6 +3528,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents
+        """,
+        "media_frame_sample": """
+            -- Spark sequence(0, greatest(n-1,0), step) is inclusive of
+            -- the upper bound, exactly generate_series' contract; an
+            -- empty blob still yields one offset-0 row on both sides.
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS nb
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(unnest(generate_series(0, greatest(nb - 1, 0), 256))
+                        AS BIGINT) AS frame_offset,
+                   nb AS n_bytes
+            FROM d
         """,
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "embedding_dedup_clusters": _embedding_clusters_oracle(),
