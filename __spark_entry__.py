@@ -1415,6 +1415,19 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile (null fraction / exact distincts /
+    native-type min-max) in one aggregation job — the pre-mapping and
+    post-sync audit. The gate runs the exact path; ``approx=True``
+    (HyperLogLog++, no Expand) is the 100 TB path, pytest-covered."""
+    from neosync_spark.operators.profile import profile_columns
+
+    _views(spark, sf_dir, ["documents"])
+    return profile_columns(
+        spark.table("documents"), ["doc_id", "lang", "source", "n_chars"]
+    )
+
+
 def _q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding dedup GROUPS: hyperplane-LSH verified
     pairs → connected components. Planted family: -1 = 1.5×vec0 and
@@ -2270,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_dedup_clusters": _q_embedding_clusters,
         "corpus_stats": _q_corpus_stats,
+        "profile_table": _q_profile_table,
         "text_token_count": _q_token_count,
         "text_quality_score": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -3444,6 +3458,52 @@ def oracle_sql() -> dict[str, str]:
                      AS total_tokens,
                    floor(avg(length(text)) * 100 + 0.5) / 100 AS avg_chars
             FROM documents GROUP BY source, lang
+        """,
+        "profile_table": """
+            -- one SELECT per profiled column; DuckDB sum() returns
+            -- HUGEINT and count(DISTINCT) ignores NULLs exactly like
+            -- Spark's count_distinct, so only the sums need casts.
+            SELECT 'doc_id' AS "column",
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(coalesce(sum(CASE WHEN doc_id IS NULL THEN 1
+                                     ELSE 0 END), 0) AS BIGINT) AS n_nulls,
+                   floor(CAST(coalesce(sum(CASE WHEN doc_id IS NULL THEN 1
+                                       ELSE 0 END), 0) AS DOUBLE)
+                         / count(*) * 1e6 + 0.5) / 1e6 AS null_frac,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                   CAST(min(doc_id) AS VARCHAR) AS min_repr,
+                   CAST(max(doc_id) AS VARCHAR) AS max_repr
+            FROM documents
+            UNION ALL
+            SELECT 'lang', CAST(count(*) AS BIGINT),
+                   CAST(coalesce(sum(CASE WHEN lang IS NULL THEN 1
+                                     ELSE 0 END), 0) AS BIGINT),
+                   floor(CAST(coalesce(sum(CASE WHEN lang IS NULL THEN 1
+                                       ELSE 0 END), 0) AS DOUBLE)
+                         / count(*) * 1e6 + 0.5) / 1e6,
+                   CAST(count(DISTINCT lang) AS BIGINT),
+                   CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'source', CAST(count(*) AS BIGINT),
+                   CAST(coalesce(sum(CASE WHEN source IS NULL THEN 1
+                                     ELSE 0 END), 0) AS BIGINT),
+                   floor(CAST(coalesce(sum(CASE WHEN source IS NULL THEN 1
+                                       ELSE 0 END), 0) AS DOUBLE)
+                         / count(*) * 1e6 + 0.5) / 1e6,
+                   CAST(count(DISTINCT source) AS BIGINT),
+                   CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', CAST(count(*) AS BIGINT),
+                   CAST(coalesce(sum(CASE WHEN n_chars IS NULL THEN 1
+                                     ELSE 0 END), 0) AS BIGINT),
+                   floor(CAST(coalesce(sum(CASE WHEN n_chars IS NULL THEN 1
+                                       ELSE 0 END), 0) AS DOUBLE)
+                         / count(*) * 1e6 + 0.5) / 1e6,
+                   CAST(count(DISTINCT n_chars) AS BIGINT),
+                   CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+            FROM documents
         """,
         "text_token_count": """
             SELECT doc_id,
