@@ -278,6 +278,19 @@ def main(argv: list[str] | None = None) -> int:
     ck.add_argument("--key-col", default="conv_id")
     ck.add_argument("--chunks", type=int, default=64)
 
+    pf = sub.add_parser(
+        "profile",
+        help="per-column profile (null fraction / distincts / min-max) "
+             "in one aggregation job",
+    )
+    pf.add_argument("--table", required=True,
+                    help="SnapshotTable root or plain parquet dir")
+    pf.add_argument("--columns", default=None,
+                    help="comma-separated subset (default: all columns)")
+    pf.add_argument("--approx", action="store_true",
+                    help="HyperLogLog++ distincts (the at-scale path; "
+                         "no multi-count-distinct Expand)")
+
     vc = sub.add_parser(
         "validate",
         help="distributed constraint validation (PK/unique/check/not_null/FK)",
@@ -676,6 +689,23 @@ def main(argv: list[str] | None = None) -> int:
             "match": not div,
         }))
         return 0 if not div else 1
+
+    if args.cmd == "profile":
+        from .lakehouse import SnapshotTable
+        from .operators.profile import profile_columns
+
+        if SnapshotTable.exists(args.table):
+            df = SnapshotTable.load(spark, args.table).read()
+        else:
+            df = spark.read.parquet(args.table)
+        cols = args.columns.split(",") if args.columns else None
+        rows = profile_columns(df, cols, approx=args.approx).collect()
+        print(json.dumps({
+            "table": args.table,
+            "approx": args.approx,
+            "columns": [r.asDict() for r in rows],
+        }, default=str))
+        return 0
 
     if args.cmd == "validate":
         from .lakehouse import SnapshotTable

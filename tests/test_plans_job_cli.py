@@ -358,3 +358,19 @@ def test_cli_branch_diff_errors(spark, tmp_path, capsys):
     assert main(["branch", "--table", table, "diff", "--name", "nosuch"]) == 1
     out = capsys.readouterr().out
     assert "does not exist" in out
+
+
+def test_cli_profile(spark, tmp_path, capsys):
+    import json
+
+    from neosync_spark.cli import main
+
+    pq = str(tmp_path / "p")
+    spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "b")], "k int, v string"
+    ).write.parquet(pq)
+    assert main(["profile", "--table", pq, "--columns", "k,v"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    cols = {c["column"]: c for c in out["columns"]}
+    assert cols["k"]["n_distinct"] == 2 and cols["k"]["n_nulls"] == 1
+    assert cols["v"]["min_repr"] == "a" and cols["v"]["max_repr"] == "b"
