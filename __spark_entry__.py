@@ -2216,6 +2216,229 @@ def _q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op_rate_anomalies(log, bucket="hour", z_threshold=3.0)
 
 
+# a change log that mixes FULL row images with PARTIAL updates
+# (op='patch': NULL payload column = unchanged — the MySQL
+# minimal-row-image / partial-Debezium-envelope case). Shared SQL text:
+# Spark derives the input, DuckDB replays the same derivation.
+_PATCH_DERIVATION = """
+SELECT
+  event_id AS lsn,
+  CASE WHEN event_id % 20 < 12 THEN 'insert'
+       WHEN event_id % 20 < 16 THEN 'update'
+       WHEN event_id % 20 < 19 THEN 'patch'
+       ELSE 'delete' END AS op,
+  'conv-' || CAST(user_id % 150 AS STRING) AS conv_id,
+  CAST(event_id % 16 AS INT) AS turn_idx,
+  CASE WHEN event_id % 20 >= 16 THEN NULL
+       WHEN event_id % 3 = 0 THEN 'user'
+       WHEN event_id % 3 = 1 THEN 'assistant'
+       ELSE 'system' END AS role,
+  CASE WHEN event_id % 20 >= 19 THEN NULL
+       WHEN event_id % 20 >= 16 AND event_id % 2 <> 0 THEN NULL
+       ELSE event_type || ' #' || CAST(event_id AS STRING) END AS text,
+  CASE WHEN event_id % 20 >= 19 THEN NULL
+       WHEN event_id % 20 >= 16
+         THEN CASE WHEN event_id % 3 = 0
+                   THEN '{"name":"' || event_type || '"}' END
+       WHEN event_id % 5 = 0 THEN '{"name":"' || event_type || '"}'
+       ELSE NULL END AS tool,
+  ts
+FROM events
+"""
+
+
+def _q_patch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial row images through the merge (merge_cdc patch_ops=True →
+    operators.dedup.patch_fold): op='patch' events set only their
+    non-NULL columns, folded against full images in the same single
+    key-shuffle aggregate as LWW. One merge over the whole derived log
+    (the fold sees each key's full history; in-order multi-batch
+    chaining is pytest-gated in test_patch_merge.py — ts-disordered
+    events across batch boundaries are exactly the late-arrival case
+    partial images cannot express, see patch_fold's docstring). DuckDB
+    replays the fold per column: arg_max FILTER (full image OR column
+    set) over a (ts, lsn) composite rank."""
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    _views(spark, sf_dir, ["events"])
+    log = spark.sql(_PATCH_DERIVATION)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+
+    path = tempfile.mkdtemp(prefix="ns_cdc_patch_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+    table.merge_cdc(
+        log,
+        applied_range=(0, hi + 1),
+        mode="cow",
+        patch_ops=True,
+        source_is_raw=True,
+        prune_buckets=False,
+        lineage=False,
+    )
+    return table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
+def _q_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup file skipping (bloom.py): replay the log as 4 MoR
+    delta epochs into a bloom-indexed table, then fetch three
+    conversations via read(key_equals=...) — bucket-pruned by the key
+    hash AND bloom-pruned to the delta files that ever touched those
+    keys (per-file sound under MoR for key columns; test_bloom.py
+    asserts the file-count drop). The result must be exactly the alive
+    LWW winners of those conversations."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    batch = max(1000, (hi + 4) // 4)
+
+    path = tempfile.mkdtemp(prefix="ns_cdc_bloom_")
+    table = SnapshotTable.create(
+        spark,
+        path,
+        transcript_schema(),
+        key_cols=KEY_COLS,
+        n_buckets=16,
+        bloom_cols=["conv_id"],
+    )
+    eng = ReplayEngine(
+        spark,
+        table,
+        config=EngineConfig(
+            batch_lsn_size=batch, lineage=False, merge_mode="mor"
+        ),
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    eng.replay(slicer, lsn_lo=0, lsn_hi=hi)
+    out = table.read(
+        key_equals={"conv_id": ["conv-7", "conv-42", "conv-101"]}
+    )
+    return out.select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
+def _q_changefeed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed with BEFORE-images (snapshot_diff
+    include_preimages=True): like cdc_snapshot_diff, but every update
+    emits an update_preimage row carrying the old values — the Delta
+    CDF contract a downstream aggregate/index consumer needs to
+    retract old contributions. DuckDB recomputes both images from the
+    two LWW states."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    mid = hi // 2
+
+    path = tempfile.mkdtemp(prefix="ns_cdc_cdf_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+    eng = ReplayEngine(
+        spark,
+        table,
+        config=EngineConfig(
+            batch_lsn_size=max(1, mid), lineage=False, prune_buckets=False
+        ),
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    eng.replay(slicer, lsn_lo=0, lsn_hi=mid - 1)
+    s1 = table.manifest(refresh=True)["snapshot_id"]
+    eng.replay(slicer, lsn_lo=mid, lsn_hi=hi)
+    s2 = table.manifest(refresh=True)["snapshot_id"]
+    return table.snapshot_diff(s1, s2, include_preimages=True).select(
+        "change_type", "conv_id", "turn_idx", "role", "text", "tool",
+        _fmt_ts("ts"),
+    )
+
+
+def _q_column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two table states (monitor.
+    column_drift): PSI over md5-hash value buckets per column, the
+    schema-silent-change detector a CDC pipeline runs between
+    yesterday's and today's snapshot. Here: the first-half LWW state vs
+    the full final state. DuckDB replays the histogram + smoothed PSI
+    arithmetic exactly (md5 buckets, ln, explicit half-up rounding)."""
+    from neosync_spark.operators.dedup import lww_dedup
+    from neosync_spark.operators.monitor import column_drift
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    mid = (hi + 1) // 2
+
+    def state(df):
+        won = lww_dedup(df, ["conv_id", "turn_idx"], ["ts", "lsn"])
+        return won.filter(F.col("op") != "delete").select(
+            "role", "text", "tool"
+        )
+
+    df_a = state(log.filter(F.col("lsn") < mid))
+    df_b = state(log)
+    return column_drift(
+        df_a, df_b, ["role", "text", "tool"], n_buckets=16
+    ).orderBy("col_name")
+
+
+def _q_reversible_pseudonym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reversible deterministic pseudonymization (masking.
+    pseudonymize_aes): AES-ECB tokens the key-holder can invert —
+    linkable like hash_pseudonym, but re-identifiable. Value-oracled
+    via invariant projections (DuckDB has no AES): round-trip equality,
+    PKCS7/hex token length as an exact function of the plaintext byte
+    length, determinism (one token per distinct text), and injectivity
+    on the corpus (one text per token). All JVM-side."""
+    from pyspark.sql import Window
+
+    from neosync_spark.functions.masking import (
+        depseudonymize_aes,
+        pseudonymize_aes,
+    )
+
+    _views(spark, sf_dir, ["documents"])
+    key = "0123456789abcdef"
+    df = (
+        spark.table("documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    enc = df.select(
+        "doc_id",
+        "text",
+        pseudonymize_aes("text", key).alias("token"),
+    )
+    enc = enc.withColumn("plain", depseudonymize_aes("token", key))
+    per_text = Window.partitionBy("text")
+    per_token = Window.partitionBy("token")
+    return enc.select(
+        "doc_id",
+        F.col("plain").eqNullSafe(F.col("text")).alias("roundtrip_ok"),
+        (F.col("token") != F.col("text")).alias("token_differs"),
+        F.length("token").alias("token_len"),
+        F.size(F.collect_set("token").over(per_text)).alias(
+            "tokens_per_text"
+        ),
+        F.size(F.collect_set("text").over(per_token)).alias(
+            "texts_per_token"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2239,6 +2462,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_upsert": _q_merge_upsert,
         "cdc_delete_semantics": _q_delete_semantics,
         "cdc_snapshot_diff": _q_snapshot_diff,
+        "cdc_changefeed_images": _q_changefeed_images,
+        "cdc_patch_merge": _q_patch_merge,
+        "cdc_bloom_pruned_read": _q_bloom_pruned_read,
+        "cdc_column_drift": _q_column_drift,
         "cdc_incremental_rollup": _q_incremental_rollup,
         "cdc_requeue_heal": _q_requeue_heal,
         "cdc_keyset_page": _q_keyset_page,
@@ -2250,6 +2477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_person_names": _q_redact_person_names,
         "redact_multi_entity": _q_redact_multi_entity,
         "shape_mask": _q_shape_mask,
+        "reversible_pseudonym": _q_reversible_pseudonym,
         "key_mapping_consistency": _q_key_mapping,
         "anonymize_transform_udfs": _q_anonymize_udfs,
         "subset_semijoin": _q_subset_semijoin,
@@ -2462,6 +2690,151 @@ def oracle_sql() -> dict[str, str]:
             FROM old_state o WHERE NOT EXISTS (
               SELECT 1 FROM new_state n
               WHERE n.conv_id = o.conv_id AND n.turn_idx = o.turn_idx)
+        """,
+        "cdc_changefeed_images": f"""
+            WITH log AS {log},
+            mx AS (SELECT max(lsn) // 2 AS mid FROM log),
+            old_state AS (
+              SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+                SELECT l.*, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+                FROM log l WHERE lsn < (SELECT mid FROM mx)
+              ) WHERE rn = 1 AND op <> 'delete'
+            ),
+            new_state AS (
+              SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+                SELECT l.*, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+                FROM log l
+              ) WHERE rn = 1 AND op <> 'delete'
+            ),
+            changed AS (
+              SELECT o.conv_id AS o_cid, o.turn_idx AS o_ti, o.role AS o_role,
+                     o.text AS o_text, o.tool AS o_tool, o.ts AS o_ts,
+                     n.role AS n_role, n.text AS n_text, n.tool AS n_tool,
+                     n.ts AS n_ts
+              FROM new_state n JOIN old_state o
+                ON o.conv_id = n.conv_id AND o.turn_idx = n.turn_idx
+              WHERE NOT (n.role IS NOT DISTINCT FROM o.role
+                     AND n.text IS NOT DISTINCT FROM o.text
+                     AND n.tool IS NOT DISTINCT FROM o.tool
+                     AND n.ts   IS NOT DISTINCT FROM o.ts)
+            )
+            SELECT 'insert' AS change_type, n.conv_id, n.turn_idx, n.role, n.text,
+                   n.tool, strftime(n.ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM new_state n WHERE NOT EXISTS (
+              SELECT 1 FROM old_state o
+              WHERE o.conv_id = n.conv_id AND o.turn_idx = n.turn_idx)
+            UNION ALL
+            SELECT 'update_preimage', o_cid, o_ti, o_role, o_text,
+                   o_tool, strftime(o_ts, '%Y-%m-%d %H:%M:%S') FROM changed
+            UNION ALL
+            SELECT 'update_postimage', o_cid, o_ti, n_role, n_text,
+                   n_tool, strftime(n_ts, '%Y-%m-%d %H:%M:%S') FROM changed
+            UNION ALL
+            SELECT 'delete', o.conv_id, o.turn_idx, o.role, o.text,
+                   o.tool, strftime(o.ts, '%Y-%m-%d %H:%M:%S')
+            FROM old_state o WHERE NOT EXISTS (
+              SELECT 1 FROM new_state n
+              WHERE n.conv_id = o.conv_id AND n.turn_idx = o.turn_idx)
+        """,
+        "cdc_patch_merge": f"""
+            WITH log AS ({_PATCH_DERIVATION}),
+            r AS (
+              SELECT l.*, epoch_us(ts)::HUGEINT * 100000000 + lsn AS ok
+              FROM log l
+            ),
+            agg AS (
+              SELECT conv_id, turn_idx,
+                (arg_max({{'x': role}}, ok)
+                   FILTER (WHERE op <> 'patch' OR role IS NOT NULL)).x AS role,
+                (arg_max({{'x': text}}, ok)
+                   FILTER (WHERE op <> 'patch' OR text IS NOT NULL)).x AS text,
+                (arg_max({{'x': tool}}, ok)
+                   FILTER (WHERE op <> 'patch' OR tool IS NOT NULL)).x AS tool,
+                arg_max(ts, ok) AS ts,
+                arg_max(op, ok) FILTER (WHERE op <> 'patch') AS last_full
+              FROM r GROUP BY conv_id, turn_idx
+            )
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM agg WHERE last_full IS NOT NULL AND last_full <> 'delete'
+        """,
+        "cdc_bloom_pruned_read": f"""
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM ({lww}) WHERE op <> 'delete'
+              AND conv_id IN ('conv-7', 'conv-42', 'conv-101')
+        """,
+        "cdc_column_drift": f"""
+            WITH log AS {log},
+            mx AS (SELECT (max(lsn) + 1) // 2 AS mid FROM log),
+            a AS (
+              SELECT role, text, tool FROM (
+                SELECT l.*, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+                FROM log l WHERE lsn < (SELECT mid FROM mx)
+              ) WHERE rn = 1 AND op <> 'delete'
+            ),
+            b AS (
+              SELECT role, text, tool FROM (
+                SELECT l.*, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+                FROM log l
+              ) WHERE rn = 1 AND op <> 'delete'
+            ),
+            va AS (
+              SELECT 'role' AS col_name, CASE WHEN role IS NULL THEN 16
+                ELSE ('0x' || substr(md5(role), 1, 8))::BIGINT % 16 END AS bucket FROM a
+              UNION ALL
+              SELECT 'text', CASE WHEN text IS NULL THEN 16
+                ELSE ('0x' || substr(md5(text), 1, 8))::BIGINT % 16 END FROM a
+              UNION ALL
+              SELECT 'tool', CASE WHEN tool IS NULL THEN 16
+                ELSE ('0x' || substr(md5(tool), 1, 8))::BIGINT % 16 END FROM a
+            ),
+            vb AS (
+              SELECT 'role' AS col_name, CASE WHEN role IS NULL THEN 16
+                ELSE ('0x' || substr(md5(role), 1, 8))::BIGINT % 16 END AS bucket FROM b
+              UNION ALL
+              SELECT 'text', CASE WHEN text IS NULL THEN 16
+                ELSE ('0x' || substr(md5(text), 1, 8))::BIGINT % 16 END FROM b
+              UNION ALL
+              SELECT 'tool', CASE WHEN tool IS NULL THEN 16
+                ELSE ('0x' || substr(md5(tool), 1, 8))::BIGINT % 16 END FROM b
+            ),
+            ha AS (SELECT col_name, bucket, count(*) AS n FROM va GROUP BY 1, 2),
+            hb AS (SELECT col_name, bucket, count(*) AS n FROM vb GROUP BY 1, 2),
+            grid AS (
+              SELECT c.col_name, g.bucket
+              FROM (SELECT unnest(['role', 'text', 'tool']) AS col_name) c
+              CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS bucket) g
+            ),
+            j AS (
+              SELECT grid.col_name, grid.bucket,
+                     coalesce(ha.n, 0) AS n_a, coalesce(hb.n, 0) AS n_b
+              FROM grid
+              LEFT JOIN ha ON ha.col_name = grid.col_name AND ha.bucket = grid.bucket
+              LEFT JOIN hb ON hb.col_name = grid.col_name AND hb.bucket = grid.bucket
+            ),
+            t AS (
+              SELECT *, sum(n_a) OVER (PARTITION BY col_name) AS ta,
+                        sum(n_b) OVER (PARTITION BY col_name) AS tb
+              FROM j
+            ),
+            terms AS (
+              SELECT col_name, n_a, n_b,
+                ((n_a + 0.5) / (ta + 8.5) - (n_b + 0.5) / (tb + 8.5))
+                  * ln(((n_a + 0.5) / (ta + 8.5)) / ((n_b + 0.5) / (tb + 8.5)))
+                  AS term
+              FROM t
+            )
+            SELECT col_name,
+                   sum(n_a)::BIGINT AS n_a,
+                   sum(n_b)::BIGINT AS n_b,
+                   floor(sum(term) * 10000 + 0.5) / 10000 AS psi,
+                   sum(term) > 0.2 AS drifted
+            FROM terms GROUP BY col_name ORDER BY col_name
         """,
         "cdc_incremental_rollup": f"""
             SELECT conv_id,
@@ -2795,6 +3168,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey,
                    substr(sha256('ns' || CAST(o.o_custkey AS STRING)), 1, 12) AS anon_custkey
             FROM orders o
+        """,
+        "reversible_pseudonym": """
+            -- invariant oracle (DuckDB has no AES): round-trip truth,
+            -- exact PKCS7/hex token length, determinism + injectivity
+            SELECT doc_id,
+                   TRUE AS roundtrip_ok,
+                   TRUE AS token_differs,
+                   CAST(2 * ((strlen(text) // 16 + 1) * 16) AS INT)
+                     AS token_len,
+                   1 AS tokens_per_text,
+                   1 AS texts_per_token
+            FROM documents WHERE text IS NOT NULL
         """,
         "subset_semijoin": """
             SELECT o_orderkey, o_custkey, o_orderstatus

@@ -74,6 +74,10 @@ BENCH_QUERIES = [
     "cdc_rate_anomalies",
     "cdc_zorder_pruned_read",
     "cdc_asof_enrich",
+    "cdc_bloom_pruned_read",
+    "cdc_patch_merge",
+    "cdc_column_drift",
+    "reversible_pseudonym",
 ]
 
 

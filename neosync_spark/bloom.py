@@ -1,0 +1,185 @@
+"""Per-file key bloom filters — point-lookup file skipping.
+
+Zone maps (``lakehouse._prune_by_stats``) prune *range* scans, but a
+point lookup on a high-cardinality key (``conv_id = 'c-123'``) gets no
+help from min/max: random string keys span nearly the full range in
+every file. The fix every production table format ships (Iceberg puffin
+blooms, Delta bloom indexes, parquet column blooms) is a per-file bloom
+filter: "this file definitely does not contain the key" skips the file.
+
+Where this matters at 100 TB: a MoR bucket accumulates a chain of delta
+files between compactions. A point lookup must otherwise read *every*
+delta in the bucket to resolve LWW; with blooms it opens only the files
+that ever touched the key — usually one or two. Crucially this pruning
+is **per-file sound even under MoR** when the filtered column is a key
+column: LWW groups rows *by key*, so a file that does not contain the
+key contributes nothing to that key's winner (unlike value-column
+predicates, where a dropped file could hide the true winner and let a
+stale row pass the filter — see ``_prune_by_stats``'s soundness note).
+
+Design:
+- built at commit time by ONE distributed pass over the *batch's new
+  files only* (never the table): group by ``input_file_name`` →
+  a numpy bitset per (file, column) in an Arrow-batched
+  ``applyInPandas``; only (path, col, m, k, bits) rows — a few KB per
+  file — reach the driver.
+- stored as one parquet *sidecar per commit* (the puffin analog) under
+  ``<table>/blooms/``; the manifest file entry carries only the sidecar
+  pointer, so manifests stay small.
+- hashing is double-hashing (Kirsch–Mitzenmacher) off two md5 digests
+  of the *normalized string* value — pure Python on both the build
+  (pandas) and probe (driver) sides, so no JVM-hash parity is needed.
+- files without a bloom entry are simply never pruned: compaction or
+  purge rewrites that skip bloom building degrade pruning, never
+  correctness.
+
+Reference analog: the reference engine has no table-side file skipping
+at all (its reads are SQL pushed to the source database, e.g. keyset
+WHERE clauses in worker/pkg/query-builder); this is the lakehouse-side
+equivalent a Spark-native engine needs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+
+BITS_PER_KEY = 10  # ~1% fpp at k=7
+NUM_HASHES = 7
+MIN_BITS = 1024
+
+SIDECAR_SCHEMA = "path string, col string, m long, k int, bits binary"
+
+
+def normalize_value(v) -> str:
+    """One canonical string per logical value — identical on the build
+    (pandas) and probe (driver) sides. Floats are excluded by callers
+    (bloom columns are key/string/int columns)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
+
+
+def _base_hashes(s: str) -> tuple[int, int]:
+    b = s.encode("utf-8", "replace")
+    d1 = int.from_bytes(hashlib.md5(b"bloom1:" + b).digest()[:8], "big")
+    d2 = int.from_bytes(hashlib.md5(b"bloom2:" + b).digest()[:8], "big") | 1
+    return d1, d2
+
+
+def bloom_positions(value, m: int, k: int) -> list[int]:
+    d1, d2 = _base_hashes(normalize_value(value))
+    return [(d1 + i * d2) % m for i in range(k)]
+
+
+def _size_bits(n_distinct: int) -> int:
+    m = MIN_BITS
+    target = max(MIN_BITS, BITS_PER_KEY * max(1, n_distinct))
+    while m < target:
+        m <<= 1
+    return m
+
+
+def build_bloom_rows(pdf, cols: list[str]):
+    """applyInPandas body: one group == one data file's rows for the
+    bloom columns. Returns one (path, col, m, k, bits) row per column."""
+    import pandas as pd
+
+    path = pdf["_bloom_file"].iloc[0]
+    out = {"path": [], "col": [], "m": [], "k": [], "bits": []}
+    for col in cols:
+        if col not in pdf.columns:
+            continue
+        vals = pdf[col].dropna().unique()
+        m = _size_bits(len(vals))
+        bitset = np.zeros(m, dtype=bool)
+        for v in vals:
+            d1, d2 = _base_hashes(normalize_value(v))
+            for i in range(NUM_HASHES):
+                bitset[(d1 + i * d2) % m] = True
+        out["path"].append(path)
+        out["col"].append(col)
+        out["m"].append(m)
+        out["k"].append(NUM_HASHES)
+        out["bits"].append(np.packbits(bitset).tobytes())
+    return pd.DataFrame(out)
+
+
+def might_contain(bits: bytes, m: int, k: int, value) -> bool:
+    """Probe: False == DEFINITELY absent (the sound prune direction)."""
+    arr = np.unpackbits(np.frombuffer(bits, dtype=np.uint8))
+    d1, d2 = _base_hashes(normalize_value(value))
+    return all(arr[(d1 + i * d2) % m] for i in range(k))
+
+
+def _strip_uri(p: str) -> str:
+    from urllib.parse import unquote, urlparse
+
+    if "://" in p or p.startswith("file:"):
+        u = urlparse(p)
+        return unquote(u.path)
+    return p
+
+
+def build_sidecar(
+    spark, written: dict[int, list[str]], cols: list[str], sidecar_path: str
+) -> set[str]:
+    """One distributed pass over the freshly written files → a bloom
+    sidecar parquet. Returns the set of data-file paths covered."""
+    from pyspark.sql import functions as F
+
+    paths = sorted(p for ps in written.values() for p in ps)
+    if not paths:
+        return set()
+    df = spark.read.parquet(*paths)
+    have = [c for c in cols if c in df.columns]
+    if not have:
+        return set()
+    src = df.select(*have).withColumn("_bloom_file", F.input_file_name())
+    rows = (
+        src.groupBy("_bloom_file")
+        .applyInPandas(
+            lambda pdf: build_bloom_rows(pdf, have), schema=SIDECAR_SCHEMA
+        )
+        .collect()
+    )
+    if not rows:
+        return set()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    data = {
+        "path": [_strip_uri(r["path"]) for r in rows],
+        "col": [r["col"] for r in rows],
+        "m": [int(r["m"]) for r in rows],
+        "k": [int(r["k"]) for r in rows],
+        "bits": [bytes(r["bits"]) for r in rows],
+    }
+    os.makedirs(os.path.dirname(sidecar_path), exist_ok=True)
+    tmp = sidecar_path + ".tmp"
+    pq.write_table(pa.table(data), tmp)
+    os.replace(tmp, sidecar_path)
+    return set(data["path"])
+
+
+def load_sidecar(sidecar_path: str) -> dict[tuple[str, str], tuple[int, int, bytes]]:
+    """(data_path, col) -> (m, k, bits). Driver-side, cached by caller."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(sidecar_path)
+    out: dict[tuple[str, str], tuple[int, int, bytes]] = {}
+    for path, col, m, k, bits in zip(
+        t["path"].to_pylist(),
+        t["col"].to_pylist(),
+        t["m"].to_pylist(),
+        t["k"].to_pylist(),
+        t["bits"].to_pylist(),
+    ):
+        out[(path, col)] = (int(m), int(k), bits)
+    return out

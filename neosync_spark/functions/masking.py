@@ -73,3 +73,36 @@ def shape_mask(col: Column | str) -> Column:
     punctuation and whitespace preserved."""
     c = F.col(col) if isinstance(col, str) else col
     return F.translate(c, _SRC_ALPHA, _DST_ALPHA)
+
+
+def pseudonymize_aes(col: Column | str, key: str) -> Column:
+    """Reversible deterministic pseudonymization: AES-ECB over the
+    UTF-8 value, hex-encoded — the key-holder can re-identify with
+    ``depseudonymize_aes``, unlike ``hash_pseudonym``. Deterministic by
+    construction (no IV), so equal values map to equal tokens and joins
+    on the pseudonym still work across tables and runs — the tokenizing
+    compliance pattern (reversible pseudonymization, GDPR art. 4(5))
+    the reference approximates with its key-consistency redis cache
+    (worker/pkg/benthos/redis: transformed-value mapping) but cannot
+    invert. ECB's equal-block leakage is exactly the determinism being
+    bought; use hash_pseudonym when linkability without reversal is
+    enough. Entirely JVM-side (whole-stage codegen), no Python.
+
+    ``key`` must be 16/24/32 bytes (AES-128/192/256).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if len(key.encode()) not in (16, 24, 32):
+        raise ValueError("AES key must be 16, 24 or 32 bytes")
+    # hex, not base64: Spark's base64() chunks long output with
+    # newlines (RFC 2045), which breaks token handling downstream
+    return F.hex(F.aes_encrypt(c, F.lit(key), F.lit("ECB")))
+
+
+def depseudonymize_aes(col: Column | str, key: str) -> Column:
+    """Inverse of ``pseudonymize_aes`` (key-holder re-identification)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if len(key.encode()) not in (16, 24, 32):
+        raise ValueError("AES key must be 16, 24 or 32 bytes")
+    return F.aes_decrypt(F.unhex(c), F.lit(key), F.lit("ECB")).cast(
+        "string"
+    )

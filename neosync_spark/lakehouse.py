@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .operators.dedup import lww_dedup
+from .operators.dedup import lww_dedup, patch_fold
 
 _LSN_COL = "_lsn"
 _BUCKET_COL = "_bucket"
@@ -99,6 +99,9 @@ class SnapshotTable:
         self.path = path
         self.ref = ref
         self._manifest: dict | None = None
+        # sidecar rel-path -> {(data_path, col): (m, k, bits)}; blooms
+        # are immutable once written, so the cache never invalidates
+        self._bloom_cache: dict[str, dict] = {}
 
     # ---------- lifecycle ----------
 
@@ -111,8 +114,14 @@ class SnapshotTable:
         key_cols: Sequence[str],
         order_cols: Sequence[str] = ("ts",),
         n_buckets: int = 64,
+        bloom_cols: Sequence[str] | None = None,
     ) -> "SnapshotTable":
-        """Create an empty table at snapshot 0."""
+        """Create an empty table at snapshot 0.
+
+        ``bloom_cols`` opts into per-file bloom sidecars built at every
+        commit for those columns (see ``bloom.py``); point lookups via
+        ``read(key_equals=...)`` then skip files that definitely don't
+        contain the key — the Iceberg-puffin / Delta-bloom-index analog."""
         os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         manifest = {
@@ -128,6 +137,9 @@ class SnapshotTable:
             # zone-map columns: per-file min/max recorded at commit time
             # (parquet footers, driver-side) for scan pruning
             "stats_cols": [list(key_cols)[0], *order_cols, _LSN_COL],
+            # bloom-filter columns: per-file bloom sidecars written at
+            # commit time for point-lookup file skipping (bloom.py)
+            "bloom_cols": list(bloom_cols or []),
             "summary": {"operation": "create"},
         }
         t = cls(spark, path)
@@ -258,6 +270,7 @@ class SnapshotTable:
         buckets: Sequence[int] | None = None,
         internal: bool = False,
         stats_filter: dict | None = None,
+        key_equals: dict | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot, optionally pruned to a bucket
         subset (the COW-merge fast path). File groups written under old
@@ -267,11 +280,36 @@ class SnapshotTable:
         ``stats_filter={col: (lo, hi)}`` (inclusive bounds; None = open
         end) returns exactly ``read().filter(lo <= col <= hi)`` but
         opens only files whose zone-map [min,max] intersects the range
-        (bucket-granular over MoR buckets — see _prune_by_stats)."""
+        (bucket-granular over MoR buckets — see _prune_by_stats).
+
+        ``key_equals={col: value | [values]}`` is the point-lookup fast
+        path: returns exactly ``read().filter(col IN values)`` but (a)
+        prunes to the values' hash buckets when ``col`` is the bucket
+        key, and (b) skips files whose bloom sidecar proves the values
+        absent (per-file sound in MoR for key columns — see
+        ``_prune_by_bloom``). At 100 TB this turns "fetch one
+        conversation" from a bucket scan over the whole delta chain
+        into opening ~one file."""
         m = self.manifest(snapshot_id)
         cur = self.current_schema(m)
+        key_equals = self._norm_key_equals(key_equals)
         want = set(int(b) for b in buckets) if buckets is not None else None
+        if key_equals and m["key_cols"][0] in key_equals and want is None:
+            # bucket pruning off the lookup values themselves: one tiny
+            # local job hashes the values exactly as bucket_expr does
+            kc = m["key_cols"][0]
+            vals = key_equals[kc]
+            vdf = self.spark.createDataFrame(
+                [(v,) for v in vals], schema=T.StructType([cur[kc]])
+            )
+            want = {
+                int(r[0])
+                for r in vdf.select(
+                    bucket_expr(kc, m["bucket_count"])
+                ).collect()
+            }
         vis_files, _, _ = self._prune_by_stats(m, stats_filter)
+        vis_files, _, _ = self._prune_by_bloom(m, vis_files, key_equals)
 
         # buckets holding delta (merge-on-read) files need LWW at read
         # time over base ∪ deltas; pure-base buckets read directly
@@ -342,6 +380,9 @@ class SnapshotTable:
                     out = out.filter(F.col(col) >= F.lit(lo))
                 if hi is not None:
                     out = out.filter(F.col(col) <= F.lit(hi))
+        if key_equals:
+            for col, vals in key_equals.items():
+                out = out.filter(F.col(col).isin(vals))
         if not internal:
             out = out.filter(~F.coalesce(F.col(_DELETED_COL), F.lit(False))).drop(
                 _LSN_COL, _DELETED_COL
@@ -543,7 +584,10 @@ class SnapshotTable:
         return bhead
 
     def snapshot_diff(
-        self, from_snapshot_id: int, to_snapshot_id: int
+        self,
+        from_snapshot_id: int,
+        to_snapshot_id: int,
+        include_preimages: bool = False,
     ) -> DataFrame:
         """Incremental read (CDC *out* of the table): net row-level
         changes between two committed snapshots — the Iceberg
@@ -561,6 +605,13 @@ class SnapshotTable:
         Returns rows ``(change_type, <table columns>)`` with
         ``change_type`` ∈ {'insert','update_postimage','delete'}:
         post-image values for insert/update, pre-image for delete.
+        With ``include_preimages=True`` every update additionally emits
+        an ``update_preimage`` row carrying the OLD values (the Delta
+        change-data-feed contract) — downstream consumers that maintain
+        aggregates or search indexes need the before-image to retract
+        the old contribution. Same single full-outer join: the update
+        branch just emits both sides of the already-joined row (a
+        partition-local explode of 2, no second pass over the table).
         Renames between the snapshots are resolved through the manifest
         rename chain, added columns read as NULL on the old side.
         """
@@ -624,18 +675,51 @@ class SnapshotTable:
             .when(~F.coalesce(F.col("n._present"), F.lit(False)), F.lit("delete"))
             .when(~same, F.lit("update_postimage"))
         )
-        out_cols = [
-            F.when(
-                F.col("_change_type") == "delete", F.col(f"o.{f_.name}")
+        if not include_preimages:
+            out_cols = [
+                F.when(
+                    F.col("_change_type") == "delete", F.col(f"o.{f_.name}")
+                )
+                .otherwise(F.col(f"n.{f_.name}"))
+                .alias(f_.name)
+                for f_ in new_schema.fields
+            ]
+            return (
+                joined.withColumn("_change_type", change)
+                .filter(F.col("_change_type").isNotNull())
+                .select(F.col("_change_type").alias("change_type"), *out_cols)
             )
-            .otherwise(F.col(f"n.{f_.name}"))
-            .alias(f_.name)
-            for f_ in new_schema.fields
-        ]
+        old_img = F.struct(
+            *[F.col(f"o.{f_.name}").alias(f_.name) for f_ in new_schema.fields]
+        )
+        new_img = F.struct(
+            *[F.col(f"n.{f_.name}").alias(f_.name) for f_ in new_schema.fields]
+        )
+
+        def _ev(tag: str, img):
+            return F.struct(F.lit(tag).alias("change_type"), img.alias("img"))
+
+        events = (
+            F.when(F.col("_change_type") == "insert", F.array(_ev("insert", new_img)))
+            .when(F.col("_change_type") == "delete", F.array(_ev("delete", old_img)))
+            .otherwise(
+                F.array(
+                    _ev("update_preimage", old_img),
+                    _ev("update_postimage", new_img),
+                )
+            )
+        )
         return (
             joined.withColumn("_change_type", change)
             .filter(F.col("_change_type").isNotNull())
-            .select(F.col("_change_type").alias("change_type"), *out_cols)
+            .select(F.explode(events).alias("_e"))
+            .select(
+                F.col("_e.change_type").alias("change_type"),
+                *[
+                    F.col(f"_e.img.{f_.name}").alias(f_.name)
+                    for f_ in new_schema.fields
+                ],
+            )
         )
 
     # ---------- merge (the sink) ----------
@@ -652,6 +736,7 @@ class SnapshotTable:
         target_df: DataFrame | None = None,
         chain_state: bool = False,
         debug_assert_unique: bool = False,
+        patch_ops: bool = False,
     ) -> CommitInfo:
         """Apply a key-unique CDC batch (cols: op + payload + ts + lsn).
 
@@ -677,6 +762,16 @@ class SnapshotTable:
         an arbitrary row (the MERGE-cardinality-violation guard,
         SURVEY §7.3; the reference's MERGE would crash).
 
+        ``patch_ops=True`` accepts PARTIAL row images: events with
+        ``op='patch'`` set only their non-NULL payload columns (the
+        MySQL minimal-row-image / partial-Debezium-envelope case),
+        folded against target + full images in the same single
+        key-shuffle aggregate (``operators.dedup.patch_fold``). Needs
+        mode='cow' + source_is_raw=True. With ``transform``, a row
+        whose latest event is a source patch is re-transformed whole —
+        use value-deterministic (seeded) transformers, which all of
+        ``functions/transformers.py``'s are.
+
         ``source_is_raw=True`` is the engine fast path: the batch may
         hold many events per key and is not yet anonymized — the stats
         pre-pass then runs on the cheap raw scan (no UDFs), in-batch
@@ -688,6 +783,16 @@ class SnapshotTable:
         """
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown merge mode {mode!r}; use 'cow' or 'mor'")
+        if patch_ops and (mode != "cow" or not source_is_raw):
+            # a patch needs the full image it amends: COW resolves the
+            # fold at write (MoR delta files hold bare rows whose
+            # read-time LWW would let a patch row WIN and null the
+            # untouched columns), and the batch must be the raw event
+            # history (a pre-deduped "key-unique" batch has already
+            # destroyed the patches it contained)
+            raise ValueError(
+                "patch_ops requires mode='cow' and source_is_raw=True"
+            )
         if target_df is not None and prune_buckets:
             # a chained state must cover the WHOLE table: with pruning on,
             # untouched buckets' file lists would be replaced by the
@@ -750,7 +855,7 @@ class SnapshotTable:
                 affected = None
                 n_src = None
 
-            s_side = self._source_side(src, cur)
+            s_side = self._source_side(src, cur, patch_ops=patch_ops)
 
             if mode == "mor":
                 # delta write: LWW deferred to read/compact; raw batches
@@ -781,8 +886,20 @@ class SnapshotTable:
                     F.lit(0).alias("_src"),
                     F.col(_BUCKET_COL),
                 )
+                if patch_ops:
+                    # target rows are full images by construction
+                    t_side = t_side.withColumn("_patch", F.lit(False))
                 unioned = t_side.unionByName(s_side)
-                won = lww_dedup(unioned, key_cols, ["ts", _LSN_COL, "_src"])
+                if patch_ops:
+                    value_cols = [
+                        c for c in payload_cols
+                        if c not in key_cols and c != "ts"
+                    ]
+                    won = patch_fold(
+                        unioned, key_cols, ["ts", _LSN_COL, "_src"], value_cols
+                    )
+                else:
+                    won = lww_dedup(unioned, key_cols, ["ts", _LSN_COL, "_src"])
                 if transform is not None:
                     # anonymize ONLY the winning source rows (target rows
                     # were transformed when first applied) — a partition-
@@ -815,33 +932,34 @@ class SnapshotTable:
                 affected = sorted(written)
                 n_src = int(observation.get["n_src"])
                 bucket_counts = self._footer_counts(written, footers)
+            bmap = self._annotate_blooms(m, new_sid, written)
+
+            def _fentry(p: str, kind: str | None = None) -> dict:
+                e = {"path": p, "schema_id": m["schema_id"]}
+                if kind:
+                    e["kind"] = kind
+                if p in fstats:
+                    e["stats"] = fstats[p]
+                if p in bmap:
+                    e["bloom"] = bmap[p]
+                return e
 
             new_files = {b: list(v) for b, v in m["files"].items()}
             if mode == "mor":
                 for b, paths in written.items():
                     new_files.setdefault(str(b), []).extend(
-                        {"path": p, "schema_id": m["schema_id"], "kind": "delta",
-                         **({"stats": fstats[p]} if p in fstats else {})}
-                        for p in sorted(paths)
+                        _fentry(p, "delta") for p in sorted(paths)
                     )
             elif prune_buckets:
                 for b in affected:
                     new_files[str(b)] = []  # rewritten below (may stay empty)
                 for b, paths in written.items():
-                    new_files[str(b)] = [
-                        {"path": p, "schema_id": m["schema_id"],
-                         **({"stats": fstats[p]} if p in fstats else {})}
-                        for p in sorted(paths)
-                    ]
+                    new_files[str(b)] = [_fentry(p) for p in sorted(paths)]
                 new_files = {b: v for b, v in new_files.items() if v}
             else:
                 # full-table COW rewrite: the written set IS the table
                 new_files = {
-                    str(b): [
-                        {"path": p, "schema_id": m["schema_id"],
-                         **({"stats": fstats[p]} if p in fstats else {})}
-                        for p in sorted(paths)
-                    ]
+                    str(b): [_fentry(p) for p in sorted(paths)]
                     for b, paths in written.items()
                 }
 
@@ -880,21 +998,27 @@ class SnapshotTable:
                 src.unpersist()
 
     @staticmethod
-    def _source_side(src: DataFrame, cur: T.StructType) -> DataFrame:
+    def _source_side(
+        src: DataFrame, cur: T.StructType, patch_ops: bool = False
+    ) -> DataFrame:
         """CDC batch → storage projection (payload aligned to the
-        current schema + _lsn/_del/_src/_bucket)."""
+        current schema + _lsn/_del/_src/_bucket [+ _patch])."""
         s_cols = []
         for f_ in cur.fields:
             if f_.name in src.columns:
                 s_cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
             else:
                 s_cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+        extra = (
+            [(F.col("op") == "patch").alias("_patch")] if patch_ops else []
+        )
         return src.select(
             *s_cols,
             F.col("lsn").cast("long").alias(_LSN_COL),
             (F.col("op") == "delete").alias("_del"),
             F.lit(1).alias("_src"),
             F.col(_BUCKET_COL),
+            *extra,
         )
 
     @staticmethod
@@ -994,10 +1118,15 @@ class SnapshotTable:
         new_files = {b: list(v) for b, v in m["files"].items()}
         footers = self._read_footers(written)
         fstats = self._collect_file_stats(written, self._stats_cols(m), footers)
+        # bloom build launches one Spark job inside the serialized
+        # metadata step; with pipelined commits prefer building it in
+        # the data plane if it ever dominates — gated on bloom_cols
+        bmap = self._annotate_blooms(m, new_sid, written)
         for b, paths in written.items():
             new_files.setdefault(str(b), []).extend(
                 {"path": p, "schema_id": schema_id, "kind": "delta",
-                 **({"stats": fstats[p]} if p in fstats else {})}
+                 **({"stats": fstats[p]} if p in fstats else {}),
+                 **({"bloom": bmap[p]} if p in bmap else {})}
                 for p in sorted(paths)
             )
         ledger = list(m["checkpoint"]["applied"])
@@ -1182,13 +1311,118 @@ class SnapshotTable:
         return out, total, kept_n
 
     def scan_stats(
-        self, stats_filter: dict, snapshot_id: int | None = None
+        self,
+        stats_filter: dict | None = None,
+        snapshot_id: int | None = None,
+        key_equals: dict | None = None,
     ) -> dict:
-        """Pruning diagnostics: how many files a stats-filtered read
-        would open."""
+        """Pruning diagnostics: how many files a stats/bloom-filtered
+        read would open."""
         m = self.manifest(snapshot_id)
-        _, total, kept = self._prune_by_stats(m, stats_filter)
+        files, total, _ = self._prune_by_stats(m, stats_filter)
+        files, _, kept = self._prune_by_bloom(
+            m, files, self._norm_key_equals(key_equals), total
+        )
         return {"files_total": total, "files_kept": kept}
+
+    # ---------- bloom sidecars (point-lookup file skipping) ----------
+
+    def _annotate_blooms(
+        self, m: dict, new_sid: int, written: dict[int, list[str]]
+    ) -> dict[str, str]:
+        """Build the per-commit bloom sidecar for the freshly written
+        files (ONE distributed pass over the batch's files only — never
+        the table) and return {data_path: sidecar rel path} for the
+        manifest entries. No-op unless the table opted into
+        ``bloom_cols``. Files a rewrite path skips (purge/rescale) just
+        lose pruning, never correctness — probe keeps bloom-less files."""
+        cols = m.get("bloom_cols") or []
+        if not cols or not written:
+            return {}
+        from . import bloom as _bloom
+
+        rel = os.path.join(
+            "blooms", f"bloom-{new_sid}-{uuid.uuid4().hex[:8]}.parquet"
+        )
+        covered = _bloom.build_sidecar(
+            self.spark, written, cols, os.path.join(self.path, rel)
+        )
+        return {p: rel for p in covered}
+
+    @staticmethod
+    def _norm_key_equals(key_equals: dict | None) -> dict | None:
+        if not key_equals:
+            return None
+        return {
+            c: list(v) if isinstance(v, (list, tuple, set)) else [v]
+            for c, v in key_equals.items()
+        }
+
+    def _bloom_entry(self, m: dict, e: dict, col: str):
+        rel = e.get("bloom")
+        if not rel:
+            return None
+        sc = self._bloom_cache.get(rel)
+        if sc is None:
+            from . import bloom as _bloom
+
+            full = os.path.join(self.path, rel)
+            sc = _bloom.load_sidecar(full) if os.path.exists(full) else {}
+            self._bloom_cache[rel] = sc
+        have = {c for (p, c) in sc if p == e["path"]}
+        src = self._walk_renames(col, have, m.get("renames", {})) or col
+        return sc.get((e["path"], src))
+
+    def _prune_by_bloom(
+        self,
+        m: dict,
+        files: dict,
+        key_equals: dict | None,
+        total: int | None = None,
+    ) -> tuple[dict, int, int]:
+        """Bloom scan pruning: drop file entries whose bloom says every
+        looked-up value is DEFINITELY absent. SOUNDNESS: for key-column
+        equality this is per-file sound even in MoR buckets — LWW
+        groups by key, so a file without the key contributes nothing to
+        that key's winner. For non-key columns MoR buckets stay
+        bucket-granular (a dropped file could hide the true winner and
+        let a stale row pass the re-applied predicate); COW buckets are
+        per-file (each key appears exactly once table-wide). Files
+        without a bloom entry are kept."""
+        from . import bloom as _bloom
+
+        passed = sum(len(v) for v in files.values())
+        if total is None:
+            total = passed
+        if not key_equals or not m.get("bloom_cols"):
+            # no bloom filtering: kept = whatever upstream pruning left
+            return files, total, passed
+
+        def _matches(e: dict) -> bool:
+            for col, vals in key_equals.items():
+                ent = self._bloom_entry(m, e, col)
+                if ent is None:
+                    continue
+                bm, bk, bits = ent
+                if not any(
+                    _bloom.might_contain(bits, bm, bk, v) for v in vals
+                ):
+                    return False
+            return True
+
+        keyed = set(key_equals) <= set(m["key_cols"])
+        out: dict[str, list] = {}
+        for b, entries in files.items():
+            has_delta = any(e.get("kind") == "delta" for e in entries)
+            if has_delta and not keyed:
+                if any(_matches(e) for e in entries):
+                    out[b] = list(entries)
+            else:
+                kept = [e for e in entries if _matches(e)]
+                if kept:
+                    out[b] = kept
+        kept_n = sum(len(v) for v in out.values())
+        return out, total, kept_n
 
     @staticmethod
     def _footer_counts(
@@ -1428,10 +1662,12 @@ class SnapshotTable:
             new_files[str(b)] = []
         written_c = self._list_commit_files(commit_dir)
         fstats = self._collect_file_stats(written_c, stats_cols)
+        bmap = self._annotate_blooms(m, new_sid, written_c)
         for b, paths in written_c.items():
             new_files[str(b)] = [
                 {"path": p, "schema_id": m["schema_id"],
-                 **({"stats": fstats[p]} if p in fstats else {})}
+                 **({"stats": fstats[p]} if p in fstats else {}),
+                 **({"bloom": bmap[p]} if p in bmap else {})}
                 for p in sorted(paths)
             ]
         new_files = {b: v for b, v in new_files.items() if v}
@@ -1539,10 +1775,15 @@ class SnapshotTable:
                 new_files[str(b)] = []  # deltas fold into the rewrite
             written = self._list_commit_files(commit_dir)
             fstats = self._collect_file_stats(written, self._stats_cols(m))
+            # fresh blooms for the rewritten files: the subjects' keys
+            # are gone from the data, so they're absent from the new
+            # bits too; the old sidecars die with expire_snapshots' GC
+            bmap = self._annotate_blooms(m, new_sid, written)
             for b, paths in written.items():
                 new_files[str(b)] = [
                     {"path": p, "schema_id": m["schema_id"],
-                     **({"stats": fstats[p]} if p in fstats else {})}
+                     **({"stats": fstats[p]} if p in fstats else {}),
+                     **({"bloom": bmap[p]} if p in bmap else {})}
                     for p in sorted(paths)
                 ]
             new_files = {b: v for b, v in new_files.items() if v}
@@ -1703,9 +1944,13 @@ class SnapshotTable:
                     break
 
         keep_files: set[str] = set()
+        keep_sidecars: set[str] = set()
         for rid in retained_ids:
             for entries in self.manifest(rid)["files"].values():
                 keep_files.update(e["path"] for e in entries)
+                keep_sidecars.update(
+                    e["bloom"] for e in entries if e.get("bloom")
+                )
 
         removed_files = 0
         data_root = os.path.join(self.path, "data")
@@ -1728,6 +1973,20 @@ class SnapshotTable:
             ) and not any(x.startswith(_BUCKET_COL) and os.listdir(os.path.join(cdir, x)) for x in os.listdir(cdir) if os.path.isdir(os.path.join(cdir, x))):
                 pass  # leave commit dir skeletons; harmless
 
+        # bloom sidecars referenced by no retained snapshot: after a
+        # purge this also erases the bits derived from the subjects'
+        # keys (a bloom holds md5-derived positions of key values —
+        # derived data the erasure should cover)
+        removed_sidecars = 0
+        bloom_root = os.path.join(self.path, "blooms")
+        if os.path.isdir(bloom_root):
+            for f in list(os.listdir(bloom_root)):
+                rel = os.path.join("blooms", f)
+                if f.endswith(".parquet") and rel not in keep_sidecars:
+                    os.remove(os.path.join(bloom_root, f))
+                    self._bloom_cache.pop(rel, None)
+                    removed_sidecars += 1
+
         removed_manifests = 0
         meta = os.path.join(self.path, "metadata")
         for f in list(os.listdir(meta)):
@@ -1740,6 +1999,7 @@ class SnapshotTable:
             "retained_snapshots": retained_ids,
             "removed_files": removed_files,
             "removed_manifests": removed_manifests,
+            "removed_bloom_sidecars": removed_sidecars,
         }
 
     # ---------- exactly-once ledger ----------

@@ -85,3 +85,119 @@ def op_rate_anomalies(
             F.abs(z) > F.lit(float(z_threshold)), F.lit(False)
         ).alias("anomalous"),
     )
+
+
+def _hash_bucket(col, n_buckets: int):
+    """md5-derived value bucket, identical in Spark and DuckDB:
+    Spark  conv(substr(md5(v),1,8),16,10) % B
+    DuckDB ('0x' || substr(md5(v),1,8))::BIGINT % B
+    NULLs get their own bucket (B)."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return F.when(col.isNull(), F.lit(n_buckets)).otherwise(
+        F.pmod(h, F.lit(n_buckets))
+    )
+
+
+def column_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cols: "list[str]",
+    n_buckets: int = 64,
+    alpha: float = 0.5,
+    psi_threshold: float = 0.2,
+) -> DataFrame:
+    """Per-column distribution drift between two table states —
+    Population Stability Index over md5-hash value buckets, the check a
+    CDC pipeline runs between yesterday's and today's snapshot (or
+    between the source replica and the lake) to catch a schema-silent
+    upstream change: a column whose VALUES moved (an app release that
+    changed enum casing, a locale change in generated text, a default
+    flipping to NULL) without any DDL event.
+
+    Hash buckets, not value ranges, so one definition covers strings
+    and numerics and no driver-side quantile pass is needed; with
+    B + 1 buckets (NULL gets its own — NULL-rate drift is the most
+    common real incident) PSI detects mass movement between any two
+    fixed value groups. Laplace smoothing (``alpha``) keeps the PSI
+    finite when a bucket is empty on one side.
+
+    Scale shape: each side is ONE pass — the |cols| per-row values are
+    exploded to (col, bucket) pairs AFTER a hash-agg-friendly
+    projection, then a single groupBy(col, bucket) with map-side
+    combine; the join that pairs the two sides is over the tiny
+    (|cols| × (B+1)) histogram frame. Output: one row per column,
+    ``(col_name, n_a, n_b, psi, drifted)``, deterministic and
+    DuckDB-replayable (md5 buckets + explicit half-up rounding).
+    """
+    if not cols:
+        raise ValueError("column_drift needs at least one column")
+
+    def hist(df: DataFrame, side: str) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    _hash_bucket(F.col(c), n_buckets).alias("bucket"),
+                )
+                for c in cols
+            ]
+        )
+        return (
+            df.select(F.explode(pairs).alias("p"))
+            .groupBy(
+                F.col("p.col_name").alias("col_name"),
+                F.col("p.bucket").alias("bucket"),
+            )
+            .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+        )
+
+    ha, hb = hist(df_a, "a"), hist(df_b, "b")
+    # dense (col, bucket) grid so empty-on-one-side buckets still
+    # contribute their smoothed term — |cols| × (B+1) rows, tiny
+    grid = (
+        ha.sparkSession.range(n_buckets + 1)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .crossJoin(
+            ha.sparkSession.createDataFrame(
+                [(c,) for c in cols], "col_name string"
+            )
+        )
+    )
+    j = (
+        grid.join(ha, ["col_name", "bucket"], "left")
+        .join(hb, ["col_name", "bucket"], "left")
+        .select(
+            "col_name",
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    tot = Window.partitionBy("col_name")
+    denom_extra = float(alpha) * (n_buckets + 1)
+    p = (F.col("n_a") + F.lit(float(alpha))) / (
+        F.sum("n_a").over(tot) + F.lit(denom_extra)
+    )
+    q = (F.col("n_b") + F.lit(float(alpha))) / (
+        F.sum("n_b").over(tot) + F.lit(denom_extra)
+    )
+    per_bucket = j.select(
+        "col_name",
+        F.col("n_a"),
+        F.col("n_b"),
+        ((p - q) * F.log(p / q)).alias("_term"),
+    )
+    out = per_bucket.groupBy("col_name").agg(
+        F.sum("n_a").alias("n_a"),
+        F.sum("n_b").alias("n_b"),
+        F.sum("_term").alias("_psi"),
+    )
+    return out.select(
+        "col_name",
+        "n_a",
+        "n_b",
+        round_half_up(F.col("_psi"), 4).alias("psi"),
+        (F.col("_psi") > F.lit(float(psi_threshold))).alias("drifted"),
+    )

@@ -213,3 +213,67 @@ def test_suggest_watermark(spark):
 
     with pytest.raises(ValueError):
         suggest_watermark(df, quantile=0.0)
+
+
+class TestColumnDrift:
+    def test_identical_states_near_zero_psi(self, spark):
+        from neosync_spark.operators.monitor import column_drift
+
+        df = spark.createDataFrame(
+            [(f"r{i % 3}", f"t{i}") for i in range(300)], "a string, b string"
+        )
+        out = {
+            r["col_name"]: r
+            for r in column_drift(df, df, ["a", "b"], n_buckets=16).collect()
+        }
+        assert set(out) == {"a", "b"}
+        for r in out.values():
+            assert r["psi"] == 0.0 and not r["drifted"]
+            assert r["n_a"] == r["n_b"] == 300
+
+    def test_mass_movement_flags_drift(self, spark):
+        from neosync_spark.operators.monitor import column_drift
+
+        a = spark.createDataFrame(
+            [("enum_A",) for _ in range(400)], "v string"
+        )
+        b = spark.createDataFrame(
+            [("enum_B",) for _ in range(400)], "v string"
+        )
+        row = column_drift(a, b, ["v"], n_buckets=16).collect()[0]
+        assert row["drifted"] and row["psi"] > 1.0
+
+    def test_null_rate_drift_detected(self, spark):
+        """NULL-rate movement is the most common real incident: same
+        values, but half the rows went NULL."""
+        from neosync_spark.operators.monitor import column_drift
+
+        a = spark.createDataFrame([("x",)] * 400, "v string")
+        b = spark.createDataFrame(
+            [("x",)] * 200 + [(None,)] * 200, "v string"
+        )
+        row = column_drift(a, b, ["v"], n_buckets=16).collect()[0]
+        assert row["drifted"] and row["n_b"] == 400
+
+    def test_small_shift_below_threshold(self, spark):
+        from neosync_spark.operators.monitor import column_drift
+
+        a = spark.createDataFrame(
+            [(f"v{i % 10}",) for i in range(1000)], "v string"
+        )
+        # 2% of mass moves between existing values
+        b = spark.createDataFrame(
+            [(f"v{i % 10}",) for i in range(980)] + [("v0",)] * 20,
+            "v string",
+        )
+        row = column_drift(a, b, ["v"], n_buckets=16).collect()[0]
+        assert not row["drifted"] and 0.0 <= row["psi"] < 0.2
+
+    def test_empty_cols_raises(self, spark):
+        import pytest
+
+        from neosync_spark.operators.monitor import column_drift
+
+        df = spark.createDataFrame([("x",)], "v string")
+        with pytest.raises(ValueError):
+            column_drift(df, df, [])

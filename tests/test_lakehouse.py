@@ -275,6 +275,21 @@ def test_snapshot_diff_insert_update_delete(spark, tmp_path):
     # snapshot with itself is empty
     assert t.snapshot_diff(s2, s2).count() == 0
 
+    # CDF with before-images: updates emit BOTH sides (Delta CDF
+    # contract); inserts/deletes are unchanged
+    cdf = t.snapshot_diff(s1, s2, include_preimages=True).toPandas()
+    got_pre = {
+        (r.change_type, r.conv_id, r.turn_idx): r.text
+        for r in cdf.itertuples()
+    }
+    assert got_pre == {
+        ("update_preimage", "c1", 1): "hi",
+        ("update_postimage", "c1", 1): "hi there",
+        ("delete", "c2", 0): "yo",
+        ("insert", "c3", 5): "new conv",
+    }
+    assert t.snapshot_diff(s2, s2, include_preimages=True).count() == 0
+
 
 def test_snapshot_diff_prunes_unchanged_buckets(spark, tmp_path):
     """Only buckets whose file lists changed participate in the join:

@@ -302,3 +302,36 @@ def test_asof_join_single_shuffle_no_nested_loop(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
+
+
+def test_column_drift_partial_agg_no_python(spark):
+    """Drift histograms: the corpus-sized side collapses in a
+    map-side-combined hash aggregate straight above the explode; no
+    Python, no window over corpus-sized data (the PSI window runs on
+    the |cols|x(B+1) histogram frame only)."""
+    from neosync_spark.operators.monitor import column_drift
+
+    df = spark.createDataFrame(
+        [(f"r{i % 5}", f"t{i}") for i in range(200)], "a string, b string"
+    )
+    plan = _plan(column_drift(df, df, ["a", "b"], n_buckets=16))
+    assert "EvalPython" not in plan
+    # partial aggregation before the exchange on the histogram build
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_bloom_point_lookup_opens_single_bucket_files(spark, tmp_path):
+    """A point lookup on a bloom-indexed MoR table plans a scan over
+    ONLY the pruned file set — the relation's file count equals what
+    scan_stats reports, not the table's."""
+    from tests.test_bloom import _fill, _mk_bloom
+
+    t = _fill(spark, _mk_bloom(spark, tmp_path / "t"), epochs=4, convs=6)
+    full = t.scan_stats()
+    pruned = t.scan_stats(key_equals={"conv_id": "c1_2"})
+    assert pruned["files_kept"] < full["files_kept"]
+    df = t.read(key_equals={"conv_id": "c1_2"})
+    plan = _plan(df)
+    # the exact key predicate is re-applied on top of the pruned scan
+    assert "c1_2" in plan
+    assert df.count() == 1

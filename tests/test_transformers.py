@@ -583,3 +583,55 @@ class TestPiiScan:
         df = spark.createDataFrame([(1, "a@b.co")], "id long, a string")
         out = scan_pii(df, ["a"], entities=["EMAIL_ADDRESS"]).collect()
         assert len(out) == 1 and out[0]["n_hits"] == 1
+
+
+class TestReversiblePseudonym:
+    KEY = "0123456789abcdef"
+
+    def test_roundtrip_and_determinism(self, spark):
+        from pyspark.sql import functions as F
+
+        from neosync_spark.functions.masking import (
+            depseudonymize_aes,
+            pseudonymize_aes,
+        )
+
+        df = spark.createDataFrame(
+            [("alice@x.com",), ("alice@x.com",), ("bob",), ("",), (None,)],
+            "v string",
+        )
+        out = df.select(
+            "v",
+            pseudonymize_aes("v", self.KEY).alias("t"),
+        ).withColumn("back", depseudonymize_aes("t", self.KEY))
+        rows = out.collect()
+        for r in rows:
+            assert r["back"] == r["v"]
+        toks = {r["v"]: r["t"] for r in rows}
+        assert toks["alice@x.com"] != toks["bob"]
+        assert toks[None] is None
+        # deterministic: both alice rows share one token
+        assert len({r["t"] for r in rows if r["v"] == "alice@x.com"}) == 1
+        # hex, no newlines, PKCS7 length
+        t = toks["alice@x.com"]
+        assert "\n" not in t and len(t) == 2 * ((len("alice@x.com") // 16 + 1) * 16)
+
+    def test_jvm_only_plan(self, spark):
+        from neosync_spark.functions.masking import pseudonymize_aes
+
+        df = spark.createDataFrame([("x",)], "v string")
+        plan = (
+            df.select(pseudonymize_aes("v", self.KEY))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_bad_key_rejected(self):
+        import pytest
+
+        from neosync_spark.functions.masking import pseudonymize_aes
+
+        with pytest.raises(ValueError, match="AES key"):
+            pseudonymize_aes("v", "short")
