@@ -2283,6 +2283,42 @@ def _q_patch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_patch_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial row images on the MoR fast path: the same patch log
+    replayed as FOUR delta batches split by lsn while ts is disordered
+    across batches — raw patch events land in delta files (O(batch)
+    write amplification) and the fold happens at read, so the final
+    state equals the full-history fold regardless of cross-batch
+    disorder (the case write-time folding cannot express). Same DuckDB
+    oracle as cdc_patch_merge."""
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    _views(spark, sf_dir, ["events"])
+    log = spark.sql(_PATCH_DERIVATION)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    step = (hi + 4) // 4
+
+    path = tempfile.mkdtemp(prefix="ns_cdc_patchmor_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+    for i in range(4):
+        lo, hi_ = i * step, min((i + 1) * step, hi + 1)
+        table.merge_cdc(
+            log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_)),
+            applied_range=(lo, hi_),
+            mode="mor",
+            patch_ops=True,
+            source_is_raw=True,
+            prune_buckets=False,
+            lineage=False,
+        )
+    return table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
 def _q_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-lookup file skipping (bloom.py): replay the log as 4 MoR
     delta epochs into a bloom-indexed table, then fetch three
@@ -2464,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_diff": _q_snapshot_diff,
         "cdc_changefeed_images": _q_changefeed_images,
         "cdc_patch_merge": _q_patch_merge,
+        "cdc_patch_merge_mor": _q_patch_merge_mor,
         "cdc_bloom_pruned_read": _q_bloom_pruned_read,
         "cdc_column_drift": _q_column_drift,
         "cdc_incremental_rollup": _q_incremental_rollup,
@@ -2739,6 +2776,28 @@ def oracle_sql() -> dict[str, str]:
               WHERE n.conv_id = o.conv_id AND n.turn_idx = o.turn_idx)
         """,
         "cdc_patch_merge": f"""
+            WITH log AS ({_PATCH_DERIVATION}),
+            r AS (
+              SELECT l.*, epoch_us(ts)::HUGEINT * 100000000 + lsn AS ok
+              FROM log l
+            ),
+            agg AS (
+              SELECT conv_id, turn_idx,
+                (arg_max({{'x': role}}, ok)
+                   FILTER (WHERE op <> 'patch' OR role IS NOT NULL)).x AS role,
+                (arg_max({{'x': text}}, ok)
+                   FILTER (WHERE op <> 'patch' OR text IS NOT NULL)).x AS text,
+                (arg_max({{'x': tool}}, ok)
+                   FILTER (WHERE op <> 'patch' OR tool IS NOT NULL)).x AS tool,
+                arg_max(ts, ok) AS ts,
+                arg_max(op, ok) FILTER (WHERE op <> 'patch') AS last_full
+              FROM r GROUP BY conv_id, turn_idx
+            )
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM agg WHERE last_full IS NOT NULL AND last_full <> 'delete'
+        """,
+        "cdc_patch_merge_mor": f"""
             WITH log AS ({_PATCH_DERIVATION}),
             r AS (
               SELECT l.*, epoch_us(ts)::HUGEINT * 100000000 + lsn AS ok

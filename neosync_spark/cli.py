@@ -99,6 +99,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="stage commits on this branch ref (created at the "
                         "current main head if absent); publish with the "
                         "'branch publish' subcommand")
+    r.add_argument("--patch-ops", action="store_true",
+                   help="accept partial row images: op='patch' rows set "
+                        "only their non-NULL columns (MySQL minimal row "
+                        "image); with --mode mor patches are stored raw "
+                        "and folded at read — correct under arbitrary "
+                        "cross-batch ts disorder")
+    r.add_argument("--bloom-cols", default=None, metavar="COL,COL",
+                   help="on table creation: build per-file bloom sidecars "
+                        "for these columns at every commit (point-lookup "
+                        "file skipping; see the 'get' subcommand)")
 
     c = sub.add_parser("compact", help="fold MoR delta files")
     c.add_argument("--table", required=True)
@@ -146,6 +156,33 @@ def main(argv: list[str] | None = None) -> int:
 
     w = sub.add_parser("show", help="snapshot history + ledger")
     w.add_argument("--table", required=True)
+
+    g = sub.add_parser(
+        "get",
+        help="point lookup: fetch rows by key value (bucket-pruned by "
+             "the key hash + bloom-pruned past the MoR delta chain)",
+    )
+    g.add_argument("--table", required=True)
+    g.add_argument("--key", action="append", required=True,
+                   help="key value (the leading key column, e.g. a "
+                        "conv_id); repeatable")
+    g.add_argument("--stats", action="store_true",
+                   help="also print how many files the lookup opened "
+                        "vs the table total")
+
+    dr = sub.add_parser(
+        "drift",
+        help="per-column distribution drift (PSI over md5 value "
+             "buckets) between two snapshots of a table",
+    )
+    dr.add_argument("--table", required=True)
+    dr.add_argument("--from-snapshot", type=int, required=True)
+    dr.add_argument("--to-snapshot", type=int, default=None,
+                    help="default: current head")
+    dr.add_argument("--columns", default=None, metavar="COL,COL",
+                    help="default: every non-key payload column")
+    dr.add_argument("--buckets", type=int, default=64)
+    dr.add_argument("--threshold", type=float, default=0.2)
 
     rq = sub.add_parser(
         "requeue",
@@ -339,6 +376,8 @@ def main(argv: list[str] | None = None) -> int:
             fk_col=args.fk_col,
             fk_ref_col=args.fk_ref_col,
             branch=args.branch,
+            patch_ops=args.patch_ops,
+            bloom_cols=args.bloom_cols.split(",") if args.bloom_cols else None,
         )
         stats = run_job(spark, job)
         print(json.dumps({
@@ -772,6 +811,50 @@ def main(argv: list[str] | None = None) -> int:
             "delta_pressure": t.delta_file_counts(),
         }, indent=1))
         return 0
+
+    if args.cmd == "get":
+        from .lakehouse import SnapshotTable
+
+        t = SnapshotTable.load(spark, args.table)
+        key_col = t.manifest()["key_cols"][0]
+        out = {"rows": [
+            {k: (v.isoformat() if hasattr(v, "isoformat") else v)
+             for k, v in r.asDict().items()}
+            for r in t.read(key_equals={key_col: args.key}).collect()
+        ]}
+        if args.stats:
+            out["scan"] = t.scan_stats(key_equals={key_col: args.key})
+        print(json.dumps(out, indent=1))
+        return 0
+
+    if args.cmd == "drift":
+        from .lakehouse import SnapshotTable
+        from .operators.monitor import column_drift
+
+        t = SnapshotTable.load(spark, args.table)
+        m = t.manifest()
+        if args.columns:
+            cols = args.columns.split(",")
+        else:
+            keys = set(m["key_cols"])
+            cols = [
+                f.name for f in t.current_schema().fields
+                if f.name not in keys
+            ]
+        to_sid = args.to_snapshot
+        rows = column_drift(
+            t.read(args.from_snapshot),
+            t.read(to_sid),
+            cols,
+            n_buckets=args.buckets,
+            psi_threshold=args.threshold,
+        ).collect()
+        print(json.dumps({
+            "from_snapshot": args.from_snapshot,
+            "to_snapshot": to_sid if to_sid is not None else m["snapshot_id"],
+            "drift": [r.asDict() for r in rows],
+        }, indent=1))
+        return 1 if any(r["drifted"] for r in rows) else 0
 
     return 2
 

@@ -69,6 +69,10 @@ class EngineConfig:
     # parent key set are quarantined to <table>/metadata/quarantine_fk
     # and counted; the rest of the batch applies normally
     fk_check: "FkCheck | None" = None
+    # partial row images: op='patch' sets only non-NULL columns (see
+    # merge_cdc patch_ops — COW folds at write, MoR stores raw + folds
+    # at read); requires the source slices to be raw event history
+    patch_ops: bool = False
 
 
 @dataclass
@@ -266,6 +270,7 @@ class ReplayEngine:
             prune_buckets=self.config.prune_buckets,
             target_df=self._chained_state if chaining else None,
             chain_state=chaining,
+            patch_ops=self.config.patch_ops,
         )
         if chaining:
             prev = self._chained_state
@@ -424,7 +429,11 @@ class ReplayEngine:
         with ThreadPoolExecutor(max_workers=max_inflight) as ex:
             futures = [
                 ex.submit(
-                    self.table.prepare_delta, slicer(lo, hi), transform, True
+                    self.table.prepare_delta,
+                    slicer(lo, hi),
+                    transform,
+                    True,
+                    self.config.patch_ops,
                 )
                 for lo, hi in ranges
             ]
@@ -548,6 +557,7 @@ class ReplayEngine:
                     transform=self.transform_batch if self.transforms else None,
                     source_is_raw=True,
                     prune_buckets=self.config.prune_buckets,
+                    patch_ops=self.config.patch_ops,
                 )
                 if self._chained_state is not None:
                     # the cached COW target predates the healed rows

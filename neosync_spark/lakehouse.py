@@ -49,6 +49,7 @@ from .operators.dedup import lww_dedup, patch_fold
 _LSN_COL = "_lsn"
 _BUCKET_COL = "_bucket"
 _DELETED_COL = "_deleted"
+_PATCH_COL = "_patch"
 
 
 def bucket_expr(key_col: str, n_buckets: int):
@@ -319,26 +320,34 @@ class SnapshotTable:
             if any(e.get("kind") == "delta" for e in entries)
         }
 
-        def _collect(filter_delta: bool) -> dict[str, list[str]]:
-            by_schema: dict[str, list[str]] = {}
+        def _collect(filter_delta: bool) -> dict[tuple[str, bool], list[str]]:
+            groups: dict[tuple[str, bool], list[str]] = {}
             for b, entries in vis_files.items():
                 if want is not None and int(b) not in want:
                     continue
                 if (int(b) in delta_buckets) != filter_delta:
                     continue
                 for e in entries:
-                    by_schema.setdefault(str(e["schema_id"]), []).append(e["path"])
-            return by_schema
+                    key = (str(e["schema_id"]), bool(e.get("patches")))
+                    groups.setdefault(key, []).append(e["path"])
+            return groups
 
         renames = m.get("renames", {})
 
         def _resolve_name(name: str, have: set[str]) -> str | None:
             return self._walk_renames(name, have, renames)
 
-        def _union(by_schema: dict[str, list[str]]) -> DataFrame | None:
+        def _union(
+            groups: dict[tuple[str, bool], list[str]], with_patch: bool
+        ) -> DataFrame | None:
             parts: list[DataFrame] = []
-            for sid, paths in by_schema.items():
+            for (sid, patched), paths in groups.items():
                 file_schema = self._storage_schema(m["schemas"][sid])
+                if patched:
+                    file_schema = T.StructType(
+                        list(file_schema.fields)
+                        + [T.StructField(_PATCH_COL, T.BooleanType(), True)]
+                    )
                 df = self.spark.read.schema(file_schema).parquet(*paths)
                 have = {f.name: f for f in file_schema.fields}
                 cols = []
@@ -350,6 +359,14 @@ class SnapshotTable:
                         cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
                 cols.append(F.col(_LSN_COL))
                 cols.append(F.col(_DELETED_COL))
+                if with_patch:
+                    cols.append(
+                        F.coalesce(F.col(_PATCH_COL), F.lit(False)).alias(
+                            _PATCH_COL
+                        )
+                        if patched
+                        else F.lit(False).alias(_PATCH_COL)
+                    )
                 parts.append(df.select(*cols))
             if not parts:
                 return None
@@ -358,10 +375,31 @@ class SnapshotTable:
                 out = out.unionByName(p)
             return out
 
-        base_part = _union(_collect(filter_delta=False))
-        mor_part = _union(_collect(filter_delta=True))
+        mor_groups = _collect(filter_delta=True)
+        has_patches = any(patched for (_sid, patched) in mor_groups)
+        base_part = _union(_collect(filter_delta=False), with_patch=False)
+        mor_part = _union(mor_groups, with_patch=has_patches)
         if mor_part is not None:
-            mor_part = lww_dedup(mor_part, m["key_cols"], ["ts", _LSN_COL])
+            if has_patches:
+                # raw patch deltas in the visible set: fold full images
+                # ∪ patches per key (same single-shuffle aggregate shape
+                # as LWW — operators/dedup.patch_fold); orphan patches
+                # (no full image anywhere) vanish here and at compaction
+                value_cols = [
+                    f.name
+                    for f in cur.fields
+                    if f.name not in m["key_cols"] and f.name != "ts"
+                ]
+                mor_part = patch_fold(
+                    mor_part,
+                    m["key_cols"],
+                    ["ts", _LSN_COL],
+                    value_cols,
+                    patch_col=_PATCH_COL,
+                    del_col=_DELETED_COL,
+                )
+            else:
+                mor_part = lww_dedup(mor_part, m["key_cols"], ["ts", _LSN_COL])
 
         if base_part is not None and mor_part is not None:
             out = base_part.unionByName(mor_part)
@@ -764,13 +802,20 @@ class SnapshotTable:
 
         ``patch_ops=True`` accepts PARTIAL row images: events with
         ``op='patch'`` set only their non-NULL payload columns (the
-        MySQL minimal-row-image / partial-Debezium-envelope case),
-        folded against target + full images in the same single
-        key-shuffle aggregate (``operators.dedup.patch_fold``). Needs
-        mode='cow' + source_is_raw=True. With ``transform``, a row
-        whose latest event is a source patch is re-transformed whole —
-        use value-deterministic (seeded) transformers, which all of
-        ``functions/transformers.py``'s are.
+        MySQL minimal-row-image / partial-Debezium-envelope case).
+        Needs source_is_raw=True. Under COW the fold happens at write —
+        target + full images + patches in the same single key-shuffle
+        aggregate (``operators.dedup.patch_fold``); correct under
+        per-key in-order delivery across batches (what a binlog LSN
+        guarantees). Under MoR the batch is written RAW with a
+        ``_patch`` marker and folded at read/compaction — O(batch)
+        write amplification AND correct under arbitrary cross-batch ts
+        disorder, the mode to tail a partial-image binlog at 10^10
+        events. With ``transform``, a row whose latest event is a
+        source patch is re-transformed whole (COW) or each raw event is
+        transformed independently (MoR) — equivalent for the
+        value-deterministic (seeded) transformers
+        ``functions/transformers.py`` provides.
 
         ``source_is_raw=True`` is the engine fast path: the batch may
         hold many events per key and is not yet anonymized — the stats
@@ -783,16 +828,11 @@ class SnapshotTable:
         """
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown merge mode {mode!r}; use 'cow' or 'mor'")
-        if patch_ops and (mode != "cow" or not source_is_raw):
-            # a patch needs the full image it amends: COW resolves the
-            # fold at write (MoR delta files hold bare rows whose
-            # read-time LWW would let a patch row WIN and null the
-            # untouched columns), and the batch must be the raw event
-            # history (a pre-deduped "key-unique" batch has already
-            # destroyed the patches it contained)
-            raise ValueError(
-                "patch_ops requires mode='cow' and source_is_raw=True"
-            )
+        if patch_ops and not source_is_raw:
+            # the batch must be the raw event history — a pre-deduped
+            # "key-unique" batch has already destroyed the patches it
+            # contained
+            raise ValueError("patch_ops requires source_is_raw=True")
         if target_df is not None and prune_buckets:
             # a chained state must cover the WHOLE table: with pruning on,
             # untouched buckets' file lists would be replaced by the
@@ -859,9 +899,18 @@ class SnapshotTable:
 
             if mode == "mor":
                 # delta write: LWW deferred to read/compact; raw batches
-                # are in-batch deduped so delta volume stays O(keys)
+                # are in-batch deduped so delta volume stays O(keys).
+                # Under patch_ops the batch is written RAW (no in-batch
+                # fold): folding a patch into a same-batch full image
+                # would freeze column provenance, making a LATER-batch
+                # but OLDER-ts full image unable to reclaim the columns
+                # it owns — keeping raw events means the read-time fold
+                # always sees the full history, so MoR patches are
+                # correct under arbitrary cross-batch ts disorder
+                # (stronger than the COW patch path, which folds at
+                # write and needs per-key in-order delivery).
                 won = s_side
-                if source_is_raw:
+                if source_is_raw and not patch_ops:
                     won = lww_dedup(won, key_cols, ["ts", _LSN_COL])
                 if transform is not None:
                     won = transform(won)
@@ -908,7 +957,10 @@ class SnapshotTable:
                     kept_rows = won.filter(F.col("_src") != 1)
                     won = new_rows.unionByName(kept_rows)
 
-            out = self._finalize_rows(won, cur, key_cols)
+            out = self._finalize_rows(
+                won, cur, key_cols,
+                include_patch=(patch_ops and mode == "mor"),
+            )
 
             new_sid = self._next_snapshot_id()
             commit_dir = os.path.join(
@@ -933,6 +985,7 @@ class SnapshotTable:
                 n_src = int(observation.get["n_src"])
                 bucket_counts = self._footer_counts(written, footers)
             bmap = self._annotate_blooms(m, new_sid, written)
+            patch_paths = self._patch_paths(footers)
 
             def _fentry(p: str, kind: str | None = None) -> dict:
                 e = {"path": p, "schema_id": m["schema_id"]}
@@ -942,6 +995,8 @@ class SnapshotTable:
                     e["stats"] = fstats[p]
                 if p in bmap:
                     e["bloom"] = bmap[p]
+                if p in patch_paths:
+                    e["patches"] = True
                 return e
 
             new_files = {b: list(v) for b, v in m["files"].items()}
@@ -1023,10 +1078,16 @@ class SnapshotTable:
 
     @staticmethod
     def _finalize_rows(
-        won: DataFrame, cur: T.StructType, key_cols: Sequence[str]
+        won: DataFrame,
+        cur: T.StructType,
+        key_cols: Sequence[str],
+        include_patch: bool = False,
     ) -> DataFrame:
         """Winners → written rows: deleted rows stay as tombstones
-        (payload nulled, key + (ts, _lsn) retained for future LWW)."""
+        (payload nulled, key + (ts, _lsn) retained for future LWW).
+        ``include_patch`` additionally stores the partial-image marker
+        (MoR patch deltas: raw patch events are written as-is and
+        folded at read/compaction — see merge_cdc patch_ops)."""
         null_if_del = [
             F.when(F.col("_del"), F.lit(None).cast(f_.dataType))
             .otherwise(F.col(f_.name))
@@ -1034,12 +1095,18 @@ class SnapshotTable:
             for f_ in cur.fields
             if f_.name not in key_cols and f_.name != "ts"
         ]
+        extra = (
+            [F.coalesce(F.col(_PATCH_COL), F.lit(False)).alias(_PATCH_COL)]
+            if include_patch
+            else []
+        )
         return won.select(
             *key_cols,
             *null_if_del,
             F.col("ts"),
             F.col(_LSN_COL),
             F.col("_del").alias(_DELETED_COL),
+            *extra,
             F.col(_BUCKET_COL),
         )
 
@@ -1050,6 +1117,7 @@ class SnapshotTable:
         batch: DataFrame,
         transform=None,
         source_is_raw: bool = True,
+        patch_ops: bool = False,
     ) -> tuple[dict[int, list[str]], int, tuple[int, int]]:
         """Data-plane of a MoR delta commit WITHOUT the manifest write:
         in-batch LWW dedup + transform + bucket-partitioned delta file
@@ -1069,15 +1137,18 @@ class SnapshotTable:
         nb = m["bucket_count"]
         cur = self.current_schema(m)
 
+        if patch_ops and not source_is_raw:
+            raise ValueError("patch_ops requires source_is_raw=True")
         src = batch.withColumn(_BUCKET_COL, bucket_expr(key_cols[0], nb))
         obs = Observation()
         src = src.observe(obs, F.count(F.lit(1)).alias("n_src"))
-        won = self._source_side(src, cur)
-        if source_is_raw:
+        won = self._source_side(src, cur, patch_ops=patch_ops)
+        if source_is_raw and not patch_ops:
+            # patch batches stay RAW (see merge_cdc's MoR patch note)
             won = lww_dedup(won, key_cols, ["ts", _LSN_COL])
         if transform is not None:
             won = transform(won)
-        out = self._finalize_rows(won, cur, key_cols)
+        out = self._finalize_rows(won, cur, key_cols, include_patch=patch_ops)
         commit_dir = os.path.join(self.path, "data", f"delta-{uuid.uuid4().hex[:12]}")
         out.repartition(max(1, min(nb, 256)), F.col(_BUCKET_COL)).write.partitionBy(
             _BUCKET_COL
@@ -1122,11 +1193,13 @@ class SnapshotTable:
         # metadata step; with pipelined commits prefer building it in
         # the data plane if it ever dominates — gated on bloom_cols
         bmap = self._annotate_blooms(m, new_sid, written)
+        patch_paths = self._patch_paths(footers)
         for b, paths in written.items():
             new_files.setdefault(str(b), []).extend(
                 {"path": p, "schema_id": schema_id, "kind": "delta",
                  **({"stats": fstats[p]} if p in fstats else {}),
-                 **({"bloom": bmap[p]} if p in bmap else {})}
+                 **({"bloom": bmap[p]} if p in bmap else {}),
+                 **({"patches": True} if p in patch_paths else {})}
                 for p in sorted(paths)
             )
         ledger = list(m["checkpoint"]["applied"])
@@ -1157,6 +1230,18 @@ class SnapshotTable:
         return m.get(
             "stats_cols", [m["key_cols"][0], *m.get("order_cols", []), _LSN_COL]
         )
+
+    @staticmethod
+    def _patch_paths(footers: dict[str, object]) -> set[str]:
+        """Data files carrying the partial-image marker column (raw MoR
+        patch deltas) — flagged in the manifest so read() knows to fold
+        with patch semantics and stats pruning stays conservative."""
+        out = set()
+        for p, md in footers.items():
+            names = {md.schema.column(i).name for i in range(md.num_columns)}
+            if _PATCH_COL in names:
+                out.add(p)
+        return out
 
     @staticmethod
     def _norm_stat(v):
@@ -1300,9 +1385,20 @@ class SnapshotTable:
             has_delta = any(e.get("kind") == "delta" for e in entries)
             if has_delta:
                 if any(_entry_matches(e) for e in entries):
-                    kept = [e for e in entries if not _below_lower_bound(e)]
-                    if kept:
-                        out[b] = kept
+                    # raw patch deltas void the lower-bound refinement:
+                    # a patch file wholly below ``lo`` can still OWN a
+                    # column of a winner whose fold ts is above it (the
+                    # winner's other columns come from later events), so
+                    # dropping it would null that column — patch buckets
+                    # stay fully bucket-granular
+                    if any(e.get("patches") for e in entries):
+                        out[b] = list(entries)
+                    else:
+                        kept = [
+                            e for e in entries if not _below_lower_bound(e)
+                        ]
+                        if kept:
+                            out[b] = kept
             else:
                 kept = [e for e in entries if _entry_matches(e)]
                 if kept:

@@ -59,6 +59,12 @@ class JobSpec:
     # write-audit-publish: commit onto this branch ref instead of main
     # (created at the current main head if absent); publish separately
     branch: str | None = None
+    # partial row images: op='patch' sets only non-NULL columns
+    # (merge_cdc patch_ops — MoR stores raw + folds at read)
+    patch_ops: bool = False
+    # per-file bloom sidecars for these columns at table CREATION
+    # (point-lookup file skipping; ignored for an existing table)
+    bloom_cols: list[str] | None = None
 
 
 def resolve_transformer(m: ColumnMapping, seed: int) -> TransformFn:
@@ -95,6 +101,7 @@ def compile_job(
             transcript_schema(),
             key_cols=KEY_COLS,
             n_buckets=job.n_buckets,
+            bloom_cols=job.bloom_cols,
         )
     if job.branch:
         import os
@@ -112,6 +119,7 @@ def compile_job(
             merge_mode=job.merge_mode,
             prune_buckets=job.prune_buckets,
             quarantine=job.quarantine,
+            patch_ops=job.patch_ops,
             fk_check=(
                 FkCheck(
                     spark.read.parquet(job.fk_parent_path),

@@ -155,15 +155,15 @@ def test_patch_replay_matches_pandas_oracle(spark, tmp_path):
     assert _state(t) == want
 
 
-def test_patch_requires_cow_raw(spark, tmp_path):
+def test_patch_requires_raw_source(spark, tmp_path):
     t = _mk(spark, tmp_path / "t")
     b = _patch_batch(
         spark, [(1, "insert", "c", 0, "u", "x", None, "2026-01-01 00:00:01")]
     )
     with pytest.raises(ValueError, match="patch_ops"):
-        t.merge_cdc(b, mode="mor", patch_ops=True, source_is_raw=True)
-    with pytest.raises(ValueError, match="patch_ops"):
         t.merge_cdc(b, mode="cow", patch_ops=True, source_is_raw=False)
+    with pytest.raises(ValueError, match="patch_ops"):
+        t.prepare_delta(b, source_is_raw=False, patch_ops=True)
 
 
 def test_patch_fold_is_one_aggregate_no_window(spark):
@@ -180,3 +180,179 @@ def test_patch_fold_is_one_aggregate_no_window(spark):
     # exchange (map-side combine = the skew defense), same as lww_dedup
     assert "partial_max_by" in plan
     assert "Window" not in plan and "Join" not in plan
+
+# ---------- MoR patch deltas: raw storage, read-time fold ----------
+
+
+def test_mor_patch_basic_and_compact(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.merge_cdc(
+        _patch_batch(spark, [
+            (1, "insert", "c1", 0, "user", "hello", "search", "2026-01-01 00:00:01"),
+        ]),
+        applied_range=(0, 10), mode="mor", patch_ops=True, source_is_raw=True,
+    )
+    t.merge_cdc(
+        _patch_batch(spark, [
+            (11, "patch", "c1", 0, None, None, "browser", "2026-01-01 00:00:03"),
+            (12, "patch", "ghost", 9, None, "orphan", None, "2026-01-01 00:00:04"),
+        ]),
+        applied_range=(10, 20), mode="mor", patch_ops=True, source_is_raw=True,
+    )
+    assert _state(t) == {("c1", 0): ("user", "hello", "browser")}
+    # manifest flags the patch deltas
+    m = t.manifest(refresh=True)
+    assert any(
+        e.get("patches") for es in m["files"].values() for e in es
+    )
+    # compaction folds patches into clean full rows
+    t.compact()
+    m2 = t.manifest(refresh=True)
+    assert not any(
+        e.get("patches") for es in m2["files"].values() for e in es
+    )
+    assert _state(t) == {("c1", 0): ("user", "hello", "browser")}
+
+
+def test_mor_patch_out_of_order_across_batches(spark, tmp_path):
+    """The case COW patch folding cannot express: a LATE full image
+    (older ts) lands in a later batch; raw MoR storage + read-time fold
+    still yields the full-history answer."""
+    t = _mk(spark, tmp_path / "t")
+    # batch 1: full@ts1 then patch(tool)@ts5
+    t.merge_cdc(
+        _patch_batch(spark, [
+            (1, "insert", "c", 0, "user", "a", None, "2026-01-01 00:00:01"),
+            (2, "patch", "c", 0, None, None, "T", "2026-01-05 00:00:00"),
+        ]),
+        applied_range=(0, 10), mode="mor", patch_ops=True, source_is_raw=True,
+    )
+    # batch 2: late full image @ts3 (between them) — owns text, loses tool
+    t.merge_cdc(
+        _patch_batch(spark, [
+            (11, "update", "c", 0, "user", "b", None, "2026-01-03 00:00:00"),
+        ]),
+        applied_range=(10, 20), mode="mor", patch_ops=True, source_is_raw=True,
+    )
+    assert _state(t) == {("c", 0): ("user", "b", "T")}
+
+
+def test_mor_patch_random_replay_matches_oracle(spark, tmp_path):
+    """Randomized history split into 4 MoR batches BY LSN while ts is
+    shuffled (cross-batch disorder): read-time fold == full-history
+    sequential oracle ordered by (ts, lsn)."""
+    import random
+
+    rng = random.Random(21)
+    cols = ["role", "text", "tool"]
+    keys = [(f"c{i}", j) for i in range(5) for j in range(2)]
+    events = []
+    # ts deliberately NOT monotone with lsn
+    ts_pool = [f"2026-01-01 00:{m // 60:02d}:{m % 60:02d}" for m in rng.sample(range(3600), 160)]
+    for lsn in range(160):
+        k = rng.choice(keys)
+        r = rng.random()
+        if r < 0.45:
+            op = "insert"
+            vals = [f"{c}{lsn}" if rng.random() < 0.8 else None for c in cols]
+        elif r < 0.6:
+            op, vals = "delete", [None] * 3
+        else:
+            op = "patch"
+            vals = [f"{c}{lsn}" if rng.random() < 0.4 else None for c in cols]
+        events.append((lsn, op, k[0], k[1], vals[0], vals[1], vals[2], ts_pool[lsn]))
+
+    t = _mk(spark, tmp_path / "t")
+    for i in range(4):
+        chunk = [e for e in events if i * 40 <= e[0] < (i + 1) * 40]
+        t.merge_cdc(
+            _patch_batch(spark, chunk), applied_range=(i * 40, (i + 1) * 40),
+            mode="mor", patch_ops=True, source_is_raw=True,
+        )
+
+    # oracle: sequential interpreter over (ts, lsn)-ordered history
+    state: dict = {}
+    for (l, op, cid, ti, role, text, tool, _ts) in sorted(
+        events, key=lambda e: (e[7], e[0])
+    ):
+        k = (cid, ti)
+        if op == "delete":
+            state[k] = None
+        elif op == "patch":
+            cur = state.get(k)
+            if cur is not None:
+                state[k] = tuple(
+                    n if n is not None else c
+                    for n, c in zip((role, text, tool), cur)
+                )
+        else:
+            state[k] = (role, text, tool)
+    want = {k: v for k, v in state.items() if v is not None}
+    assert _state(t) == want
+    # compaction preserves it
+    t.compact()
+    assert _state(t) == want
+
+
+def test_mor_patch_lower_bound_prune_stays_exact(spark, tmp_path):
+    """A patch file wholly below a ts lower bound still owns a column
+    of a winner above the bound — patch buckets must not tail-prune."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    t = _mk(spark, tmp_path / "t")
+    t.merge_cdc(
+        _patch_batch(spark, [
+            (1, "insert", "c", 0, "user", "base", "tool0", "2026-01-01 00:00:01"),
+            (2, "patch", "c", 0, None, "patched", None, "2026-01-02 00:00:00"),
+        ]),
+        applied_range=(0, 10), mode="mor", patch_ops=True, source_is_raw=True,
+    )
+    t.merge_cdc(
+        _patch_batch(spark, [
+            (11, "patch", "c", 0, None, None, "tool9", "2026-06-01 00:00:00"),
+        ]),
+        applied_range=(10, 20), mode="mor", patch_ops=True, source_is_raw=True,
+    )
+    cutoff = datetime.datetime(2026, 5, 1)
+    got = t.read(stats_filter={"ts": (cutoff, None)}).collect()
+    # winner's fold ts is the last patch's (>= cutoff): row passes the
+    # predicate WITH columns owned by the older (prunable-looking) files
+    assert len(got) == 1
+    r = got[0]
+    assert (r["text"], r["tool"]) == ("patched", "tool9")
+    want = t.read().filter(F.col("ts") >= F.lit(cutoff)).collect()
+    assert [(x["text"], x["tool"]) for x in want] == [("patched", "tool9")]
+
+
+def test_mor_patch_pipelined_engine(spark, tmp_path):
+    """Pipelined MoR commits with patch_ops through the engine: final
+    state equals the serial COW-free oracle."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+
+    rows = [
+        (0, "insert", "c", 0, "user", "v0", None, "2026-01-01 00:00:01"),
+        (1, "patch", "c", 0, None, "v1", None, "2026-01-01 00:00:02"),
+        (2, "patch", "c", 0, None, None, "t1", "2026-01-01 00:00:03"),
+        (3, "insert", "d", 1, "user", "w0", None, "2026-01-01 00:00:04"),
+        (4, "delete", "d", 1, None, None, None, "2026-01-01 00:00:05"),
+        (5, "patch", "d", 1, None, "zombie", None, "2026-01-01 00:00:06"),
+    ]
+    df = _patch_batch(spark, rows)
+    t = _mk(spark, tmp_path / "t")
+    eng = ReplayEngine(
+        spark, t,
+        config=EngineConfig(
+            batch_lsn_size=2, lineage=False, merge_mode="mor",
+            patch_ops=True, compact_deltas_over=None,
+        ),
+    )
+
+    def slicer(lo, hi):
+        from pyspark.sql import functions as F
+
+        return df.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+
+    eng.replay(slicer, lsn_lo=0, lsn_hi=5, pipeline_batches=3)
+    assert _state(t) == {("c", 0): ("user", "v1", "t1")}
