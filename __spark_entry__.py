@@ -1375,6 +1375,41 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index (operators/ann_index): centroids trained
+    once and FROZEN, assignments maintained as a ledgered SnapshotTable
+    in two epochs (O(new vectors) each), then queried probing every
+    cell — which must equal brute force exactly, so the brute-force
+    oracle verifies the train/assign/sync/probe machinery end-to-end."""
+    from neosync_spark.operators.ann_index import (
+        create_ivf_index,
+        ivf_index_sync,
+        ivf_index_topk,
+    )
+
+    _views(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings")
+    hi = int(emb.agg(F.max("vec_id")).collect()[0][0] or 0)
+    mid = hi // 2
+
+    path = tempfile.mkdtemp(prefix="ns_ann_ivf_idx_")
+    idx = create_ivf_index(
+        spark, path, emb, "embedding", "vec_id", n_centroids=8
+    )
+    ivf_index_sync(
+        idx, emb.filter(F.col("vec_id") <= mid), "embedding", "vec_id",
+        applied_range=(0, mid),
+    )
+    ivf_index_sync(
+        idx, emb.filter(F.col("vec_id") > mid), "embedding", "vec_id",
+        applied_range=(mid, hi + 1),
+    )
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_index_topk(
+        idx, emb, "embedding", "vec_id", list(q), k=10, n_probe=8
+    )
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH near-dup with a PLANTED pair: vec -1 is a scaled+
     shifted copy of vec 0 derived with SQL arithmetic (so the DuckDB
@@ -2431,6 +2466,61 @@ def _q_column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_name")
 
 
+def _q_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-retention pass (compact expire_rows_before): replay the
+    log as MoR deltas, then compact the whole table dropping every row
+    — live or tombstone — whose LWW-winning ts is older than
+    max(ts) − 2 days ("keep the last 2 days"). The surviving state must
+    be exactly the alive LWW winners inside the window."""
+    import datetime
+
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    row = log.agg(F.max("lsn"), F.max("ts")).collect()[0]
+    hi, max_ts = int(row[0] or 0), row[1]
+
+    path = tempfile.mkdtemp(prefix="ns_cdc_retain_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+    eng = ReplayEngine(
+        spark,
+        table,
+        config=EngineConfig(
+            batch_lsn_size=hi + 2, lineage=False, merge_mode="mor"
+        ),
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    eng.replay(slicer, lsn_lo=0, lsn_hi=hi)
+    cutoff = max_ts - datetime.timedelta(days=2)
+    table.compact(expire_rows_before=cutoff)
+    return table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
+def _q_profile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile profile (profile.numeric_percentiles, exact path):
+    linearly-interpolated quantiles for three lineitem measures in ONE
+    aggregation job — identical interpolation to ANSI quantile_cont, so
+    DuckDB replays the numbers bit-for-bit before rounding. The
+    percentile_approx (GK sketch) variant is the 100 TB path,
+    pytest-gated against the exact one."""
+    from neosync_spark.operators.profile import numeric_percentiles
+
+    _views(spark, sf_dir, ["lineitem"])
+    return numeric_percentiles(
+        spark.table("lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
 def _q_reversible_pseudonym(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reversible deterministic pseudonymization (masking.
     pseudonymize_aes): AES-ECB tokens the key-holder can invert —
@@ -2544,11 +2634,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_index_topk": _q_ann_ivf_index,
         "ann_pq_topk": _q_ann_pq,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_dedup_clusters": _q_embedding_clusters,
         "corpus_stats": _q_corpus_stats,
         "profile_table": _q_profile_table,
+        "cdc_retention_expiry": _q_retention_expiry,
+        "profile_percentiles": _q_profile_percentiles,
         "text_token_count": _q_token_count,
         "text_quality_score": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -2818,6 +2911,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM agg WHERE last_full IS NOT NULL AND last_full <> 'delete'
+        """,
+        "cdc_retention_expiry": f"""
+            WITH log AS {log},
+            mx AS (SELECT max(ts) - INTERVAL 2 DAY AS cutoff FROM log)
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM (
+              SELECT l.*, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+              FROM log l
+            ) WHERE rn = 1 AND op <> 'delete'
+              AND ts >= (SELECT cutoff FROM mx)
         """,
         "cdc_bloom_pruned_read": f"""
             SELECT conv_id, turn_idx, role, text, tool,
@@ -3227,6 +3332,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey,
                    substr(sha256('ns' || CAST(o.o_custkey AS STRING)), 1, 12) AS anon_custkey
             FROM orders o
+        """,
+        "profile_percentiles": """
+            WITH agg AS (
+              SELECT
+                quantile_cont(l_quantity, [0.25, 0.5, 0.75, 0.95]) AS qq,
+                quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]) AS qe,
+                quantile_cont(l_discount, [0.25, 0.5, 0.75, 0.95]) AS qd
+              FROM lineitem
+            )
+            SELECT 'l_quantity' AS "column",
+                   unnest([0.25, 0.5, 0.75, 0.95]) AS p,
+                   floor(unnest(qq) * 1000000 + 0.5) / 1000000 AS value
+            FROM agg
+            UNION ALL
+            SELECT 'l_extendedprice',
+                   unnest([0.25, 0.5, 0.75, 0.95]),
+                   floor(unnest(qe) * 1000000 + 0.5) / 1000000
+            FROM agg
+            UNION ALL
+            SELECT 'l_discount',
+                   unnest([0.25, 0.5, 0.75, 0.95]),
+                   floor(unnest(qd) * 1000000 + 0.5) / 1000000
+            FROM agg
         """,
         "reversible_pseudonym": """
             -- invariant oracle (DuckDB has no AES): round-trip truth,
@@ -3881,6 +4009,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_pq_topk": _ann_pq_oracle(),
         "ann_ivf_topk": """
+            WITH q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+            )
+            SELECT vec_id,
+                   floor(
+                     list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+                     (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product(qv, qv))) * 10000 + 0.5) / 10000 AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_ivf_index_topk": """
             WITH q AS (
               SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
             )

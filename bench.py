@@ -76,8 +76,12 @@ BENCH_QUERIES = [
     "cdc_asof_enrich",
     "cdc_bloom_pruned_read",
     "cdc_patch_merge",
+    "cdc_patch_merge_mor",
     "cdc_column_drift",
     "reversible_pseudonym",
+    "cdc_retention_expiry",
+    "profile_percentiles",
+    "ann_ivf_index_topk",
 ]
 
 

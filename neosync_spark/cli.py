@@ -126,6 +126,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--zorder-bits", type=int, default=4,
                    help="rank-bucket bits per z-ordered column (2^bits "
                         "equi-depth buckets each)")
+    c.add_argument("--expire-rows-before", default=None, metavar="TS",
+                   help="retention pass: physically drop every row (live "
+                        "or tombstone) with ts older than this ISO "
+                        "timestamp; targets the whole table")
     c.add_argument("--auto", action="store_true",
                    help="compact only buckets selected by the pressure "
                         "policy (worst first) instead of every bucket "
@@ -326,7 +330,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated subset (default: all columns)")
     pf.add_argument("--approx", action="store_true",
                     help="HyperLogLog++ distincts (the at-scale path; "
-                         "no multi-count-distinct Expand)")
+                         "no multi-count-distinct Expand); with "
+                         "--percentiles, GK-sketch quantiles")
+    pf.add_argument("--percentiles", default=None, metavar="COL,COL",
+                    help="also profile quantiles (p25/50/75/95) for "
+                         "these numeric columns")
 
     vc = sub.add_parser(
         "validate",
@@ -410,6 +418,12 @@ def main(argv: list[str] | None = None) -> int:
         try:
             info = t.compact(
                 buckets=buckets,
+                expire_rows_before=(
+                    __import__("datetime").datetime.fromisoformat(
+                        args.expire_rows_before
+                    )
+                    if args.expire_rows_before else None
+                ),
                 sort_by_key=args.sort_by_key,
                 max_records_per_file=args.max_records_per_file,
                 zorder_cols=(
@@ -739,11 +753,21 @@ def main(argv: list[str] | None = None) -> int:
             df = spark.read.parquet(args.table)
         cols = args.columns.split(",") if args.columns else None
         rows = profile_columns(df, cols, approx=args.approx).collect()
-        print(json.dumps({
+        out = {
             "table": args.table,
             "approx": args.approx,
             "columns": [r.asDict() for r in rows],
-        }, default=str))
+        }
+        if args.percentiles:
+            from .operators.profile import numeric_percentiles
+
+            out["percentiles"] = [
+                r.asDict()
+                for r in numeric_percentiles(
+                    df, args.percentiles.split(","), approx=args.approx
+                ).collect()
+            ]
+        print(json.dumps(out, default=str))
         return 0
 
     if args.cmd == "validate":

@@ -1656,6 +1656,7 @@ class SnapshotTable:
         self,
         buckets: Sequence[int] | None = None,
         expire_tombstones_before=None,
+        expire_rows_before=None,
         sort_by_key: bool = False,
         max_records_per_file: int | None = None,
         zorder_cols: Sequence[str] | None = None,
@@ -1666,6 +1667,11 @@ class SnapshotTable:
         late-arrival watermark — after which a same-key event older
         than the watermark could in principle resurrect, so pick the
         watermark from the source's max out-of-orderness.
+
+        ``expire_rows_before`` is the data-RETENTION pass (drop every
+        row, live or tombstone, older than the cutoff — "keep 90 days
+        of transcripts"); with no explicit bucket list it targets the
+        whole table, since age is uncorrelated with the key hash.
 
         ``sort_by_key=True`` clusters rows by the key columns WITHIN
         each bucket file (sortWithinPartitions — no extra shuffle):
@@ -1693,7 +1699,7 @@ class SnapshotTable:
             )
         m = self.manifest(refresh=True)
         if buckets is None:
-            if sort_by_key or zorder_cols:
+            if sort_by_key or zorder_cols or expire_rows_before is not None:
                 # an explicit clustering request targets the whole
                 # table — a fully-COW table has no deltas to fold but
                 # still wants the rewrite (silent no-op surprise
@@ -1709,6 +1715,15 @@ class SnapshotTable:
             rows = rows.filter(
                 ~F.col(_DELETED_COL) | (F.col("ts") >= F.lit(expire_tombstones_before))
             )
+        if expire_rows_before is not None:
+            # retention policy: physically drop EVERYTHING (live rows
+            # and tombstones) whose LWW-winning ts is older than the
+            # cutoff — the data-retention maintenance pass. Same
+            # trade-off as tombstone expiry: a same-key event older
+            # than the cutoff arriving later could re-insert; pick the
+            # cutoff beyond the source's max out-of-orderness (and the
+            # ledger still no-ops already-applied ranges).
+            rows = rows.filter(F.col("ts") >= F.lit(expire_rows_before))
         out = rows.withColumn(
             _BUCKET_COL, bucket_expr(m["key_cols"][0], m["bucket_count"])
         )

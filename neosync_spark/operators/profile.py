@@ -89,3 +89,52 @@ def profile_columns(
             "max_repr",
         )
     )
+
+
+def numeric_percentiles(
+    df: DataFrame,
+    cols: Sequence[str],
+    ps: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Percentile profile for numeric columns: one row per
+    ``(column, p)`` with the linearly-interpolated quantile — the other
+    half of a pre-mapping audit (value RANGES, where min/max alone hide
+    skew and outliers).
+
+    ``approx=False`` uses Spark's exact ``percentile`` (identical
+    interpolation to ANSI ``quantile_cont``/DuckDB, so the number is
+    engine-replayable bit-for-bit before rounding); exact percentiles
+    materialize each column's values inside the aggregate — fine for an
+    audit sample, wrong for 100 TB. ``approx=True`` swaps in
+    ``percentile_approx`` (Greenwald-Khanna sketch): single pass,
+    map-side partial aggregation, bounded memory — the at-scale path,
+    within ``1/accuracy`` relative rank error. Both are ONE aggregation
+    job for all columns; NULLs are ignored per SQL semantics (an
+    all-NULL column yields NULL values).
+    """
+    names = list(cols)
+    if not names:
+        raise ValueError("numeric_percentiles needs at least one column")
+    p_list = ", ".join(repr(float(p)) for p in ps)
+    aggs = []
+    for i, c in enumerate(names):
+        if approx:
+            expr = f"percentile_approx({c}, array({p_list}), {int(accuracy)})"
+        else:
+            expr = f"percentile({c}, array({p_list}))"
+        aggs.append(F.expr(expr).alias(f"_q_{i}"))
+    one = df.agg(*aggs)
+    per = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.lit(float(p)).alias("p"),
+            round_half_up(
+                F.col(f"_q_{i}").getItem(j).cast("double"), 6
+            ).alias("value"),
+        )
+        for i, c in enumerate(names)
+        for j, p in enumerate(ps)
+    ]
+    return one.select(F.explode(F.array(*per)).alias("r")).select("r.*")

@@ -348,3 +348,38 @@ def test_plan_compaction_policy_and_auto_cli(spark, tmp_path, log_path):
     ])
     assert rc == 0
     assert t.manifest(refresh=True)["snapshot_id"] == sid
+
+
+def test_retention_expire_rows(spark, tmp_path):
+    """compact(expire_rows_before=...): live rows AND tombstones older
+    than the cutoff physically vanish; the retained window is exact and
+    the files on disk hold nothing older."""
+    import datetime
+
+    from .test_lakehouse import _batch, _mk
+
+    from pyspark.sql import functions as F
+
+    t = _mk(spark, tmp_path / "t")
+    t.merge_cdc(_batch(spark, [
+        (1, "insert", "old", 0, "user", "ancient", None, "2025-01-01 00:00:01"),
+        (2, "insert", "new", 0, "user", "recent", None, "2026-06-01 00:00:01"),
+        (3, "insert", "gone", 0, "user", "x", None, "2025-02-01 00:00:01"),
+        (4, "delete", "gone", 0, None, None, None, "2025-02-02 00:00:01"),
+    ]), applied_range=(0, 10), mode="mor")
+    cutoff = datetime.datetime(2026, 1, 1)
+    info = t.compact(expire_rows_before=cutoff)
+    assert info is not None
+    rows = t.read().collect()
+    assert [(r["conv_id"], r["text"]) for r in rows] == [("new", "recent")]
+    # nothing older survives on disk (tombstones included)
+    m = t.manifest(refresh=True)
+    paths = [e["path"] for es in m["files"].values() for e in es]
+    raw = spark.read.parquet(*paths)
+    assert raw.filter(F.col("ts") < F.lit(cutoff)).count() == 0
+    # ledger untouched: the applied range still no-ops
+    again = t.merge_cdc(_batch(spark, [
+        (1, "insert", "old", 0, "user", "ancient", None, "2025-01-01 00:00:01"),
+    ]), applied_range=(0, 10), mode="mor")
+    assert again.rows_written == 0
+    assert t.read().count() == 1

@@ -55,3 +55,56 @@ def test_column_subset_preserves_order(spark):
     df = spark.createDataFrame([(1, "a", 2.0)], "a int, b string, c double")
     out = profile_columns(df, ["c", "a"]).select("column").collect()
     assert [r["column"] for r in out] == ["c", "a"]
+
+
+class TestPercentiles:
+    def test_exact_interpolation(self, spark):
+        from neosync_spark.operators.profile import numeric_percentiles
+
+        df = spark.createDataFrame(
+            [(float(v),) for v in [1, 3.5, 2, 9.25, 4, 7.5, 0.5]], "v double"
+        )
+        got = {
+            r["p"]: r["value"]
+            for r in numeric_percentiles(df, ["v"], ps=(0.25, 0.5, 0.75)).collect()
+        }
+        assert got == {0.25: 1.5, 0.5: 3.5, 0.75: 5.75}
+
+    def test_approx_close_to_exact_and_single_job(self, spark):
+        from neosync_spark.operators.profile import numeric_percentiles
+
+        df = spark.range(10000).selectExpr("cast(id as double) AS v")
+        exact = {
+            (r["column"], r["p"]): r["value"]
+            for r in numeric_percentiles(df, ["v"]).collect()
+        }
+        approx = numeric_percentiles(df, ["v"], approx=True)
+        plan = approx._jdf.queryExecution().executedPlan().toString()
+        # GK sketch partial-aggregates map-side — no Expand, no Sort of
+        # the input, no Python
+        assert "partial_percentile_approx" in plan
+        assert "EvalPython" not in plan
+        for r in approx.collect():
+            e = exact[(r["column"], r["p"])]
+            assert abs(r["value"] - e) <= max(2.0, 0.01 * e)
+
+    def test_nulls_ignored_and_all_null(self, spark):
+        from neosync_spark.operators.profile import numeric_percentiles
+
+        df = spark.createDataFrame(
+            [(1.0, None), (3.0, None), (None, None)],
+            "a double, b double",
+        )
+        got = {
+            (r["column"], r["p"]): r["value"]
+            for r in numeric_percentiles(df, ["a", "b"], ps=(0.5,)).collect()
+        }
+        assert got[("a", 0.5)] == 2.0 and got[("b", 0.5)] is None
+
+    def test_empty_cols_raises(self, spark):
+        import pytest
+
+        from neosync_spark.operators.profile import numeric_percentiles
+
+        with pytest.raises(ValueError):
+            numeric_percentiles(spark.range(1), [])
