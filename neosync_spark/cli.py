@@ -19,7 +19,11 @@ create/list/drop/publish with an optional not-null audit; stage commits
 with `replay --branch <name>`), index-sync (incremental MinHash-LSH
 dedup index: per-epoch O(new docs), ledgered), checksum (order-
 independent replica digests; --against localizes divergent chunks),
-rescale (bucket-count evolution under one atomic snapshot).
+rescale (bucket-count evolution under one atomic snapshot), get
+(point lookup — bucket + bloom pruned), drift (per-column PSI between
+snapshots; exit 1 on drift), inspect (files/snapshots metadata
+tables), export (snapshot → plain parquet), profile
+(--percentiles adds quantiles).
 """
 
 from __future__ import annotations
@@ -160,6 +164,25 @@ def main(argv: list[str] | None = None) -> int:
 
     w = sub.add_parser("show", help="snapshot history + ledger")
     w.add_argument("--table", required=True)
+
+    ins = sub.add_parser(
+        "inspect",
+        help="metadata tables: per-file layout (files) or per-snapshot "
+             "lineage (snapshots) as JSON rows",
+    )
+    ins.add_argument("--table", required=True)
+    ins.add_argument("--what", choices=["files", "snapshots"],
+                     default="files")
+    ins.add_argument("--snapshot", type=int, default=None)
+
+    exp = sub.add_parser(
+        "export",
+        help="materialize a snapshot's live rows as plain parquet "
+             "(backup / hand-off to non-lakehouse consumers)",
+    )
+    exp.add_argument("--table", required=True)
+    exp.add_argument("--out", required=True)
+    exp.add_argument("--snapshot", type=int, default=None)
 
     g = sub.add_parser(
         "get",
@@ -834,6 +857,26 @@ def main(argv: list[str] | None = None) -> int:
             "applied_ranges": [list(r) for r in t.applied_ranges()],
             "delta_pressure": t.delta_file_counts(),
         }, indent=1))
+        return 0
+
+    if args.cmd == "inspect":
+        from .lakehouse import SnapshotTable
+
+        t = SnapshotTable.load(spark, args.table)
+        df = (
+            t.files(args.snapshot)
+            if args.what == "files"
+            else t.snapshots()
+        )
+        print(json.dumps([r.asDict() for r in df.collect()], indent=1))
+        return 0
+
+    if args.cmd == "export":
+        from .lakehouse import SnapshotTable
+
+        t = SnapshotTable.load(spark, args.table)
+        n = t.export_snapshot(args.out, args.snapshot)
+        print(json.dumps({"out": args.out, "rows": n}))
         return 0
 
     if args.cmd == "get":

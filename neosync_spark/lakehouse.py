@@ -2170,6 +2170,70 @@ class SnapshotTable:
         self._write_manifest(new_m)
         return new_sid
 
+    def files(self, snapshot_id: int | None = None) -> DataFrame:
+        """Metadata table (Iceberg ``table.files`` analog): one row per
+        data file in the snapshot — bucket, path, kind, schema id,
+        patch/bloom flags and recorded zone-map stats as JSON. Driver-
+        built from the manifest (no data scan), queryable with the full
+        DataFrame API."""
+        m = self.manifest(snapshot_id)
+        rows = [
+            (
+                int(b),
+                e["path"],
+                e.get("kind", "base"),
+                int(e["schema_id"]),
+                bool(e.get("patches")),
+                e.get("bloom"),
+                json.dumps(e.get("stats")) if e.get("stats") else None,
+            )
+            for b, entries in m["files"].items()
+            for e in entries
+        ]
+        schema = (
+            "bucket int, path string, kind string, schema_id int, "
+            "patches boolean, bloom_sidecar string, stats_json string"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def snapshots(self) -> DataFrame:
+        """Metadata table (Iceberg ``table.snapshots`` analog): one row
+        per retained snapshot — id, parent, operation, committed_at,
+        file/ledger counts. Manifest walk only, no data scan."""
+        rows = []
+        sid: int | None = self.manifest(refresh=True)["snapshot_id"]
+        while sid is not None:
+            try:
+                m = self.manifest(sid)
+            except FileNotFoundError:  # expired beyond retention
+                break
+            rows.append(
+                (
+                    int(m["snapshot_id"]),
+                    m.get("parent"),
+                    (m.get("summary") or {}).get("operation"),
+                    float(m["committed_at"]) if m.get("committed_at") else None,
+                    sum(len(v) for v in m["files"].values()),
+                    len(m["checkpoint"]["applied"]),
+                )
+            )
+            sid = m["parent"]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent long, operation string, "
+            "committed_at double, n_files long, n_applied_ranges long",
+        )
+
+    def export_snapshot(
+        self, out_path: str, snapshot_id: int | None = None
+    ) -> int:
+        """Materialize a snapshot's LIVE rows as a plain parquet
+        directory (backup / hand-off to a non-lakehouse consumer).
+        Returns the row count written (one extra count job)."""
+        df = self.read(snapshot_id)
+        df.write.mode("error").parquet(out_path)
+        return self.spark.read.parquet(out_path).count()
+
     def history(self) -> list[dict]:
         out = []
         sid = self.manifest(refresh=True)["snapshot_id"]

@@ -525,3 +525,36 @@ def test_rescale_conflicts_inflight_delta(spark, tmp_path):
     t.rescale_buckets(8)
     with pytest.raises(CommitConflictError, match="rescaled"):
         t.commit_delta(written, (10, 20), n_src, token)
+
+
+def test_metadata_tables_and_export(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.merge_cdc(_batch(spark, [
+        (1, "insert", "c1", 0, "user", "hello", None, "2024-01-01 00:00:01"),
+        (2, "insert", "c2", 0, "user", "yo", None, "2024-01-01 00:00:02"),
+    ]), applied_range=(0, 10))
+    t.merge_cdc(_batch(spark, [
+        (11, "update", "c1", 0, "user", "hi", None, "2024-01-01 00:00:11"),
+    ]), applied_range=(10, 20), mode="mor")
+
+    files = t.files().collect()
+    m = t.manifest(refresh=True)
+    assert len(files) == sum(len(v) for v in m["files"].values())
+    assert {r["kind"] for r in files} == {"base", "delta"}
+    assert all(r["stats_json"] for r in files)
+
+    snaps = {r["snapshot_id"]: r for r in t.snapshots().collect()}
+    assert set(snaps) == {0, 1, 2}
+    assert snaps[2]["parent"] == 1 and snaps[0]["operation"] == "create"
+    assert snaps[2]["n_applied_ranges"] == 2
+    assert snaps[2]["committed_at"] is not None
+
+    out = str(tmp_path / "export")
+    n = t.export_snapshot(out)
+    got = spark.read.parquet(out)
+    assert n == got.count() == 2
+    assert set(got.columns) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
+    # historical snapshot export
+    out1 = str(tmp_path / "export1")
+    assert t.export_snapshot(out1, snapshot_id=1) == 2
+    assert {r["text"] for r in spark.read.parquet(out1).collect()} == {"hello", "yo"}

@@ -252,3 +252,74 @@ def test_streaming_auto_rollup_tail(spark, tmp_path):
     assert got == exp
     # multiple epochs => multiple rollup syncs in dst's ledger
     assert len(dst.applied_ranges()) >= 2
+
+
+def test_streaming_patch_updates(spark, tmp_path):
+    """Patch-aware stateful stream: partial images on the wire, folded
+    full post-images downstream; final emissions match the sequential
+    patch interpreter."""
+    import pandas as pd
+
+    from neosync_spark.schema import change_event_schema
+    from neosync_spark.streaming.stateful import streaming_patch_updates
+
+    rows = [
+        # (lsn, op, conv_id, turn_idx, role, text, tool, ts)
+        (0, "insert", "a", 0, "user", "v0", "t0", "2026-01-01 00:00:01"),
+        (1, "patch", "a", 0, None, "v1", None, "2026-01-01 00:00:02"),
+        (2, "patch", "a", 0, None, None, "t1", "2026-01-01 00:00:03"),
+        (3, "insert", "b", 0, "user", "w0", None, "2026-01-01 00:00:01"),
+        (4, "delete", "b", 0, None, None, None, "2026-01-01 00:00:04"),
+        (5, "patch", "b", 0, None, "zombie", None, "2026-01-01 00:00:05"),
+        (6, "patch", "ghost", 0, None, "orphan", None, "2026-01-01 00:00:06"),
+        (7, "update", "a", 0, "user", "v2", None, "2026-01-01 00:00:07"),
+        (8, "patch", "a", 0, None, None, "t2", "2026-01-01 00:00:08"),
+        # duplicate delivery of lsn 8 — absorbed
+        (8, "patch", "a", 0, None, None, "t2", "2026-01-01 00:00:08"),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    log_dir = str(tmp_path / "plog")
+    # lsn-ordered file split => patches arrive in later micro-batches
+    spark.createDataFrame(pdf).repartitionByRange(4, "lsn").write.parquet(log_dir)
+
+    stream = (
+        spark.readStream.schema(change_event_schema(True))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(log_dir)
+    )
+    q = (
+        streaming_patch_updates(stream)
+        .writeStream.format("memory")
+        .queryName("patch_updates")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "pckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.table("patch_updates").toPandas()
+    last = (
+        got.sort_values(["ts_us", "lsn"], kind="mergesort")
+        .groupby(["conv_id", "turn_idx"])
+        .tail(1)
+        .set_index(["conv_id", "turn_idx"])
+    )
+    # a: full reset at lsn 7 then patch tool at 8
+    a = last.loc[("a", 0)]
+    assert (a["role"], a["text"], a["tool"], a["deleted"]) == (
+        "user", "v2", "t2", False,
+    )
+    # b: deleted; post-delete patch didn't resurrect
+    b = last.loc[("b", 0)]
+    assert bool(b["deleted"]) and b["text"] is None
+    # ghost: orphan patch created no state, no emission
+    assert ("ghost", 0) not in last.index
+    # every 'a' emission carries a COMPLETE post-image (role never null)
+    a_rows = got[(got["conv_id"] == "a") & (~got["deleted"])]
+    assert a_rows["role"].notna().all() and a_rows["text"].notna().all()

@@ -232,6 +232,51 @@ def main() -> None:
         "exactly once, zero Python.",
     )
 
+    from neosync_spark.operators.dedup import patch_fold
+
+    patch_df = spark.createDataFrame(
+        [("k", 0, 1, "a", None, False, False)],
+        "conv_id string, turn_idx int, lsn long, text string, "
+        "tool string, _patch boolean, _del boolean",
+    )
+    cap(
+        "Partial-image patch fold (merge_cdc patch_ops)",
+        patch_fold(patch_df, ["conv_id", "turn_idx"], ["lsn"], ["text", "tool"]),
+        "ONE SortAggregate pair with partial_max_by BEFORE the exchange "
+        "(map-side combine = the skew defense, identical shuffle count "
+        "to plain LWW): each payload column folds under a conditional "
+        "rank (full image OR column set), existence under the full-image "
+        "rank — no Window, no join, no second pass over the history.",
+    )
+    cap(
+        "Column drift PSI (snapshot-to-snapshot)",
+        E.queries()["cdc_column_drift"](spark, SF),
+        "each corpus-sized side collapses to a (col x md5-bucket) "
+        "histogram in ONE map-side-combined hash-agg directly above the "
+        "per-row explode; the PSI join + window run over the tiny "
+        "|cols| x (B+1) frame — two table scans total, zero Python.",
+    )
+    cap(
+        "Reversible AES pseudonymization",
+        E.queries()["reversible_pseudonym"](spark, SF),
+        "aes_encrypt/hex inside WholeStageCodegen — no Python anywhere; "
+        "the determinism/injectivity audit columns are windows over the "
+        "already-tokenized projection.",
+    )
+    cap(
+        "Percentile profile (approx path)",
+        __import__("neosync_spark.operators.profile", fromlist=["x"])
+        .numeric_percentiles(
+            spark.read.parquet(f"{SF}/lineitem.parquet"),
+            ["l_quantity", "l_extendedprice"],
+            approx=True,
+        ),
+        "partial_percentile_approx (Greenwald-Khanna sketch) before the "
+        "single-row exchange: bounded memory, one pass for ALL columns, "
+        "no Expand, no per-column sort — the 100 TB quantile path (the "
+        "exact variant is the DuckDB-oracled audit path).",
+    )
+
     hdr = (
         "# PLANS — formatted physical plans of load-bearing operators\n\n"
         "Generated by tools/gen_plans.py (`df.explain('formatted')` at sf0.001).\n"
