@@ -2115,6 +2115,36 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the MAINTAINED inverted index (operators/text_index):
+    postings bucketed by term + term blooms, built in two ledgered
+    epochs (O(new docs) each), queried via read(key_equals=terms) —
+    the posting-list access path through the table format's own
+    pruning. Identical arithmetic to text_bm25_search, so the same
+    DuckDB oracle verifies tokenize→index→sync→prune→score end-to-end."""
+    from neosync_spark.operators.text_index import (
+        create_text_index,
+        text_index_sync,
+        text_index_topk,
+    )
+
+    _views(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    hi = int(docs.agg(F.max("doc_id")).collect()[0][0] or 0)
+    mid = hi // 2
+    path = tempfile.mkdtemp(prefix="ns_text_idx_")
+    idx = create_text_index(spark, path, n_buckets=16)
+    text_index_sync(
+        idx, docs.filter(F.col("doc_id") <= mid), "text", "doc_id",
+        applied_range=(0, mid),
+    )
+    text_index_sync(
+        idx, docs.filter(F.col("doc_id") > mid), "text", "doc_id",
+        applied_range=(mid, hi + 1),
+    )
+    return text_index_topk(idx, _BM25_TERMS, k=10)
+
+
 def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram-LM quality scoring: fit token counts on the
     src0 reference slice, score every document's per-token
@@ -2657,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lateness_stats": _q_lateness_stats,
         "corpus_mix_plan": _q_mix_plan,
         "text_bm25_search": _q_bm25_search,
+        "text_index_bm25": _q_bm25_index_search,
         "corpus_lm_score": _q_lm_score,
         "transcript_sft_examples": _q_sft_examples,
         "transcript_template_turns": _q_template_turns,
@@ -3099,6 +3130,47 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "text_bm25_search": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ), stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     CAST(sum(len(tk)) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS avgdl
+              FROM base
+            ), hits AS (
+              SELECT doc_id, t,
+                     CAST(count(*) AS DOUBLE) AS tf,
+                     CAST(any_value(dl) AS DOUBLE) AS dl
+              FROM (
+                SELECT doc_id, len(tk) AS dl, unnest(tk) AS t FROM base
+              )
+              WHERE t IN ({_BM25_TERMS_SQL})
+              GROUP BY doc_id, t
+            ), dfreq AS (
+              SELECT t, CAST(count(*) AS DOUBLE) AS df FROM hits GROUP BY t
+            ), scored AS (
+              SELECT h.doc_id,
+                     ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       * (h.tf * 2.2)
+                       / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / s.avgdl))
+                       AS sc
+              FROM hits h JOIN dfreq d ON h.t = d.t CROSS JOIN stats s
+            ), per_doc AS (
+              SELECT doc_id, sum(sc) AS score,
+                     CAST(count(*) AS BIGINT) AS n_terms_hit
+              FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   floor(score * 1e4 + 0.5) / 1e4 AS bm25,
+                   n_terms_hit
+            FROM per_doc
+            ORDER BY score DESC, doc_id
+            LIMIT 10
+        """,
+        "text_index_bm25": f"""
             WITH base AS (
               SELECT doc_id,
                      list_filter(string_split(lower(text), ' '),

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "cdc_retention_expiry",
     "profile_percentiles",
     "ann_ivf_index_topk",
+    "text_index_bm25",
 ]
 
 
