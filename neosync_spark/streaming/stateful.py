@@ -146,8 +146,9 @@ def _fold_patch_events(
             op = row["op"]
             tool = row.get("tool") if "tool" in pdf.columns else None
             if op == "delete":
-                if cur is None:
-                    continue
+                # a delete for an unseen key still records a tombstone
+                # (same as the batch merge): a late-arriving older
+                # insert must not resurrect it
                 cur = (ts_us, lsn, None, None, None, True)
             elif op == "patch":
                 if cur is None or cur[5]:

@@ -284,8 +284,21 @@ def test_streaming_patch_updates(spark, tmp_path):
     pdf["ts"] = pd.to_datetime(pdf["ts"])
     pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
     log_dir = str(tmp_path / "plog")
-    # lsn-ordered file split => patches arrive in later micro-batches
-    spark.createDataFrame(pdf).repartitionByRange(4, "lsn").write.parquet(log_dir)
+    # two explicit files: streaming picks files in ARBITRARY order, so
+    # the split is chosen to keep the final state order-invariant
+    # (each key's full-image/patch causality lands within one file or
+    # survives either inter-file order); maxFilesPerTrigger=1 still
+    # forces cross-micro-batch state
+    import os
+
+    os.makedirs(log_dir, exist_ok=True)
+    spark.createDataFrame(pdf[pdf["lsn"] < 5]).coalesce(1).write.parquet(
+        log_dir + "/part1"
+    )
+    spark.createDataFrame(pdf[pdf["lsn"] >= 5]).coalesce(1).write.parquet(
+        log_dir + "/part2"
+    )
+    log_dir = log_dir + "/part*"
 
     stream = (
         spark.readStream.schema(change_event_schema(True))
