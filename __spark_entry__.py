@@ -1393,8 +1393,10 @@ def _q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = hi // 2
 
     path = tempfile.mkdtemp(prefix="ns_ann_ivf_idx_")
+    # iters=3: build cost scales with Lloyd's rounds; the oracle is
+    # probe-all == brute force, which holds at ANY iteration count
     idx = create_ivf_index(
-        spark, path, emb, "embedding", "vec_id", n_centroids=8
+        spark, path, emb, "embedding", "vec_id", n_centroids=8, iters=3
     )
     ivf_index_sync(
         idx, emb.filter(F.col("vec_id") <= mid), "embedding", "vec_id",

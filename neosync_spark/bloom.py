@@ -86,36 +86,15 @@ def _size_bits(n_distinct: int) -> int:
     return m
 
 
-def build_bloom_rows(pdf, cols: list[str]):
-    """applyInPandas body: one group == one data file's rows for the
-    bloom columns. Returns one (path, col, m, k, bits) row per column."""
-    import pandas as pd
-
-    path = pdf["_bloom_file"].iloc[0]
-    out = {"path": [], "col": [], "m": [], "k": [], "bits": []}
-    for col in cols:
-        if col not in pdf.columns:
-            continue
-        vals = pdf[col].dropna().unique()
-        m = _size_bits(len(vals))
-        bitset = np.zeros(m, dtype=bool)
-        for v in vals:
-            d1, d2 = _base_hashes(normalize_value(v))
-            for i in range(NUM_HASHES):
-                bitset[(d1 + i * d2) % m] = True
-        out["path"].append(path)
-        out["col"].append(col)
-        out["m"].append(m)
-        out["k"].append(NUM_HASHES)
-        out["bits"].append(np.packbits(bitset).tobytes())
-    return pd.DataFrame(out)
-
-
 def might_contain(bits: bytes, m: int, k: int, value) -> bool:
-    """Probe: False == DEFINITELY absent (the sound prune direction)."""
-    arr = np.unpackbits(np.frombuffer(bits, dtype=np.uint8))
+    """Probe: False == DEFINITELY absent (the sound prune direction).
+    O(k) byte-indexed bit tests — never unpacks the bitset."""
     d1, d2 = _base_hashes(normalize_value(value))
-    return all(arr[(d1 + i * d2) % m] for i in range(k))
+    for i in range(k):
+        p = (d1 + i * d2) % m
+        if not (bits[p >> 3] & (0x80 >> (p & 7))):
+            return False
+    return True
 
 
 def _strip_uri(p: str) -> str:
@@ -131,35 +110,88 @@ def build_sidecar(
     spark, written: dict[int, list[str]], cols: list[str], sidecar_path: str
 ) -> set[str]:
     """One distributed pass over the freshly written files → a bloom
-    sidecar parquet. Returns the set of data-file paths covered."""
+    sidecar parquet. Returns the set of data-file paths covered.
+
+    Memory shape: a ``mapInPandas`` pass ACCUMULATES one bitset per
+    (file, col) across its task's Arrow batches — executor memory is
+    bounded by the bitsets of the files the task reads (a few MB),
+    never by a whole file's column values; bitsets are sized from the
+    file's footer row count (≥ distinct count ⇒ fpp only improves), so
+    partial bitsets from a file split across tasks OR-merge exactly.
+    Only (path, col, m, k, bits) rows — one or two per file — reach
+    the driver."""
     from pyspark.sql import functions as F
 
     paths = sorted(p for ps in written.values() for p in ps)
     if not paths:
         return set()
+    import pyarrow.parquet as pq
+
+    m_by_file = {
+        p: _size_bits(pq.ParquetFile(p).metadata.num_rows) for p in paths
+    }
     df = spark.read.parquet(*paths)
     have = [c for c in cols if c in df.columns]
     if not have:
         return set()
     src = df.select(*have).withColumn("_bloom_file", F.input_file_name())
-    rows = (
-        src.groupBy("_bloom_file")
-        .applyInPandas(
-            lambda pdf: build_bloom_rows(pdf, have), schema=SIDECAR_SCHEMA
-        )
-        .collect()
-    )
+    default_m = max(m_by_file.values(), default=MIN_BITS)
+
+    def gen(batches):
+        import pandas as pd
+
+        acc: dict[tuple[str, str], np.ndarray] = {}
+        for pdf in batches:
+            for fname, grp in pdf.groupby("_bloom_file"):
+                path = _strip_uri(fname)
+                m = m_by_file.get(path, default_m)
+                for col in have:
+                    key = (path, col)
+                    bits = acc.get(key)
+                    if bits is None:
+                        bits = acc[key] = np.zeros(m, dtype=bool)
+                    for v in grp[col].dropna().unique():
+                        d1, d2 = _base_hashes(normalize_value(v))
+                        for i in range(NUM_HASHES):
+                            bits[(d1 + i * d2) % len(bits)] = True
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "path": [p for (p, _c) in acc],
+                    "col": [c for (_p, c) in acc],
+                    "m": [len(b) for b in acc.values()],
+                    "k": [NUM_HASHES] * len(acc),
+                    "bits": [np.packbits(b).tobytes() for b in acc.values()],
+                }
+            )
+
+    rows = src.mapInPandas(gen, schema=SIDECAR_SCHEMA).collect()
     if not rows:
         return set()
+    # OR-merge partials from tasks that split a file
+    merged: dict[tuple[str, str], tuple[int, bytes]] = {}
+    for r in rows:
+        key = (r["path"], r["col"])
+        m, bits = int(r["m"]), bytes(r["bits"])
+        if key in merged:
+            m0, b0 = merged[key]
+            bits = bytes(
+                np.bitwise_or(
+                    np.frombuffer(b0, dtype=np.uint8),
+                    np.frombuffer(bits, dtype=np.uint8),
+                )
+            )
+            m = m0
+        merged[key] = (m, bits)
+
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     data = {
-        "path": [_strip_uri(r["path"]) for r in rows],
-        "col": [r["col"] for r in rows],
-        "m": [int(r["m"]) for r in rows],
-        "k": [int(r["k"]) for r in rows],
-        "bits": [bytes(r["bits"]) for r in rows],
+        "path": [p for (p, _c) in merged],
+        "col": [c for (_p, c) in merged],
+        "m": [m for (m, _b) in merged.values()],
+        "k": [NUM_HASHES] * len(merged),
+        "bits": [b for (_m, b) in merged.values()],
     }
     os.makedirs(os.path.dirname(sidecar_path), exist_ok=True)
     tmp = sidecar_path + ".tmp"
@@ -168,12 +200,13 @@ def build_sidecar(
     return set(data["path"])
 
 
-def load_sidecar(sidecar_path: str) -> dict[tuple[str, str], tuple[int, int, bytes]]:
-    """(data_path, col) -> (m, k, bits). Driver-side, cached by caller."""
+def load_sidecar(sidecar_path: str) -> dict[str, dict[str, tuple[int, int, bytes]]]:
+    """data_path -> {col -> (m, k, bits)}. Driver-side, cached by the
+    caller; nested so a per-file probe is a dict hit, not a scan."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(sidecar_path)
-    out: dict[tuple[str, str], tuple[int, int, bytes]] = {}
+    out: dict[str, dict[str, tuple[int, int, bytes]]] = {}
     for path, col, m, k, bits in zip(
         t["path"].to_pylist(),
         t["col"].to_pylist(),
@@ -181,5 +214,5 @@ def load_sidecar(sidecar_path: str) -> dict[tuple[str, str], tuple[int, int, byt
         t["k"].to_pylist(),
         t["bits"].to_pylist(),
     ):
-        out[(path, col)] = (int(m), int(k), bits)
+        out.setdefault(path, {})[col] = (int(m), int(k), bits)
     return out

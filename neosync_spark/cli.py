@@ -884,13 +884,15 @@ def main(argv: list[str] | None = None) -> int:
 
         t = SnapshotTable.load(spark, args.table)
         key_col = t.manifest()["key_cols"][0]
+        dtype = t.current_schema()[key_col].dataType
+        keys = [_cast_cli_value(v, dtype) for v in args.key]
         out = {"rows": [
             {k: (v.isoformat() if hasattr(v, "isoformat") else v)
              for k, v in r.asDict().items()}
-            for r in t.read(key_equals={key_col: args.key}).collect()
+            for r in t.read(key_equals={key_col: keys}).collect()
         ]}
         if args.stats:
-            out["scan"] = t.scan_stats(key_equals={key_col: args.key})
+            out["scan"] = t.scan_stats(key_equals={key_col: keys})
         print(json.dumps(out, indent=1))
         return 0
 
@@ -903,10 +905,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.columns:
             cols = args.columns.split(",")
         else:
-            keys = set(m["key_cols"])
+            # payload columns only: the ts ORDER column necessarily
+            # drifts on any append-heavy table (new time ranges =
+            # new bucket mass), which would make exit 1 the default
+            skip = set(m["key_cols"]) | set(m.get("order_cols", []))
             cols = [
                 f.name for f in t.current_schema().fields
-                if f.name not in keys
+                if f.name not in skip
             ]
         to_sid = args.to_snapshot
         rows = column_drift(

@@ -811,11 +811,13 @@ class SnapshotTable:
         ``_patch`` marker and folded at read/compaction — O(batch)
         write amplification AND correct under arbitrary cross-batch ts
         disorder, the mode to tail a partial-image binlog at 10^10
-        events. With ``transform``, a row whose latest event is a
-        source patch is re-transformed whole (COW) or each raw event is
-        transformed independently (MoR) — equivalent for the
-        value-deterministic (seeded) transformers
-        ``functions/transformers.py`` provides.
+        events. With ``transform``, each raw source event is
+        transformed independently BEFORE the fold (both modes) — never
+        the folded row, whose target-derived columns were transformed
+        at a prior commit and must not be transformed twice; the
+        transformers must be NULL-preserving (a patch's NULL means
+        "unchanged"), which every column mapping in
+        ``functions/transformers.py`` is.
 
         ``source_is_raw=True`` is the engine fast path: the batch may
         hold many events per key and is not yet anonymized — the stats
@@ -938,6 +940,18 @@ class SnapshotTable:
                 if patch_ops:
                     # target rows are full images by construction
                     t_side = t_side.withColumn("_patch", F.lit(False))
+                    if transform is not None:
+                        # transform RAW source events BEFORE the fold
+                        # (per event, like the MoR path): the fold's
+                        # winner row mixes target-derived columns —
+                        # already transformed at a prior commit — with
+                        # source values, so a post-fold whole-row
+                        # transform would double-transform the
+                        # untouched columns (f(f(x)) != f(x)). NULL
+                        # patch columns must stay NULL through the
+                        # transform (NULL = unchanged) — the engine's
+                        # column mappings are NULL-preserving.
+                        s_side = transform(s_side)
                 unioned = t_side.unionByName(s_side)
                 if patch_ops:
                     value_cols = [
@@ -949,7 +963,7 @@ class SnapshotTable:
                     )
                 else:
                     won = lww_dedup(unioned, key_cols, ["ts", _LSN_COL, "_src"])
-                if transform is not None:
+                if transform is not None and not patch_ops:
                     # anonymize ONLY the winning source rows (target rows
                     # were transformed when first applied) — a partition-
                     # local split, no extra shuffle
@@ -1432,7 +1446,7 @@ class SnapshotTable:
         manifest entries. No-op unless the table opted into
         ``bloom_cols``. Files a rewrite path skips (purge/rescale) just
         lose pruning, never correctness — probe keeps bloom-less files."""
-        cols = m.get("bloom_cols") or []
+        cols = self._current_bloom_cols(m)
         if not cols or not written:
             return {}
         from . import bloom as _bloom
@@ -1444,6 +1458,32 @@ class SnapshotTable:
             self.spark, written, cols, os.path.join(self.path, rel)
         )
         return {p: rel for p in covered}
+
+    def _current_bloom_cols(self, m: dict) -> list[str]:
+        """bloom_cols are recorded with their CREATION-time names; after
+        a rename, freshly written files carry the new name — resolve
+        each configured name to its current schema name by walking the
+        rename chains, so sidecar building survives evolution (the
+        probe side already walks per file)."""
+        cols = m.get("bloom_cols") or []
+        if not cols:
+            return []
+        renames = m.get("renames", {})
+        cur_names = [f.name for f in self.current_schema(m).fields]
+        out = []
+        for c in cols:
+            if c in cur_names:
+                out.append(c)
+                continue
+            for n in cur_names:
+                chain, x = {n}, n
+                while x in renames and renames[x] not in chain:
+                    x = renames[x]
+                    chain.add(x)
+                if c in chain:
+                    out.append(n)
+                    break
+        return out
 
     @staticmethod
     def _norm_key_equals(key_equals: dict | None) -> dict | None:
@@ -1465,9 +1505,14 @@ class SnapshotTable:
             full = os.path.join(self.path, rel)
             sc = _bloom.load_sidecar(full) if os.path.exists(full) else {}
             self._bloom_cache[rel] = sc
-        have = {c for (p, c) in sc if p == e["path"]}
-        src = self._walk_renames(col, have, m.get("renames", {})) or col
-        return sc.get((e["path"], src))
+        per_file = sc.get(e["path"])
+        if not per_file:
+            return None
+        src = (
+            self._walk_renames(col, set(per_file), m.get("renames", {}))
+            or col
+        )
+        return per_file.get(src)
 
     def _prune_by_bloom(
         self,

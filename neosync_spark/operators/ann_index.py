@@ -61,12 +61,16 @@ def create_ivf_index(
     n_centroids: int = 16,
     seed: int = 42,
     n_buckets: int = 16,
+    iters: int = 8,
 ) -> SnapshotTable:
     """Train centroids on ``train_df`` (distributed Lloyd's — only the
     k seeds and k×dim stats reach the driver) and create the empty
-    assignment table with the centroids frozen beside its metadata."""
+    assignment table with the centroids frozen beside its metadata.
+    ``iters`` trades build cost for cell balance (recall at fixed
+    n_probe), never correctness — probe-all equals brute force at any
+    iteration count."""
     cent = ivf_centroids_distributed(
-        train_df, vec_col, id_col, n_centroids, seed
+        train_df, vec_col, id_col, n_centroids, seed, iters
     )
     t = SnapshotTable.create(
         spark,
@@ -120,12 +124,14 @@ def ivf_index_sync(
         F.col(id_col).cast("long").alias("lsn"),
         F.timestamp_seconds(F.lit(epoch + 1)).alias("ts"),
     )
+    # assignments hash across most buckets: skip the bucket pre-pass
     return index.merge_cdc(
         batch,
         applied_range=applied_range,
         mode="cow",
         source_is_raw=False,
         lineage=False,
+        prune_buckets=False,
     )
 
 

@@ -120,10 +120,15 @@ def numeric_percentiles(
     p_list = ", ".join(repr(float(p)) for p in ps)
     aggs = []
     for i, c in enumerate(names):
+        if "`" in c:
+            raise ValueError(f"illegal column name {c!r}")
+        # backtick-quoted: 'order total' / 'price-usd' are legal parquet
+        # names (profile_columns handles them via F.col; SQL text needs
+        # the quoting)
         if approx:
-            expr = f"percentile_approx({c}, array({p_list}), {int(accuracy)})"
+            expr = f"percentile_approx(`{c}`, array({p_list}), {int(accuracy)})"
         else:
-            expr = f"percentile({c}, array({p_list}))"
+            expr = f"percentile(`{c}`, array({p_list}))"
         aggs.append(F.expr(expr).alias(f"_q_{i}"))
     one = df.agg(*aggs)
     per = [

@@ -141,13 +141,15 @@ def text_index_sync(
         F.col("doc_id").alias("lsn"),
         ts.alias("ts"),
     )
+    # an epoch's terms hash across most buckets: the bucket pre-pass
+    # would only add a full extra scan of the batch
     i1 = idx.postings.merge_cdc(
         postings, applied_range=applied_range, mode="cow",
-        source_is_raw=False, lineage=False,
+        source_is_raw=False, lineage=False, prune_buckets=False,
     )
     i2 = idx.docstats.merge_cdc(
         stats, applied_range=applied_range, mode="cow",
-        source_is_raw=False, lineage=False,
+        source_is_raw=False, lineage=False, prune_buckets=False,
     )
     return {"postings_written": i1.rows_written, "docs_written": i2.rows_written}
 

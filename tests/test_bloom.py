@@ -153,3 +153,54 @@ def test_bloomless_table_unaffected(spark, tmp_path):
     # no blooms -> no file skipped; bucket pruning still applies in read
     assert s["files_kept"] == s["files_total"]
     assert t.read(key_equals={"conv_id": "c0_0"}).count() == 1
+
+
+def test_bloom_survives_column_rename(spark, tmp_path):
+    """bloom_cols are creation-time names; after alter_schema renames
+    the (non-key) column, new commits must still build sidecars —
+    resolved through the rename chain — and lookups on the CURRENT
+    name must keep pruning COW files."""
+    from pyspark.sql import types as T
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(),
+        key_cols=KEY_COLS, order_cols=["ts"], n_buckets=4,
+        bloom_cols=["tool"],
+    )
+    rows = [
+        (i, "insert", f"c{i}", 0, "user", f"t{i}", f"tool_{i}",
+         "2026-01-01 00:00:01")
+        for i in range(8)
+    ]
+    t.merge_cdc(_batch(spark, rows), applied_range=(0, 8), mode="cow")
+    renamed = T.StructType(
+        [
+            f if f.name != "tool"
+            else T.StructField("tool_name", f.dataType, f.nullable)
+            for f in transcript_schema().fields
+        ]
+    )
+    t.alter_schema(renamed, renames={"tool_name": "tool"})
+    # post-rename commit carries the NEW column name
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [(100 + i, "insert", f"n{i}", 0, "user", "post", f"newtool_{i}",
+          "2026-03-01 00:00:01") for i in range(8)],
+        columns=["lsn", "op", "conv_id", "turn_idx", "role", "text",
+                 "tool_name", "ts"],
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    t.merge_cdc(spark.createDataFrame(pdf), applied_range=(100, 110), mode="cow")
+    m = t.manifest(refresh=True)
+    # every file (pre- and post-rename) carries a bloom pointer
+    assert all(e.get("bloom") for es in m["files"].values() for e in es)
+    got = t.read(key_equals={"tool_name": "newtool_3"})
+    assert got.count() == 1 and got.collect()[0]["conv_id"] == "n3"
+    # old data found through the rename chain too
+    got_old = t.read(key_equals={"tool_name": "tool_5"})
+    assert got_old.count() == 1 and got_old.collect()[0]["conv_id"] == "c5"
+    pruned = t.scan_stats(key_equals={"tool_name": "newtool_3"})
+    full = t.scan_stats()
+    assert pruned["files_kept"] < full["files_kept"]

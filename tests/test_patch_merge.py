@@ -356,3 +356,43 @@ def test_mor_patch_pipelined_engine(spark, tmp_path):
 
     eng.replay(slicer, lsn_lo=0, lsn_hi=5, pipeline_batches=3)
     assert _state(t) == {("c", 0): ("user", "v1", "t1")}
+
+
+def test_cow_patch_with_transform_no_double_transform(spark, tmp_path):
+    """A value-dependent transform must never re-run over target-derived
+    column values when a later source patch wins the key: raw source
+    events are transformed BEFORE the fold (f(f(x)) != f(x) guard)."""
+    from pyspark.sql import functions as F
+
+    def tx(df):
+        return df.withColumn(
+            "text",
+            F.when(
+                F.col("text").isNotNull(), F.concat(F.lit("X"), F.col("text"))
+            ),
+        )
+
+    t = _mk(spark, tmp_path / "t")
+    t.merge_cdc(
+        _patch_batch(spark, [
+            (1, "insert", "c", 0, "user", "secret", None, "2026-01-01 00:00:01"),
+        ]),
+        applied_range=(0, 10), patch_ops=True, source_is_raw=True, transform=tx,
+    )
+    assert _state(t) == {("c", 0): ("user", "Xsecret", None)}
+    # batch 2: patch touches ONLY tool — text must stay singly-transformed
+    t.merge_cdc(
+        _patch_batch(spark, [
+            (11, "patch", "c", 0, None, None, "browser", "2026-01-01 00:00:02"),
+        ]),
+        applied_range=(10, 20), patch_ops=True, source_is_raw=True, transform=tx,
+    )
+    assert _state(t) == {("c", 0): ("user", "Xsecret", "browser")}
+    # a patch that DOES set text gets transformed exactly once
+    t.merge_cdc(
+        _patch_batch(spark, [
+            (21, "patch", "c", 0, None, "fresh", None, "2026-01-01 00:00:03"),
+        ]),
+        applied_range=(20, 30), patch_ops=True, source_is_raw=True, transform=tx,
+    )
+    assert _state(t) == {("c", 0): ("user", "Xfresh", "browser")}

@@ -108,3 +108,15 @@ class TestPercentiles:
 
         with pytest.raises(ValueError):
             numeric_percentiles(spark.range(1), [])
+
+
+def test_percentiles_quoted_column_names(spark):
+    from neosync_spark.operators.profile import numeric_percentiles
+
+    df = spark.createDataFrame([(1.0,), (3.0,)], ["price-usd"])
+    got = numeric_percentiles(df, ["price-usd"], ps=(0.5,)).collect()
+    assert got[0]["value"] == 2.0
+    import pytest
+
+    with pytest.raises(ValueError, match="illegal"):
+        numeric_percentiles(df, ["bad`name"], ps=(0.5,))
