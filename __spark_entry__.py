@@ -1217,6 +1217,20 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-copy selection (similarity.dedup_keep_best): cluster
+    near-duplicates, then keep exactly one doc per cluster — longest
+    copy, ties to the lowest id, ranked by the exact integer composite
+    score·10^10−id so DuckDB replays the argmax bit-for-bit on top of
+    the recursive-CTE transitive closure."""
+    from neosync_spark.operators.similarity import dedup_keep_best
+
+    _views(spark, sf_dir, ["documents"])
+    return dedup_keep_best(
+        spark.table("documents"), "text", "doc_id", threshold=0.8
+    )
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3/PaLM recipe): flag training
     docs sharing any 5-word-gram with the eval split (doc_id % 37 == 0
@@ -2657,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_quality_flags": _q_c4_flags,
         "dedup_exact": _q_exact_dedup,
         "dedup_cluster_assign": _q_dedup_clusters,
+        "dedup_keep_best": _q_dedup_keep_best,
         "decontaminate_ngrams": _q_decontaminate,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_index_sync": _q_dedup_index_sync,
@@ -4017,6 +4032,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, min(lab) AS cluster_id,
                    (id = min(lab)) AS is_representative
             FROM r GROUP BY id
+        """,
+        "dedup_keep_best": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(toks) >= 3 THEN
+                         list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       ELSE [array_to_string(toks, ' ')] END) AS grams
+              FROM (
+                SELECT doc_id,
+                       list_filter(string_split(
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS toks
+                FROM documents)
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.grams, b.grams)) > 0
+                AND floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                          len(list_distinct(list_concat(a.grams, b.grams))) * 10000 + 0.5) / 10000 >= 0.8
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            r(id, lab) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.id
+            ),
+            clusters AS (
+              SELECT id, min(lab) AS cluster_id FROM r GROUP BY id
+            ),
+            scored AS (
+              SELECT c.id, c.cluster_id,
+                     CAST(length(d.text) AS BIGINT) AS score
+              FROM clusters c JOIN documents d ON d.doc_id = c.id
+            )
+            SELECT id AS doc_id, cluster_id, score,
+                   id = arg_max(id, score * 10000000000 - id)
+                        OVER (PARTITION BY cluster_id) AS keep
+            FROM scored
         """,
         "decontaminate_ngrams": """
             WITH sh AS (

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "profile_percentiles",
     "ann_ivf_index_topk",
     "text_index_bm25",
+    "dedup_keep_best",
 ]
 
 

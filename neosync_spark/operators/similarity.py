@@ -1064,3 +1064,58 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    score_col=None,
+    **cluster_kwargs,
+) -> DataFrame:
+    """Canonical-copy selection — the decision half of near-dup dedup:
+    cluster the corpus (``minhash_dedup_clusters``), then keep exactly
+    ONE document per cluster. Default policy keeps the LONGEST copy
+    (ties → lowest id), the common pretraining-pipeline choice (the
+    longest near-duplicate usually subsumes the fragments); pass
+    ``score_col`` (a Column over ``df``, bigger = better, integer) to
+    plug a quality score instead.
+
+    Returns one row per CLUSTERED doc: ``(doc_id, cluster_id, score,
+    keep)`` — unclustered docs are implicitly kept and not emitted.
+
+    Scale shape: clustering is the dominant cost (bucketed LSH +
+    pointer-jumping components, never all-pairs); the keep decision
+    adds one hash-agg over the cluster assignment (map-side combine)
+    and one broadcast join of the |clusters|-row winner table. The
+    winner rank is the integer composite ``score·10^10 − id`` so the
+    argmax is exact and engine-replayable (no float ordering).
+    """
+    score = (
+        score_col if score_col is not None else F.length(F.col(content_col))
+    )
+    clusters = minhash_dedup_clusters(
+        df, content_col, id_col, **cluster_kwargs
+    ).select(F.col("id").alias("_kid"), "cluster_id")
+    scored = clusters.join(
+        df.select(
+            F.col(id_col).cast("long").alias("_kid"),
+            score.cast("long").alias("score"),
+        ),
+        "_kid",
+    )
+    winners = scored.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col("_kid"),
+            F.col("score") * F.lit(10_000_000_000) - F.col("_kid"),
+        ).alias("_keep_id")
+    )
+    return (
+        scored.join(F.broadcast(winners), "cluster_id")
+        .select(
+            F.col("_kid").alias("doc_id"),
+            "cluster_id",
+            "score",
+            (F.col("_kid") == F.col("_keep_id")).alias("keep"),
+        )
+    )

@@ -432,3 +432,51 @@ def test_fuzzy_decontaminate_cross_corpus(spark):
         ).collect()
     }
     assert verdict == {1: True, 2: False}
+
+
+class TestKeepBest:
+    def test_longest_wins_tie_lowest_id(self, spark):
+        from pyspark.sql import functions as F
+
+        from neosync_spark.operators.similarity import dedup_keep_best
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        docs = spark.createDataFrame(
+            [
+                (1, base + " extra tail words"),   # longest in cluster A
+                (2, base),
+                (3, base + " extra tail words"),   # same len as 1 -> id 1 wins
+                (10, "completely different text about nothing shared"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in dedup_keep_best(
+            docs, "text", "doc_id", threshold=0.5
+        ).collect()}
+        assert set(out) == {1, 2, 3}  # singleton 10 not emitted
+        assert out[1]["keep"] and not out[2]["keep"] and not out[3]["keep"]
+        assert len({r["cluster_id"] for r in out.values()}) == 1
+        # custom score flips the winner
+        out2 = {r["doc_id"]: r["keep"] for r in dedup_keep_best(
+            docs, "text", "doc_id", threshold=0.5,
+            score_col=F.col("doc_id") * 10,
+        ).collect()}
+        assert out2 == {1: False, 2: False, 3: True}
+
+    def test_exactly_one_keeper_per_cluster(self, spark):
+        from neosync_spark.operators.similarity import dedup_keep_best
+
+        words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = spark.createDataFrame(
+            [(i, words + (" pad" * (i % 3))) for i in range(8)]
+            + [(100 + i, "other cluster entirely distinct words " + "x " * i)
+               for i in range(4)],
+            "doc_id long, text string",
+        )
+        from pyspark.sql import functions as F
+
+        out = dedup_keep_best(docs, "text", "doc_id", threshold=0.4)
+        agg = out.groupBy("cluster_id").agg(
+            F.sum(F.col("keep").cast("int")).alias("n_keep")
+        )
+        assert all(r["n_keep"] == 1 for r in agg.collect())
