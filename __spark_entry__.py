@@ -2364,6 +2364,43 @@ def _q_patch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dml_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DML (Delta UPDATE/DELETE analogs): replay the log,
+    then UPDATE WHERE role='system' (redact text) and DELETE WHERE
+    role='assistant' AND turn_idx >= 12 — both minted as merge events
+    at (row ts, row _lsn + 1) so they win LWW over exactly the state
+    they saw. DuckDB applies the same predicates to the LWW state."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    path = tempfile.mkdtemp(prefix="ns_cdc_dml_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+    eng = ReplayEngine(
+        spark,
+        table,
+        config=EngineConfig(
+            batch_lsn_size=hi + 2, lineage=False, prune_buckets=False
+        ),
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    eng.replay(slicer, lsn_lo=0, lsn_hi=hi)
+    table.update_where(
+        "role = 'system'", {"text": F.lit("[SYSTEM MESSAGE REDACTED]")}
+    )
+    table.delete_where("role = 'assistant' AND turn_idx >= 12")
+    return table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
 def _q_patch_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial row images on the MoR fast path: the same patch log
     replayed as FOUR delta batches split by lsn while ts is disordered
@@ -2635,6 +2672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_delete_semantics": _q_delete_semantics,
         "cdc_snapshot_diff": _q_snapshot_diff,
         "cdc_changefeed_images": _q_changefeed_images,
+        "cdc_dml_update_delete": _q_dml_update_delete,
         "cdc_patch_merge": _q_patch_merge,
         "cdc_patch_merge_mor": _q_patch_merge_mor,
         "cdc_bloom_pruned_read": _q_bloom_pruned_read,
@@ -2915,6 +2953,14 @@ def oracle_sql() -> dict[str, str]:
             FROM old_state o WHERE NOT EXISTS (
               SELECT 1 FROM new_state n
               WHERE n.conv_id = o.conv_id AND n.turn_idx = o.turn_idx)
+        """,
+        "cdc_dml_update_delete": f"""
+            SELECT conv_id, turn_idx, role,
+                   CASE WHEN role = 'system'
+                        THEN '[SYSTEM MESSAGE REDACTED]' ELSE text END AS text,
+                   tool, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM ({lww}) WHERE op <> 'delete'
+              AND NOT (role = 'assistant' AND turn_idx >= 12)
         """,
         "cdc_patch_merge": f"""
             WITH log AS ({_PATCH_DERIVATION}),

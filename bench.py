@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "ann_ivf_index_topk",
     "text_index_bm25",
     "dedup_keep_best",
+    "cdc_dml_update_delete",
 ]
 
 

@@ -165,6 +165,25 @@ def main(argv: list[str] | None = None) -> int:
     w = sub.add_parser("show", help="snapshot history + ledger")
     w.add_argument("--table", required=True)
 
+    dl = sub.add_parser(
+        "delete",
+        help="predicate DML: tombstone live rows matching a SQL "
+             "condition (DELETE FROM t WHERE ...)",
+    )
+    dl.add_argument("--table", required=True)
+    dl.add_argument("--where", required=True)
+
+    up = sub.add_parser(
+        "update",
+        help="predicate DML: rewrite live rows matching a SQL "
+             "condition (UPDATE t SET col=expr WHERE ...)",
+    )
+    up.add_argument("--table", required=True)
+    up.add_argument("--where", required=True)
+    up.add_argument("--set", action="append", required=True,
+                    metavar="COL=SQL_EXPR",
+                    help="column assignment, repeatable")
+
     ins = sub.add_parser(
         "inspect",
         help="metadata tables: per-file layout (files) or per-snapshot "
@@ -857,6 +876,32 @@ def main(argv: list[str] | None = None) -> int:
             "applied_ranges": [list(r) for r in t.applied_ranges()],
             "delta_pressure": t.delta_file_counts(),
         }, indent=1))
+        return 0
+
+    if args.cmd == "delete":
+        from .lakehouse import SnapshotTable
+
+        t = SnapshotTable.load(spark, args.table)
+        info = t.delete_where(args.where)
+        print(json.dumps({
+            "deleted_rows": info.rows_written, "snapshot": info.snapshot_id,
+        }))
+        return 0
+
+    if args.cmd == "update":
+        from .lakehouse import SnapshotTable
+
+        t = SnapshotTable.load(spark, args.table)
+        sets = {}
+        for item in args.set:
+            col, _, expr = item.partition("=")
+            if not expr:
+                raise SystemExit(f"--set needs COL=SQL_EXPR, got {item!r}")
+            sets[col] = expr
+        info = t.update_where(args.where, sets)
+        print(json.dumps({
+            "updated_rows": info.rows_written, "snapshot": info.snapshot_id,
+        }))
         return 0
 
     if args.cmd == "inspect":

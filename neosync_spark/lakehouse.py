@@ -2215,6 +2215,68 @@ class SnapshotTable:
         self._write_manifest(new_m)
         return new_sid
 
+    def delete_where(self, condition) -> CommitInfo:
+        """Predicate DML (Delta ``DELETE FROM t WHERE ...`` analog):
+        tombstone every live row matching ``condition`` (a Column or
+        SQL string over the table's columns) through the SAME merge
+        path — one bucket-pruned scan for the matching keys, delete
+        events minted at (row ts, row _lsn + 1) so they win LWW over
+        exactly the row they saw (a concurrent newer event still wins,
+        as it should). Not ledgered: DML is a one-shot command, not a
+        replayed log range."""
+        return self._dml(condition, None)
+
+    def update_where(self, condition, set_exprs: dict) -> CommitInfo:
+        """Predicate DML (Delta ``UPDATE t SET ... WHERE ...`` analog):
+        rewrite matching live rows with ``set_exprs`` ({col: Column or
+        SQL string}) applied; unset columns keep their values. Same
+        merge path and LWW minting as ``delete_where``."""
+        if not set_exprs:
+            raise ValueError("update_where needs at least one SET column")
+        return self._dml(condition, set_exprs)
+
+    def _dml(self, condition, set_exprs: dict | None) -> CommitInfo:
+        m = self.manifest(refresh=True)
+        cur = self.current_schema(m)
+        key_cols = m["key_cols"]
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        rows = self.read(internal=True).filter(
+            ~F.coalesce(F.col(_DELETED_COL), F.lit(False))
+        ).filter(cond)
+        payload = [f.name for f in cur.fields if f.name != "ts"]
+        if set_exprs is None:
+            cols = [
+                F.lit(None).cast(cur[c].dataType).alias(c)
+                for c in payload
+                if c not in key_cols
+            ]
+            op = F.lit("delete")
+        else:
+            illegal = set(set_exprs) & {*key_cols, "ts"}
+            if illegal:
+                raise ValueError(
+                    f"update_where cannot SET key/order columns {sorted(illegal)}"
+                )
+            cols = []
+            for c in payload:
+                if c in key_cols:
+                    continue
+                if c in set_exprs:
+                    e = set_exprs[c]
+                    e = F.expr(e) if isinstance(e, str) else e
+                    cols.append(e.cast(cur[c].dataType).alias(c))
+                else:
+                    cols.append(F.col(c))
+            op = F.lit("update")
+        batch = rows.select(
+            *key_cols,
+            *cols,
+            op.alias("op"),
+            (F.col(_LSN_COL) + F.lit(1)).alias("lsn"),
+            F.col("ts"),
+        )
+        return self.merge_cdc(batch, applied_range=None, lineage=False)
+
     def files(self, snapshot_id: int | None = None) -> DataFrame:
         """Metadata table (Iceberg ``table.files`` analog): one row per
         data file in the snapshot — bucket, path, kind, schema id,

@@ -558,3 +558,42 @@ def test_metadata_tables_and_export(spark, tmp_path):
     out1 = str(tmp_path / "export1")
     assert t.export_snapshot(out1, snapshot_id=1) == 2
     assert {r["text"] for r in spark.read.parquet(out1).collect()} == {"hello", "yo"}
+
+
+def test_dml_update_delete_where(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _mk(spark, tmp_path / "t")
+    t.merge_cdc(_batch(spark, [
+        (1, "insert", "c1", 0, "user", "keep me", None, "2024-01-01 00:00:01"),
+        (2, "insert", "c1", 1, "system", "secret prompt", None, "2024-01-01 00:00:02"),
+        (3, "insert", "c2", 0, "assistant", "drop me", None, "2024-01-01 00:00:03"),
+    ]), applied_range=(0, 10))
+    t.update_where("role = 'system'", {"text": F.lit("[gone]")})
+    t.delete_where(F.col("role") == "assistant")
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"])
+        for r in t.read().collect()
+    }
+    assert got == {
+        ("c1", 0): ("user", "keep me"),
+        ("c1", 1): ("system", "[gone]"),
+    }
+    # DML loses to a genuinely newer event (higher ts) but beats a
+    # duplicate delivery of the exact original event
+    t.merge_cdc(_batch(spark, [
+        (2, "insert", "c1", 1, "system", "secret prompt", None, "2024-01-01 00:00:02"),
+        (50, "update", "c2", 0, "assistant", "resurrected", None, "2024-01-01 00:01:00"),
+    ]), applied_range=(10, 60))
+    got2 = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in t.read().collect()
+    }
+    assert got2[("c1", 1)] == "[gone]"          # duplicate lost to DML
+    assert got2[("c2", 0)] == "resurrected"     # newer ts wins over DML
+    # guards
+    import pytest
+
+    with pytest.raises(ValueError, match="SET"):
+        t.update_where("role = 'user'", {})
+    with pytest.raises(ValueError, match="key/order"):
+        t.update_where("role = 'user'", {"conv_id": F.lit("x")})
