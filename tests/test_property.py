@@ -327,3 +327,74 @@ def test_stats_pruned_read_always_equals_filtered_read(
         assert_pdf_equal(
             got, want, ["conv_id", "turn_idx"], msg="pruned != filtered"
         )
+
+
+# ---------- patch fold vs a sequential interpreter ----------
+
+_patch_event = st.tuples(
+    st.sampled_from(["insert", "update", "delete", "patch", "patch"]),
+    st.integers(0, 2),  # conv
+    st.integers(0, 1),  # turn
+    st.integers(0, 4),  # ts second (ties likely)
+    st.sampled_from([None, "", "aa", "Zb1", "x y"]),  # text
+    st.sampled_from([None, "t1", "t2"]),  # tool
+)
+
+
+def _interpret_patch(rows):
+    """Sequential oracle over (ts, lsn)-ordered events — the full-replay
+    definition patch_fold implements."""
+    state: dict = {}
+    for r in sorted(rows, key=lambda r: (r["ts"], r["lsn"])):
+        k = (r["conv_id"], r["turn_idx"])
+        if r["_del"]:
+            state[k] = None
+        elif r["_patch"]:
+            cur = state.get(k)
+            if cur is not None:
+                state[k] = tuple(
+                    n if n is not None else c
+                    for n, c in zip((r["role"], r["text"], r["tool"]), cur)
+                )
+        else:
+            state[k] = (r["role"], r["text"], r["tool"])
+    return {k: v for k, v in state.items() if v is not None}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(events=st.lists(_patch_event, min_size=1, max_size=30))
+def test_patch_fold_matches_interpreter(spark, events):
+    from neosync_spark.operators.dedup import patch_fold
+
+    rows = []
+    for lsn, (op, conv, turn, ts_s, txt, tool) in enumerate(events):
+        full = op in ("insert", "update")
+        rows.append(
+            {
+                "conv_id": f"c{conv}",
+                "turn_idx": turn,
+                "lsn": lsn,
+                "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=ts_s),
+                "role": "user" if full else None,
+                "text": txt if (full or op == "patch") else None,
+                "tool": tool if (full or op == "patch") else None,
+                "_patch": op == "patch",
+                "_del": op == "delete",
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    df = spark.createDataFrame(pdf)
+    out = patch_fold(
+        df, ["conv_id", "turn_idx"], ["ts", "lsn"], ["role", "text", "tool"]
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"])
+        for r in out.collect()
+        if not r["_del"]
+    }
+    assert got == _interpret_patch(rows)
