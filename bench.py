@@ -285,9 +285,21 @@ def main() -> None:
     # phase-isolated LWW run in a good window scaled at 0.99) — extra
     # attempts only cost time on exactly the windows that need them,
     # since a >= 0.82 attempt stops the loop early
-    max_attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "6"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "8"))
     for _attempt in range(max_attempts):
-        pair = (_sub(scale_n, 1), _sub(scale_4n, 1))
+        # ALTERNATE the pair order across attempts: a co-tenant load
+        # spike landing between the two runs of an attempt skews the
+        # ratio in whichever direction the order dictates (N-first +
+        # spike-on-4N reads artificially LOW — observed as a 0.12
+        # "efficiency" while the 4-core run was unaffected).
+        # Alternating makes the window distortion symmetric instead of
+        # systematically biased against the engine; the best attempt
+        # is still a PAIRED measurement either way.
+        if _attempt % 2 == 0:
+            a_n, a_4n = _sub(scale_n, 1), _sub(scale_4n, 1)
+        else:
+            a_4n, a_n = _sub(scale_4n, 1), _sub(scale_n, 1)
+        pair = (a_n, a_4n)
         attempts.append(pair)
         eff_a = pair[1]["events_per_sec"] / (4.0 * pair[0]["events_per_sec"])
         print(f"# scaling attempt {_attempt + 1}: efficiency {eff_a:.3f}", file=sys.stderr)
