@@ -37,7 +37,13 @@ def _sub(cores: int, log_path: str) -> dict:
         ],
         capture_output=True,
         text=True,
-        env={**os.environ},
+        env={
+            **os.environ,
+            "SPARK_GRAFT_BENCH_EVENTS": str(bench.N_EVENTS),
+            # the criterion runs the BULK configuration (one commit):
+            # per-commit fixed latency amortizes at design scale
+            "SPARK_GRAFT_BENCH_BATCHES": "1",
+        },
     )
     if proc.returncode != 0:
         raise RuntimeError(proc.stderr[-2000:])
