@@ -1407,10 +1407,13 @@ def _q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = hi // 2
 
     path = tempfile.mkdtemp(prefix="ns_ann_ivf_idx_")
-    # iters=3: build cost scales with Lloyd's rounds; the oracle is
-    # probe-all == brute force, which holds at ANY iteration count
+    # sampled training (FAISS practice) + tiny bucket count: build
+    # cost scales with Lloyd's Spark jobs and per-commit file count;
+    # the oracle is probe-all == brute force, which holds at ANY
+    # iteration/bucket count and training mode
     idx = create_ivf_index(
-        spark, path, emb, "embedding", "vec_id", n_centroids=8, iters=3
+        spark, path, emb, "embedding", "vec_id", n_centroids=8, iters=2,
+        n_buckets=4, train="sample",
     )
     ivf_index_sync(
         idx, emb.filter(F.col("vec_id") <= mid), "embedding", "vec_id",
@@ -1421,9 +1424,7 @@ def _q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         applied_range=(mid, hi + 1),
     )
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return ivf_index_topk(
-        idx, emb, "embedding", "vec_id", list(q), k=10, n_probe=8
-    )
+    return ivf_index_topk(idx, list(q), k=10, n_probe=8)
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
