@@ -49,6 +49,10 @@ import numpy as np
 BITS_PER_KEY = 10  # ~1% fpp at k=7
 NUM_HASHES = 7
 MIN_BITS = 1024
+# cap per-(file,col) bitsets at 2^27 bits (16 MiB packed): fpp degrades
+# gracefully past ~13M distinct keys per file instead of the bitset
+# growing without bound — a file that big should be split anyway
+MAX_BITS = 1 << 27
 
 SIDECAR_SCHEMA = "path string, col string, m long, k int, bits binary"
 
@@ -80,7 +84,7 @@ def bloom_positions(value, m: int, k: int) -> list[int]:
 
 def _size_bits(n_distinct: int) -> int:
     m = MIN_BITS
-    target = max(MIN_BITS, BITS_PER_KEY * max(1, n_distinct))
+    target = min(MAX_BITS, max(MIN_BITS, BITS_PER_KEY * max(1, n_distinct)))
     while m < target:
         m <<= 1
     return m
@@ -114,12 +118,16 @@ def build_sidecar(
 
     Memory shape: a ``mapInPandas`` pass ACCUMULATES one bitset per
     (file, col) across its task's Arrow batches — executor memory is
-    bounded by the bitsets of the files the task reads (a few MB),
-    never by a whole file's column values; bitsets are sized from the
-    file's footer row count (≥ distinct count ⇒ fpp only improves), so
-    partial bitsets from a file split across tasks OR-merge exactly.
-    Only (path, col, m, k, bits) rows — one or two per file — reach
-    the driver."""
+    bounded by the bitsets of the files the task reads (a few MB,
+    capped at MAX_BITS each), never by a whole file's column values;
+    bitsets are sized from the file's footer row count (≥ distinct
+    count ⇒ fpp only improves), so partial bitsets from a file split
+    across tasks OR-merge exactly. NOTHING row-sized touches the
+    driver: footer row counts are read executor-side, partials
+    OR-merge in a grouped ``applyInPandas``, and the sidecar itself is
+    written by a Spark task — the driver only renames the finished
+    file into place (a commit writing thousands of files ships zero
+    bitset bytes through the driver)."""
     from pyspark.sql import functions as F
 
     paths = sorted(p for ps in written.values() for p in ps)
@@ -127,24 +135,36 @@ def build_sidecar(
         return set()
     import pyarrow.parquet as pq
 
-    m_by_file = {
-        p: _size_bits(pq.ParquetFile(p).metadata.num_rows) for p in paths
-    }
     df = spark.read.parquet(*paths)
     have = [c for c in cols if c in df.columns]
     if not have:
         return set()
     src = df.select(*have).withColumn("_bloom_file", F.input_file_name())
-    default_m = max(m_by_file.values(), default=MIN_BITS)
 
     def gen(batches):
         import pandas as pd
+        import pyarrow.parquet as _pq
+
+        # bitset size from the file's FOOTER row count, read executor-
+        # side on first sight — deterministic across tasks, so partial
+        # bitsets from a file split across tasks OR-merge exactly
+        m_cache: dict[str, int] = {}
+
+        def _m_for(path: str) -> int:
+            m = m_cache.get(path)
+            if m is None:
+                try:
+                    n = _pq.ParquetFile(path).metadata.num_rows
+                except Exception:
+                    n = MIN_BITS // BITS_PER_KEY
+                m = m_cache[path] = _size_bits(n)
+            return m
 
         acc: dict[tuple[str, str], np.ndarray] = {}
         for pdf in batches:
             for fname, grp in pdf.groupby("_bloom_file"):
                 path = _strip_uri(fname)
-                m = m_by_file.get(path, default_m)
+                m = _m_for(path)
                 for col in have:
                     key = (path, col)
                     bits = acc.get(key)
@@ -165,39 +185,53 @@ def build_sidecar(
                 }
             )
 
-    rows = src.mapInPandas(gen, schema=SIDECAR_SCHEMA).collect()
-    if not rows:
-        return set()
-    # OR-merge partials from tasks that split a file
-    merged: dict[tuple[str, str], tuple[int, bytes]] = {}
-    for r in rows:
-        key = (r["path"], r["col"])
-        m, bits = int(r["m"]), bytes(r["bits"])
-        if key in merged:
-            m0, b0 = merged[key]
-            bits = bytes(
-                np.bitwise_or(
-                    np.frombuffer(b0, dtype=np.uint8),
-                    np.frombuffer(bits, dtype=np.uint8),
-                )
-            )
-            m = m0
-        merged[key] = (m, bits)
+    # OR-merge partials from tasks that split a file — grouped
+    # executor-side, never on the driver
+    def _or_merge(pdf):
+        import pandas as pd
 
-    import pyarrow as pa
+        acc = None
+        for b in pdf["bits"]:
+            arr = np.frombuffer(bytes(b), dtype=np.uint8)
+            acc = arr.copy() if acc is None else np.bitwise_or(acc, arr)
+        return pd.DataFrame(
+            {
+                "path": [pdf["path"].iloc[0]],
+                "col": [pdf["col"].iloc[0]],
+                "m": [int(pdf["m"].iloc[0])],
+                "k": [int(pdf["k"].iloc[0])],
+                "bits": [acc.tobytes()],
+            }
+        )
 
-    data = {
-        "path": [p for (p, _c) in merged],
-        "col": [c for (_p, c) in merged],
-        "m": [m for (m, _b) in merged.values()],
-        "k": [NUM_HASHES] * len(merged),
-        "bits": [b for (_m, b) in merged.values()],
-    }
+    merged = (
+        src.mapInPandas(gen, schema=SIDECAR_SCHEMA)
+        .groupBy("path", "col")
+        .applyInPandas(_or_merge, schema=SIDECAR_SCHEMA)
+    )
+    # single-file sidecar written BY A TASK (repartition(1) keeps the
+    # merge parallel and funnels only finished bitsets to the writer);
+    # the driver just renames the part file into place
     os.makedirs(os.path.dirname(sidecar_path), exist_ok=True)
-    tmp = sidecar_path + ".tmp"
-    pq.write_table(pa.table(data), tmp)
-    os.replace(tmp, sidecar_path)
-    return set(data["path"])
+    tmp_dir = sidecar_path + ".tmpdir"
+    merged.repartition(1).write.mode("overwrite").parquet(tmp_dir)
+    import shutil
+
+    part = next(
+        (
+            f
+            for f in os.listdir(tmp_dir)
+            if f.endswith(".parquet") and f.startswith("part-")
+        ),
+        None,
+    )
+    if part is None:  # no bloomable rows at all
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        return set()
+    os.replace(os.path.join(tmp_dir, part), sidecar_path)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    covered = pq.read_table(sidecar_path, columns=["path"])
+    return set(covered["path"].to_pylist())
 
 
 def load_sidecar(sidecar_path: str) -> dict[str, dict[str, tuple[int, int, bytes]]]:
