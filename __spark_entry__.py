@@ -27,6 +27,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # the driver may import this file from any cwd — make the package importable
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -889,6 +890,92 @@ def _q_multi_table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"customer": spark.table("customer"), "orders": spark.table("orders")},
     )
     return out["orders"].select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+def _q_multi_table_sync_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SchemaInit-before-sync (workflow.go:191-202 analog): the orders
+    DESTINATION starts drifted — missing o_orderstatus, carrying a
+    legacy column, holding pre-existing rows, and declaring a stale
+    check constraint. schema_init reconciles schema + constraint plan
+    in reference DDL order BEFORE the wave loads; the sync then merges
+    through the ledger with LWW over the pre-existing rows. Oracle:
+    synced rows win on key collision, untouched legacy rows survive
+    with NULL in the evolved column."""
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.subset import FkEdge
+    from neosync_spark.plans.job import ColumnMapping
+    from neosync_spark.plans.multi import (
+        MultiTableJob,
+        TableSpec,
+        run_multi_table_sync,
+    )
+    from neosync_spark.schema_constraints import Constraint, ConstraintSet
+
+    _views(spark, sf_dir, ["customer", "orders"])
+    orders = spark.table("orders")
+
+    dest_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.StringType()),
+            T.StructField("legacy_note", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="ns_mts_drift_")
+    dest = SnapshotTable.create(
+        spark, path, dest_schema, key_cols=["o_orderkey"],
+        order_cols=["ts"], n_buckets=8,
+    )
+    init = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").cast("long"),
+        F.col("o_custkey").cast("string").alias("o_custkey"),
+        F.lit("legacy").alias("legacy_note"),
+        F.lit("insert").alias("op"),
+        F.col("o_orderkey").cast("long").alias("lsn"),
+        F.timestamp_seconds(F.lit(1)).alias("ts"),
+    )
+    dest.merge_cdc(init, applied_range=(0, 1), source_is_raw=False,
+                   lineage=False)
+
+    job = MultiTableJob(
+        tables={
+            "customer": TableSpec(
+                "customer",
+                key_cols=["c_custkey"],
+                mappings=[
+                    ColumnMapping(
+                        "c_custkey", "transform_sha256_pseudonym", {"salt": "k"}
+                    )
+                ],
+            ),
+            "orders": TableSpec(
+                "orders",
+                key_cols=["o_orderkey"],
+                fk_rewrites={"o_custkey": ("customer", "c_custkey")},
+            ),
+        },
+        edges=[FkEdge("orders", "o_custkey", "customer", "c_custkey")],
+        subset_root="customer",
+        subset_where="c_mktsegment = 'BUILDING'",
+        seed=5,
+        constraints=ConstraintSet().add(
+            Constraint("orders_pk", "orders", "primary_key", ("o_orderkey",))
+        ),
+    )
+    dest_cons = ConstraintSet().add(
+        Constraint(
+            "orders_legacy_ck", "orders", "check", expr="legacy_note IS NOT NULL"
+        )
+    )
+    run_multi_table_sync(
+        spark,
+        job,
+        {"customer": spark.table("customer"), "orders": orders},
+        destinations={"orders": dest},
+        dest_constraints=dest_cons,
+    )
+    return dest.read().select("o_orderkey", "o_custkey", "o_orderstatus")
 
 
 def _q_fk_skip_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2712,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_upsert": _q_merge_upsert,
         "cdc_patch_merge_mor": _q_patch_merge_mor,
         "multi_table_sync": _q_multi_table_sync,
+        "multi_table_sync_drift": _q_multi_table_sync_drift,
         "subset_fk_chain": _q_subset_fk_chain,
         "key_mapping_consistency": _q_key_mapping,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
@@ -3555,6 +3643,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM customer c
               WHERE c.c_custkey = o.o_custkey
                 AND c.c_mktsegment = 'BUILDING')
+        """,
+        "multi_table_sync_drift": """
+            WITH synced AS (
+              SELECT o.o_orderkey,
+                     substring(sha256('k' || CAST(o.o_custkey AS VARCHAR)), 1, 12)
+                       AS o_custkey,
+                     o.o_orderstatus
+              FROM orders o
+              WHERE EXISTS (
+                SELECT 1 FROM customer c
+                WHERE c.c_custkey = o.o_custkey
+                  AND c.c_mktsegment = 'BUILDING')
+            ),
+            init AS (
+              SELECT o_orderkey,
+                     CAST(o_custkey AS VARCHAR) AS o_custkey,
+                     CAST(NULL AS VARCHAR) AS o_orderstatus
+              FROM orders WHERE o_orderkey % 97 = 0
+            )
+            SELECT * FROM synced
+            UNION ALL
+            SELECT i.* FROM init i
+            WHERE NOT EXISTS (
+              SELECT 1 FROM synced s WHERE s.o_orderkey = i.o_orderkey)
         """,
         "fk_skip_split": """
             SELECT o.o_orderkey, o.o_custkey,

@@ -19,10 +19,13 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.transformers import as_udf, key_col
 from ..operators.keymap import apply_key_mapping, build_key_mapping
 from ..operators.subset import FkEdge, subset_tables
+from ..schema_constraints import ConstraintSet, diff_constraints, plan_reconcile
+from ..schema_registry import POLICY_AUTOMAP, ensure_table_schema
 from .dag import FkGraph, plan_run_configs
 from .job import ColumnMapping, resolve_transformer
 
@@ -44,6 +47,11 @@ class MultiTableJob:
     subset_root: str | None = None
     subset_where: str | None = None
     seed: int = 42
+    # source-declared constraints for the constellation (sqlmanager
+    # introspection analog); reconciled against the destinations'
+    # declared set during schema init
+    constraints: ConstraintSet | None = None
+    schema_policy: str = POLICY_AUTOMAP
 
 
 # transformers whose outputs remain valid under the source column's
@@ -69,16 +77,89 @@ def _transform_table(spark: SparkSession, df: DataFrame, spec: TableSpec, seed: 
     return out
 
 
+def declared_output_schema(
+    spark: SparkSession, df: DataFrame, spec: TableSpec, seed: int
+) -> T.StructType:
+    """The schema the sync will actually produce for ``spec``: FK
+    rewrites stringify their column, non-type-preserving transformers
+    stringify theirs. Computed by Catalyst analysis over a LIMIT 0
+    frame — no job runs."""
+    z = df.limit(0)
+    for fk_col in spec.fk_rewrites:
+        z = z.withColumn(fk_col, F.col(fk_col).cast("string"))
+    z = _transform_table(spark, z, spec, seed)
+    return z.schema
+
+
+def schema_init(
+    spark: SparkSession,
+    job: MultiTableJob,
+    sources: dict[str, DataFrame],
+    destinations: "dict[str, object]",
+    dest_constraints: ConstraintSet | None = None,
+) -> dict:
+    """SchemaInit-before-sync: evolve every destination's physical
+    schema to the declared post-transform shape and emit the constraint
+    reconcile plan in reference DDL order — BEFORE any wave loads
+    (reference runs SchemaInit child workflows per destination first:
+    worker/pkg/workflows/datasync/workflow/workflow.go:191-202;
+    internal/schema-manager/mysql/mysql.go:59,220,353).
+
+    Destination key/order columns (e.g. the lakehouse ``ts`` ordering
+    column) are system columns, not drift — they are kept even when the
+    source lacks them. Returns {"column_ops": {table: ops},
+    "reconcile_plan": [ordered DDL-shaped dicts]}."""
+    col_ops: dict[str, list[dict]] = {}
+    all_ops: list[dict] = []
+    for name, dest in destinations.items():
+        spec = job.tables[name]
+        declared = declared_output_schema(spark, sources[name], spec, job.seed)
+        m = dest.manifest()
+        protected = set(m.get("key_cols") or []) | set(m.get("order_cols") or [])
+        names = {f.name for f in declared.fields}
+        fields = list(declared.fields)
+        for f_ in dest.current_schema().fields:
+            if f_.name in protected and f_.name not in names:
+                fields.append(f_)
+        ops = ensure_table_schema(
+            dest, T.StructType(fields), policy=job.schema_policy
+        )
+        col_ops[name] = ops
+        all_ops.extend(ops)
+    cdiff = diff_constraints(
+        job.constraints or ConstraintSet(),
+        dest_constraints or ConstraintSet(),
+    )
+    return {
+        "column_ops": col_ops,
+        "reconcile_plan": plan_reconcile(cdiff, all_ops),
+    }
+
+
 def run_multi_table_sync(
     spark: SparkSession,
     job: MultiTableJob,
     sources: dict[str, DataFrame],
     write: "callable[[str, DataFrame], None] | None" = None,
+    destinations: "dict[str, object] | None" = None,
+    dest_constraints: ConstraintSet | None = None,
 ) -> dict[str, DataFrame]:
-    """Plan + execute: subset along FK edges, order by the DAG, apply
-    per-table transforms, rewrite FKs through parent key mappings.
-    Returns the synced frames (and writes each via `write` if given).
+    """Plan + execute: schema-init the destinations, subset along FK
+    edges, order by the DAG, apply per-table transforms, rewrite FKs
+    through parent key mappings. Returns the synced frames (and writes
+    each via `write` if given; tables named in ``destinations`` —
+    SnapshotTables — are merged through the exactly-once ledger with
+    LWW over whatever rows the destination already held).
     """
+    # 0. schema init BEFORE any data moves (SchemaInit analog): the
+    # destination's physical schema and constraint plan converge first,
+    # so every wave writes into the declared shape
+    init_report = None
+    if destinations:
+        init_report = schema_init(
+            spark, job, sources, destinations, dest_constraints
+        )
+
     # 1. consistent subsetting (querybuilder/subset analog)
     frames = dict(sources)
     if job.subset_root and job.subset_where:
@@ -124,4 +205,42 @@ def run_multi_table_sync(
         out[cfg.table] = df
         if write is not None:
             write(cfg.table, df)
+        if destinations and cfg.table in destinations:
+            _merge_into_destination(destinations[cfg.table], df, spec)
     return out
+
+
+def _merge_into_destination(dest, df: DataFrame, spec: TableSpec) -> None:
+    """Load one synced frame into its SnapshotTable destination through
+    the ledgered merge (the ON CONFLICT DO UPDATE analog): each synced
+    row is an upsert keyed by the table's keys, stamped with the
+    destination's applied-epoch count so later syncs LWW over earlier
+    rows (and over any pre-existing destination rows). A crash-replayed
+    sync is a table no-op."""
+    epoch = len(dest.applied_ranges())
+    cur = dest.current_schema()
+    key_cols = dest.manifest().get("key_cols") or spec.key_cols
+    have = set(df.columns)
+    cols = []
+    for f_ in cur.fields:
+        if f_.name == "ts":
+            continue
+        if f_.name in have:
+            cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+        else:
+            cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+    batch = df.select(
+        *cols,
+        F.lit("insert").alias("op"),
+        # deterministic within-batch lsn; keys are unique per batch so
+        # only the (ts, lsn) pair's cross-epoch ordering matters
+        F.xxhash64(*[F.col(k).cast("string") for k in key_cols]).alias("lsn"),
+        F.timestamp_seconds(F.lit(epoch + 1)).alias("ts"),
+    )
+    dest.merge_cdc(
+        batch,
+        applied_range=(epoch, epoch + 1),
+        mode="cow",
+        source_is_raw=False,
+        lineage=False,
+    )

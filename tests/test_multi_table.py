@@ -299,3 +299,89 @@ def test_requeue_zero_heal_no_commit(spark, tmp_path):
     ).requeue_fk_quarantine()
     assert res2["requeued"] == res["still_skipped"]
     assert res2["still_skipped"] == 0
+
+
+def test_schema_init_before_sync_converges(spark, sources, tmp_path):
+    """SchemaInit-before-sync (VERDICT r3 #6): a destination starting
+    with drifted schema (missing + extra column) and stale constraints
+    converges — reconcile plan in reference DDL order (drop constraints
+    -> column ops -> add constraints), second init is a no-op, synced
+    rows LWW over pre-existing destination rows."""
+    from pyspark.sql import types as T
+
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.plans.multi import schema_init
+    from neosync_spark.schema_constraints import Constraint, ConstraintSet
+
+    dest_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.StringType()),
+            T.StructField("legacy_note", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    dest = SnapshotTable.create(
+        spark, str(tmp_path / "orders_dst"), dest_schema,
+        key_cols=["o_orderkey"], order_cols=["ts"], n_buckets=4,
+    )
+    seed_rows = sources["orders"].filter(F.col("o_orderkey") % 19 == 0).select(
+        F.col("o_orderkey").cast("long"),
+        F.col("o_custkey").cast("string"),
+        F.lit("legacy").alias("legacy_note"),
+        F.lit("insert").alias("op"),
+        F.col("o_orderkey").cast("long").alias("lsn"),
+        F.timestamp_seconds(F.lit(1)).alias("ts"),
+    )
+    dest.merge_cdc(seed_rows, applied_range=(0, 1), source_is_raw=False,
+                   lineage=False)
+    n_seed = dest.read().count()
+    assert n_seed > 0
+
+    job = _job()
+    job.constraints = ConstraintSet().add(
+        Constraint("orders_pk", "orders", "primary_key", ("o_orderkey",))
+    )
+    dest_cons = ConstraintSet().add(
+        Constraint("orders_legacy_ck", "orders", "check",
+                   expr="legacy_note IS NOT NULL")
+    )
+
+    report = schema_init(
+        spark, job, sources, {"orders": dest}, dest_constraints=dest_cons
+    )
+    plan_ops = [p["op"] for p in report["reconcile_plan"]]
+    # reference DDL order: drops first, column ops, adds last
+    assert plan_ops.index("drop_constraint") < plan_ops.index("drop_column")
+    assert plan_ops.index("add_column") < plan_ops.index("add_constraint")
+    col_ops = {o["op"] for o in report["column_ops"]["orders"]}
+    assert "add_column" in col_ops and "drop_column" in col_ops
+    # physical schema converged: evolved column present, legacy dropped
+    names = [f.name for f in dest.current_schema().fields]
+    assert "o_orderstatus" in names and "legacy_note" not in names
+    # second init: no drift left
+    again = schema_init(spark, job, sources, {"orders": dest},
+                        dest_constraints=job.constraints)
+    assert again["column_ops"]["orders"] == []
+
+    out = run_multi_table_sync(
+        spark, job, sources, destinations={"orders": dest},
+        dest_constraints=dest_cons,
+    )
+    final = dest.read()
+    synced_keys = {r[0] for r in out["orders"].select("o_orderkey").collect()}
+    rows = {r["o_orderkey"]: r for r in final.collect()}
+    # synced rows won (pseudonymized FK); untouched seeds survive with
+    # NULL in the evolved column
+    for k, r in rows.items():
+        if k in synced_keys:
+            assert r["o_orderstatus"] is not None
+        else:
+            assert r["o_orderstatus"] is None
+    assert len(rows) == len(synced_keys | {r[0] for r in seed_rows.select("o_orderkey").collect()})
+    # replayed sync is a ledger no-op
+    run_multi_table_sync(spark, job, sources, destinations={"orders": dest},
+                         dest_constraints=dest_cons)
+    # a second run advances the epoch (new applied_range) but must not
+    # change the final state (same keys, same values by LWW re-upsert)
+    assert dest.read().count() == len(rows)
