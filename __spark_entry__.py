@@ -1817,6 +1817,20 @@ def _q_json_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string"),
         F.lit('"}]}'),
     )
+    # gojq del() + alternative `//` (the two most-used forms beyond
+    # paths/selects, json-anonymizer.go:215-236): drop a secret field,
+    # materialize a missing one from its default, uppercase it
+    def _upper(values, keys):
+        return values.str.upper()
+
+    del_alt_fn = anonymize_json_udf(
+        {"del(.secret)": None, '.tool // "none"': _upper}
+    )
+    extra = F.concat(
+        F.lit('{"keep":"k'),
+        F.col("doc_id").cast("string"),
+        F.lit('","secret":"s"}'),
+    )
     out = docs.select(
         "doc_id",
         "tool",
@@ -1827,6 +1841,7 @@ def _q_json_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         anonymize_json_field(
             msgs, msgs_schema, {"messages[?role==user].text": F.lit("<R>")}
         ).alias("msgs_anon_jvm"),
+        as_udf(del_alt_fn)(extra, key_col("doc_id")).alias("extra_anon"),
     )
     return out.select(
         "doc_id",
@@ -1842,6 +1857,11 @@ def _q_json_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("msgs_anon_pipe") == F.col("msgs_anon")).alias(
             "jq_pipe_matches_bracket"
         ),
+        F.get_json_object("extra_anon", "$.secret").isNull().alias(
+            "secret_deleted"
+        ),
+        F.get_json_object("extra_anon", "$.keep").alias("keep_kept"),
+        F.get_json_object("extra_anon", "$.tool").alias("tool_defaulted"),
     )
 
 
@@ -4541,7 +4561,10 @@ def oracle_sql() -> dict[str, str]:
                    '<R>' AS u_text,
                    'a' || CAST(doc_id AS VARCHAR) AS a_text,
                    TRUE AS jvm_matches_udf,
-                   TRUE AS jq_pipe_matches_bracket
+                   TRUE AS jq_pipe_matches_bracket,
+                   TRUE AS secret_deleted,
+                   'k' || CAST(doc_id AS VARCHAR) AS keep_kept,
+                   'NONE' AS tool_defaulted
             FROM documents
         """,
         "default_transforms": f"""

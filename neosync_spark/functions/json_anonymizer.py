@@ -52,10 +52,19 @@ def anonymize_json_field(
     c = F.col(col) if isinstance(col, str) else col
     parsed = F.from_json(c, schema)
     plain: dict[str, object] = {}
+    dels: set[str] = set()
     conds: dict[str, list[tuple[str, str, str, object]]] = {}
     for key, e in field_exprs.items():
         if _looks_like_jq(key):
             toks = parse_jq(key)
+            if (
+                len(toks) == 2
+                and toks[0] == ("del",)
+                and isinstance(toks[1], str)
+            ):
+                # top-level del(.field): drop it from the rebuilt struct
+                dels.add(toks[1])
+                continue
             if len(toks) == 1 and isinstance(toks[0], str) and toks[0] != "[]":
                 plain[toks[0]] = e
                 continue
@@ -86,6 +95,8 @@ def anonymize_json_field(
             plain[key] = e
     rebuilt = []
     for f_ in schema.fields:
+        if f_.name in dels:
+            continue
         if f_.name in plain:
             e = plain[f_.name]
             if callable(e) and not isinstance(e, Column):
@@ -211,14 +222,58 @@ def _parse_path_stage(stage: str) -> list:
     return toks
 
 
+_JQ_DEL_RE = re.compile(r"^del\(\s*(.+?)\s*\)$")
+
+
+def _split_alt(s: str) -> tuple[str, str | None]:
+    """Split on a top-level '//' (not inside quotes or parens).
+    jq's `|` binds looser than `//`, so splitting the whole program
+    matches jq's parse for the config-shaped uses (`.a.b // "x"`)."""
+    depth, q, i = 0, None, 0
+    while i < len(s) - 1:
+        ch = s[i]
+        if q is not None:
+            if ch == q:
+                q = None
+        elif ch in "\"'":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "/" and s[i + 1] == "/" and depth == 0:
+            return s[:i].strip(), s[i + 2 :].strip()
+        i += 1
+    return s, None
+
+
 def parse_jq(program: str) -> tuple:
     """Compile a restricted jq program to walker tokens.
 
-    Supported: `.a.b`, `.a[]`, `.[]`, `.a[3]`, pipes, and
+    Supported: `.a.b`, `.a[]`, `.[]`, `.a[3]`, pipes,
     `select(.f == <json literal>)` / `!=` (dotted .f allowed; a missing
-    field compares as null, matching jq). The program must end in a
-    field path (anonymization targets a value, not a filtered stream).
+    field compares as null, matching jq), `del(.path)` (drop the key —
+    tokens get a ``('del',)`` head), and a trailing alternative
+    `.path // <json literal>` (a missing/null target is materialized
+    from the literal before transforming — tokens get an
+    ``('alt', literal)`` tail). The program must end in a field path
+    (anonymization targets a value, not a filtered stream).
     """
+    dm = _JQ_DEL_RE.match(program.strip())
+    if dm:
+        if "//" in dm.group(1):
+            raise ValueError(f"del() target cannot carry '//': {program!r}")
+        # a del target MAY end in a filter: `del(.xs[] | select(...))`
+        # deletes the selected elements themselves
+        return (("del",),) + _parse_jq_body(dm.group(1), allow_filter_end=True)
+    body, alt_lit = _split_alt(program)
+    toks = _parse_jq_body(body, allow_filter_end=False)
+    if alt_lit is not None:
+        toks = toks + (("alt", _parse_jq_literal(alt_lit)),)
+    return toks
+
+
+def _parse_jq_body(program: str, allow_filter_end: bool) -> tuple:
     toks: list = []
     for stage in _split_pipes(program):
         m = _JQ_SELECT_RE.match(stage)
@@ -231,7 +286,10 @@ def parse_jq(program: str) -> tuple:
             toks.append(("sel", cf, op, _parse_jq_literal(lit)))
         else:
             toks.extend(_parse_path_stage(stage))
-    if not toks or (isinstance(toks[-1], tuple) and toks[-1][0] == "sel"):
+    ends_in_filter = not toks or (
+        isinstance(toks[-1], tuple) and toks[-1][0] == "sel"
+    )
+    if ends_in_filter and not (allow_filter_end and toks):
         raise ValueError(
             f"jq program {program!r} must end in a value path "
             "(the anonymization target), not a select() filter"
@@ -240,7 +298,7 @@ def parse_jq(program: str) -> tuple:
 
 
 def _looks_like_jq(key: str) -> bool:
-    return key.startswith(".") or "|" in key
+    return key.startswith(".") or "|" in key or key.startswith("del(")
 
 
 def _cond_resolve(item, dotted: str):
@@ -290,9 +348,94 @@ def _is_wild(t) -> bool:
     return t == "[]" or isinstance(t, tuple)
 
 
-def _transform_path(node, toks: tuple[str, ...], i: int, apply_one, key: str) -> None:
+_NO_ALT = object()
+
+
+def _trailing_sels(toks: tuple, i: int) -> tuple | None:
+    """The sel tokens from position i to the end, or None if anything
+    else follows — `del(.xs[] | select(...))` deletes the SELECTED
+    elements, so a trailing-select suffix flips the walker from
+    'descend' to 'remove here if matched'."""
+    rest = toks[i:]
+    if rest and all(isinstance(x, tuple) and x[0] == "sel" for x in rest):
+        return rest
+    return None
+
+
+def _delete_path(node, toks: tuple, i: int) -> None:
+    """del(.path): remove every location matching the token path
+    (wildcards fan out; `del(.arr[])` empties the list, and a trailing
+    select() deletes the selected elements, matching jq)."""
+    if i >= len(toks):
+        return
+    t = toks[i]
+    last = i == len(toks) - 1
+    if isinstance(t, tuple) and t[0] == "sel":
+        if isinstance(node, dict) and _sel_ok(node, t):
+            _delete_path(node, toks, i + 1)
+        return
+    if isinstance(t, tuple) and t[0] == "idx":
+        j = t[1]
+        if isinstance(node, list) and -len(node) <= j < len(node):
+            sels = None if last else _trailing_sels(toks, i + 1)
+            if last:
+                del node[j]
+            elif sels is not None:
+                if isinstance(node[j], dict) and all(
+                    _sel_ok(node[j], s) for s in sels
+                ):
+                    del node[j]
+            else:
+                _delete_path(node[j], toks, i + 1)
+        return
+    if _is_wild(t):
+        cond = t if isinstance(t, tuple) else None
+        if isinstance(node, list):
+            sels = None if last else _trailing_sels(toks, i + 1)
+
+            def _cond_hit(x) -> bool:
+                if cond is None:
+                    return True
+                _, cf, cv = cond
+                return isinstance(x, dict) and str(x.get(cf)) == cv
+
+            if last:
+                node[:] = [x for x in node if not _cond_hit(x)]
+            elif sels is not None:
+                node[:] = [
+                    x
+                    for x in node
+                    if not (
+                        _cond_hit(x)
+                        and isinstance(x, dict)
+                        and all(_sel_ok(x, s) for s in sels)
+                    )
+                ]
+            else:
+                for item in node:
+                    if _cond_hit(item):
+                        _delete_path(item, toks, i + 1)
+        return
+    if isinstance(node, dict) and t in node:
+        sels = None if last else _trailing_sels(toks, i + 1)
+        if last:
+            node.pop(t, None)
+        elif sels is not None:
+            if isinstance(node[t], dict) and all(
+                _sel_ok(node[t], s) for s in sels
+            ):
+                node.pop(t, None)
+        else:
+            _delete_path(node[t], toks, i + 1)
+
+
+def _transform_path(
+    node, toks: tuple[str, ...], i: int, apply_one, key: str, alt=_NO_ALT
+) -> None:
     """Apply ``apply_one(old_value, key)`` at every location matching
-    the token path (wildcards fan out over list elements)."""
+    the token path (wildcards fan out over list elements). With ``alt``
+    (the jq `// literal` tail), a missing or null FINAL dict field is
+    materialized from the literal before transforming."""
     if i >= len(toks):
         return
     t = toks[i]
@@ -302,7 +445,7 @@ def _transform_path(node, toks: tuple[str, ...], i: int, apply_one, key: str) ->
         # guarantees 'sel' is never last). On a list, jq streams `[]`
         # first; a select directly on a list node matches nothing.
         if isinstance(node, dict) and _sel_ok(node, t):
-            _transform_path(node, toks, i + 1, apply_one, key)
+            _transform_path(node, toks, i + 1, apply_one, key, alt)
         return
     if isinstance(t, tuple) and t[0] == "idx":
         j = t[1]
@@ -310,8 +453,12 @@ def _transform_path(node, toks: tuple[str, ...], i: int, apply_one, key: str) ->
             if last:
                 if node[j] is not None:
                     node[j] = apply_one(node[j], f"{key}[{j}]")
+                elif alt is not _NO_ALT:
+                    node[j] = apply_one(alt, f"{key}[{j}]")
             else:
-                _transform_path(node[j], toks, i + 1, apply_one, f"{key}[{j}]")
+                _transform_path(
+                    node[j], toks, i + 1, apply_one, f"{key}[{j}]", alt
+                )
         return
     if _is_wild(t):
         cond = t if isinstance(t, tuple) else None
@@ -324,15 +471,23 @@ def _transform_path(node, toks: tuple[str, ...], i: int, apply_one, key: str) ->
                 if last:
                     if item is not None:
                         node[j] = apply_one(item, f"{key}[{j}]")
+                    elif alt is not _NO_ALT:
+                        node[j] = apply_one(alt, f"{key}[{j}]")
                 else:
-                    _transform_path(item, toks, i + 1, apply_one, f"{key}[{j}]")
+                    _transform_path(
+                        item, toks, i + 1, apply_one, f"{key}[{j}]", alt
+                    )
         return
-    if isinstance(node, dict) and t in node:
+    if isinstance(node, dict):
         if last:
-            if node[t] is not None:
+            if node.get(t) is not None:
                 node[t] = apply_one(node[t], key)
-        else:
-            _transform_path(node[t], toks, i + 1, apply_one, key)
+            elif alt is not _NO_ALT:
+                # jq `.path // literal`: absent/null target materializes
+                # from the literal, then transforms
+                node[t] = apply_one(alt, key)
+        elif t in node:
+            _transform_path(node[t], toks, i + 1, apply_one, key, alt)
 
 
 def anonymize_json_udf(
@@ -387,6 +542,13 @@ def anonymize_json_udf(
                 out.append(v)  # not JSON: passthrough
                 continue
             for path, tfn in compiled.items():
+                if path and path[0] == ("del",):
+                    _delete_path(doc, path[1:], 0)
+                    continue
+                alt = _NO_ALT
+                if path and isinstance(path[-1], tuple) and path[-1][0] == "alt":
+                    alt = path[-1][1]
+                    path = path[:-1]
                 base_key = f"{k}|{'.'.join(t for t in path if not _is_wild(t))}"
                 _transform_path(
                     doc,
@@ -396,6 +558,7 @@ def anonymize_json_udf(
                         pd.Series([old]), pd.Series([kk])
                     ).iloc[0],
                     base_key,
+                    alt,
                 )
             if default_string is not None and isinstance(doc, dict):
                 walk_defaults(

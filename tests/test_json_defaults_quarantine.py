@@ -561,3 +561,83 @@ class TestJqProperty:
             )
 
         check()
+
+
+class TestJqDelAndAlternative:
+    """gojq `del()` and alternative `//` (VERDICT r3 #7) — the two
+    most-used forms the restricted parser previously rejected
+    (reference compiles arbitrary gojq, json-anonymizer.go:215-236)."""
+
+    def _apply(self, mapping, doc):
+        import json
+
+        import pandas as pd
+
+        from neosync_spark.functions.json_anonymizer import anonymize_json_udf
+
+        fn = anonymize_json_udf(mapping)
+        out = fn(pd.Series([json.dumps(doc)]), pd.Series(["k"]))
+        return json.loads(out.iloc[0])
+
+    def test_del_top_level_and_nested(self):
+        up = lambda v, k: v.str.upper()  # noqa: E731
+        doc = {"name": "bo", "secrets": {"token": "t", "keep": 1}}
+        got = self._apply({"del(.secrets.token)": None, ".name": up}, doc)
+        assert got == {"name": "BO", "secrets": {"keep": 1}}
+
+    def test_del_wildcard_and_select(self):
+        doc = {"msgs": [{"role": "sys", "t": "x"}, {"role": "user", "t": "y"}]}
+        got = self._apply({'del(.msgs[] | select(.role=="sys"))': None}, doc)
+        assert got == {"msgs": [{"role": "user", "t": "y"}]}
+        got2 = self._apply({"del(.msgs[])": None}, dict(doc))
+        assert got2 == {"msgs": []}
+        # nested target under a wildcard
+        got3 = self._apply({"del(.msgs[].t)": None}, {"msgs": [{"t": 1, "r": 2}]})
+        assert got3 == {"msgs": [{"r": 2}]}
+
+    def test_alternative_materializes_missing_and_null(self):
+        up = lambda v, k: v.str.upper()  # noqa: E731
+        got = self._apply({'.tool // "none"': up}, {"a": 1})
+        assert got == {"a": 1, "tool": "NONE"}
+        got2 = self._apply({'.tool // "none"': up}, {"tool": None})
+        assert got2 == {"tool": "NONE"}
+        # present value: alternative ignored
+        got3 = self._apply({'.tool // "none"': up}, {"tool": "bash"})
+        assert got3 == {"tool": "BASH"}
+
+    def test_alternative_after_pipe_and_parse_shapes(self):
+        from neosync_spark.functions.json_anonymizer import parse_jq
+
+        assert parse_jq('del(.a.b)') == (("del",), "a", "b")
+        assert parse_jq('.a.b // "x"') == ("a", "b", ("alt", "x"))
+        assert parse_jq(".a | .b // 7") == ("a", "b", ("alt", 7))
+        up = lambda v, k: v.str.upper()  # noqa: E731
+        got = self._apply({'.a | .b // "d"': up}, {"a": {}})
+        assert got == {"a": {"b": "D"}}
+
+    def test_del_rejects_alternative_inside(self):
+        import pytest as _pytest
+
+        from neosync_spark.functions.json_anonymizer import parse_jq
+
+        with _pytest.raises(ValueError):
+            parse_jq('del(.a // "x")')
+
+    def test_jvm_top_level_del(self, spark):
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from neosync_spark.functions.json_anonymizer import anonymize_json_field
+
+        schema = T.StructType(
+            [T.StructField("name", T.StringType()),
+             T.StructField("token", T.StringType())]
+        )
+        df = spark.createDataFrame(
+            [('{"name":"n","token":"s"}',)], "j string"
+        ).select(
+            anonymize_json_field(
+                F.col("j"), schema, {"del(.token)": None}
+            ).alias("out")
+        )
+        assert df.collect()[0]["out"] == '{"name":"n"}'
