@@ -691,6 +691,7 @@ def transform_pii_text(
     deny_recognizers: dict[str, tuple[str, ...]] | None = None,
     score_threshold: float = 0.5,
     language: str = "en",
+    custom_recognizers: "dict[str, Callable[[pd.Series], list]] | None" = None,
 ) -> TransformFn:
     """Free-text PII redaction via regex recognizers + deny-word lists —
     the OSS-scope variant of the reference's transform_pii_text
@@ -726,6 +727,20 @@ def transform_pii_text(
     so a threshold in (0, 1] keeps them all active and values > 1
     disable recognition (documented divergence from Presidio's
     per-model confidence scores).
+
+    ``custom_recognizers`` is the pluggable NER extension point (the
+    reference's EE path delegates PERSON/NER to a Presidio service,
+    internal/ee/presidio/, transform_pii_text.go:18-135; a model can't
+    ship in this repo, but a model-equipped cluster plugs one in here
+    without forking): entity name -> batch scorer called once per Arrow
+    batch with a ``pd.Series`` of texts, returning one span list per
+    text — spans are ``(start, end)`` or ``(start, end, score)``
+    (scores below ``score_threshold`` are dropped). Matched spans route
+    through the same per-entity anonymizers and ``allowed_entities`` /
+    ``allowed_phrases`` filtering as the built-in recognizers, and run
+    BEFORE them (offsets refer to the original text). Wrap a
+    transformers/spaCy pipeline in the scorer to upgrade PERSON recall;
+    the built-in regex/dataset recognizers stay as written.
     """
     _ = language  # recognizers are language-agnostic regexes (en-tuned)
     anons: dict[str, PiiAnonymizer] = {}
@@ -776,9 +791,13 @@ def transform_pii_text(
                  ),
                  None)
             )
+    custom = [
+        (e, s) for e, s in (custom_recognizers or {}).items() if want(e)
+    ]
     if score_threshold > 1.0:
         # nothing can reach an impossible confidence bar
         recognizers = []
+        custom = []
 
     def _render(ent: str, matched: str) -> str:
         a = anons.get(ent)
@@ -798,7 +817,40 @@ def transform_pii_text(
             return ""
         return None  # hash/mask depend on the matched text
 
+    def _apply_custom(values: pd.Series) -> pd.Series:
+        """Run the pluggable batch scorers; replace spans right-to-left
+        so earlier offsets stay valid."""
+        notna = values.notna()
+        if not notna.any():
+            return values
+        texts = values[notna].astype(str)
+        for ent, scorer in custom:
+            spans_per_text = scorer(texts)
+            new_vals = []
+            for s, spans in zip(texts, spans_per_text):
+                hits = []
+                for sp in spans or ():
+                    st, en = int(sp[0]), int(sp[1])
+                    score = float(sp[2]) if len(sp) > 2 else 1.0
+                    if score < score_threshold or not (0 <= st < en <= len(s)):
+                        continue
+                    m = s[st:en]
+                    if allowed_phrases and any(
+                        p in m for p in allowed_phrases
+                    ):
+                        continue
+                    hits.append((st, en, m))
+                for st, en, m in sorted(hits, reverse=True):
+                    s = s[:st] + _render(ent, m) + s[en:]
+                new_vals.append(s)
+            texts = pd.Series(new_vals, index=texts.index, dtype=object)
+        out = values.astype(object).copy()
+        out[notna] = texts
+        return out
+
     def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        if custom:
+            values = _apply_custom(values)
         if not allowed_phrases:
             # fast path: vectorized substitution; match-dependent
             # anonymizers (hash/mask) and validators (Luhn) use a
@@ -857,7 +909,7 @@ def transform_pii_text(
         for v in plain.values()
     )
     no_validators = all(val is None for _, _, val in recognizers)
-    if not allowed_phrases and tokens_safe and no_validators:
+    if not allowed_phrases and tokens_safe and no_validators and not custom:
         def column_expr(c):
             out_c = F.col(c) if isinstance(c, str) else c
             for ent, pat, _ in recognizers:
