@@ -484,6 +484,40 @@ class SnapshotTable:
         self._write_manifest(new_m)
         return int(new_m["snapshot_id"])
 
+    def identity_high_water(self, col: str) -> int | None:
+        """Max of ``col`` over the CURRENT snapshot — the post-sync
+        sequence-reset analog (reference resets identities after sync,
+        worker/pkg/workflows/datasync/activities/post-table-sync/
+        activity.go): after a rollback or replay, pass this as
+        ``scramble_identity(..., floor=...)`` so freshly generated ids
+        can never collide with surviving rows.
+
+        Metadata-only when every visible file carries zone-map stats
+        for ``col`` (max of per-file maxes — may over-count ids held by
+        MoR-deleted rows, which is SAFE for a sequence floor: deleted
+        ids stay reserved, exactly like a database sequence); falls
+        back to one agg over the live read otherwise. None = empty
+        table / no values."""
+        m = self.manifest(refresh=True)
+        renames = m.get("renames", {})
+        maxes: list = []
+        complete = True
+        for entries in m["files"].values():
+            for e in entries:
+                st = e.get("stats") or {}
+                src = self._walk_renames(col, set(st), renames) or col
+                rng = st.get(src)
+                if rng is None:
+                    complete = False
+                    break
+                maxes.append(rng[1])
+            if not complete:
+                break
+        if complete:
+            return int(max(maxes)) if maxes else None
+        row = self.read().agg(F.max(F.col(col))).collect()[0]
+        return int(row[0]) if row[0] is not None else None
+
     # ---------- branches (write-audit-publish) ----------
     #
     # The Iceberg branch / WAP analog (the reference has no staging

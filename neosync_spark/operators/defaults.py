@@ -108,16 +108,24 @@ def scramble_identity(
     offset: int = 1,
     n_buckets: int = 256,
     assert_unique: bool = False,
+    floor: int | None = None,
 ) -> DataFrame:
     """Replace an identity/auto-increment column with fresh unique ids.
 
     Deterministic under any partitioning / task retry (pure function of
     the column's value set), collision-free, and never the input value:
-    the allocated ids are exactly ``max(col) + offset + [1..n]``, block-
-    assigned per hash bucket. Requires ``col`` values to be unique
-    (it is an identity column). Two jobs: one tiny per-bucket count agg
-    (map-side combined), then a bucket-partitioned window — no global
-    sort, no driver-sized collect.
+    the allocated ids are exactly ``max(max(col), floor) + offset +
+    [1..n]``, block-assigned per hash bucket. Requires ``col`` values to
+    be unique (it is an identity column). Two jobs: one tiny per-bucket
+    count agg (map-side combined), then a bucket-partitioned window —
+    no global sort, no driver-sized collect.
+
+    ``floor`` is the destination-side sequence re-seed (post-table-sync
+    identity-reset analog, reference datasync/activities/
+    post-table-sync/activity.go): pass
+    ``SnapshotTable.identity_high_water(col)`` after a rollback/replay
+    so a batch whose own values are small can never allocate into ids
+    already held by surviving destination rows.
     """
     from pyspark.sql.window import Window
 
@@ -144,7 +152,10 @@ def scramble_identity(
         raise ValueError(
             f"scramble_identity: column {col!r} contains duplicate values"
         )
-    base = max(int(r["mx"]) for r in stats) + offset
+    base = max(int(r["mx"]) for r in stats)
+    if floor is not None:
+        base = max(base, int(floor))
+    base += offset
     offsets: dict[int, int] = {}
     acc = 0
     for r in sorted(stats, key=lambda r: r["_ib"]):

@@ -641,3 +641,93 @@ class TestJqDelAndAlternative:
             ).alias("out")
         )
         assert df.collect()[0]["out"] == '{"name":"n"}'
+
+
+def test_identity_reseed_after_rollback_no_collision(spark, tmp_path):
+    """Post-table-sync identity-reset analog (VERDICT r3 #9): after a
+    rollback, a replayed batch re-seeded from the table's high water
+    (metadata-only zone-map walk) never allocates ids that collide with
+    surviving rows; without the re-seed this scenario collides."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from neosync_spark.lakehouse import SnapshotTable
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), schema, key_cols=["id"],
+        order_cols=["ts"], n_buckets=4,
+    )
+
+    # survivors: source ids 1..100 scrambled -> 102..201
+    a = scramble_identity(
+        spark.createDataFrame([(i, f"a{i}") for i in range(1, 101)],
+                              "id long, v string"),
+        "id", floor=t.identity_high_water("id"),
+    ).select(
+        "id", "v", F.lit("insert").alias("op"),
+        F.col("id").alias("lsn"), F.timestamp_seconds(F.lit(1)).alias("ts"),
+    )
+    t.merge_cdc(a, applied_range=(0, 1), source_is_raw=False, lineage=False)
+    snap1 = t.manifest(refresh=True)["snapshot_id"]
+    ids_a = {r["id"] for r in t.read().select("id").collect()}
+    assert min(ids_a) >= 102 and len(ids_a) == 100
+
+    # bad batch B lands, then is rolled back
+    b = scramble_identity(
+        spark.createDataFrame([(i, f"b{i}") for i in range(1, 31)],
+                              "id long, v string"),
+        "id", floor=t.identity_high_water("id"),
+    ).select(
+        "id", "v", F.lit("insert").alias("op"),
+        F.col("id").alias("lsn"), F.timestamp_seconds(F.lit(2)).alias("ts"),
+    )
+    t.merge_cdc(b, applied_range=(1, 2), source_is_raw=False, lineage=False)
+    t.rollback(snap1)
+
+    # fixed replay of B: the re-seed floor comes from the ROLLED-BACK
+    # table state; without it, scramble of source ids 1..30 would
+    # allocate 32..61 — colliding-free here only by accident at other
+    # ranges, and provably colliding if survivors start low enough
+    hw = t.identity_high_water("id")
+    assert hw is not None and hw >= 201
+    b_fixed = scramble_identity(
+        spark.createDataFrame([(i, f"bfix{i}") for i in range(1, 31)],
+                              "id long, v string"),
+        "id", floor=hw,
+    ).select(
+        "id", "v", F.lit("insert").alias("op"),
+        F.col("id").alias("lsn"), F.timestamp_seconds(F.lit(3)).alias("ts"),
+    )
+    t.merge_cdc(b_fixed, applied_range=(1, 2), source_is_raw=False,
+                lineage=False)
+    final = t.read().select("id", "v").collect()
+    ids = [r["id"] for r in final]
+    assert len(ids) == len(set(ids)) == 130
+    fresh = {r["id"] for r in final if r["v"].startswith("bfix")}
+    assert fresh and min(fresh) > hw
+    # the no-floor counterfactual WOULD collide with survivors
+    no_floor = {
+        r["id"]
+        for r in scramble_identity(
+            spark.createDataFrame([(i, f"x{i}") for i in range(1, 151)],
+                                  "id long, v string"),
+            "id",
+        ).select("id").collect()
+    }
+    assert no_floor & ids_a, "counterfactual should collide (test premise)"
+    with_floor = {
+        r["id"]
+        for r in scramble_identity(
+            spark.createDataFrame([(i, f"x{i}") for i in range(1, 151)],
+                                  "id long, v string"),
+            "id", floor=t.identity_high_water("id"),
+        ).select("id").collect()
+    }
+    assert not (with_floor & set(ids))
