@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "text_index_bm25",
     "dedup_keep_best",
     "cdc_dml_update_delete",
+    "multi_table_sync_drift",
 ]
 
 
@@ -218,10 +219,20 @@ def _run_queries() -> dict[str, float]:
             qs[name](spark, "/root/testdata/sf0.001").count()
         except Exception:
             pass
+    # best-of-K per query: the shared VM shows >2x run-to-run noise; a
+    # single timing in a bad window misreports a stable plan (r3's
+    # driver artifact showed uniform 1.3-2.6x inflation across
+    # unrelated sub-second JVM-only queries — machine load, not plans)
+    repeats = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "2"))
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
-        out[name] = round(time.time() - t0, 2)
+        best, n = None, 0
+        for _ in range(repeats):
+            t0 = time.time()
+            n = qs[name](spark, SF_DIR).count()
+            dt = time.time() - t0
+            if best is None or dt < best:
+                best = dt
+        out[name] = round(best, 2)
         print(f"# {name}: {out[name]}s ({n} rows)", file=sys.stderr)
     spark.stop()
     return out
