@@ -892,6 +892,69 @@ def _q_multi_table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["orders"].select("o_orderkey", "o_custkey", "o_orderstatus")
 
 
+def _q_debezium_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium envelope tail end-to-end (sources/debezium): the events
+    table is rendered as real Debezium JSON (both payload-wrapped and
+    schemaless shapes, c/r/u/d ops, deletes imaged in `before`, planted
+    malformed + unknown-op messages), decoded JVM-side, rescued rows
+    split off, survivors LWW-resolved to the final state. The oracle
+    replays the same derivation in SQL with the malformed lsns excluded
+    and carries the rescue counts on every row."""
+    from neosync_spark.operators.dedup import lww_dedup
+    from neosync_spark.sources.debezium import decode_debezium
+
+    log = _derived_log(spark, sf_dir)
+    img = F.struct(
+        F.col("conv_id"), F.col("turn_idx"), F.col("role"),
+        F.col("text"), F.col("tool"),
+    )
+    op_dbz = (
+        F.when(F.col("lsn") % 97 == 0, F.lit("x"))
+        .when(F.col("op") == "delete", F.lit("d"))
+        .when(F.col("op") == "update", F.lit("u"))
+        .when(F.col("lsn") % 2 == 0, F.lit("c"))
+        .otherwise(F.lit("r"))
+    )
+    inner = F.struct(
+        F.when(F.col("op") == "delete", img).alias("before"),
+        F.when(F.col("op") != "delete", img).alias("after"),
+        op_dbz.alias("op"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.struct(
+            F.col("lsn").alias("lsn"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        ).alias("source"),
+    )
+    value = F.when(F.col("lsn") % 101 == 0, F.lit("{never valid json")).when(
+        F.col("lsn") % 2 == 0, F.to_json(F.struct(inner.alias("payload")))
+    ).otherwise(F.to_json(inner))
+    payload_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+        ]
+    )
+    events, rescue = decode_debezium(
+        log.select(value.alias("value")), payload_schema
+    )
+    won = lww_dedup(events, ["conv_id", "turn_idx"], ["ts", "lsn"])
+    final = won.filter(F.col("op") != "delete").select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts()
+    )
+    counts = rescue.agg(
+        F.sum((F.col("reason") == "unparseable_envelope").cast("long")).alias(
+            "n_unparseable"
+        ),
+        F.sum((F.col("reason") == "unknown_op").cast("long")).alias(
+            "n_unknown_op"
+        ),
+    )
+    return final.crossJoin(F.broadcast(counts))
+
+
 def _q_multi_table_sync_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SchemaInit-before-sync (workflow.go:191-202 analog): the orders
     DESTINATION starts drifted — missing o_orderstatus, carrying a
@@ -2822,9 +2885,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_table_sync_drift": _q_multi_table_sync_drift,
         "subset_fk_chain": _q_subset_fk_chain,
         "key_mapping_consistency": _q_key_mapping,
-        "cdc_schema_evolution": _q_cdc_schema_evolution,
+        "cdc_debezium_decode": _q_debezium_decode,
         "cdc_dml_update_delete": _q_dml_update_delete,
         # ---- below: verified green in CORRECTNESS_r01-r03 ----
+        "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_wap_publish": _q_wap_publish,
         "cdc_purge_subject": _q_purge_subject,
         "cdc_stats_pruned_read": _q_stats_pruned_read,
@@ -3663,6 +3727,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM customer c
               WHERE c.c_custkey = o.o_custkey
                 AND c.c_mktsegment = 'BUILDING')
+        """,
+        "cdc_debezium_decode": f"""
+            WITH log AS ({_CDC_DERIVATION}),
+            ok AS (
+              SELECT * FROM log WHERE lsn % 97 <> 0 AND lsn % 101 <> 0
+            ),
+            resc AS (
+              SELECT
+                CAST(SUM(CASE WHEN lsn % 101 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_unparseable,
+                CAST(SUM(CASE WHEN lsn % 97 = 0 AND lsn % 101 <> 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown_op
+              FROM log
+            ),
+            w AS (
+              SELECT o.*, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY epoch_ms(ts) DESC, lsn DESC) AS rn
+              FROM ok o
+            )
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   resc.n_unparseable, resc.n_unknown_op
+            FROM w, resc WHERE rn = 1 AND op <> 'delete'
         """,
         "multi_table_sync_drift": """
             WITH synced AS (

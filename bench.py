@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "cdc_dml_update_delete",
     "multi_table_sync_drift",
+    "cdc_debezium_decode",
 ]
 
 
