@@ -76,17 +76,30 @@ def decode_debezium(
     df: DataFrame,
     payload_schema: T.StructType,
     value_col: str = "value",
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Decode envelope strings in ``df[value_col]`` → (events, rescue).
 
     ``events`` has the engine's raw batch shape: the payload columns,
     plus op / ts / lsn — feed it straight to ``merge_cdc(...,
     source_is_raw=True)`` or the replay engine. ``rescue`` carries
-    (raw value, reason) for quarantine. Both are projections of ONE
-    from_json pass (Catalyst shares the parse across the two filters).
+    (raw value, reason) for quarantine.
+
+    ``materialize=True`` (default) evaluates the JSON parse ONCE per
+    row by local-checkpointing the parsed batch. Without a physical
+    boundary, Catalyst's project-collapse inlines ``from_json`` into
+    every downstream field reference, and because those references sit
+    inside conditional branches (the shape coalesces / op CASE),
+    codegen's subexpression elimination cannot hoist them — measured
+    ~12 parses per row, a >10x decode slowdown. The checkpoint stores
+    the parsed batch on executors (the same cost class as the engine's
+    batch persists) and truncates lineage; pass ``materialize=False``
+    for strict lineage-replay fault tolerance at re-parse cost.
     """
     env = debezium_envelope_schema(payload_schema)
     parsed = df.withColumn("_dbz", F.from_json(F.col(value_col), env))
+    if materialize:
+        parsed = parsed.localCheckpoint(eager=False)
     # schemas.enable=true wraps in "payload"; unwrapped envelopes put
     # op at the top level — coalesce the two shapes field-wise
     p = F.col("_dbz.payload")
