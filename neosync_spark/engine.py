@@ -73,6 +73,13 @@ class EngineConfig:
     # merge_cdc patch_ops — COW folds at write, MoR stores raw + folds
     # at read); requires the source slices to be raw event history
     patch_ops: bool = False
+    # align the merge shuffle with the table's bucket layout: ONE
+    # exchange on the bucket column serves both the LWW aggregate and
+    # the per-bucket write (see merge_cdc bucket_local_merge for the
+    # cluster-network rationale and the locally-measured-neutral note);
+    # keep False for skewed/hot-key sources (the combine collapses
+    # duplicates before the wire there)
+    bucket_local_merge: bool = False
 
 
 @dataclass
@@ -271,6 +278,7 @@ class ReplayEngine:
             target_df=self._chained_state if chaining else None,
             chain_state=chaining,
             patch_ops=self.config.patch_ops,
+            bucket_local_merge=self.config.bucket_local_merge,
         )
         if chaining:
             prev = self._chained_state
@@ -558,6 +566,7 @@ class ReplayEngine:
                     source_is_raw=True,
                     prune_buckets=self.config.prune_buckets,
                     patch_ops=self.config.patch_ops,
+                    bucket_local_merge=self.config.bucket_local_merge,
                 )
                 if self._chained_state is not None:
                     # the cached COW target predates the healed rows

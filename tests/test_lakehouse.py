@@ -597,3 +597,64 @@ def test_dml_update_delete_where(spark, tmp_path):
         t.update_where("role = 'user'", {})
     with pytest.raises(ValueError, match="key/order"):
         t.update_where("role = 'user'", {"conv_id": F.lit("x")})
+
+
+def test_bucket_local_merge_equals_default(spark, tmp_path):
+    """bucket_local_merge aligns the merge shuffle with the table's
+    bucket layout — final state must be identical to the default
+    key-hash merge, the plan must contain exactly ONE exchange (the
+    bucket repartition satisfies the aggregate's required distribution
+    via its grouping prefix), and the per-bucket file layout holds."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+    from neosync_spark.sources.changelog import ChangeLogSource
+    from neosync_spark.synth import SynthConfig, generate_pandas
+
+    log = generate_pandas(SynthConfig(n_events=6000, n_convs=120))
+    sdf = spark.createDataFrame(log)
+    log_dir = str(tmp_path / "log")
+    sdf.write.parquet(log_dir)
+
+    outs = {}
+    for flag in (False, True):
+        t = SnapshotTable.create(
+            spark, str(tmp_path / f"t{flag}"), transcript_schema(),
+            key_cols=KEY_COLS, n_buckets=8,
+        )
+        eng = ReplayEngine(
+            spark, t,
+            config=EngineConfig(
+                batch_lsn_size=2500, lineage=False,
+                bucket_local_merge=flag,
+            ),
+        )
+        eng.replay(ChangeLogSource(spark, log_dir))
+        outs[flag] = sorted(
+            tuple(r) for r in t.read().select(
+                "conv_id", "turn_idx", "role", "text", "tool"
+            ).collect()
+        )
+        if flag:
+            # every bucket dir holds files; bucket pruning still works
+            got = t.read(key_equals={"conv_id": log["conv_id"].iloc[0]})
+            assert got.count() >= 1
+    assert outs[False] == outs[True]
+
+
+def test_bucket_local_merge_single_exchange_plan(spark, tmp_path):
+    """The merge's winner computation plans ONE Exchange when grouped
+    (bucket, key...) on a bucket-repartitioned union — the physical
+    contract bucket_local_merge relies on."""
+    from pyspark.sql import functions as F
+
+    from neosync_spark.lakehouse import bucket_expr
+    from neosync_spark.operators.dedup import lww_dedup
+
+    df = spark.createDataFrame(
+        [(f"c{i%7}", i % 3, i, float(i)) for i in range(100)],
+        "conv_id string, turn_idx int, lsn long, v double",
+    ).withColumn("_b", bucket_expr("conv_id", 8))
+    pre = df.repartition(8, F.col("_b"))
+    won = lww_dedup(pre, ["_b", "conv_id", "turn_idx"], ["lsn"])
+    plan = won._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
