@@ -109,6 +109,13 @@ def main(argv: list[str] | None = None) -> int:
                         "image); with --mode mor patches are stored raw "
                         "and folded at read — correct under arbitrary "
                         "cross-batch ts disorder")
+    r.add_argument("--format", choices=["parquet", "debezium"],
+                   default="parquet", dest="log_format",
+                   help="log encoding: raw CDC parquet (default) or "
+                        "Debezium envelope JSON lines")
+    r.add_argument("--envelope-schema", default=None, metavar="DDL",
+                   help="debezium payload schema as a DDL string "
+                        "(default: the transcript payload columns)")
     r.add_argument("--bloom-cols", default=None, metavar="COL,COL",
                    help="on table creation: build per-file bloom sidecars "
                         "for these columns at every commit (point-lookup "
@@ -428,6 +435,8 @@ def main(argv: list[str] | None = None) -> int:
             branch=args.branch,
             patch_ops=args.patch_ops,
             bloom_cols=args.bloom_cols.split(",") if args.bloom_cols else None,
+            source_format=args.log_format,
+            envelope_schema=args.envelope_schema,
         )
         stats = run_job(spark, job)
         print(json.dumps({

@@ -342,7 +342,8 @@ class ReplayEngine:
         independent across disjoint lsn ranges, so they run as
         concurrent Spark jobs while manifest commits stay strictly
         lsn-ordered — checkpoint cadence at near-bulk throughput."""
-        if isinstance(source, ChangeLogSource):
+        if hasattr(source, "lsn_bounds") and hasattr(source, "slice"):
+            # ChangeLogSource or any duck-typed log (e.g. DebeziumLogSource)
             if lsn_lo is None or lsn_hi is None:
                 bounds = source.lsn_bounds()
                 if bounds is None:

@@ -65,6 +65,13 @@ class JobSpec:
     # per-file bloom sidecars for these columns at table CREATION
     # (point-lookup file skipping; ignored for an existing table)
     bloom_cols: list[str] | None = None
+    # "parquet" (raw CDC batch columns) or "debezium" (envelope JSON
+    # lines decoded via sources/debezium; malformed messages land in
+    # <table>/metadata/quarantine_envelope when quarantine is on)
+    source_format: str = "parquet"
+    # debezium payload schema as a DDL string; None = the transcript
+    # payload columns
+    envelope_schema: str | None = None
 
 
 def resolve_transformer(m: ColumnMapping, seed: int) -> TransformFn:
@@ -131,6 +138,29 @@ def compile_job(
             ),
         ),
     )
+    if job.source_format == "debezium":
+        from pyspark.sql import types as T
+
+        from ..sources.debezium import DebeziumLogSource
+
+        if job.envelope_schema:
+            payload = T._parse_datatype_string(job.envelope_schema)
+        else:
+            payload = T.StructType(
+                [f for f in transcript_schema().fields if f.name != "ts"]
+            )
+        src = DebeziumLogSource(spark, job.source_path, payload)
+        if job.quarantine:
+            import os
+
+            qdir = os.path.join(
+                job.destination_path, "metadata", "quarantine_envelope"
+            )
+            rs = src.rescue.persist()
+            if rs.count():
+                rs.write.mode("append").parquet(qdir)
+            rs.unpersist()
+        return engine, src
     return engine, ChangeLogSource(spark, job.source_path)
 
 

@@ -111,3 +111,54 @@ def test_decode_is_jvm_only_and_feeds_merge(spark, tmp_path):
                 lineage=False)
     final = {r["id"]: r["v"] for r in t.read().collect()}
     assert final == {1: "a2"}
+
+
+def test_cli_replay_debezium_format(spark, tmp_path, capsys):
+    """`run_cdc replay --format debezium`: a JSONL envelope log replays
+    through the standard job path (exactly-once ledger, resume) and
+    malformed envelopes land in the table's quarantine_envelope dir."""
+    import json as _json
+
+    from neosync_spark.cli import main
+    from neosync_spark.lakehouse import SnapshotTable
+
+    log_dir = tmp_path / "dbzlog"
+    log_dir.mkdir()
+    lines = []
+    for i in range(40):
+        lines.append(_env(
+            "c", {"conv_id": f"c{i % 8}", "turn_idx": i % 5,
+                  "role": "user", "text": f"t{i}", "tool": None},
+            lsn=i, ts_ms=1000 + i, wrap=(i % 2 == 0)))
+    lines.append("{broken envelope")
+    (log_dir / "part0.jsonl").write_text("\n".join(lines) + "\n")
+
+    table = str(tmp_path / "t")
+    rc = main([
+        "replay", "--log", str(log_dir), "--table", table,
+        "--format", "debezium", "--quarantine", "--batch-size", "20",
+    ])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["batches_applied"] >= 2 and out["rows_applied"] > 0
+
+    t = SnapshotTable.load(spark, table)
+    final = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.read().collect()}
+    # LWW winner per (conv_id, turn_idx): the highest lsn (ts_ms grows
+    # with i, so latest i wins each key)
+    expect = {}
+    for i in range(40):
+        expect[(f"c{i % 8}", i % 5)] = f"t{i}"
+    assert final == expect
+    qdir = tmp_path / "t" / "metadata" / "quarantine_envelope"
+    q = spark.read.parquet(str(qdir)).collect()
+    assert len(q) == 1 and q[0]["reason"] == "unparseable_envelope"
+
+    # replay again: ledger no-op
+    rc2 = main([
+        "replay", "--log", str(log_dir), "--table", table,
+        "--format", "debezium", "--batch-size", "20",
+    ])
+    assert rc2 == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["batches_applied"] == 0 and out2["batches_skipped"] >= 2
