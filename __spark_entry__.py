@@ -955,6 +955,54 @@ def _q_debezium_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.crossJoin(F.broadcast(counts))
 
 
+def _q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification audit (operators/privacy, Sweeney 2002) +
+    remediation loop: the k-anonymity census over raw quasi-identifiers
+    (nationkey, exact balance) vs the same census after the
+    transform_generalize_number banding — generalization must merge
+    classes (min size rises, rows_below_k falls). Both stages and the
+    banding arithmetic replay exactly in DuckDB."""
+    from neosync_spark.functions.transformers import (
+        transform_generalize_number,
+    )
+    from neosync_spark.operators.privacy import k_anonymity_report
+
+    _views(spark, sf_dir, ["customer"])
+    cust = spark.table("customer")
+    quasi = ["c_nationkey", "c_acctbal"]
+    raw = k_anonymity_report(cust.select(*quasi), quasi, k=5).withColumn(
+        "stage", F.lit("raw")
+    )
+    band = transform_generalize_number(width=1000).column_expr("c_acctbal")
+    gen_df = cust.select(F.col("c_nationkey"), band.alias("c_acctbal"))
+    gen = k_anonymity_report(gen_df, quasi, k=5).withColumn(
+        "stage", F.lit("generalized")
+    )
+    return raw.unionByName(gen)
+
+
+def _q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007): within each
+    market-segment x balance-band equivalence class, the sensitive
+    nation attribute must take >= l distinct values — k-anonymity alone
+    fails under class homogeneity. One groupBy + exact per-class
+    distinct counts; DuckDB replays the census."""
+    from neosync_spark.functions.transformers import (
+        transform_generalize_number,
+    )
+    from neosync_spark.operators.privacy import l_diversity_report
+
+    _views(spark, sf_dir, ["customer"])
+    cust = spark.table("customer")
+    band = transform_generalize_number(width=2000).column_expr("c_acctbal")
+    df = cust.select(
+        F.col("c_mktsegment"), band.alias("bal_band"), F.col("c_nationkey")
+    )
+    return l_diversity_report(
+        df, ["c_mktsegment", "bal_band"], "c_nationkey", l=3
+    )
+
+
 def _q_multi_table_sync_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SchemaInit-before-sync (workflow.go:191-202 analog): the orders
     DESTINATION starts drifted — missing o_orderstatus, carrying a
@@ -2884,10 +2932,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_table_sync": _q_multi_table_sync,
         "multi_table_sync_drift": _q_multi_table_sync_drift,
         "subset_fk_chain": _q_subset_fk_chain,
-        "key_mapping_consistency": _q_key_mapping,
         "cdc_debezium_decode": _q_debezium_decode,
-        "cdc_dml_update_delete": _q_dml_update_delete,
+        "privacy_k_anonymity": _q_privacy_k_anonymity,
+        "privacy_l_diversity": _q_privacy_l_diversity,
         # ---- below: verified green in CORRECTNESS_r01-r03 ----
+        "key_mapping_consistency": _q_key_mapping,
+        "cdc_dml_update_delete": _q_dml_update_delete,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_wap_publish": _q_wap_publish,
         "cdc_purge_subject": _q_purge_subject,
@@ -3751,6 +3801,55 @@ def oracle_sql() -> dict[str, str]:
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
                    resc.n_unparseable, resc.n_unknown_op
             FROM w, resc WHERE rn = 1 AND op <> 'delete'
+        """,
+        "privacy_k_anonymity": """
+            WITH raw_cls AS (
+              SELECT c_nationkey, c_acctbal, count(*) AS n
+              FROM customer GROUP BY 1, 2
+            ),
+            gen_cls AS (
+              SELECT c_nationkey, CAST(CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT) AS VARCHAR) || '-' || CAST(CAST(floor(c_acctbal / 1000.0) * 1000 + 999 AS BIGINT) AS VARCHAR) AS band, count(*) AS n
+              FROM customer GROUP BY 1, 2
+            )
+            SELECT 'c_nationkey,c_acctbal' AS quasi, CAST(5 AS INTEGER) AS k,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(min(n) AS BIGINT) AS min_class_size,
+                   CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                     AS rows_below_k,
+                   floor(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) * 10000.0
+                         / SUM(n) + 0.5) / 10000.0 AS pct_below_k,
+                   min(n) >= 5 AS k_satisfied,
+                   'raw' AS stage
+            FROM raw_cls
+            UNION ALL
+            SELECT 'c_nationkey,c_acctbal', CAST(5 AS INTEGER),
+                   CAST(SUM(n) AS BIGINT), CAST(count(*) AS BIGINT),
+                   CAST(min(n) AS BIGINT),
+                   CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT),
+                   floor(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) * 10000.0
+                         / SUM(n) + 0.5) / 10000.0,
+                   min(n) >= 5,
+                   'generalized'
+            FROM gen_cls
+        """,
+        "privacy_l_diversity": """
+            WITH cls AS (
+              SELECT c_mktsegment, CAST(CAST(floor(c_acctbal / 2000.0) * 2000 AS BIGINT) AS VARCHAR) || '-' || CAST(CAST(floor(c_acctbal / 2000.0) * 2000 + 1999 AS BIGINT) AS VARCHAR) AS band,
+                     count(*) AS n, count(DISTINCT c_nationkey) AS d
+              FROM customer GROUP BY 1, 2
+            )
+            SELECT 'c_mktsegment,bal_band' AS quasi,
+                   'c_nationkey' AS sensitive, CAST(3 AS INTEGER) AS l,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(min(d) AS BIGINT) AS min_diversity,
+                   CAST(SUM(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS classes_below_l,
+                   CAST(SUM(CASE WHEN d < 3 THEN n ELSE 0 END) AS BIGINT)
+                     AS rows_below_l,
+                   min(d) >= 3 AS l_satisfied
+            FROM cls
         """,
         "multi_table_sync_drift": """
             WITH synced AS (

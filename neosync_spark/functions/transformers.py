@@ -1353,6 +1353,119 @@ def transform_passthrough(**_: object) -> TransformFn:
 
 
 # registry: name → factory (the analog of gen_neosync_transformers.go)
+
+def transform_generalize_number(
+    seed: int = 42, width: int = 10, fmt: str = "range"
+) -> TransformFn:
+    """Generalize a numeric value into its band — the canonical
+    k-anonymity remediation for numeric quasi-identifiers (Sweeney
+    2002: coarsen until equivalence classes merge). ``width`` is the
+    band size; ``fmt="range"`` renders "40-49", ``fmt="floor"`` the
+    band's lower bound ("40"). Deterministic, JVM column_expr attached
+    (whole-stage codegen; the DuckDB oracle replays the arithmetic).
+    ``seed`` accepted for registry uniformity, unused."""
+    if width <= 0:
+        raise ValueError("width must be positive")
+
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        def g(v):
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                return None
+            lo = int(np.floor(float(v) / width)) * width
+            if fmt == "floor":
+                return str(lo)
+            return f"{lo}-{lo + width - 1}"
+
+        return values.map(g)
+
+    def column_expr(c):
+        col = (F.col(c) if isinstance(c, str) else c).cast("double")
+        lo = (F.floor(col / F.lit(float(width))) * width).cast("long")
+        if fmt == "floor":
+            return lo.cast("string")
+        return F.concat(
+            lo.cast("string"), F.lit("-"), (lo + width - 1).cast("string")
+        )
+
+    fn.column_expr = column_expr
+    return fn
+
+
+def transform_generalize_date(
+    seed: int = 42, granularity: str = "month"
+) -> TransformFn:
+    """Generalize a date/timestamp string to year / month / week —
+    date-of-birth is the classic re-identifying quasi-identifier
+    (Sweeney: DOB+zip+sex re-identifies most of the US population);
+    truncation is its standard generalization. Accepts ISO-ish strings
+    or date/timestamp values; emits "2026", "2026-03" or the ISO week
+    "2026-W10". JVM column_expr attached. ``seed`` unused."""
+    if granularity not in ("year", "month", "week"):
+        raise ValueError("granularity must be year|month|week")
+
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        s = pd.to_datetime(values, errors="coerce")
+
+        def g(d):
+            if pd.isna(d):
+                return None
+            if granularity == "year":
+                return f"{d.year:04d}"
+            if granularity == "month":
+                return f"{d.year:04d}-{d.month:02d}"
+            iso = d.isocalendar()
+            return f"{iso[0]:04d}-W{iso[1]:02d}"
+
+        return pd.Series([g(d) for d in s], index=values.index, dtype=object)
+
+    def column_expr(c):
+        col = (F.col(c) if isinstance(c, str) else c).cast("timestamp")
+        if granularity == "year":
+            return F.date_format(col, "yyyy")
+        if granularity == "month":
+            return F.date_format(col, "yyyy-MM")
+        return F.concat(
+            F.date_format(col, "YYYY"), F.lit("-W"),
+            F.lpad(F.weekofyear(col).cast("string"), 2, "0"),
+        )
+
+    fn.column_expr = column_expr
+    return fn
+
+
+def transform_generalize_prefix(
+    seed: int = 42, length: int = 3, pad: str = "*"
+) -> TransformFn:
+    """Keep the first ``length`` characters, pad the rest — the zip3
+    generalization (HIPAA Safe Harbor publishes zip3 for populations
+    over 20k). ``pad=""`` truncates instead of masking. JVM
+    column_expr attached. ``seed`` unused."""
+
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        def g(v):
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                return None
+            s = str(v)
+            return s[:length] + pad * max(0, len(s) - length)
+
+        return values.map(g)
+
+    def column_expr(c):
+        col = (F.col(c) if isinstance(c, str) else c).cast("string")
+        kept = F.substring(col, 1, length)
+        if pad == "":
+            return kept
+        return F.concat(
+            kept,
+            F.repeat(
+                F.lit(pad), F.greatest(F.length(col) - length, F.lit(0))
+            ),
+        )
+
+    fn.column_expr = column_expr
+    return fn
+
+
 REGISTRY: dict[str, Callable[..., TransformFn]] = {
     "transform_email": transform_email,
     "transform_first_name": transform_first_name,
@@ -1403,4 +1516,7 @@ REGISTRY: dict[str, Callable[..., TransformFn]] = {
     "generate_float64": generate_float64,
     "generate_categorical": generate_categorical,
     "generate_card_number": generate_card_number,
+    "transform_generalize_number": transform_generalize_number,
+    "transform_generalize_date": transform_generalize_date,
+    "transform_generalize_prefix": transform_generalize_prefix,
 }

@@ -1,0 +1,95 @@
+"""Re-identification audits (operators/privacy): k-anonymity and
+l-diversity censuses, NULL-as-value grouping, and the generalize →
+re-audit remediation loop."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from neosync_spark.functions.transformers import (
+    transform_generalize_date,
+    transform_generalize_number,
+    transform_generalize_prefix,
+)
+from neosync_spark.operators.privacy import (
+    k_anonymity_report,
+    l_diversity_report,
+)
+
+
+def _people(spark):
+    # (zip, age, diagnosis): one unique zip/age row (re-identifiable),
+    # one homogeneous class (k-safe but not diverse)
+    rows = [
+        ("94117", 34, "flu"),
+        ("94117", 34, "cold"),
+        ("94117", 34, "flu"),
+        ("94118", 35, "measles"),          # class of 1
+        ("02139", 60, "flu"), ("02139", 60, "flu"),
+        ("02139", 60, "flu"), ("02139", 60, "flu"),  # k=4, diversity 1
+        (None, 50, "flu"),                  # NULL zip class of 1
+    ]
+    return spark.createDataFrame(rows, "zip string, age int, dx string")
+
+
+def test_k_anonymity_census(spark):
+    df = _people(spark)
+    r = k_anonymity_report(df, ["zip", "age"], k=3).collect()[0]
+    assert r["n_rows"] == 9 and r["n_classes"] == 4
+    assert r["min_class_size"] == 1
+    # classes below 3: the 94118 row and the NULL-zip row
+    assert r["rows_below_k"] == 2 and not r["k_satisfied"]
+    assert abs(r["pct_below_k"] - 0.2222) < 1e-9
+
+
+def test_l_diversity_census(spark):
+    df = _people(spark)
+    r = l_diversity_report(df, ["zip", "age"], "dx", l=2).collect()[0]
+    assert r["n_classes"] == 4
+    assert r["min_diversity"] == 1
+    # homogeneous classes: 02139 (4 rows, all flu), 94118 (1), NULL (1)
+    assert r["classes_below_l"] == 3 and r["rows_below_l"] == 6
+    assert not r["l_satisfied"]
+
+
+def test_generalize_then_reaudit_merges_classes(spark):
+    df = _people(spark)
+    gen = df.select(
+        transform_generalize_prefix(length=3).column_expr("zip").alias("zip"),
+        transform_generalize_number(width=10).column_expr("age").alias("age"),
+        "dx",
+    )
+    before = k_anonymity_report(df, ["zip", "age"], k=3).collect()[0]
+    after = k_anonymity_report(gen, ["zip", "age"], k=3).collect()[0]
+    assert after["n_classes"] < before["n_classes"]
+    assert after["rows_below_k"] < before["rows_below_k"]
+    # the two 941xx classes merged: ("941**", "30-39") now has 4 rows
+    cls = {
+        (r["zip"], r["age"]): r["n"]
+        for r in gen.groupBy("zip", "age").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert cls[("941**", "30-39")] == 4
+
+
+def test_generalizers_match_pandas_and_jvm(spark):
+    vals = ["2026-03-15 10:00:00", None]
+    fn = transform_generalize_date(granularity="month")
+    assert fn(pd.Series(vals), pd.Series(["a", "b"])).tolist() == [
+        "2026-03", None
+    ]
+    got = (
+        spark.createDataFrame([(v,) for v in vals], "d string")
+        .select(fn.column_expr("d").alias("g"))
+        .collect()
+    )
+    assert [r["g"] for r in got] == ["2026-03", None]
+
+    fnum = transform_generalize_number(width=1000)
+    sv = spark.createDataFrame([(1234.5,), (-1.0,), (None,)], "v double")
+    got2 = [r["g"] for r in sv.select(fnum.column_expr("v").alias("g")).collect()]
+    assert got2 == ["1000-1999", "-1000--1", None]
+    assert fnum(pd.Series([1234.5, -1.0, None]),
+                pd.Series(["a", "b", "c"])).tolist() == got2
