@@ -1371,7 +1371,14 @@ def transform_generalize_number(
         def g(v):
             if v is None or (isinstance(v, float) and pd.isna(v)):
                 return None
-            lo = int(np.floor(float(v) / width)) * width
+            try:
+                x = float(v)
+            except (TypeError, ValueError):
+                # non-numeric input suppresses to NULL — matches the
+                # JVM cast("double") null semantics and is the
+                # privacy-safe direction for a generalizer
+                return None
+            lo = int(np.floor(x / width)) * width
             if fmt == "floor":
                 return str(lo)
             return f"{lo}-{lo + width - 1}"
