@@ -2931,11 +2931,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_patch_merge_mor": _q_patch_merge_mor,
         "multi_table_sync": _q_multi_table_sync,
         "multi_table_sync_drift": _q_multi_table_sync_drift,
-        "subset_fk_chain": _q_subset_fk_chain,
         "cdc_debezium_decode": _q_debezium_decode,
         "privacy_k_anonymity": _q_privacy_k_anonymity,
         "privacy_l_diversity": _q_privacy_l_diversity,
         # ---- below: verified green in CORRECTNESS_r01-r03 ----
+        "subset_fk_chain": _q_subset_fk_chain,
         "key_mapping_consistency": _q_key_mapping,
         "cdc_dml_update_delete": _q_dml_update_delete,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
