@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "cdc_dml_update_delete",
     "multi_table_sync_drift",
     "cdc_debezium_decode",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
 ]
 
 

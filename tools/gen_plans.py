@@ -164,6 +164,64 @@ def main() -> None:
         "is never shuffled to meet it; per-(doc,bucket) partial agg "
         "combines map-side before the per-doc rollup.",
     )
+    # round-4: IVF index probe, Debezium decode, privacy census
+    from neosync_spark.operators.ann_index import (
+        create_ivf_index,
+        ivf_index_sync,
+        ivf_index_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idxp = tempfile.mkdtemp() + "/ivf"
+    idx = create_ivf_index(
+        spark, idxp, emb, "embedding", "vec_id", n_centroids=4,
+        n_buckets=4, train="sample", iters=2,
+    )
+    hi = int(emb.agg(F.max("vec_id")).collect()[0][0] or 0)
+    ivf_index_sync(idx, emb, "embedding", "vec_id", applied_range=(0, hi + 1))
+    q0 = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    cap(
+        "IVF index probe (bucket-pruned ANN query)",
+        ivf_index_topk(idx, list(q0), k=5, n_probe=2),
+        "the scan reads ONLY the probed cells' hash-bucket files of the "
+        "index table (the vector payload lives in the index — the "
+        "corpus table appears nowhere in this plan); exact cosine "
+        "re-rank + TakeOrderedAndProject.",
+    )
+
+    from pyspark.sql import types as T2
+
+    from neosync_spark.sources.debezium import decode_debezium
+
+    envs = spark.createDataFrame(
+        [('{"payload":{"op":"c","after":{"id":1,"v":"a"},"before":null,'
+          '"ts_ms":1000,"source":{"lsn":1,"ts_ms":1000}}}',)],
+        "value string",
+    )
+    ps = T2.StructType(
+        [T2.StructField("id", T2.LongType()), T2.StructField("v", T2.StringType())]
+    )
+    ev, _rs = decode_debezium(envs, ps)
+    cap(
+        "Debezium envelope decode (events branch)",
+        ev,
+        "no Python anywhere; the from_json parse is pinned to one "
+        "evaluation per row by a lazy localCheckpoint (Catalyst would "
+        "otherwise inline the parse into every conditional field "
+        "reference — subexpression elimination cannot hoist out of "
+        "conditional branches), so downstream is field extraction over "
+        "the checkpointed struct.",
+    )
+
+    cap(
+        "k-anonymity census",
+        E.queries()["privacy_k_anonymity"](spark, SF),
+        "two map-side-combined hash aggregates per stage (class sizes, "
+        "then the global census fold) — no window, no join; the "
+        "generalized stage's banding is a JVM column expression in the "
+        "Project.",
+    )
+
     cap(
         "Exact duplicated spans",
         duplicate_spans(docs, "text", "doc_id", k=12),
