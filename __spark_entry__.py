@@ -335,6 +335,47 @@ def _q_lww_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return won.select("conv_id", "turn_idx", "lsn", "op", _fmt_ts("ts"))
 
 
+def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension from the change log: one row per key
+    VERSION with a half-open (valid_from, valid_to) effective range,
+    deletes closing ranges without emitting rows. One key-hash shuffle,
+    one Window pass (operators/scd.py)."""
+    from neosync_spark.operators.scd import scd2_history
+
+    log = _derived_log(spark, sf_dir)
+    h = scd2_history(
+        log,
+        key_cols=["conv_id", "turn_idx"],
+        order_cols=["ts", "lsn"],
+        attr_cols=["role", "text", "tool"],
+    )
+    return h.select(
+        "conv_id",
+        "turn_idx",
+        "version_seq",
+        "role",
+        "text",
+        "tool",
+        "change_op",
+        F.date_format("valid_from_ts", "yyyy-MM-dd HH:mm:ss").alias("vf_ts"),
+        "valid_from_lsn",
+        F.date_format("valid_to_ts", "yyyy-MM-dd HH:mm:ss").alias("vt_ts"),
+        "valid_to_lsn",
+        "is_current",
+    )
+
+
+def _q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sliding-window chunking with overlap (RAG prep):
+    zero-shuffle JVM sequence/explode/substr (operators/text.py)."""
+    from neosync_spark.operators.text import chunk_text_overlap
+
+    _views(spark, sf_dir, ["documents"])
+    return chunk_text_overlap(
+        spark.table("documents"), "text", "doc_id", size=180, overlap=30
+    )
+
+
 def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase MERGE semantics as a composition: target = alive LWW
     state of the first half of the log; source = LWW of the second
@@ -2922,19 +2963,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rate_anomalies": _q_rate_anomalies,
         "cdc_zorder_pruned_read": _q_zorder_pruned_read,
         "cdc_asof_enrich": _q_asof_enrich,
+        "cdc_scd2_history": _q_scd2_history,
+        "text_chunk_overlap": _q_text_chunks,
         "json_anonymize": _q_json_anonymize,
         "default_transforms": _q_default_transforms,
         "identity_scramble": _q_identity_scramble,
         "constraint_violations": _q_constraint_violations,
         "cdc_replay_final_state": _q_cdc_replay,
-        "cdc_merge_upsert": _q_merge_upsert,
-        "cdc_patch_merge_mor": _q_patch_merge_mor,
         "multi_table_sync": _q_multi_table_sync,
         "multi_table_sync_drift": _q_multi_table_sync_drift,
         "cdc_debezium_decode": _q_debezium_decode,
         "privacy_k_anonymity": _q_privacy_k_anonymity,
         "privacy_l_diversity": _q_privacy_l_diversity,
         # ---- below: verified green in CORRECTNESS_r01-r03 ----
+        "cdc_merge_upsert": _q_merge_upsert,
+        "cdc_patch_merge_mor": _q_patch_merge_mor,
         "subset_fk_chain": _q_subset_fk_chain,
         "key_mapping_consistency": _q_key_mapping,
         "cdc_dml_update_delete": _q_dml_update_delete,
@@ -3059,6 +3102,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, lsn, op,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww})
+        """,
+        "cdc_scd2_history": f"""
+            WITH log AS ({_CDC_DERIVATION}),
+            v AS (
+              SELECT conv_id, turn_idx,
+                     CAST(row_number() OVER w AS BIGINT) AS version_seq,
+                     role, text, tool, op AS change_op,
+                     strftime(ts, '%Y-%m-%d %H:%M:%S') AS vf_ts,
+                     lsn AS valid_from_lsn,
+                     strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS vt_ts,
+                     lead(lsn) OVER w AS valid_to_lsn
+              FROM log
+              WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY ts, lsn)
+            )
+            SELECT *,
+                   CAST(CASE WHEN valid_to_lsn IS NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_current
+            FROM v WHERE change_op <> 'delete'
+        """,
+        "text_chunk_overlap": """
+            WITH d AS (
+              SELECT doc_id, text,
+                     1 + ((greatest(length(text) - 180, 0) + 149) // 150)
+                         AS n_chunks
+              FROM documents WHERE text IS NOT NULL
+            ), e AS (
+              SELECT doc_id, text,
+                     CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_idx
+              FROM d
+            )
+            SELECT doc_id, chunk_idx,
+                   CAST(chunk_idx * 150 AS BIGINT) AS chunk_start,
+                   substr(text, CAST(chunk_idx * 150 + 1 AS INT), 180)
+                       AS chunk_text
+            FROM e
         """,
         "cdc_merge_upsert": f"""
             WITH log AS {log},

@@ -312,6 +312,62 @@ def fingerprint_overlap_pairs(
 
 # ------------------------------------------------- context-window packing
 
+def chunk_text_overlap(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    size: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Per-document sliding-window chunking with overlap — the RAG /
+    embedding-prep shape (vs `pack_token_chunks`, which packs the whole
+    corpus into one global token stream).
+
+    Each document is cut into windows of ``size`` characters advancing
+    by ``size - overlap``; consecutive chunks share ``overlap`` chars so
+    no span is ever split across a boundary without context. Returns
+    (id, chunk_idx, chunk_start, chunk_text); a document shorter than
+    one window yields exactly one chunk. Deterministic chunk identity =
+    (id, chunk_idx) — stable across re-runs for incremental embedding.
+
+    Scale shape: zero shuffles — `sequence` + `explode` + `substr` are
+    all whole-stage-codegen JVM expressions evaluated per input row, so
+    this is a pure map over the corpus scan (fan-out bounded by
+    doc_len/stride). No Python, no window, no join.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("require 0 <= overlap < size")
+    stride = size - overlap
+    ln = F.length(F.col(content_col))
+    # n_chunks = 1 + ceil(max(len-size,0) / stride), in integer math
+    n_chunks = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(ln - F.lit(size), F.lit(0)) + F.lit(stride - 1))
+            / F.lit(stride)
+        )
+    ).cast("long")
+    start = F.col("chunk_idx") * F.lit(stride)
+    return (
+        df.filter(F.col(content_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(content_col).alias("_txt"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            start.alias("chunk_start"),
+            F.col("_txt").substr(
+                (start + 1).cast("int"), F.lit(size)
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def pack_token_chunks(
     df: DataFrame,
     content_col: str,
