@@ -1983,6 +1983,21 @@ def _q_json_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string"),
         F.lit('","secret":"s"}'),
     )
+    # full select() predicate surface (gojq compiles arbitrary filters,
+    # json-anonymizer.go:215-236): relational compare + `and` + regex
+    # test() deciding redaction per element
+    pred_fn = anonymize_json_udf(
+        {
+            '.r[] | select(.n < 5 and (.email | test("@corp\\\\.com$")))'
+            " | .t": _redact
+        }
+    )
+    pred_doc = F.concat(
+        F.lit('{"r":[{"n":'),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(',"email":"u@corp.com","t":"x"},'
+              '{"n":3,"email":"u@other.org","t":"y"}]}'),
+    )
     out = docs.select(
         "doc_id",
         "tool",
@@ -1994,6 +2009,7 @@ def _q_json_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
             msgs, msgs_schema, {"messages[?role==user].text": F.lit("<R>")}
         ).alias("msgs_anon_jvm"),
         as_udf(del_alt_fn)(extra, key_col("doc_id")).alias("extra_anon"),
+        as_udf(pred_fn)(pred_doc, key_col("doc_id")).alias("pred_anon"),
     )
     return out.select(
         "doc_id",
@@ -2014,6 +2030,8 @@ def _q_json_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.get_json_object("extra_anon", "$.keep").alias("keep_kept"),
         F.get_json_object("extra_anon", "$.tool").alias("tool_defaulted"),
+        F.get_json_object("pred_anon", "$.r[0].t").alias("pred_t0"),
+        F.get_json_object("pred_anon", "$.r[1].t").alias("pred_t1"),
     )
 
 
@@ -4829,7 +4847,10 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS jq_pipe_matches_bracket,
                    TRUE AS secret_deleted,
                    'k' || CAST(doc_id AS VARCHAR) AS keep_kept,
-                   'NONE' AS tool_defaulted
+                   'NONE' AS tool_defaulted,
+                   CASE WHEN doc_id % 10 < 5 THEN '<R>' ELSE 'x' END
+                       AS pred_t0,
+                   'y' AS pred_t1
             FROM documents
         """,
         "default_transforms": f"""

@@ -74,6 +74,7 @@ def anonymize_json_field(
                 and toks[1] == "[]"
                 and isinstance(toks[2], tuple)
                 and toks[2][0] == "sel"
+                and len(toks[2]) == 4
                 and toks[2][2] == "=="
                 and "." not in toks[2][1]
                 and isinstance(toks[3], str)
@@ -161,9 +162,7 @@ _COND_KEY_RE = re.compile(r"^(\w+)\[\?(\w+)==([^\]]*)\]\.(\w+)$")
 # `.messages[] | select(.role=="user") | .text` and
 # `$.messages[?role==user].text` are one code path.
 
-_JQ_SELECT_RE = re.compile(
-    r"^select\(\s*\.([A-Za-z_][\w.]*)\s*(==|!=)\s*(.+?)\s*\)$"
-)
+_JQ_SELECT_RE = re.compile(r"^select\((.*)\)$", re.DOTALL)
 _JQ_SEG_RE = re.compile(r"\.([A-Za-z_]\w*)|\[(-?\d+)\]|(\[\])")
 
 
@@ -200,6 +199,167 @@ def _parse_jq_literal(lit: str):
         if len(lit) >= 2 and lit[0] == lit[-1] == "'":
             return lit[1:-1]
         raise ValueError(f"unsupported jq literal {lit!r}") from None
+
+
+# --------------------------------------------------- select() predicates
+# gojq select bodies beyond `.f == lit` (json-anonymizer.go compiles the
+# full language; the forms below are what anonymization configs use):
+# relational < <= > >=, `and` / `or` (jq precedence: and binds tighter),
+# regex `.f | test("re"[; "flags"])`, parentheses, and bare-path truth.
+
+_CMP_RE = re.compile(
+    r"^\.([A-Za-z_][\w.]*)\s*(==|!=|<=|>=|<|>)\s*(.+?)$", re.DOTALL
+)
+_TEST_RE = re.compile(
+    r"^\.([A-Za-z_][\w.]*)\s*\|\s*test\(\s*(\"(?:[^\"\\]|\\.)*\")"
+    r"(?:\s*;\s*\"([a-zA-Z]*)\")?\s*\)$",
+    re.DOTALL,
+)
+_BARE_PATH_RE = re.compile(r"^\.([A-Za-z_][\w.]*)$")
+
+
+def _split_word(s: str, word: str) -> list[str]:
+    """Split on a top-level bare keyword (not inside quotes/parens)."""
+    parts, buf, depth, q, i = [], [], 0, None, 0
+    n, wl = len(s), len(word)
+    while i < n:
+        ch = s[i]
+        if q is not None:
+            buf.append(ch)
+            if ch == "\\" and i + 1 < n:
+                buf.append(s[i + 1])
+                i += 2
+                continue
+            if ch == q:
+                q = None
+        elif ch in "\"'":
+            q = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif (
+            depth == 0
+            and s.startswith(word, i)
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (
+                i + wl >= n
+                or not (s[i + wl].isalnum() or s[i + wl] == "_")
+            )
+        ):
+            parts.append("".join(buf))
+            buf = []
+            i += wl
+            continue
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return [p.strip() for p in parts]
+
+
+def _parse_select_pred(body: str) -> tuple:
+    """Parse a select() body to a predicate AST:
+    ('cmp', path, op, lit) | ('test', path, pattern, flags) |
+    ('truthy', path) | ('and', l, r) | ('or', l, r)."""
+    body = body.strip()
+    ors = _split_word(body, "or")
+    if len(ors) > 1:
+        node = _parse_select_pred(ors[0])
+        for part in ors[1:]:
+            node = ("or", node, _parse_select_pred(part))
+        return node
+    ands = _split_word(body, "and")
+    if len(ands) > 1:
+        node = _parse_select_pred(ands[0])
+        for part in ands[1:]:
+            node = ("and", node, _parse_select_pred(part))
+        return node
+    if body.startswith("(") and body.endswith(")"):
+        # strip only if the parens actually match each other
+        depth = 0
+        for j, ch in enumerate(body):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and j < len(body) - 1:
+                    break
+        else:
+            return _parse_select_pred(body[1:-1])
+    m = _TEST_RE.match(body)
+    if m:
+        path, pat, flags = m.groups()
+        return ("test", path, json.loads(pat), flags or "")
+    m = _CMP_RE.match(body)
+    if m:
+        path, op, lit = m.groups()
+        return ("cmp", path, op, _parse_jq_literal(lit.strip()))
+    m = _BARE_PATH_RE.match(body)
+    if m:
+        return ("truthy", m.group(1))
+    raise ValueError(f"unsupported select() predicate {body!r}")
+
+
+def _jq_rank(v) -> int:
+    """jq's total order: null < false < true < numbers < strings < …"""
+    if v is None:
+        return 0
+    if isinstance(v, bool):
+        return 1 if v is False else 2
+    if isinstance(v, (int, float)):
+        return 3
+    if isinstance(v, str):
+        return 4
+    if isinstance(v, list):
+        return 5
+    if isinstance(v, dict):
+        return 6
+    return 7
+
+
+def _jq_lt(a, b) -> bool:
+    ra, rb = _jq_rank(a), _jq_rank(b)
+    if ra != rb:
+        return ra < rb
+    if isinstance(a, (int, float)) and not isinstance(a, bool):
+        return a < b
+    if isinstance(a, str):
+        return a < b
+    return False  # same-rank null/bool/array/object: no strict order here
+
+
+def _eval_pred(item, p: tuple) -> bool:
+    kind = p[0]
+    if kind == "and":
+        return _eval_pred(item, p[1]) and _eval_pred(item, p[2])
+    if kind == "or":
+        return _eval_pred(item, p[1]) or _eval_pred(item, p[2])
+    if kind == "truthy":
+        v = _cond_resolve(item, p[1])
+        return v is not None and v is not False
+    if kind == "test":
+        _, path, pat, flags = p
+        v = _cond_resolve(item, path)
+        fl = re.IGNORECASE if "i" in flags else 0
+        fl |= re.VERBOSE if "x" in flags else 0
+        return isinstance(v, str) and re.search(pat, v, fl) is not None
+    _, path, op, lit = p
+    v = _cond_resolve(item, path)
+    if op == "==":
+        return v == lit
+    if op == "!=":
+        return v != lit
+    if op == "<":
+        return _jq_lt(v, lit)
+    if op == ">":
+        return _jq_lt(lit, v)
+    if op == "<=":
+        return not _jq_lt(lit, v)
+    return not _jq_lt(v, lit)  # >=
 
 
 def _parse_path_stage(stage: str) -> list:
@@ -251,8 +411,12 @@ def parse_jq(program: str) -> tuple:
     """Compile a restricted jq program to walker tokens.
 
     Supported: `.a.b`, `.a[]`, `.[]`, `.a[3]`, pipes,
-    `select(.f == <json literal>)` / `!=` (dotted .f allowed; a missing
-    field compares as null, matching jq), `del(.path)` (drop the key —
+    `select(<pred>)` where <pred> is comparisons `== != < <= > >=`
+    against a JSON literal (dotted .f allowed; a missing field compares
+    as null and jq's cross-type total order null < false < true <
+    numbers < strings applies), regex `.f | test("re"[; "i"])`, bare
+    `.f` truthiness, and `and` / `or` with parentheses (jq precedence:
+    `and` binds tighter), `del(.path)` (drop the key —
     tokens get a ``('del',)`` head), and a trailing alternative
     `.path // <json literal>` (a missing/null target is materialized
     from the literal before transforming — tokens get an
@@ -282,8 +446,12 @@ def _parse_jq_body(program: str, allow_filter_end: bool) -> tuple:
                 raise ValueError(
                     f"jq program {program!r} cannot start with select()"
                 )
-            cf, op, lit = m.groups()
-            toks.append(("sel", cf, op, _parse_jq_literal(lit)))
+            pred = _parse_select_pred(m.group(1))
+            if pred[0] == "cmp" and pred[2] in ("==", "!="):
+                # legacy 4-tuple keeps the JVM schema-known fast path
+                toks.append(("sel", pred[1], pred[2], pred[3]))
+            else:
+                toks.append(("sel", pred))
         else:
             toks.extend(_parse_path_stage(stage))
     ends_in_filter = not toks or (
@@ -311,6 +479,8 @@ def _cond_resolve(item, dotted: str):
 
 
 def _sel_ok(item, t: tuple) -> bool:
+    if len(t) == 2:  # ('sel', <predicate AST>)
+        return _eval_pred(item, t[1])
     _, cf, op, val = t
     eq = _cond_resolve(item, cf) == val
     return eq if op == "==" else not eq

@@ -282,6 +282,79 @@ class TestJqSyntax:
         out = json.loads(fn(pd.Series([doc]), pd.Series(["k"])).iloc[0])
         assert out["rows"][0]["z"] == "<R>" and out["rows"][1]["z"] == "b"
 
+    def test_select_relational_and_jq_total_order(self):
+        # jq orders cross-type: null < false < true < numbers < strings,
+        # so `.n < 5` matches a row where .n is missing (null).
+        fn = anonymize_json_udf(
+            {".rows[] | select(.n < 5) | .v": self._redact()}
+        )
+        doc = json.dumps(
+            {"rows": [{"n": 3, "v": "a"}, {"n": 7, "v": "b"}, {"v": "c"}]}
+        )
+        out = json.loads(fn(pd.Series([doc]), pd.Series(["k"])).iloc[0])
+        assert [r["v"] for r in out["rows"]] == ["<R>", "b", "<R>"]
+        fn2 = anonymize_json_udf(
+            {'.rows[] | select(.tag >= "m") | .v': self._redact()}
+        )
+        doc2 = json.dumps(
+            {"rows": [{"tag": "zeta", "v": "a"}, {"tag": "alpha", "v": "b"}]}
+        )
+        out2 = json.loads(fn2(pd.Series([doc2]), pd.Series(["k"])).iloc[0])
+        assert [r["v"] for r in out2["rows"]] == ["<R>", "b"]
+
+    def test_select_and_or_precedence_and_parens(self):
+        # jq precedence: `and` binds tighter than `or`
+        fn = anonymize_json_udf(
+            {
+                '.r[] | select(.a == 1 and .b == 2 or .c == 3) | .v':
+                    self._redact()
+            }
+        )
+        doc = json.dumps(
+            {"r": [
+                {"a": 1, "b": 2, "v": "x"},   # and-arm true
+                {"a": 1, "b": 9, "v": "y"},   # both arms false
+                {"c": 3, "v": "z"},           # or-arm true
+            ]}
+        )
+        out = json.loads(fn(pd.Series([doc]), pd.Series(["k"])).iloc[0])
+        assert [r["v"] for r in out["r"]] == ["<R>", "y", "<R>"]
+        # parens flip the grouping: (.a==1) and (.b==2 or .c==3)
+        fn2 = anonymize_json_udf(
+            {
+                '.r[] | select(.a == 1 and (.b == 2 or .c == 3)) | .v':
+                    self._redact()
+            }
+        )
+        out2 = json.loads(fn2(pd.Series([doc]), pd.Series(["k"])).iloc[0])
+        assert [r["v"] for r in out2["r"]] == ["<R>", "y", "z"]
+
+    def test_select_regex_test_and_truthiness(self):
+        fn = anonymize_json_udf(
+            {
+                '.r[] | select(.email | test("@corp\\\\.com$"; "i")) | .email':
+                    self._redact(),
+                ".r[] | select(.pii) | .note": self._redact(),
+            }
+        )
+        doc = json.dumps(
+            {"r": [
+                {"email": "A@CORP.COM", "pii": True, "note": "n1"},
+                {"email": "b@other.org", "pii": False, "note": "n2"},
+                {"email": "c@corp.com", "note": "n3"},  # .pii missing→null
+            ]}
+        )
+        out = json.loads(fn(pd.Series([doc]), pd.Series(["k"])).iloc[0])
+        assert [r["email"] for r in out["r"]] == ["<R>", "b@other.org", "<R>"]
+        assert [r["note"] for r in out["r"]] == ["<R>", "n2", "n3"]
+        # keywords inside string literals are not boolean operators
+        fn2 = anonymize_json_udf(
+            {'.r[] | select(.tag == "for and or") | .note': self._redact()}
+        )
+        doc2 = json.dumps({"r": [{"tag": "for and or", "note": "n"}]})
+        out2 = json.loads(fn2(pd.Series([doc2]), pd.Series(["k"])).iloc[0])
+        assert out2["r"][0]["note"] == "<R>"
+
     def test_rejected_programs(self):
         from neosync_spark.functions.json_anonymizer import parse_jq
 
@@ -290,6 +363,7 @@ class TestJqSyntax:
             ".a | map(.b)",  # unsupported builtin
             'select(.x=="y") | .a',  # select first
             ".a | .b[1:3]",  # slices unsupported
+            ".a[] | select(.x | ascii_downcase == 3) | .v",  # unsupported pred
         ):
             with pytest.raises(ValueError):
                 parse_jq(bad)
