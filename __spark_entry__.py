@@ -236,6 +236,90 @@ def _q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollback_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel + rollback-then-replay (the bad-deploy
+    recovery drill): replay the first half of the log, pin that
+    snapshot id, replay the second half, then (a) time-travel-read the
+    pinned snapshot — must equal the LWW state over the log prefix —
+    and (b) rollback to it and replay the second half AGAIN through the
+    standard resume path: the rollback reverted the exactly-once ledger
+    with the file set, so the re-replay applies (not skips) and must
+    reconverge to the full-log LWW state. lakehouse.py rollback()."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    mid = hi // 2
+
+    path = tempfile.mkdtemp(prefix="ns_cdc_ttrb_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    cfg = dict(lineage=False, prune_buckets=False)
+    ReplayEngine(
+        spark, table, config=EngineConfig(batch_lsn_size=mid, **cfg)
+    ).replay(slicer, lsn_lo=0, lsn_hi=mid - 1)
+    pinned = int(table.manifest(refresh=True)["snapshot_id"])
+    ReplayEngine(
+        spark, table, config=EngineConfig(batch_lsn_size=hi - mid + 1, **cfg)
+    ).replay(slicer, lsn_lo=mid, lsn_hi=hi)
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    asof = table.read(snapshot_id=pinned).select(*cols, _fmt_ts("ts"))
+
+    table.rollback(pinned)
+    ReplayEngine(
+        spark, table, config=EngineConfig(batch_lsn_size=hi - mid + 1, **cfg)
+    ).replay(slicer, lsn_lo=mid, lsn_hi=hi)
+    replayed = table.read().select(*cols, _fmt_ts("ts"))
+    return asof.withColumn("phase", F.lit("asof")).unionByName(
+        replayed.withColumn("phase", F.lit("replayed"))
+    )
+
+
+def _q_rescale_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-count evolution mid-stream (the Iceberg partition-
+    evolution analog, lakehouse.py rescale_buckets): replay half the
+    log into an 8-bucket table, rescale to 32 buckets (one atomic
+    rewrite; ledger/schema history carry over), then replay the rest —
+    merges prune under the NEW layout. Final state must equal the
+    full-log LWW oracle, proving the re-layout lost nothing and the
+    post-rescale merge path is correct."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    mid = hi // 2
+
+    path = tempfile.mkdtemp(prefix="ns_cdc_rescale_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=8
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    cfg = dict(lineage=False, prune_buckets=False)
+    ReplayEngine(
+        spark, table, config=EngineConfig(batch_lsn_size=mid, **cfg)
+    ).replay(slicer, lsn_lo=0, lsn_hi=mid - 1)
+    table.rescale_buckets(32)
+    ReplayEngine(
+        spark, table, config=EngineConfig(batch_lsn_size=hi - mid + 1, **cfg)
+    ).replay(slicer, lsn_lo=mid, lsn_hi=hi)
+    return table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
 def _q_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map scan pruning: replay the log as 4 MoR delta epochs,
     then tail-read the table with a ts lower bound (last 2 days). The
@@ -3001,6 +3085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dml_update_delete": _q_dml_update_delete,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_wap_publish": _q_wap_publish,
+        "cdc_rollback_time_travel": _q_rollback_time_travel,
+        "cdc_rescale_buckets": _q_rescale_buckets,
         "cdc_purge_subject": _q_purge_subject,
         "cdc_stats_pruned_read": _q_stats_pruned_read,
         "cdc_lww_dedup_agg": _q_lww_agg,
@@ -3094,6 +3180,26 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1 AND op <> 'delete'
             UNION ALL
             SELECT 'published' AS phase, conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM ({lww}) WHERE op <> 'delete'
+        """,
+        "cdc_rollback_time_travel": f"""
+            WITH log AS ({_CDC_DERIVATION}),
+            mx AS (SELECT max(lsn) // 2 AS mid FROM log)
+            SELECT 'asof' AS phase, conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM (
+              SELECT l.*, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+              FROM log l WHERE lsn < (SELECT mid FROM mx)
+            ) WHERE rn = 1 AND op <> 'delete'
+            UNION ALL
+            SELECT 'replayed' AS phase, conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM ({lww}) WHERE op <> 'delete'
+        """,
+        "cdc_rescale_buckets": f"""
+            SELECT conv_id, turn_idx, role, text, tool,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'
         """,
