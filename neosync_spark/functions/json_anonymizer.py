@@ -19,6 +19,7 @@ Two Spark-first paths:
 from __future__ import annotations
 
 import json
+import math
 import re
 from collections.abc import Callable
 
@@ -205,11 +206,13 @@ def _parse_jq_literal(lit: str):
 # gojq select bodies beyond `.f == lit` (json-anonymizer.go compiles the
 # full language; the forms below are what anonymization configs use):
 # relational < <= > >=, `and` / `or` (jq precedence: and binds tighter),
-# regex `.f | test("re"[; "flags"])`, parentheses, and bare-path truth.
+# regex `.f | test("re"[; "flags"])`, parentheses, bare-path truth, and
+# arithmetic operands (`.a + .b > 10`, `.n % 2 == 0`) with jq's
+# number/string/array `+` semantics. One documented deviation: where jq
+# ERRORS on a type-mismatched arithmetic (null + 1), the predicate is
+# False — an anonymization gate must never abort the batch on one
+# malformed document.
 
-_CMP_RE = re.compile(
-    r"^\.([A-Za-z_][\w.]*)\s*(==|!=|<=|>=|<|>)\s*(.+?)$", re.DOTALL
-)
 _TEST_RE = re.compile(
     r"^\.([A-Za-z_][\w.]*)\s*\|\s*test\(\s*(\"(?:[^\"\\]|\\.)*\")"
     r"(?:\s*;\s*\"([a-zA-Z]*)\")?\s*\)$",
@@ -261,9 +264,131 @@ def _split_word(s: str, word: str) -> list[str]:
     return [p.strip() for p in parts]
 
 
+_CMP_OPS = ("==", "!=", "<=", ">=", "<", ">")
+
+
+def _split_cmp(s: str) -> tuple[str, str, str] | None:
+    """Split on the single top-level comparison operator (outside
+    quotes/parens). None if there isn't exactly one."""
+    found = None
+    depth, q, i, n = 0, None, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if q is not None:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == q:
+                q = None
+        elif ch in "\"'":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            for op in _CMP_OPS:
+                if s.startswith(op, i):
+                    if found is not None:
+                        return None  # two comparisons: not a leaf
+                    found = (s[:i], op, s[i + len(op):])
+                    i += len(op)
+                    break
+            else:
+                i += 1
+            continue
+        i += 1
+    return found
+
+
+_NUM_RE = re.compile(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+
+
+def _parse_arith(s: str):
+    """Parse an arithmetic operand to
+    ('path', dotted) | ('lit', v) | ('bin', op, l, r)
+    with standard precedence (* / % over + -) and parentheses."""
+    s = s.strip()
+    for ops in ("+-", "*/%"):
+        parts = _split_arith_ops(s, ops)
+        if len(parts) > 1:
+            node = _parse_arith(parts[0][1])
+            for op, part in parts[1:]:
+                node = ("bin", op, node, _parse_arith(part))
+            return node
+    if s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for j, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and j < len(s) - 1:
+                    break
+        else:
+            return _parse_arith(s[1:-1])
+    m = _BARE_PATH_RE.match(s)
+    if m:
+        return ("path", m.group(1))
+    if _NUM_RE.match(s):
+        return ("lit", _parse_jq_literal(s))
+    return ("lit", _parse_jq_literal(s))  # string/bool/null literal
+
+
+def _split_arith_ops(s: str, ops: str) -> list:
+    """Split on top-level single-char operators from ``ops``; returns
+    [(None, first), (op, part), ...]. A '-' at the start or right
+    after another operator is a sign, not a split point; '//' (the jq
+    alternative operator) is never an arithmetic '/'."""
+    segs: list = []
+    cur_op = None
+    buf: list = []
+    depth, q, i, n = 0, None, 0, len(s)
+    prev_operand = False  # a completed operand precedes position i
+    while i < n:
+        ch = s[i]
+        if q is not None:
+            buf.append(ch)
+            if ch == "\\" and i + 1 < n:
+                buf.append(s[i + 1])
+                i += 2
+                continue
+            if ch == q:
+                q = None
+        elif ch in "\"'":
+            q = ch
+            buf.append(ch)
+            prev_operand = True
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+            prev_operand = True
+        elif (
+            depth == 0
+            and ch in ops
+            and (ch != "-" or prev_operand)
+            and (ch != "/" or not s.startswith("//", i))
+        ):
+            segs.append((cur_op, "".join(buf).strip()))
+            cur_op, buf, prev_operand = ch, [], False
+            i += 1
+            continue
+        else:
+            buf.append(ch)
+            if not ch.isspace():
+                prev_operand = True
+        i += 1
+    segs.append((cur_op, "".join(buf).strip()))
+    return segs
+
+
 def _parse_select_pred(body: str) -> tuple:
     """Parse a select() body to a predicate AST:
-    ('cmp', path, op, lit) | ('test', path, pattern, flags) |
+    ('cmp', path, op, lit) | ('acmp', op, lexpr, rexpr) |
+    ('test', path, pattern, flags) |
     ('truthy', path) | ('and', l, r) | ('or', l, r)."""
     body = body.strip()
     ors = _split_word(body, "or")
@@ -294,10 +419,15 @@ def _parse_select_pred(body: str) -> tuple:
     if m:
         path, pat, flags = m.groups()
         return ("test", path, json.loads(pat), flags or "")
-    m = _CMP_RE.match(body)
-    if m:
-        path, op, lit = m.groups()
-        return ("cmp", path, op, _parse_jq_literal(lit.strip()))
+    cmp_split = _split_cmp(body)
+    if cmp_split:
+        left, op, right = (x.strip() for x in cmp_split)
+        l_ast, r_ast = _parse_arith(left), _parse_arith(right)
+        if l_ast[0] == "path" and r_ast[0] == "lit":
+            # plain `.f op literal` keeps the legacy node (JVM
+            # schema-known fast path for == / !=)
+            return ("cmp", l_ast[1], op, r_ast[1])
+        return ("acmp", op, l_ast, r_ast)
     m = _BARE_PATH_RE.match(body)
     if m:
         return ("truthy", m.group(1))
@@ -332,12 +462,71 @@ def _jq_lt(a, b) -> bool:
     return False  # same-rank null/bool/array/object: no strict order here
 
 
+_ARITH_ERR = object()  # jq would error; we make the predicate False
+
+
+def _eval_arith(item, node):
+    kind = node[0]
+    if kind == "lit":
+        return node[1]
+    if kind == "path":
+        return _cond_resolve(item, node[1])
+    _, op, ln, rn = node
+    a, b = _eval_arith(item, ln), _eval_arith(item, rn)
+    if a is _ARITH_ERR or b is _ARITH_ERR:
+        return _ARITH_ERR
+    num_a = isinstance(a, (int, float)) and not isinstance(a, bool)
+    num_b = isinstance(b, (int, float)) and not isinstance(b, bool)
+    if op == "+":
+        # jq: numbers add, strings/arrays concat, null + x == x
+        if num_a and num_b:
+            return a + b
+        if isinstance(a, str) and isinstance(b, str):
+            return a + b
+        if isinstance(a, list) and isinstance(b, list):
+            return a + b
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return _ARITH_ERR
+    if not (num_a and num_b):
+        return _ARITH_ERR
+    if op == "-":
+        return a - b
+    if op == "*":
+        return a * b
+    if op == "/":
+        return a / b if b != 0 else _ARITH_ERR
+    if int(b) == 0:
+        return _ARITH_ERR
+    # jq '%' truncates operands to int; result keeps the dividend's
+    # sign (C semantics) — Python's % floors, fmod truncates
+    return int(math.fmod(int(a), int(b)))
+
+
 def _eval_pred(item, p: tuple) -> bool:
     kind = p[0]
     if kind == "and":
         return _eval_pred(item, p[1]) and _eval_pred(item, p[2])
     if kind == "or":
         return _eval_pred(item, p[1]) or _eval_pred(item, p[2])
+    if kind == "acmp":
+        _, op, ln, rn = p
+        a, b = _eval_arith(item, ln), _eval_arith(item, rn)
+        if a is _ARITH_ERR or b is _ARITH_ERR:
+            return False
+        if op == "==":
+            return a == b
+        if op == "!=":
+            return a != b
+        if op == "<":
+            return _jq_lt(a, b)
+        if op == ">":
+            return _jq_lt(b, a)
+        if op == "<=":
+            return not _jq_lt(b, a)
+        return not _jq_lt(a, b)  # >=
     if kind == "truthy":
         v = _cond_resolve(item, p[1])
         return v is not None and v is not False
@@ -412,11 +601,15 @@ def parse_jq(program: str) -> tuple:
 
     Supported: `.a.b`, `.a[]`, `.[]`, `.a[3]`, pipes,
     `select(<pred>)` where <pred> is comparisons `== != < <= > >=`
-    against a JSON literal (dotted .f allowed; a missing field compares
-    as null and jq's cross-type total order null < false < true <
-    numbers < strings applies), regex `.f | test("re"[; "i"])`, bare
-    `.f` truthiness, and `and` / `or` with parentheses (jq precedence:
-    `and` binds tighter), `del(.path)` (drop the key —
+    whose operands are JSON literals, dotted paths, or arithmetic over
+    them (`.a + .b > 10`, `.n % 2 == 0`; jq `+` semantics: numbers
+    add, strings/arrays concat, null is identity; a type-mismatched
+    arithmetic makes the predicate False where jq would error), with
+    a missing field comparing as null under jq's cross-type total
+    order null < false < true < numbers < strings; regex
+    `.f | test("re"[; "i"])`, bare `.f` truthiness, and `and` / `or`
+    with parentheses (jq precedence: `and` binds tighter),
+    `del(.path)` (drop the key —
     tokens get a ``('del',)`` head), and a trailing alternative
     `.path // <json literal>` (a missing/null target is materialized
     from the literal before transforming — tokens get an

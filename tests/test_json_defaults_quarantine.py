@@ -355,6 +355,40 @@ class TestJqSyntax:
         out2 = json.loads(fn2(pd.Series([doc2]), pd.Series(["k"])).iloc[0])
         assert out2["r"][0]["note"] == "<R>"
 
+    def test_select_arithmetic_operands(self):
+        # jq arithmetic in predicates: % truncated modulo, + with null
+        # identity and string concat, precedence * over -, parens
+        fn = anonymize_json_udf(
+            {
+                ".r[] | select(.n % 2 == 0) | .even": self._redact(),
+                ".r[] | select(.a + .b > 10) | .big": self._redact(),
+                '.r[] | select(.first + " " + .last == "ada lovelace")'
+                " | .who": self._redact(),
+                ".r[] | select((.a - .b) * 2 <= .c) | .rng": self._redact(),
+            }
+        )
+        doc = json.dumps(
+            {"r": [
+                {"n": 4, "a": 6, "b": 5, "first": "ada",
+                 "last": "lovelace", "c": 2,
+                 "even": "e1", "big": "g1", "who": "w1", "rng": "r1"},
+                # n odd; b missing (null + 6 = 6, not > 10); name differs;
+                # (6-0)*2=12 > 2 — every predicate false
+                {"n": 5, "a": 6, "first": "x", "last": "y", "b": 0, "c": 2,
+                 "even": "e2", "big": "g2", "who": "w2", "rng": "r2"},
+                # .a is a string: type-mismatched arithmetic gates OFF
+                # (jq errors; the anonymizer must not abort the batch)
+                {"n": 2, "a": "oops", "b": 9, "c": 9,
+                 "even": "e3", "big": "g3", "who": "w3", "rng": "r3"},
+            ]}
+        )
+        out = json.loads(fn(pd.Series([doc]), pd.Series(["k"])).iloc[0])
+        r = out["r"]
+        assert [x["even"] for x in r] == ["<R>", "e2", "<R>"]
+        assert [x["big"] for x in r] == ["<R>", "g2", "g3"]
+        assert [x["who"] for x in r] == ["<R>", "w2", "w3"]
+        assert [x["rng"] for x in r] == ["<R>", "r2", "r3"]
+
     def test_rejected_programs(self):
         from neosync_spark.functions.json_anonymizer import parse_jq
 
@@ -364,6 +398,7 @@ class TestJqSyntax:
             'select(.x=="y") | .a',  # select first
             ".a | .b[1:3]",  # slices unsupported
             ".a[] | select(.x | ascii_downcase == 3) | .v",  # unsupported pred
+            ".a[] | select(.x + notafunc(2) == 3) | .v",  # bad operand
         ):
             with pytest.raises(ValueError):
                 parse_jq(bad)
