@@ -283,6 +283,45 @@ def _q_rollback_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end (streaming/stream.py): the
+    derived log written as a multi-file WAL directory, tailed via
+    readStream + foreachBatch into the SAME apply path as batch replay
+    (availableNow trigger, maxFilesPerTrigger=2 → several epochs,
+    arbitrary lsn interleaving across files). The streamed table must
+    equal the full-log LWW oracle — the exactly-once ledger and merge
+    semantics carry over to streaming unchanged."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+    from neosync_spark.streaming.stream import StreamingReplay
+
+    log = _derived_log(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="ns_cdc_stream_")
+    log_dir = os.path.join(base, "wal")
+    log.repartition(6).write.parquet(log_dir)
+
+    table = SnapshotTable.create(
+        spark,
+        os.path.join(base, "t"),
+        transcript_schema(),
+        key_cols=KEY_COLS,
+        n_buckets=16,
+    )
+    eng = ReplayEngine(
+        spark,
+        table,
+        config=EngineConfig(lineage=False, prune_buckets=False),
+    )
+    q = StreamingReplay(eng).start(
+        log_dir, os.path.join(base, "ckpt"), max_files_per_trigger=2
+    )
+    q.awaitTermination(300)
+    return table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
 def _q_rescale_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-count evolution mid-stream (the Iceberg partition-
     evolution analog, lakehouse.py rescale_buckets): replay half the
@@ -3087,6 +3126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_wap_publish": _q_wap_publish,
         "cdc_rollback_time_travel": _q_rollback_time_travel,
         "cdc_rescale_buckets": _q_rescale_buckets,
+        "cdc_stream_tail": _q_stream_tail,
         "cdc_purge_subject": _q_purge_subject,
         "cdc_stats_pruned_read": _q_stats_pruned_read,
         "cdc_lww_dedup_agg": _q_lww_agg,
@@ -3199,6 +3239,11 @@ def oracle_sql() -> dict[str, str]:
             FROM ({lww}) WHERE op <> 'delete'
         """,
         "cdc_rescale_buckets": f"""
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM ({lww}) WHERE op <> 'delete'
+        """,
+        "cdc_stream_tail": f"""
             SELECT conv_id, turn_idx, role, text, tool,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'

@@ -285,7 +285,23 @@ class ReplayEngine:
             self._chained_state = info.state
             if prev is not None:
                 prev.unpersist()
-        if obs is not None and int(obs.get.get("n_bad") or 0) > 0:
+        n_bad = 0
+        if obs is not None:
+            from .lakehouse import observation_metrics
+
+            got = observation_metrics(obs)
+            if got is not None:
+                n_bad = int(got.get("n_bad") or 0)
+            else:
+                # metric unavailable (cloned foreachBatch session):
+                # recompute over the micro-batch source
+                n_bad = int(
+                    original.agg(
+                        F.sum((~valid).cast("long")).alias("n_bad")
+                    ).collect()[0][0]
+                    or 0
+                )
+        if obs is not None and n_bad > 0:
             # rare path: persist the poison rows for inspection instead
             # of failing the batch (reference: row-by-row retry skipping
             # violations + error output)

@@ -52,6 +52,39 @@ _DELETED_COL = "_deleted"
 _PATCH_COL = "_patch"
 
 
+def observation_metrics(observation, timeout_s: float = 5.0) -> dict | None:
+    """Read ``observe()`` metrics without risking a driver hang.
+
+    Inside a Structured Streaming foreachBatch the micro-batch
+    DataFrame is bound to a CLONED SparkSession, and pyspark's blocking
+    ``Observation.get`` can wait forever there even after the observed
+    action finished (the streaming tail would hang the whole query).
+    Poll the non-blocking JVM accessor up to ``timeout_s`` instead; on
+    the normal batch path the metric is already set when this is
+    called, so the first poll returns immediately. ``None`` = metric
+    unavailable — the caller recomputes (one extra job over a
+    micro-batch-sized input)."""
+    jo = getattr(observation, "_jo", None)
+    if jo is None:  # never registered on a DataFrame
+        return None
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            if not jo.getOrEmpty().isEmpty():
+                # the metrics future is completed: the blocking
+                # accessor now returns instantly
+                return dict(jo.getAsJava())
+        except Exception:
+            # the streaming progress reporter can complete the future
+            # with a schema-less row, which NPEs inside the JVM
+            # accessors (observed on Spark 4.1) — same remedy as a
+            # missing metric: recompute
+            return None
+        if time.monotonic() >= deadline:
+            return None
+        time.sleep(0.05)
+
+
 def bucket_expr(key_col: str, n_buckets: int):
     """Deterministic bucket id for a key (xxhash64 — stable across runs,
     sessions and cluster sizes, unlike hash partitioner internals)."""
@@ -1074,7 +1107,10 @@ class SnapshotTable:
             )
             if affected is None:  # no-prepass mode: stats post-hoc
                 affected = sorted(written)
-                n_src = int(observation.get["n_src"])
+                got = observation_metrics(observation)
+                # metric unavailable (cloned foreachBatch session):
+                # recompute over the micro-batch source
+                n_src = int(got["n_src"]) if got else src.count()
                 bucket_counts = self._footer_counts(written, footers)
             bmap = self._annotate_blooms(m, new_sid, written)
             patch_paths = self._patch_paths(footers)
@@ -1246,7 +1282,9 @@ class SnapshotTable:
             _BUCKET_COL
         ).parquet(commit_dir)
         written = self._list_commit_files(commit_dir)
-        return written, int(obs.get["n_src"]), (m["schema_id"], nb)
+        got = observation_metrics(obs)
+        n_src = int(got["n_src"]) if got else src.count()
+        return written, n_src, (m["schema_id"], nb)
 
     def commit_delta(
         self,

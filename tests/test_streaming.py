@@ -37,6 +37,38 @@ def test_streaming_matches_oracle(spark, tmp_path):
     assert len(table.applied_ranges()) >= 1
 
 
+def test_streaming_no_prepass_matches_oracle(spark, tmp_path):
+    """prune_buckets=False rides the n_src count as an observe()
+    metric. Inside foreachBatch the micro-batch DataFrame is bound to
+    a CLONED SparkSession where pyspark's blocking Observation.get can
+    wait forever (and the non-blocking accessor can NPE on a
+    schema-less metrics row) — the stream used to hang on epoch 0.
+    observation_metrics() + the count fallback must converge to the
+    oracle with correct source_rows lineage."""
+    log = generate_pandas(CFG)
+    sdf = spark.createDataFrame(log).repartition(5)
+    log_dir = str(tmp_path / "log")
+    sdf.write.parquet(log_dir)
+
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), key_cols=KEY_COLS, n_buckets=8
+    )
+    eng = ReplayEngine(
+        spark, table, config=EngineConfig(lineage=False, prune_buckets=False)
+    )
+    q = StreamingReplay(eng).start(
+        log_dir, str(tmp_path / "ckpt"), max_files_per_trigger=2
+    )
+    assert q.awaitTermination(180), "stream did not finish (observation hang?)"
+
+    got = table.read().toPandas()
+    exp = expected_final_state(log)
+    assert_pdf_equal(got, exp, ["conv_id", "turn_idx"])
+    # the no-prepass n_src fallback fed the ledger: total source rows
+    # across epochs == the full log
+    assert sum(r[3] for r in table.applied_ranges()) == len(log)
+
+
 def test_streaming_sessionize(spark, tmp_path):
     """Watermarked session_window aggregation over a parquet stream."""
     import pandas as pd
