@@ -219,6 +219,8 @@ _TEST_RE = re.compile(
     re.DOTALL,
 )
 _BARE_PATH_RE = re.compile(r"^\.([A-Za-z_][\w.]*)$")
+_HAS_RE = re.compile(r"^has\(\s*(\"(?:[^\"\\]|\\.)*\")\s*\)$")
+_LEN_RE = re.compile(r"^(?:\.([A-Za-z_][\w.]*)\s*\|\s*)?length$")
 
 
 def _split_word(s: str, word: str) -> list[str]:
@@ -301,9 +303,6 @@ def _split_cmp(s: str) -> tuple[str, str, str] | None:
     return found
 
 
-_NUM_RE = re.compile(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
-
-
 def _parse_arith(s: str):
     """Parse an arithmetic operand to
     ('path', dotted) | ('lit', v) | ('bin', op, l, r)
@@ -327,12 +326,13 @@ def _parse_arith(s: str):
                     break
         else:
             return _parse_arith(s[1:-1])
+    m = _LEN_RE.match(s)
+    if m:
+        return ("len", m.group(1))  # None = length of the current item
     m = _BARE_PATH_RE.match(s)
     if m:
         return ("path", m.group(1))
-    if _NUM_RE.match(s):
-        return ("lit", _parse_jq_literal(s))
-    return ("lit", _parse_jq_literal(s))  # string/bool/null literal
+    return ("lit", _parse_jq_literal(s))  # number/string/bool/null
 
 
 def _split_arith_ops(s: str, ops: str) -> list:
@@ -419,6 +419,9 @@ def _parse_select_pred(body: str) -> tuple:
     if m:
         path, pat, flags = m.groups()
         return ("test", path, json.loads(pat), flags or "")
+    m = _HAS_RE.match(body)
+    if m:
+        return ("has", json.loads(m.group(1)))
     cmp_split = _split_cmp(body)
     if cmp_split:
         left, op, right = (x.strip() for x in cmp_split)
@@ -471,6 +474,15 @@ def _eval_arith(item, node):
         return node[1]
     if kind == "path":
         return _cond_resolve(item, node[1])
+    if kind == "len":
+        v = item if node[1] is None else _cond_resolve(item, node[1])
+        if v is None:
+            return 0  # jq: null | length == 0
+        if isinstance(v, bool):
+            return _ARITH_ERR  # jq errors on booleans
+        if isinstance(v, (int, float)):
+            return abs(v)  # jq: length of a number is its magnitude
+        return len(v)  # str / array / object
     _, op, ln, rn = node
     a, b = _eval_arith(item, ln), _eval_arith(item, rn)
     if a is _ARITH_ERR or b is _ARITH_ERR:
@@ -530,6 +542,9 @@ def _eval_pred(item, p: tuple) -> bool:
     if kind == "truthy":
         v = _cond_resolve(item, p[1])
         return v is not None and v is not False
+    if kind == "has":
+        # jq has() over objects (array-index form not supported)
+        return isinstance(item, dict) and p[1] in item
     if kind == "test":
         _, path, pat, flags = p
         v = _cond_resolve(item, path)
@@ -607,7 +622,9 @@ def parse_jq(program: str) -> tuple:
     arithmetic makes the predicate False where jq would error), with
     a missing field comparing as null under jq's cross-type total
     order null < false < true < numbers < strings; regex
-    `.f | test("re"[; "i"])`, bare `.f` truthiness, and `and` / `or`
+    `.f | test("re"[; "i"])`, `has("key")` (objects), `[.f |] length`
+    as a comparison operand (jq semantics: null→0, number→magnitude,
+    str/array/object→size), bare `.f` truthiness, and `and` / `or`
     with parentheses (jq precedence: `and` binds tighter),
     `del(.path)` (drop the key —
     tokens get a ``('del',)`` head), and a trailing alternative

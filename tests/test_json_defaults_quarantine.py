@@ -389,6 +389,27 @@ class TestJqSyntax:
         assert [x["who"] for x in r] == ["<R>", "w2", "w3"]
         assert [x["rng"] for x in r] == ["<R>", "r2", "r3"]
 
+    def test_select_has_and_length(self):
+        fn = anonymize_json_udf(
+            {
+                '.r[] | select(has("email")) | .email': self._redact(),
+                ".r[] | select(.tags | length > 2) | .note": self._redact(),
+            }
+        )
+        doc = json.dumps(
+            {"r": [
+                # has() is true even when the value is null (jq)
+                {"email": None, "tags": ["a", "b", "c"], "note": "n1"},
+                {"tags": ["a"], "note": "n2"},
+                {"email": "e", "note": "n3"},  # .tags missing: null|length=0
+            ]}
+        )
+        out = json.loads(fn(pd.Series([doc]), pd.Series(["k"])).iloc[0])
+        r = out["r"]
+        # null target is skipped by the transform walker, but n3's is live
+        assert "email" not in r[1] and r[2]["email"] == "<R>"
+        assert [x["note"] for x in r] == ["<R>", "n2", "n3"]
+
     def test_rejected_programs(self):
         from neosync_spark.functions.json_anonymizer import parse_jq
 
