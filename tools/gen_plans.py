@@ -335,6 +335,28 @@ def main() -> None:
         "exact variant is the DuckDB-oracled audit path).",
     )
 
+    from neosync_spark.operators.scd import scd2_history
+    from neosync_spark.operators.text import chunk_text_overlap
+
+    cap(
+        "SCD type-2 history",
+        scd2_history(log, ["conv_id", "turn_idx"], ["ts", "lsn"]),
+        "ONE key-hash Exchange + ONE Sort shared by both Window passes "
+        "(the duplicate-delivery lag guard, then row_number + lead) — "
+        "the whole versioned-dimension build is one shuffle; no "
+        "self-join, no re-sort between the windows.",
+    )
+    cap(
+        "Overlapping text chunking (RAG splitter)",
+        chunk_text_overlap(
+            spark.read.parquet(f"{SF}/documents.parquet"), "text", "doc_id",
+            size=512, overlap=64,
+        ),
+        "zero Exchanges: sequence + explode(Generate) + substring all "
+        "inside the scan's stage — a pure codegen map over the corpus, "
+        "fan-out bounded by doc_len/stride.",
+    )
+
     hdr = (
         "# PLANS — formatted physical plans of load-bearing operators\n\n"
         "Generated by tools/gen_plans.py (`df.explain('formatted')` at sf0.001).\n"
