@@ -458,6 +458,82 @@ def _q_lww_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return won.select("conv_id", "turn_idx", "lsn", "op", _fmt_ts("ts"))
 
 
+def _with_txn_cols(log: DataFrame, block: int, interleave: bool) -> DataFrame:
+    """Stamp (txn_id, txn_total) on a derived log — the public Debezium
+    transaction-metadata pair (transaction.id / event_count). Contiguous
+    txns own lsn blocks; ``interleave=True`` splits each block into two
+    parity-interleaved transactions (the logical-decoding shape)."""
+    from pyspark.sql import Window
+
+    blk = F.floor(F.col("lsn") / F.lit(float(block))).cast("long")
+    txn = (blk * 2 + F.col("lsn") % 2) if interleave else blk
+    out = log.withColumn("txn_id", txn)
+    return out.withColumn(
+        "txn_total", F.count(F.lit(1)).over(Window.partitionBy("txn_id"))
+    )
+
+
+def _q_txn_atomic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-transaction atomicity over an INTERLEAVED stream (the
+    logical-decoding shape: two in-progress txns alternate events).
+    The visible log is cut mid-transaction; only events of COMPLETE
+    transactions (declared event_count all present — the public
+    Debezium transaction-metadata contract) may be applied. Final state
+    = LWW over complete-txn events only (operators/txn.py:
+    txn_complete_split — one O(#txns) hash agg + a broadcast anti-join,
+    the events themselves never shuffle)."""
+    from neosync_spark.operators.dedup import lww_dedup
+    from neosync_spark.operators.txn import txn_complete_split
+
+    log = _with_txn_cols(_derived_log(spark, sf_dir), 16, interleave=True)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    cut = (hi // 16) * 16 - 5
+    ok, _held = txn_complete_split(log.filter(F.col("lsn") < cut))
+    state = lww_dedup(ok, ["conv_id", "turn_idx"], ["ts", "lsn"])
+    return state.filter(F.col("op") != "delete").select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
+def _q_txn_boundary_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine path: replay a commit-contiguous log that ENDS mid-
+    transaction with EngineConfig.txn_cols — every micro-batch end
+    snaps down to a transaction boundary (no commit ever publishes half
+    a txn) and the torn tail transaction is held back, so the final
+    table state is exactly the LWW fold of complete transactions."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _with_txn_cols(_derived_log(spark, sf_dir), 8, interleave=False)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    cut = (hi // 8) * 8 - 5  # visible log ends 3 events into a txn
+    vis = log.filter(F.col("lsn") < cut)
+
+    path = tempfile.mkdtemp(prefix="ns_cdc_txn_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+    eng = ReplayEngine(
+        spark,
+        table,
+        config=EngineConfig(
+            batch_lsn_size=max(1000, (cut + 4) // 4),  # windows cut mid-txn
+            lineage=False,
+            prune_buckets=False,
+            txn_cols=("txn_id", "txn_total"),
+        ),
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return vis.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    eng.replay(slicer, lsn_lo=0, lsn_hi=cut - 1)
+    return table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
 def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension from the change log: one row per key
     VERSION with a half-open (valid_from, valid_to) effective range,
@@ -3082,11 +3158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": _q_profile_table,
         "cdc_retention_expiry": _q_retention_expiry,
         "profile_percentiles": _q_profile_percentiles,
-        "text_token_count": _q_token_count,
+        "cdc_txn_atomic_apply": _q_txn_atomic_apply,
+        "cdc_txn_boundary_replay": _q_txn_boundary_replay,
         "text_quality_score": _q_quality,
         "text_lang_id": _q_lang_id,
-        "text_fingerprint": _q_fingerprint,
-        "text_winnow_fingerprints": _q_winnow,
         "dedup_fingerprint_overlap": _q_fingerprint_overlap,
         "media_metadata": _q_media_metadata,
         "media_image_features": _q_image_features,
@@ -3170,6 +3245,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_assign": _q_dedup_clusters,
         "dedup_keep_best": _q_dedup_keep_best,
         "decontaminate_ngrams": _q_decontaminate,
+        "text_token_count": _q_token_count,
+        "text_fingerprint": _q_fingerprint,
+        "text_winnow_fingerprints": _q_winnow,
     }
 
 
@@ -3250,6 +3328,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'
+        """,
+        # txn_id = parity-interleaved pairs within 16-lsn blocks; a txn
+        # is applyable iff every declared event is visible below the cut
+        "cdc_txn_atomic_apply": f"""
+            WITH log AS (
+              SELECT l.*,
+                     CAST(FLOOR(lsn / 16.0) AS BIGINT) * 2 + lsn % 2 AS txn_id,
+                     COUNT(*) OVER (
+                       PARTITION BY CAST(FLOOR(lsn / 16.0) AS BIGINT) * 2 + lsn % 2
+                     ) AS txn_total
+              FROM ({_CDC_DERIVATION}) l
+            ), c AS (SELECT (max(lsn) // 16) * 16 - 5 AS cut FROM log),
+            vis AS (SELECT * FROM log WHERE lsn < (SELECT cut FROM c)),
+            seen AS (SELECT txn_id, COUNT(*) AS n FROM vis GROUP BY txn_id),
+            ok AS (
+              SELECT v.* FROM vis v JOIN seen s ON v.txn_id = s.txn_id
+              WHERE s.n = v.txn_total
+            )
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM (
+              SELECT o.*, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+              FROM ok o
+            ) WHERE rn = 1 AND op <> 'delete'
+        """,
+        # commit-contiguous txns own 8-lsn blocks; the engine snaps every
+        # batch end to a boundary and holds the torn tail txn
+        "cdc_txn_boundary_replay": f"""
+            WITH log AS (
+              SELECT l.*,
+                     CAST(FLOOR(lsn / 8.0) AS BIGINT) AS txn_id,
+                     COUNT(*) OVER (
+                       PARTITION BY CAST(FLOOR(lsn / 8.0) AS BIGINT)
+                     ) AS txn_total
+              FROM ({_CDC_DERIVATION}) l
+            ), c AS (SELECT (max(lsn) // 8) * 8 - 5 AS cut FROM log),
+            vis AS (SELECT * FROM log WHERE lsn < (SELECT cut FROM c)),
+            seen AS (SELECT txn_id, COUNT(*) AS n FROM vis GROUP BY txn_id),
+            ok AS (
+              SELECT v.* FROM vis v JOIN seen s ON v.txn_id = s.txn_id
+              WHERE s.n = v.txn_total
+            )
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM (
+              SELECT o.*, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+              FROM ok o
+            ) WHERE rn = 1 AND op <> 'delete'
         """,
         "cdc_schema_evolution": f"""
             WITH mx AS (

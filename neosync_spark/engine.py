@@ -30,6 +30,7 @@ from .functions.transformers import TransformFn, as_udf, key_col
 from .lakehouse import CommitInfo, SnapshotTable
 from .operators.dedup import lww_dedup
 from .operators.skew import salted_repartition
+from .operators.txn import txn_safe_boundary
 from .schema import KEY_COLS
 from .schema_registry import SchemaRegistry, ensure_table_schema
 from .sources.changelog import ChangeLogSource
@@ -80,6 +81,14 @@ class EngineConfig:
     # keep False for skewed/hot-key sources (the combine collapses
     # duplicates before the wire there)
     bucket_local_merge: bool = False
+    # (txn_id_col, txn_total_col): source-transaction-atomic apply for
+    # commit-contiguous logs — every micro-batch end is snapped DOWN to
+    # a transaction boundary (operators/txn.txn_safe_boundary) so no
+    # published snapshot ever contains half a source transaction; a
+    # torn transaction at the log tail stays unapplied until its
+    # remaining events arrive (ReplayStats.lsn_held_from reports the
+    # holdback point). The two columns are stripped before the merge.
+    txn_cols: tuple[str, str] | None = None
 
 
 @dataclass
@@ -102,6 +111,9 @@ class ReplayStats:
     rows_skipped_fk: int = 0
     commits: list[CommitInfo] = field(default_factory=list)
     schema_ops: list[dict] = field(default_factory=list)
+    # txn-atomic replay: first LSN of a torn transaction held back at
+    # the log tail (None = the log ended on a transaction boundary)
+    lsn_held_from: int | None = None
 
 
 class ReplayEngine:
@@ -372,6 +384,16 @@ class ReplayEngine:
             slicer = source
 
         stats = ReplayStats()
+        if self.config.txn_cols is not None:
+            if pipeline_batches > 1:
+                raise ValueError(
+                    "txn-atomic replay plans ranges sequentially "
+                    "(boundaries are data-dependent) — pipeline_batches "
+                    "must be 1"
+                )
+            return self._replay_txn_atomic(
+                slicer, lsn_lo, lsn_hi, stats, stop_after_batches
+            )
         if pipeline_batches > 1:
             return self._replay_pipelined(
                 slicer, lsn_lo, lsn_hi, pipeline_batches, stats
@@ -402,6 +424,83 @@ class ReplayEngine:
             stats.rows_applied += info.rows_written
             stats.rows_skipped_fk += self._last_fk_skipped
             stats.commits.append(info)
+            if (
+                stop_after_batches is not None
+                and stats.batches_applied >= stop_after_batches
+            ):
+                break
+        return stats
+
+    def _replay_txn_atomic(
+        self,
+        slicer: Callable[[int, int], DataFrame],
+        lsn_lo: int,
+        lsn_hi: int,
+        stats: ReplayStats,
+        stop_after_batches: int | None,
+    ) -> ReplayStats:
+        """Serial replay whose micro-batch ends snap DOWN to source-
+        transaction boundaries (config.txn_cols): no commit ever
+        publishes half a transaction. A transaction wider than the
+        batch window widens the window by doubling (O(log) probe
+        jobs); a torn transaction at the LOG TAIL is held back —
+        ``stats.lsn_held_from`` records where — and a later replay()
+        picks it up once the log has grown past its commit.
+
+        Ranges are data-dependent but deterministic, so a resumed
+        replay re-derives the identical ranges; the ledger fast-forward
+        (last_applied_lsn) skips the already-applied prefix without
+        re-probing it.
+        """
+        txn_col, total_col = self.config.txn_cols
+        size = self.config.batch_lsn_size
+        if self._fk_parent_keys is not None:
+            self._fk_parent_keys.unpersist()
+            self._fk_parent_keys = None
+        lo = lsn_lo
+        last = self.table.last_applied_lsn()
+        if last is not None and last > lo:
+            lo = last
+            stats.batches_skipped += 1
+        while lo <= lsn_hi:
+            hi = lo + size
+            batch = slicer(lo, hi)
+            safe = txn_safe_boundary(batch, txn_col, total_col)
+            while safe is not None and safe <= lo and hi <= lsn_hi:
+                # one transaction spans the whole window — widen until
+                # its commit fits or the log runs out
+                hi = lo + 2 * (hi - lo)
+                batch = slicer(lo, hi)
+                safe = txn_safe_boundary(batch, txn_col, total_col)
+            if safe is not None and safe <= lo:
+                # the log ends mid-transaction: hold the tail
+                stats.lsn_held_from = safe
+                break
+            if safe is not None:
+                hi = safe
+                batch = slicer(lo, hi)  # lsn < safe pushed to the scan
+            if self.table.is_applied(lo, hi):
+                stats.batches_skipped += 1
+                lo = hi
+                continue
+            if self.registry is not None and self.registry.versions:
+                declared = self.registry.version_for_lsn(hi - 1)
+                ops = ensure_table_schema(
+                    self.table,
+                    declared.schema,
+                    self.registry.policy,
+                    renames=getattr(declared, "rename_map", None),
+                )
+                stats.schema_ops.extend(ops)
+                if ops and self._chained_state is not None:
+                    self._chained_state.unpersist()
+                    self._chained_state = None
+            info = self.apply_batch(batch.drop(txn_col, total_col), (lo, hi))
+            stats.batches_applied += 1
+            stats.rows_applied += info.rows_written
+            stats.rows_skipped_fk += self._last_fk_skipped
+            stats.commits.append(info)
+            lo = hi
             if (
                 stop_after_batches is not None
                 and stats.batches_applied >= stop_after_batches
