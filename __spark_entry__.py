@@ -534,6 +534,29 @@ def _q_txn_boundary_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSN-continuity audit: 40-event runs are deterministically dropped
+    from the derived log (lost-in-transport simulation); lsn_gaps must
+    report every missing run exactly. Two-phase plan — one hash agg to
+    per-block rows, lag windows only over the tiny block table and
+    inside loss-suspect blocks — the raw log is never globally sorted
+    (operators/monitor.py:lsn_gaps)."""
+    from neosync_spark.operators.monitor import lsn_gaps
+
+    log = _derived_log(spark, sf_dir)
+    blk1k = F.floor(F.col("lsn") / F.lit(1000.0)).cast("long")
+    vis = log.filter(
+        ~((blk1k % 3 == 1) & (F.col("lsn") % 1000 < 40))  # lost runs
+        & (F.col("lsn") % 797 != 13)  # scattered single losses
+    )
+    out = lsn_gaps(vis, "lsn", block=512)
+    return out.select(
+        F.col("gap_lo").cast("long").alias("gap_lo"),
+        F.col("gap_hi").cast("long").alias("gap_hi"),
+        F.col("n_missing").cast("long").alias("n_missing"),
+    )
+
+
 def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension from the change log: one row per key
     VERSION with a half-open (valid_from, valid_to) effective range,
@@ -3160,6 +3183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_percentiles": _q_profile_percentiles,
         "cdc_txn_atomic_apply": _q_txn_atomic_apply,
         "cdc_txn_boundary_replay": _q_txn_boundary_replay,
+        "cdc_gap_detection": _q_gap_detection,
         "text_quality_score": _q_quality,
         "text_lang_id": _q_lang_id,
         "dedup_fingerprint_overlap": _q_fingerprint_overlap,
@@ -3353,6 +3377,21 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
               FROM ok o
             ) WHERE rn = 1 AND op <> 'delete'
+        """,
+        # lag-over-distinct-lsn ground truth for the two-phase block scan
+        "cdc_gap_detection": f"""
+            WITH vis AS (
+              SELECT DISTINCT lsn FROM ({_CDC_DERIVATION})
+              WHERE NOT (CAST(FLOOR(lsn / 1000.0) AS BIGINT) % 3 = 1
+                         AND lsn % 1000 < 40)
+                AND lsn % 797 <> 13
+            ), l AS (
+              SELECT lsn, LEAD(lsn) OVER (ORDER BY lsn) AS nxt FROM vis
+            )
+            SELECT CAST(lsn + 1 AS BIGINT) AS gap_lo,
+                   CAST(nxt - 1 AS BIGINT) AS gap_hi,
+                   CAST(nxt - lsn - 1 AS BIGINT) AS n_missing
+            FROM l WHERE nxt > lsn + 1
         """,
         # commit-contiguous txns own 8-lsn blocks; the engine snaps every
         # batch end to a boundary and holds the torn tail txn

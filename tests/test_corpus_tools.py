@@ -277,3 +277,41 @@ class TestColumnDrift:
         df = spark.createDataFrame([("x",)], "v string")
         with pytest.raises(ValueError):
             column_drift(df, df, [])
+
+
+class TestLsnGaps:
+    """Exact LSN-continuity audit (operators/monitor.lsn_gaps)."""
+
+    def _gaps(self, spark, lsns, **kw):
+        from neosync_spark.operators.monitor import lsn_gaps
+
+        df = spark.createDataFrame([(int(x),) for x in lsns], "lsn long")
+        rows = lsn_gaps(df, **kw).collect()
+        return sorted((r["gap_lo"], r["gap_hi"], r["n_missing"]) for r in rows)
+
+    def _oracle(self, lsns):
+        s = sorted(set(lsns))
+        out = []
+        for a, b in zip(s, s[1:]):
+            if b > a + 1:
+                out.append((a + 1, b - 1, b - a - 1))
+        return out
+
+    def test_matches_lag_oracle_with_cross_and_intra_block_gaps(self, spark):
+        # gaps inside a block, spanning block edges, and whole blocks missing
+        lsns = list(range(0, 50)) + list(range(53, 120)) + list(range(400, 420)) \
+            + list(range(423, 430)) + [1000]
+        got = self._gaps(spark, lsns, block=64)
+        assert got == self._oracle(lsns)
+
+    def test_duplicates_do_not_fake_continuity_or_gaps(self, spark):
+        lsns = [0, 1, 1, 1, 5, 5, 6]
+        assert self._gaps(spark, lsns, block=4) == [(2, 4, 3)]
+
+    def test_contiguous_log_reports_nothing(self, spark):
+        assert self._gaps(spark, range(100), block=16) == []
+
+    def test_shuffle_join_fallback_agrees(self, spark):
+        lsns = [0, 2, 9, 33, 34, 70]
+        assert self._gaps(spark, lsns, block=8, broadcast_suspects=False) \
+            == self._oracle(lsns)
