@@ -534,6 +534,51 @@ def _q_txn_boundary_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline start: consistent snapshot at S (rows stamped with the
+    (ts, lsn) of the change they reflect) bulk-loaded as one merge
+    commit, then the tail replayed from a CONSERVATIVE resume marker
+    10% of the log BEFORE S — the overlap is re-delivered and must be
+    an LWW no-op, deletes re-delivered for snapshot-absent keys must
+    no-op, and the final state must equal a full-log replay
+    (plans/bootstrap.py:bootstrap_then_tail)."""
+    from neosync_spark.engine import EngineConfig
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.dedup import lww_dedup
+    from neosync_spark.plans.bootstrap import bootstrap_then_tail
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    s = (hi * 3) // 5
+    resume = s - hi // 10
+
+    snap = (
+        lww_dedup(log.filter(F.col("lsn") <= s), KEY_COLS, ["ts", "lsn"])
+        .filter(F.col("op") != "delete")
+        .withColumn("op", F.lit("insert"))
+    )
+
+    path = tempfile.mkdtemp(prefix="ns_cdc_boot_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    bootstrap_then_tail(
+        spark, table, snap, slicer, resume_lsn=resume, lsn_hi=hi,
+        config=EngineConfig(
+            batch_lsn_size=max(1000, (hi - resume + 4) // 4),
+            lineage=False, prune_buckets=False,
+        ),
+    )
+    return table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
 def _q_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSN-continuity audit: 40-event runs are deterministically dropped
     from the derived log (lost-in-transport simulation); lsn_gaps must
@@ -3184,6 +3229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_txn_atomic_apply": _q_txn_atomic_apply,
         "cdc_txn_boundary_replay": _q_txn_boundary_replay,
         "cdc_gap_detection": _q_gap_detection,
+        "cdc_bootstrap_handoff": _q_bootstrap_handoff,
         "text_quality_score": _q_quality,
         "text_lang_id": _q_lang_id,
         "dedup_fingerprint_overlap": _q_fingerprint_overlap,
@@ -3191,7 +3237,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_features": _q_image_features,
         "media_audio_features": _q_audio_features,
         "media_frame_sample": _q_frame_sample,
-        "synth_generators": _q_generators,
         "events_sessionize": _q_sessionize,
         "cdc_lateness_stats": _q_lateness_stats,
         "corpus_mix_plan": _q_mix_plan,
@@ -3272,6 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": _q_token_count,
         "text_fingerprint": _q_fingerprint,
         "text_winnow_fingerprints": _q_winnow,
+        "synth_generators": _q_generators,
     }
 
 
@@ -3377,6 +3423,12 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
               FROM ok o
             ) WHERE rn = 1 AND op <> 'delete'
+        """,
+        # snapshot+tail must converge to exactly the full-log LWW state
+        "cdc_bootstrap_handoff": f"""
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM ({lww}) WHERE op <> 'delete'
         """,
         # lag-over-distinct-lsn ground truth for the two-phase block scan
         "cdc_gap_detection": f"""
