@@ -89,6 +89,10 @@ BENCH_QUERIES = [
     "cdc_debezium_decode",
     "privacy_k_anonymity",
     "privacy_l_diversity",
+    "cdc_txn_atomic_apply",
+    "cdc_txn_boundary_replay",
+    "cdc_gap_detection",
+    "cdc_bootstrap_handoff",
 ]
 
 
