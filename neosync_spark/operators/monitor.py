@@ -39,6 +39,11 @@ def lsn_gaps(
     and phase 2b sorts ONLY inside blocks whose distinct count falls
     short of their own span — partitions of ≤``block`` rows. The
     corpus-sized input is scanned once and never globally sorted.
+
+    The cross-block lag collapses the block table to one task, so size
+    ``block`` ~ sqrt(max_lsn) to bound both phases: 10^10 lsns at
+    block=10^5 is a 10^5-row driver-sized block table and ≤10^5-row
+    suspect partitions. The default suits logs up to ~10^8 lsns.
     """
     lsn = F.col(lsn_col).cast("long")
     blk = F.floor(lsn / F.lit(float(block))).cast("long")

@@ -335,3 +335,48 @@ def test_bloom_point_lookup_opens_single_bucket_files(spark, tmp_path):
     # the exact key predicate is re-applied on top of the pruned scan
     assert "c1_2" in plan
     assert df.count() == 1
+
+
+def test_txn_split_broadcasts_torn_set_events_never_shuffle(spark, log_path):
+    """txn_complete_split: the torn-txn id list broadcasts back onto the
+    event stream (anti/semi joins) — the events themselves must not hash-
+    exchange, only the O(#txns) completeness aggregate does."""
+    from pyspark.sql import functions as F
+
+    from neosync_spark.operators.txn import txn_complete_split
+
+    log = ChangeLogSource(spark, log_path).full()
+    log = log.withColumn("txn_id", (F.col("lsn") / 8).cast("long"))
+    log = log.withColumn("txn_total", F.lit(8))
+    ok, held = txn_complete_split(log)
+    for df, join in ((ok, "LeftAnti"), (held, "LeftSemi")):
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan and join in plan
+        assert "SortMergeJoin" not in plan
+        # exactly one exchange: the completeness groupBy (partial agg
+        # collapses events map-side); the probe side reads the scan raw
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "HashAggregate" in plan
+
+
+def test_lsn_gaps_never_globally_sorts_raw_events(spark, log_path):
+    """lsn_gaps: the corpus-sized input is reduced by ONE hash agg;
+    range sorts appear only over the tiny block table and inside
+    loss-suspect blocks — never a rangepartitioning of the raw scan."""
+    from pyspark.sql import functions as F
+
+    from neosync_spark.operators.monitor import lsn_gaps
+
+    log = ChangeLogSource(spark, log_path).full().filter(F.col("lsn") % 50 != 7)
+    plan = _plan(lsn_gaps(log, block=64))
+    # cross-block path: a window over the aggregated block table — its
+    # input must be a HashAggregate, not the parquet scan
+    assert "HashAggregate" in plan
+    # intra-block path: suspect blocks broadcast back, no shuffle join
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the only rangepartitioning allowed is the ORDER BY over block rows
+    # (post-aggregate); the raw relation must reach its aggregate via
+    # hashpartitioning exchanges only
+    for line in plan.splitlines():
+        if "Exchange rangepartitioning" in line:
+            assert "_blk" in line or "_lsn" not in line
