@@ -579,6 +579,54 @@ def _q_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sharded_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned feed with NO global LSN (per-shard contiguous
+    offsets, conversations never span shards — the keyed-Kafka
+    contract): ShardedLogSource flattens (seq, shard) into the
+    order-preserving virtual lsn = seq*n + shard, and the UNCHANGED
+    engine (slicing, ledger, LWW merge) replays it; raw seq bounds
+    stay pushed down to the feed's parquet scan
+    (sources/sharded.py)."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+    from neosync_spark.sources.sharded import ShardedLogSource
+
+    _derived_log(spark, sf_dir).createOrReplaceTempView("_cdc_shard_src")
+    sharded = spark.sql("""
+        SELECT op, conv_id, turn_idx, role, text, tool, ts,
+               CAST(SUBSTR(conv_id, 6) AS INT) % 4 AS shard,
+               ROW_NUMBER() OVER (
+                 PARTITION BY CAST(SUBSTR(conv_id, 6) AS INT) % 4
+                 ORDER BY lsn) - 1 AS seq
+        FROM _cdc_shard_src
+    """)
+    feed = tempfile.mkdtemp(prefix="ns_cdc_shardfeed_") + "/feed"
+    sharded.write.parquet(feed)
+    src = ShardedLogSource(spark, feed, 4)
+    lo, hi = src.lsn_bounds()
+
+    table = SnapshotTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="ns_cdc_sharded_"),
+        transcript_schema(),
+        key_cols=KEY_COLS,
+        n_buckets=16,
+    )
+    ReplayEngine(
+        spark,
+        table,
+        config=EngineConfig(
+            batch_lsn_size=max(1000, (hi - lo + 4) // 4),
+            lineage=False,
+            prune_buckets=False,
+        ),
+    ).replay(src)
+    return table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
 def _q_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSN-continuity audit: 40-event runs are deterministically dropped
     from the derived log (lost-in-transport simulation); lsn_gaps must
@@ -3222,7 +3270,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_ann_pq,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_dedup_clusters": _q_embedding_clusters,
-        "corpus_stats": _q_corpus_stats,
         "profile_table": _q_profile_table,
         "cdc_retention_expiry": _q_retention_expiry,
         "profile_percentiles": _q_profile_percentiles,
@@ -3230,6 +3277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_txn_boundary_replay": _q_txn_boundary_replay,
         "cdc_gap_detection": _q_gap_detection,
         "cdc_bootstrap_handoff": _q_bootstrap_handoff,
+        "cdc_sharded_replay": _q_sharded_replay,
         "text_quality_score": _q_quality,
         "text_lang_id": _q_lang_id,
         "dedup_fingerprint_overlap": _q_fingerprint_overlap,
@@ -3318,6 +3366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "text_winnow_fingerprints": _q_winnow,
         "synth_generators": _q_generators,
+        "corpus_stats": _q_corpus_stats,
     }
 
 
@@ -3422,6 +3471,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT o.*, row_number() OVER (
                 PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
               FROM ok o
+            ) WHERE rn = 1 AND op <> 'delete'
+        """,
+        # per-shard offsets flattened to virtual lsn = seq*4 + shard;
+        # final state = LWW under the virtual order
+        "cdc_sharded_replay": f"""
+            WITH sharded AS (
+              SELECT l.*,
+                     CAST(SUBSTR(conv_id, 6) AS INT) % 4 AS shard,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY CAST(SUBSTR(conv_id, 6) AS INT) % 4
+                       ORDER BY lsn) - 1 AS seq
+              FROM ({_CDC_DERIVATION}) l
+            ), v AS (
+              SELECT op, conv_id, turn_idx, role, text, tool, ts,
+                     seq * 4 + shard AS vlsn
+              FROM sharded
+            )
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM (
+              SELECT v.*, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, vlsn DESC) AS rn
+              FROM v
             ) WHERE rn = 1 AND op <> 'delete'
         """,
         # snapshot+tail must converge to exactly the full-log LWW state
