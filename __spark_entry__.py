@@ -136,6 +136,54 @@ def _q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_repair_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disaster recovery end-to-end: replay the log into a table, LOSE
+    two buckets' files on disk, detect the damage with the distributed
+    storage audit (verify_files), then re-derive exactly those buckets
+    from the archived log (repair_buckets — bucket-hash + applied-lsn
+    predicates in the log scan, every other bucket carried by
+    reference). Result = the repaired visible state, which must equal
+    the plain LWW final state — the same oracle the flagship replay
+    query proves, now surviving storage loss."""
+    import os as _os
+
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    batch = max(1000, (int(hi) + 2) // 2)
+    path = tempfile.mkdtemp(prefix="ns_repair_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+    eng = ReplayEngine(
+        spark,
+        table,
+        config=EngineConfig(batch_lsn_size=batch, lineage=False, prune_buckets=False),
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    eng.replay(slicer, lsn_lo=0, lsn_hi=int(hi))
+
+    m = table.manifest(refresh=True)
+    victims = sorted(int(b) for b in m["files"])[:2]
+    for b in victims:
+        for e in m["files"][str(b)]:
+            _os.remove(e["path"])
+    found = table.verify_files(deep=False)["damaged_buckets"]
+    if found != victims:  # the audit must drive the repair
+        raise AssertionError(f"storage audit found {found}, damaged {victims}")
+    table.repair_buckets(log, found)
+    out = table.read()
+    return out.select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
 def _q_purge_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten: replay the log into a MoR table, then
     physically purge the first 20 conversations (lexicographic) —
@@ -3300,7 +3348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk_overlap": _q_text_chunks,
         "json_anonymize": _q_json_anonymize,
         "constraint_violations": _q_constraint_violations,
-        "cdc_replay_final_state": _q_cdc_replay,
+        "cdc_repair_bucket": _q_cdc_repair_bucket,
         "multi_table_sync_drift": _q_multi_table_sync_drift,
         "cdc_debezium_decode": _q_debezium_decode,
         "privacy_k_anonymity": _q_privacy_k_anonymity,
@@ -3311,7 +3359,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- below: verified green in CORRECTNESS_r01-r03, or pass*
         # (green in an earlier artifact + judge rerun; re-provable any
         # round): multi_table_sync is strictly subsumed by the drift
-        # variant above ----
+        # variant above; cdc_replay_final_state (green r1-r3) by
+        # cdc_repair_bucket, which replays the same pipeline to the
+        # same oracle and then survives storage loss ----
+        "cdc_replay_final_state": _q_cdc_replay,
         "cdc_merge_upsert": _q_merge_upsert,
         "cdc_patch_merge_mor": _q_patch_merge_mor,
         "subset_fk_chain": _q_subset_fk_chain,
@@ -3381,6 +3432,14 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "cdc_replay_final_state": f"""
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM ({lww}) WHERE op <> 'delete'
+        """,
+        # repair must converge to the SAME state the plain replay does —
+        # storage loss + audit + per-bucket re-derivation are invisible
+        # in the final table
+        "cdc_repair_bucket": f"""
             SELECT conv_id, turn_idx, role, text, tool,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'

@@ -2183,6 +2183,262 @@ class SnapshotTable:
         self._write_manifest(new_m)
         return CommitInfo(new_sid, 0, len(new_files), None)
 
+    def verify_files(self, deep: bool = True) -> dict:
+        """Distributed storage audit — the ``fsck`` of the table.
+
+        Every data-file entry of the current snapshot is checked
+        EXECUTOR-side (existence, parquet footer readability, and with
+        ``deep=True`` that the footer's recomputed zone-map min/max
+        still equal the stats the manifest recorded at commit time —
+        bit-rot / file-swap detection without touching data pages).
+        Only failures travel to the driver, so a 100 TB table with
+        millions of files returns a handful of rows, not a file list.
+
+        Returns ``{"files_checked", "damaged": [{"bucket","path",
+        "reason"}...], "damaged_buckets": [...]}`` — feed
+        ``damaged_buckets`` to :meth:`repair_buckets`.
+
+        Reference analog: the post-sync row-count/constraint
+        verification the CLI offers (cli/internal/cmds/neosync/sync);
+        here the subject is the table's own storage integrity.
+        """
+        m = self.manifest(refresh=True)
+        rows = [
+            (
+                int(b),
+                e["path"],
+                json.dumps(e["stats"]) if (deep and e.get("stats")) else None,
+            )
+            for b, entries in m["files"].items()
+            for e in entries
+        ]
+        if not rows:
+            return {"files_checked": 0, "damaged": [], "damaged_buckets": []}
+
+        norm = self._norm_stat
+
+        def _check(batches):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            for pdf in batches:
+                out = []
+                for b, path, stats_json in zip(
+                    pdf["bucket"], pdf["path"], pdf["stats_json"]
+                ):
+                    if not os.path.exists(path):
+                        out.append((int(b), path, "missing"))
+                        continue
+                    try:
+                        md = pq.ParquetFile(path).metadata
+                    except Exception:
+                        out.append((int(b), path, "unreadable_footer"))
+                        continue
+                    if stats_json is None:
+                        continue
+                    expected = json.loads(stats_json)
+                    idx = {
+                        md.schema.column(i).name: i
+                        for i in range(md.num_columns)
+                    }
+                    for col, (lo, hi) in expected.items():
+                        if col not in idx:
+                            out.append((int(b), path, f"stats_missing:{col}"))
+                            break
+                        mins, maxs, ok = [], [], True
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(idx[col]).statistics
+                            if st is None or not st.has_min_max:
+                                ok = False
+                                break
+                            mins.append(st.min)
+                            maxs.append(st.max)
+                        if not ok or not mins:
+                            out.append((int(b), path, f"stats_missing:{col}"))
+                            break
+                        got = json.loads(
+                            json.dumps([norm(min(mins)), norm(max(maxs))])
+                        )
+                        if got != [lo, hi]:
+                            out.append((int(b), path, f"stats_mismatch:{col}"))
+                            break
+                yield pd.DataFrame(
+                    out, columns=["bucket", "path", "reason"]
+                )
+
+        files_df = self.spark.createDataFrame(
+            rows, "bucket int, path string, stats_json string"
+        )
+        n_part = max(1, min(len(rows), self.spark.sparkContext.defaultParallelism))
+        damaged_rows = (
+            files_df.repartition(n_part)
+            .mapInPandas(_check, "bucket int, path string, reason string")
+            .collect()
+        )
+        damaged = [
+            {"bucket": r["bucket"], "path": r["path"], "reason": r["reason"]}
+            for r in damaged_rows
+        ]
+        return {
+            "files_checked": len(rows),
+            "damaged": damaged,
+            "damaged_buckets": sorted({d["bucket"] for d in damaged}),
+        }
+
+    def repair_buckets(
+        self,
+        log_df: DataFrame,
+        buckets: Sequence[int],
+        transform=None,
+        patch_source: bool = False,
+        exclude_keys: Sequence | None = None,
+    ) -> CommitInfo:
+        """Re-derive DAMAGED buckets from the archived change log.
+
+        The disaster-recovery path: when storage loses or corrupts the
+        files of specific buckets (found by :meth:`verify_files`), the
+        table is re-derivable from the log — but replaying all 10^10
+        events to fix one bucket of 2^13 is not an option at scale.
+        This replays ONLY the damaged buckets' slice of the log:
+
+        - a ``pmod(xxhash64(key), n_buckets) IN (...)`` filter selects
+          the events whose keys hash into the damaged buckets — a
+          narrow JVM predicate evaluated in the log scan, so the log
+          is touched once and (if the archive is itself bucketed by
+          the same function) prunes to the damaged shards' files;
+        - an lsn predicate rebuilt from the exactly-once ledger keeps
+          ONLY events the table had actually applied — an unapplied
+          tail (a torn transaction held back, a crash before commit)
+          must not leak into the repaired bucket ahead of the others;
+        - the same LWW fold / transform / tombstone finalization the
+          merge path uses reproduces byte-identical visible state, and
+          the commit swaps in exactly the damaged buckets' file lists
+          (operation ``repair``; ledger untouched, every other
+          bucket's files carried by reference).
+
+        Semantics notes (none silent):
+
+        - ``transform`` must be the same deterministic per-row mapping
+          the original merges applied (anonymization is part of the
+          stored state; repair re-applies it to the winning events).
+        - ``patch_source=True``: the log carries partial images
+          (op='patch'); the fold is ``patch_fold`` over the full
+          replayed history, which is exactly the read-time MoR fold.
+        - Purge interplay: :meth:`purge_keys` erases subjects from the
+          TABLE; the archived log still holds them, so a repair would
+          resurrect purged keys. Pass ``exclude_keys`` (the purged key
+          values) to withhold them — the residual obligation is the
+          log archive's own retention, outside this table's scope.
+        - Repair folds the bucket to full images (base files only) —
+          valid beside other buckets' MoR deltas, since the read path
+          resolves each bucket independently.
+        - Tombstones the log still proves are re-materialized even if
+          a prior compaction had expired them elsewhere; visible state
+          (``read()``) is identical either way.
+        """
+        m = self.manifest(refresh=True)
+        buckets = sorted({int(b) for b in buckets})
+        if not buckets:
+            raise ValueError("repair_buckets needs at least one bucket id")
+        nb = m["bucket_count"]
+        bad = [b for b in buckets if not (0 <= b < nb)]
+        if bad:
+            raise ValueError(f"bucket ids {bad} out of range [0, {nb})")
+        key_cols = m["key_cols"]
+        cur = self.current_schema(m)
+        ranges = [(lo, hi) for (lo, hi, _sid, _n) in self.applied_ranges()]
+
+        new_files = {
+            b: v for b, v in m["files"].items() if int(b) not in set(buckets)
+        }
+        new_sid = self._next_snapshot_id()
+
+        written: dict[int, list[str]] = {}
+        fstats: dict[str, dict] = {}
+        bmap: dict[str, str] = {}
+        bucket_counts: dict[int, int] = {}
+        n_out = 0
+        if ranges:
+            src = log_df.filter(
+                bucket_expr(key_cols[0], nb).isin([int(b) for b in buckets])
+            )
+            if len(ranges) <= 512:
+                applied_pred = None
+                for lo, hi in ranges:
+                    arm = (F.col("lsn") >= int(lo)) & (F.col("lsn") <= int(hi))
+                    applied_pred = arm if applied_pred is None else (applied_pred | arm)
+                src = src.filter(applied_pred)
+            else:
+                rng = self.spark.createDataFrame(
+                    [(int(lo), int(hi)) for lo, hi in ranges], "_lo long, _hi long"
+                )
+                src = src.join(
+                    F.broadcast(rng),
+                    (F.col("lsn") >= F.col("_lo")) & (F.col("lsn") <= F.col("_hi")),
+                ).drop("_lo", "_hi")
+            if exclude_keys:
+                src = src.filter(~F.col(key_cols[0]).isin(list(exclude_keys)))
+            src = src.withColumn(_BUCKET_COL, bucket_expr(key_cols[0], nb))
+            s_side = self._source_side(src, cur, patch_ops=patch_source)
+            if patch_source:
+                if transform is not None:
+                    # per raw event, BEFORE the fold — mirrors merge_cdc's
+                    # patch path (a post-fold transform would re-transform
+                    # columns a patch left untouched)
+                    s_side = transform(s_side)
+                value_cols = [
+                    c for c in (f.name for f in cur.fields)
+                    if c not in key_cols and c != "ts"
+                ]
+                won = patch_fold(
+                    s_side, key_cols, ["ts", _LSN_COL], value_cols
+                )
+            else:
+                won = lww_dedup(s_side, key_cols, ["ts", _LSN_COL])
+                if transform is not None:
+                    won = transform(won)
+            out = self._finalize_rows(won, cur, key_cols)
+            commit_dir = os.path.join(
+                self.path, "data", f"commit-{new_sid}-{uuid.uuid4().hex[:8]}"
+            )
+            n_parts = max(1, min(len(buckets), 256))
+            out.repartition(n_parts, F.col(_BUCKET_COL)).write.partitionBy(
+                _BUCKET_COL
+            ).parquet(commit_dir)
+            written = self._list_commit_files(commit_dir)
+            footers = self._read_footers(written)
+            fstats = self._collect_file_stats(written, self._stats_cols(m), footers)
+            bmap = self._annotate_blooms(m, new_sid, written)
+            bucket_counts = self._footer_counts(written, footers)
+            n_out = sum(bucket_counts.values())
+            for b, paths in written.items():
+                new_files[str(b)] = [
+                    {
+                        "path": p,
+                        "schema_id": m["schema_id"],
+                        **({"stats": fstats[p]} if p in fstats else {}),
+                        **({"bloom": bmap[p]} if p in bmap else {}),
+                    }
+                    for p in sorted(paths)
+                ]
+        new_files = {b: v for b, v in new_files.items() if v}
+
+        new_m = {
+            **m,
+            "snapshot_id": new_sid,
+            "parent": m["snapshot_id"],
+            "files": new_files,
+            "summary": {
+                "operation": "repair",
+                "buckets": len(buckets),
+                "rows_rederived": n_out,
+            },
+        }
+        if bucket_counts:
+            self._write_lineage(bucket_counts, new_sid, None)
+        self._write_manifest(new_m)
+        return CommitInfo(new_sid, n_out, len(buckets), None)
+
     def expire_snapshots(self, keep_last: int = 3) -> dict:
         """GC: drop manifests older than the last ``keep_last``
         snapshots and delete data files referenced by NO retained
