@@ -355,6 +355,40 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("--force", action="store_true",
                     help="proceed even when branches pin history")
 
+    fk = sub.add_parser(
+        "fsck",
+        help="distributed storage audit: every manifest file entry "
+             "checked executor-side (existence, footer, zone-map vs "
+             "manifest stats); exit 1 if damage found",
+    )
+    fk.add_argument("--table", required=True)
+    fk.add_argument("--shallow", action="store_true",
+                    help="skip the zone-map-vs-manifest comparison "
+                         "(existence + footer parse only)")
+
+    rr = sub.add_parser(
+        "repair",
+        help="re-derive damaged buckets from the archived change log "
+             "(only their slice of the log is replayed); buckets "
+             "default to what fsck finds",
+    )
+    rr.add_argument("--table", required=True)
+    rr.add_argument("--log", required=True,
+                    help="the archived change log (parquet)")
+    rr.add_argument("--buckets", default=None, metavar="ID,ID",
+                    help="bucket ids to rebuild (default: run the "
+                         "storage audit and repair what it finds)")
+    rr.add_argument("--mapping", action="append", default=[],
+                    help="col=transformer[:json-params] — MUST match "
+                         "what the original replay applied (anonymized "
+                         "values are part of the stored state)")
+    rr.add_argument("--seed", type=int, default=42)
+    rr.add_argument("--patch-source", action="store_true",
+                    help="log carries partial images (op='patch')")
+    rr.add_argument("--exclude-key", nargs="+", default=None,
+                    help="key values to withhold (re-assert purges the "
+                         "log would resurrect)")
+
     ck = sub.add_parser(
         "checksum",
         help="order-independent replica checksum (pt-table-checksum "
@@ -762,6 +796,72 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         print(json.dumps(out))
         return 0
+
+    if args.cmd == "fsck":
+        from .lakehouse import SnapshotTable
+
+        t = SnapshotTable.load(spark, args.table)
+        rep = t.verify_files(deep=not args.shallow)
+        print(json.dumps(rep))
+        return 0 if not rep["damaged"] else 1
+
+    if args.cmd == "repair":
+        from pyspark.sql import functions as F
+
+        from .lakehouse import SnapshotTable
+        from .plans.job import resolve_transformer
+
+        t = SnapshotTable.load(spark, args.table)
+        if args.buckets:
+            buckets = [int(b) for b in args.buckets.split(",")]
+        else:
+            buckets = t.verify_files()["damaged_buckets"]
+            if not buckets:
+                print(json.dumps({"repaired": False, "damaged_buckets": []}))
+                return 0
+        transform = None
+        if args.mapping:
+            from .functions.transformers import as_udf, key_col
+            from .schema import KEY_COLS
+
+            transforms = {
+                mp.column: resolve_transformer(mp, args.seed)
+                for mp in _parse_mapping(args.mapping)
+            }
+
+            def transform(df, _tx=transforms):
+                k = key_col(*KEY_COLS)
+                out = df
+                for col, fn in _tx.items():
+                    if col in out.columns:
+                        expr = getattr(fn, "column_expr", None)
+                        out = out.withColumn(
+                            col,
+                            expr(F.col(col)) if expr
+                            else as_udf(fn)(F.col(col), k),
+                        )
+                return out
+
+        excl = None
+        if args.exclude_key:
+            key_type = t.current_schema()[t.manifest()["key_cols"][0]].dataType
+            excl = [_cast_cli_value(v, key_type) for v in args.exclude_key]
+        info = t.repair_buckets(
+            spark.read.parquet(args.log),
+            buckets,
+            transform=transform,
+            patch_source=args.patch_source,
+            exclude_keys=excl,
+        )
+        post = t.verify_files(deep=False)
+        print(json.dumps({
+            "repaired": True,
+            "buckets": buckets,
+            "rows_rederived": info.rows_written,
+            "snapshot": info.snapshot_id,
+            "clean_after": not post["damaged"],
+        }))
+        return 0 if not post["damaged"] else 1
 
     if args.cmd == "checksum":
         from .lakehouse import SnapshotTable
