@@ -582,6 +582,63 @@ def _q_txn_boundary_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table consistent read: ONE source log fans out to two
+    destination tables committed independently on different grids (raw
+    on a b-grid applied to the end; replica on a 2b-grid applied only
+    through 3b). plans/consistent.py aligns them at the newest common
+    checkpoint boundary W=3b; the raw table must TIME-TRAVEL back past
+    its newer commits (snapshot_at_lsn walks the parent chain). Output
+    = both views tagged by side; each half must equal LWW(lsn < 3b)."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.plans.consistent import consistent_watermark, read_consistent
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    b = (hi + 4) // 4
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    def _mk(name):
+        return SnapshotTable.create(
+            spark, tempfile.mkdtemp(prefix=f"ns_cdc_cons_{name}_"),
+            transcript_schema(), key_cols=KEY_COLS, n_buckets=16,
+        )
+
+    raw = _mk("raw")
+    ReplayEngine(
+        spark, raw,
+        config=EngineConfig(batch_lsn_size=b, lineage=False, prune_buckets=False),
+    ).replay(slicer, lsn_lo=0, lsn_hi=hi)
+    # replica commits on a coarser grid, cadence changing mid-stream
+    # (2b then b), and its tail is NOT yet applied — boundaries {2b, 3b}
+    replica = _mk("replica")
+    ReplayEngine(
+        spark, replica,
+        config=EngineConfig(batch_lsn_size=2 * b, lineage=False, prune_buckets=False),
+    ).replay(slicer, lsn_lo=0, lsn_hi=2 * b - 1)
+    ReplayEngine(
+        spark, replica,
+        config=EngineConfig(batch_lsn_size=b, lineage=False, prune_buckets=False),
+    ).replay(slicer, lsn_lo=2 * b, lsn_hi=3 * b - 1)
+    tables = {"raw": raw, "replica": replica}
+
+    w = consistent_watermark(tables.values())
+    assert w == 3 * b, (w, b)
+    views = read_consistent(tables, lsn=w)
+    out = None
+    for name, v in views.items():
+        part = v.select(
+            F.lit(name).alias("side"),
+            "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts"),
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
 def _q_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline start: consistent snapshot at S (rows stamped with the
     (ts, lsn) of the change they reflect) bulk-loaded as one merge
@@ -3310,7 +3367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_index_sync": _q_dedup_index_sync,
         "decontaminate_fuzzy": _q_fuzzy_decontaminate,
         "dedup_exact_spans": _q_duplicate_spans,
-        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "cdc_consistent_read": _q_consistent_read,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
@@ -3377,6 +3434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_stats_pruned_read": _q_stats_pruned_read,
         "cdc_lww_dedup_agg": _q_lww_agg,
         "cdc_lww_dedup_window": _q_lww_window,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
         "cdc_delete_semantics": _q_delete_semantics,
         "cdc_snapshot_diff": _q_snapshot_diff,
         "cdc_changefeed_images": _q_changefeed_images,
@@ -3506,6 +3564,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'
+        """,
+        # two destinations on different commit grids aligned at the
+        # newest common checkpoint boundary W = 3*ceil((hi+1)/4): both
+        # sides must be the LWW state of exactly the lsn < W prefix
+        "cdc_consistent_read": f"""
+            WITH log AS ({_CDC_DERIVATION}),
+            mx AS (SELECT ((max(lsn) + 4) // 4) * 3 AS w FROM log),
+            state AS (
+              SELECT * FROM (
+                SELECT l.*, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+                FROM log l WHERE lsn < (SELECT w FROM mx)
+              ) WHERE rn = 1 AND op <> 'delete'
+            )
+            SELECT 'raw' AS side, conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM state
+            UNION ALL
+            SELECT 'replica' AS side, conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM state
         """,
         # txn_id = parity-interleaved pairs within 16-lsn blocks; a txn
         # is applyable iff every declared event is visible below the cut

@@ -497,6 +497,51 @@ class SnapshotTable:
                     f"(older snapshots were expired)"
                 ) from None
 
+    def checkpoint_boundaries(self) -> list[int]:
+        """Sorted EXCLUSIVE upper bounds of the ledger's applied lsn
+        ranges — the lsn points at which this table's state is exactly
+        'every event with lsn < boundary applied, none beyond'. The
+        alignment vocabulary for cross-table consistent reads
+        (plans/consistent.py). Metadata-only."""
+        return sorted({int(hi) for (_lo, hi, _sid, _n) in self.applied_ranges()})
+
+    def snapshot_at_lsn(self, lsn: int, strict: bool = True) -> int:
+        """Newest snapshot whose ledger high-water is <= ``lsn`` — lsn
+        time travel: ``read(snapshot_id=t.snapshot_at_lsn(W))`` is the
+        table as of source position W (events with lsn < W applied).
+
+        With ``strict=True`` (default) ``lsn`` must be one of
+        :meth:`checkpoint_boundaries` — at a non-boundary W the events
+        in (high-water, W) were never applied alone, so no snapshot
+        represents W exactly and silently returning the older one
+        would fake consistency. Walks the parent chain; raises if the
+        covering snapshot was expired (consistent reads reach only as
+        far back as the retention window)."""
+        if strict and int(lsn) not in set(self.checkpoint_boundaries()):
+            raise ValueError(
+                f"lsn {lsn} is not a checkpoint boundary of this table; "
+                "align on checkpoint_boundaries() (or consistent_watermark "
+                "across tables), or pass strict=False for the newest "
+                "state at-or-before it"
+            )
+        m = self.manifest(refresh=True)
+        while True:
+            his = [hi for (_lo, hi, _sid, _n) in m["checkpoint"]["applied"]]
+            hw = max(his) if his else 0
+            if hw <= int(lsn):
+                return int(m["snapshot_id"])
+            parent = m.get("parent")
+            if parent is None:
+                raise ValueError(f"no snapshot at or before lsn {lsn}")
+            try:
+                m = self.manifest(parent)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"the snapshot covering lsn {lsn} was expired by "
+                    "snapshot GC — consistent reads are bounded by the "
+                    "retention window"
+                ) from None
+
     def rollback(self, snapshot_id: int) -> int:
         """Restore the table to a previous snapshot (the Iceberg
         rollback analog): commits a NEW snapshot whose file set, schema
