@@ -888,6 +888,7 @@ class SnapshotTable:
         debug_assert_unique: bool = False,
         patch_ops: bool = False,
         bucket_local_merge: bool = False,
+        late_materialize: bool = False,
     ) -> CommitInfo:
         """Apply a key-unique CDC batch (cols: op + payload + ts + lsn).
 
@@ -951,6 +952,26 @@ class SnapshotTable:
         partitions. Final state is identical either way (tests assert
         it).
 
+        ``late_materialize=True`` (raw sources, full images only) runs
+        the in-batch LWW over NARROW rows — (key, ts, lsn) — and
+        re-fetches winning payloads from the source scan via a
+        broadcast winner semi-join, instead of pushing every event's
+        full payload through the dedup shuffle. Wire math: with
+        duplicate multiplicity d (events per key per batch) and payload
+        width w >> key width k, the dedup exchange shrinks from
+        O(d·keys·w) to O(d·keys·k) and the payload crosses the network
+        once (keys·w in the merge exchange) instead of d times; the
+        source is scanned twice (columnar scans are the cheap part —
+        and the second scan prunes to key+payload columns). The winner
+        set (one (key, lsn) row per key) must fit in a broadcast, so
+        this is for micro/mini-batches up to ~10^7 DISTINCT keys per
+        commit — at bigger batch key-counts, or d ≈ 1 (no duplication
+        to elide), keep the default single-pass fold. Joining on
+        key+lsn (not lsn alone) keeps it correct even if lsn values
+        repeat across keys; exact-duplicate redeliveries of the winner
+        survive the semi-join and collapse in the (now tiny) merge
+        fold, same as the default path.
+
         ``source_is_raw=True`` is the engine fast path: the batch may
         hold many events per key and is not yet anonymized — the stats
         pre-pass then runs on the cheap raw scan (no UDFs), in-batch
@@ -1005,6 +1026,10 @@ class SnapshotTable:
         persisted = not source_is_raw
         if persisted:
             src = src.persist()
+        # pre-observe handle: the late-materialize winner build runs as
+        # its own (broadcast) job and must not re-fire the observe()
+        # metric the write job owns
+        src_plain = src
         observation = None
         try:
             if prune_buckets:
@@ -1030,6 +1055,22 @@ class SnapshotTable:
                 n_src = None
 
             s_side = self._source_side(src, cur, patch_ops=patch_ops)
+
+            if late_materialize and source_is_raw and not patch_ops:
+                # narrow in-batch LWW: only (key, ts, lsn) crosses the
+                # dedup exchange; winning payloads are re-fetched from
+                # a second (column-pruned) source scan by broadcast
+                # semi-join on key+lsn. See the docstring for the wire
+                # math and the key-count bound.
+                narrow = src_plain.select(
+                    *key_cols, "ts", F.col("lsn").cast("long").alias(_LSN_COL)
+                )
+                winners = lww_dedup(narrow, key_cols, ["ts", _LSN_COL])
+                s_side = s_side.join(
+                    F.broadcast(winners.select(*key_cols, _LSN_COL)),
+                    on=[*key_cols, _LSN_COL],
+                    how="left_semi",
+                )
 
             if mode == "mor":
                 # delta write: LWW deferred to read/compact; raw batches
