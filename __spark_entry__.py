@@ -231,6 +231,57 @@ def _q_purge_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two independent writers commit to the SAME table concurrently
+    (the race is made deterministic with the pre-commit test seam):
+    (1) MoR: while writer B is about to commit the second half of the
+    log, writer A lands the first half — B's delta append REBASES onto
+    A's head (Iceberg optimistic concurrency, lakehouse.py
+    _rebase_manifest) instead of failing or losing A's commit;
+    (2) COW: same race with copy-on-write rewrites — B's consumed files
+    were replaced by A, so on_conflict='retry' RECOMPUTES B's merge
+    from the new head. Both tables must equal the sequential full-log
+    LWW state, with both ledger ranges present (exactly-once survives
+    the race)."""
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0) + 1
+    mid = hi // 2
+    first = log.filter(F.col("lsn") < mid)
+    second = log.filter(F.col("lsn") >= mid)
+
+    out = []
+    for mode, conflict in (("mor", "rebase"), ("cow", "retry")):
+        path = tempfile.mkdtemp(prefix=f"ns_conc_{mode}_")
+        SnapshotTable.create(
+            spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+        )
+        wa = SnapshotTable.load(spark, path)
+        wb = SnapshotTable.load(spark, path)
+        wb._pre_commit_hook = lambda wa=wa: wa.merge_cdc(
+            first, applied_range=(0, mid), source_is_raw=True, mode=mode,
+            lineage=False, prune_buckets=False,
+        )
+        wb.merge_cdc(
+            second, applied_range=(mid, hi), source_is_raw=True, mode=mode,
+            lineage=False, prune_buckets=False, on_conflict=conflict,
+        )
+        m = wb.manifest(refresh=True)
+        ranges = {(r[0], r[1]) for r in m["checkpoint"]["applied"]}
+        if ranges != {(0, mid), (mid, hi)}:
+            raise AssertionError(f"{mode}: ledger lost a range: {ranges}")
+        if mode == "mor" and m["summary"].get("rebased_onto") is None:
+            raise AssertionError("MoR append race must commit via rebase")
+        out.append(
+            wb.read()
+            .select("conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts"))
+            .withColumn("writer_mode", F.lit(mode))
+        )
+    return out[0].unionByName(out[1])
+
+
 def _q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish: first half of the log lands on main, the
     second half is STAGED on a branch (invisible to main readers),
@@ -3248,11 +3299,16 @@ def _q_column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-retention pass (compact expire_rows_before): replay the
-    log as MoR deltas, then compact the whole table dropping every row
-    — live or tombstone — whose LWW-winning ts is older than
-    max(ts) − 2 days ("keep the last 2 days"). The surviving state must
-    be exactly the alive LWW winners inside the window."""
+    """Data retention ("keep the last 2 days") the way a 100 TB table
+    runs it: replay the log as MoR deltas, time-cluster the files
+    (compact with zorder on ts + small files, so each file covers a
+    narrow ts range), then ``expire_rows`` — files whose zone map
+    proves max(ts) < cutoff are dropped from the manifest WITHOUT
+    reading a byte (asserted in-query), only cutoff-straddling files
+    are rewritten (lakehouse.expire_rows; the Iceberg drop-partition
+    analog for a key-bucketed table). The surviving state must be
+    exactly the alive LWW winners inside the window — identical to the
+    full fold-and-filter rewrite the oracle replays."""
     import datetime
 
     from neosync_spark.engine import EngineConfig, ReplayEngine
@@ -3260,8 +3316,8 @@ def _q_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    row = log.agg(F.max("lsn"), F.max("ts")).collect()[0]
-    hi, max_ts = int(row[0] or 0), row[1]
+    row = log.agg(F.max("lsn"), F.max("ts"), F.count("*")).collect()[0]
+    hi, max_ts, n_ev = int(row[0] or 0), row[1], int(row[2])
 
     path = tempfile.mkdtemp(prefix="ns_cdc_retain_")
     table = SnapshotTable.create(
@@ -3279,8 +3335,20 @@ def _q_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
 
     eng.replay(slicer, lsn_lo=0, lsn_hi=hi)
+    # maintenance-window clustering: each file covers a narrow ts range
+    # (~8 files per bucket so zone maps actually separate the days)
+    n_final = table.read().count()
+    table.compact(
+        zorder_cols=["ts"], zorder_bits=6,
+        max_records_per_file=max(16, n_final // (16 * 8)),
+    )
     cutoff = max_ts - datetime.timedelta(days=2)
-    table.compact(expire_rows_before=cutoff)
+    rep = table.expire_rows(cutoff)
+    if rep["files_dropped_meta"] <= 0:
+        raise AssertionError(
+            f"retention on a time-clustered table must drop files "
+            f"metadata-only, got {rep}"
+        )
     return table.read().select(
         "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
     )
@@ -3368,6 +3436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_fuzzy": _q_fuzzy_decontaminate,
         "dedup_exact_spans": _q_duplicate_spans,
         "cdc_consistent_read": _q_consistent_read,
+        "cdc_concurrent_writers": _q_concurrent_writers,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
@@ -3493,6 +3562,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'
+        """,
+        # two concurrent writers (MoR rebase + COW retry) must both
+        # converge to the sequential full-log LWW state — the oracle is
+        # that state, once per writer_mode
+        "cdc_concurrent_writers": f"""
+            SELECT s.conv_id, s.turn_idx, s.role, s.text, s.tool,
+                   strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   modes.writer_mode
+            FROM ({lww}) s
+            CROSS JOIN (
+              SELECT 'mor' AS writer_mode UNION ALL SELECT 'cow'
+            ) modes
+            WHERE s.op <> 'delete'
         """,
         # repair must converge to the SAME state the plain replay does —
         # storage loss + audit + per-bucket re-derivation are invisible

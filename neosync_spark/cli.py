@@ -155,6 +155,19 @@ def main(argv: list[str] | None = None) -> int:
                    help="auto: bound the maintenance window to the K "
                         "worst buckets")
 
+    rt = sub.add_parser(
+        "retain",
+        help="retention: drop rows older than a cutoff, metadata-only "
+             "where zone maps allow (expire_rows)",
+    )
+    rt.add_argument("--table", required=True)
+    rt.add_argument("--before", required=True, metavar="TS",
+                    help="ISO timestamp cutoff: every row (live or "
+                         "tombstone) with ts older than this is dropped; "
+                         "wholly-old files leave the manifest without "
+                         "being read, straddling files are row-filtered "
+                         "in place, patch buckets fold via compact")
+
     v = sub.add_parser("verify", help="replay-vs-oracle final state check")
     v.add_argument("--log", required=True)
     v.add_argument("--table", required=True)
@@ -600,6 +613,16 @@ def main(argv: list[str] | None = None) -> int:
 
         t = SnapshotTable.load(spark, args.table)
         print(json.dumps(t.expire_snapshots(keep_last=args.keep_last)))
+        return 0
+
+    if args.cmd == "retain":
+        import datetime
+
+        from .lakehouse import SnapshotTable
+
+        t = SnapshotTable.load(spark, args.table)
+        rep = t.expire_rows(datetime.datetime.fromisoformat(args.before))
+        print(json.dumps(rep))
         return 0
 
     if args.cmd == "branch":

@@ -92,17 +92,44 @@ def bucket_expr(key_col: str, n_buckets: int):
 
 
 class CommitConflictError(RuntimeError):
-    """Another writer committed since this merge planned its snapshot.
+    """Another writer committed since this commit planned its snapshot.
 
-    The engine is single-writer by design (one driver owns a table,
-    like the reference's per-table stream); this guard turns misuse
-    into a loud failure instead of a lost update.
+    Default behavior (``on_conflict='fail'``) turns the race into a
+    loud failure instead of a lost update — the reference is
+    single-writer per table (one stream owns it). Commit methods also
+    accept ``on_conflict='rebase'`` (metadata-level rebase onto the new
+    head when provably safe — the Iceberg optimistic-retry model) and
+    ``on_conflict='retry'`` (rebase, else recompute the whole operation
+    from the new head, bounded attempts).
     """
+
+
+class RewriteConflictError(CommitConflictError):
+    """A rebase found that files this rewrite consumed were replaced by
+    a concurrent commit — the rewrite's output is stale and must be
+    recomputed from the new head (metadata alone can't fix it)."""
 
 
 class BranchAuditError(RuntimeError):
     """A write-audit-publish audit found violations in the staged
     branch state; the publish was aborted and main is untouched."""
+
+
+# Concurrent commits with these operations are data-plane only (their
+# whole effect is the per-bucket file-entry lists + ledger), so a
+# conflicting commit can rebase across them by merging entry lists —
+# any same-file contention is caught by the rebase's entry validation.
+# Retention qualifies: a rewrite that consumed since-dropped files
+# conflicts on the missing entries, and a delta append of rows older
+# than the cutoff is the documented out-of-orderness contract, not a
+# rebase artifact. Anything else (purge: erasure a rebase could
+# resurrect; rescale: bucket ids remapped; alter_schema: files written
+# under a stale schema_id; rollback/repair: history surgery) is
+# structural — rebase refuses and the caller must recompute from the
+# new head.
+_REBASE_SAFE_OPS = {
+    "merge_cow", "merge_mor", "merge_mor_pipelined", "compact", "retention",
+}
 
 
 @dataclass
@@ -136,6 +163,11 @@ class SnapshotTable:
         # sidecar rel-path -> {(data_path, col): (m, k, bits)}; blooms
         # are immutable once written, so the cache never invalidates
         self._bloom_cache: dict[str, dict] = {}
+        # test seam for commit races: called once, right before this
+        # writer's first manifest-write attempt — a test installs a
+        # second writer's commit here to create a deterministic
+        # conflict (threads + barriers would be flaky under Spark)
+        self._pre_commit_hook = None
 
     # ---------- lifecycle ----------
 
@@ -270,6 +302,187 @@ class SnapshotTable:
             f.write(str(sid))
         os.replace(tmp, self._hint_path())
         self._manifest = manifest
+
+    def _commit_manifest(
+        self,
+        new_m: dict,
+        *,
+        on_conflict: str = "fail",
+        kind: str = "rewrite",
+        own_entries: dict | None = None,
+        replaced_paths: dict | None = None,
+        ledger_row: list | None = None,
+        max_retries: int = 5,
+    ) -> tuple[dict, bool]:
+        """Commit ``new_m``; on a concurrent-writer conflict with
+        ``on_conflict='rebase'``, rebase the commit onto the new head
+        (see ``_rebase_manifest``) and retry — the Iceberg
+        optimistic-concurrency loop. Returns ``(manifest, noop)``;
+        ``noop=True`` means a concurrent writer already applied this
+        commit's exactly-once range, so nothing was written (this
+        commit's data files are orphans, GC-able by expire_snapshots).
+
+        ``kind='append'``: this commit only ADDS ``own_entries`` (MoR
+        delta files) — always metadata-rebaseable across data-plane
+        commits, because read-time LWW folds deltas by (ts, lsn)
+        regardless of which commit registered them first.
+        ``kind='rewrite'``: this commit replaced ``replaced_paths`` with
+        ``own_entries`` per bucket — rebaseable only while every
+        consumed file is still live at the new head (concurrent appends
+        to the same bucket survive ON TOP of the rewrite; a concurrent
+        rewrite of the same files raises RewriteConflictError)."""
+        if on_conflict not in ("fail", "rebase", "retry"):
+            raise ValueError(
+                f"on_conflict={on_conflict!r}; use 'fail', 'rebase' or 'retry'"
+            )
+        if self._pre_commit_hook is not None:
+            hook, self._pre_commit_hook = self._pre_commit_hook, None
+            hook()
+        attempt = 0
+        while True:
+            try:
+                self._write_manifest(new_m)
+                return new_m, False
+            except CommitConflictError:
+                if on_conflict == "fail" or attempt >= max_retries:
+                    raise
+                attempt += 1
+                reb = self._rebase_manifest(
+                    new_m, kind, own_entries, replaced_paths, ledger_row
+                )
+                if reb is None:
+                    return self.manifest(refresh=True), True
+                new_m = reb
+
+    def _rebase_manifest(
+        self,
+        new_m: dict,
+        kind: str,
+        own_entries: dict | None,
+        replaced_paths: dict | None,
+        ledger_row: list | None,
+    ) -> dict | None:
+        """Re-express a conflicted commit against the CURRENT head:
+        walk head → this commit's planned parent, verify every
+        intervening commit is data-plane (``_REBASE_SAFE_OPS``) under
+        the same schema and bucket layout, then splice this commit's
+        per-bucket entry changes into the head's file lists. Metadata
+        only — no data file is touched or re-read. Returns the rebased
+        manifest, or None when the head's ledger already contains this
+        commit's applied range (a concurrent writer won the
+        exactly-once race; the correct outcome is a no-op).
+
+        Raises CommitConflictError when the rebase is unsound:
+        structural intervening commit, schema/bucket-layout change, or
+        (rewrites only, as RewriteConflictError) a consumed file no
+        longer live at the head."""
+        head = self.manifest(refresh=True)
+        planned_parent = new_m["parent"]
+        chain: list[dict] = []
+        cur = head
+        while cur["snapshot_id"] != planned_parent:
+            chain.append(cur)
+            p = cur.get("parent")
+            if p is None:
+                raise CommitConflictError(
+                    f"head snapshot {head['snapshot_id']} does not descend "
+                    f"from this commit's parent {planned_parent} (rollback "
+                    "or unrelated history) — recompute from the new head"
+                )
+            try:
+                cur = self.manifest(p)
+            except FileNotFoundError:
+                raise CommitConflictError(
+                    f"ancestry of head {head['snapshot_id']} below snapshot "
+                    f"{cur['snapshot_id']} was expired while rebasing — "
+                    "recompute from the new head"
+                ) from None
+        for c in chain:
+            op = (c.get("summary") or {}).get("operation")
+            if op not in _REBASE_SAFE_OPS:
+                raise CommitConflictError(
+                    f"concurrent {op!r} commit (snapshot {c['snapshot_id']}) "
+                    "is structural — rebase refused; recompute from the new "
+                    "head"
+                )
+        if head["schema_id"] != new_m["schema_id"]:
+            raise CommitConflictError(
+                f"schema advanced ({new_m['schema_id']} -> "
+                f"{head['schema_id']}) while committing — recompute under "
+                "the current schema"
+            )
+        if head["bucket_count"] != new_m["bucket_count"]:
+            raise CommitConflictError(
+                "bucket layout rescaled while committing — files are "
+                "bucketed under the old layout; recompute"
+            )
+
+        files = {b: list(v) for b, v in head["files"].items()}
+        own_entries = own_entries or {}
+        if kind == "append":
+            for b, ents in own_entries.items():
+                files[b] = files.get(b, []) + list(ents)
+        else:
+            replaced_paths = replaced_paths or {}
+            for b in sorted(set(own_entries) | set(replaced_paths)):
+                hlist = files.get(b, [])
+                hpaths = {e["path"] for e in hlist}
+                need = set(replaced_paths.get(b, ()))
+                missing = need - hpaths
+                if missing:
+                    raise RewriteConflictError(
+                        f"bucket {b}: {len(missing)} file(s) this rewrite "
+                        "consumed were replaced by a concurrent commit — "
+                        "its output is stale; recompute from the new head"
+                    )
+                # our rewrite output + anything a concurrent commit
+                # added AFTER our planned parent. Surviving DELTA
+                # entries are fold-safe as-is (read-time LWW orders by
+                # (ts, lsn)). A surviving BASE entry means a concurrent
+                # writer rewrote into a bucket that was EMPTY at the
+                # shared parent (no commit adds base files without
+                # replacing — so both outputs merged disjoint inputs,
+                # no shared parent row): two base generations may hold
+                # the same key, and read() only LWW-folds buckets with
+                # delta entries — so demote OUR generation to 'delta'.
+                # The fold then reproduces the sequential merge exactly
+                # (LWW is associative; both generations carry (ts,
+                # _lsn) and tombstone rows).
+                survivors = [e for e in hlist if e["path"] not in need]
+                own = list(own_entries.get(b, ()))
+                if own and any(e.get("kind") != "delta" for e in survivors):
+                    own = [{**e, "kind": "delta"} for e in own]
+                merged = own + survivors
+                if merged:
+                    files[b] = merged
+                else:
+                    files.pop(b, None)
+
+        ledger = [list(r) for r in head["checkpoint"]["applied"]]
+        sid = self._next_snapshot_id()
+        if ledger_row is not None:
+            lo, hi = int(ledger_row[0]), int(ledger_row[1])
+            if any(r[0] == lo and r[1] == hi for r in ledger):
+                return None  # concurrent writer already applied this range
+            ledger.append([lo, hi, sid, int(ledger_row[3])])
+        reb = {
+            **head,  # head's newer table-level fields win (identity seeds…)
+            "snapshot_id": sid,
+            "parent": head["snapshot_id"],
+            "files": files,
+            "checkpoint": {"applied": ledger},
+            "summary": {
+                **(new_m.get("summary") or {}),
+                "rebased_onto": head["snapshot_id"],
+                "planned_parent": planned_parent,
+            },
+        }
+        # stats_cols only ever grows (compact --zorder adds clustered
+        # columns); union keeps both sides' zone-map coverage
+        reb["stats_cols"] = sorted(
+            set(head.get("stats_cols", [])) | set(new_m.get("stats_cols", []))
+        )
+        return reb
 
     # ---------- schema ----------
 
@@ -889,6 +1102,8 @@ class SnapshotTable:
         patch_ops: bool = False,
         bucket_local_merge: bool = False,
         late_materialize: bool = False,
+        on_conflict: str = "fail",
+        _retry_budget: int = 2,
     ) -> CommitInfo:
         """Apply a key-unique CDC batch (cols: op + payload + ts + lsn).
 
@@ -980,6 +1195,21 @@ class SnapshotTable:
         rows, inside the key-partitioned merge stage. With the default
         (False) the caller provides a key-unique, already-transformed
         batch, which is persisted to avoid recomputing it twice.
+
+        ``on_conflict`` governs concurrent writers (the Iceberg
+        optimistic-concurrency model): ``'fail'`` (default) raises
+        CommitConflictError; ``'rebase'`` re-expresses the commit
+        against the new head when provably safe — MoR delta appends
+        always, COW rewrites while every consumed file is still live —
+        and raises otherwise; ``'retry'`` additionally RECOMPUTES the
+        whole merge from the new head when a rebase is unsound (same-
+        bucket COW overlap, concurrent structural commit), bounded
+        attempts. Exactly-once survives the race: if a concurrent
+        writer applied this commit's ``applied_range`` first, the
+        rebase detects it in the head's ledger and this call becomes a
+        no-op (orphaned files are GC-able). If a rebase kept
+        concurrently-added entries, the returned ``state`` is None even
+        under ``chain_state=True`` — the chained frame would miss them.
         """
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown merge mode {mode!r}; use 'cow' or 'mor'")
@@ -1213,30 +1443,44 @@ class SnapshotTable:
                     e["patches"] = True
                 return e
 
-            new_files = {b: list(v) for b, v in m["files"].items()}
+            # own_entries / replaced_paths drive BOTH the normal manifest
+            # build and a conflict rebase (_rebase_manifest)
+            own_entries: dict[str, list[dict]] = {}
+            replaced: dict[str, set[str]] | None = None
             if mode == "mor":
                 for b, paths in written.items():
-                    new_files.setdefault(str(b), []).extend(
-                        _fentry(p, "delta") for p in sorted(paths)
-                    )
-            elif prune_buckets:
-                for b in affected:
-                    new_files[str(b)] = []  # rewritten below (may stay empty)
-                for b, paths in written.items():
-                    new_files[str(b)] = [_fentry(p) for p in sorted(paths)]
-                new_files = {b: v for b, v in new_files.items() if v}
+                    own_entries[str(b)] = [_fentry(p, "delta") for p in sorted(paths)]
             else:
-                # full-table COW rewrite: the written set IS the table
-                new_files = {
-                    str(b): [_fentry(p) for p in sorted(paths)]
-                    for b, paths in written.items()
+                rewritten = affected if prune_buckets else [
+                    int(b) for b in m["files"]
+                ]
+                for b in rewritten:
+                    own_entries[str(b)] = []
+                for b, paths in written.items():
+                    own_entries[str(b)] = [_fentry(p) for p in sorted(paths)]
+                replaced = {
+                    str(b): {e["path"] for e in m["files"].get(str(b), [])}
+                    for b in rewritten
                 }
 
+            new_files = {b: list(v) for b, v in m["files"].items()}
+            if mode == "mor":
+                for b, ents in own_entries.items():
+                    new_files.setdefault(b, []).extend(ents)
+            else:
+                for b in replaced:
+                    new_files.pop(b, None)
+                for b, ents in own_entries.items():
+                    if ents:
+                        new_files[b] = ents
+
             ledger = list(m["checkpoint"]["applied"])
+            ledger_row = None
             if applied_range is not None:
-                ledger.append(
-                    [int(applied_range[0]), int(applied_range[1]), new_sid, n_src]
-                )
+                ledger_row = [
+                    int(applied_range[0]), int(applied_range[1]), new_sid, n_src
+                ]
+                ledger.append(ledger_row)
 
             new_m = {
                 **m,
@@ -1251,16 +1495,56 @@ class SnapshotTable:
                 },
             }
 
+            try:
+                committed, noop = self._commit_manifest(
+                    new_m,
+                    on_conflict="rebase" if on_conflict == "retry" else on_conflict,
+                    kind="append" if mode == "mor" else "rewrite",
+                    own_entries=own_entries,
+                    replaced_paths=replaced,
+                    ledger_row=ledger_row,
+                )
+            except CommitConflictError:
+                if on_conflict != "retry" or _retry_budget <= 0:
+                    raise
+                # recompute the whole merge from the new head (this
+                # attempt's files are orphans, GC-able)
+                if chain_state:
+                    out.unpersist()
+                if persisted:
+                    src.unpersist()
+                    persisted = False
+                return self.merge_cdc(
+                    batch,
+                    applied_range=applied_range,
+                    lineage=lineage,
+                    mode=mode,
+                    transform=transform,
+                    source_is_raw=source_is_raw,
+                    prune_buckets=prune_buckets,
+                    target_df=None,  # stale by definition after a conflict
+                    chain_state=chain_state,
+                    debug_assert_unique=debug_assert_unique,
+                    patch_ops=patch_ops,
+                    bucket_local_merge=bucket_local_merge,
+                    late_materialize=late_materialize,
+                    on_conflict="retry",
+                    _retry_budget=_retry_budget - 1,
+                )
+            rebased = committed["snapshot_id"] != new_sid
+            if chain_state and (noop or rebased):
+                out.unpersist()  # chained state is stale after a rebase
+            if noop:
+                return CommitInfo(committed["snapshot_id"], 0, 0, applied_range)
+            final_sid = committed["snapshot_id"]
             if lineage:
-                self._write_lineage(bucket_counts, new_sid, applied_range)
-
-            self._write_manifest(new_m)
+                self._write_lineage(bucket_counts, final_sid, applied_range)
             return CommitInfo(
-                new_sid,
+                final_sid,
                 n_src,
                 len(affected),
                 applied_range,
-                state=out if chain_state else None,
+                state=out if chain_state and not rebased else None,
             )
         finally:
             if persisted:
@@ -1379,11 +1663,17 @@ class SnapshotTable:
         n_src: int,
         schema_id: "int | tuple[int, int]",
         lineage: bool = True,
+        on_conflict: str = "fail",
     ) -> CommitInfo:
         """Metadata half of a pipelined MoR commit: register the delta
-        files + ledger range atomically. Must be called in lsn order
-        (single writer). A crash before this point leaves orphan files
-        only — the range is not in the ledger, so replay re-does it."""
+        files + ledger range atomically. With the default
+        ``on_conflict='fail'`` it must be called in lsn order (single
+        writer); ``'rebase'`` lets concurrent pipelined writers land in
+        any order — a pure delta append is always metadata-rebaseable
+        across data-plane commits (read-time LWW orders by (ts, lsn),
+        not by commit order), and a duplicate applied_range becomes a
+        no-op. A crash before this point leaves orphan files only — the
+        range is not in the ledger, so replay re-does it."""
         m = self.manifest(refresh=True)
         if applied_range is not None and self.is_applied(*applied_range):
             return CommitInfo(m["snapshot_id"], 0, 0, applied_range)
@@ -1410,19 +1700,24 @@ class SnapshotTable:
         # the data plane if it ever dominates — gated on bloom_cols
         bmap = self._annotate_blooms(m, new_sid, written)
         patch_paths = self._patch_paths(footers)
+        own_entries: dict[str, list[dict]] = {}
         for b, paths in written.items():
-            new_files.setdefault(str(b), []).extend(
+            own_entries[str(b)] = [
                 {"path": p, "schema_id": schema_id, "kind": "delta",
                  **({"stats": fstats[p]} if p in fstats else {}),
                  **({"bloom": bmap[p]} if p in bmap else {}),
                  **({"patches": True} if p in patch_paths else {})}
                 for p in sorted(paths)
-            )
+            ]
+        for b, ents in own_entries.items():
+            new_files.setdefault(b, []).extend(ents)
         ledger = list(m["checkpoint"]["applied"])
+        ledger_row = None
         if applied_range is not None:
-            ledger.append(
-                [int(applied_range[0]), int(applied_range[1]), new_sid, n_src]
-            )
+            ledger_row = [
+                int(applied_range[0]), int(applied_range[1]), new_sid, n_src
+            ]
+            ledger.append(ledger_row)
         new_m = {
             **m,
             "snapshot_id": new_sid,
@@ -1435,12 +1730,24 @@ class SnapshotTable:
                 "buckets_rewritten": len(written),
             },
         }
+        committed, noop = self._commit_manifest(
+            new_m,
+            on_conflict="rebase" if on_conflict == "retry" else on_conflict,
+            kind="append",
+            own_entries=own_entries,
+            ledger_row=ledger_row,
+        )
+        if noop:
+            return CommitInfo(committed["snapshot_id"], 0, 0, applied_range)
         if lineage:
             self._write_lineage(
-                self._footer_counts(written, footers), new_sid, applied_range
+                self._footer_counts(written, footers),
+                committed["snapshot_id"],
+                applied_range,
             )
-        self._write_manifest(new_m)
-        return CommitInfo(new_sid, n_src, len(written), applied_range)
+        return CommitInfo(
+            committed["snapshot_id"], n_src, len(written), applied_range
+        )
 
     def _stats_cols(self, m: dict) -> list[str]:
         return m.get(
@@ -1908,6 +2215,8 @@ class SnapshotTable:
         max_records_per_file: int | None = None,
         zorder_cols: Sequence[str] | None = None,
         zorder_bits: int = 4,
+        on_conflict: str = "fail",
+        _retry_budget: int = 2,
     ) -> CommitInfo | None:
         """Fold delta files into base files (LWW resolved once, at
         write). Optionally expire tombstones with ts older than the
@@ -2015,20 +2324,29 @@ class SnapshotTable:
             # the whole targeted bucket set
             if persisted is not None:
                 persisted.unpersist()
-        new_files = {b: list(v) for b, v in m["files"].items()}
-        for b in buckets:
-            new_files[str(b)] = []
         written_c = self._list_commit_files(commit_dir)
         fstats = self._collect_file_stats(written_c, stats_cols)
         bmap = self._annotate_blooms(m, new_sid, written_c)
+        own_entries: dict[str, list[dict]] = {str(b): [] for b in buckets}
         for b, paths in written_c.items():
-            new_files[str(b)] = [
+            own_entries[str(b)] = [
                 {"path": p, "schema_id": m["schema_id"],
                  **({"stats": fstats[p]} if p in fstats else {}),
                  **({"bloom": bmap[p]} if p in bmap else {})}
                 for p in sorted(paths)
             ]
-        new_files = {b: v for b, v in new_files.items() if v}
+        # the fold consumed every entry of the targeted buckets at this
+        # snapshot — a rebase must see them all still live at the head
+        replaced = {
+            str(b): {e["path"] for e in m["files"].get(str(b), [])}
+            for b in buckets
+        }
+        new_files = {b: list(v) for b, v in m["files"].items()}
+        for b in replaced:
+            new_files.pop(b, None)
+        for b, ents in own_entries.items():
+            if ents:
+                new_files[b] = ents
         new_m = {
             **m,
             "snapshot_id": new_sid,
@@ -2037,8 +2355,32 @@ class SnapshotTable:
             "stats_cols": stats_cols,
             "summary": {"operation": "compact", "buckets": len(buckets)},
         }
-        self._write_manifest(new_m)
-        return CommitInfo(new_sid, 0, len(buckets), None)
+        try:
+            committed, _ = self._commit_manifest(
+                new_m,
+                on_conflict="rebase" if on_conflict == "retry" else on_conflict,
+                kind="rewrite",
+                own_entries=own_entries,
+                replaced_paths=replaced,
+            )
+        except CommitConflictError:
+            if on_conflict != "retry" or _retry_budget <= 0:
+                raise
+            # a concurrent commit replaced files this fold consumed —
+            # re-run the compaction from the new head (this attempt's
+            # files are orphans, GC-able)
+            return self.compact(
+                buckets=buckets,
+                expire_tombstones_before=expire_tombstones_before,
+                expire_rows_before=expire_rows_before,
+                sort_by_key=sort_by_key,
+                max_records_per_file=max_records_per_file,
+                zorder_cols=zorder_cols,
+                zorder_bits=zorder_bits,
+                on_conflict="retry",
+                _retry_budget=_retry_budget - 1,
+            )
+        return CommitInfo(committed["snapshot_id"], 0, len(buckets), None)
 
     def purge_keys(
         self,
@@ -2524,6 +2866,196 @@ class SnapshotTable:
             self._write_lineage(bucket_counts, new_sid, None)
         self._write_manifest(new_m)
         return CommitInfo(new_sid, n_out, len(buckets), None)
+
+    def expire_rows(
+        self,
+        before,
+        on_conflict: str = "fail",
+    ) -> dict:
+        """Data retention at 100 TB: drop every row whose ts is older
+        than ``before`` — METADATA-ONLY wherever the zone maps allow.
+
+        Per bucket, each file entry is classified by its recorded
+        [min, max] of the primary LWW order column (``order_cols[0]``,
+        typically ts):
+
+        - wholly old (max < cutoff) → dropped from the manifest; no
+          byte is read. Sound in COW (keys unique table-wide) AND in
+          MoR buckets: a dropped file's row either loses LWW to a row
+          in a kept file (whose ts ≥ cutoff) or is itself the winner
+          with ts < cutoff — exactly what retention removes (same
+          argument as the read path's lower-bound prune,
+          ``_prune_by_stats``);
+        - wholly new (min ≥ cutoff) → untouched;
+        - straddling / stats-less → that FILE alone is rewritten with a
+          raw row filter ``ts >= cutoff`` (kind preserved, no fold —
+          "keep every row above the cutoff" IS retention under LWW:
+          winners below die, winners above survive, kept losers still
+          lose at read time);
+        - any raw-PATCH delta in the bucket (a patch below the cutoff
+          can own a COLUMN of a winner folded above it) → the whole
+          bucket falls back to the fold-and-filter rewrite via
+          ``compact(expire_rows_before=…)``.
+
+        Cluster the table by time first (``compact(zorder_cols=['ts'],
+        max_records_per_file=…)`` or natural arrival order in MoR
+        deltas) and the overwhelming majority of expired data drops
+        without reading a byte — the Iceberg drop-partition analog for
+        a table bucketed by key, powered by per-file zone maps instead
+        of a time partition column.
+
+        Same contract as ``compact(expire_rows_before)``: pick a cutoff
+        older than the source's max out-of-orderness (an expired
+        tombstone can no longer suppress a same-key event older than
+        the cutoff), and run ``expire_snapshots`` to physically delete
+        the dropped files. Returns a report dict; commits up to two
+        snapshots (operation ``retention`` for the metadata drop, plus
+        the rewrite's ``compact``)."""
+        m = self.manifest(refresh=True)
+        ts_col = m["order_cols"][0]
+        nb = m["bucket_count"]
+        cutoff = self._norm_stat(before)
+
+        drop_entries: dict[str, list[dict]] = {}     # metadata-only
+        straddlers: dict[str, list[dict]] = {}       # per-FILE row filter
+        fallback_buckets: list[int] = []             # patch fold needed
+        for b, entries in m["files"].items():
+            has_patch = any(e.get("patches") for e in entries)
+            old, straddle = [], []
+            for e in entries:
+                rng = (e.get("stats") or {}).get(ts_col)
+                if not rng:
+                    straddle.append(e)
+                    continue
+                try:
+                    if rng[1] < cutoff:
+                        old.append(e)
+                    elif rng[0] >= cutoff:
+                        continue  # wholly new: untouched
+                    else:
+                        straddle.append(e)
+                except TypeError:
+                    straddle.append(e)
+            if not old and not straddle:
+                continue  # nothing in this bucket predates the cutoff
+            if has_patch:
+                # a sub-cutoff patch can own a COLUMN of a winner folded
+                # above the cutoff: only the full fold knows what dies
+                fallback_buckets.append(int(b))
+            else:
+                if old:
+                    drop_entries[b] = old
+                if straddle:
+                    straddlers[b] = straddle
+
+        report = {
+            "cutoff": cutoff,
+            "files_dropped_meta": sum(len(v) for v in drop_entries.values()),
+            "files_rewritten": sum(len(v) for v in straddlers.values()),
+            "buckets_rewritten": len(fallback_buckets),
+            "snapshot_ids": [],
+        }
+
+        # per-file straddler rewrite: RAW row filter (no fold, kind
+        # preserved). "Keep every row with ts >= cutoff" IS retention
+        # under LWW: a winner below the cutoff dies, a winner above
+        # survives, and a kept loser still loses at read time — so
+        # filtering file-locally equals fold-then-filter. One write job
+        # per storage-schema/kind group, never the whole bucket.
+        rewritten_entries: dict[str, list[dict]] = {}
+        if straddlers:
+            groups: dict[tuple, dict[str, list[str]]] = {}
+            for b, ents in straddlers.items():
+                for e in ents:
+                    k = (e.get("schema_id", m["schema_id"]),
+                         e.get("kind"))
+                    groups.setdefault(k, {}).setdefault(b, []).append(
+                        e["path"]
+                    )
+            commit_dir = os.path.join(
+                self.path, "data", f"retain-{uuid.uuid4().hex[:12]}"
+            )
+            part = 0
+            for (schema_id, kind), by_bucket in sorted(
+                groups.items(), key=lambda kv: (kv[0][0], kv[0][1] or "")
+            ):
+                paths = [p for ps in by_bucket.values() for p in ps]
+                sschema = self._storage_schema(
+                    m["schemas"][str(schema_id)]
+                )
+                df = (
+                    self.spark.read.schema(sschema)
+                    .parquet(*paths)
+                    .filter(F.col(ts_col) >= F.lit(before))
+                    .withColumn(
+                        _BUCKET_COL, bucket_expr(m["key_cols"][0], nb)
+                    )
+                )
+                gdir = os.path.join(commit_dir, f"g{part}")
+                part += 1
+                df.repartition(
+                    max(1, min(len(by_bucket), 256)), F.col(_BUCKET_COL)
+                ).write.partitionBy(_BUCKET_COL).parquet(gdir)
+                written = self._list_commit_files(gdir)
+                fstats = self._collect_file_stats(
+                    written, self._stats_cols(m)
+                )
+                bmap = self._annotate_blooms(
+                    m, self._next_snapshot_id(), written
+                )
+                for b, wpaths in written.items():
+                    rewritten_entries.setdefault(str(b), []).extend(
+                        {"path": p, "schema_id": schema_id,
+                         **({"kind": kind} if kind else {}),
+                         **({"stats": fstats[p]} if p in fstats else {}),
+                         **({"bloom": bmap[p]} if p in bmap else {})}
+                        for p in sorted(wpaths)
+                    )
+
+        if drop_entries or straddlers:
+            new_files = {b: list(v) for b, v in m["files"].items()}
+            own_entries: dict[str, list[dict]] = {}
+            replaced: dict[str, set[str]] = {}
+            for b in set(drop_entries) | set(straddlers):
+                gone = {e["path"] for e in drop_entries.get(b, ())}
+                gone |= {e["path"] for e in straddlers.get(b, ())}
+                kept = [e for e in m["files"][b] if e["path"] not in gone]
+                kept += rewritten_entries.get(b, [])
+                own_entries[b] = kept
+                replaced[b] = {e["path"] for e in m["files"][b]}
+                if kept:
+                    new_files[b] = kept
+                else:
+                    new_files.pop(b)
+            new_sid = self._next_snapshot_id()
+            new_m = {
+                **m,
+                "snapshot_id": new_sid,
+                "parent": m["snapshot_id"],
+                "files": new_files,
+                "summary": {
+                    "operation": "retention",
+                    "files_dropped": report["files_dropped_meta"],
+                    "files_rewritten": report["files_rewritten"],
+                },
+            }
+            committed, _ = self._commit_manifest(
+                new_m,
+                on_conflict="rebase" if on_conflict == "retry" else on_conflict,
+                kind="rewrite",
+                own_entries=own_entries,
+                replaced_paths=replaced,
+            )
+            report["snapshot_ids"].append(committed["snapshot_id"])
+        if fallback_buckets:
+            ci = self.compact(
+                buckets=fallback_buckets,
+                expire_rows_before=before,
+                on_conflict=on_conflict,
+            )
+            if ci is not None:
+                report["snapshot_ids"].append(ci.snapshot_id)
+        return report
 
     def expire_snapshots(self, keep_last: int = 3) -> dict:
         """GC: drop manifests older than the last ``keep_last``
