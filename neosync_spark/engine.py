@@ -96,6 +96,14 @@ class EngineConfig:
     # remaining events arrive (ReplayStats.lsn_held_from reports the
     # holdback point). The two columns are stripped before the merge.
     txn_cols: tuple[str, str] | None = None
+    # concurrent-writer policy handed to every commit this engine makes
+    # (merge_cdc / commit_delta / auto-compaction): 'fail' = this engine
+    # owns the table (single-writer, the reference's model); 'rebase' /
+    # 'retry' = share the table with other loaders and maintenance jobs
+    # under optimistic concurrency (lakehouse._rebase_manifest). The
+    # exactly-once ledger stays correct under races either way — a
+    # duplicate applied_range from a concurrent tailer becomes a no-op.
+    on_conflict: str = "fail"
 
 
 @dataclass
@@ -299,6 +307,7 @@ class ReplayEngine:
             patch_ops=self.config.patch_ops,
             bucket_local_merge=self.config.bucket_local_merge,
             late_materialize=self.config.late_materialize,
+            on_conflict=self.config.on_conflict,
         )
         if chaining:
             prev = self._chained_state
@@ -357,7 +366,9 @@ class ReplayEngine:
                 b for b, n in pressure.items() if n > self.config.compact_deltas_over
             ]
             if hot:
-                self.table.compact(buckets=hot)
+                self.table.compact(
+                    buckets=hot, on_conflict=self.config.on_conflict
+                )
         return info
 
     def replay(
@@ -572,7 +583,9 @@ class ReplayEngine:
             for (lo, hi), fut in zip(ranges, futures):
                 written, n_src, schema_token = fut.result()
                 info = self.table.commit_delta(
-                    written, (lo, hi), n_src, schema_token, lineage=self.config.lineage
+                    written, (lo, hi), n_src, schema_token,
+                    lineage=self.config.lineage,
+                    on_conflict=self.config.on_conflict,
                 )
                 stats.batches_applied += 1
                 stats.rows_applied += info.rows_written
@@ -583,7 +596,9 @@ class ReplayEngine:
                 b for b, n in pressure.items() if n > self.config.compact_deltas_over
             ]
             if hot:
-                self.table.compact(buckets=hot)
+                self.table.compact(
+                    buckets=hot, on_conflict=self.config.on_conflict
+                )
         return stats
 
     def requeue_fk_quarantine(self) -> dict:
@@ -691,6 +706,7 @@ class ReplayEngine:
                     prune_buckets=self.config.prune_buckets,
                     patch_ops=self.config.patch_ops,
                     bucket_local_merge=self.config.bucket_local_merge,
+                    on_conflict=self.config.on_conflict,
                 )
                 if self._chained_state is not None:
                     # the cached COW target predates the healed rows

@@ -314,6 +314,38 @@ class TestCompactRebase:
         assert _state(t2) == _state(tc)
 
 
+class TestEngineConcurrentTailers:
+    def test_two_engines_share_table(self, spark):
+        # two ReplayEngines (different log ranges, e.g. a backfill and a
+        # live tail) share one table under EngineConfig.on_conflict
+        from neosync_spark.engine import EngineConfig, ReplayEngine
+
+        path, t1 = _fresh(spark)
+        t2 = SnapshotTable.load(spark, path)
+        a = _events(spark, 0, 60, "convA")
+        b = _events(spark, 100, 160, "convB")
+        cfg = lambda: EngineConfig(  # noqa: E731
+            batch_lsn_size=200, lineage=False, merge_mode="mor",
+            on_conflict="rebase",
+        )
+        e1 = ReplayEngine(spark, t1, config=cfg())
+        e2 = ReplayEngine(spark, t2, config=cfg())
+
+        def slicer_a(lo, hi):
+            return a.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+
+        def slicer_b(lo, hi):
+            return b.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+
+        t2._pre_commit_hook = lambda: e1.replay(slicer_a, lsn_lo=0, lsn_hi=59)
+        e2.replay(slicer_b, lsn_lo=100, lsn_hi=159)
+        _, tc = _fresh(spark)
+        tc.merge_cdc(a, applied_range=(0, 60), source_is_raw=True, mode="mor")
+        tc.merge_cdc(b, applied_range=(100, 160), source_is_raw=True, mode="mor")
+        assert _state(t2) == _state(tc)
+        assert len(t2.manifest(refresh=True)["checkpoint"]["applied"]) == 2
+
+
 class TestRebasedTableKeepsWorking:
     def test_followup_merge_compact_read(self, spark):
         # after a demotion rebase the table must stay a normal table:
