@@ -231,6 +231,98 @@ def _q_purge_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_catalog_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic multi-table publish (plans/catalog.py): one source log
+    fans out by conv parity into two destination tables; the catalog
+    pins both at the common half-log watermark in ONE CAS'd pointer
+    swap, keeps serving that exact view while both tables' mains
+    advance to the full log (repeatable read, asserted in-query), and a
+    stale-version publish is refused (single-winner CAS, asserted).
+    Output = the final consistently-republished full view per table;
+    each side must equal the LWW state of its parity half."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.dedup import lww_dedup
+    from neosync_spark.plans.catalog import Catalog, CatalogConflictError
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir).persist()
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    b = (hi + 4) // 4
+    parity = F.expr("substring(conv_id, 6)").cast("int") % 2
+    halves = {
+        "even": log.filter(parity == 0),
+        "odd": log.filter(parity == 1),
+    }
+
+    tables = {}
+    for name, half in halves.items():
+        t = SnapshotTable.create(
+            spark, tempfile.mkdtemp(prefix=f"ns_cdc_cat_{name}_"),
+            transcript_schema(), key_cols=KEY_COLS, n_buckets=16,
+        )
+        ReplayEngine(
+            spark, t,
+            config=EngineConfig(
+                batch_lsn_size=2 * b, lineage=False, prune_buckets=False
+            ),
+        ).replay(
+            lambda lo, hi_, half=half: half.filter(
+                (F.col("lsn") >= lo) & (F.col("lsn") < hi_)
+            ),
+            lsn_lo=0, lsn_hi=2 * b - 1,
+        )
+        tables[name] = t
+
+    cat = Catalog.create(tempfile.mkdtemp(prefix="ns_cdc_cat_root_"))
+    v1, w = cat.publish_consistent(tables)
+
+    # mains race ahead to the full log; the published view must not move
+    for name, half in halves.items():
+        ReplayEngine(
+            spark, tables[name],
+            config=EngineConfig(
+                batch_lsn_size=2 * b, lineage=False, prune_buckets=False
+            ),
+        ).replay(
+            lambda lo, hi_, half=half: half.filter(
+                (F.col("lsn") >= lo) & (F.col("lsn") < hi_)
+            ),
+            lsn_lo=2 * b, lsn_hi=hi,
+        )
+        pinned_n = cat.read(spark, name).count()
+        want_n = (
+            lww_dedup(
+                halves[name].filter(F.col("lsn") < w), KEY_COLS, ["ts", "lsn"]
+            )
+            .filter(F.col("op") != "delete")
+            .count()
+        )
+        if pinned_n != want_n:
+            raise AssertionError(
+                f"{name}: catalog view moved under the reader "
+                f"({pinned_n} != {want_n} rows at watermark {w})"
+            )
+
+    # single-winner CAS: a publisher holding the pre-publish version loses
+    try:
+        cat.publish({"even": tables["even"]}, expected_version=v1 - 1)
+        raise AssertionError("stale catalog publish must be refused")
+    except CatalogConflictError:
+        pass
+
+    cat.publish_consistent(tables, expected_version=v1)
+    log.unpersist()
+    out = None
+    for name in sorted(tables):
+        part = cat.read(spark, name).select(
+            F.lit(name).alias("side"),
+            "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts"),
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
 def _q_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two independent writers commit to the SAME table concurrently
     (the race is made deterministic with the pre-commit test seam):
@@ -3437,6 +3529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_spans": _q_duplicate_spans,
         "cdc_consistent_read": _q_consistent_read,
         "cdc_concurrent_writers": _q_concurrent_writers,
+        "cdc_catalog_publish": _q_catalog_publish,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
@@ -3560,6 +3653,15 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay_final_state": f"""
             SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM ({lww}) WHERE op <> 'delete'
+        """,
+        # atomic multi-table catalog publish: the final consistently-
+        # republished view is the full-log LWW state of each parity half
+        "cdc_catalog_publish": f"""
+            SELECT CASE WHEN CAST(substr(conv_id, 6) AS INT) % 2 = 0
+                        THEN 'even' ELSE 'odd' END AS side,
+                   conv_id, turn_idx, role, text, tool,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'
         """,
