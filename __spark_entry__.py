@@ -231,6 +231,59 @@ def _q_purge_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_archive_fanout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-archive roundtrip + replay-from-archive + fan-out, end to
+    end: the change log is archived as gzip JSONL under the reference's
+    S3 run layout (sinks.archive_jsonl — aws-s3.go:50-92 path shape),
+    read back (the neosync_connection_data replay-from-archive analog),
+    replayed through the standard engine into a table, and the final
+    state written through sinks.fan_out to TWO destinations. Output =
+    both destinations tagged — each must equal the full-log LWW oracle,
+    proving the archive roundtrip is lossless (timestamps included) and
+    fan-out duplicates exactly."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+    from neosync_spark.sinks import archive_jsonl, fan_out, read_archive
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+
+    root = tempfile.mkdtemp(prefix="ns_cdc_arch_")
+    archive_jsonl(log, root, "run-1", "events")
+    archived = read_archive(spark, root, "run-1", "events", schema=log.schema)
+
+    table = SnapshotTable.create(
+        spark, tempfile.mkdtemp(prefix="ns_cdc_arch_t_"),
+        transcript_schema(), key_cols=KEY_COLS, n_buckets=16,
+    )
+    ReplayEngine(
+        spark, table,
+        config=EngineConfig(
+            batch_lsn_size=(hi + 2) // 2, lineage=False, prune_buckets=False
+        ),
+    ).replay(
+        lambda lo, hi_: archived.filter(
+            (F.col("lsn") >= lo) & (F.col("lsn") < hi_)
+        ),
+        lsn_lo=0, lsn_hi=hi,
+    )
+
+    final = table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+    dests = [tempfile.mkdtemp(prefix=f"ns_cdc_arch_d{i}_") for i in (1, 2)]
+    fan_out(
+        final,
+        [lambda df, d=d: df.write.mode("overwrite").parquet(d) for d in dests],
+    )
+    out = None
+    for name, d in zip(("dest1", "dest2"), dests):
+        part = spark.read.parquet(d).withColumn("dest", F.lit(name))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def _q_catalog_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Atomic multi-table publish (plans/catalog.py): one source log
     fans out by conv parity into two destination tables; the catalog
@@ -3530,6 +3583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_consistent_read": _q_consistent_read,
         "cdc_concurrent_writers": _q_concurrent_writers,
         "cdc_catalog_publish": _q_catalog_publish,
+        "cdc_archive_fanout_replay": _q_archive_fanout_replay,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
@@ -3655,6 +3709,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'
+        """,
+        # archive roundtrip + replay + fan-out: each destination holds
+        # exactly the full-log LWW state
+        "cdc_archive_fanout_replay": f"""
+            SELECT s.conv_id, s.turn_idx, s.role, s.text, s.tool,
+                   strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   d.dest
+            FROM ({lww}) s
+            CROSS JOIN (
+              SELECT 'dest1' AS dest UNION ALL SELECT 'dest2'
+            ) d
+            WHERE s.op <> 'delete'
         """,
         # atomic multi-table catalog publish: the final consistently-
         # republished view is the full-log LWW state of each parity half
