@@ -3599,14 +3599,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_gap_detection": _q_gap_detection,
         "cdc_bootstrap_handoff": _q_bootstrap_handoff,
         "cdc_sharded_replay": _q_sharded_replay,
-        "text_quality_score": _q_quality,
-        "text_lang_id": _q_lang_id,
+        "cdc_rollback_time_travel": _q_rollback_time_travel,
+        "corpus_stats": _q_corpus_stats,
         "dedup_fingerprint_overlap": _q_fingerprint_overlap,
-        "media_metadata": _q_media_metadata,
+        "cdc_rescale_buckets": _q_rescale_buckets,
         "media_image_features": _q_image_features,
         "media_audio_features": _q_audio_features,
         "media_frame_sample": _q_frame_sample,
-        "events_sessionize": _q_sessionize,
+        "cdc_stream_tail": _q_stream_tail,
         "cdc_lateness_stats": _q_lateness_stats,
         "corpus_mix_plan": _q_mix_plan,
         "text_bm25_search": _q_bm25_search,
@@ -3626,9 +3626,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_debezium_decode": _q_debezium_decode,
         "privacy_k_anonymity": _q_privacy_k_anonymity,
         "privacy_l_diversity": _q_privacy_l_diversity,
-        "cdc_rollback_time_travel": _q_rollback_time_travel,
-        "cdc_rescale_buckets": _q_rescale_buckets,
-        "cdc_stream_tail": _q_stream_tail,
+        "text_quality_score": _q_quality,
+        "media_metadata": _q_media_metadata,
+        "events_sessionize": _q_sessionize,
         # ---- below: verified green in CORRECTNESS_r01-r03, or pass*
         # (green in an earlier artifact + judge rerun; re-provable any
         # round): multi_table_sync is strictly subsumed by the drift
@@ -3691,7 +3691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "text_winnow_fingerprints": _q_winnow,
         "synth_generators": _q_generators,
-        "corpus_stats": _q_corpus_stats,
+        "text_lang_id": _q_lang_id,
     }
 
 
