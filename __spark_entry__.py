@@ -231,6 +231,92 @@ def _q_purge_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_join_view_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (operators/join_view.py): a
+    denormalized view — every transcript turn enriched with its
+    conversation's turn-0 dimension row — is built at the half-log
+    snapshots, then advanced INCREMENTALLY (delta-join: left-diff keys
+    plus the dimension fan-out of right-diff join keys) after both
+    source tables replay to the full log. The final view must equal
+    DuckDB's LEFT JOIN over the two LWW states — proving ΔA ⋈ B ∪
+    A ⋈ ΔB converges to the full recompute."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.join_view import incremental_join_sync
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir).persist()
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    mid = hi // 2
+
+    def _mk(name, schema):
+        return SnapshotTable.create(
+            spark, tempfile.mkdtemp(prefix=f"ns_cdc_jv_{name}_"),
+            schema, key_cols=KEY_COLS, n_buckets=16,
+        )
+
+    left = _mk("fact", transcript_schema())
+    right = _mk("dim", transcript_schema())
+    dim_log = log.filter(F.col("turn_idx") == 0)
+    cfg = lambda b: EngineConfig(  # noqa: E731
+        batch_lsn_size=b, lineage=False, prune_buckets=False
+    )
+
+    def _replay(t, src, lo, hi_):
+        ReplayEngine(spark, t, config=cfg(max(1, hi_ - lo + 1))).replay(
+            lambda a, b, src=src: src.filter(
+                (F.col("lsn") >= a) & (F.col("lsn") < b)
+            ),
+            lsn_lo=lo, lsn_hi=hi_,
+        )
+
+    import pyspark.sql.types as T  # noqa: N812
+
+    view_schema = T.StructType(
+        [f for f in transcript_schema().fields if f.name != "ts"]
+        + [
+            T.StructField("src_ts", T.TimestampType(), True),
+            T.StructField("dim_role", T.StringType(), True),
+            T.StructField("dim_text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),  # sync ordinal
+        ]
+    )
+    dst = _mk("view", view_schema)
+
+    def project(l, r):  # noqa: E741
+        dim = r.filter(F.col("turn_idx") == 0).select(
+            "conv_id",
+            F.col("role").alias("dim_role"),
+            F.col("text").alias("dim_text"),
+        )
+        return l.select(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            F.col("ts").alias("src_ts"),
+        ).join(dim, "conv_id", "left")
+
+    def _sid(t):
+        return t.manifest(refresh=True)["snapshot_id"]
+
+    # phase 1: half-log build
+    _replay(left, log, 0, mid - 1)
+    _replay(right, dim_log, 0, mid - 1)
+    sl0, sr0 = _sid(left), _sid(right)
+    incremental_join_sync(left, right, dst, sl0, sr0, project=project)
+    # phase 2: sources advance to the full log; view advances by deltas
+    _replay(left, log, mid, hi)
+    _replay(right, dim_log, mid, hi)
+    incremental_join_sync(
+        left, right, dst, _sid(left), _sid(right),
+        from_left=sl0, from_right=sr0, project=project,
+    )
+    log.unpersist()
+    return dst.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.date_format("src_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "dim_role", "dim_text",
+    )
+
+
 def _q_archive_fanout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run-archive roundtrip + replay-from-archive + fan-out, end to
     end: the change log is archived as gzip JSONL under the reference's
@@ -3584,7 +3670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_concurrent_writers": _q_concurrent_writers,
         "cdc_catalog_publish": _q_catalog_publish,
         "cdc_archive_fanout_replay": _q_archive_fanout_replay,
-        "dedup_simhash_pairs": _q_simhash_pairs,
+        "dedup_fingerprint_overlap": _q_fingerprint_overlap,
+        "privacy_l_diversity": _q_privacy_l_diversity,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_index_topk": _q_ann_ivf_index,
@@ -3601,7 +3688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_sharded_replay": _q_sharded_replay,
         "cdc_rollback_time_travel": _q_rollback_time_travel,
         "corpus_stats": _q_corpus_stats,
-        "dedup_fingerprint_overlap": _q_fingerprint_overlap,
+        "cdc_join_view_sync": _q_join_view_sync,
         "cdc_rescale_buckets": _q_rescale_buckets,
         "media_image_features": _q_image_features,
         "media_audio_features": _q_audio_features,
@@ -3625,7 +3712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_table_sync_drift": _q_multi_table_sync_drift,
         "cdc_debezium_decode": _q_debezium_decode,
         "privacy_k_anonymity": _q_privacy_k_anonymity,
-        "privacy_l_diversity": _q_privacy_l_diversity,
+        "dedup_simhash_pairs": _q_simhash_pairs,
         "text_quality_score": _q_quality,
         "media_metadata": _q_media_metadata,
         "events_sessionize": _q_sessionize,
@@ -3709,6 +3796,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'
+        """,
+        # incremental join view == full LEFT JOIN over the two LWW
+        # states (fact turns x turn-0 dimension of the same conv)
+        "cdc_join_view_sync": f"""
+            WITH alive AS (
+              SELECT * FROM ({lww}) WHERE op <> 'delete'
+            ), dim AS (
+              SELECT conv_id, role AS dim_role, text AS dim_text
+              FROM alive WHERE turn_idx = 0
+            )
+            SELECT a.conv_id, a.turn_idx, a.role, a.text, a.tool,
+                   strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   d.dim_role, d.dim_text
+            FROM alive a LEFT JOIN dim d ON a.conv_id = d.conv_id
         """,
         # archive roundtrip + replay + fan-out: each destination holds
         # exactly the full-log LWW state
