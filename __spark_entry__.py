@@ -231,6 +231,59 @@ def _q_purge_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quarantine_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poison-row quarantine (the reference's row-by-row violation skip
+    + error-output escape, output_sql_insert.go:310-348): the log is
+    poisoned deterministically (op='bogus' on lsn%37==5, NULL key on
+    lsn%41==7), replayed with EngineConfig.quarantine — poison rows
+    land in <table>/metadata/quarantine (count asserted in-query)
+    instead of failing the batch, and the final state must equal the
+    LWW oracle over exactly the VALID rows."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    poisoned = log.withColumn(
+        "op", F.when(F.col("lsn") % 37 == 5, F.lit("bogus")).otherwise(F.col("op"))
+    ).withColumn(
+        "conv_id",
+        F.when(F.col("lsn") % 41 == 7, F.lit(None)).otherwise(F.col("conv_id")),
+    )
+    n_poison = poisoned.filter(
+        (F.col("lsn") % 37 == 5) | (F.col("lsn") % 41 == 7)
+    ).count()
+
+    table = SnapshotTable.create(
+        spark, tempfile.mkdtemp(prefix="ns_cdc_quar_"),
+        transcript_schema(), key_cols=KEY_COLS, n_buckets=16,
+    )
+    ReplayEngine(
+        spark, table,
+        config=EngineConfig(
+            batch_lsn_size=(hi + 2) // 2, lineage=False,
+            prune_buckets=False, quarantine=True,
+        ),
+    ).replay(
+        lambda lo, hi_: poisoned.filter(
+            (F.col("lsn") >= lo) & (F.col("lsn") < hi_)
+        ),
+        lsn_lo=0, lsn_hi=hi,
+    )
+    q = spark.read.parquet(
+        os.path.join(table.path, "metadata", "quarantine")
+    )
+    n_q = q.count()
+    if n_q != n_poison:
+        raise AssertionError(
+            f"quarantine must hold exactly the poison rows: {n_q} != {n_poison}"
+        )
+    return table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
 def _q_join_view_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental JOIN-view maintenance (operators/join_view.py): a
     denormalized view — every transcript turn enriched with its
@@ -3670,9 +3723,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_concurrent_writers": _q_concurrent_writers,
         "cdc_catalog_publish": _q_catalog_publish,
         "cdc_archive_fanout_replay": _q_archive_fanout_replay,
+        "cdc_quarantine_escape": _q_quarantine_escape,
         "dedup_fingerprint_overlap": _q_fingerprint_overlap,
         "privacy_l_diversity": _q_privacy_l_diversity,
-        "ann_cosine_topk": _q_ann_topk,
+        "privacy_k_anonymity": _q_privacy_k_anonymity,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_index_topk": _q_ann_ivf_index,
         "ann_pq_topk": _q_ann_pq,
@@ -3711,7 +3765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_repair_bucket": _q_cdc_repair_bucket,
         "multi_table_sync_drift": _q_multi_table_sync_drift,
         "cdc_debezium_decode": _q_debezium_decode,
-        "privacy_k_anonymity": _q_privacy_k_anonymity,
+        "ann_cosine_topk": _q_ann_topk,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "text_quality_score": _q_quality,
         "media_metadata": _q_media_metadata,
@@ -3796,6 +3850,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'
+        """,
+        # quarantine escape: final state == LWW over exactly the rows
+        # the deterministic poisoning left valid
+        "cdc_quarantine_escape": f"""
+            WITH log AS ({_CDC_DERIVATION}),
+            valid AS (
+              SELECT * FROM log WHERE lsn % 37 <> 5 AND lsn % 41 <> 7
+            ), w AS (
+              SELECT v.*, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, lsn DESC) AS rn
+              FROM valid v
+            )
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM w WHERE rn = 1 AND op <> 'delete'
         """,
         # incremental join view == full LEFT JOIN over the two LWW
         # states (fact turns x turn-0 dimension of the same conv)

@@ -227,8 +227,11 @@ class ReplayEngine:
             # coalesce to False: a NULL op makes isin() three-valued NULL,
             # which both filter(valid) and filter(~valid) would drop —
             # the poison row must land in exactly one side
+            ops = ["insert", "update", "delete"]
+            if self.config.patch_ops:
+                ops.append("patch")  # partial images are valid events here
             valid = F.coalesce(
-                F.col("op").isin("insert", "update", "delete")
+                F.col("op").isin(ops)
                 & F.col("conv_id").isNotNull()
                 & F.col("turn_idx").isNotNull()
                 & F.col("lsn").isNotNull(),

@@ -396,3 +396,35 @@ def test_cow_patch_with_transform_no_double_transform(spark, tmp_path):
         applied_range=(20, 30), patch_ops=True, source_is_raw=True, transform=tx,
     )
     assert _state(t) == {("c", 0): ("user", "Xfresh", "browser")}
+
+
+def test_patch_events_survive_quarantine_filter(spark, tmp_path):
+    # regression: quarantine's valid-op set must include 'patch' when
+    # patch_ops is on — otherwise every partial image is quarantined
+    import os
+
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+
+    t = _mk(spark, tmp_path / "t")
+    eng = ReplayEngine(
+        spark, t,
+        config=EngineConfig(
+            batch_lsn_size=100, lineage=False, quarantine=True,
+            patch_ops=True,
+        ),
+    )
+    batch = _patch_batch(spark, [
+        (1, "insert", "c1", 0, "user", "hello", "search", "2026-01-01 00:00:01"),
+        (2, "patch", "c1", 0, None, None, "browser", "2026-01-01 00:00:02"),
+        (3, "bogus", "c1", 1, "user", "poison", None, "2026-01-01 00:00:03"),
+    ])
+    eng.replay(
+        lambda lo, hi: batch.filter(
+            (batch.lsn >= lo) & (batch.lsn < hi)
+        ),
+        lsn_lo=0, lsn_hi=99,
+    )
+    assert _state(t) == {("c1", 0): ("user", "hello", "browser")}
+    qdir = os.path.join(t.path, "metadata", "quarantine")
+    q = spark.read.parquet(qdir)
+    assert q.count() == 1 and q.collect()[0]["op"] == "bogus"
