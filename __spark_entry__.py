@@ -231,6 +231,57 @@ def _q_purge_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_replicate_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-lakehouse replication (plans/replicate.py):
+    the primary replays the half log, the replica bootstraps from that
+    snapshot, the primary advances to the full log, and the replica
+    catches up by ONE diff hop (snapshot_diff postimages + pre-image
+    deletes, ledgered — a rerun of the hop is a no-op, asserted). The
+    replica's payload must equal the primary's full-log LWW state —
+    without the replica ever touching the change log or re-running the
+    anonymization pipeline."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.plans.replicate import (
+        replica_schema,
+        replicate_incremental,
+    )
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    mid = hi // 2
+
+    src = SnapshotTable.create(
+        spark, tempfile.mkdtemp(prefix="ns_cdc_rep_src_"),
+        transcript_schema(), key_cols=KEY_COLS, n_buckets=16,
+    )
+    dst = SnapshotTable.create(
+        spark, tempfile.mkdtemp(prefix="ns_cdc_rep_dst_"),
+        replica_schema(transcript_schema()), key_cols=KEY_COLS, n_buckets=16,
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    cfg = EngineConfig(
+        batch_lsn_size=mid, lineage=False, prune_buckets=False
+    )
+    ReplayEngine(spark, src, config=cfg).replay(slicer, lsn_lo=0, lsn_hi=mid - 1)
+    s_half = src.manifest(refresh=True)["snapshot_id"]
+    replicate_incremental(src, dst, s_half)  # bootstrap hop
+    ReplayEngine(spark, src, config=cfg).replay(slicer, lsn_lo=mid, lsn_hi=hi)
+    s_full = src.manifest(refresh=True)["snapshot_id"]
+    replicate_incremental(src, dst, s_full, from_snapshot_id=s_half)
+    rerun = replicate_incremental(src, dst, s_full, from_snapshot_id=s_half)
+    if rerun.rows_written != 0:
+        raise AssertionError("replication hop re-run must be a no-op")
+    return dst.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.date_format("src_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+
+
 def _q_quarantine_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poison-row quarantine (the reference's row-by-row violation skip
     + error-output escape, output_sql_insert.go:310-348): the log is
@@ -3724,10 +3775,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_catalog_publish": _q_catalog_publish,
         "cdc_archive_fanout_replay": _q_archive_fanout_replay,
         "cdc_quarantine_escape": _q_quarantine_escape,
+        "cdc_replicate_diff": _q_replicate_diff,
         "dedup_fingerprint_overlap": _q_fingerprint_overlap,
         "privacy_l_diversity": _q_privacy_l_diversity,
         "privacy_k_anonymity": _q_privacy_k_anonymity,
-        "ann_ivf_topk": _q_ann_ivf,
+        "cdc_debezium_decode": _q_debezium_decode,
         "ann_ivf_index_topk": _q_ann_ivf_index,
         "ann_pq_topk": _q_ann_pq,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -3764,7 +3816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_violations": _q_constraint_violations,
         "cdc_repair_bucket": _q_cdc_repair_bucket,
         "multi_table_sync_drift": _q_multi_table_sync_drift,
-        "cdc_debezium_decode": _q_debezium_decode,
+        "ann_ivf_topk": _q_ann_ivf,
         "ann_cosine_topk": _q_ann_topk,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "text_quality_score": _q_quality,
@@ -3847,6 +3899,13 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "cdc_replay_final_state": f"""
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM ({lww}) WHERE op <> 'delete'
+        """,
+        # incremental replication: the replica's payload equals the
+        # primary's full-log LWW state (src event time rides as src_ts)
+        "cdc_replicate_diff": f"""
             SELECT conv_id, turn_idx, role, text, tool,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'
