@@ -231,6 +231,59 @@ def _q_purge_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_agg_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter table as a CDC consumer (operators/agg_merge.py): every
+    change event meters +1 event / +chars per conversation into an
+    accumulator table via two ledgered increment batches (sum/min/max
+    folds — ONE map-side-combined hash agg per batch; replay of a batch
+    is a no-op, which is what makes the non-idempotent sums retry-safe,
+    asserted in-query). Totals must equal DuckDB's GROUP BY over the
+    whole log."""
+    import pyspark.sql.types as T  # noqa: N812
+
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.agg_merge import merge_agg
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    mid = hi // 2
+    inc = log.select(
+        "conv_id",
+        F.lit(1).cast("long").alias("n_events"),
+        F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("chars"),
+        F.col("lsn").alias("first_lsn"),
+        F.col("lsn").alias("last_lsn"),
+        "lsn",
+    )
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("chars", T.LongType(), True),
+        T.StructField("first_lsn", T.LongType(), True),
+        T.StructField("last_lsn", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ])
+    resolvers = {
+        "n_events": "sum", "chars": "sum",
+        "first_lsn": "min", "last_lsn": "max",
+    }
+    t = SnapshotTable.create(
+        spark, tempfile.mkdtemp(prefix="ns_cdc_aggm_"),
+        schema, key_cols=["conv_id"], n_buckets=16,
+    )
+    merge_agg(t, inc.filter(F.col("lsn") < mid), resolvers,
+              applied_range=(0, mid))
+    merge_agg(t, inc.filter(F.col("lsn") >= mid), resolvers,
+              applied_range=(mid, hi + 1))
+    replay = merge_agg(t, inc.filter(F.col("lsn") < mid), resolvers,
+                       applied_range=(0, mid))
+    if replay.rows_written != 0:
+        raise AssertionError("increment batch replay must be a no-op")
+    return t.read().select(
+        "conv_id", "n_events", "chars", "first_lsn", "last_lsn"
+    )
+
+
 def _q_replicate_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cross-lakehouse replication (plans/replicate.py):
     the primary replays the half log, the replica bootstraps from that
@@ -3776,7 +3829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_archive_fanout_replay": _q_archive_fanout_replay,
         "cdc_quarantine_escape": _q_quarantine_escape,
         "cdc_replicate_diff": _q_replicate_diff,
-        "dedup_fingerprint_overlap": _q_fingerprint_overlap,
+        "cdc_agg_counters": _q_agg_counters,
+        "multi_table_sync_drift": _q_multi_table_sync_drift,
         "privacy_l_diversity": _q_privacy_l_diversity,
         "privacy_k_anonymity": _q_privacy_k_anonymity,
         "cdc_debezium_decode": _q_debezium_decode,
@@ -3815,7 +3869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_anonymize": _q_json_anonymize,
         "constraint_violations": _q_constraint_violations,
         "cdc_repair_bucket": _q_cdc_repair_bucket,
-        "multi_table_sync_drift": _q_multi_table_sync_drift,
+        "dedup_fingerprint_overlap": _q_fingerprint_overlap,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_cosine_topk": _q_ann_topk,
         "dedup_simhash_pairs": _q_simhash_pairs,
@@ -3902,6 +3956,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'
+        """,
+        # counter table: two ledgered increment batches == one GROUP BY
+        # over the whole log
+        "cdc_agg_counters": f"""
+            WITH log AS ({_CDC_DERIVATION})
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(coalesce(sum(coalesce(length(text), 0)), 0) AS BIGINT)
+                       AS chars,
+                   CAST(min(lsn) AS BIGINT) AS first_lsn,
+                   CAST(max(lsn) AS BIGINT) AS last_lsn
+            FROM log GROUP BY conv_id
         """,
         # incremental replication: the replica's payload equals the
         # primary's full-log LWW state (src event time rides as src_ts)
