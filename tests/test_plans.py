@@ -380,3 +380,98 @@ def test_lsn_gaps_never_globally_sorts_raw_events(spark, log_path):
     for line in plan.splitlines():
         if "Exchange rangepartitioning" in line:
             assert "_blk" in line or "_lsn" not in line
+
+
+def test_agg_merge_batch_partials_map_side_combined(spark, tmp_path):
+    """merge_agg's batch collapse must be a partial hash aggregation
+    (map-side combine) with no window and no Python stage — increments
+    for a hot conversation fold before the exchange."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.agg_merge import merge_agg
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ])
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "agg"), schema, key_cols=["conv_id"],
+        n_buckets=4,
+    )
+    batch = spark.range(200).select(
+        F.concat(F.lit("c-"), (F.col("id") % 5)).alias("conv_id"),
+        F.lit(1).cast("long").alias("n_events"),
+        F.col("id").alias("lsn"),
+    )
+    captured = {}
+    orig = t.merge_cdc
+
+    def spy(events, **kw):
+        captured["plan"] = events._jdf.queryExecution().executedPlan().toString()
+        return orig(events, **kw)
+
+    t.merge_cdc = spy
+    merge_agg(t, batch, {"n_events": "sum"}, applied_range=(0, 200))
+    plan = captured["plan"]
+    assert "partial_sum" in plan or "partial_finalmerge" in plan.lower() or (
+        plan.count("HashAggregate") >= 2
+    ), plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_join_view_refresh_semi_joins_no_cartesian(spark, tmp_path):
+    """The incremental join-view refresh must reach the left table via
+    LEFT-SEMI joins (no row duplication) and plan no cartesian/nested-
+    loop join anywhere."""
+    from pyspark.sql import functions as F
+
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.join_view import incremental_join_sync
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+    from .test_join_view import VIEW_SCHEMA, _ev, _project
+
+    left = SnapshotTable.create(
+        spark, str(tmp_path / "l"), transcript_schema(),
+        key_cols=KEY_COLS, n_buckets=4,
+    )
+    right = SnapshotTable.create(
+        spark, str(tmp_path / "r"), transcript_schema(),
+        key_cols=KEY_COLS, n_buckets=4,
+    )
+    dst = SnapshotTable.create(
+        spark, str(tmp_path / "v"), VIEW_SCHEMA, key_cols=KEY_COLS,
+        n_buckets=4,
+    )
+    left.merge_cdc(_ev(spark, [
+        ("c-1", 0, "user", "a", None, 1000.0, 1, "insert"),
+        ("c-1", 1, "assistant", "b", None, 1001.0, 2, "insert"),
+    ]), applied_range=(0, 3), source_is_raw=True)
+    right.merge_cdc(_ev(spark, [
+        ("c-1", 0, "meta", "dim", None, 1000.0, 1, "insert"),
+    ]), applied_range=(0, 2), source_is_raw=True)
+    sl0 = left.manifest(refresh=True)["snapshot_id"]
+    sr0 = right.manifest(refresh=True)["snapshot_id"]
+    incremental_join_sync(left, right, dst, sl0, sr0, project=_project)
+    left.merge_cdc(_ev(spark, [
+        ("c-1", 0, "user", "a2", None, 2000.0, 9, "update"),
+    ]), applied_range=(9, 10), source_is_raw=True)
+
+    captured = {}
+    orig = dst.merge_cdc
+
+    def spy(events, **kw):
+        captured["plan"] = events._jdf.queryExecution().executedPlan().toString()
+        return orig(events, **kw)
+
+    dst.merge_cdc = spy
+    incremental_join_sync(
+        left, right, dst, left.manifest(refresh=True)["snapshot_id"], sr0,
+        from_left=sl0, from_right=sr0, project=_project,
+    )
+    plan = captured["plan"]
+    assert "LeftSemi" in plan, plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
