@@ -357,6 +357,46 @@ def main() -> None:
         "fan-out bounded by doc_len/stride.",
     )
 
+    # ---- aggregate-merge batch partials (counter tables) ----
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.agg_merge import merge_agg
+
+    agg_schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ])
+    agg_t = SnapshotTable.create(
+        spark, tempfile.mkdtemp(prefix="plans_agg_"), agg_schema,
+        key_cols=["conv_id"], n_buckets=4,
+    )
+    inc_batch = spark.range(2000).select(
+        F.concat(F.lit("c-"), (F.col("id") % 50)).alias("conv_id"),
+        F.lit(1).cast("long").alias("n_events"),
+        F.col("id").alias("lsn"),
+    )
+    cap_holder = {}
+    _orig_merge = agg_t.merge_cdc
+
+    def _spy(events, **kw):
+        cap_holder["df"] = events
+        return _orig_merge(events, **kw)
+
+    agg_t.merge_cdc = _spy
+    merge_agg(agg_t, inc_batch, {"n_events": "sum"}, applied_range=(0, 2000))
+    cap(
+        "Aggregate merge (counter-table increments)",
+        cap_holder["df"],
+        "the batch collapses in a partial_sum HashAggregate BEFORE its "
+        "exchange (map-side combine: a hot conversation's increments fold "
+        "locally), the current accumulators arrive bucket-pruned and "
+        "semi-joined, and the old/new fold is one more hash agg — no "
+        "Window, no Python stage anywhere.",
+    )
+
     hdr = (
         "# PLANS — formatted physical plans of load-bearing operators\n\n"
         "Generated by tools/gen_plans.py (`df.explain('formatted')` at sf0.001).\n"
