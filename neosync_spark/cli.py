@@ -444,6 +444,23 @@ def main(argv: list[str] | None = None) -> int:
              "not_null:<table>:<cols> | check:<table>:<expr> | "
              "fk:<child>:<cols>:<parent>:<refcols>  (cols comma-separated)")
 
+    cat = sub.add_parser(
+        "catalog",
+        help="atomic multi-table publish: pin/read tables through a "
+             "versioned catalog pointer",
+    )
+    cat.add_argument("--root", required=True, help="catalog directory")
+    cat.add_argument("action", choices=["init", "show", "publish", "read"])
+    cat.add_argument("--pin", action="append", default=[],
+                     help="publish: name=table-path (pins the table's "
+                          "CURRENT snapshot), repeatable — all pins move "
+                          "in ONE atomic version step")
+    cat.add_argument("--consistent", action="store_true",
+                     help="publish: pin every table at the newest COMMON "
+                          "source-lsn watermark instead of current heads")
+    cat.add_argument("--name", default=None, help="read: table name")
+    cat.add_argument("--limit", type=int, default=20, help="read: rows")
+
     args = p.parse_args(argv)
 
     from .session import get_spark
@@ -614,6 +631,39 @@ def main(argv: list[str] | None = None) -> int:
         t = SnapshotTable.load(spark, args.table)
         print(json.dumps(t.expire_snapshots(keep_last=args.keep_last)))
         return 0
+
+    if args.cmd == "catalog":
+        from .lakehouse import SnapshotTable
+        from .plans.catalog import Catalog
+
+        if args.action == "init":
+            Catalog.create(args.root)
+            print(json.dumps({"root": args.root, "version": 0}))
+            return 0
+        c = Catalog.load(args.root)
+        if args.action == "show":
+            print(json.dumps({"version": c.version(), "tables": c.tables()}))
+            return 0
+        if args.action == "publish":
+            pins = dict(kv.split("=", 1) for kv in args.pin)
+            tables = {
+                n: SnapshotTable.load(spark, path) for n, path in pins.items()
+            }
+            if args.consistent:
+                v, w = c.publish_consistent(tables)
+                print(json.dumps({"version": v, "watermark": w}))
+            else:
+                v = c.publish(tables)
+                print(json.dumps({"version": v}))
+            return 0
+        if args.action == "read":
+            if not args.name:
+                print("catalog read needs --name", file=sys.stderr)
+                return 2
+            df = c.read(spark, args.name)
+            for r in df.limit(args.limit).collect():
+                print(json.dumps(r.asDict(), default=str))
+            return 0
 
     if args.cmd == "retain":
         import datetime
