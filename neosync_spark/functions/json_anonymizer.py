@@ -627,7 +627,9 @@ def parse_jq(program: str) -> tuple:
     str/array/object→size), bare `.f` truthiness, and `and` / `or`
     with parentheses (jq precedence: `and` binds tighter),
     `del(.path)` (drop the key —
-    tokens get a ``('del',)`` head), and a trailing alternative
+    tokens get a ``('del',)`` head), recursive descent `.. | .field`
+    (apply the remainder at every depth — tokens get a ``('rdesc',)``
+    stage; not valid inside del()), and a trailing alternative
     `.path // <json literal>` (a missing/null target is materialized
     from the literal before transforming — tokens get an
     ``('alt', literal)`` tail). The program must end in a field path
@@ -639,7 +641,12 @@ def parse_jq(program: str) -> tuple:
             raise ValueError(f"del() target cannot carry '//': {program!r}")
         # a del target MAY end in a filter: `del(.xs[] | select(...))`
         # deletes the selected elements themselves
-        return (("del",),) + _parse_jq_body(dm.group(1), allow_filter_end=True)
+        body_toks = _parse_jq_body(dm.group(1), allow_filter_end=True)
+        if any(isinstance(t, tuple) and t[0] == "rdesc" for t in body_toks):
+            raise ValueError(
+                f"del() does not support recursive descent: {program!r}"
+            )
+        return (("del",),) + body_toks
     body, alt_lit = _split_alt(program)
     toks = _parse_jq_body(body, allow_filter_end=False)
     if alt_lit is not None:
@@ -650,6 +657,12 @@ def parse_jq(program: str) -> tuple:
 def _parse_jq_body(program: str, allow_filter_end: bool) -> tuple:
     toks: list = []
     for stage in _split_pipes(program):
+        if stage == "..":
+            # gojq recursive descent: apply the REST of the program at
+            # this node and at every descendant container — the
+            # "anonymize every `email` anywhere" config shape
+            toks.append(("rdesc",))
+            continue
         m = _JQ_SELECT_RE.match(stage)
         if m:
             if not toks:
@@ -665,7 +678,7 @@ def _parse_jq_body(program: str, allow_filter_end: bool) -> tuple:
         else:
             toks.extend(_parse_path_stage(stage))
     ends_in_filter = not toks or (
-        isinstance(toks[-1], tuple) and toks[-1][0] == "sel"
+        isinstance(toks[-1], tuple) and toks[-1][0] in ("sel", "rdesc")
     )
     if ends_in_filter and not (allow_filter_end and toks):
         raise ValueError(
@@ -820,6 +833,23 @@ def _transform_path(
         return
     t = toks[i]
     last = i == len(toks) - 1
+    if isinstance(t, tuple) and t[0] == "rdesc":
+        # gojq `..`: the remainder applies at THIS node and at every
+        # descendant container. Each location is a distinct node, so a
+        # value transforms at most once (parse_jq guarantees 'rdesc' is
+        # never last, so `last` is unreachable here).
+        _transform_path(node, toks, i + 1, apply_one, key, alt)
+        if isinstance(node, dict):
+            for k, v in list(node.items()):
+                if isinstance(v, (dict, list)):
+                    _transform_path(v, toks, i, apply_one, f"{key}.{k}", alt)
+        elif isinstance(node, list):
+            for j, item in enumerate(node):
+                if isinstance(item, (dict, list)):
+                    _transform_path(
+                        item, toks, i, apply_one, f"{key}[{j}]", alt
+                    )
+        return
     if isinstance(t, tuple) and t[0] == "sel":
         # object-level select(): gate on the CURRENT node (parse_jq
         # guarantees 'sel' is never last). On a list, jq streams `[]`

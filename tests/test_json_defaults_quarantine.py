@@ -753,6 +753,56 @@ class TestJqDelAndAlternative:
         with _pytest.raises(ValueError):
             parse_jq('del(.a // "x")')
 
+    def test_recursive_descent_every_depth(self):
+        from neosync_spark.functions.json_anonymizer import (
+            _transform_path,
+            parse_jq,
+        )
+
+        doc = {
+            "email": "a@x.com",
+            "user": {"email": "b@x.com", "name": "bob",
+                     "contacts": [{"email": "c@x.com"}, {"phone": "1"}]},
+            "items": [{"deep": {"email": "d@x.com"}}],
+        }
+        _transform_path(
+            doc, parse_jq(".. | .email"), 0, lambda v, k: "X", "doc"
+        )
+        assert doc["email"] == "X"
+        assert doc["user"]["email"] == "X"
+        assert doc["user"]["contacts"][0]["email"] == "X"
+        assert doc["items"][0]["deep"]["email"] == "X"
+        assert doc["user"]["name"] == "bob"  # untouched
+
+    def test_recursive_descent_with_select(self):
+        from neosync_spark.functions.json_anonymizer import (
+            _transform_path,
+            parse_jq,
+        )
+
+        doc = {
+            "turns": [{"role": "user", "text": "hi"},
+                      {"role": "bot", "text": "yo"}],
+            "nested": {"role": "user", "text": "deep"},
+        }
+        _transform_path(
+            doc, parse_jq('.. | select(.role == "user") | .text'),
+            0, lambda v, k: "X", "doc",
+        )
+        assert doc["turns"][0]["text"] == "X"
+        assert doc["turns"][1]["text"] == "yo"
+        assert doc["nested"]["text"] == "X"
+
+    def test_recursive_descent_rejected_forms(self):
+        import pytest as _pytest
+
+        from neosync_spark.functions.json_anonymizer import parse_jq
+
+        with _pytest.raises(ValueError):
+            parse_jq("del(.. | .email)")  # del + rdesc unsupported
+        with _pytest.raises(ValueError):
+            parse_jq(".a | ..")  # must end in a value path
+
     def test_jvm_top_level_del(self, spark):
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
