@@ -444,6 +444,21 @@ def main(argv: list[str] | None = None) -> int:
              "not_null:<table>:<cols> | check:<table>:<expr> | "
              "fk:<child>:<cols>:<parent>:<refcols>  (cols comma-separated)")
 
+    rp = sub.add_parser(
+        "replicate",
+        help="incremental cross-lakehouse replication: ship the net "
+             "snapshot diff to a replica table (ledgered hops)",
+    )
+    rp.add_argument("--src", required=True, help="primary table path")
+    rp.add_argument("--dst", required=True,
+                    help="replica table path (created with replica_schema "
+                         "on first use)")
+    rp.add_argument("--from-snapshot", type=int, default=None,
+                    help="diff base; omit on an EXISTING replica to use its "
+                         "last applied hop, or on a fresh one to bootstrap")
+    rp.add_argument("--to-snapshot", type=int, default=None,
+                    help="target snapshot (default: primary's current)")
+
     cat = sub.add_parser(
         "catalog",
         help="atomic multi-table publish: pin/read tables through a "
@@ -630,6 +645,43 @@ def main(argv: list[str] | None = None) -> int:
 
         t = SnapshotTable.load(spark, args.table)
         print(json.dumps(t.expire_snapshots(keep_last=args.keep_last)))
+        return 0
+
+    if args.cmd == "replicate":
+        from .lakehouse import SnapshotTable
+        from .plans.replicate import replica_schema, replicate_incremental
+
+        src = SnapshotTable.load(spark, args.src)
+        to_sid = (
+            args.to_snapshot
+            if args.to_snapshot is not None
+            else src.manifest(refresh=True)["snapshot_id"]
+        )
+        if SnapshotTable.exists(args.dst):
+            dst = SnapshotTable.load(spark, args.dst)
+            from_sid = args.from_snapshot
+            if from_sid is None:
+                applied = dst.applied_ranges()
+                from_sid = max((r[1] for r in applied), default=None)
+            if from_sid is None:
+                print("replica has no applied hop; pass --from-snapshot "
+                      "or use a fresh --dst to bootstrap", file=sys.stderr)
+                return 2
+        else:
+            m = src.manifest(refresh=True)
+            dst = SnapshotTable.create(
+                spark, args.dst, replica_schema(src.current_schema()),
+                key_cols=m["key_cols"], n_buckets=m["bucket_count"],
+            )
+            from_sid = args.from_snapshot  # None = bootstrap hop
+        ci = replicate_incremental(
+            src, dst, to_sid, from_snapshot_id=from_sid
+        )
+        print(json.dumps({
+            "from_snapshot": from_sid, "to_snapshot": to_sid,
+            "rows_shipped": ci.rows_written,
+            "replica_snapshot": ci.snapshot_id,
+        }))
         return 0
 
     if args.cmd == "catalog":
