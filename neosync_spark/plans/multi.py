@@ -143,6 +143,7 @@ def run_multi_table_sync(
     write: "callable[[str, DataFrame], None] | None" = None,
     destinations: "dict[str, object] | None" = None,
     dest_constraints: ConstraintSet | None = None,
+    catalog=None,
 ) -> dict[str, DataFrame]:
     """Plan + execute: schema-init the destinations, subset along FK
     edges, order by the DAG, apply per-table transforms, rewrite FKs
@@ -150,6 +151,13 @@ def run_multi_table_sync(
     each via `write` if given; tables named in ``destinations`` —
     SnapshotTables — are merged through the exactly-once ledger with
     LWW over whatever rows the destination already held).
+
+    ``catalog`` (plans/catalog.Catalog): after EVERY wave has loaded,
+    re-pin all destination tables in one atomic catalog publish —
+    readers resolving through the catalog flip from the pre-sync
+    multi-table view to the post-sync one in a single version step,
+    never observing some tables synced and others not (the cross-table
+    visibility guarantee the per-table ledgers alone cannot give).
     """
     # 0. schema init BEFORE any data moves (SchemaInit analog): the
     # destination's physical schema and constraint plan converge first,
@@ -207,6 +215,8 @@ def run_multi_table_sync(
             write(cfg.table, df)
         if destinations and cfg.table in destinations:
             _merge_into_destination(destinations[cfg.table], df, spec)
+    if catalog is not None and destinations:
+        catalog.publish(dict(destinations))
     return out
 
 

@@ -385,3 +385,38 @@ def test_schema_init_before_sync_converges(spark, sources, tmp_path):
     # a second run advances the epoch (new applied_range) but must not
     # change the final state (same keys, same values by LWW re-upsert)
     assert dest.read().count() == len(rows)
+
+
+def test_catalog_publish_after_sync_is_atomic(spark, sources, tmp_path):
+    """run_multi_table_sync(catalog=...): after every wave loads, ALL
+    destination pins move in one catalog version step — catalog readers
+    flip from the pre-sync view to the post-sync one atomically."""
+    from pyspark.sql import types as T
+
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.plans.catalog import Catalog
+
+    job = _job()
+    dest_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.StringType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    dest = SnapshotTable.create(
+        spark, str(tmp_path / "orders_cat"), dest_schema,
+        key_cols=["o_orderkey"], order_cols=["ts"], n_buckets=4,
+    )
+    cat = Catalog.create(str(tmp_path / "cat"))
+    cat.publish({"orders": dest})  # pre-sync pin (empty table)
+    v0 = cat.version()
+    pre_n = cat.read(spark, "orders").count()
+    assert pre_n == 0
+
+    run_multi_table_sync(
+        spark, job, sources, destinations={"orders": dest}, catalog=cat,
+    )
+    assert cat.version() == v0 + 1  # ONE atomic step for the whole sync
+    assert cat.read(spark, "orders").count() == dest.read().count() > 0
