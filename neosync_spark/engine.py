@@ -157,7 +157,9 @@ class ReplayEngine:
         for the key-grouped stage; see operators/dedup.py)."""
         return lww_dedup(batch, KEY_COLS, ["ts", "lsn"])
 
-    def transform_batch(self, batch: DataFrame) -> DataFrame:
+    def transform_batch(
+        self, batch: DataFrame, only_where=None
+    ) -> DataFrame | None:
         """Apply the anonymization transforms to payload columns.
 
         Transformers carrying a ``column_expr`` (deterministic regex /
@@ -165,10 +167,28 @@ class ReplayEngine:
         codegen; only seeded-random transformers pay the Arrow
         round-trip into a pandas UDF. Row-local → safe to
         salt-repartition on conv_id for hot-conversation splitting
-        before the (Python-bound) UDF stage."""
+        before the (Python-bound) UDF stage.
+
+        ``only_where`` (a boolean Column) asks for a SINGLE-PASS
+        conditional apply: ``when(cond, mapped).otherwise(col)``. The
+        merge uses it to anonymize only winning source rows without
+        splitting the LWW aggregate into two consumers (a split reuses
+        the shuffle but re-runs the aggregation per branch — a full
+        second pass over the merge state). Codegen short-circuits the
+        ``when`` for deterministic JVM exprs, so target rows never pay
+        the regex chain. Returns ``None`` when any transform is a
+        Python UDF — ``ArrowEvalPython`` is evaluated eagerly on every
+        row regardless of ``when``, so for UDFs the filter-split is the
+        cheaper plan and the caller must fall back to it."""
         if not self.transforms:
             return batch
         out = batch
+        if only_where is not None and any(
+            getattr(fn, "column_expr", None) is None
+            for col, fn in self.transforms.items()
+            if col in out.columns
+        ):
+            return None
         if self.config.salt_partitions:
             out = salted_repartition(
                 out,
@@ -180,9 +200,10 @@ class ReplayEngine:
         for col, fn in self.transforms.items():
             if col in out.columns:
                 expr = getattr(fn, "column_expr", None)
-                out = out.withColumn(
-                    col, expr(F.col(col)) if expr else as_udf(fn)(F.col(col), k)
-                )
+                mapped = expr(F.col(col)) if expr else as_udf(fn)(F.col(col), k)
+                if only_where is not None:
+                    mapped = F.when(only_where, mapped).otherwise(F.col(col))
+                out = out.withColumn(col, mapped)
         return out
 
     def pandas_transform(self, pdf: pd.DataFrame) -> pd.DataFrame:

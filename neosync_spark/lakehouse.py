@@ -91,6 +91,90 @@ def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+def _mmh3_int(x: int, seed: int = 42) -> int:
+    """Murmur3_x86_32 of one int32 — Spark's ``hash()`` for IntegerType
+    and therefore the function behind shuffle HashPartitioning
+    (``pmod(hash(expr), n)``). Re-derived from the public MurmurHash3
+    algorithm so ``bucket_routed`` can compute partition preimages on
+    the driver without a Spark job; ``test_plans.py`` pins it against
+    ``F.hash`` so a Spark-side change would fail loudly."""
+    m = 0xFFFFFFFF
+    k = (x & m) * 0xCC9E2D51 & m
+    k = ((k << 15) | (k >> 17)) & m
+    k = (k * 0x1B873593) & m
+    h = (seed ^ k) & m
+    h = ((h << 13) | (h >> 19)) & m
+    h = (h * 5 + 0xE6546B64) & m
+    h ^= 4  # total bytes hashed
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & m
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & m
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+_ROUTE_PREIMAGES: dict[int, list[int]] = {}
+
+
+def _partition_preimages(n_parts: int) -> list[int]:
+    """For each pid in [0, n_parts): the smallest x ≥ 0 with
+    ``pmod(hash(x), n_parts) == pid``. Memoized; the search touches
+    ~n·ln(n) candidates (coupon collector), microseconds for any
+    realistic partition count."""
+    got = _ROUTE_PREIMAGES.get(n_parts)
+    if got is not None:
+        return got
+    out: list[int | None] = [None] * n_parts
+    need, x = n_parts, 0
+    while need:
+        pid = _mmh3_int(x) % n_parts  # Python % is non-negative == pmod
+        if out[pid] is None:
+            out[pid] = x
+            need -= 1
+        x += 1
+    _ROUTE_PREIMAGES[n_parts] = out  # type: ignore[assignment]
+    return out  # type: ignore[return-value]
+
+
+def bucket_routed(
+    df: DataFrame, buckets, n_parts: int, bucket_col: str = "_bucket"
+) -> DataFrame:
+    """Exact bucket→partition routing for the bucket-file write shuffle.
+
+    ``repartition(n, bucket)`` hash-partitions the nb distinct bucket
+    ids into n slots: ~1/e of the slots come up EMPTY and the busiest
+    slot carries 2-4 buckets (multinomial collisions), so the write
+    wave runs at a 2-4× straggler tail while a third of the cluster's
+    write slots idle. This instead routes bucket rank r to partition
+    r % n_parts exactly — zero empty partitions, max load
+    ceil(len(buckets)/n_parts) — by mapping each bucket id to a
+    driver-computed murmur3 preimage of its target partition (the
+    shuffle hash is ``_mmh3_int``; dense bucket sets use an O(1) array
+    lookup, sparse sets a literal map).
+
+    Use ONLY when the shuffle feeds a write/sink directly: the routing
+    expression hides the bucket attribute from Catalyst, so an
+    aggregation or join above it would insert its own exchange."""
+    bl = sorted(int(b) for b in buckets)
+    if not bl:
+        return df.repartition(1)
+    n_parts = max(1, min(int(n_parts), len(bl)))
+    pre = _partition_preimages(n_parts)
+    col = F.col(bucket_col).cast("int")
+    if bl == list(range(len(bl))):  # dense 0..nb-1: O(1) array index
+        arr = F.array(*[F.lit(pre[r % n_parts]) for r in range(len(bl))])
+        route = F.element_at(arr, col + F.lit(1))
+    else:  # sparse (pruned commit): literal-map lookup
+        pairs: list = []
+        for rank, b in enumerate(bl):
+            pairs += [F.lit(b), F.lit(pre[rank % n_parts])]
+        route = F.element_at(F.create_map(*pairs), col)
+    # a bucket outside `buckets` (shouldn't happen — callers pass the
+    # exact bucket set of df) degrades to hash placement, never NULL
+    return df.repartition(n_parts, F.coalesce(route, col))
+
+
 class CommitConflictError(RuntimeError):
     """Another writer committed since this commit planned its snapshot.
 
@@ -1390,11 +1474,27 @@ class SnapshotTable:
                     won = lww_dedup(unioned, key_cols, ["ts", _LSN_COL, "_src"])
                 if transform is not None and not patch_ops:
                     # anonymize ONLY the winning source rows (target rows
-                    # were transformed when first applied) — a partition-
-                    # local split, no extra shuffle
-                    new_rows = transform(won.filter(F.col("_src") == 1))
-                    kept_rows = won.filter(F.col("_src") != 1)
-                    won = new_rows.unionByName(kept_rows)
+                    # were transformed when first applied). Preferred
+                    # plan: one conditional projection over the agg
+                    # output (engine.transform_batch(only_where=...)) —
+                    # a filter-split-union re-runs the LWW aggregation
+                    # once PER BRANCH (the shuffle is reused, the agg is
+                    # not). Fall back to the split for df→df transforms
+                    # that can't apply conditionally (Python-UDF
+                    # transformers, ad-hoc test callables).
+                    cond_res = None
+                    try:
+                        cond_res = transform(
+                            won, only_where=F.col("_src") == 1
+                        )
+                    except TypeError:
+                        cond_res = None
+                    if cond_res is not None:
+                        won = cond_res
+                    else:
+                        new_rows = transform(won.filter(F.col("_src") == 1))
+                        kept_rows = won.filter(F.col("_src") != 1)
+                        won = new_rows.unionByName(kept_rows)
 
             out = self._finalize_rows(
                 won, cur, key_cols,
@@ -1405,13 +1505,14 @@ class SnapshotTable:
             commit_dir = os.path.join(
                 self.path, "data", f"commit-{new_sid}-{uuid.uuid4().hex[:8]}"
             )
-            if affected is not None:
-                n_out_parts = max(1, min(len(affected), 256)) if affected else 1
-            else:
-                n_out_parts = max(1, min(nb, 256))
             already_bucket_partitioned = bucket_local_merge and not patch_ops
             if not already_bucket_partitioned:
-                out = out.repartition(n_out_parts, F.col(_BUCKET_COL))
+                # exact bucket→partition routing (no multinomial
+                # collisions / empty write slots — see bucket_routed)
+                w_buckets = affected if affected is not None else range(nb)
+                out = bucket_routed(
+                    out, w_buckets, 256, bucket_col=_BUCKET_COL
+                )
             if chain_state:
                 out = out.persist()
             out.write.partitionBy(_BUCKET_COL).parquet(commit_dir)
@@ -1648,7 +1749,7 @@ class SnapshotTable:
             won = transform(won)
         out = self._finalize_rows(won, cur, key_cols, include_patch=patch_ops)
         commit_dir = os.path.join(self.path, "data", f"delta-{uuid.uuid4().hex[:12]}")
-        out.repartition(max(1, min(nb, 256)), F.col(_BUCKET_COL)).write.partitionBy(
+        bucket_routed(out, range(nb), 256, bucket_col=_BUCKET_COL).write.partitionBy(
             _BUCKET_COL
         ).parquet(commit_dir)
         written = self._list_commit_files(commit_dir)
@@ -2287,8 +2388,7 @@ class SnapshotTable:
         commit_dir = os.path.join(
             self.path, "data", f"commit-{new_sid}-{uuid.uuid4().hex[:8]}"
         )
-        n_out = max(1, min(len(buckets), 256))
-        out = out.repartition(n_out, F.col(_BUCKET_COL))
+        out = bucket_routed(out, buckets, 256, bucket_col=_BUCKET_COL)
         persisted = None
         stats_cols = self._stats_cols(m)
         if zorder_cols:
@@ -2465,9 +2565,7 @@ class SnapshotTable:
             commit_dir = os.path.join(
                 self.path, "data", f"commit-{new_sid}-{uuid.uuid4().hex[:8]}"
             )
-            out = out.repartition(
-                max(1, min(len(affected), 256)), F.col(_BUCKET_COL)
-            )
+            out = bucket_routed(out, affected, 256, bucket_col=_BUCKET_COL)
             out.write.partitionBy(_BUCKET_COL).parquet(commit_dir)
             purged_rows = int(obs_all.get["n_before"]) - int(obs.get["n_keep"])
             new_files = {b: list(v) for b, v in m["files"].items()}
@@ -2580,8 +2678,9 @@ class SnapshotTable:
         commit_dir = os.path.join(
             self.path, "data", f"commit-{new_sid}-{uuid.uuid4().hex[:8]}"
         )
-        n_out = max(1, min(new_bucket_count, 256))
-        out = out.repartition(n_out, F.col(_BUCKET_COL))
+        out = bucket_routed(
+            out, range(new_bucket_count), 256, bucket_col=_BUCKET_COL
+        )
         writer = out.write
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
@@ -2829,10 +2928,8 @@ class SnapshotTable:
             commit_dir = os.path.join(
                 self.path, "data", f"commit-{new_sid}-{uuid.uuid4().hex[:8]}"
             )
-            n_parts = max(1, min(len(buckets), 256))
-            out.repartition(n_parts, F.col(_BUCKET_COL)).write.partitionBy(
-                _BUCKET_COL
-            ).parquet(commit_dir)
+            out = bucket_routed(out, buckets, 256, bucket_col=_BUCKET_COL)
+            out.write.partitionBy(_BUCKET_COL).parquet(commit_dir)
             written = self._list_commit_files(commit_dir)
             footers = self._read_footers(written)
             fstats = self._collect_file_stats(written, self._stats_cols(m), footers)
@@ -2993,8 +3090,8 @@ class SnapshotTable:
                 )
                 gdir = os.path.join(commit_dir, f"g{part}")
                 part += 1
-                df.repartition(
-                    max(1, min(len(by_bucket), 256)), F.col(_BUCKET_COL)
+                bucket_routed(
+                    df, by_bucket, 256, bucket_col=_BUCKET_COL
                 ).write.partitionBy(_BUCKET_COL).parquet(gdir)
                 written = self._list_commit_files(gdir)
                 fstats = self._collect_file_stats(

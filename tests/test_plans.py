@@ -475,3 +475,67 @@ def test_join_view_refresh_semi_joins_no_cartesian(spark, tmp_path):
     plan = captured["plan"]
     assert "LeftSemi" in plan, plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_mmh3_int_matches_spark_hash(spark):
+    """bucket_routed's driver-side murmur3 must equal Spark's `hash()`
+    for int32 (the shuffle HashPartitioning function) — a Spark-side
+    change here would silently skew the routing."""
+    from pyspark.sql import functions as F
+
+    from neosync_spark.lakehouse import _mmh3_int
+
+    rows = (
+        spark.range(-100, 500)
+        .select(
+            F.col("id").cast("int").alias("x"),
+            F.hash(F.col("id").cast("int")).alias("h"),
+        )
+        .collect()
+    )
+    assert all(_mmh3_int(r.x) == r.h for r in rows)
+
+
+def test_bucket_routed_exact_one_bucket_per_partition(spark):
+    """The write shuffle must route each bucket to its own partition:
+    no multinomial collisions (2-4x straggler tasks), no empty write
+    slots. Hash repartition(64, bucket) leaves ~1/e of 64 slots empty;
+    bucket_routed leaves zero."""
+    from pyspark.sql import functions as F
+
+    from neosync_spark.lakehouse import bucket_routed
+
+    df = spark.range(0, 64_000).withColumn(
+        "_bucket", (F.col("id") % 64).cast("int")
+    )
+    per = (
+        bucket_routed(df, range(64), 256)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            F.countDistinct("_bucket").alias("nb"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert len(per) == 64  # zero empty partitions
+    assert max(r.nb for r in per) == 1  # zero collisions
+    assert max(r.n for r in per) == min(r.n for r in per)  # exact balance
+
+    # sparse (pruned-commit) bucket sets route exactly too
+    aff = [3, 9, 12, 17, 40, 41, 42, 63]
+    df2 = spark.range(0, 8_000).withColumn(
+        "_bucket",
+        F.element_at(
+            F.array(*[F.lit(b) for b in aff]),
+            (F.col("id") % 8 + 1).cast("int"),
+        ).cast("int"),
+    )
+    per2 = (
+        bucket_routed(df2, aff, 256)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.countDistinct("_bucket").alias("nb"))
+        .collect()
+    )
+    assert len(per2) == 8 and max(r.nb for r in per2) == 1
