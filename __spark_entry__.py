@@ -2857,6 +2857,21 @@ def _q_json_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(',"email":"u@corp.com","t":"x"},'
               '{"n":3,"email":"u@other.org","t":"y"}]}'),
     )
+    # comma target stream + contains() string predicate + optional
+    # access (gojq forms a reference mapping uses verbatim): ONE
+    # transformer over two targets; `.missing?` is a total no-op
+    multi_fn = anonymize_json_udf(
+        {
+            '.r[] | select(.email | contains("@corp")) | .t, .k2': _redact,
+            ".missing? | .x": _redact,
+        }
+    )
+    multi_doc = F.concat(
+        F.lit('{"r":[{"email":"u'),
+        F.col("doc_id").cast("string"),
+        F.lit('@corp.com","t":"x"},{"email":"u@other.org","t":"y"}],'
+              '"k2":"z"}'),
+    )
     out = docs.select(
         "doc_id",
         "tool",
@@ -2869,6 +2884,7 @@ def _q_json_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("msgs_anon_jvm"),
         as_udf(del_alt_fn)(extra, key_col("doc_id")).alias("extra_anon"),
         as_udf(pred_fn)(pred_doc, key_col("doc_id")).alias("pred_anon"),
+        as_udf(multi_fn)(multi_doc, key_col("doc_id")).alias("multi_anon"),
     )
     return out.select(
         "doc_id",
@@ -2891,6 +2907,9 @@ def _q_json_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("extra_anon", "$.tool").alias("tool_defaulted"),
         F.get_json_object("pred_anon", "$.r[0].t").alias("pred_t0"),
         F.get_json_object("pred_anon", "$.r[1].t").alias("pred_t1"),
+        F.get_json_object("multi_anon", "$.r[0].t").alias("multi_t0"),
+        F.get_json_object("multi_anon", "$.r[1].t").alias("multi_t1"),
+        F.get_json_object("multi_anon", "$.k2").alias("multi_k2"),
     )
 
 
@@ -5980,7 +5999,10 @@ def oracle_sql() -> dict[str, str]:
                    'NONE' AS tool_defaulted,
                    CASE WHEN doc_id % 10 < 5 THEN '<R>' ELSE 'x' END
                        AS pred_t0,
-                   'y' AS pred_t1
+                   'y' AS pred_t1,
+                   '<R>' AS multi_t0,
+                   'y' AS multi_t1,
+                   '<R>' AS multi_k2
             FROM documents
         """,
         "default_transforms": f"""

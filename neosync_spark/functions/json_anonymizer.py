@@ -57,38 +57,46 @@ def anonymize_json_field(
     conds: dict[str, list[tuple[str, str, str, object]]] = {}
     for key, e in field_exprs.items():
         if _looks_like_jq(key):
-            toks = parse_jq(key)
-            if (
-                len(toks) == 2
-                and toks[0] == ("del",)
-                and isinstance(toks[1], str)
-            ):
-                # top-level del(.field): drop it from the rebuilt struct
-                dels.add(toks[1])
-                continue
-            if len(toks) == 1 and isinstance(toks[0], str) and toks[0] != "[]":
-                plain[toks[0]] = e
-                continue
-            if (
-                len(toks) == 4
-                and isinstance(toks[0], str)
-                and toks[1] == "[]"
-                and isinstance(toks[2], tuple)
-                and toks[2][0] == "sel"
-                and len(toks[2]) == 4
-                and toks[2][2] == "=="
-                and "." not in toks[2][1]
-                and isinstance(toks[3], str)
-            ):
-                conds.setdefault(toks[0], []).append(
-                    (toks[2][1], toks[2][3], toks[3], e)
+            # a comma stream (`.a, .b` / `del(.a, .b)`) expands to one
+            # entry per target on the same JVM surface
+            for toks in parse_jq_multi(key):
+                if (
+                    len(toks) == 2
+                    and toks[0] == ("del",)
+                    and isinstance(toks[1], str)
+                ):
+                    # top-level del(.field): drop from the rebuilt struct
+                    dels.add(toks[1])
+                    continue
+                if (
+                    len(toks) == 1
+                    and isinstance(toks[0], str)
+                    and toks[0] != "[]"
+                ):
+                    plain[toks[0]] = e
+                    continue
+                if (
+                    len(toks) == 4
+                    and isinstance(toks[0], str)
+                    and toks[1] == "[]"
+                    and isinstance(toks[2], tuple)
+                    and toks[2][0] == "sel"
+                    and len(toks[2]) == 4
+                    and toks[2][2] == "=="
+                    and "." not in toks[2][1]
+                    and isinstance(toks[3], str)
+                ):
+                    conds.setdefault(toks[0], []).append(
+                        (toks[2][1], toks[2][3], toks[3], e)
+                    )
+                    continue
+                raise ValueError(
+                    f"jq program {key!r} exceeds the schema-known JVM "
+                    "surface (a top-level field or "
+                    '`.arr[] | select(.f=="v") | .target`);'
+                    " use anonymize_json_udf for the full walker"
                 )
-                continue
-            raise ValueError(
-                f"jq program {key!r} exceeds the schema-known JVM surface "
-                '(a top-level field or `.arr[] | select(.f=="v") | .target`);'
-                " use anonymize_json_udf for the full walker"
-            )
+            continue
         m = _COND_KEY_RE.match(key)
         if m:
             arr_f, cond_f, cond_v, target_f = m.groups()
@@ -164,7 +172,10 @@ _COND_KEY_RE = re.compile(r"^(\w+)\[\?(\w+)==([^\]]*)\]\.(\w+)$")
 # `$.messages[?role==user].text` are one code path.
 
 _JQ_SELECT_RE = re.compile(r"^select\((.*)\)$", re.DOTALL)
-_JQ_SEG_RE = re.compile(r"\.([A-Za-z_]\w*)|\[(-?\d+)\]|(\[\])")
+# a trailing '?' (gojq optional access: `.a?`, `.a[]?`) is parsed and
+# dropped — the walker is already total over missing/mistyped nodes,
+# which IS `?` semantics
+_JQ_SEG_RE = re.compile(r"\.([A-Za-z_]\w*)\??|\[(-?\d+)\]\??|(\[\])\??")
 
 
 def _split_pipes(s: str) -> list[str]:
@@ -221,6 +232,13 @@ _TEST_RE = re.compile(
 _BARE_PATH_RE = re.compile(r"^\.([A-Za-z_][\w.]*)$")
 _HAS_RE = re.compile(r"^has\(\s*(\"(?:[^\"\\]|\\.)*\")\s*\)$")
 _LEN_RE = re.compile(r"^(?:\.([A-Za-z_][\w.]*)\s*\|\s*)?length$")
+# `.f | contains("s")` / startswith / endswith — gojq string predicates
+# (string-only here; gojq's array/object containment is out of surface)
+_STRFN_RE = re.compile(
+    r"^\.([A-Za-z_][\w.]*)\s*\|\s*(contains|startswith|endswith)"
+    r"\(\s*(\"(?:[^\"\\]|\\.)*\")\s*\)$",
+    re.DOTALL,
+)
 
 
 def _split_word(s: str, word: str) -> list[str]:
@@ -419,6 +437,10 @@ def _parse_select_pred(body: str) -> tuple:
     if m:
         path, pat, flags = m.groups()
         return ("test", path, json.loads(pat), flags or "")
+    m = _STRFN_RE.match(body)
+    if m:
+        path, fname, needle = m.groups()
+        return ("strfn", fname, path, json.loads(needle))
     m = _HAS_RE.match(body)
     if m:
         return ("has", json.loads(m.group(1)))
@@ -551,6 +573,17 @@ def _eval_pred(item, p: tuple) -> bool:
         fl = re.IGNORECASE if "i" in flags else 0
         fl |= re.VERBOSE if "x" in flags else 0
         return isinstance(v, str) and re.search(pat, v, fl) is not None
+    if kind == "strfn":
+        # string-only (jq errors on non-strings; a gate must not abort)
+        _, fname, path, needle = p
+        v = _cond_resolve(item, path)
+        if not isinstance(v, str):
+            return False
+        if fname == "contains":
+            return needle in v
+        if fname == "startswith":
+            return v.startswith(needle)
+        return v.endswith(needle)  # endswith
     _, path, op, lit = p
     v = _cond_resolve(item, path)
     if op == "==":
@@ -611,6 +644,54 @@ def _split_alt(s: str) -> tuple[str, str | None]:
     return s, None
 
 
+def _split_commas(s: str) -> list[str]:
+    """Split on top-level ',' (not inside quotes, parens or brackets).
+    jq's ',' binds looser than '|' and '//', so a top-level split
+    matches jq's parse for the config shapes (`.a, .b.c`)."""
+    parts, buf, depth, q = [], [], 0, None
+    for ch in s:
+        if q is not None:
+            buf.append(ch)
+            if ch == q:
+                q = None
+        elif ch in "\"'":
+            q = ch
+            buf.append(ch)
+        elif ch in "([":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf).strip())
+    return parts
+
+
+def parse_jq_multi(program: str) -> tuple[tuple, ...]:
+    """Compile a jq program that may be a top-level comma stream of
+    paths (`.a, .b.c` — transform every listed target) or a del() with
+    multiple targets (`del(.a, .b)` — gojq's multi-path delete,
+    json-anonymizer.go:215-236). Returns one walker-token tuple per
+    target; a comma-free program compiles to a 1-tuple of parse_jq's
+    result."""
+    prog = program.strip()
+    dm = _JQ_DEL_RE.match(prog)
+    if dm:
+        bodies = _split_commas(dm.group(1))
+        if len(bodies) > 1:
+            return tuple(parse_jq(f"del({b})") for b in bodies if b)
+        return (parse_jq(prog),)
+    parts = [p for p in _split_commas(prog) if p]
+    if not parts:
+        raise ValueError(f"empty jq program {program!r}")
+    return tuple(parse_jq(p) for p in parts)
+
+
 def parse_jq(program: str) -> tuple:
     """Compile a restricted jq program to walker tokens.
 
@@ -619,7 +700,11 @@ def parse_jq(program: str) -> tuple:
     whose operands are JSON literals, dotted paths, or arithmetic over
     them (`.a + .b > 10`, `.n % 2 == 0`; jq `+` semantics: numbers
     add, strings/arrays concat, null is identity; a type-mismatched
-    arithmetic makes the predicate False where jq would error), with
+    arithmetic makes the predicate False where jq would error),
+    string predicates `.f | contains("s")` / `startswith` / `endswith`
+    (string-only; non-string targets are False where jq errors),
+    optional access `.a?` / `.a[]?` (parsed and dropped — the walker
+    is already total over missing/mistyped nodes), with
     a missing field comparing as null under jq's cross-type total
     order null < false < true < numbers < strings; regex
     `.f | test("re"[; "i"])`, `has("key")` (objects), `[.f |] length`
@@ -913,14 +998,22 @@ def anonymize_json_udf(
     other string leaf (reference applyDefaultTransformers), except
     ``skip_paths``.
     """
-    def _compile_key(p: str) -> tuple:
-        return parse_jq(p) if _looks_like_jq(p) else _path_tokens(p)
+    def _compile_key(p: str) -> tuple[tuple, ...]:
+        # a jq key may be a top-level comma stream (`.a, .b`) — one
+        # transformer over several targets
+        if _looks_like_jq(p):
+            return parse_jq_multi(p)
+        return (_path_tokens(p),)
 
-    compiled = {_compile_key(p): fn for p, fn in mapping.items()}
-    skips = {_compile_key(p) for p in skip_paths}
+    compiled: list[tuple[tuple, TransformFn]] = [
+        (path, fn) for p, fn in mapping.items() for path in _compile_key(p)
+    ]
+    skips = {path for p in skip_paths for path in _compile_key(p)}
     # walk_defaults builds list-free paths (list hops keep the prefix),
     # so exclusion matching compares with wildcard tokens dropped
-    _mapped_flat = {tuple(t for t in p if not _is_wild(t)) for p in compiled}
+    _mapped_flat = {
+        tuple(t for t in p if not _is_wild(t)) for p, _ in compiled
+    }
     _skip_flat = {tuple(t for t in p if not _is_wild(t)) for p in skips}
 
     def walk_defaults(doc, fn_apply, prefix=()):
@@ -951,7 +1044,7 @@ def anonymize_json_udf(
             except (json.JSONDecodeError, TypeError):
                 out.append(v)  # not JSON: passthrough
                 continue
-            for path, tfn in compiled.items():
+            for path, tfn in compiled:
                 if path and path[0] == ("del",):
                     _delete_path(doc, path[1:], 0)
                     continue

@@ -410,6 +410,62 @@ class TestJqSyntax:
         assert "email" not in r[1] and r[2]["email"] == "<R>"
         assert [x["note"] for x in r] == ["<R>", "n2", "n3"]
 
+    def test_select_string_predicates(self):
+        # gojq `.f | contains/startswith/endswith("s")` — string-only;
+        # a non-string target is False where jq would error
+        fn = anonymize_json_udf(
+            {
+                '.r[] | select(.name | contains("ob")) | .email': self._redact(),
+                '.r[] | select(.name | startswith("Al")) | .note': self._redact(),
+                '.r[] | select(.name | endswith("ve")) | .tag': self._redact(),
+            }
+        )
+        doc = json.dumps(
+            {"r": [
+                {"name": "bob", "email": "e1", "note": "n1", "tag": "t1"},
+                {"name": "Alice", "email": "e2", "note": "n2", "tag": "t2"},
+                {"name": "eve", "email": "e3", "note": "n3", "tag": "t3"},
+                {"name": 7, "email": "e4", "note": "n4", "tag": "t4"},
+            ]}
+        )
+        out = json.loads(fn(pd.Series([doc]), pd.Series(["k"])).iloc[0])
+        r = out["r"]
+        assert [x["email"] for x in r] == ["<R>", "e2", "e3", "e4"]
+        assert [x["note"] for x in r] == ["n1", "<R>", "n3", "n4"]
+        assert [x["tag"] for x in r] == ["t1", "t2", "<R>", "t4"]
+
+    def test_comma_multi_target_and_multi_del(self):
+        from neosync_spark.functions.json_anonymizer import parse_jq_multi
+
+        # one transformer over a comma stream of targets
+        fn = anonymize_json_udf({".a, .b.c": self._redact()})
+        doc = json.dumps({"a": "1", "b": {"c": "2", "d": "3"}})
+        out = json.loads(fn(pd.Series([doc]), pd.Series(["k"])).iloc[0])
+        assert out == {"a": "<R>", "b": {"c": "<R>", "d": "3"}}
+        # gojq multi-path delete
+        fn2 = anonymize_json_udf({"del(.secret, .xs[0])": self._redact()})
+        doc2 = json.dumps({"secret": "s", "xs": [1, 2], "keep": "k"})
+        out2 = json.loads(fn2(pd.Series([doc2]), pd.Series(["k"])).iloc[0])
+        assert out2 == {"xs": [2], "keep": "k"}
+        # commas inside select() literals / brackets do not split
+        toks = parse_jq_multi('.r[] | select(.t == [1, 2]) | .v')
+        assert len(toks) == 1
+        with pytest.raises(ValueError):
+            parse_jq_multi(",")
+
+    def test_optional_access_parses_and_is_total(self):
+        from neosync_spark.functions.json_anonymizer import parse_jq
+
+        assert parse_jq(".a?") == ("a",)
+        assert parse_jq(".xs[]? | .e?") == ("xs", "[]", "e")
+        assert parse_jq(".a[0]?") == ("a", ("idx", 0))
+        fn = anonymize_json_udf(
+            {".maybe? | .email": self._redact(), ".xs[]? | .e": self._redact()}
+        )
+        doc = json.dumps({"maybe": {"email": "m@x"}, "xs": "notalist"})
+        out = json.loads(fn(pd.Series([doc]), pd.Series(["k"])).iloc[0])
+        assert out == {"maybe": {"email": "<R>"}, "xs": "notalist"}
+
     def test_rejected_programs(self):
         from neosync_spark.functions.json_anonymizer import parse_jq
 
