@@ -474,6 +474,75 @@ def _q_join_view_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary value index (operators/secondary_index.py): lookups by
+    the PAYLOAD column `tool` served from a maintained postings table
+    instead of a corpus scan. Half-log replay → full index build →
+    full-log replay → INCREMENTAL index advance (diff pre-images
+    retract stale postings), then every distinct tool value is looked
+    up through the index. The union must equal DuckDB's LWW final
+    state filtered to tool IS NOT NULL; in-query bits assert the index
+    holds exactly one posting per non-NULL value (no dangling postings
+    after updates/deletes) and that re-running the sync is a no-op."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.secondary_index import (
+        create_secondary_index,
+        secondary_index_sync,
+        secondary_lookup,
+    )
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir).persist()
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    mid = hi // 2
+    table = SnapshotTable.create(
+        spark, tempfile.mkdtemp(prefix="ns_cdc_sidx_t_"),
+        transcript_schema(), key_cols=KEY_COLS, n_buckets=16,
+    )
+    cfg = EngineConfig(
+        batch_lsn_size=hi + 1, lineage=False, prune_buckets=False
+    )
+
+    def _replay(lo, hi_):
+        ReplayEngine(spark, table, config=cfg).replay(
+            lambda a, b: log.filter(
+                (F.col("lsn") >= a) & (F.col("lsn") < b)
+            ),
+            lsn_lo=lo, lsn_hi=hi_,
+        )
+
+    idx = create_secondary_index(
+        spark, tempfile.mkdtemp(prefix="ns_cdc_sidx_i_"), table, "tool",
+        n_buckets=16,
+    )
+    _replay(0, mid - 1)
+    s1 = table.manifest(refresh=True)["snapshot_id"]
+    secondary_index_sync(table, idx, "tool", to_snapshot=s1)
+    _replay(mid, hi)
+    s2 = table.manifest(refresh=True)["snapshot_id"]
+    secondary_index_sync(table, idx, "tool", to_snapshot=s2, from_snapshot=s1)
+    rerun = secondary_index_sync(
+        table, idx, "tool", to_snapshot=s2, from_snapshot=s1
+    )
+    # tiny distinct set (one value per event_type) — the k-seed-style
+    # driver fetch every point lookup starts from
+    vals = [
+        r[0]
+        for r in table.read().select("tool").distinct().collect()
+        if r[0] is not None
+    ]
+    found = secondary_lookup(table, idx, "tool", sorted(vals))
+    n_postings = idx.read().count()
+    n_expected = table.read().filter(F.col("tool").isNotNull()).count()
+    log.unpersist()
+    return found.select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts"),
+        F.lit(n_postings == n_expected).alias("postings_clean"),
+        F.lit(rerun.rows_written == 0).alias("rerun_noop"),
+    )
+
+
 def _q_archive_fanout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run-archive roundtrip + replay-from-archive + fan-out, end to
     end: the change log is archived as gzip JSONL under the reference's
@@ -3855,7 +3924,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_debezium_decode": _q_debezium_decode,
         "ann_ivf_index_topk": _q_ann_ivf_index,
         "ann_pq_topk": _q_ann_pq,
-        "embedding_near_dup": _q_embedding_near_dup,
         "embedding_dedup_clusters": _q_embedding_clusters,
         "profile_table": _q_profile_table,
         "cdc_retention_expiry": _q_retention_expiry,
@@ -3868,6 +3936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rollback_time_travel": _q_rollback_time_travel,
         "corpus_stats": _q_corpus_stats,
         "cdc_join_view_sync": _q_join_view_sync,
+        "cdc_secondary_lookup": _q_secondary_lookup,
         "cdc_rescale_buckets": _q_rescale_buckets,
         "media_image_features": _q_image_features,
         "media_audio_features": _q_audio_features,
@@ -3888,6 +3957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_anonymize": _q_json_anonymize,
         "constraint_violations": _q_constraint_violations,
         "cdc_repair_bucket": _q_cdc_repair_bucket,
+        "embedding_near_dup": _q_embedding_near_dup,
         "dedup_fingerprint_overlap": _q_fingerprint_overlap,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_cosine_topk": _q_ann_topk,
@@ -4010,6 +4080,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM w WHERE rn = 1 AND op <> 'delete'
+        """,
+        # secondary index lookups over every distinct tool value ==
+        # the LWW final state filtered to tool IS NOT NULL (dangling
+        # postings would add rows; missing ones would drop rows)
+        "cdc_secondary_lookup": f"""
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   TRUE AS postings_clean,
+                   TRUE AS rerun_noop
+            FROM ({lww}) WHERE op <> 'delete' AND tool IS NOT NULL
         """,
         # incremental join view == full LEFT JOIN over the two LWW
         # states (fact turns x turn-0 dimension of the same conv)
