@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "cdc_txn_boundary_replay",
     "cdc_gap_detection",
     "cdc_bootstrap_handoff",
+    "cdc_secondary_lookup",
 ]
 
 

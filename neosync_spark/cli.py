@@ -343,6 +343,32 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--pairs-out", default=None,
                     help="write pairs as parquet instead of printing counts")
 
+    sx = sub.add_parser(
+        "sidx-sync",
+        help="maintain a secondary value index over a payload column "
+             "(created if absent; auto-advances from the index's own "
+             "ledger to the table's current snapshot)",
+    )
+    sx.add_argument("--table", required=True, help="source SnapshotTable")
+    sx.add_argument("--index", required=True,
+                    help="postings SnapshotTable root (created if absent)")
+    sx.add_argument("--col", required=True, help="payload column to index")
+    sx.add_argument("--buckets", type=int, default=64,
+                    help="index bucket count (creation only)")
+
+    lk = sub.add_parser(
+        "lookup",
+        help="point lookup by an indexed payload value: postings read "
+             "prunes to the value's hash bucket + blooms; the table read "
+             "prunes to the matching keys' buckets",
+    )
+    lk.add_argument("--table", required=True)
+    lk.add_argument("--index", required=True)
+    lk.add_argument("--col", required=True)
+    lk.add_argument("--value", required=True, action="append",
+                    help="value to look up (repeatable)")
+    lk.add_argument("--limit", type=int, default=20)
+
     rsc = sub.add_parser(
         "rescale",
         help="bucket-count evolution: rewrite the table under a new "
@@ -886,6 +912,48 @@ def main(argv: list[str] | None = None) -> int:
             "new_pairs": n,
             "index_snapshot": idx.manifest(refresh=True)["snapshot_id"],
         }))
+        return 0
+
+    if args.cmd == "sidx-sync":
+        from .lakehouse import SnapshotTable
+        from .operators.secondary_index import (
+            create_secondary_index,
+            secondary_index_sync,
+        )
+
+        src = SnapshotTable.load(spark, args.table)
+        if SnapshotTable.exists(args.index):
+            idx = SnapshotTable.load(spark, args.index)
+        else:
+            idx = create_secondary_index(
+                spark, args.index, src, args.col, n_buckets=args.buckets
+            )
+        ranges = idx.applied_ranges()
+        from_snap = max((r[1] for r in ranges), default=None)
+        to_snap = src.manifest(refresh=True)["snapshot_id"]
+        info = secondary_index_sync(
+            src, idx, args.col, to_snapshot=to_snap, from_snapshot=from_snap
+        )
+        print(json.dumps({
+            "col": args.col,
+            "from_snapshot": from_snap,
+            "to_snapshot": to_snap,
+            "postings_written": info.rows_written,
+            "index_snapshot": idx.manifest(refresh=True)["snapshot_id"],
+        }))
+        return 0
+
+    if args.cmd == "lookup":
+        from .lakehouse import SnapshotTable
+        from .operators.secondary_index import secondary_lookup
+
+        src = SnapshotTable.load(spark, args.table)
+        idx = SnapshotTable.load(spark, args.index)
+        rows = secondary_lookup(src, idx, args.col, args.value)
+        n = rows.count()
+        for r in rows.limit(args.limit).collect():
+            print(json.dumps(r.asDict(), default=str))
+        print(json.dumps({"col": args.col, "values": args.value, "rows": n}))
         return 0
 
     if args.cmd == "rescale":
