@@ -543,6 +543,85 @@ def _q_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table as a Debezium PRODUCER (sources/debezium.encode_*):
+    half-log replay → bootstrap export as op 'r' envelopes → full-log
+    replay → one snapshot_diff hop as c/u/d envelopes (update pre/post
+    pivoted into one envelope carrying both images) → a CONSUMER
+    decodes both through decode_debezium and merges into a replica.
+    The replica must equal DuckDB's full-log LWW state — the wire
+    format round-trips losslessly and the hop ordinal (ts_ms/source.
+    lsn = target snapshot) orders the consumer even where a delete's
+    pre-image event time moves backward."""
+    from pyspark.sql import types as T  # noqa: N812
+
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.plans.replicate import replica_schema
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+    from neosync_spark.sources.debezium import (
+        decode_debezium,
+        encode_debezium,
+        snapshot_export_debezium,
+    )
+
+    log = _derived_log(spark, sf_dir).persist()
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    mid = hi // 2
+    primary = SnapshotTable.create(
+        spark, tempfile.mkdtemp(prefix="ns_cdc_dbzrt_p_"),
+        transcript_schema(), key_cols=KEY_COLS, n_buckets=16,
+    )
+    cfg = EngineConfig(
+        batch_lsn_size=hi + 1, lineage=False, prune_buckets=False
+    )
+
+    def _replay(lo, hi_):
+        ReplayEngine(spark, primary, config=cfg).replay(
+            lambda a, b: log.filter(
+                (F.col("lsn") >= a) & (F.col("lsn") < b)
+            ),
+            lsn_lo=lo, lsn_hi=hi_,
+        )
+
+    _replay(0, mid - 1)
+    s1 = primary.manifest(refresh=True)["snapshot_id"]
+    boot = snapshot_export_debezium(primary, s1).select("value")
+    _replay(mid, hi)
+    s2 = primary.manifest(refresh=True)["snapshot_id"]
+    hop = encode_debezium(
+        primary.snapshot_diff(s1, s2, include_preimages=True), KEY_COLS, s2
+    ).select("value")
+    rs = replica_schema(transcript_schema())
+    payload = T.StructType([f for f in rs.fields if f.name != "ts"])
+    replica = SnapshotTable.create(
+        spark, tempfile.mkdtemp(prefix="ns_cdc_dbzrt_r_"), rs,
+        key_cols=KEY_COLS, n_buckets=16,
+    )
+    e1, r1 = decode_debezium(boot, payload)
+    replica.merge_cdc(
+        e1, applied_range=(0, s1), source_is_raw=True, lineage=False,
+        prune_buckets=False,
+    )
+    e2, r2 = decode_debezium(hop, payload)
+    replica.merge_cdc(
+        e2, applied_range=(s1, s2), source_is_raw=True, lineage=False,
+        prune_buckets=False,
+    )
+    rerun = replica.merge_cdc(
+        e2, applied_range=(s1, s2), source_is_raw=True, lineage=False,
+        prune_buckets=False,
+    )
+    clean = (r1.count() == 0) and (r2.count() == 0)
+    log.unpersist()
+    return replica.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.date_format("src_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.lit(clean).alias("no_rescues"),
+        F.lit(rerun.rows_written == 0).alias("rerun_noop"),
+    )
+
+
 def _q_archive_fanout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run-archive roundtrip + replay-from-archive + fan-out, end to
     end: the change log is archived as gzip JSONL under the reference's
@@ -3937,8 +4016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "cdc_join_view_sync": _q_join_view_sync,
         "cdc_secondary_lookup": _q_secondary_lookup,
+        "cdc_debezium_roundtrip": _q_debezium_roundtrip,
         "cdc_rescale_buckets": _q_rescale_buckets,
-        "media_image_features": _q_image_features,
         "media_audio_features": _q_audio_features,
         "media_frame_sample": _q_frame_sample,
         "cdc_stream_tail": _q_stream_tail,
@@ -3958,6 +4037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_violations": _q_constraint_violations,
         "cdc_repair_bucket": _q_cdc_repair_bucket,
         "embedding_near_dup": _q_embedding_near_dup,
+        "media_image_features": _q_image_features,
         "dedup_fingerprint_overlap": _q_fingerprint_overlap,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_cosine_topk": _q_ann_topk,
@@ -4080,6 +4160,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM w WHERE rn = 1 AND op <> 'delete'
+        """,
+        # Debezium producer→consumer roundtrip: replica == the full-log
+        # LWW state (src event time rides as src_ts payload)
+        "cdc_debezium_roundtrip": f"""
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   TRUE AS no_rescues,
+                   TRUE AS rerun_noop
+            FROM ({lww}) WHERE op <> 'delete'
         """,
         # secondary index lookups over every distinct tool value ==
         # the LWW final state filtered to tool IS NOT NULL (dangling

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "cdc_gap_detection",
     "cdc_bootstrap_handoff",
     "cdc_secondary_lookup",
+    "cdc_debezium_roundtrip",
 ]
 
 

@@ -197,3 +197,124 @@ class DebeziumLogSource:
         if row["lo"] is None:
             return None
         return int(row["lo"]), int(row["hi"])
+
+
+# --------------------------------------------------------------------------
+# Encoder — the table as a Debezium PRODUCER (CDC out, wire-format)
+# --------------------------------------------------------------------------
+
+
+def encode_debezium(
+    diff: DataFrame,
+    key_cols: list[str],
+    to_snapshot: int,
+    ts_col: str = "ts",
+    ts_alias: str = "src_ts",
+) -> DataFrame:
+    """``snapshot_diff(..., include_preimages=True)`` rows → Debezium
+    envelope strings (the unwrapped ``schemas.enable=false`` shape the
+    decoder accepts): ``(key, value)`` — key = JSON of the key columns
+    (the Kafka partition key, so one row's events stay ordered on one
+    partition), value = the envelope.
+
+    Mapping (inverse of ``decode_debezium``): insert → op 'c' with
+    ``after``; the update pre/post image PAIR pivots into ONE op 'u'
+    envelope carrying both ``before`` and ``after`` (one key shuffle);
+    delete → op 'd' with ``before``. The row's own event time is
+    renamed ``ts_alias`` INSIDE the image (the replicate convention:
+    a delete's pre-image ts can move backward and must not order the
+    consumer), while the envelope's ``ts_ms``/``source.lsn`` carry the
+    HOP ordinal ``to_snapshot`` — monotone across hops by construction,
+    so a consumer replaying hops through ``decode_debezium`` +
+    ``merge_cdc`` converges to the producer's state and a replayed hop
+    is exactly-once through its ledger.
+
+    Scale shape: the pivot groups only the UPDATE rows by key (map-side
+    combined, one shuffle of the diff — never the table); insert and
+    delete rows never shuffle. Everything is JVM ``to_json``.
+    """
+    data_cols = [c for c in diff.columns if c != "change_type"]
+    img_cols = [
+        F.col(c).alias(ts_alias) if c == ts_col else F.col(c)
+        for c in data_cols
+    ]
+    row = F.struct(*img_cols)
+    key_json = F.to_json(F.struct(*[F.col(k) for k in key_cols]))
+    ts_ms = F.lit(int(to_snapshot) * 1000).cast("long")
+    src = F.struct(
+        F.lit(int(to_snapshot)).cast("long").alias("lsn"),
+        ts_ms.alias("ts_ms"),
+    )
+
+    def _env(op: str, before, after) -> list:
+        return [
+            key_json.alias("key"),
+            F.to_json(
+                F.struct(
+                    before.alias("before"),
+                    after.alias("after"),
+                    F.lit(op).alias("op"),
+                    ts_ms.alias("ts_ms"),
+                    src.alias("source"),
+                )
+            ).alias("value"),
+        ]
+
+    ins = diff.filter(F.col("change_type") == "insert").select(
+        *_env("c", F.lit(None), row)
+    )
+    dels = diff.filter(F.col("change_type") == "delete").select(
+        *_env("d", row, F.lit(None))
+    )
+    upd = diff.filter(
+        F.col("change_type").isin("update_preimage", "update_postimage")
+    )
+    pairs = upd.groupBy(*key_cols).agg(
+        F.first(
+            F.when(F.col("change_type") == "update_preimage", row),
+            ignorenulls=True,
+        ).alias("_before"),
+        F.first(
+            F.when(F.col("change_type") == "update_postimage", row),
+            ignorenulls=True,
+        ).alias("_after"),
+    )
+    ups = pairs.select(*_env("u", F.col("_before"), F.col("_after")))
+    return ins.unionByName(ups).unionByName(dels)
+
+
+def snapshot_export_debezium(
+    table,
+    snapshot_id: int | None = None,
+    ts_col: str = "ts",
+    ts_alias: str = "src_ts",
+) -> DataFrame:
+    """Full state at a snapshot as op 'r' (snapshot read) envelopes —
+    the bootstrap hop a new consumer starts from before tailing
+    ``encode_debezium`` hops. Same key/value shape; ts_ms/source.lsn
+    carry the snapshot id."""
+    m = table.manifest(snapshot_id, refresh=snapshot_id is None)
+    sid = m["snapshot_id"]
+    state = table.read(snapshot_id=sid)
+    img_cols = [
+        F.col(c).alias(ts_alias) if c == ts_col else F.col(c)
+        for c in state.columns
+    ]
+    row = F.struct(*img_cols)
+    key_json = F.to_json(F.struct(*[F.col(k) for k in m["key_cols"]]))
+    ts_ms = F.lit(int(sid) * 1000).cast("long")
+    src = F.struct(
+        F.lit(int(sid)).cast("long").alias("lsn"), ts_ms.alias("ts_ms")
+    )
+    return state.select(
+        key_json.alias("key"),
+        F.to_json(
+            F.struct(
+                F.lit(None).alias("before"),
+                row.alias("after"),
+                F.lit("r").alias("op"),
+                ts_ms.alias("ts_ms"),
+                src.alias("source"),
+            )
+        ).alias("value"),
+    )
