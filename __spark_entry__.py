@@ -284,6 +284,70 @@ def _q_agg_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx-distinct accumulators (agg_merge 'approx_distinct'): the
+    batch column carries RAW values, the table holds a Datasketches
+    HLL sketch folded by hll_union across two ledgered batches — the
+    mergeable-summaries property that makes distinct counting
+    incremental at 10^10 events (an exact distinct would need the full
+    value set per key). Per-conv role/turn cardinalities sit in the
+    sketch's sparse-exact regime, so the estimates must EQUAL DuckDB's
+    COUNT(DISTINCT ...); a high-cardinality global text sketch is
+    bounded at 5% relative error, asserted in-query."""
+    import pyspark.sql.types as T  # noqa: N812
+
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.agg_merge import merge_agg
+
+    log = _derived_log(spark, sf_dir).persist()
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    mid = hi // 2
+    inc = log.select(
+        "conv_id",
+        F.col("role").alias("roles"),
+        F.col("turn_idx").alias("turns"),
+        F.lit(1).cast("long").alias("n_events"),
+        "lsn",
+    )
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("roles", T.BinaryType(), True),
+        T.StructField("turns", T.BinaryType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ])
+    resolvers = {
+        "roles": "approx_distinct", "turns": "approx_distinct",
+        "n_events": "sum",
+    }
+    t = SnapshotTable.create(
+        spark, tempfile.mkdtemp(prefix="ns_cdc_agghll_"),
+        schema, key_cols=["conv_id"], n_buckets=16,
+    )
+    merge_agg(t, inc.filter(F.col("lsn") < mid), resolvers,
+              applied_range=(0, mid))
+    merge_agg(t, inc.filter(F.col("lsn") >= mid), resolvers,
+              applied_range=(mid, hi + 1))
+    replay = merge_agg(t, inc.filter(F.col("lsn") >= mid), resolvers,
+                       applied_range=(mid, hi + 1))
+    if replay.rows_written != 0:
+        raise AssertionError("increment batch replay must be a no-op")
+    # high-cardinality accuracy bound: one global text sketch vs exact
+    acc = log.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("text")).alias("e"),
+        F.count_distinct("text").alias("x"),
+    ).collect()[0]
+    within = abs(acc["e"] - acc["x"]) / max(acc["x"], 1) < 0.05
+    log.unpersist()
+    return t.read().select(
+        "conv_id",
+        F.hll_sketch_estimate("roles").cast("long").alias("distinct_roles"),
+        F.hll_sketch_estimate("turns").cast("long").alias("distinct_turns"),
+        "n_events",
+        F.lit(bool(within)).alias("hicard_within_5pct"),
+    )
+
+
 def _q_replicate_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cross-lakehouse replication (plans/replicate.py):
     the primary replays the half log, the replica bootstraps from that
@@ -4017,8 +4081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_join_view_sync": _q_join_view_sync,
         "cdc_secondary_lookup": _q_secondary_lookup,
         "cdc_debezium_roundtrip": _q_debezium_roundtrip,
+        "cdc_agg_distinct": _q_agg_distinct,
         "cdc_rescale_buckets": _q_rescale_buckets,
-        "media_audio_features": _q_audio_features,
         "media_frame_sample": _q_frame_sample,
         "cdc_stream_tail": _q_stream_tail,
         "cdc_lateness_stats": _q_lateness_stats,
@@ -4038,6 +4102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_repair_bucket": _q_cdc_repair_bucket,
         "embedding_near_dup": _q_embedding_near_dup,
         "media_image_features": _q_image_features,
+        "media_audio_features": _q_audio_features,
         "dedup_fingerprint_overlap": _q_fingerprint_overlap,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_cosine_topk": _q_ann_topk,
@@ -4169,6 +4234,16 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS no_rescues,
                    TRUE AS rerun_noop
             FROM ({lww}) WHERE op <> 'delete'
+        """,
+        # HLL accumulators: sparse-exact regime == exact distinct
+        "cdc_agg_distinct": f"""
+            WITH log AS ({_CDC_DERIVATION})
+            SELECT conv_id,
+                   CAST(count(DISTINCT role) AS BIGINT) AS distinct_roles,
+                   CAST(count(DISTINCT turn_idx) AS BIGINT) AS distinct_turns,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   TRUE AS hicard_within_5pct
+            FROM log GROUP BY conv_id
         """,
         # secondary index lookups over every distinct tool value ==
         # the LWW final state filtered to tool IS NOT NULL (dangling

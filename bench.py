@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "cdc_bootstrap_handoff",
     "cdc_secondary_lookup",
     "cdc_debezium_roundtrip",
+    "cdc_agg_distinct",
 ]
 
 

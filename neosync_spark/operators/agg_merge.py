@@ -14,6 +14,15 @@ Semantics per value column, via ``resolvers``:
   batches land the same totals);
 - ``min`` / ``max`` → fold over old and batch values (idempotent &
   commutative);
+- ``approx_distinct`` → the batch column carries RAW values (user ids,
+  texts, …); the accumulator column holds a Datasketches HLL sketch
+  (``binary``): batch partials via ``hll_sketch_agg``, fold via
+  ``hll_union`` (commutative & associative — the mergeable-summaries
+  property that makes distinct counting incremental at all; an exact
+  distinct would need the full value set per key). Read estimates with
+  ``hll_sketch_estimate`` (exact in the sketch's sparse regime, ~2%
+  relative error beyond). The ledger's replay-no-op is what makes the
+  non-idempotent union retry-safe, same as ``sum``;
 - any payload column NOT in resolvers is rejected — an accumulator
   table holds accumulators.
 
@@ -40,10 +49,21 @@ from pyspark.sql import functions as F
 
 from ..lakehouse import CommitInfo, SnapshotTable, bucket_expr
 
+def _hll_union_nullsafe(old, new):
+    # hll_union errors on NULL; a key new to either side keeps the
+    # other side's sketch
+    return (
+        F.when(old.isNull(), new)
+        .when(new.isNull(), old)
+        .otherwise(F.hll_union(old, new))
+    )
+
+
 _FOLDS = {
     "sum": (F.sum, lambda old, new: F.coalesce(old, F.lit(0)) + F.coalesce(new, F.lit(0))),
     "min": (F.min, F.least),
     "max": (F.max, F.greatest),
+    "approx_distinct": (F.hll_sketch_agg, _hll_union_nullsafe),
 }
 
 

@@ -117,3 +117,86 @@ class TestAggMerge:
         merge_agg(t2, _inc(spark, b), RESOLVERS, applied_range=(16, 31))
         merge_agg(t2, _inc(spark, a), RESOLVERS, applied_range=(0, 16))
         assert _state(t1) == _state(t2)
+
+
+class TestApproxDistinct:
+    """HLL sketch accumulators: the batch column carries RAW values,
+    the table column a Datasketches HLL binary folded by hll_union."""
+
+    SCHEMA = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("users", T.BinaryType(), True),
+            T.StructField("n_events", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    RES = {"users": "approx_distinct", "n_events": "sum"}
+
+    def _mk(self, spark):
+        return SnapshotTable.create(
+            spark, tempfile.mkdtemp(prefix="ns_agg_hll_"),
+            self.SCHEMA, key_cols=["conv_id"], n_buckets=4,
+        )
+
+    def _inc(self, spark, rows, op=None):
+        df = spark.createDataFrame(
+            rows, "conv_id string, users string, n_events long, lsn long"
+        )
+        return df.withColumn("op", F.lit(op)) if op else df
+
+    def _est(self, t):
+        return {
+            r["conv_id"]: (r["e"], r["n_events"])
+            for r in t.read().select(
+                "conv_id",
+                F.hll_sketch_estimate("users").cast("long").alias("e"),
+                "n_events",
+            ).collect()
+        }
+
+    def test_union_across_batches_counts_distinct(self, spark):
+        t = self._mk(spark)
+        merge_agg(t, self._inc(spark, [
+            ("c-1", "u1", 1, 1), ("c-1", "u2", 1, 2), ("c-2", "u1", 1, 3),
+        ]), self.RES, applied_range=(0, 3))
+        # u2 repeats across batches: distinct must not double-count
+        merge_agg(t, self._inc(spark, [
+            ("c-1", "u2", 1, 4), ("c-1", "u3", 1, 5), ("c-2", "u1", 1, 6),
+        ]), self.RES, applied_range=(3, 6))
+        assert self._est(t) == {"c-1": (3, 4), "c-2": (1, 2)}
+
+    def test_replay_noop_keeps_estimates(self, spark):
+        t = self._mk(spark)
+        b = self._inc(spark, [("c-1", "u1", 1, 1), ("c-1", "u2", 1, 2)])
+        merge_agg(t, b, self.RES, applied_range=(0, 2))
+        merge_agg(t, b, self.RES, applied_range=(0, 2))  # replayed
+        assert self._est(t) == {"c-1": (2, 2)}
+
+    def test_delete_resets_sketch(self, spark):
+        t = self._mk(spark)
+        merge_agg(t, self._inc(spark, [
+            ("c-1", "u1", 1, 1), ("c-1", "u2", 1, 2),
+        ]), self.RES, applied_range=(0, 2))
+        rows = [("c-1", "u9", 1, 3)]
+        b = self._inc(spark, rows).withColumn("op", F.lit("incr")).unionByName(
+            self._inc(spark, [("c-1", None, None, 4)]).withColumn(
+                "op", F.lit("delete")
+            )
+        )
+        merge_agg(t, b, self.RES, applied_range=(2, 4))
+        # reset-then-reaccumulate: only u9 counted after the delete
+        assert self._est(t) == {"c-1": (1, 1)}
+
+    def test_estimate_accuracy_at_scale(self, spark):
+        t = self._mk(spark)
+        n = 20000
+        batch = spark.range(n).select(
+            F.lit("c-1").alias("conv_id"),
+            F.concat(F.lit("user-"), F.col("id")).alias("users"),
+            F.lit(1).cast("long").alias("n_events"),
+            F.col("id").alias("lsn"),
+        )
+        merge_agg(t, batch, self.RES, applied_range=(0, n))
+        est = self._est(t)["c-1"][0]
+        assert abs(est - n) / n < 0.05
