@@ -1,0 +1,77 @@
+"""Per-epoch CDC-consumer hooks for the streaming tail.
+
+Every incremental consumer in the engine follows one contract: advance
+a destination from the source table's snapshot span, keyed by the
+destination's OWN exactly-once ledger (so a crash between the epoch's
+merge and the consumer sync — or a multi-epoch consumer outage —
+self-heals on the next epoch: the sync diffs across everything
+missed, and a retried epoch's re-sync is a no-op).
+
+A consumer here is a callable ``(src: SnapshotTable, head: int) ->
+None``; the factories below wrap each incremental operator in that
+shape so ``StreamingReplay(engine, consumers=[...])`` tails the
+stream end-to-end: lake upsert + any number of derived tables
+(materialized rollups, secondary indexes, replicas) with no full
+recompute anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from ..lakehouse import SnapshotTable
+
+Consumer = Callable[[SnapshotTable, int], None]
+
+
+def _last_synced(dst: SnapshotTable) -> int | None:
+    return max((r[1] for r in dst.applied_ranges()), default=None)
+
+
+def rollup_consumer(dst: SnapshotTable, rollup_fn=None, key: str = "conv_id") -> Consumer:
+    """Materialized aggregate view (operators/rollup.py)."""
+    from ..operators.rollup import incremental_rollup_sync
+
+    def _sync(src: SnapshotTable, head: int) -> None:
+        last = _last_synced(dst)
+        if last != head:
+            kw = {"rollup_fn": rollup_fn} if rollup_fn is not None else {}
+            incremental_rollup_sync(src, dst, last, head, key=key, **kw)
+
+    return _sync
+
+
+def secondary_index_consumer(index: SnapshotTable, col: str) -> Consumer:
+    """Secondary value index (operators/secondary_index.py)."""
+    from ..operators.secondary_index import secondary_index_sync
+
+    def _sync(src: SnapshotTable, head: int) -> None:
+        last = _last_synced(index)
+        if last != head:
+            secondary_index_sync(
+                src, index, col, to_snapshot=head, from_snapshot=last
+            )
+
+    return _sync
+
+
+def replica_consumer(dst: SnapshotTable) -> Consumer:
+    """Cross-lakehouse replica (plans/replicate.py)."""
+    from ..plans.replicate import replicate_incremental
+
+    def _sync(src: SnapshotTable, head: int) -> None:
+        last = _last_synced(dst)
+        if last != head:
+            replicate_incremental(
+                src, dst, to_snapshot_id=head, from_snapshot_id=last
+            )
+
+    return _sync
+
+
+__all__ = [
+    "Consumer",
+    "rollup_consumer",
+    "secondary_index_consumer",
+    "replica_consumer",
+]

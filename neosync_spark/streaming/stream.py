@@ -21,15 +21,20 @@ from ..schema import change_event_schema
 
 
 class StreamingReplay:
-    def __init__(self, engine: ReplayEngine, rollup_dst=None):
-        """``rollup_dst``: an optional rollup SnapshotTable — after
-        each committed epoch the derived table is advanced from the
-        epoch's snapshot pair via ``incremental_rollup_sync`` (work ∝
-        the epoch's diff; the sync's own (from,to) ledger makes an
-        epoch retry's re-sync a no-op), so the materialized view tails
-        the stream end-to-end with no full recompute anywhere."""
+    def __init__(self, engine: ReplayEngine, rollup_dst=None, consumers=None):
+        """``consumers``: per-epoch CDC-consumer hooks (see
+        ``streaming/consumers.py``) — after each committed epoch every
+        consumer advances its derived table from its OWN ledger (work
+        ∝ the epoch's diff; an epoch retry's re-sync is a no-op), so
+        materialized rollups, secondary indexes and replicas tail the
+        stream end-to-end with no full recompute anywhere.
+        ``rollup_dst`` is the legacy single-rollup form of the same."""
         self.engine = engine
-        self.rollup_dst = rollup_dst
+        self.consumers = list(consumers or [])
+        if rollup_dst is not None:
+            from .consumers import rollup_consumer
+
+            self.consumers.append(rollup_consumer(rollup_dst))
 
     def _apply_epoch(self, batch: DataFrame, epoch_id: int) -> None:
         bounds = batch.agg(
@@ -57,22 +62,15 @@ class StreamingReplay:
         self._sync_rollup()
 
     def _sync_rollup(self) -> None:
-        """Advance the rollup to the table's head, FROM the rollup's
+        """Advance every consumer to the table's head, each FROM its
         own ledger — not the epoch's snapshot pair — so a crash between
-        merge and sync (or a multi-epoch outage of the derived table)
+        merge and sync (or a multi-epoch outage of a derived table)
         self-heals: the next sync diffs across everything missed."""
-        if self.rollup_dst is None:
+        if not self.consumers:
             return
-        from ..operators.rollup import incremental_rollup_sync
-
         head = self.engine.table.manifest(refresh=True)["snapshot_id"]
-        last = max(
-            (r[1] for r in self.rollup_dst.applied_ranges()), default=None
-        )
-        if last != head:
-            incremental_rollup_sync(
-                self.engine.table, self.rollup_dst, last, head
-            )
+        for consumer in self.consumers:
+            consumer(self.engine.table, head)
 
     def start(
         self,

@@ -368,3 +368,89 @@ def test_streaming_patch_updates(spark, tmp_path):
     # every 'a' emission carries a COMPLETE post-image (role never null)
     a_rows = got[(got["conv_id"] == "a") & (~got["deleted"])]
     assert a_rows["role"].notna().all() and a_rows["text"].notna().all()
+
+
+def test_streaming_multi_consumer_tail(spark, tmp_path):
+    """consumers=[rollup, secondary index, replica] all tail the
+    stream epoch by epoch, each from its OWN ledger — after the stream
+    drains: rollup == full recompute, index lookups == filter, replica
+    == primary."""
+    from pyspark.sql import functions as F
+
+    from neosync_spark.operators.rollup import (
+        ROLLUP_SCHEMA,
+        conversation_rollup,
+    )
+    from neosync_spark.operators.secondary_index import (
+        create_secondary_index,
+        secondary_lookup,
+    )
+    from neosync_spark.plans.replicate import replica_schema
+    from neosync_spark.streaming.consumers import (
+        replica_consumer,
+        rollup_consumer,
+        secondary_index_consumer,
+    )
+
+    log = generate_pandas(CFG)
+    sdf = spark.createDataFrame(log).repartition(6)
+    log_dir = str(tmp_path / "log")
+    sdf.write.parquet(log_dir)
+
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), key_cols=KEY_COLS, n_buckets=8
+    )
+    dst = SnapshotTable.create(
+        spark, str(tmp_path / "r"), ROLLUP_SCHEMA,
+        key_cols=["conv_id"], order_cols=["ts"], n_buckets=8,
+    )
+    idx = create_secondary_index(
+        spark, str(tmp_path / "i"), table, "role", n_buckets=8
+    )
+    rep = SnapshotTable.create(
+        spark, str(tmp_path / "rep"), replica_schema(transcript_schema()),
+        key_cols=KEY_COLS, n_buckets=8,
+    )
+    eng = ReplayEngine(spark, table, config=EngineConfig())
+    q = StreamingReplay(
+        eng,
+        consumers=[
+            rollup_consumer(dst),
+            secondary_index_consumer(idx, "role"),
+            replica_consumer(rep),
+        ],
+    ).start(log_dir, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    q.awaitTermination(120)
+
+    got = {
+        r["conv_id"]: (r["n_turns"], r["total_chars"])
+        for r in dst.read().collect()
+    }
+    exp = {
+        r["conv_id"]: (r["n_turns"], r["total_chars"])
+        for r in conversation_rollup(table.read()).collect()
+    }
+    assert got == exp
+    for role in ("user", "assistant"):
+        want = sorted(
+            tuple(r) for r in table.read()
+            .filter(F.col("role") == role).select(*KEY_COLS).collect()
+        )
+        have = sorted(
+            tuple(r) for r in secondary_lookup(table, idx, "role", role)
+            .select(*KEY_COLS).collect()
+        )
+        assert have == want
+    prim = sorted(
+        tuple(r) for r in table.read()
+        .select("conv_id", "turn_idx", "text").collect()
+    )
+    mirr = sorted(
+        tuple(r) for r in rep.read()
+        .select("conv_id", "turn_idx", "text").collect()
+    )
+    assert mirr == prim
+    # every consumer saw multiple epochs through its own ledger
+    assert len(dst.applied_ranges()) >= 2
+    assert len(idx.applied_ranges()) >= 2
+    assert len(rep.applied_ranges()) >= 2
