@@ -279,6 +279,24 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--table", required=True)
     ex.add_argument("--keep-last", type=int, default=3)
 
+    mt = sub.add_parser(
+        "maintain",
+        help="one-shot maintenance window: fold the worst MoR buckets "
+             "(delta-pressure plan, bounded by --max-buckets so the "
+             "cadence amortizes at scale), optionally expire snapshots "
+             "+ GC unreferenced files",
+    )
+    mt.add_argument("--table", required=True)
+    mt.add_argument("--min-deltas", type=int, default=4)
+    mt.add_argument("--min-delta-bytes", type=int, default=None)
+    mt.add_argument("--max-buckets", type=int, default=None,
+                    help="compact at most the K worst buckets this run")
+    mt.add_argument("--zorder", default=None,
+                    help="comma-separated columns to z-order the rewrite by")
+    mt.add_argument("--max-records-per-file", type=int, default=None)
+    mt.add_argument("--expire-keep-last", type=int, default=None,
+                    help="also expire snapshots, keeping the last K")
+
     br = sub.add_parser(
         "branch", help="write-audit-publish branch management"
     )
@@ -671,6 +689,37 @@ def main(argv: list[str] | None = None) -> int:
 
         t = SnapshotTable.load(spark, args.table)
         print(json.dumps(t.expire_snapshots(keep_last=args.keep_last)))
+        return 0
+
+    if args.cmd == "maintain":
+        from .lakehouse import SnapshotTable
+
+        t = SnapshotTable.load(spark, args.table)
+        plan = t.plan_compaction(
+            min_deltas=args.min_deltas,
+            min_delta_bytes=args.min_delta_bytes,
+            max_buckets=args.max_buckets,
+        )
+        out = {
+            "planned_buckets": [
+                {"bucket": b, "delta_files": n, "delta_bytes": nb}
+                for b, n, nb in plan
+            ],
+        }
+        if plan:
+            info = t.compact(
+                buckets=[b for b, _, _ in plan],
+                zorder_cols=args.zorder.split(",") if args.zorder else None,
+                max_records_per_file=args.max_records_per_file,
+            )
+            if info is not None:
+                out["compacted_snapshot"] = info.snapshot_id
+                out["rows_rewritten"] = info.rows_written
+        if args.expire_keep_last is not None:
+            out["expire"] = t.expire_snapshots(
+                keep_last=args.expire_keep_last
+            )
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "replicate":
