@@ -397,6 +397,100 @@ def main() -> None:
         "Window, no Python stage anywhere.",
     )
 
+    # --- round-4 session-6 operators -----------------------------------
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.secondary_index import (
+        create_secondary_index,
+        secondary_index_sync,
+        secondary_lookup,
+    )
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+    from neosync_spark.sources.debezium import encode_debezium
+
+    def _ev(rows):
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts double, lsn long, op string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    st = SnapshotTable.create(
+        spark, tempfile.mkdtemp() + "/t", transcript_schema(),
+        key_cols=KEY_COLS, n_buckets=4,
+    )
+    st.merge_cdc(
+        _ev([(f"c{i}", 0, "user", f"t{i}", f"tool{i % 4}", 1.0, i, "insert")
+             for i in range(40)]),
+        applied_range=(0, 40),
+    )
+    s1 = st.manifest(refresh=True)["snapshot_id"]
+    sidx = create_secondary_index(
+        spark, tempfile.mkdtemp() + "/i", st, "tool", n_buckets=4
+    )
+    secondary_index_sync(st, sidx, "tool", to_snapshot=s1)
+    cap(
+        "Secondary-index lookup (postings → pruned primary fetch)",
+        secondary_lookup(st, sidx, "tool", "tool3"),
+        "the postings scan opens only the value's hash bucket (+ bloom-"
+        "surviving files); the primary scan lists only the matching "
+        "keys' buckets and finishes with a BROADCAST left-semi join — "
+        "the table is never scanned.",
+    )
+    st.merge_cdc(
+        _ev([("c1", 0, "user", "t1b", "tool1", 2.0, 41, "update"),
+             ("c2", 0, None, None, None, 2.0, 42, "delete")]),
+        applied_range=(40, 43),
+    )
+    s2 = st.manifest(refresh=True)["snapshot_id"]
+    cap(
+        "Debezium envelope encode (CDC out)",
+        encode_debezium(
+            st.snapshot_diff(s1, s2, include_preimages=True), KEY_COLS, s2
+        ),
+        "only the diff's UPDATE rows shuffle (one map-side-combined "
+        "hash agg pivots pre/post into a single envelope); insert and "
+        "delete rows are pure projections into the union — all JVM "
+        "to_json, no Python stage.",
+    )
+
+    hll_t = SnapshotTable.create(
+        spark, tempfile.mkdtemp() + "/h",
+        T.StructType([
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("users", T.BinaryType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]),
+        key_cols=["conv_id"], n_buckets=4,
+    )
+    hll_batch = spark.range(2000).select(
+        F.concat(F.lit("c"), (F.col("id") % 37)).alias("conv_id"),
+        F.concat(F.lit("u"), (F.col("id") % 211)).alias("users"),
+        F.col("id").alias("lsn"),
+    )
+    hll_holder = {}
+    _orig_hll_merge = hll_t.merge_cdc
+
+    def _hll_spy(events, **kw):
+        hll_holder["df"] = events
+        return _orig_hll_merge(events, **kw)
+
+    hll_t.merge_cdc = _hll_spy
+    merge_agg(
+        hll_t, hll_batch, {"users": "approx_distinct"},
+        applied_range=(0, 2000),
+    )
+    cap(
+        "Approx-distinct accumulator fold (HLL sketch merge)",
+        hll_holder["df"],
+        "raw values collapse into per-key HLL sketches in an "
+        "ObjectHashAggregate with a PARTIAL pass before the exchange "
+        "(map-side combine — a hot key's values sketch locally), then "
+        "one hll_union against the bucket-pruned current accumulators.",
+    )
+
     hdr = (
         "# PLANS — formatted physical plans of load-bearing operators\n\n"
         "Generated by tools/gen_plans.py (`df.explain('formatted')` at sf0.001).\n"
