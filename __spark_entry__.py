@@ -562,7 +562,7 @@ def _q_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = hi // 2
     table = SnapshotTable.create(
         spark, tempfile.mkdtemp(prefix="ns_cdc_sidx_t_"),
-        transcript_schema(), key_cols=KEY_COLS, n_buckets=16,
+        transcript_schema(), key_cols=KEY_COLS, n_buckets=8,
     )
     cfg = EngineConfig(
         batch_lsn_size=hi + 1, lineage=False, prune_buckets=False
@@ -578,7 +578,9 @@ def _q_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = create_secondary_index(
         spark, tempfile.mkdtemp(prefix="ns_cdc_sidx_i_"), table, "tool",
-        n_buckets=16,
+        n_buckets=8, bloom=False,  # bucket pruning bounds the gate's
+        # lookup; the bloom sidecar's fixed per-commit job is deployment
+        # tuning exercised by test_secondary_index + the bloom gates
     )
     _replay(0, mid - 1)
     s1 = table.manifest(refresh=True)["snapshot_id"]
@@ -590,10 +592,12 @@ def _q_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         table, idx, "tool", to_snapshot=s2, from_snapshot=s1
     )
     # tiny distinct set (one value per event_type) — the k-seed-style
-    # driver fetch every point lookup starts from
+    # driver fetch every point lookup starts from; derived from the
+    # already-persisted log, so no extra table scan (a value deleted
+    # from the final state looks up to zero rows on both sides)
     vals = [
         r[0]
-        for r in table.read().select("tool").distinct().collect()
+        for r in log.select("tool").distinct().collect()
         if r[0] is not None
     ]
     found = secondary_lookup(table, idx, "tool", sorted(vals))

@@ -49,9 +49,13 @@ def create_secondary_index(
     src: SnapshotTable,
     col: str,
     n_buckets: int = 64,
+    bloom: bool = True,
 ) -> SnapshotTable:
     """Empty postings table for ``src[col]``: keyed (col, *src keys),
-    bucketed by the indexed VALUE, per-file value blooms."""
+    bucketed by the indexed VALUE; ``bloom=True`` adds per-file value
+    blooms (within-bucket file skipping at lookup time, at a fixed
+    sidecar-build job per commit — worth it once commits carry many
+    files; bucket pruning alone already bounds the lookup)."""
     m = src.manifest(refresh=True)
     keys = list(m["key_cols"])
     if col in keys:
@@ -75,7 +79,7 @@ def create_secondary_index(
         key_cols=[col, *keys],
         order_cols=["ts"],
         n_buckets=n_buckets,
-        bloom_cols=[col],
+        bloom_cols=[col] if bloom else None,
     )
 
 
