@@ -110,6 +110,63 @@ def _strip_uri(p: str) -> str:
     return p
 
 
+# adaptive small-commit fast path: below these bounds the sidecar is
+# built driver-local with pyarrow (zero Spark jobs, ~ms) — a steady
+# micro-batch cadence commits a handful of small files per epoch and
+# must not pay a full distributed job's fixed cost each time. Above
+# them the distributed path runs (a bulk commit's thousands of files /
+# millions of rows must never funnel through the driver).
+SMALL_COMMIT_FILES = 16
+SMALL_COMMIT_ROWS = 200_000
+
+
+def _build_sidecar_local(
+    metas: list, cols: list[str], sidecar_path: str
+) -> set[str]:
+    """Driver-local build for a small commit: same hashes, same bitset
+    sizing, same parquet sidecar format as the distributed path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows: list[tuple[str, str, int, int, bytes]] = []
+    covered: set[str] = set()
+    for path, pf in metas:
+        n = pf.metadata.num_rows
+        if n == 0:
+            continue  # distributed path never sees the file either
+        names = set(pf.schema_arrow.names)
+        have = [c for c in cols if c in names]
+        if not have:
+            continue
+        m = _size_bits(n)
+        tbl = pf.read(columns=have)
+        for c in have:
+            bits = np.zeros(m, dtype=bool)
+            vals = tbl.column(c).drop_null().unique().to_pylist()
+            for v in vals:
+                d1, d2 = _base_hashes(normalize_value(v))
+                for i in range(NUM_HASHES):
+                    bits[(d1 + i * d2) % m] = True
+            rows.append((path, c, m, NUM_HASHES, np.packbits(bits).tobytes()))
+        covered.add(path)
+    if not rows:
+        return set()
+    os.makedirs(os.path.dirname(sidecar_path), exist_ok=True)
+    table = pa.table(
+        {
+            "path": [r[0] for r in rows],
+            "col": [r[1] for r in rows],
+            "m": pa.array([r[2] for r in rows], pa.int64()),
+            "k": pa.array([r[3] for r in rows], pa.int32()),
+            "bits": pa.array([r[4] for r in rows], pa.binary()),
+        }
+    )
+    tmp = sidecar_path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, sidecar_path)
+    return covered
+
+
 def build_sidecar(
     spark, written: dict[int, list[str]], cols: list[str], sidecar_path: str
 ) -> set[str]:
@@ -134,6 +191,21 @@ def build_sidecar(
     if not paths:
         return set()
     import pyarrow.parquet as pq
+
+    if len(paths) <= SMALL_COMMIT_FILES:
+        # small commit: footer row counts decide; if every file opens
+        # and the total stays small, build driver-local (zero jobs)
+        metas, total = [], 0
+        for p in paths:
+            try:
+                pf = pq.ParquetFile(p)
+            except Exception:
+                metas = None
+                break
+            total += pf.metadata.num_rows
+            metas.append((p, pf))
+        if metas is not None and total <= SMALL_COMMIT_ROWS:
+            return _build_sidecar_local(metas, cols, sidecar_path)
 
     df = spark.read.parquet(*paths)
     have = [c for c in cols if c in df.columns]
