@@ -223,6 +223,21 @@ def main(argv: list[str] | None = None) -> int:
     exp.add_argument("--out", required=True)
     exp.add_argument("--snapshot", type=int, default=None)
 
+    xc = sub.add_parser(
+        "export-cdc",
+        help="tail the table OUT as Debezium envelope JSONL hops: first "
+             "run emits the bootstrap ('r' snapshot reads), later runs "
+             "emit one c/u/d diff hop since the last exported snapshot "
+             "(a cursor file under --out makes reruns incremental; a "
+             "consumer replays hops in order via decode_debezium or "
+             "`replay --format debezium`)",
+    )
+    xc.add_argument("--table", required=True)
+    xc.add_argument("--out", required=True,
+                    help="output directory; hops land as hop-<from>-<to>/")
+    xc.add_argument("--full", action="store_true",
+                    help="force a full bootstrap even if a cursor exists")
+
     g = sub.add_parser(
         "get",
         help="point lookup: fetch rows by key value (bucket-pruned by "
@@ -1265,6 +1280,51 @@ def main(argv: list[str] | None = None) -> int:
             else t.snapshots()
         )
         print(json.dumps([r.asDict() for r in df.collect()], indent=1))
+        return 0
+
+    if args.cmd == "export-cdc":
+        import os as _os
+
+        from .lakehouse import SnapshotTable
+        from .sources.debezium import (
+            encode_debezium,
+            snapshot_export_debezium,
+        )
+
+        t = SnapshotTable.load(spark, args.table)
+        m = t.manifest(refresh=True)
+        head = m["snapshot_id"]
+        cursor_path = _os.path.join(args.out, "_cursor")
+        last = None
+        if not args.full and _os.path.exists(cursor_path):
+            with open(cursor_path) as fh:
+                last = int(fh.read().strip())
+        if last == head:
+            print(json.dumps({"from": last, "to": head, "envelopes": 0,
+                              "hop": None}))
+            return 0
+        if last is None:
+            env = snapshot_export_debezium(t, head)
+            hop_name = f"hop-0-{head}"
+        else:
+            env = encode_debezium(
+                t.snapshot_diff(last, head, include_preimages=True),
+                m["key_cols"], head,
+            )
+            hop_name = f"hop-{last}-{head}"
+        hop_dir = _os.path.join(args.out, hop_name)
+        env.select("value").write.mode("overwrite").text(hop_dir)
+        n = spark.read.text(hop_dir).count()
+        # cursor written only after the hop landed: a crash replays the
+        # same hop (consumer ledgers make the replay a no-op)
+        _os.makedirs(args.out, exist_ok=True)
+        tmpc = cursor_path + ".tmp"
+        with open(tmpc, "w") as fh:
+            fh.write(str(head))
+        _os.replace(tmpc, cursor_path)
+        print(json.dumps({
+            "from": last, "to": head, "envelopes": n, "hop": hop_dir,
+        }))
         return 0
 
     if args.cmd == "export":
