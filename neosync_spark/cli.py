@@ -22,7 +22,12 @@ independent replica digests; --against localizes divergent chunks),
 rescale (bucket-count evolution under one atomic snapshot), get
 (point lookup — bucket + bloom pruned), drift (per-column PSI between
 snapshots; exit 1 on drift), inspect (files/snapshots metadata
-tables), export (snapshot → plain parquet), profile
+tables), export (snapshot → plain parquet), export-cdc (tail the
+table OUT as Debezium envelope JSONL hops — bootstrap then cursor-
+tracked incremental diffs), sidx-sync / lookup (secondary value index
+over a payload column: ledgered maintenance + pruned point lookups),
+maintain (one-shot bounded maintenance window: worst-bucket MoR fold
++ optional snapshot GC), profile
 (--percentiles adds quantiles).
 """
 

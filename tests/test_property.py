@@ -398,3 +398,80 @@ def test_patch_fold_matches_interpreter(spark, events):
         if not r["_del"]
     }
     assert got == _interpret_patch(rows)
+
+
+# adversarial strings: quotes, backslashes, newlines, unicode, JSON-ish
+_WIRE_TEXT = st.text(
+    alphabet='ab"\\\n\t{}[]:,é中\U0001f600 ',
+    min_size=0, max_size=20,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), _WIRE_TEXT, st.one_of(st.none(), _WIRE_TEXT)),
+        min_size=1, max_size=12, unique_by=lambda r: r[0],
+    )
+)
+def test_debezium_wire_roundtrip_property(spark, table_root, rows):
+    """encode → JSON text → decode is lossless for arbitrary payload
+    strings (quotes, backslashes, newlines, unicode) — the consumer's
+    decoded state equals the producer state byte-for-byte."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.plans.replicate import replica_schema
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+    from neosync_spark.sources.debezium import (
+        decode_debezium,
+        snapshot_export_debezium,
+    )
+
+    counter["i"] += 1
+    root = str(table_root / f"dbzp{counter['i']}")
+    t = SnapshotTable.create(
+        spark, root + "/t", transcript_schema(), key_cols=KEY_COLS,
+        n_buckets=2,
+    )
+    ev = spark.createDataFrame(
+        [
+            (f"c{conv}", 0, "user", txt, tool, 1.0, i, "insert")
+            for i, (conv, txt, tool) in enumerate(rows)
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts double, lsn long, op string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    t.merge_cdc(ev, applied_range=(0, len(rows)))
+    sid = t.manifest(refresh=True)["snapshot_id"]
+    # envelopes survive a real text-file roundtrip (newlines must have
+    # been escaped by to_json or lines would split)
+    feed = root + "/feed"
+    snapshot_export_debezium(t, sid).select("value").write.mode(
+        "overwrite"
+    ).text(feed)
+    payload = T.StructType(
+        [f for f in replica_schema(transcript_schema()).fields
+         if f.name != "ts"]
+    )
+    events, rescue = decode_debezium(spark.read.text(feed), payload)
+    assert rescue.count() == 0
+    rep = SnapshotTable.create(
+        spark, root + "/rep", replica_schema(transcript_schema()),
+        key_cols=KEY_COLS, n_buckets=2,
+    )
+    rep.merge_cdc(events, applied_range=(0, sid), source_is_raw=True)
+    got = sorted(
+        tuple(r) for r in rep.read()
+        .select("conv_id", "text", "tool").collect()
+    )
+    want = sorted(
+        tuple(r) for r in t.read()
+        .select("conv_id", "text", "tool").collect()
+    )
+    assert got == want
