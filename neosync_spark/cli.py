@@ -316,6 +316,11 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--max-records-per-file", type=int, default=None)
     mt.add_argument("--expire-keep-last", type=int, default=None,
                     help="also expire snapshots, keeping the last K")
+    mt.add_argument("--ledger-keep", type=int, default=None,
+                    help="also compact the exactly-once ledger: rows "
+                         "older than the newest K coalesce into spans "
+                         "(covered union identical; bounds per-commit "
+                         "metadata at micro-batch cadence)")
 
     br = sub.add_parser(
         "branch", help="write-audit-publish branch management"
@@ -735,6 +740,8 @@ def main(argv: list[str] | None = None) -> int:
             if info is not None:
                 out["compacted_snapshot"] = info.snapshot_id
                 out["rows_rewritten"] = info.rows_written
+        if args.ledger_keep is not None:
+            out["ledger"] = t.compact_ledger(keep_last=args.ledger_keep)
         if args.expire_keep_last is not None:
             out["expire"] = t.expire_snapshots(
                 keep_last=args.expire_keep_last

@@ -216,6 +216,18 @@ _REBASE_SAFE_OPS = {
 }
 
 
+def _coalesce_spans(ranges) -> list[tuple[int, int]]:
+    """Merge [lo, hi) intervals that overlap or touch; the covered
+    union is preserved exactly (gaps stay gaps)."""
+    out: list[list[int]] = []
+    for lo, hi in sorted(ranges):
+        if out and lo <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return [tuple(s) for s in out]
+
+
 @dataclass
 class CommitInfo:
     snapshot_id: int
@@ -3251,11 +3263,84 @@ class SnapshotTable:
         return [tuple(r) for r in self.manifest(refresh=True)["checkpoint"]["applied"]]
 
     def is_applied(self, lo: int, hi: int) -> bool:
-        return any(r[0] == lo and r[1] == hi for r in self.applied_ranges())
+        """Exactly-once probe: True iff [lo, hi) is COVERED by the
+        union of applied ranges. Containment (not exact-row match) is
+        what survives ledger compaction: after old rows coalesce into
+        spans, a replayed batch still answers True. For any range a
+        caller legitimately retries (one it committed before), coverage
+        and exact-match agree; a NEVER-committed range partially
+        overlapping history answers False under both semantics (and was
+        never safe to apply)."""
+        if lo == hi:
+            return True
+        spans = _coalesce_spans(
+            (int(r[0]), int(r[1])) for r in self.applied_ranges()
+        )
+        return any(s_lo <= lo and hi <= s_hi for s_lo, s_hi in spans)
 
     def last_applied_lsn(self) -> int | None:
         ranges = self.applied_ranges()
         return max((r[1] for r in ranges), default=None)
+
+    def sync_ordinal(self) -> int:
+        """A per-table ordinal for derived-table syncs (index epochs,
+        multi-table waves): strictly greater than any ordinal a prior
+        COMMITTED sync used, stable across crash-replay (an unapplied
+        attempt recomputes the same value), and — unlike a ledger-row
+        count — immune to ledger compaction and rollback (it is the
+        next globally-unique snapshot id). For a fresh table with n
+        ledgered commits it equals len(applied_ranges()) + 1, so
+        existing tables keep their ordinal sequence."""
+        return self._next_snapshot_id()
+
+    def compact_ledger(self, keep_last: int = 512) -> dict:
+        """Bound the exactly-once ledger: coalesce every row OLDER than
+        the newest ``keep_last`` into merged [lo, hi) spans (overlap-
+        or-touch merge — the covered union is IDENTICAL, so
+        ``is_applied`` answers and repair's applied-lsn predicates are
+        unchanged). At 10^5+ micro-batch commits the ledger list is
+        the one piece of metadata that grows per COMMIT rather than
+        per byte of data; without compaction every manifest rewrite
+        is O(history). Recent rows keep their exact boundaries — the
+        commit grid ``consistent_watermark`` / strict
+        ``snapshot_at_lsn`` pin against — bounded by the same
+        retention window that already bounds time travel. Metadata-
+        only commit (operation ``ledger_compact``, structural: a
+        concurrent rebase refuses and recomputes)."""
+        m = self.manifest(refresh=True)
+        ledger = [list(r) for r in m["checkpoint"]["applied"]]
+        if len(ledger) <= keep_last:
+            return {"rows_before": len(ledger), "rows_after": len(ledger),
+                    "snapshot_id": m["snapshot_id"]}
+        old, recent = ledger[:-keep_last], ledger[-keep_last:]
+        spans = _coalesce_spans((int(r[0]), int(r[1])) for r in old)
+        rows_sum: dict[tuple[int, int], int] = {}
+        sid_max: dict[tuple[int, int], int] = {}
+        for lo, hi, sid, n in old:
+            for s in spans:
+                if s[0] <= lo and hi <= s[1]:
+                    rows_sum[s] = rows_sum.get(s, 0) + int(n)
+                    sid_max[s] = max(sid_max.get(s, 0), int(sid))
+                    break
+        squashed = [
+            [s[0], s[1], sid_max[s], rows_sum[s]] for s in spans
+        ]
+        new_sid = self._next_snapshot_id()
+        new_m = {
+            **m,
+            "snapshot_id": new_sid,
+            "parent": m["snapshot_id"],
+            "checkpoint": {"applied": squashed + recent},
+            "summary": {
+                "operation": "ledger_compact",
+                "rows_before": len(ledger),
+                "rows_after": len(squashed) + len(recent),
+            },
+        }
+        self._commit_manifest(new_m)
+        return {"rows_before": len(ledger),
+                "rows_after": len(squashed) + len(recent),
+                "snapshot_id": new_sid}
 
     # ---------- schema evolution ----------
 

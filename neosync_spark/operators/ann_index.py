@@ -135,13 +135,13 @@ def ivf_index_sync(
     """One incremental epoch: assign ONLY the new vectors to their
     nearest frozen centroid and merge the (cell, vec_id, vec) rows
     through the exactly-once ledger. Returns the CommitInfo; a replayed
-    epoch is a no-op. Epoch ordering: the index's applied-epoch count,
-    like the dedup index — monotonic per applied epoch and
-    replay-stable. Keys are (cell, vec_id); frozen centroids make a
+    epoch is a no-op. Epoch ordering: the index's sync ordinal, like
+    the dedup index — monotonic per applied epoch, replay-stable, and
+    immune to ledger compaction. Keys are (cell, vec_id); frozen centroids make a
     vec_id's cell deterministic, so re-sent vectors LWW onto
     themselves rather than duplicating across cells."""
     cent = load_centroids(index)
-    epoch = len(index.applied_ranges())
+    epoch = index.sync_ordinal() - 1
     assign = _assign_udf(cent)
     batch = new_vecs.select(
         assign(F.col(vec_col)).alias("cell"),

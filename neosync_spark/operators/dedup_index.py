@@ -170,12 +170,13 @@ def minhash_index_sync(
     # must be MONOTONIC across epochs so a re-synced doc's fresh band
     # rows beat stale ones — but content-keyed epoch values are random
     # 62-bit ints, so (lo, lo) would let an earlier epoch with a larger
-    # value win forever. Order by the index's own applied-epoch count:
-    # strictly increasing per applied epoch, and crash-replay-safe (an
+    # value win forever. Order by the index's own sync ordinal:
+    # strictly increasing per applied epoch, crash-replay-safe (an
     # unapplied epoch recomputes the same ordinal; an applied one never
-    # reaches the merge, and merge_cdc breaks ties source-wins).
+    # reaches the merge, and merge_cdc breaks ties source-wins), and
+    # immune to ledger compaction (not a ledger-row count).
     lo = applied_range[0] if applied_range is not None else 0
-    ordinal = len(index.applied_ranges()) + 1
+    ordinal = index.sync_ordinal()
     batch = banded_new.select(
         F.lit("insert").alias("op"),
         F.col("_id").alias("doc_id"),

@@ -109,7 +109,7 @@ def text_index_sync(
     """One incremental epoch: tokenize ONLY the new documents and merge
     their postings + doc stats through the ledger. Replay = no-op on
     both tables. Returns row counts written."""
-    epoch = len(idx.postings.applied_ranges())
+    epoch = max(idx.postings.sync_ordinal(), idx.docstats.sync_ordinal()) - 1
     par = new_docs.sparkSession.sparkContext.defaultParallelism
     base = new_docs.repartition(par, F.col(id_col)).select(
         F.col(id_col).cast("long").alias("doc_id"),

@@ -227,7 +227,7 @@ def _merge_into_destination(dest, df: DataFrame, spec: TableSpec) -> None:
     destination's applied-epoch count so later syncs LWW over earlier
     rows (and over any pre-existing destination rows). A crash-replayed
     sync is a table no-op."""
-    epoch = len(dest.applied_ranges())
+    epoch = dest.sync_ordinal() - 1
     cur = dest.current_schema()
     key_cols = dest.manifest().get("key_cols") or spec.key_cols
     have = set(df.columns)
