@@ -939,6 +939,56 @@ def _q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ledger compaction mid-stream (lakehouse.py
+    compact_ledger): replay the first half of the log in ~6
+    micro-batches (one ledger row each), compact the ledger down to
+    coalesced spans + the newest 2 exact rows, then (a) re-replay the
+    first half — every batch must SKIP via containment is_applied over
+    the squashed spans — and (b) replay the second half through the
+    standard resume path. Final state must equal the full-log LWW
+    oracle, proving compaction changed metadata size, never apply
+    semantics. The ledger is the one table-metadata piece that grows
+    per COMMIT (not per byte) at 10^10-event micro-batch cadence."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    mid = hi // 2
+
+    path = tempfile.mkdtemp(prefix="ns_cdc_ledgc_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    cfg = dict(lineage=False, prune_buckets=False)
+    step = max(mid // 6, 1)
+    ReplayEngine(
+        spark, table, config=EngineConfig(batch_lsn_size=step, **cfg)
+    ).replay(slicer, lsn_lo=0, lsn_hi=mid - 1)
+    before = len(table.applied_ranges())
+    res = table.compact_ledger(keep_last=2)
+    # contiguous micro-batch ranges coalesce to ONE span + 2 exact rows
+    if not (res["rows_after"] < before and res["rows_after"] <= 3):
+        raise AssertionError(f"ledger not bounded: {res} (before={before})")
+    st = ReplayEngine(
+        spark, table, config=EngineConfig(batch_lsn_size=step, **cfg)
+    ).replay(slicer, lsn_lo=0, lsn_hi=mid - 1)
+    if st.batches_applied != 0 or st.batches_skipped == 0:
+        raise AssertionError(f"replay after compaction must no-op: {st}")
+    ReplayEngine(
+        spark, table, config=EngineConfig(batch_lsn_size=hi - mid + 1, **cfg)
+    ).replay(slicer, lsn_lo=mid, lsn_hi=hi)
+    return table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
 def _q_rollback_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot time travel + rollback-then-replay (the bad-deploy
     recovery drill): replay the first half of the log, pin that
@@ -4054,7 +4104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never driver-checked before r4 + constraint_violations (oracle
         # re-cast to BIGINT) + 8 core sentinels. Long-stable entries are
         # rotated behind position 50; the judge re-runs those locally.
-        "dedup_minhash_pairs": _q_minhash_pairs,
+        "cdc_ledger_compaction": _q_ledger_compaction,
         "dedup_index_sync": _q_dedup_index_sync,
         "decontaminate_fuzzy": _q_fuzzy_decontaminate,
         "dedup_exact_spans": _q_duplicate_spans,
@@ -4120,6 +4170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # variant above; cdc_replay_final_state (green r1-r3) by
         # cdc_repair_bucket, which replays the same pipeline to the
         # same oracle and then survives storage loss ----
+        "dedup_minhash_pairs": _q_minhash_pairs,
         "cdc_replay_final_state": _q_cdc_replay,
         "cdc_merge_upsert": _q_merge_upsert,
         "cdc_patch_merge_mor": _q_patch_merge_mor,
@@ -4350,6 +4401,14 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1 AND op <> 'delete'
             UNION ALL
             SELECT 'published' AS phase, conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM ({lww}) WHERE op <> 'delete'
+        """,
+        # compaction is metadata-only: the final state is the plain
+        # full-log LWW regardless of how the ledger was squashed (the
+        # bounded-size and replay-no-op bits are asserted in-query)
+        "cdc_ledger_compaction": f"""
+            SELECT conv_id, turn_idx, role, text, tool,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'
         """,
