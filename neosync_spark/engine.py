@@ -96,6 +96,14 @@ class EngineConfig:
     # remaining events arrive (ReplayStats.lsn_held_from reports the
     # holdback point). The two columns are stripped before the merge.
     txn_cols: tuple[str, str] | None = None
+    # automatic exactly-once-ledger bound: after a batch commits, if
+    # the ledger holds more than 2× this many rows, rows older than the
+    # newest ``ledger_keep`` coalesce into covered-union-identical spans
+    # (SnapshotTable.compact_ledger). Hysteresis makes the amortized
+    # cost O(1) per batch; None disables. At 10^10-event micro-batch
+    # cadence the ledger is the one metadata piece that grows per
+    # COMMIT — without this, every manifest write is O(history).
+    ledger_keep: int | None = 4096
     # concurrent-writer policy handed to every commit this engine makes
     # (merge_cdc / commit_delta / auto-compaction): 'fail' = this engine
     # owns the table (single-writer, the reference's model); 'rebase' /
@@ -393,7 +401,18 @@ class ReplayEngine:
                 self.table.compact(
                     buckets=hot, on_conflict=self.config.on_conflict
                 )
+        self._maybe_compact_ledger()
         return info
+
+    def _maybe_compact_ledger(self) -> None:
+        """Amortized ledger bound: compact only past 2× the keep window
+        (each compaction roughly halves the row count, so this fires
+        once per ~ledger_keep batches — O(1) per batch)."""
+        keep = self.config.ledger_keep
+        if keep is None:
+            return
+        if len(self.table.applied_ranges()) > 2 * keep:
+            self.table.compact_ledger(keep_last=keep)
 
     def replay(
         self,
@@ -623,6 +642,7 @@ class ReplayEngine:
                 self.table.compact(
                     buckets=hot, on_conflict=self.config.on_conflict
                 )
+        self._maybe_compact_ledger()
         return stats
 
     def requeue_fk_quarantine(self) -> dict:

@@ -33,6 +33,7 @@ Scale notes (designed for 1000-executor / 100 TB operation):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -259,6 +260,13 @@ class SnapshotTable:
         # sidecar rel-path -> {(data_path, col): (m, k, bits)}; blooms
         # are immutable once written, so the cache never invalidates
         self._bloom_cache: dict[str, dict] = {}
+        # segment name -> raw JSON body; segments are content-addressed
+        # and immutable, so the cache never invalidates (parsed fresh
+        # per manifest() call to keep json.load's no-aliasing contract)
+        self._seg_cache: dict[str, str] = {}
+        # segment name -> parsed entries, used ONLY for write-side
+        # equality probes (never handed to callers — no aliasing)
+        self._seg_parsed: dict[str, list] = {}
         # test seam for commit races: called once, right before this
         # writer's first manifest-write attempt — a test installs a
         # second writer's commit here to create a deterministic
@@ -355,9 +363,116 @@ class SnapshotTable:
             os.path.join(self.path, "metadata", f"snap-{snapshot_id}.json")
         ) as f:
             m = json.load(f)
+        m["files"] = self._resolve_files(m.get("files", {}))
         if snapshot_id == self._current_id_on_disk():
             self._manifest = m
         return m
+
+    # Buckets with at least this many file entries are stored as
+    # shared content-addressed segment files (metadata/seg-<hash>.json)
+    # referenced from the snapshot manifest by {"@seg": name}; smaller
+    # buckets stay inline. A commit touching k of B buckets then writes
+    # O(k · files-per-bucket) metadata bytes instead of re-serializing
+    # the whole table's file list — the Iceberg manifest-list analog.
+    # At 10^5 commits over 10^6 files this is the difference between
+    # TBs and GBs of cumulative manifest I/O.
+    _SEG_MIN_ENTRIES = 8
+
+    def _resolve_files(self, files: dict) -> dict:
+        """Expand {"@seg": name} bucket pointers into plain entry
+        lists; inline lists pass through. Every consumer of
+        manifest()["files"] sees the resolved form."""
+        out: dict = {}
+        for b, v in files.items():
+            if isinstance(v, dict) and "@seg" in v:
+                name = v["@seg"]
+                body = self._seg_cache.get(name)
+                if body is None:
+                    with open(
+                        os.path.join(self.path, "metadata", name)
+                    ) as f:
+                        body = f.read()
+                    self._seg_cache[name] = body
+                out[b] = json.loads(body)
+            else:
+                out[b] = v
+        return out
+
+    def _raw_seg_pointers(self, snapshot_id) -> dict:
+        """{bucket: segment name} from a snapshot's ON-DISK manifest
+        (no resolution) — O(buckets) read, used by the write path's
+        unchanged-bucket probe and by segment GC."""
+        try:
+            with open(
+                os.path.join(
+                    self.path, "metadata", f"snap-{snapshot_id}.json"
+                )
+            ) as f:
+                raw = json.load(f)
+        except (FileNotFoundError, TypeError):
+            return {}
+        return {
+            b: v["@seg"]
+            for b, v in raw.get("files", {}).items()
+            if isinstance(v, dict) and "@seg" in v
+        }
+
+    def _seg_entries_for_probe(self, name: str) -> list | None:
+        """Parsed entries of a segment for equality probes only."""
+        got = self._seg_parsed.get(name)
+        if got is None:
+            body = self._seg_cache.get(name)
+            if body is None:
+                try:
+                    with open(
+                        os.path.join(self.path, "metadata", name)
+                    ) as f:
+                        body = f.read()
+                except FileNotFoundError:
+                    return None
+                self._seg_cache[name] = body
+            got = json.loads(body)
+            self._seg_parsed[name] = got
+        return got
+
+    def _pointerize_files(self, files: dict, parent=None) -> dict:
+        """Write-side inverse of _resolve_files: spill large bucket
+        entry lists to content-addressed segment files and reference
+        them by name. A bucket whose entries equal the parent
+        snapshot's are re-pointed at the parent's segment without
+        serializing or hashing anything (one C-level list equality);
+        a changed bucket hashes its content, and racing writers
+        producing the same content converge on one file (atomic
+        replace, identical bytes). Segments are GC'd by
+        expire_snapshots."""
+        meta = os.path.join(self.path, "metadata")
+        parent_ptr = self._raw_seg_pointers(parent) if parent is not None else {}
+        out: dict = {}
+        for b, entries in files.items():
+            if not isinstance(entries, list) or (
+                len(entries) < self._SEG_MIN_ENTRIES
+            ):
+                out[b] = entries
+                continue
+            pname = parent_ptr.get(b)
+            if pname is not None and self._seg_entries_for_probe(pname) == entries:
+                out[b] = {"@seg": pname}
+                continue
+            body = json.dumps(entries, sort_keys=True, separators=(",", ":"))
+            name = (
+                "seg-"
+                + hashlib.sha1(body.encode("utf-8")).hexdigest()[:20]
+                + ".json"
+            )
+            p = os.path.join(meta, name)
+            if name not in self._seg_cache and not os.path.exists(p):
+                tmp = p + f".tmp-{uuid.uuid4().hex}"
+                with open(tmp, "w") as f:
+                    f.write(body)
+                os.replace(tmp, p)
+            self._seg_cache[name] = body
+            out[b] = {"@seg": name}
+        return out
 
     def _current_id_on_disk(self) -> int:
         try:
@@ -381,12 +496,19 @@ class SnapshotTable:
         manifest["committed_at"] = time.time()
         sid = manifest["snapshot_id"]
         mpath = os.path.join(self.path, "metadata", f"snap-{sid}.json")
+        # spill large bucket file lists to shared content-addressed
+        # segments BEFORE claiming the snapshot file: per-commit
+        # manifest bytes are O(changed buckets), not O(table files)
+        disk = dict(manifest)
+        disk["files"] = self._pointerize_files(
+            manifest.get("files", {}), parent=parent
+        )
         try:
             # exclusive create: two refs racing to the same id (both
             # listed metadata/ before either wrote) must fail loudly,
             # not silently overwrite the other's manifest
             with open(mpath, "x") as f:
-                json.dump(manifest, f, indent=1)
+                json.dump(disk, f, indent=1)
         except FileExistsError:
             raise CommitConflictError(
                 f"snapshot id {sid} was claimed by a concurrent writer on "
@@ -3250,11 +3372,27 @@ class SnapshotTable:
                 if mid not in retained_ids:
                     os.remove(os.path.join(meta, f))
                     removed_manifests += 1
+
+        # file-list segments referenced by no retained manifest (raw
+        # read: the pointer names, not the resolved lists). Like data-
+        # file GC above, assumes no commit is in flight — expiry is a
+        # maintenance-window operation.
+        keep_segs: set[str] = set()
+        for rid in retained_ids:
+            keep_segs.update(self._raw_seg_pointers(rid).values())
+        removed_segs = 0
+        for f in list(os.listdir(meta)):
+            if f.startswith("seg-") and f.endswith(".json") and f not in keep_segs:
+                os.remove(os.path.join(meta, f))
+                self._seg_cache.pop(f, None)
+                self._seg_parsed.pop(f, None)
+                removed_segs += 1
         return {
             "retained_snapshots": retained_ids,
             "removed_files": removed_files,
             "removed_manifests": removed_manifests,
             "removed_bloom_sidecars": removed_sidecars,
+            "removed_segments": removed_segs,
         }
 
     # ---------- exactly-once ledger ----------

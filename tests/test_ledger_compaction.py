@@ -98,6 +98,34 @@ def test_sync_ordinal_monotone_across_compaction(spark):
     assert t.sync_ordinal() > after
 
 
+def test_engine_auto_compacts_ledger(spark):
+    # EngineConfig.ledger_keep bounds the ledger automatically: many
+    # tiny batches, ledger must never exceed ~2x the keep window, and
+    # replay/resume semantics survive (idempotent re-replay, correct
+    # final state)
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+
+    t = _mk(spark)
+    log = _ev(spark, [
+        (f"c{i % 7}", i % 3, "user", f"t{i}", None, 1.0 + i, i, "insert")
+        for i in range(24)
+    ])
+
+    def slicer(lo, hi):
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+
+    cfg = EngineConfig(batch_lsn_size=1, ledger_keep=3,
+                       lineage=False, prune_buckets=False)
+    ReplayEngine(spark, t, config=cfg).replay(slicer, lsn_lo=0, lsn_hi=23)
+    # 24 single-event batches; with keep=3 the ledger compacts whenever
+    # it crosses 6 rows, so it never exceeds 2*keep + 1
+    assert len(t.applied_ranges()) <= 7
+    st = ReplayEngine(spark, t, config=cfg).replay(slicer, lsn_lo=0, lsn_hi=23)
+    assert st.batches_applied == 0 and st.batches_skipped == 24
+    assert t.read().count() == 21  # 7 convs x 3 turn_idx
+    assert t.last_applied_lsn() == 24
+
+
 def test_resume_after_compaction(spark):
     # engine-style resume: last_applied_lsn drives the next slice even
     # when every individual range has been squashed
