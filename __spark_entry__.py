@@ -939,6 +939,57 @@ def _q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scd2_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 dimension maintenance (operators/scd.scd2_sync):
+    the change log applied in FOUR lsn-contiguous epochs to a versioned
+    dimension table through the exactly-once ledger — open versions
+    close at epoch boundaries, version_seq continues across epochs and
+    deletes (tombstone bookkeeping), a replayed epoch is a no-op. The
+    oracle is the invariant: epoch-stitched state == one-shot SCD2
+    window over the full log in lsn order."""
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.scd import (
+        scd2_dim_schema,
+        scd2_state,
+        scd2_sync,
+    )
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0) + 1
+    keys, attrs = ["conv_id", "turn_idx"], ["role", "text", "tool"]
+    dim = SnapshotTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="ns_cdc_scd2_dim_"),
+        scd2_dim_schema(log.schema, keys, attrs),
+        key_cols=[*keys, "version_seq"],
+        n_buckets=16,
+    )
+    bounds = [0, hi // 4, hi // 2, 3 * hi // 4, hi]
+    for lo, up in zip(bounds, bounds[1:]):
+        scd2_sync(
+            dim,
+            log.filter((F.col("lsn") >= lo) & (F.col("lsn") < up)),
+            applied_range=(lo, up),
+            key_cols=keys,
+            attr_cols=attrs,
+        )
+    # exactly-once: replaying the second epoch must not commit
+    sid = dim.manifest(refresh=True)["snapshot_id"]
+    info = scd2_sync(
+        dim,
+        log.filter((F.col("lsn") >= bounds[1]) & (F.col("lsn") < bounds[2])),
+        applied_range=(bounds[1], bounds[2]),
+        key_cols=keys,
+        attr_cols=attrs,
+    )
+    if info.rows_written != 0 or dim.manifest(refresh=True)["snapshot_id"] != sid:
+        raise AssertionError("replayed SCD2 epoch must be a table no-op")
+    return scd2_state(dim).select(
+        *keys, "version_seq", *attrs,
+        "valid_from_lsn", "valid_to_lsn", "is_current",
+    )
+
+
 def _q_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once ledger compaction mid-stream (lakehouse.py
     compact_ledger): replay the first half of the log in ~6
@@ -4150,6 +4201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_zorder_pruned_read": _q_zorder_pruned_read,
         "cdc_asof_enrich": _q_asof_enrich,
         "cdc_scd2_history": _q_scd2_history,
+        "cdc_scd2_sync": _q_scd2_sync,
         "text_chunk_overlap": _q_text_chunks,
         "json_anonymize": _q_json_anonymize,
         "constraint_violations": _q_constraint_violations,
@@ -4403,6 +4455,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'published' AS phase, conv_id, turn_idx, role, text, tool,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'
+        """,
+        # incremental == one-shot: the epoch-stitched dimension must
+        # equal the full-log SCD2 window in lsn (WAL) order
+        "cdc_scd2_sync": f"""
+            WITH log AS ({_CDC_DERIVATION}),
+            v AS (
+              SELECT conv_id, turn_idx, op, role, text, tool, lsn,
+                     row_number() OVER w AS version_seq,
+                     lead(lsn) OVER w AS valid_to_lsn
+              FROM log
+              WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY lsn)
+            )
+            SELECT conv_id, turn_idx,
+                   CAST(version_seq AS BIGINT) AS version_seq,
+                   role, text, tool,
+                   CAST(lsn AS BIGINT) AS valid_from_lsn,
+                   CAST(valid_to_lsn AS BIGINT) AS valid_to_lsn,
+                   CAST(CASE WHEN valid_to_lsn IS NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_current
+            FROM v WHERE op <> 'delete'
         """,
         # compaction is metadata-only: the final state is the plain
         # full-log LWW regardless of how the ledger was squashed (the

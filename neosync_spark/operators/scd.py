@@ -93,6 +93,159 @@ def scd2_history(
     )
 
 
+def scd2_dim_schema(event_schema, key_cols, attr_cols, lsn_type=None):
+    """Schema for an incrementally-maintained SCD2 dimension table:
+    key columns + version_seq (the dimension's composite key), the
+    versioned attributes, the [valid_from_lsn, valid_to_lsn) effective
+    range, is_current, a tombstone flag (delete events consume a
+    version_seq but carry no attributes — stored so the NEXT epoch's
+    seq offset counts them; filtered out of `scd2_state`), and the
+    sync-ordinal `ts` the dimension's own LWW merges order by."""
+    from pyspark.sql import types as T
+
+    by_name = {f.name: f for f in event_schema.fields}
+    fields = [
+        T.StructField(k, by_name[k].dataType, False) for k in key_cols
+    ]
+    fields.append(T.StructField("version_seq", T.LongType(), False))
+    fields.extend(
+        T.StructField(a, by_name[a].dataType, True) for a in attr_cols
+    )
+    fields.extend([
+        T.StructField("valid_from_lsn", T.LongType(), True),
+        T.StructField("valid_to_lsn", T.LongType(), True),
+        T.StructField("is_current", T.LongType(), True),
+        T.StructField("tombstone", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ])
+    return T.StructType(fields)
+
+
+def scd2_sync(
+    dst,
+    events: DataFrame,
+    applied_range: tuple[int, int],
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str] | None = None,
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    delete_op: str = "delete",
+):
+    """One incremental epoch of SCD2 dimension maintenance — the
+    versioned-history twin of `incremental_rollup_sync` (state
+    consumers can be fed from snapshot diffs, but an SCD2 dimension
+    needs EVERY event: a state diff collapses intermediate versions,
+    so this consumer takes lsn-contiguous change-log slices and goes
+    through the destination's exactly-once ledger; a replayed epoch is
+    a table no-op).
+
+    Versions order by ``lsn`` alone (the WAL order — "when did the
+    dimension change" for a binlog is the commit order, not the
+    payload timestamp, which can disorder across batches). That makes
+    epochs stitch exactly: the destination's OPEN version per touched
+    key closes at the epoch's first event lsn, new versions continue
+    ``version_seq`` from the key's stored maximum (tombstone rows keep
+    delete-consumed seqs countable), and the invariant
+
+        scd2_state(dst) == scd2_history(full log, order_cols=("lsn",))
+
+    holds after every epoch — the gate oracle. Shuffle shape per
+    epoch: one key shuffle for the batch window pass (dedupe + seq +
+    lead in ONE Window spec), one semi-join against the dimension
+    (diff-sized, AQE-broadcastable), one merge shuffle.
+
+    Every emitted row carries the dimension's sync ordinal as (ts,
+    lsn) so a later epoch always wins LWW over the open-version row it
+    closes.
+    """
+    from ..lakehouse import CommitInfo
+
+    if dst.is_applied(*applied_range):
+        return CommitInfo(
+            dst.manifest(refresh=True)["snapshot_id"], 0, 0, applied_range
+        )
+    keys = list(key_cols)
+    attrs = list(
+        attr_cols
+        if attr_cols is not None
+        else [
+            c for c in events.columns
+            if c not in (*keys, lsn_col, op_col, "ts")
+        ]
+    )
+    ordinal = dst.sync_ordinal()
+
+    b = events.select(*keys, lsn_col, op_col, *attrs)
+    w = Window.partitionBy(*keys).orderBy(F.col(lsn_col).asc())
+    # duplicate deliveries share (key, lsn) → adjacent under w; drop,
+    # number and close in ONE Window spec (single exchange)
+    nb = (
+        b.withColumn("_prev", F.lag(F.col(lsn_col)).over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(lsn_col)))
+        .withColumn("_seq", F.row_number().over(w).cast("long"))
+        .withColumn("_next_lsn", F.lead(F.col(lsn_col)).over(w))
+    )
+    touched = nb.select(*keys).distinct()
+    existing = dst.read().join(touched, keys, "left_semi")
+    offsets = existing.groupBy(*keys).agg(
+        F.max("version_seq").alias("_offset")
+    )
+    is_tomb = F.col(op_col) == F.lit(delete_op)
+    newv = (
+        nb.join(offsets, keys, "left")
+        .withColumn(
+            "version_seq",
+            (F.col("_seq") + F.coalesce(F.col("_offset"), F.lit(0)))
+            .cast("long"),
+        )
+        .withColumn("valid_from_lsn", F.col(lsn_col).cast("long"))
+        .withColumn(
+            "valid_to_lsn",
+            F.when(is_tomb, F.col(lsn_col)).otherwise(F.col("_next_lsn"))
+            .cast("long"),
+        )
+        .withColumn("tombstone", is_tomb.cast("long"))
+        .withColumn(
+            "is_current",
+            (F.col("_next_lsn").isNull() & ~is_tomb).cast("long"),
+        )
+    )
+    for a in attrs:
+        newv = newv.withColumn(
+            a, F.when(is_tomb, F.lit(None)).otherwise(F.col(a))
+        )
+    cols = [
+        *keys, "version_seq", *attrs,
+        "valid_from_lsn", "valid_to_lsn", "is_current", "tombstone",
+    ]
+    closing = (
+        existing.filter(
+            (F.col("tombstone") == 0) & F.col("valid_to_lsn").isNull()
+        )
+        .join(
+            nb.groupBy(*keys).agg(F.min(lsn_col).alias("_close_at")), keys
+        )
+        .withColumn("valid_to_lsn", F.col("_close_at").cast("long"))
+        .withColumn("is_current", F.lit(0).cast("long"))
+    )
+    batch = (
+        newv.select(*cols)
+        .unionByName(closing.select(*cols))
+        .withColumn("ts", F.timestamp_seconds(F.lit(ordinal)))
+        .withColumn("lsn", F.lit(ordinal).cast("long"))
+        .withColumn("op", F.lit("insert"))
+    )
+    return dst.merge_cdc(batch, applied_range=applied_range)
+
+
+def scd2_state(dst) -> DataFrame:
+    """The user-facing view of an incrementally-maintained dimension:
+    version rows only (tombstone bookkeeping filtered), sync-ordinal
+    columns dropped."""
+    df = dst.read().filter(F.col("tombstone") == 0)
+    return df.drop("tombstone", "ts", "lsn")
+
+
 def scd2_current(history: DataFrame) -> DataFrame:
     """The current-state projection of an SCD2 history (is_current = 1).
 
