@@ -365,6 +365,24 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("--to-snapshot", type=int, default=None,
                     help="default: src's current snapshot")
 
+    s2 = sub.add_parser(
+        "scd2-sync",
+        help="incrementally maintain an SCD2 (type-2 versioned history) "
+             "dimension table from the change log, exactly-once",
+    )
+    s2.add_argument("--log", required=True, help="change-log parquet dir")
+    s2.add_argument("--dim", required=True,
+                    help="dimension SnapshotTable (created if absent)")
+    s2.add_argument("--keys", default="conv_id,turn_idx",
+                    help="comma-separated business key columns")
+    s2.add_argument("--attrs", default=None,
+                    help="comma-separated versioned attribute columns "
+                         "(default: every non-key, non-lsn/op/ts column)")
+    s2.add_argument("--from-lsn", type=int, default=None,
+                    help="default: resume from the dim ledger")
+    s2.add_argument("--to-lsn", type=int, default=None,
+                    help="default: log max lsn + 1")
+
     ix = sub.add_parser(
         "index-sync",
         help="incrementally index new documents into a MinHash-LSH dedup "
@@ -940,6 +958,48 @@ def main(argv: list[str] | None = None) -> int:
             "rows_written": info.rows_written,
             "dst_snapshot": info.snapshot_id,
             "noop": info.rows_written == 0 and from_id == to_id,
+        }))
+        return 0
+
+    if args.cmd == "scd2-sync":
+        from .lakehouse import SnapshotTable
+        from .operators.scd import scd2_dim_schema, scd2_sync
+        from .sources.changelog import ChangeLogSource
+
+        src = ChangeLogSource(spark, args.log)
+        keys = args.keys.split(",")
+        attrs = args.attrs.split(",") if args.attrs else None
+        bounds = src.lsn_bounds()
+        if bounds is None:
+            print(json.dumps({"rows_written": 0, "noop": True}))
+            return 0
+        to_lsn = args.to_lsn if args.to_lsn is not None else bounds[1] + 1
+        if SnapshotTable.exists(args.dim):
+            dim = SnapshotTable.load(spark, args.dim)
+        else:
+            sample = src.slice(bounds[0], bounds[0] + 1)
+            eff_attrs = attrs or [
+                c for c in sample.columns
+                if c not in (*keys, "lsn", "op", "ts")
+            ]
+            dim = SnapshotTable.create(
+                spark, args.dim,
+                scd2_dim_schema(sample.schema, keys, eff_attrs),
+                key_cols=[*keys, "version_seq"], n_buckets=16,
+            )
+        from_lsn = args.from_lsn
+        if from_lsn is None:
+            from_lsn = dim.last_applied_lsn() or bounds[0]
+        info = scd2_sync(
+            dim, src.slice(from_lsn, to_lsn), (from_lsn, to_lsn),
+            key_cols=keys, attr_cols=attrs,
+        )
+        print(json.dumps({
+            "from_lsn": from_lsn,
+            "to_lsn": to_lsn,
+            "rows_written": info.rows_written,
+            "dim_snapshot": info.snapshot_id,
+            "noop": info.rows_written == 0,
         }))
         return 0
 
