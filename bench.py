@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "cdc_secondary_lookup",
     "cdc_debezium_roundtrip",
     "cdc_agg_distinct",
+    "cdc_scd2_sync",
+    "cdc_ledger_compaction",
 ]
 
 

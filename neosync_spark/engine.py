@@ -407,12 +407,17 @@ class ReplayEngine:
     def _maybe_compact_ledger(self) -> None:
         """Amortized ledger bound: compact only past 2× the keep window
         (each compaction roughly halves the row count, so this fires
-        once per ~ledger_keep batches — O(1) per batch)."""
+        once per ~ledger_keep batches — O(1) per batch). A refusal
+        (overlapping interleaved-summary ranges, which must stay exact)
+        is remembered so an uncompactable ledger isn't rescanned every
+        batch."""
         keep = self.config.ledger_keep
-        if keep is None:
+        if keep is None or getattr(self, "_ledger_compact_refused", False):
             return
         if len(self.table.applied_ranges()) > 2 * keep:
-            self.table.compact_ledger(keep_last=keep)
+            out = self.table.compact_ledger(keep_last=keep)
+            if out.get("skipped"):
+                self._ledger_compact_refused = True
 
     def replay(
         self,

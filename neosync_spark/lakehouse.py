@@ -677,10 +677,13 @@ class SnapshotTable:
                     files.pop(b, None)
 
         ledger = [list(r) for r in head["checkpoint"]["applied"]]
+        spans = head["checkpoint"].get("compacted", [])
         sid = self._next_snapshot_id()
         if ledger_row is not None:
             lo, hi = int(ledger_row[0]), int(ledger_row[1])
-            if any(r[0] == lo and r[1] == hi for r in ledger):
+            if any(r[0] == lo and r[1] == hi for r in ledger) or any(
+                int(s[0]) <= lo and hi <= int(s[1]) for s in spans
+            ):
                 return None  # concurrent writer already applied this range
             ledger.append([lo, hi, sid, int(ledger_row[3])])
         reb = {
@@ -688,7 +691,7 @@ class SnapshotTable:
             "snapshot_id": sid,
             "parent": head["snapshot_id"],
             "files": files,
-            "checkpoint": {"applied": ledger},
+            "checkpoint": {**head["checkpoint"], "applied": ledger},
             "summary": {
                 **(new_m.get("summary") or {}),
                 "rebased_onto": head["snapshot_id"],
@@ -957,7 +960,7 @@ class SnapshotTable:
             )
         m = self.manifest(refresh=True)
         while True:
-            his = [hi for (_lo, hi, _sid, _n) in m["checkpoint"]["applied"]]
+            his = [hi for (_lo, hi, _sid, _n) in self._ledger_rows(m)]
             hw = max(his) if his else 0
             if hw <= int(lsn):
                 return int(m["snapshot_id"])
@@ -1722,7 +1725,7 @@ class SnapshotTable:
                 "snapshot_id": new_sid,
                 "parent": m["snapshot_id"],
                 "files": new_files,
-                "checkpoint": {"applied": ledger},
+                "checkpoint": {**m["checkpoint"], "applied": ledger},
                 "summary": {
                     "operation": f"merge_{mode}",
                     "source_rows": n_src,
@@ -1958,7 +1961,7 @@ class SnapshotTable:
             "snapshot_id": new_sid,
             "parent": m["snapshot_id"],
             "files": new_files,
-            "checkpoint": {"applied": ledger},
+            "checkpoint": {**m["checkpoint"], "applied": ledger},
             "summary": {
                 "operation": "merge_mor_pipelined",
                 "source_rows": n_src,
@@ -3397,24 +3400,38 @@ class SnapshotTable:
 
     # ---------- exactly-once ledger ----------
 
+    @staticmethod
+    def _ledger_rows(m: dict) -> list:
+        """Compacted spans + live exact rows — the full applied
+        history in one uniform [lo, hi, sid, rows] shape."""
+        cp = m["checkpoint"]
+        return list(cp.get("compacted", [])) + list(cp["applied"])
+
     def applied_ranges(self) -> list[tuple[int, int, int, int]]:
-        return [tuple(r) for r in self.manifest(refresh=True)["checkpoint"]["applied"]]
+        return [
+            tuple(r) for r in self._ledger_rows(self.manifest(refresh=True))
+        ]
 
     def is_applied(self, lo: int, hi: int) -> bool:
-        """Exactly-once probe: True iff [lo, hi) is COVERED by the
-        union of applied ranges. Containment (not exact-row match) is
-        what survives ledger compaction: after old rows coalesce into
-        spans, a replayed batch still answers True. For any range a
-        caller legitimately retries (one it committed before), coverage
-        and exact-match agree; a NEVER-committed range partially
-        overlapping history answers False under both semantics (and was
-        never safe to apply)."""
+        """Exactly-once probe. EXACT row match against the live ledger
+        — never containment: a range is only 'applied' if this exact
+        batch committed. Containment is used ONLY over explicitly
+        compacted spans (``compact_ledger``), which are built solely
+        from non-overlapping rows of a dense sliced history, where
+        every event inside the span union provably applied. Ranges
+        that are min/max summaries of interleaved batches (the
+        streaming file tail) never reach a span — compaction refuses
+        overlapping rows — so a small range inside an earlier
+        summary's bounds can never be falsely skipped."""
         if lo == hi:
             return True
-        spans = _coalesce_spans(
-            (int(r[0]), int(r[1])) for r in self.applied_ranges()
+        cp = self.manifest(refresh=True)["checkpoint"]
+        if any(int(r[0]) == lo and int(r[1]) == hi for r in cp["applied"]):
+            return True
+        return any(
+            int(s[0]) <= lo and hi <= int(s[1])
+            for s in cp.get("compacted", [])
         )
-        return any(s_lo <= lo and hi <= s_hi for s_lo, s_hi in spans)
 
     def last_applied_lsn(self) -> int | None:
         ranges = self.applied_ranges()
@@ -3433,10 +3450,12 @@ class SnapshotTable:
 
     def compact_ledger(self, keep_last: int = 512) -> dict:
         """Bound the exactly-once ledger: coalesce every row OLDER than
-        the newest ``keep_last`` into merged [lo, hi) spans (overlap-
-        or-touch merge — the covered union is IDENTICAL, so
-        ``is_applied`` answers and repair's applied-lsn predicates are
-        unchanged). At 10^5+ micro-batch commits the ledger list is
+        the newest ``keep_last`` into touching-merge [lo, hi) spans
+        stored under ``checkpoint.compacted`` (the covered union is
+        IDENTICAL, so ``is_applied`` answers and repair's applied-lsn
+        predicates are unchanged). Refuses — returning ``skipped`` —
+        when rows properly overlap (interleaved-batch summaries; see
+        the safety gate below). At 10^5+ micro-batch commits the ledger list is
         the one piece of metadata that grows per COMMIT rather than
         per byte of data; without compaction every manifest rewrite
         is O(history). Recent rows keep their exact boundaries — the
@@ -3446,15 +3465,34 @@ class SnapshotTable:
         only commit (operation ``ledger_compact``, structural: a
         concurrent rebase refuses and recomputes)."""
         m = self.manifest(refresh=True)
-        ledger = [list(r) for r in m["checkpoint"]["applied"]]
-        if len(ledger) <= keep_last:
-            return {"rows_before": len(ledger), "rows_after": len(ledger),
+        cp = m["checkpoint"]
+        prior = [list(r) for r in cp.get("compacted", [])]
+        applied = [list(r) for r in cp["applied"]]
+        total = len(prior) + len(applied)
+        if len(applied) <= keep_last:
+            return {"rows_before": total, "rows_after": total,
                     "snapshot_id": m["snapshot_id"]}
-        old, recent = ledger[:-keep_last], ledger[-keep_last:]
-        spans = _coalesce_spans((int(r[0]), int(r[1])) for r in old)
+        old, recent = applied[:-keep_last], applied[-keep_last:]
+        # SAFETY GATE: spans answer is_applied by CONTAINMENT, which is
+        # sound only for a dense sliced history (every event inside the
+        # union provably applied). Rows that properly overlap — min/max
+        # summaries of lsn-interleaved batches, e.g. an unordered
+        # streaming file tail — must stay exact forever: containment
+        # over their union would falsely skip never-applied events.
+        cand = sorted(
+            [(int(r[0]), int(r[1])) for r in old + prior]
+        )
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(cand, cand[1:]):
+            if b_lo < a_hi and (b_lo, b_hi) != (a_lo, a_hi):
+                return {"rows_before": total, "rows_after": total,
+                        "snapshot_id": m["snapshot_id"],
+                        "skipped": "ledger ranges overlap (interleaved "
+                                   "summaries) — exact rows retained"}
+        pool = prior + old
+        spans = _coalesce_spans((int(r[0]), int(r[1])) for r in pool)
         rows_sum: dict[tuple[int, int], int] = {}
         sid_max: dict[tuple[int, int], int] = {}
-        for lo, hi, sid, n in old:
+        for lo, hi, sid, n in pool:
             for s in spans:
                 if s[0] <= lo and hi <= s[1]:
                     rows_sum[s] = rows_sum.get(s, 0) + int(n)
@@ -3468,15 +3506,15 @@ class SnapshotTable:
             **m,
             "snapshot_id": new_sid,
             "parent": m["snapshot_id"],
-            "checkpoint": {"applied": squashed + recent},
+            "checkpoint": {"compacted": squashed, "applied": recent},
             "summary": {
                 "operation": "ledger_compact",
-                "rows_before": len(ledger),
+                "rows_before": total,
                 "rows_after": len(squashed) + len(recent),
             },
         }
         self._commit_manifest(new_m)
-        return {"rows_before": len(ledger),
+        return {"rows_before": total,
                 "rows_after": len(squashed) + len(recent),
                 "snapshot_id": new_sid}
 
@@ -3631,7 +3669,7 @@ class SnapshotTable:
                     (m.get("summary") or {}).get("operation"),
                     float(m["committed_at"]) if m.get("committed_at") else None,
                     sum(len(v) for v in m["files"].values()),
-                    len(m["checkpoint"]["applied"]),
+                    len(self._ledger_rows(m)),
                 )
             )
             sid = m["parent"]

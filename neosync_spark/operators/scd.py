@@ -164,6 +164,16 @@ def scd2_sync(
         return CommitInfo(
             dst.manifest(refresh=True)["snapshot_id"], 0, 0, applied_range
         )
+    last = dst.last_applied_lsn()
+    if last is not None and applied_range[0] < last:
+        # LWW consumers tolerate out-of-order epochs; a versioned
+        # history cannot (stitching appends). A binlog WAL delivers
+        # lsn-ordered slices; anything else must be re-sliced first.
+        raise ValueError(
+            f"scd2_sync requires lsn-contiguous in-order epochs: range "
+            f"{applied_range} starts before the dimension's high-water "
+            f"{last} and is not an exact replay"
+        )
     keys = list(key_cols)
     attrs = list(
         attr_cols

@@ -55,6 +55,28 @@ def secondary_index_consumer(index: SnapshotTable, col: str) -> Consumer:
     return _sync
 
 
+EventConsumer = Callable[["DataFrame", tuple[int, int]], None]
+
+
+def scd2_consumer(dim: SnapshotTable, key_cols, attr_cols=None) -> EventConsumer:
+    """SCD2 versioned-history dimension (operators/scd.scd2_sync).
+
+    Unlike the snapshot-span consumers above, an SCD2 dimension must
+    consume EVENTS (a state diff collapses intermediate versions), so
+    this is an EVENT consumer: the tail hands it each epoch's batch +
+    lsn range and the dimension's own ledger makes an epoch retry a
+    no-op. Exactly-once holds because foreachBatch redelivers an
+    unacknowledged epoch from its checkpoint; a multi-epoch consumer
+    outage heals from the WAL itself (CLI `scd2-sync --from-lsn`), not
+    from later epochs — events, not state, are the recovery source."""
+    from ..operators.scd import scd2_sync
+
+    def _sync(batch, rng: tuple[int, int]) -> None:
+        scd2_sync(dim, batch, rng, key_cols=key_cols, attr_cols=attr_cols)
+
+    return _sync
+
+
 def replica_consumer(dst: SnapshotTable) -> Consumer:
     """Cross-lakehouse replica (plans/replicate.py)."""
     from ..plans.replicate import replicate_incremental
@@ -71,7 +93,9 @@ def replica_consumer(dst: SnapshotTable) -> Consumer:
 
 __all__ = [
     "Consumer",
+    "EventConsumer",
     "rollup_consumer",
     "secondary_index_consumer",
+    "scd2_consumer",
     "replica_consumer",
 ]

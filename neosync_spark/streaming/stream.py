@@ -21,16 +21,28 @@ from ..schema import change_event_schema
 
 
 class StreamingReplay:
-    def __init__(self, engine: ReplayEngine, rollup_dst=None, consumers=None):
+    def __init__(
+        self,
+        engine: ReplayEngine,
+        rollup_dst=None,
+        consumers=None,
+        event_consumers=None,
+    ):
         """``consumers``: per-epoch CDC-consumer hooks (see
         ``streaming/consumers.py``) — after each committed epoch every
         consumer advances its derived table from its OWN ledger (work
         ∝ the epoch's diff; an epoch retry's re-sync is a no-op), so
         materialized rollups, secondary indexes and replicas tail the
         stream end-to-end with no full recompute anywhere.
-        ``rollup_dst`` is the legacy single-rollup form of the same."""
+        ``event_consumers``: hooks that need the epoch's EVENTS rather
+        than a snapshot span (e.g. ``scd2_consumer`` — state diffs
+        collapse intermediate versions); called with (batch, lsn_range)
+        on every epoch INCLUDING retries (their own ledger no-ops an
+        already-applied range). ``rollup_dst`` is the legacy
+        single-rollup form of ``consumers``."""
         self.engine = engine
         self.consumers = list(consumers or [])
+        self.event_consumers = list(event_consumers or [])
         if rollup_dst is not None:
             from .consumers import rollup_consumer
 
@@ -45,7 +57,10 @@ class StreamingReplay:
         rng = (int(bounds["lo"]), int(bounds["hi"]) + 1)
         if self.engine.table.is_applied(*rng):
             # epoch retry: the merge already committed, but a crash may
-            # have landed between merge and rollup sync — catch up
+            # have landed between merge and consumer sync — catch up
+            # (event consumers get the redelivered batch; their own
+            # ledger makes an already-applied range a no-op)
+            self._sync_events(batch, rng)
             self._sync_rollup()
             return
         if self.engine.registry is not None and self.engine.registry.versions:
@@ -59,7 +74,12 @@ class StreamingReplay:
                 renames=getattr(declared, "rename_map", None),
             )
         self.engine.apply_batch(batch, rng)
+        self._sync_events(batch, rng)
         self._sync_rollup()
+
+    def _sync_events(self, batch: DataFrame, rng: tuple[int, int]) -> None:
+        for consumer in self.event_consumers:
+            consumer(batch, rng)
 
     def _sync_rollup(self) -> None:
         """Advance every consumer to the table's head, each FROM its

@@ -98,6 +98,33 @@ def test_sync_ordinal_monotone_across_compaction(spark):
     assert t.sync_ordinal() > after
 
 
+def test_never_applied_subrange_is_not_skipped(spark):
+    # REGRESSION (streaming tail): epoch ranges can be min/max
+    # summaries of lsn-interleaved batches — a later small range
+    # inside an earlier summary's bounds was NEVER applied and must
+    # not probe as applied (containment is reserved for compacted
+    # spans of dense histories)
+    t = _mk(spark)
+    t.merge_cdc(_batch(spark, 0), applied_range=(5, 3900))
+    assert not t.is_applied(100, 201)
+    info = t.merge_cdc(_batch(spark, 1), applied_range=(100, 201))
+    assert info.rows_written == 1  # applied, not skipped
+
+
+def test_compaction_refuses_overlapping_summaries(spark):
+    # interleaved-summary rows must stay exact forever: compacting
+    # them into a span would make the subrange above falsely applied
+    t = _mk(spark)
+    t.merge_cdc(_batch(spark, 0), applied_range=(5, 3900))
+    t.merge_cdc(_batch(spark, 1), applied_range=(100, 201))
+    t.merge_cdc(_batch(spark, 2), applied_range=(3900, 4000))
+    t.merge_cdc(_batch(spark, 3), applied_range=(4000, 4100))
+    out = t.compact_ledger(keep_last=1)
+    assert "skipped" in out
+    assert out["rows_before"] == out["rows_after"] == 4
+    assert not t.is_applied(300, 400)  # still exact semantics
+
+
 def test_engine_auto_compacts_ledger(spark):
     # EngineConfig.ledger_keep bounds the ledger automatically: many
     # tiny batches, ledger must never exceed ~2x the keep window, and

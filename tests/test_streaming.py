@@ -454,3 +454,60 @@ def test_streaming_multi_consumer_tail(spark, tmp_path):
     assert len(dst.applied_ranges()) >= 2
     assert len(idx.applied_ranges()) >= 2
     assert len(rep.applied_ranges()) >= 2
+
+
+def test_streaming_scd2_event_consumer_tail(spark, tmp_path):
+    """event_consumers=[scd2_consumer]: the versioned dimension tails
+    the stream epoch by epoch (events, not snapshot spans) and after
+    the drain equals the one-shot scd2_history over the whole log in
+    lsn order. The WAL is written as time-ordered lsn slices — the
+    real binlog shape, and scd2_sync's documented contract (the
+    in-order guard rejects interleaved epochs)."""
+    import time as _time
+
+    from neosync_spark.operators.scd import (
+        scd2_dim_schema,
+        scd2_history,
+        scd2_state,
+    )
+    from neosync_spark.streaming.consumers import scd2_consumer
+
+    log = generate_pandas(CFG)
+    sdf = spark.createDataFrame(log)
+    log_dir = str(tmp_path / "log")
+    step = CFG.n_events // 4
+    for i in range(5):
+        part = sdf.filter(
+            (sdf.lsn >= i * step) & (sdf.lsn < (i + 1) * step)
+        )
+        if part.count():
+            part.coalesce(1).write.mode("append").parquet(log_dir)
+            _time.sleep(1.1)  # distinct mtimes -> file-source order
+
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), key_cols=KEY_COLS, n_buckets=8
+    )
+    attrs = ["role", "text", "tool"]
+    dim = SnapshotTable.create(
+        spark, str(tmp_path / "dim"),
+        scd2_dim_schema(sdf.schema, KEY_COLS, attrs),
+        key_cols=[*KEY_COLS, "version_seq"], n_buckets=8,
+    )
+    eng = ReplayEngine(spark, table, config=EngineConfig())
+    q = StreamingReplay(
+        eng, event_consumers=[scd2_consumer(dim, KEY_COLS, attrs)]
+    ).start(log_dir, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    q.awaitTermination(120)
+
+    cols = [*KEY_COLS, "version_seq", *attrs,
+            "valid_from_lsn", "valid_to_lsn", "is_current"]
+    got = sorted(tuple(r) for r in scd2_state(dim).select(*cols).collect())
+    want = sorted(
+        tuple(r)
+        for r in scd2_history(
+            spark.createDataFrame(log).drop("ts"),
+            KEY_COLS, order_cols=("lsn",), attr_cols=attrs,
+        ).select(*cols).collect()
+    )
+    assert got == want
+    assert len(dim.applied_ranges()) >= 2  # several epochs, own ledger
