@@ -188,15 +188,23 @@ def scd2_sync(
     b = events.select(*keys, lsn_col, op_col, *attrs)
     w = Window.partitionBy(*keys).orderBy(F.col(lsn_col).asc())
     # duplicate deliveries share (key, lsn) → adjacent under w; drop,
-    # number and close in ONE Window spec (single exchange)
+    # number and close in ONE Window spec (single exchange). The
+    # windowed batch feeds three consumers (versions, touched keys,
+    # close positions) — lazily localCheckpoint so the shuffle runs
+    # ONCE, not once per consumer.
     nb = (
         b.withColumn("_prev", F.lag(F.col(lsn_col)).over(w))
         .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(lsn_col)))
         .withColumn("_seq", F.row_number().over(w).cast("long"))
         .withColumn("_next_lsn", F.lead(F.col(lsn_col)).over(w))
+    ).localCheckpoint(eager=False)
+    # the key's FIRST event this epoch (_prev null after the window):
+    # one row per touched key carrying the close position — no extra
+    # distinct, no min-aggregate, no second pass over the batch
+    firsts = nb.filter(F.col("_prev").isNull()).select(
+        *keys, F.col(lsn_col).cast("long").alias("_close_at")
     )
-    touched = nb.select(*keys).distinct()
-    existing = dst.read().join(touched, keys, "left_semi")
+    existing = dst.read().join(firsts.select(*keys), keys, "left_semi")
     offsets = existing.groupBy(*keys).agg(
         F.max("version_seq").alias("_offset")
     )
@@ -232,10 +240,8 @@ def scd2_sync(
         existing.filter(
             (F.col("tombstone") == 0) & F.col("valid_to_lsn").isNull()
         )
-        .join(
-            nb.groupBy(*keys).agg(F.min(lsn_col).alias("_close_at")), keys
-        )
-        .withColumn("valid_to_lsn", F.col("_close_at").cast("long"))
+        .join(firsts, keys)
+        .withColumn("valid_to_lsn", F.col("_close_at"))
         .withColumn("is_current", F.lit(0).cast("long"))
     )
     batch = (

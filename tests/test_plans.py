@@ -539,3 +539,53 @@ def test_bucket_routed_exact_one_bucket_per_partition(spark):
         .collect()
     )
     assert len(per2) == 8 and max(r.nb for r in per2) == 1
+
+
+def test_scd2_sync_single_batch_exchange_no_python(spark, tmp_path):
+    """scd2_sync's epoch build: the whole batch-side Window chain
+    (duplicate-drop lag, row_number, lead) must share ONE key exchange
+    and one sort; the dimension arrives through a LEFT SEMI (touched
+    keys) — no cartesian, no Python stage anywhere in the merge
+    batch."""
+    from pyspark.sql import functions as F
+
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.scd import scd2_dim_schema, scd2_sync
+
+    log = spark.range(400).select(
+        F.concat(F.lit("c-"), (F.col("id") % 7)).alias("conv_id"),
+        (F.col("id") % 3).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("id").alias("lsn"),
+        F.when(F.col("id") % 11 == 0, "delete").otherwise("insert").alias("op"),
+    )
+    dim = SnapshotTable.create(
+        spark, str(tmp_path / "dim"),
+        scd2_dim_schema(log.schema, ["conv_id", "turn_idx"],
+                        ["role", "text", "tool"]),
+        key_cols=["conv_id", "turn_idx", "version_seq"], n_buckets=4,
+    )
+    scd2_sync(dim, log.filter(F.col("lsn") < 200), (0, 200),
+              ["conv_id", "turn_idx"], ["role", "text", "tool"])
+    captured = {}
+    orig = dim.merge_cdc
+
+    def spy(events, **kw):
+        captured["plan"] = (
+            events._jdf.queryExecution().executedPlan().toString()
+        )
+        return orig(events, **kw)
+
+    dim.merge_cdc = spy
+    scd2_sync(dim, log.filter(F.col("lsn") >= 200), (200, 400),
+              ["conv_id", "turn_idx"], ["role", "text", "tool"])
+    plan = captured["plan"]
+    # batch side: the window chain shares one (conv_id, turn_idx)
+    # hash exchange — Catalyst must not re-shuffle between lag /
+    # row_number / lead
+    assert plan.count("hashpartitioning(conv_id") <= 3, plan
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

@@ -346,6 +346,40 @@ def main() -> None:
         "the whole versioned-dimension build is one shuffle; no "
         "self-join, no re-sort between the windows.",
     )
+    from neosync_spark.lakehouse import SnapshotTable as _ST
+    from neosync_spark.operators.scd import scd2_dim_schema, scd2_sync
+
+    dim = _ST.create(
+        spark, tempfile.mkdtemp() + "/scd2dim",
+        scd2_dim_schema(log.schema, ["conv_id", "turn_idx"],
+                        ["role", "text", "tool"]),
+        key_cols=["conv_id", "turn_idx", "version_seq"], n_buckets=4,
+    )
+    hi2 = log.agg(F.max("lsn")).collect()[0][0] + 1
+    scd2_sync(dim, log.filter(F.col("lsn") < hi2 // 2), (0, hi2 // 2),
+              ["conv_id", "turn_idx"], ["role", "text", "tool"])
+    scd2_holder = {}
+    _orig_dim_merge = dim.merge_cdc
+
+    def _scd2_spy(events, **kw):
+        scd2_holder["df"] = events
+        return _orig_dim_merge(events, **kw)
+
+    dim.merge_cdc = _scd2_spy
+    scd2_sync(dim, log.filter(F.col("lsn") >= hi2 // 2), (hi2 // 2, hi2),
+              ["conv_id", "turn_idx"], ["role", "text", "tool"])
+    cap(
+        "Incremental SCD2 epoch (scd2_sync batch)",
+        scd2_holder["df"],
+        "the windowed batch (duplicate-drop lag + row_number + lead in "
+        "one key Exchange/Sort) materializes ONCE via lazy "
+        "localCheckpoint and feeds all three consumers (versions, "
+        "touched keys, close positions) as an ExistingRDD scan — the "
+        "merge batch plans exactly one further Exchange (the offset "
+        "aggregate over the LEFT-SEMI-pruned dimension); no self-join "
+        "over history, no re-shuffle of the epoch, no Python stage.",
+    )
+
     cap(
         "Overlapping text chunking (RAG splitter)",
         chunk_text_overlap(
