@@ -183,6 +183,20 @@ def scd2_sync(
             if c not in (*keys, lsn_col, op_col, "ts")
         ]
     )
+    # schema-before-apply (the engine's SchemaInit ordering): a source
+    # column added mid-stream evolves the dimension before any data
+    # moves — earlier versions read NULL for it
+    cur = dst.current_schema()
+    have = {f.name for f in cur.fields}
+    missing = [a for a in attrs if a not in have]
+    if missing:
+        from pyspark.sql import types as T
+
+        by_name = {f.name: f for f in events.schema.fields}
+        dst.alter_schema(T.StructType(
+            list(cur.fields)
+            + [T.StructField(a, by_name[a].dataType, True) for a in missing]
+        ))
     ordinal = dst.sync_ordinal()
 
     b = events.select(*keys, lsn_col, op_col, *attrs)

@@ -135,3 +135,38 @@ def test_duplicate_deliveries_collapse(spark):
         log.drop("ts"), KEYS, order_cols=("lsn",), attr_cols=ATTRS
     )
     assert _sorted_rows(scd2_state(dim)) == _sorted_rows(oneshot)
+
+
+def test_dim_schema_evolves_with_new_attr(spark):
+    # source adds 'tool' mid-stream: the dimension evolves BEFORE the
+    # epoch applies (engine SchemaInit ordering); earlier versions
+    # read NULL for the new column
+    log, hi = _log(spark)
+    mid = hi // 2
+    dim = SnapshotTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="ns_scd2_evo_"),
+        scd2_dim_schema(log.schema, KEYS, ["role", "text"]),
+        key_cols=[*KEYS, "version_seq"],
+        n_buckets=4,
+    )
+    scd2_sync(dim, log.filter(F.col("lsn") < mid), (0, mid),
+              KEYS, ["role", "text"])
+    assert "tool" not in dim.read().columns
+    scd2_sync(dim, log.filter(F.col("lsn") >= mid), (mid, hi),
+              KEYS, ["role", "text", "tool"])
+    out = scd2_state(dim)
+    assert "tool" in out.columns
+    # pre-evolution versions carry NULL tool; the full history matches
+    # one-shot on the always-present attrs
+    oneshot = scd2_history(
+        log.drop("ts"), KEYS, order_cols=("lsn",),
+        attr_cols=["role", "text"],
+    )
+    common = [*KEYS, "version_seq", "role", "text",
+              "valid_from_lsn", "valid_to_lsn", "is_current"]
+    assert sorted(tuple(r) for r in out.select(*common).collect()) == \
+           sorted(tuple(r) for r in oneshot.select(*common).collect())
+    assert out.filter(
+        (F.col("valid_from_lsn") < mid) & F.col("tool").isNotNull()
+    ).count() == 0
