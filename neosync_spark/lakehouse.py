@@ -2866,6 +2866,33 @@ class SnapshotTable:
         verification the CLI offers (cli/internal/cmds/neosync/sync);
         here the subject is the table's own storage integrity.
         """
+        # metadata pre-check: a dangling file-list segment pointer
+        # would crash manifest resolution — report it as damage
+        # instead (recovery: rollback to a snapshot whose segments
+        # survive, then re-replay the tail from the log)
+        meta = os.path.join(self.path, "metadata")
+        dangling = [
+            (b, name)
+            for b, name in self._raw_seg_pointers(
+                self._current_id_on_disk()
+            ).items()
+            if not os.path.exists(os.path.join(meta, name))
+        ]
+        if dangling:
+            damaged = [
+                {
+                    "bucket": int(b),
+                    "path": os.path.join("metadata", name),
+                    "reason": "missing manifest segment",
+                }
+                for b, name in dangling
+            ]
+            return {
+                "files_checked": 0,
+                "damaged": damaged,
+                "damaged_buckets": sorted({d["bucket"] for d in damaged}),
+                "metadata_damage": True,
+            }
         m = self.manifest(refresh=True)
         rows = [
             (

@@ -138,3 +138,30 @@ def test_hand_rewritten_inline_manifest_still_reads(spark):
     t._manifest = None
     t._seg_cache.clear()
     assert SnapshotTable.load(spark, t.path).read().count() == 12 * 16
+
+
+def test_fsck_reports_dangling_segment(spark):
+    t = _mk(spark)
+    for i in range(12):
+        t.merge_cdc(_wide_batch(spark, i), applied_range=(i, i + 1), mode="mor")
+    head_refs = {
+        v["@seg"] for v in _raw(t)["files"].values()
+        if isinstance(v, dict) and "@seg" in v
+    }
+    victim = os.path.join(t.path, "metadata", sorted(head_refs)[0])
+    os.remove(victim)
+    t._seg_cache.clear()
+    t._seg_parsed.clear()
+    t._manifest = None
+    out = t.verify_files()
+    assert out.get("metadata_damage") is True
+    assert any(
+        d["reason"] == "missing manifest segment" for d in out["damaged"]
+    )
+    # recovery path: a prior snapshot whose segments survive still reads
+    raw = json.load(open(glob.glob(
+        os.path.join(t.path, "metadata", "snap-*.json"))[0]))
+    # (the victim may be referenced by several snapshots; the recovery
+    # contract is rollback-to-intact + tail re-replay, asserted by the
+    # rollback tests — here we only pin the detection shape)
+    assert raw["snapshot_id"] >= 0
