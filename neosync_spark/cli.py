@@ -1309,9 +1309,12 @@ def main(argv: list[str] | None = None) -> int:
         from .lakehouse import SnapshotTable
 
         t = SnapshotTable.load(spark, args.table)
+        cp = t.manifest(refresh=True)["checkpoint"]
         print(json.dumps({
             "history": t.history(),
             "applied_ranges": [list(r) for r in t.applied_ranges()],
+            "ledger_exact_rows": len(cp["applied"]),
+            "ledger_compacted_spans": len(cp.get("compacted", [])),
             "delta_pressure": t.delta_file_counts(),
         }, indent=1))
         return 0

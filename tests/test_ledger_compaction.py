@@ -1,6 +1,8 @@
-"""Exactly-once ledger compaction (SnapshotTable.compact_ledger) and
-containment-semantics is_applied — the metadata piece that otherwise
-grows per COMMIT (one row per micro-batch) at 10^10-event cadence."""
+"""Exactly-once ledger compaction (SnapshotTable.compact_ledger) —
+the metadata piece that otherwise grows per COMMIT (one row per
+micro-batch) at 10^10-event cadence. is_applied stays EXACT over live
+rows; containment applies only to compacted spans of dense histories,
+and compaction refuses overlapping interleaved-summary rows."""
 from __future__ import annotations
 
 import tempfile
@@ -163,3 +165,43 @@ def test_resume_after_compaction(spark):
     assert t.last_applied_lsn() == 50
     assert t.is_applied(0, 40)  # the squashed span
     assert t.is_applied(40, 50)  # the exact recent row
+
+def test_property_random_ranges_probe_stable_under_compaction(spark):
+    """Randomized: non-overlapping ranges with gaps, compactions
+    interleaved — every exactly-applied range keeps answering True,
+    every never-applied probe (gap subranges, straddles, fresh ranges)
+    keeps answering False, and last_applied_lsn never moves."""
+    import random
+
+    rng = random.Random(1234)
+    t = _mk(spark)
+    applied: list[tuple[int, int]] = []
+    cursor = 0
+    for i in range(14):
+        cursor += rng.randint(0, 5)          # maybe leave a gap
+        width = rng.randint(1, 6)
+        r = (cursor, cursor + width)
+        cursor += width
+        t.merge_cdc(_batch(spark, i), applied_range=r)
+        applied.append(r)
+        if i in (4, 9):
+            t.compact_ledger(keep_last=rng.randint(1, 3))
+
+    t.compact_ledger(keep_last=2)
+    covered = _coalesce_spans(applied)
+
+    def covered_by_applied(lo, hi):
+        return any(s <= lo and hi <= e for s, e in covered)
+
+    for r in applied:
+        assert t.is_applied(*r), r
+    # probes: subranges of gaps, straddles, and the open tail
+    for lo in range(0, cursor + 3):
+        for width in (1, 2, 5):
+            hi = lo + width
+            got = t.is_applied(lo, hi)
+            if got:
+                # True is only ever answered for covered lsn space —
+                # never for a range touching a gap or the unapplied tail
+                assert covered_by_applied(lo, hi), (lo, hi)
+    assert t.last_applied_lsn() == max(e for _s, e in covered)
