@@ -365,6 +365,38 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("--to-snapshot", type=int, default=None,
                     help="default: src's current snapshot")
 
+    tl = sub.add_parser(
+        "tail",
+        help="tail a WAL directory via Structured Streaming into the "
+             "table — the same apply path and exactly-once ledger as "
+             "replay, plus derived tables maintained per epoch",
+    )
+    tl.add_argument("--log", required=True, help="WAL parquet dir")
+    tl.add_argument("--table", required=True)
+    tl.add_argument("--checkpoint", required=True,
+                    help="streaming checkpoint dir (epoch redelivery)")
+    tl.add_argument("--mapping", action="append", default=[],
+                    help="column=transformer[:k=v,...] (same as replay)")
+    tl.add_argument("--seed", type=int, default=42)
+    tl.add_argument("--buckets", type=int, default=64)
+    tl.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    tl.add_argument("--no-prune", action="store_true")
+    tl.add_argument("--quarantine", action="store_true")
+    tl.add_argument("--patch-ops", action="store_true")
+    tl.add_argument("--max-files", type=int, default=4,
+                    help="maxFilesPerTrigger (epoch size)")
+    tl.add_argument("--follow", action="store_true",
+                    help="keep tailing new files (default: drain and stop)")
+    tl.add_argument("--timeout", type=int, default=None,
+                    help="seconds to run with --follow, then stop")
+    tl.add_argument("--rollup-dst", default=None,
+                    help="also maintain a per-conversation rollup table")
+    tl.add_argument("--replica", default=None,
+                    help="also maintain a replica table")
+    tl.add_argument("--scd2-dim", default=None,
+                    help="also maintain an SCD2 dimension (WAL files "
+                         "must arrive lsn-ordered; see scd2_sync)")
+
     s2 = sub.add_parser(
         "scd2-sync",
         help="incrementally maintain an SCD2 (type-2 versioned history) "
@@ -958,6 +990,85 @@ def main(argv: list[str] | None = None) -> int:
             "rows_written": info.rows_written,
             "dst_snapshot": info.snapshot_id,
             "noop": info.rows_written == 0 and from_id == to_id,
+        }))
+        return 0
+
+    if args.cmd == "tail":
+        from .lakehouse import SnapshotTable
+        from .plans.job import JobSpec, compile_job
+        from .streaming.stream import StreamingReplay
+
+        job = JobSpec(
+            source_path=args.log,
+            destination_path=args.table,
+            mappings=_parse_mapping(args.mapping),
+            seed=args.seed,
+            n_buckets=args.buckets,
+            merge_mode=args.mode,
+            prune_buckets=not args.no_prune,
+            quarantine=args.quarantine,
+            patch_ops=args.patch_ops,
+        )
+        engine, _ = compile_job(spark, job)
+        consumers, event_consumers = [], []
+        if args.rollup_dst:
+            from .operators.rollup import ROLLUP_SCHEMA
+            from .streaming.consumers import rollup_consumer
+
+            if SnapshotTable.exists(args.rollup_dst):
+                rdst = SnapshotTable.load(spark, args.rollup_dst)
+            else:
+                rdst = SnapshotTable.create(
+                    spark, args.rollup_dst, ROLLUP_SCHEMA,
+                    key_cols=["conv_id"], order_cols=["ts"], n_buckets=16,
+                )
+            consumers.append(rollup_consumer(rdst))
+        if args.replica:
+            from .plans.replicate import replica_schema
+            from .schema import KEY_COLS, transcript_schema
+            from .streaming.consumers import replica_consumer
+
+            if SnapshotTable.exists(args.replica):
+                rep = SnapshotTable.load(spark, args.replica)
+            else:
+                rep = SnapshotTable.create(
+                    spark, args.replica,
+                    replica_schema(transcript_schema()),
+                    key_cols=KEY_COLS, n_buckets=args.buckets,
+                )
+            consumers.append(replica_consumer(rep))
+        if args.scd2_dim:
+            from .operators.scd import scd2_dim_schema
+            from .schema import KEY_COLS, change_event_schema
+            from .streaming.consumers import scd2_consumer
+
+            attrs = ["role", "text", "tool"]
+            if SnapshotTable.exists(args.scd2_dim):
+                dim = SnapshotTable.load(spark, args.scd2_dim)
+            else:
+                dim = SnapshotTable.create(
+                    spark, args.scd2_dim,
+                    scd2_dim_schema(change_event_schema(True), KEY_COLS, attrs),
+                    key_cols=[*KEY_COLS, "version_seq"], n_buckets=16,
+                )
+            event_consumers.append(scd2_consumer(dim, KEY_COLS, attrs))
+        q = StreamingReplay(
+            engine, consumers=consumers, event_consumers=event_consumers
+        ).start(
+            args.log, args.checkpoint,
+            max_files_per_trigger=args.max_files, follow=args.follow,
+        )
+        if args.follow:
+            q.awaitTermination(args.timeout)
+            q.stop()
+        else:
+            q.awaitTermination()
+        cp = engine.table.manifest(refresh=True)["checkpoint"]
+        print(json.dumps({
+            "table_rows": engine.table.read().count(),
+            "ledger_exact_rows": len(cp["applied"]),
+            "ledger_compacted_spans": len(cp.get("compacted", [])),
+            "consumers": len(consumers) + len(event_consumers),
         }))
         return 0
 

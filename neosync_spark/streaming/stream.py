@@ -98,18 +98,24 @@ class StreamingReplay:
         checkpoint_dir: str,
         max_files_per_trigger: int = 8,
         with_tool: bool = True,
+        follow: bool = False,
+        processing_interval: str = "5 seconds",
     ):
         """Start the streaming query. Caller owns lifecycle
         (processAllAvailable()/stop() in tests, awaitTermination() in
-        production)."""
+        production). ``follow=False`` (default) drains what exists and
+        stops (availableNow); ``follow=True`` keeps tailing new WAL
+        files at ``processing_interval`` until stopped."""
         stream = (
             self.engine.spark.readStream.schema(change_event_schema(with_tool))
             .option("maxFilesPerTrigger", str(max_files_per_trigger))
             .parquet(log_dir)
         )
-        return (
-            stream.writeStream.foreachBatch(self._apply_epoch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
+        writer = stream.writeStream.foreachBatch(self._apply_epoch).option(
+            "checkpointLocation", checkpoint_dir
         )
+        if follow:
+            writer = writer.trigger(processingTime=processing_interval)
+        else:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
