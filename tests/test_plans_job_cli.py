@@ -374,3 +374,36 @@ def test_cli_profile(spark, tmp_path, capsys):
     cols = {c["column"]: c for c in out["columns"]}
     assert cols["k"]["n_distinct"] == 2 and cols["k"]["n_nulls"] == 1
     assert cols["v"]["min_repr"] == "a" and cols["v"]["max_repr"] == "b"
+
+
+def test_cli_tail_drains_wal_with_consumers(spark, tmp_path, capsys):
+    """CLI `tail`: availableNow drain of a WAL dir into the table +
+    rollup consumer; rerun from the same checkpoint applies nothing
+    new; final state equals the LWW oracle (verify)."""
+    import json as _json
+
+    from neosync_spark.cli import main
+
+    log_dir = str(tmp_path / "log")
+    table = str(tmp_path / "t")
+    assert main(["synth", "--out", log_dir, "--events", "2000"]) == 0
+    assert main([
+        "tail", "--log", log_dir, "--table", table,
+        "--checkpoint", str(tmp_path / "ck"),
+        "--rollup-dst", str(tmp_path / "r"),
+        "--max-files", "2",
+        "--mapping", "text=transform_pii_text",
+    ]) == 0
+    first = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["table_rows"] > 0 and first["consumers"] == 1
+    # idempotent rerun: same checkpoint, no new epochs, same state
+    assert main([
+        "tail", "--log", log_dir, "--table", table,
+        "--checkpoint", str(tmp_path / "ck"),
+    ]) == 0
+    second = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["table_rows"] == first["table_rows"]
+    assert second["ledger_exact_rows"] == first["ledger_exact_rows"]
+    # the streamed table must equal the LWW oracle over the log
+    assert main(["verify", "--log", log_dir, "--table", table]) == 0
+    assert '"match": true' in capsys.readouterr().out
