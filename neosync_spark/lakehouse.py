@@ -1655,7 +1655,7 @@ class SnapshotTable:
             out.write.partitionBy(_BUCKET_COL).parquet(commit_dir)
 
             written = self._list_commit_files(commit_dir)
-            footers = self._read_footers(written)
+            footers = self._read_footers(written, self.spark)
             fstats = self._collect_file_stats(
                 written, self._stats_cols(m), footers
             )
@@ -1931,7 +1931,7 @@ class SnapshotTable:
             )
         new_sid = self._next_snapshot_id()
         new_files = {b: list(v) for b, v in m["files"].items()}
-        footers = self._read_footers(written)
+        footers = self._read_footers(written, self.spark)
         fstats = self._collect_file_stats(written, self._stats_cols(m), footers)
         # bloom build launches one Spark job inside the serialized
         # metadata step; with pipelined commits prefer building it in
@@ -2327,18 +2327,41 @@ class SnapshotTable:
             for b, paths in written.items()
         }
 
-    @staticmethod
-    def _read_footers(written: dict[int, list[str]]) -> dict[str, object]:
-        """path → parquet footer metadata, read ONCE per file on a
-        thread pool (I/O-bound; pyarrow releases the GIL). A commit
-        touching hundreds of bucket files pays one round of concurrent
-        footer opens instead of 2× serial opens (stats + counts)."""
+    # commits writing at least this many files read their footers in a
+    # Spark job instead of the driver thread pool: a 2^13-bucket bulk
+    # load writes thousands of files, and serial-ish driver opens
+    # against object storage would add seconds-to-minutes per commit.
+    # FileMetaData pickles (~1.6 KB/file), so only footers — never
+    # data — travel to the driver either way.
+    _FOOTER_DISTRIBUTE_OVER = 256
+
+    @classmethod
+    def _read_footers(
+        cls, written: dict[int, list[str]], spark: SparkSession | None = None
+    ) -> dict[str, object]:
+        """path → parquet footer metadata, read ONCE per file — on a
+        thread pool (I/O-bound; pyarrow releases the GIL) for small
+        commits, executor-side for commits over
+        ``_FOOTER_DISTRIBUTE_OVER`` files when a session is passed. A
+        commit pays one round of footer opens instead of 2× serial
+        opens (stats + counts)."""
         import pyarrow.parquet as pq
         from concurrent.futures import ThreadPoolExecutor
 
         paths = [p for ps in written.values() for p in ps]
         if not paths:
             return {}
+        if spark is not None and len(paths) >= cls._FOOTER_DISTRIBUTE_OVER:
+            sc = spark.sparkContext
+
+            def _grab(it):
+                import pyarrow.parquet as _pq
+
+                for p in it:
+                    yield (p, _pq.ParquetFile(p).metadata)
+
+            n = max(1, min(len(paths), sc.defaultParallelism * 2))
+            return dict(sc.parallelize(paths, n).mapPartitions(_grab).collect())
         if len(paths) == 1:
             return {paths[0]: pq.ParquetFile(paths[0]).metadata}
         with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
@@ -3095,7 +3118,7 @@ class SnapshotTable:
             out = bucket_routed(out, buckets, 256, bucket_col=_BUCKET_COL)
             out.write.partitionBy(_BUCKET_COL).parquet(commit_dir)
             written = self._list_commit_files(commit_dir)
-            footers = self._read_footers(written)
+            footers = self._read_footers(written, self.spark)
             fstats = self._collect_file_stats(written, self._stats_cols(m), footers)
             bmap = self._annotate_blooms(m, new_sid, written)
             bucket_counts = self._footer_counts(written, footers)

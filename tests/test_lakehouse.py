@@ -731,3 +731,50 @@ def test_late_materialize_ignored_for_patch_ops(spark, tmp_path):
     )
     got = t.read().select("role", "text", "tool").collect()
     assert [tuple(r) for r in got] == [("user", "world", '{"name":"t"}')]
+
+
+def test_distributed_footer_reads_match_threadpool(spark, tmp_path):
+    """Commits over _FOOTER_DISTRIBUTE_OVER files read footers in a
+    Spark job; same result as the driver thread pool (num_rows, stats,
+    schema columns), so zone maps / counts / patch detection are
+    byte-identical either way."""
+    from pyspark.sql import functions as F
+
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(),
+        key_cols=KEY_COLS, n_buckets=4,
+    )
+    t.merge_cdc(
+        spark.range(200).select(
+            F.concat(F.lit("c"), F.col("id") % 40).alias("conv_id"),
+            (F.col("id") % 5).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.concat(F.lit("t"), F.col("id")).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+            F.col("id").alias("lsn"),
+            F.lit("insert").alias("op"),
+        ),
+        applied_range=(0, 200),
+    )
+    m = t.manifest(refresh=True)
+    written = {
+        int(b): [e["path"] for e in ents] for b, ents in m["files"].items()
+    }
+    pool = SnapshotTable._read_footers(written)  # threadpool path
+    old = SnapshotTable._FOOTER_DISTRIBUTE_OVER
+    SnapshotTable._FOOTER_DISTRIBUTE_OVER = 1
+    try:
+        dist = SnapshotTable._read_footers(written, spark)  # job path
+    finally:
+        SnapshotTable._FOOTER_DISTRIBUTE_OVER = old
+    assert set(pool) == set(dist) and len(pool) >= 4
+    cols = t._stats_cols(m)
+    assert SnapshotTable._collect_file_stats(written, cols, pool) == \
+           SnapshotTable._collect_file_stats(written, cols, dist)
+    assert SnapshotTable._footer_counts(written, pool) == \
+           SnapshotTable._footer_counts(written, dist)
+    assert SnapshotTable._patch_paths(pool) == SnapshotTable._patch_paths(dist)
