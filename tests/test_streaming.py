@@ -511,3 +511,47 @@ def test_streaming_scd2_event_consumer_tail(spark, tmp_path):
     )
     assert got == want
     assert len(dim.applied_ranges()) >= 2  # several epochs, own ledger
+
+
+def test_streaming_follow_picks_up_new_files(spark, tmp_path):
+    """follow=True (processingTime trigger): the tail keeps running and
+    applies WAL files that arrive AFTER the stream started; the table
+    converges to the full-log LWW state."""
+    import time
+
+    log = generate_pandas(CFG)
+    sdf = spark.createDataFrame(log)
+    hi = int(sdf.agg({"lsn": "max"}).collect()[0][0]) + 1
+    mid = hi // 2
+    log_dir = str(tmp_path / "log")
+    sdf.filter(sdf.lsn < mid).coalesce(2).write.parquet(log_dir)
+
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(),
+        key_cols=KEY_COLS, n_buckets=8,
+    )
+    eng = ReplayEngine(spark, table, config=EngineConfig())
+    q = StreamingReplay(eng).start(
+        log_dir, str(tmp_path / "ckpt"), max_files_per_trigger=4,
+        follow=True, processing_interval="1 seconds",
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if table.last_applied_lsn() is not None:
+                break
+            time.sleep(1)
+        # second half arrives while the stream runs
+        sdf.filter(sdf.lsn >= mid).coalesce(2).write.mode("append").parquet(
+            log_dir
+        )
+        while time.time() < deadline:
+            last = table.last_applied_lsn()
+            if last is not None and last >= hi - 1:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = table.read().toPandas()
+    exp = expected_final_state(log)
+    assert_pdf_equal(got, exp, ["conv_id", "turn_idx"])
