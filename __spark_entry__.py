@@ -941,7 +941,7 @@ def _q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_scd2_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SCD2 dimension maintenance (operators/scd.scd2_sync):
-    the change log applied in FOUR lsn-contiguous epochs to a versioned
+    the change log applied in THREE lsn-contiguous epochs to a versioned
     dimension table through the exactly-once ledger — open versions
     close at epoch boundaries, version_seq continues across epochs and
     deletes (tombstone bookkeeping), a replayed epoch is a no-op. The
@@ -964,7 +964,7 @@ def _q_scd2_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=[*keys, "version_seq"],
         n_buckets=16,
     )
-    bounds = [0, hi // 4, hi // 2, 3 * hi // 4, hi]
+    bounds = [0, hi // 3, 2 * hi // 3, hi]
     for lo, up in zip(bounds, bounds[1:]):
         scd2_sync(
             dim,
@@ -1018,7 +1018,7 @@ def _q_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
 
     cfg = dict(lineage=False, prune_buckets=False)
-    step = max(mid // 6, 1)
+    step = max(mid // 4, 1)
     ReplayEngine(
         spark, table, config=EngineConfig(batch_lsn_size=step, **cfg)
     ).replay(slicer, lsn_lo=0, lsn_hi=mid - 1)
