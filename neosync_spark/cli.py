@@ -372,6 +372,14 @@ def main(argv: list[str] | None = None) -> int:
              "replay, plus derived tables maintained per epoch",
     )
     tl.add_argument("--log", required=True, help="WAL parquet dir")
+    tl.add_argument("--format", dest="log_format",
+                    choices=["parquet", "debezium"], default="parquet",
+                    help="WAL segment format: raw parquet change events "
+                         "(default) or Debezium envelope JSON lines (the "
+                         "wire format export-cdc emits)")
+    tl.add_argument("--envelope-schema", default=None, metavar="DDL",
+                    help="debezium payload schema as a DDL string "
+                         "(default: the transcript payload)")
     tl.add_argument("--table", required=True)
     tl.add_argument("--checkpoint", required=True,
                     help="streaming checkpoint dir (epoch redelivery)")
@@ -533,6 +541,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="second table: print diverged chunks instead")
     ck.add_argument("--key-col", default="conv_id")
     ck.add_argument("--chunks", type=int, default=64)
+    ck.add_argument("--cols", default=None,
+                    help="comma-separated columns to digest (default: "
+                         "all shared; use to compare a wire-format "
+                         "replica whose ts carries the hop ordinal — "
+                         "e.g. conv_id,turn_idx,role,text,tool)")
 
     pf = sub.add_parser(
         "profile",
@@ -1052,11 +1065,17 @@ def main(argv: list[str] | None = None) -> int:
                     key_cols=[*KEY_COLS, "version_seq"], n_buckets=16,
                 )
             event_consumers.append(scd2_consumer(dim, KEY_COLS, attrs))
+        payload = None
+        if args.envelope_schema:
+            from pyspark.sql import types as T
+
+            payload = T._parse_datatype_string(args.envelope_schema)
         q = StreamingReplay(
             engine, consumers=consumers, event_consumers=event_consumers
         ).start(
             args.log, args.checkpoint,
             max_files_per_trigger=args.max_files, follow=args.follow,
+            fmt=args.log_format, payload_schema=payload,
         )
         if args.follow:
             q.awaitTermination(args.timeout)
@@ -1313,6 +1332,9 @@ def main(argv: list[str] | None = None) -> int:
             return spark.read.parquet(path)
 
         a = _load(args.table)
+        if args.cols:
+            cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+            a = a.select(*cols)
         if args.against is None:
             row = table_checksum(a).collect()[0]
             print(json.dumps({
@@ -1322,6 +1344,8 @@ def main(argv: list[str] | None = None) -> int:
             }))
             return 0
         b = _load(args.against)
+        if args.cols:
+            b = b.select(*cols)
         div = diverged_chunks(a, b, args.key_col, n_chunks=args.chunks).collect()
         print(json.dumps({
             "chunks": args.chunks,

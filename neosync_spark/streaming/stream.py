@@ -41,6 +41,8 @@ class StreamingReplay:
         already-applied range). ``rollup_dst`` is the legacy
         single-rollup form of ``consumers``."""
         self.engine = engine
+        self._fmt = "parquet"
+        self._payload_schema = None
         self.consumers = list(consumers or [])
         self.event_consumers = list(event_consumers or [])
         if rollup_dst is not None:
@@ -49,12 +51,46 @@ class StreamingReplay:
             self.consumers.append(rollup_consumer(rollup_dst))
 
     def _apply_epoch(self, batch: DataFrame, epoch_id: int) -> None:
-        bounds = batch.agg(
-            F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
-        ).collect()[0]
-        if bounds["lo"] is None:
-            return
-        rng = (int(bounds["lo"]), int(bounds["hi"]) + 1)
+        rng = None
+        if self._fmt == "debezium":
+            from ..sources.debezium import decode_debezium
+
+            # The wire format cannot promise unique scalar positions:
+            # a snapshot ('r') hop stamps ONE source.lsn on every row,
+            # so two micro-batches of the same hop would share min/max
+            # bounds and the exact-match ledger would falsely skip the
+            # second. Epoch identity must come from the epoch itself:
+            # fingerprint the micro-batch's input FILE SET (a Spark
+            # retry redelivers the same files => same range => no-op;
+            # distinct epochs read distinct files => distinct ranges).
+            # The high bit keeps these ids out of real WAL lsn space,
+            # so they can never fall inside a compacted ledger span.
+            rng = self._file_set_range(batch)
+            if rng is None:
+                return
+            batch, rescue = decode_debezium(batch, self._payload_schema)
+            if self.engine.config.quarantine:
+                import os
+
+                rs = rescue.withColumn(
+                    "_epoch_id", F.lit(int(epoch_id))
+                ).persist()
+                if rs.count():
+                    rs.write.mode("append").parquet(
+                        os.path.join(
+                            self.engine.table.path,
+                            "metadata",
+                            "quarantine_envelope",
+                        )
+                    )
+                rs.unpersist()
+        if rng is None:
+            bounds = batch.agg(
+                F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+            ).collect()[0]
+            if bounds["lo"] is None:
+                return
+            rng = (int(bounds["lo"]), int(bounds["hi"]) + 1)
         if self.engine.table.is_applied(*rng):
             # epoch retry: the merge already committed, but a crash may
             # have landed between merge and consumer sync — catch up
@@ -76,6 +112,25 @@ class StreamingReplay:
         self.engine.apply_batch(batch, rng)
         self._sync_events(batch, rng)
         self._sync_rollup()
+
+    @staticmethod
+    def _file_set_range(batch: DataFrame) -> tuple[int, int] | None:
+        """Deterministic 1-wide ledger range from the micro-batch's
+        distinct input files. Listing the file names is a metadata
+        aggregation (one row per file survives the partial agg), not a
+        data collect."""
+        import hashlib
+
+        rows = batch.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+        paths = sorted(r["f"] for r in rows)
+        if not paths:
+            return None
+        digest = hashlib.sha256("\n".join(paths).encode()).digest()
+        h = int.from_bytes(digest[:8], "big") & ((1 << 62) - 1)
+        lo = (1 << 62) | h
+        return (lo, lo + 1)
 
     def _sync_events(self, batch: DataFrame, rng: tuple[int, int]) -> None:
         for consumer in self.event_consumers:
@@ -100,17 +155,49 @@ class StreamingReplay:
         with_tool: bool = True,
         follow: bool = False,
         processing_interval: str = "5 seconds",
+        fmt: str = "parquet",
+        payload_schema=None,
     ):
         """Start the streaming query. Caller owns lifecycle
         (processAllAvailable()/stop() in tests, awaitTermination() in
         production). ``follow=False`` (default) drains what exists and
         stops (availableNow); ``follow=True`` keeps tailing new WAL
-        files at ``processing_interval`` until stopped."""
-        stream = (
-            self.engine.spark.readStream.schema(change_event_schema(with_tool))
-            .option("maxFilesPerTrigger", str(max_files_per_trigger))
-            .parquet(log_dir)
-        )
+        files at ``processing_interval`` until stopped.
+
+        ``fmt="debezium"`` tails envelope JSONL files (the wire format
+        ``export-cdc`` emits and real Debezium connectors produce)
+        instead of raw parquet WAL segments: each micro-batch is
+        JVM-decoded via ``decode_debezium`` and fed to the same merge/
+        ledger path; malformed envelopes are quarantined per epoch to
+        ``<table>/metadata/quarantine_envelope`` when the engine's
+        quarantine flag is on. ``payload_schema`` is the envelope's row
+        schema (default: the transcript payload)."""
+        self._fmt = fmt
+        if fmt == "debezium":
+            if payload_schema is None:
+                from pyspark.sql import types as T
+
+                from ..schema import transcript_schema
+
+                payload_schema = T.StructType(
+                    [f for f in transcript_schema().fields if f.name != "ts"]
+                )
+            self._payload_schema = payload_schema
+            stream = (
+                self.engine.spark.readStream.option(
+                    "maxFilesPerTrigger", str(max_files_per_trigger)
+                ).text(log_dir)
+            )
+        elif fmt == "parquet":
+            stream = (
+                self.engine.spark.readStream.schema(
+                    change_event_schema(with_tool)
+                )
+                .option("maxFilesPerTrigger", str(max_files_per_trigger))
+                .parquet(log_dir)
+            )
+        else:
+            raise ValueError(f"unknown stream format {fmt!r}")
         writer = stream.writeStream.foreachBatch(self._apply_epoch).option(
             "checkpointLocation", checkpoint_dir
         )
