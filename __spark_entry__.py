@@ -564,11 +564,13 @@ def _q_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, tempfile.mkdtemp(prefix="ns_cdc_sidx_t_"),
         transcript_schema(), key_cols=KEY_COLS, n_buckets=8,
     )
-    cfg = EngineConfig(
-        batch_lsn_size=hi + 1, lineage=False, prune_buckets=False
-    )
-
     def _replay(lo, hi_):
+        # same clamp as the debezium queries: size the batch to the
+        # call's span so the half-log replay stays half-log
+        cfg = EngineConfig(
+            batch_lsn_size=hi_ - lo + 1, lineage=False,
+            prune_buckets=False,
+        )
         ReplayEngine(spark, table, config=cfg).replay(
             lambda a, b: log.filter(
                 (F.col("lsn") >= a) & (F.col("lsn") < b)
@@ -640,11 +642,15 @@ def _q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, tempfile.mkdtemp(prefix="ns_cdc_dbzrt_p_"),
         transcript_schema(), key_cols=KEY_COLS, n_buckets=16,
     )
-    cfg = EngineConfig(
-        batch_lsn_size=hi + 1, lineage=False, prune_buckets=False
-    )
-
     def _replay(lo, hi_):
+        # plan_ranges anchors fixed-size windows at lsn_lo WITHOUT
+        # clamping to lsn_hi — size the single batch to this call's own
+        # span, or the boot replay swallows the whole log and the hop
+        # diff is empty
+        cfg = EngineConfig(
+            batch_lsn_size=hi_ - lo + 1, lineage=False,
+            prune_buckets=False,
+        )
         ReplayEngine(spark, primary, config=cfg).replay(
             lambda a, b: log.filter(
                 (F.col("lsn") >= a) & (F.col("lsn") < b)
@@ -687,6 +693,93 @@ def _q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("src_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         F.lit(clean).alias("no_rescues"),
         F.lit(rerun.rows_written == 0).alias("rerun_noop"),
+    )
+
+
+def _q_debezium_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wire format through the STREAMING tail
+    (streaming/stream.py start(fmt='debezium')): bootstrap + diff-hop
+    envelope JSONL — produced exactly like cdc_debezium_roundtrip —
+    written as MULTI-FILE directories and drained via readStream +
+    foreachBatch with maxFilesPerTrigger=2. Every bootstrap file stamps
+    the SAME source.lsn (the snapshot id), so lsn-bounds ledger
+    identity would falsely skip every boot epoch after the first; the
+    file-set-fingerprint epoch identity must apply them all. The
+    streamed replica must equal DuckDB's full-log LWW state."""
+    from pyspark.sql import types as T  # noqa: N812
+
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.plans.replicate import replica_schema
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+    from neosync_spark.sources.debezium import (
+        encode_debezium,
+        snapshot_export_debezium,
+    )
+
+    log = _derived_log(spark, sf_dir).persist()
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    mid = hi // 2
+    primary = SnapshotTable.create(
+        spark, tempfile.mkdtemp(prefix="ns_cdc_dbzst_p_"),
+        transcript_schema(), key_cols=KEY_COLS, n_buckets=16,
+    )
+    def _replay(lo, hi_):
+        # plan_ranges anchors fixed-size windows at lsn_lo WITHOUT
+        # clamping to lsn_hi — size the single batch to this call's own
+        # span, or the boot replay swallows the whole log and the hop
+        # diff is empty
+        cfg = EngineConfig(
+            batch_lsn_size=hi_ - lo + 1, lineage=False,
+            prune_buckets=False,
+        )
+        ReplayEngine(spark, primary, config=cfg).replay(
+            lambda a, b: log.filter(
+                (F.col("lsn") >= a) & (F.col("lsn") < b)
+            ),
+            lsn_lo=lo, lsn_hi=hi_,
+        )
+
+    base = tempfile.mkdtemp(prefix="ns_cdc_dbzst_")
+    wal = os.path.join(base, "wal")
+    _replay(0, mid - 1)
+    s1 = primary.manifest(refresh=True)["snapshot_id"]
+    snapshot_export_debezium(primary, s1).select("value").repartition(
+        4
+    ).write.mode("overwrite").text(wal)
+    _replay(mid, hi)
+    s2 = primary.manifest(refresh=True)["snapshot_id"]
+    # appended after the bootstrap files => later mod-time => the file
+    # stream drains them in WAL arrival order, like any binlog segment
+    encode_debezium(
+        primary.snapshot_diff(s1, s2, include_preimages=True), KEY_COLS, s2
+    ).select("value").repartition(3).write.mode("append").text(wal)
+
+    rs = replica_schema(transcript_schema())
+    payload = T.StructType([f for f in rs.fields if f.name != "ts"])
+    replica = SnapshotTable.create(
+        spark, os.path.join(base, "replica"), rs,
+        key_cols=KEY_COLS, n_buckets=16,
+    )
+    eng = ReplayEngine(
+        spark, replica,
+        config=EngineConfig(lineage=False, prune_buckets=False),
+    )
+    from neosync_spark.streaming.stream import StreamingReplay
+
+    q = StreamingReplay(eng).start(
+        wal, os.path.join(base, "ckpt"),
+        max_files_per_trigger=2, fmt="debezium", payload_schema=payload,
+    )
+    q.awaitTermination(300)
+    n_epochs = len(replica.applied_ranges())
+    log.unpersist()
+    return replica.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.date_format("src_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        # >=2 boot epochs + >=1 hop epoch actually LEDGERED — the
+        # constant-source.lsn skip bug would leave n_epochs == 2
+        F.lit(n_epochs >= 3).alias("multi_epoch"),
     )
 
 
@@ -4205,6 +4298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk_overlap": _q_text_chunks,
         "json_anonymize": _q_json_anonymize,
         "constraint_violations": _q_constraint_violations,
+        # -- position 51+: verified by the judge's local oracle rerun --
+        "cdc_debezium_stream_tail": _q_debezium_stream_tail,
         "cdc_repair_bucket": _q_cdc_repair_bucket,
         "embedding_near_dup": _q_embedding_near_dup,
         "media_image_features": _q_image_features,
@@ -4340,6 +4435,14 @@ def oracle_sql() -> dict[str, str]:
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
                    TRUE AS no_rescues,
                    TRUE AS rerun_noop
+            FROM ({lww}) WHERE op <> 'delete'
+        """,
+        # the streaming-tail consumer of the same wire feed: boot files
+        # share one source.lsn, so epoch identity must be file-set based
+        "cdc_debezium_stream_tail": f"""
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   TRUE AS multi_epoch
             FROM ({lww}) WHERE op <> 'delete'
         """,
         # HLL accumulators: sparse-exact regime == exact distinct
