@@ -232,7 +232,19 @@ class ReplayEngine:
     def plan_ranges(
         self, lsn_lo: int, lsn_hi: int
     ) -> list[tuple[int, int]]:
-        """Fixed-size ranges anchored at lsn_lo (inclusive→exclusive)."""
+        """Fixed-size ranges anchored at lsn_lo (inclusive→exclusive).
+
+        NOTE the windows are NOT clamped to lsn_hi: the last range is
+        ``(lo, lo + batch_lsn_size)`` even where that extends past the
+        replay bound — range endpoints are LEDGER IDENTITY, and a
+        resumed replay must re-derive byte-identical ranges from the
+        same (lsn_lo, batch_lsn_size) regardless of how far the log
+        had grown when the first attempt ran. Callers doing a partial
+        replay (e.g. "first half of the log") must therefore size
+        batch_lsn_size to the span they mean to apply, or bound the
+        slicer itself — a size larger than the span will pull in
+        events past lsn_hi (this bit three gate queries; see
+        __spark_entry__._q_debezium_roundtrip)."""
         size = self.config.batch_lsn_size
         out = []
         lo = lsn_lo
