@@ -783,6 +783,95 @@ def _q_debezium_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_debezium_evolve_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-schema drift through the streaming tail
+    (streaming/stream.py start(evolve_payload=True) +
+    sources/debezium.infer_payload_evolution): the producer ADDS a
+    payload column mid-feed — the hop envelopes carry
+    ``rating = length(text) % 10`` that the bootstrap (and the
+    consumer's declared payload schema) never had. A fixed-schema
+    consumer would keep parsing cleanly while from_json silently drops
+    the new field; the evolving tail detects it from the envelopes
+    (one narrow key aggregation per epoch), widens the destination
+    additively BEFORE decoding, and the first epoch carrying the
+    column also lands it. Expected state: full-log LWW with rating
+    populated exactly on the rows the hop rewrote (boot-only rows
+    backfill NULL)."""
+    from pyspark.sql import types as T  # noqa: N812
+
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.plans.replicate import replica_schema
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+    from neosync_spark.sources.debezium import (
+        encode_debezium,
+        snapshot_export_debezium,
+    )
+
+    log = _derived_log(spark, sf_dir).persist()
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    mid = hi // 2
+    primary = SnapshotTable.create(
+        spark, tempfile.mkdtemp(prefix="ns_cdc_dbzev_p_"),
+        transcript_schema(), key_cols=KEY_COLS, n_buckets=16,
+    )
+
+    def _replay(lo, hi_):
+        cfg = EngineConfig(
+            batch_lsn_size=hi_ - lo + 1, lineage=False,
+            prune_buckets=False,
+        )
+        ReplayEngine(spark, primary, config=cfg).replay(
+            lambda a, b: log.filter(
+                (F.col("lsn") >= a) & (F.col("lsn") < b)
+            ),
+            lsn_lo=lo, lsn_hi=hi_,
+        )
+
+    base = tempfile.mkdtemp(prefix="ns_cdc_dbzev_")
+    wal = os.path.join(base, "wal")
+    _replay(0, mid - 1)
+    s1 = primary.manifest(refresh=True)["snapshot_id"]
+    snapshot_export_debezium(primary, s1).select("value").repartition(
+        3
+    ).write.mode("overwrite").text(wal)
+    _replay(mid, hi)
+    s2 = primary.manifest(refresh=True)["snapshot_id"]
+    # the producer's new column rides only in the hop images (to_json
+    # omits nulls, so a null-text row simply carries no `rating` key)
+    hop = primary.snapshot_diff(s1, s2, include_preimages=True).withColumn(
+        "rating", (F.length("text") % 10).cast("long")
+    )
+    encode_debezium(hop, KEY_COLS, s2).select("value").repartition(
+        2
+    ).write.mode("append").text(wal)
+
+    rs = replica_schema(transcript_schema())
+    payload = T.StructType([f for f in rs.fields if f.name != "ts"])
+    replica = SnapshotTable.create(
+        spark, os.path.join(base, "replica"), rs,
+        key_cols=KEY_COLS, n_buckets=16,
+    )
+    eng = ReplayEngine(
+        spark, replica,
+        config=EngineConfig(lineage=False, prune_buckets=False),
+    )
+    from neosync_spark.streaming.stream import StreamingReplay
+
+    q = StreamingReplay(eng).start(
+        wal, os.path.join(base, "ckpt"),
+        max_files_per_trigger=2, fmt="debezium", payload_schema=payload,
+        evolve_payload=True,
+    )
+    q.awaitTermination(300)
+    log.unpersist()
+    return replica.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.date_format("src_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.col("rating").cast("long").alias("rating"),
+    )
+
+
 def _q_archive_fanout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run-archive roundtrip + replay-from-archive + fan-out, end to
     end: the change log is archived as gzip JSONL under the reference's
@@ -4300,6 +4389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_violations": _q_constraint_violations,
         # -- position 51+: verified by the judge's local oracle rerun --
         "cdc_debezium_stream_tail": _q_debezium_stream_tail,
+        "cdc_debezium_evolve_tail": _q_debezium_evolve_tail,
         "cdc_repair_bucket": _q_cdc_repair_bucket,
         "embedding_near_dup": _q_embedding_near_dup,
         "media_image_features": _q_image_features,
@@ -4444,6 +4534,49 @@ def oracle_sql() -> dict[str, str]:
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
                    TRUE AS multi_epoch
             FROM ({lww}) WHERE op <> 'delete'
+        """,
+        # wire-schema drift: the hop's producer added `rating` — it
+        # lands exactly on the rows the hop rewrote (final LWW state
+        # differing from the lsn<mid state), NULL on boot-only rows
+        "cdc_debezium_evolve_tail": f"""
+            WITH log AS ({_CDC_DERIVATION}),
+            mid AS (
+              SELECT CAST(FLOOR(MAX(lsn) / 2.0) AS BIGINT) AS m FROM log
+            ),
+            s1 AS (
+              SELECT * FROM (
+                SELECT l.*, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, lsn DESC) AS rn
+                FROM log l WHERE lsn < (SELECT m FROM mid)
+              ) WHERE rn = 1 AND op <> 'delete'
+            ),
+            s2 AS (
+              SELECT * FROM (
+                SELECT l.*, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, lsn DESC) AS rn
+                FROM log l
+              ) WHERE rn = 1 AND op <> 'delete'
+            ),
+            hop AS (
+              SELECT a.conv_id, a.turn_idx FROM s2 a
+              LEFT JOIN s1 b
+                ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+              WHERE b.conv_id IS NULL
+                 OR NOT (a.role IS NOT DISTINCT FROM b.role
+                         AND a.text IS NOT DISTINCT FROM b.text
+                         AND a.tool IS NOT DISTINCT FROM b.tool
+                         AND a.ts IS NOT DISTINCT FROM b.ts)
+            )
+            SELECT f.conv_id, f.turn_idx, f.role, f.text, f.tool,
+                   strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   CASE WHEN h.conv_id IS NOT NULL
+                        THEN CAST(length(f.text) % 10 AS BIGINT)
+                        ELSE NULL END AS rating
+            FROM s2 f
+            LEFT JOIN hop h
+              ON f.conv_id = h.conv_id AND f.turn_idx = h.turn_idx
         """,
         # HLL accumulators: sparse-exact regime == exact distinct
         "cdc_agg_distinct": f"""

@@ -380,6 +380,12 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--envelope-schema", default=None, metavar="DDL",
                     help="debezium payload schema as a DDL string "
                          "(default: the transcript payload)")
+    tl.add_argument("--evolve-payload", action="store_true",
+                    help="debezium only: when the wire carries payload "
+                         "fields the schema lacks (producer added a "
+                         "column mid-feed), add them to the table and "
+                         "decode them from that epoch on instead of "
+                         "silently dropping them")
     tl.add_argument("--table", required=True)
     tl.add_argument("--checkpoint", required=True,
                     help="streaming checkpoint dir (epoch redelivery)")
@@ -1076,6 +1082,7 @@ def main(argv: list[str] | None = None) -> int:
             args.log, args.checkpoint,
             max_files_per_trigger=args.max_files, follow=args.follow,
             fmt=args.log_format, payload_schema=payload,
+            evolve_payload=args.evolve_payload,
         )
         if args.follow:
             q.awaitTermination(args.timeout)

@@ -150,6 +150,108 @@ def decode_debezium(
     return events, rescue
 
 
+def _json_type_to_spark(v) -> T.DataType:
+    """Map a sampled JSON value to the Spark type a wire-evolved column
+    gets. bool before int (bool is an int subclass in Python); objects
+    and arrays stay RAW JSON STRINGS (the engine's opaque-payload
+    convention — ``from_json`` re-serializes a nested token into a
+    declared StringType field, so nothing is lost and a later consumer
+    re-extracts with get_json_object); an all-null field defaults to
+    string."""
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    return T.StringType()
+
+
+def infer_payload_evolution(
+    df: DataFrame,
+    payload_schema: T.StructType,
+    value_col: str = "value",
+) -> tuple[T.StructType | None, list[T.StructField]]:
+    """Detect payload fields present ON THE WIRE but absent from
+    ``payload_schema`` — the schema-drift case ``from_json`` hides: a
+    producer that adds a column mid-feed keeps parsing cleanly while
+    the new column is silently dropped. Returns
+    ``(widened_schema, new_fields)`` with the new fields APPENDED
+    (nullable), or ``(None, [])`` when the wire carries nothing new.
+
+    Scale shape: ONE narrow aggregation job over the batch —
+    ``json_object_keys`` over the before/after images of both envelope
+    shapes, exploded and hash-aggregated (map-side combine collapses
+    each partition to <= payload-width keys, so the exchange moves a
+    handful of strings no matter the epoch size), then at most ONE
+    sampled image string per new key reaches the driver to type it
+    (json.loads on a single row — bounded by the image size, not the
+    data). Malformed envelopes contribute nothing (get_json_object /
+    json_object_keys return null) and stay a decode-time quarantine
+    concern.
+
+    Typing: the sampled JSON value maps long/double/boolean/string;
+    nested objects/arrays become raw-JSON string columns; a key whose
+    sampled values are all JSON null types as string. A quoted "42"
+    stays a string (the sample is parsed as JSON, not regexed). Keys
+    that aren't identifier-like ([A-Za-z_][A-Za-z0-9_]*) are still
+    added but default to string (get_json_object path sampling is
+    skipped for them).
+    """
+    import json as _json
+    import re as _re
+
+    known = {f.name for f in payload_schema.fields}
+    val = F.col(value_col)
+    imgs = [
+        F.get_json_object(val, p)
+        for p in (
+            "$.payload.after",
+            "$.after",
+            "$.payload.before",
+            "$.before",
+        )
+    ]
+    keys_arr = F.concat(
+        *[F.coalesce(F.json_object_keys(i), F.array()) for i in imgs]
+    )
+    wire_keys = [
+        r[0]
+        for r in df.select(F.explode(keys_arr).alias("k"))
+        .groupBy("k")
+        .count()
+        .select("k")
+        .collect()
+    ]
+    new_keys = sorted(k for k in set(wire_keys) if k not in known)
+    if not new_keys:
+        return None, []
+    ident = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    img = F.coalesce(*imgs)
+    sampled = [k for k in new_keys if ident.match(k)]
+    samples: dict[str, str | None] = {}
+    if sampled:
+        row = df.agg(
+            *[
+                F.first(
+                    F.when(
+                        F.get_json_object(img, f"$.{k}").isNotNull(), img
+                    ),
+                    ignorenulls=True,
+                ).alias(f"_s{i}")
+                for i, k in enumerate(sampled)
+            ]
+        ).collect()[0]
+        samples = {k: row[f"_s{i}"] for i, k in enumerate(sampled)}
+    new_fields = []
+    for k in new_keys:
+        s = samples.get(k)
+        v = _json.loads(s).get(k) if s is not None else None
+        new_fields.append(T.StructField(k, _json_type_to_spark(v), True))
+    widened = T.StructType(list(payload_schema.fields) + new_fields)
+    return widened, new_fields
+
+
 class DebeziumLogSource:
     """``ChangeLogSource`` duck-type over a directory of Debezium
     envelope files — text/JSONL (one envelope per line) or parquet with

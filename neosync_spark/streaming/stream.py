@@ -43,6 +43,7 @@ class StreamingReplay:
         self.engine = engine
         self._fmt = "parquet"
         self._payload_schema = None
+        self._evolve_payload = False
         self.consumers = list(consumers or [])
         self.event_consumers = list(event_consumers or [])
         if rollup_dst is not None:
@@ -68,6 +69,35 @@ class StreamingReplay:
             rng = self._file_set_range(batch)
             if rng is None:
                 return
+            if self._evolve_payload and not (
+                self.engine.registry is not None
+                and self.engine.registry.versions
+            ):
+                # wire-schema drift: a producer that added a column
+                # mid-feed keeps parsing cleanly while from_json drops
+                # the new field — detect it (one narrow key-agg over
+                # the epoch), evolve the DESTINATION through the same
+                # additive path a registry version would take, then
+                # decode with the widened schema so this very epoch's
+                # rows keep the column. A configured schema registry
+                # stays authoritative (its declared schema would treat
+                # wire-added columns as drift to undo), so evolution
+                # is skipped when versions exist.
+                from ..schema_registry import ensure_table_schema
+                from ..sources.debezium import infer_payload_evolution
+
+                widened, new_fields = infer_payload_evolution(
+                    batch, self._payload_schema
+                )
+                if widened is not None:
+                    from pyspark.sql import types as T  # noqa: N812
+
+                    declared = T.StructType(
+                        list(self.engine.table.current_schema().fields)
+                        + new_fields
+                    )
+                    ensure_table_schema(self.engine.table, declared)
+                    self._payload_schema = widened
             batch, rescue = decode_debezium(batch, self._payload_schema)
             if self.engine.config.quarantine:
                 import os
@@ -157,6 +187,7 @@ class StreamingReplay:
         processing_interval: str = "5 seconds",
         fmt: str = "parquet",
         payload_schema=None,
+        evolve_payload: bool = False,
     ):
         """Start the streaming query. Caller owns lifecycle
         (processAllAvailable()/stop() in tests, awaitTermination() in
@@ -171,8 +202,22 @@ class StreamingReplay:
         ledger path; malformed envelopes are quarantined per epoch to
         ``<table>/metadata/quarantine_envelope`` when the engine's
         quarantine flag is on. ``payload_schema`` is the envelope's row
-        schema (default: the transcript payload)."""
+        schema (default: the transcript payload).
+
+        ``evolve_payload=True`` (debezium only) watches the wire for
+        payload fields the schema lacks — a producer adding a column
+        mid-feed otherwise keeps parsing cleanly while ``from_json``
+        silently drops the new field. Each epoch runs one narrow
+        key-set aggregation over the envelope images; on drift the
+        destination table gains the columns (additive, through
+        ``ensure_table_schema``) BEFORE the epoch decodes, so the first
+        epoch carrying a column also lands it. New columns type from
+        one sampled image (long/double/boolean/string; nested JSON
+        stays a raw-JSON string column). Ignored when a schema
+        registry is configured — declared versions stay authoritative.
+        """
         self._fmt = fmt
+        self._evolve_payload = bool(evolve_payload)
         if fmt == "debezium":
             if payload_schema is None:
                 from pyspark.sql import types as T

@@ -1,0 +1,156 @@
+"""Wire-schema drift on a Debezium feed: a producer that adds a payload
+column mid-stream keeps parsing cleanly while ``from_json`` silently
+drops the new field. ``infer_payload_evolution`` detects the drift from
+the envelopes themselves (one narrow key aggregation per epoch) and the
+streaming tail evolves the destination additively before decoding —
+the first epoch carrying a column also lands it."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import types as T
+
+from neosync_spark.lakehouse import SnapshotTable
+from neosync_spark.sources.debezium import infer_payload_evolution
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+
+def _env(op, image, lsn, ts_ms, wrap=True):
+    inner = {
+        "before": image if op == "d" else None,
+        "after": image if op != "d" else None,
+        "op": op,
+        "ts_ms": ts_ms,
+        "source": {"lsn": lsn, "ts_ms": ts_ms},
+    }
+    return json.dumps({"payload": inner} if wrap else inner)
+
+
+def _df(spark, lines):
+    return spark.createDataFrame([(x,) for x in lines], "value string")
+
+
+class TestInferPayloadEvolution:
+    def test_no_drift_returns_none(self, spark):
+        lines = [
+            _env("c", {"id": 1, "v": "a"}, 1, 1000),
+            _env("u", {"id": 1, "v": "b"}, 2, 2000, wrap=False),
+        ]
+        widened, new = infer_payload_evolution(_df(spark, lines), SCHEMA)
+        assert widened is None and new == []
+
+    def test_new_fields_typed_from_sampled_json(self, spark):
+        img = {
+            "id": 1,
+            "v": "a",
+            "rating": 7,
+            "score": 0.5,
+            "flag": True,
+            "note": "42",  # quoted => stays a string
+            "meta": {"k": [1, 2]},  # nested => raw-JSON string column
+            "nul": None,  # never non-null => string default
+        }
+        lines = [_env("c", img, 1, 1000), _env("c", {"id": 2, "v": "b"}, 2, 1000)]
+        widened, new = infer_payload_evolution(_df(spark, lines), SCHEMA)
+        got = {f.name: f.dataType for f in new}
+        assert got == {
+            "rating": T.LongType(),
+            "score": T.DoubleType(),
+            "flag": T.BooleanType(),
+            "note": T.StringType(),
+            "meta": T.StringType(),
+            "nul": T.StringType(),
+        }
+        # appended after the existing fields, existing order untouched
+        assert [f.name for f in widened.fields][:2] == ["id", "v"]
+
+    def test_key_only_in_delete_before_image(self, spark):
+        lines = [
+            _env("d", {"id": 1, "v": "a", "ghost": 3}, 5, 1000),
+        ]
+        _, new = infer_payload_evolution(_df(spark, lines), SCHEMA)
+        assert [(f.name, f.dataType) for f in new] == [
+            ("ghost", T.LongType())
+        ]
+
+    def test_malformed_envelopes_contribute_nothing(self, spark):
+        lines = ["{garbage", _env("c", {"id": 1, "v": "a"}, 1, 1000)]
+        widened, new = infer_payload_evolution(_df(spark, lines), SCHEMA)
+        assert widened is None and new == []
+
+
+def _write_feed(log_dir):
+    """Epoch 0: base payload. Epoch 1: the producer added `rating`
+    (long) and `meta` (nested object). Distinct mtimes pin the file
+    stream's epoch order."""
+    log_dir.mkdir()
+    f0 = [
+        _env("c", {"id": 1, "v": "a"}, 1, 1000),
+        _env("c", {"id": 2, "v": "b"}, 2, 1000, wrap=False),
+    ]
+    f1 = [
+        _env("u", {"id": 1, "v": "a2", "rating": 9, "meta": {"x": 1}}, 3, 2000),
+        _env("c", {"id": 3, "v": "c", "rating": 4, "meta": None}, 4, 2000),
+    ]
+    for i, lines in enumerate([f0, f1]):
+        p = log_dir / f"seg-{i}.jsonl"
+        p.write_text("\n".join(lines) + "\n")
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+
+def _tail(spark, tmp_path, log_dir, name, evolve):
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.streaming.stream import StreamingReplay
+
+    table_schema = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("ts", T.TimestampType())]
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / name), table_schema, key_cols=["id"],
+        order_cols=["ts"], n_buckets=2,
+    )
+    eng = ReplayEngine(spark, t, config=EngineConfig(lineage=False))
+    q = StreamingReplay(eng).start(
+        str(log_dir), str(tmp_path / f"ckpt_{name}"),
+        max_files_per_trigger=1, fmt="debezium", payload_schema=SCHEMA,
+        evolve_payload=evolve,
+    )
+    assert q.awaitTermination(180)
+    return t
+
+
+def test_streaming_tail_evolves_payload(spark, tmp_path):
+    log_dir = tmp_path / "feed"
+    _write_feed(log_dir)
+    t = _tail(spark, tmp_path, log_dir, "t_evolve", evolve=True)
+
+    cols = {f.name: f.dataType for f in t.current_schema().fields}
+    assert cols["rating"] == T.LongType()
+    assert cols["meta"] == T.StringType()
+    rows = {r["id"]: r for r in t.read().collect()}
+    assert set(rows) == {1, 2, 3}
+    # epoch-1 rows carry the new columns from their very first epoch
+    assert rows[1]["v"] == "a2" and rows[1]["rating"] == 9
+    assert json.loads(rows[1]["meta"]) == {"x": 1}
+    assert rows[3]["rating"] == 4 and rows[3]["meta"] is None
+    # pre-drift row: evolved columns backfill as NULL
+    assert rows[2]["rating"] is None and rows[2]["meta"] is None
+    assert len(t.applied_ranges()) == 2
+
+
+def test_streaming_tail_drops_drift_by_default(spark, tmp_path):
+    log_dir = tmp_path / "feed"
+    _write_feed(log_dir)
+    t = _tail(spark, tmp_path, log_dir, "t_fixed", evolve=False)
+    names = {f.name for f in t.current_schema().fields}
+    assert "rating" not in names and "meta" not in names
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows == {1: "a2", 2: "b", 3: "c"}
