@@ -121,6 +121,11 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--envelope-schema", default=None, metavar="DDL",
                    help="debezium payload schema as a DDL string "
                         "(default: the transcript payload columns)")
+    r.add_argument("--evolve-payload", action="store_true",
+                   help="debezium only: when the feed carries payload "
+                        "fields the schema lacks (producer added a "
+                        "column mid-feed), add them to the table and "
+                        "decode them instead of silently dropping them")
     r.add_argument("--bloom-cols", default=None, metavar="COL,COL",
                    help="on table creation: build per-file bloom sidecars "
                         "for these columns at every commit (point-lookup "
@@ -654,6 +659,7 @@ def main(argv: list[str] | None = None) -> int:
             bloom_cols=args.bloom_cols.split(",") if args.bloom_cols else None,
             source_format=args.log_format,
             envelope_schema=args.envelope_schema,
+            evolve_payload=args.evolve_payload,
         )
         stats = run_job(spark, job)
         print(json.dumps({

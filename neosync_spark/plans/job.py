@@ -72,6 +72,11 @@ class JobSpec:
     # debezium payload schema as a DDL string; None = the transcript
     # payload columns
     envelope_schema: str | None = None
+    # debezium only: widen the payload + destination with columns the
+    # wire carries that the declared schema lacks (mid-feed producer
+    # adds); ignored when a schema registry is supplied — declared
+    # versions stay authoritative
+    evolve_payload: bool = False
 
 
 def resolve_transformer(m: ColumnMapping, seed: int) -> TransformFn:
@@ -149,7 +154,20 @@ def compile_job(
             payload = T.StructType(
                 [f for f in transcript_schema().fields if f.name != "ts"]
             )
-        src = DebeziumLogSource(spark, job.source_path, payload)
+        src = DebeziumLogSource(
+            spark, job.source_path, payload,
+            evolve_payload=(job.evolve_payload and registry is None),
+        )
+        if src.new_fields:
+            # wire-schema drift: the feed carries columns the declared
+            # payload lacks — evolve the destination additively before
+            # any data moves (the SchemaInit-before-sync ordering)
+            from ..schema_registry import ensure_table_schema
+
+            declared = T.StructType(
+                list(table.current_schema().fields) + src.new_fields
+            )
+            ensure_table_schema(table, declared)
         if job.quarantine:
             import os
 

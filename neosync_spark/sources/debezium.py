@@ -269,7 +269,15 @@ class DebeziumLogSource:
         payload_schema: T.StructType,
         fmt: str = "text",
         value_col: str = "value",
+        evolve_payload: bool = False,
     ):
+        """``evolve_payload=True`` widens ``payload_schema`` with any
+        fields the wire carries that the schema lacks (see
+        ``infer_payload_evolution`` — one narrow key aggregation over
+        the feed) BEFORE decoding, so a mid-feed producer column isn't
+        silently dropped. The caller is responsible for evolving the
+        destination table (``new_fields`` lists what was added;
+        ``plans/job.compile_job`` does this for the CLI)."""
         self.spark = spark
         self.path = path
         if fmt == "text":
@@ -280,6 +288,14 @@ class DebeziumLogSource:
             df = spark.read.parquet(path)
         else:
             raise ValueError(f"unknown debezium log format {fmt!r}")
+        self.new_fields: list[T.StructField] = []
+        if evolve_payload:
+            widened, new = infer_payload_evolution(
+                df, payload_schema, value_col
+            )
+            if widened is not None:
+                payload_schema, self.new_fields = widened, new
+        self.payload_schema = payload_schema
         self.events, self.rescue = decode_debezium(
             df, payload_schema, value_col
         )

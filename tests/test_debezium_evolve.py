@@ -146,6 +146,45 @@ def test_streaming_tail_evolves_payload(spark, tmp_path):
     assert len(t.applied_ranges()) == 2
 
 
+def test_batch_replay_evolves_payload(spark, tmp_path):
+    """Same drift through the BATCH job path: `replay --format debezium
+    --evolve-payload` — one inference pass over the whole feed, table
+    evolved before any data moves, full replay lands the column."""
+    from neosync_spark.plans.job import JobSpec, run_job
+
+    log_dir = tmp_path / "feed"
+    _write_feed(log_dir)
+    table_schema = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("ts", T.TimestampType())]
+    )
+    SnapshotTable.create(
+        spark, str(tmp_path / "t_batch"), table_schema, key_cols=["id"],
+        order_cols=["ts"], n_buckets=2,
+    )
+    job = JobSpec(
+        source_path=str(log_dir),
+        destination_path=str(tmp_path / "t_batch"),
+        source_format="debezium",
+        envelope_schema="id bigint, v string",
+        evolve_payload=True,
+    )
+    run_job(spark, job)
+    t = SnapshotTable.load(spark, str(tmp_path / "t_batch"))
+    cols = {f.name: f.dataType for f in t.current_schema().fields}
+    assert cols["rating"] == T.LongType()
+    assert cols["meta"] == T.StringType()
+    rows = {r["id"]: r for r in t.read().collect()}
+    assert rows[1]["v"] == "a2" and rows[1]["rating"] == 9
+    assert json.loads(rows[1]["meta"]) == {"x": 1}
+    assert rows[2]["rating"] is None
+    # rerun: exactly-once ledger no-op, state unchanged
+    stats = run_job(spark, job)
+    assert stats.batches_applied == 0
+    assert {r["id"]: r["rating"] for r in t.read().collect()} == {
+        1: 9, 2: None, 3: 4,
+    }
+
+
 def test_streaming_tail_drops_drift_by_default(spark, tmp_path):
     log_dir = tmp_path / "feed"
     _write_feed(log_dir)
