@@ -126,6 +126,12 @@ def main(argv: list[str] | None = None) -> int:
                         "fields the schema lacks (producer added a "
                         "column mid-feed), add them to the table and "
                         "decode them instead of silently dropping them")
+    r.add_argument("--strict-wire-types", action="store_true",
+                   help="debezium only: quarantine rows whose wire "
+                        "token doesn't fit a declared field type "
+                        "(reason type_conflict:<fields>) instead of "
+                        "letting permissive parsing null the field "
+                        "silently")
     r.add_argument("--bloom-cols", default=None, metavar="COL,COL",
                    help="on table creation: build per-file bloom sidecars "
                         "for these columns at every commit (point-lookup "
@@ -391,6 +397,11 @@ def main(argv: list[str] | None = None) -> int:
                          "column mid-feed), add them to the table and "
                          "decode them from that epoch on instead of "
                          "silently dropping them")
+    tl.add_argument("--strict-wire-types", action="store_true",
+                    help="debezium only: quarantine rows whose wire "
+                         "token doesn't fit a declared field type "
+                         "instead of letting permissive parsing null "
+                         "the field silently")
     tl.add_argument("--table", required=True)
     tl.add_argument("--checkpoint", required=True,
                     help="streaming checkpoint dir (epoch redelivery)")
@@ -660,6 +671,7 @@ def main(argv: list[str] | None = None) -> int:
             source_format=args.log_format,
             envelope_schema=args.envelope_schema,
             evolve_payload=args.evolve_payload,
+            strict_wire_types=args.strict_wire_types,
         )
         stats = run_job(spark, job)
         print(json.dumps({
@@ -1089,6 +1101,7 @@ def main(argv: list[str] | None = None) -> int:
             max_files_per_trigger=args.max_files, follow=args.follow,
             fmt=args.log_format, payload_schema=payload,
             evolve_payload=args.evolve_payload,
+            strict_types=args.strict_wire_types,
         )
         if args.follow:
             q.awaitTermination(args.timeout)

@@ -271,13 +271,12 @@ class ReplayEngine:
             ops = ["insert", "update", "delete"]
             if self.config.patch_ops:
                 ops.append("patch")  # partial images are valid events here
-            valid = F.coalesce(
-                F.col("op").isin(ops)
-                & F.col("conv_id").isNotNull()
-                & F.col("turn_idx").isNotNull()
-                & F.col("lsn").isNotNull(),
-                F.lit(False),
-            )
+            cond = F.col("op").isin(ops) & F.col("lsn").isNotNull()
+            # key columns come from the table, not the transcript
+            # schema — quarantine must work for any destination shape
+            for k in self.table.manifest()["key_cols"]:
+                cond = cond & F.col(k).isNotNull()
+            valid = F.coalesce(cond, F.lit(False))
             obs = Observation()
             batch = batch.observe(
                 obs, F.sum((~valid).cast("long")).alias("n_bad")

@@ -77,6 +77,11 @@ class JobSpec:
     # adds); ignored when a schema registry is supplied — declared
     # versions stay authoritative
     evolve_payload: bool = False
+    # debezium only: rescue rows whose wire token doesn't fit a
+    # declared field type (permissive from_json would null the field
+    # silently); they land in quarantine_envelope with reason
+    # type_conflict:<fields>
+    strict_wire_types: bool = False
 
 
 def resolve_transformer(m: ColumnMapping, seed: int) -> TransformFn:
@@ -157,6 +162,7 @@ def compile_job(
         src = DebeziumLogSource(
             spark, job.source_path, payload,
             evolve_payload=(job.evolve_payload and registry is None),
+            strict_types=job.strict_wire_types,
         )
         if src.new_fields:
             # wire-schema drift: the feed carries columns the declared

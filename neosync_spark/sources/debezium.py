@@ -77,6 +77,7 @@ def decode_debezium(
     payload_schema: T.StructType,
     value_col: str = "value",
     materialize: bool = True,
+    strict_types: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Decode envelope strings in ``df[value_col]`` → (events, rescue).
 
@@ -95,9 +96,35 @@ def decode_debezium(
     the parsed batch on executors (the same cost class as the engine's
     batch persists) and truncates lineage; pass ``materialize=False``
     for strict lineage-replay fault tolerance at re-parse cost.
+
+    ``strict_types=True`` catches WIRE TYPE DRIFT: PERMISSIVE
+    ``from_json`` nulls any field whose JSON token doesn't fit the
+    declared type (a producer switching ``id`` from number to string,
+    or an int column to float), so the row would merge with a silently
+    corrupted NULL. The guard re-reads the image through an ALL-STRING
+    payload schema (from_json captures any present token losslessly
+    into a declared string — one extra parse per row, only in this
+    mode) and rescues rows where a field is present-on-the-wire but
+    typed-decode-null, with reason ``type_conflict:<fields>``. String
+    fields can't conflict (every token captures); a JSON null or a
+    missing key is not a conflict.
     """
     env = debezium_envelope_schema(payload_schema)
     parsed = df.withColumn("_dbz", F.from_json(F.col(value_col), env))
+    checked = [
+        f for f in payload_schema.fields
+        if not isinstance(f.dataType, T.StringType)
+    ]
+    if strict_types and checked:
+        str_payload = T.StructType(
+            [T.StructField(f.name, T.StringType(), True) for f in checked]
+        )
+        parsed = parsed.withColumn(
+            "_dbzs",
+            F.from_json(
+                F.col(value_col), debezium_envelope_schema(str_payload)
+            ),
+        )
     if materialize:
         parsed = parsed.localCheckpoint(eager=False)
     # schemas.enable=true wraps in "payload"; unwrapped envelopes put
@@ -121,12 +148,43 @@ def decode_debezium(
     all_null = (
         op_raw.isNull() & ts_ms.isNull() & before.isNull() & after.isNull()
     )
+    conflict_names = None
+    if strict_types and checked:
+        ps = F.col("_dbzs.payload")
+        image_s = F.when(
+            op_raw == "d",
+            F.coalesce(ps.getField("before"), F.col("_dbzs.before")),
+        ).otherwise(
+            F.coalesce(ps.getField("after"), F.col("_dbzs.after"))
+        )
+        # present on the wire (all-string capture non-null) but nulled
+        # by the typed decode ⇒ the token didn't fit the declared type
+        conflict_names = F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        image_s.getField(f.name).isNotNull()
+                        & image.getField(f.name).isNull(),
+                        F.lit(f.name),
+                    )
+                    for f in checked
+                ]
+            )
+        )
     reason = (
         F.when(F.col("_dbz").isNull() | all_null, F.lit("unparseable_envelope"))
         .when(op.isNull(), F.lit("unknown_op"))
         .when(image.isNull(), F.lit("null_row_image"))
         .when(ts_ms.isNull(), F.lit("missing_ts_ms"))
     )
+    if conflict_names is not None:
+        reason = reason.when(
+            F.size(conflict_names) > 0,
+            F.concat(
+                F.lit("type_conflict:"),
+                F.concat_ws(",", conflict_names),
+            ),
+        )
     tagged = parsed.select(
         F.col(value_col).alias("_raw"),
         reason.alias("_reason"),
@@ -270,6 +328,7 @@ class DebeziumLogSource:
         fmt: str = "text",
         value_col: str = "value",
         evolve_payload: bool = False,
+        strict_types: bool = False,
     ):
         """``evolve_payload=True`` widens ``payload_schema`` with any
         fields the wire carries that the schema lacks (see
@@ -297,7 +356,7 @@ class DebeziumLogSource:
                 payload_schema, self.new_fields = widened, new
         self.payload_schema = payload_schema
         self.events, self.rescue = decode_debezium(
-            df, payload_schema, value_col
+            df, payload_schema, value_col, strict_types=strict_types
         )
 
     def full(self) -> DataFrame:

@@ -44,6 +44,7 @@ class StreamingReplay:
         self._fmt = "parquet"
         self._payload_schema = None
         self._evolve_payload = False
+        self._strict_types = False
         self.consumers = list(consumers or [])
         self.event_consumers = list(event_consumers or [])
         if rollup_dst is not None:
@@ -98,7 +99,10 @@ class StreamingReplay:
                     )
                     ensure_table_schema(self.engine.table, declared)
                     self._payload_schema = widened
-            batch, rescue = decode_debezium(batch, self._payload_schema)
+            batch, rescue = decode_debezium(
+                batch, self._payload_schema,
+                strict_types=self._strict_types,
+            )
             if self.engine.config.quarantine:
                 import os
 
@@ -188,6 +192,7 @@ class StreamingReplay:
         fmt: str = "parquet",
         payload_schema=None,
         evolve_payload: bool = False,
+        strict_types: bool = False,
     ):
         """Start the streaming query. Caller owns lifecycle
         (processAllAvailable()/stop() in tests, awaitTermination() in
@@ -215,9 +220,16 @@ class StreamingReplay:
         one sampled image (long/double/boolean/string; nested JSON
         stays a raw-JSON string column). Ignored when a schema
         registry is configured — declared versions stay authoritative.
+
+        ``strict_types=True`` (debezium only) rescues rows whose wire
+        token doesn't fit a declared field type instead of letting
+        PERMISSIVE from_json null the field silently (see
+        ``decode_debezium``); with quarantine on they land in
+        quarantine_envelope with reason ``type_conflict:<fields>``.
         """
         self._fmt = fmt
         self._evolve_payload = bool(evolve_payload)
+        self._strict_types = bool(strict_types)
         if fmt == "debezium":
             if payload_schema is None:
                 from pyspark.sql import types as T

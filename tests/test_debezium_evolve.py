@@ -87,6 +87,99 @@ class TestInferPayloadEvolution:
         assert widened is None and new == []
 
 
+class TestStrictWireTypes:
+    """Type drift: a token that doesn't fit the declared field type is
+    silently nulled by PERMISSIVE from_json — strict_types rescues the
+    row instead."""
+
+    SCHEMA3 = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+
+    def _decode(self, spark, lines, strict):
+        from neosync_spark.sources.debezium import decode_debezium
+
+        ev, rs = decode_debezium(
+            _df(spark, lines), self.SCHEMA3, strict_types=strict
+        )
+        return ev.collect(), rs.collect()
+
+    def test_conflict_rescued_with_field_names(self, spark):
+        lines = [
+            _env("c", {"id": "abc", "n": 1, "v": "a"}, 1, 1000),
+            _env("c", {"id": 2, "n": 2, "v": "b"}, 2, 1000),
+            _env("c", {"id": "x", "n": True, "v": "c"}, 3, 1000),
+        ]
+        ev, rs = self._decode(spark, lines, strict=True)
+        assert [r["id"] for r in ev] == [2]
+        reasons = sorted(r["reason"] for r in rs)
+        assert reasons == ["type_conflict:id", "type_conflict:id,n"]
+
+    def test_permissive_default_nulls_silently(self, spark):
+        # the trap strict_types exists for, pinned as documented default
+        lines = [_env("c", {"id": "abc", "n": 1, "v": "a"}, 1, 1000)]
+        ev, rs = self._decode(spark, lines, strict=False)
+        assert rs == [] and ev[0]["id"] is None and ev[0]["n"] == 1
+
+    def test_json_null_and_missing_key_are_not_conflicts(self, spark):
+        lines = [
+            _env("c", {"id": None, "n": 7, "v": "a"}, 1, 1000),
+            _env("c", {"n": 8, "v": "b"}, 2, 1000),
+        ]
+        ev, rs = self._decode(spark, lines, strict=True)
+        assert rs == []
+        assert sorted(r["n"] for r in ev) == [7, 8]
+
+    def test_string_fields_never_conflict(self, spark):
+        # any token captures into a declared string (raw-JSON for
+        # nested) — numbers/objects in v are fine
+        lines = [
+            _env("c", {"id": 1, "n": 1, "v": 42}, 1, 1000),
+            _env("c", {"id": 2, "n": 2, "v": {"x": 1}}, 2, 1000),
+        ]
+        ev, rs = self._decode(spark, lines, strict=True)
+        assert rs == []
+        assert sorted(r["v"] for r in ev) == ["42", '{"x":1}']
+
+    def test_job_path_quarantines_conflicts(self, spark, tmp_path):
+        from neosync_spark.plans.job import JobSpec, run_job
+
+        log_dir = tmp_path / "feed3"
+        log_dir.mkdir()
+        lines = [
+            _env("c", {"id": 1, "v": "a"}, 1, 1000),
+            _env("c", {"id": "drifted", "v": "bad"}, 2, 2000),
+        ]
+        (log_dir / "seg-0.jsonl").write_text("\n".join(lines) + "\n")
+        table_schema = T.StructType(
+            list(SCHEMA.fields) + [T.StructField("ts", T.TimestampType())]
+        )
+        SnapshotTable.create(
+            spark, str(tmp_path / "t_strict"), table_schema,
+            key_cols=["id"], order_cols=["ts"], n_buckets=2,
+        )
+        job = JobSpec(
+            source_path=str(log_dir),
+            destination_path=str(tmp_path / "t_strict"),
+            source_format="debezium",
+            envelope_schema="id bigint, v string",
+            strict_wire_types=True,
+            quarantine=True,
+        )
+        run_job(spark, job)
+        t = SnapshotTable.load(spark, str(tmp_path / "t_strict"))
+        assert {r["id"] for r in t.read().collect()} == {1}
+        q = spark.read.parquet(
+            str(tmp_path / "t_strict" / "metadata" / "quarantine_envelope")
+        ).collect()
+        assert [r["reason"] for r in q] == ["type_conflict:id"]
+        assert "drifted" in q[0]["value"]
+
+
 def _write_feed(log_dir):
     """Epoch 0: base payload. Epoch 1: the producer added `rating`
     (long) and `meta` (nested object). Distinct mtimes pin the file
