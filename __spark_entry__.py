@@ -872,6 +872,125 @@ def _q_debezium_evolve_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_debezium_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire TYPE drift through the strict decoder
+    (sources/debezium.decode_debezium(strict_types=True) via
+    DebeziumLogSource): every event with lsn % 97 == 0 arrives with
+    turn_idx as a non-numeric STRING token — permissive from_json
+    would null the field and the row would merge as a silently
+    corrupted key; the strict decoder rescues exactly those rows
+    (reason type_conflict:turn_idx) and the engine replays the rest.
+    The final state must equal DuckDB's LWW over the log EXCLUDING the
+    drifted lsns (a quarantined delete's key keeps its prior state —
+    quarantine means "held out", never "half-applied").
+
+    Event time rides in the image as exact epoch MICROS (to_json
+    truncates timestamps to millis, which would perturb LWW ties) and
+    the envelope ts_ms carries the same micros — a monotone transform
+    of event time, so the engine's (ts, lsn) fold orders identically
+    to DuckDB's full-precision (ts, lsn)."""
+    from pyspark.sql import types as T  # noqa: N812
+
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS
+    from neosync_spark.sources.debezium import DebeziumLogSource
+
+    log = _derived_log(spark, sf_dir)
+    # ts is TIMESTAMP_NTZ; the cast->unix_micros->timestamp_micros->
+    # date_format chain round-trips the wall clock in one session tz
+    ev = log.withColumn(
+        "src_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    ).persist()
+    drifted = F.col("lsn") % 97 == 0
+    # envelope ts_ms = micros REBASED near epoch: decode interprets it
+    # as millis, and raw 2024 micros-as-millis is year ~55790 — past
+    # Python datetime's range for the driver-side zone-map stats. A
+    # monotone shift preserves the LWW order, which is all ts does
+    # here (display time rides in the image as src_us).
+    base_us = int(ev.agg(F.min("src_us")).collect()[0][0] or 0)
+
+    def _envelopes(df, drift: bool):
+        ti = (
+            F.concat(F.lit("x"), F.col("turn_idx").cast("string"))
+            if drift
+            else F.col("turn_idx")
+        )
+        image = F.struct(
+            F.col("conv_id"), ti.alias("turn_idx"), F.col("role"),
+            F.col("text"), F.col("tool"), F.col("src_us"),
+        )
+        opc = (
+            F.when(F.col("op") == "insert", F.lit("c"))
+            .when(F.col("op") == "update", F.lit("u"))
+            .otherwise(F.lit("d"))
+        )
+        return df.select(
+            F.to_json(
+                F.struct(
+                    F.when(opc == "d", image).alias("before"),
+                    F.when(opc != "d", image).alias("after"),
+                    opc.alias("op"),
+                    (F.col("src_us") - F.lit(base_us)).alias("ts_ms"),
+                    F.struct(
+                        F.col("lsn").alias("lsn"),
+                        (F.col("src_us") - F.lit(base_us)).alias("ts_ms"),
+                    ).alias("source"),
+                )
+            ).alias("value")
+        )
+
+    base = tempfile.mkdtemp(prefix="ns_cdc_dbzdrift_")
+    wal = os.path.join(base, "wal")
+    _envelopes(ev.filter(~drifted), False).unionByName(
+        _envelopes(ev.filter(drifted), True)
+    ).repartition(4).write.mode("overwrite").text(wal)
+
+    payload = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("src_us", T.LongType()),
+        ]
+    )
+    src = DebeziumLogSource(spark, wal, payload, strict_types=True)
+    rescued = src.rescue.persist()
+    n_drift = int(ev.filter(drifted).count())
+    drift_quarantined = bool(
+        rescued.count() == n_drift
+        and rescued.filter(
+            F.col("reason") != "type_conflict:turn_idx"
+        ).count() == 0
+    )
+    rescued.unpersist()
+
+    table_schema = T.StructType(
+        list(payload.fields) + [T.StructField("ts", T.TimestampType())]
+    )
+    table = SnapshotTable.create(
+        spark, os.path.join(base, "t"), table_schema,
+        key_cols=KEY_COLS, n_buckets=16,
+    )
+    lo, hi = src.lsn_bounds()
+    ReplayEngine(
+        spark, table,
+        config=EngineConfig(
+            batch_lsn_size=hi - lo + 1, lineage=False, prune_buckets=False
+        ),
+    ).replay(src)
+    ev.unpersist()
+    return table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.date_format(
+            F.timestamp_micros(F.col("src_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("ts_s"),
+        F.lit(drift_quarantined).alias("drift_quarantined"),
+    )
+
+
 def _q_archive_fanout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run-archive roundtrip + replay-from-archive + fan-out, end to
     end: the change log is archived as gzip JSONL under the reference's
@@ -4390,6 +4509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- position 51+: verified by the judge's local oracle rerun --
         "cdc_debezium_stream_tail": _q_debezium_stream_tail,
         "cdc_debezium_evolve_tail": _q_debezium_evolve_tail,
+        "cdc_debezium_type_drift": _q_debezium_type_drift,
         "cdc_repair_bucket": _q_cdc_repair_bucket,
         "embedding_near_dup": _q_embedding_near_dup,
         "media_image_features": _q_image_features,
@@ -4577,6 +4697,26 @@ def oracle_sql() -> dict[str, str]:
             FROM s2 f
             LEFT JOIN hop h
               ON f.conv_id = h.conv_id AND f.turn_idx = h.turn_idx
+        """,
+        # type drift: every lsn%97==0 event arrives with turn_idx as a
+        # string token — strict decode quarantines exactly those, so
+        # the state is the LWW over the log WITHOUT them (a held-out
+        # delete's key keeps its prior state)
+        "cdc_debezium_type_drift": f"""
+            WITH log AS (
+              SELECT * FROM ({_CDC_DERIVATION}) WHERE lsn % 97 <> 0
+            )
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   TRUE AS drift_quarantined
+            FROM (
+              SELECT * FROM (
+                SELECT l.*, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, lsn DESC) AS rn
+                FROM log l
+              ) WHERE rn = 1
+            ) WHERE op <> 'delete'
         """,
         # HLL accumulators: sparse-exact regime == exact distinct
         "cdc_agg_distinct": f"""
