@@ -991,6 +991,137 @@ def _q_debezium_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_debezium_toast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postgres unchanged-TOAST placeholders end to end
+    (sources/debezium.decode_debezium(toast_placeholder=...) →
+    merge_cdc(patch_ops=True)): every update with lsn % 7 == 0 arrives
+    with text = '__debezium_unavailable_value' and NO usable pre-image
+    (replica identity default) — the decoder demotes it to a partial-
+    image patch whose text folds as "keep previous"; every update with
+    lsn % 7 == 1 carries the placeholder but a REAL pre-image text
+    ('pre-<lsn>'), which the decoder substitutes so the event stays a
+    full update. DuckDB replays the same per-column fold: text's final
+    value is the latest event that SET it (placeholder-demoted patches
+    set every column except text — including tool, whose genuine NULL
+    on a demoted patch folds as keep, the wire format's documented
+    limit). Event time rides as exact epoch micros like the type-drift
+    query (to_json millis truncation would perturb LWW ties)."""
+    from pyspark.sql import types as T  # noqa: N812
+
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS
+    from neosync_spark.sources.debezium import (
+        TOAST_PLACEHOLDER,
+        DebeziumLogSource,
+    )
+
+    log = _derived_log(spark, sf_dir)
+    ev = log.withColumn(
+        "src_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    ).persist()
+    base_us = int(ev.agg(F.min("src_us")).collect()[0][0] or 0)
+    is_upd = F.col("op") == "update"
+    unres = is_upd & (F.col("lsn") % 7 == 0)
+    res = is_upd & (F.col("lsn") % 7 == 1)
+
+    text_wire = F.when(
+        unres | res, F.lit(TOAST_PLACEHOLDER)
+    ).otherwise(F.col("text"))
+    pre_text = F.concat(F.lit("pre-"), F.col("lsn").cast("string"))
+
+    def _img(text_col):
+        return F.struct(
+            F.col("conv_id"), F.col("turn_idx"), F.col("role"),
+            text_col.alias("text"), F.col("tool"), F.col("src_us"),
+        )
+
+    opc = (
+        F.when(F.col("op") == "insert", F.lit("c"))
+        .when(is_upd, F.lit("u"))
+        .otherwise(F.lit("d"))
+    )
+    ts_ms = (F.col("src_us") - F.lit(base_us)).alias("ts_ms")
+    before = (
+        F.when(opc == "d", _img(F.col("text")))
+        # resolvable: replica-identity-full pre-image with the true
+        # prior text; unresolvable updates ship before = null
+        .when(res, _img(pre_text))
+    )
+    envelopes = ev.select(
+        F.to_json(
+            F.struct(
+                before.alias("before"),
+                F.when(opc != "d", _img(text_wire)).alias("after"),
+                opc.alias("op"),
+                ts_ms,
+                F.struct(
+                    F.col("lsn").alias("lsn"),
+                    (F.col("src_us") - F.lit(base_us)).alias("ts_ms"),
+                ).alias("source"),
+            )
+        ).alias("value")
+    )
+    base = tempfile.mkdtemp(prefix="ns_cdc_dbztoast_")
+    wal = os.path.join(base, "wal")
+    envelopes.repartition(4).write.mode("overwrite").text(wal)
+
+    payload = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("src_us", T.LongType()),
+        ]
+    )
+    src = DebeziumLogSource(
+        spark, wal, payload, toast_placeholder=TOAST_PLACEHOLDER
+    )
+    # plumbing assertions folded into one boolean output column:
+    # exactly the unresolvable updates demote to patches, nothing is
+    # rescued, and the resolvable ones substituted the pre-image
+    n_unres = int(ev.filter(unres).count())
+    n_res = int(ev.filter(res).count())
+    decoded = src.events.persist()
+    toast_demoted = bool(
+        decoded.filter(F.col("op") == "patch").count() == n_unres
+        and src.rescue.count() == 0
+        and decoded.filter(
+            F.col("text").rlike("^pre-[0-9]+$")
+        ).count() == n_res
+        and decoded.filter(
+            F.col("text") == TOAST_PLACEHOLDER
+        ).count() == 0
+    )
+
+    table_schema = T.StructType(
+        list(payload.fields) + [T.StructField("ts", T.TimestampType())]
+    )
+    table = SnapshotTable.create(
+        spark, os.path.join(base, "t"), table_schema,
+        key_cols=KEY_COLS, n_buckets=16,
+    )
+    lo, hi = src.lsn_bounds()
+    ReplayEngine(
+        spark, table,
+        config=EngineConfig(
+            batch_lsn_size=hi - lo + 1, lineage=False,
+            prune_buckets=False, patch_ops=True,
+        ),
+    ).replay(src)
+    ev.unpersist()
+    decoded.unpersist()
+    return table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.date_format(
+            F.timestamp_micros(F.col("src_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("ts_s"),
+        F.lit(toast_demoted).alias("toast_demoted"),
+    )
+
+
 def _q_archive_fanout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run-archive roundtrip + replay-from-archive + fan-out, end to
     end: the change log is archived as gzip JSONL under the reference's
@@ -4510,6 +4641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_debezium_stream_tail": _q_debezium_stream_tail,
         "cdc_debezium_evolve_tail": _q_debezium_evolve_tail,
         "cdc_debezium_type_drift": _q_debezium_type_drift,
+        "cdc_debezium_toast": _q_debezium_toast,
         "cdc_repair_bucket": _q_cdc_repair_bucket,
         "embedding_near_dup": _q_embedding_near_dup,
         "media_image_features": _q_image_features,
@@ -4717,6 +4849,46 @@ def oracle_sql() -> dict[str, str]:
                 FROM log l
               ) WHERE rn = 1
             ) WHERE op <> 'delete'
+        """,
+        # unchanged-TOAST placeholders: updates with lsn%7==0 demote to
+        # patches (text folds as keep-previous; their genuinely-NULL
+        # tool also folds as keep — the wire limit), lsn%7==1 resolve
+        # from the pre-image ('pre-<lsn>'); per-column arg_max fold,
+        # same shape as the cdc_patch_merge oracle
+        "cdc_debezium_toast": f"""
+            WITH log0 AS ({_CDC_DERIVATION}),
+            log AS (
+              SELECT lsn,
+                CASE WHEN op = 'update' AND lsn % 7 = 0 THEN 'patch'
+                     ELSE op END AS op,
+                conv_id, turn_idx, role,
+                CASE WHEN op = 'update' AND lsn % 7 = 0 THEN NULL
+                     WHEN op = 'update' AND lsn % 7 = 1
+                       THEN 'pre-' || CAST(lsn AS VARCHAR)
+                     ELSE text END AS text,
+                tool, ts
+              FROM log0
+            ),
+            r AS (
+              SELECT l.*, epoch_us(ts)::HUGEINT * 100000000 + lsn AS ok
+              FROM log l
+            ),
+            agg AS (
+              SELECT conv_id, turn_idx,
+                (arg_max({{'x': role}}, ok)
+                   FILTER (WHERE op <> 'patch' OR role IS NOT NULL)).x AS role,
+                (arg_max({{'x': text}}, ok)
+                   FILTER (WHERE op <> 'patch' OR text IS NOT NULL)).x AS text,
+                (arg_max({{'x': tool}}, ok)
+                   FILTER (WHERE op <> 'patch' OR tool IS NOT NULL)).x AS tool,
+                arg_max(ts, ok) AS ts,
+                arg_max(op, ok) FILTER (WHERE op <> 'patch') AS last_full
+              FROM r GROUP BY conv_id, turn_idx
+            )
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   TRUE AS toast_demoted
+            FROM agg WHERE last_full IS NOT NULL AND last_full <> 'delete'
         """,
         # HLL accumulators: sparse-exact regime == exact distinct
         "cdc_agg_distinct": f"""

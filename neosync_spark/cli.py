@@ -132,6 +132,14 @@ def main(argv: list[str] | None = None) -> int:
                         "(reason type_conflict:<fields>) instead of "
                         "letting permissive parsing null the field "
                         "silently")
+    r.add_argument("--toast-placeholder", default=None, metavar="LITERAL",
+                   help="debezium only: treat this literal in an "
+                        "update's string columns as the Postgres "
+                        "unchanged-TOAST sentinel (use "
+                        "__debezium_unavailable_value for the stock "
+                        "connector): resolve from the pre-image when "
+                        "present, else demote the event to a partial-"
+                        "image patch; requires --patch-ops")
     r.add_argument("--bloom-cols", default=None, metavar="COL,COL",
                    help="on table creation: build per-file bloom sidecars "
                         "for these columns at every commit (point-lookup "
@@ -402,6 +410,10 @@ def main(argv: list[str] | None = None) -> int:
                          "token doesn't fit a declared field type "
                          "instead of letting permissive parsing null "
                          "the field silently")
+    tl.add_argument("--toast-placeholder", default=None, metavar="LITERAL",
+                    help="debezium only: unchanged-TOAST sentinel "
+                         "literal (see replay --toast-placeholder); "
+                         "requires --patch-ops")
     tl.add_argument("--table", required=True)
     tl.add_argument("--checkpoint", required=True,
                     help="streaming checkpoint dir (epoch redelivery)")
@@ -672,6 +684,7 @@ def main(argv: list[str] | None = None) -> int:
             envelope_schema=args.envelope_schema,
             evolve_payload=args.evolve_payload,
             strict_wire_types=args.strict_wire_types,
+            toast_placeholder=args.toast_placeholder,
         )
         stats = run_job(spark, job)
         print(json.dumps({
@@ -1102,6 +1115,7 @@ def main(argv: list[str] | None = None) -> int:
             fmt=args.log_format, payload_schema=payload,
             evolve_payload=args.evolve_payload,
             strict_types=args.strict_wire_types,
+            toast_placeholder=args.toast_placeholder,
         )
         if args.follow:
             q.awaitTermination(args.timeout)

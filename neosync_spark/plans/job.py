@@ -82,6 +82,11 @@ class JobSpec:
     # silently); they land in quarantine_envelope with reason
     # type_conflict:<fields>
     strict_wire_types: bool = False
+    # debezium only: Postgres unchanged-TOAST sentinel literal (e.g.
+    # sources.debezium.TOAST_PLACEHOLDER). Updates carrying it resolve
+    # from the pre-image or demote to op='patch'; requires
+    # patch_ops=True (plan-time error otherwise)
+    toast_placeholder: str | None = None
 
 
 def resolve_transformer(m: ColumnMapping, seed: int) -> TransformFn:
@@ -159,10 +164,16 @@ def compile_job(
             payload = T.StructType(
                 [f for f in transcript_schema().fields if f.name != "ts"]
             )
+        if job.toast_placeholder is not None and not job.patch_ops:
+            raise ValueError(
+                "toast_placeholder demotes unresolved updates to patch "
+                "events — set patch_ops=True on the job"
+            )
         src = DebeziumLogSource(
             spark, job.source_path, payload,
             evolve_payload=(job.evolve_payload and registry is None),
             strict_types=job.strict_wire_types,
+            toast_placeholder=job.toast_placeholder,
         )
         if src.new_fields:
             # wire-schema drift: the feed carries columns the declared

@@ -39,6 +39,8 @@ envelope semantics follow the public Debezium documentation.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -72,12 +74,19 @@ def debezium_envelope_schema(payload_schema: T.StructType) -> T.StructType:
     )
 
 
+#: the literal Debezium writes for a column it could not read from the
+#: WAL — Postgres TOASTed text/bytea in an UPDATE when the table's
+#: REPLICA IDENTITY is not FULL (unchanged-toast-value placeholder).
+TOAST_PLACEHOLDER = "__debezium_unavailable_value"
+
+
 def decode_debezium(
     df: DataFrame,
     payload_schema: T.StructType,
     value_col: str = "value",
     materialize: bool = True,
     strict_types: bool = False,
+    toast_placeholder: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Decode envelope strings in ``df[value_col]`` → (events, rescue).
 
@@ -108,6 +117,38 @@ def decode_debezium(
     typed-decode-null, with reason ``type_conflict:<fields>``. String
     fields can't conflict (every token captures); a JSON null or a
     missing key is not a conflict.
+
+    ``toast_placeholder`` (pass ``TOAST_PLACEHOLDER`` for the standard
+    literal) handles Postgres UNCHANGED-TOAST values: when a TOASTed
+    column didn't change, the WAL doesn't carry it, and Debezium emits
+    the placeholder string instead of the real value in the update's
+    ``after`` image. Writing the sentinel through would corrupt the
+    table, and nulling it would erase real data. Per string column of
+    an update:
+
+    - placeholder in ``after`` but ``before`` carries a real value
+      (REPLICA IDENTITY FULL on the non-toasted side) → substitute the
+      ``before`` value; the event stays a full ``update``;
+    - placeholder with no usable ``before`` → the column is UNKNOWN at
+      decode time: the event demotes to ``op='patch'`` with that
+      column NULL (patch semantics: NULL = keep previous value), and
+      the merge folds it against table state — apply with
+      ``merge_cdc(..., patch_ops=True)`` / ``EngineConfig(
+      patch_ops=True)``.
+
+    Inherent wire limit (a property of the partial-image format, not
+    this decoder): in an update DEMOTED to a patch, a genuinely-NULL
+    sibling column folds as "keep previous", not "set NULL" — the same
+    ambiguity every Debezium consumer has when replica identity isn't
+    FULL. Updates with no placeholder are unaffected. An INSERT /
+    snapshot-read image carrying the placeholder is malformed (a fresh
+    row's columns are all in the WAL) and is rescued with reason
+    ``toast_placeholder_in_insert`` rather than written as the literal
+    sentinel; a DELETE's ``before`` image may carry placeholders
+    harmlessly (only its key matters — payload is tombstoned).
+
+    Everything is one JVM conditional projection per column — no extra
+    parse, no Python, no second pass over the batch.
     """
     env = debezium_envelope_schema(payload_schema)
     parsed = df.withColumn("_dbz", F.from_json(F.col(value_col), env))
@@ -138,10 +179,68 @@ def decode_debezium(
         p.getField("source").getField("lsn"),
         F.col("_dbz.source").getField("lsn"),
     )
-    op = F.when(op_raw.isin("c", "r"), F.lit("insert")).when(
-        op_raw == "u", F.lit("update")
-    ).when(op_raw == "d", F.lit("delete"))
-    image = F.when(op_raw == "d", before).otherwise(after)
+    str_fields = [
+        f for f in payload_schema.fields
+        if isinstance(f.dataType, T.StringType)
+    ]
+    toast_insert = None
+    if toast_placeholder is not None and str_fields:
+        ph = F.lit(toast_placeholder)
+
+        def _unresolved(name: str):
+            # placeholder on the wire and no usable pre-image value
+            a, b = after.getField(name), before.getField(name)
+            return (a == ph) & ~(b.isNotNull() & (b != ph))
+
+        # rebuild the update image: resolvable placeholders take the
+        # pre-image value, unresolved ones go NULL (patch = keep)
+        resolved = F.struct(
+            *[
+                (
+                    F.when(
+                        after.getField(f.name) == ph,
+                        F.when(~_unresolved(f.name), before.getField(f.name)),
+                    )
+                    .otherwise(after.getField(f.name))
+                    .alias(f.name)
+                    if isinstance(f.dataType, T.StringType)
+                    else after.getField(f.name).alias(f.name)
+                )
+                for f in payload_schema.fields
+            ]
+        )
+        any_unresolved = reduce(
+            lambda x, y: x | y,
+            [
+                F.coalesce(_unresolved(f.name), F.lit(False))
+                for f in str_fields
+            ],
+        )
+        toast_insert = reduce(
+            lambda x, y: x | y,
+            [
+                F.coalesce(after.getField(f.name) == ph, F.lit(False))
+                for f in str_fields
+            ],
+        )
+        op = (
+            F.when(op_raw.isin("c", "r"), F.lit("insert"))
+            .when((op_raw == "u") & any_unresolved, F.lit("patch"))
+            .when(op_raw == "u", F.lit("update"))
+            .when(op_raw == "d", F.lit("delete"))
+        )
+        image = (
+            F.when(op_raw == "d", before)
+            # guard on after.isNotNull(): F.struct(...) is never NULL,
+            # so an image-less update must stay NULL → null_row_image
+            .when(op_raw == "u", F.when(after.isNotNull(), resolved))
+            .otherwise(after)
+        )
+    else:
+        op = F.when(op_raw.isin("c", "r"), F.lit("insert")).when(
+            op_raw == "u", F.lit("update")
+        ).when(op_raw == "d", F.lit("delete"))
+        image = F.when(op_raw == "d", before).otherwise(after)
 
     # PERMISSIVE from_json yields an all-null struct (not NULL) for
     # malformed input — treat "nothing decoded" as unparseable
@@ -177,6 +276,11 @@ def decode_debezium(
         .when(image.isNull(), F.lit("null_row_image"))
         .when(ts_ms.isNull(), F.lit("missing_ts_ms"))
     )
+    if toast_insert is not None:
+        reason = reason.when(
+            (op == "insert") & toast_insert,
+            F.lit("toast_placeholder_in_insert"),
+        )
     if conflict_names is not None:
         reason = reason.when(
             F.size(conflict_names) > 0,
@@ -329,6 +433,7 @@ class DebeziumLogSource:
         value_col: str = "value",
         evolve_payload: bool = False,
         strict_types: bool = False,
+        toast_placeholder: str | None = None,
     ):
         """``evolve_payload=True`` widens ``payload_schema`` with any
         fields the wire carries that the schema lacks (see
@@ -356,7 +461,11 @@ class DebeziumLogSource:
                 payload_schema, self.new_fields = widened, new
         self.payload_schema = payload_schema
         self.events, self.rescue = decode_debezium(
-            df, payload_schema, value_col, strict_types=strict_types
+            df,
+            payload_schema,
+            value_col,
+            strict_types=strict_types,
+            toast_placeholder=toast_placeholder,
         )
 
     def full(self) -> DataFrame:

@@ -45,6 +45,7 @@ class StreamingReplay:
         self._payload_schema = None
         self._evolve_payload = False
         self._strict_types = False
+        self._toast_placeholder = None
         self.consumers = list(consumers or [])
         self.event_consumers = list(event_consumers or [])
         if rollup_dst is not None:
@@ -102,6 +103,7 @@ class StreamingReplay:
             batch, rescue = decode_debezium(
                 batch, self._payload_schema,
                 strict_types=self._strict_types,
+                toast_placeholder=self._toast_placeholder,
             )
             if self.engine.config.quarantine:
                 import os
@@ -193,6 +195,7 @@ class StreamingReplay:
         payload_schema=None,
         evolve_payload: bool = False,
         strict_types: bool = False,
+        toast_placeholder: str | None = None,
     ):
         """Start the streaming query. Caller owns lifecycle
         (processAllAvailable()/stop() in tests, awaitTermination() in
@@ -226,10 +229,23 @@ class StreamingReplay:
         PERMISSIVE from_json null the field silently (see
         ``decode_debezium``); with quarantine on they land in
         quarantine_envelope with reason ``type_conflict:<fields>``.
+
+        ``toast_placeholder`` (debezium only): treat the given literal
+        in an update's string columns as Postgres' unchanged-TOAST
+        sentinel — resolved from the pre-image when present, else the
+        event demotes to a partial-image patch (see
+        ``decode_debezium``). Requires the engine to run with
+        ``patch_ops=True`` so unresolved columns fold as "keep".
         """
         self._fmt = fmt
         self._evolve_payload = bool(evolve_payload)
         self._strict_types = bool(strict_types)
+        self._toast_placeholder = toast_placeholder
+        if toast_placeholder is not None and not self.engine.config.patch_ops:
+            raise ValueError(
+                "toast_placeholder demotes unresolved updates to patch "
+                "events — run the engine with EngineConfig(patch_ops=True)"
+            )
         if fmt == "debezium":
             if payload_schema is None:
                 from pyspark.sql import types as T

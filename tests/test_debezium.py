@@ -162,3 +162,141 @@ def test_cli_replay_debezium_format(spark, tmp_path, capsys):
     assert rc2 == 0
     out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["batches_applied"] == 0 and out2["batches_skipped"] >= 2
+
+
+# ---------------------------------------------------------------------------
+# Postgres unchanged-TOAST placeholders
+# ---------------------------------------------------------------------------
+
+
+def _toast_env(op, after, before, lsn, ts_ms):
+    return json.dumps({"payload": {
+        "before": before, "after": after, "op": op, "ts_ms": ts_ms,
+        "source": {"lsn": lsn, "ts_ms": ts_ms},
+    }})
+
+
+def test_toast_placeholder_resolution_and_demotion(spark):
+    """Resolvable placeholders substitute the pre-image value and stay
+    full updates; unresolvable ones demote to op='patch' with the
+    column NULLed; placeholders in inserts are rescued; deletes keep
+    their image (only the key matters)."""
+    from neosync_spark.sources.debezium import TOAST_PLACEHOLDER as PH
+
+    rows = [
+        # resolvable: before carries the real value
+        (_toast_env("u", {"id": 1, "v": PH}, {"id": 1, "v": "orig"}, 1, 1000),),
+        # unresolvable: before is null entirely
+        (_toast_env("u", {"id": 2, "v": PH}, None, 2, 2000),),
+        # unresolvable: before also a placeholder
+        (_toast_env("u", {"id": 3, "v": PH}, {"id": 3, "v": PH}, 3, 3000),),
+        # clean update untouched
+        (_toast_env("u", {"id": 4, "v": "new"}, {"id": 4, "v": "old"}, 4, 4000),),
+        # insert carrying the sentinel is malformed -> rescue
+        (_toast_env("c", {"id": 5, "v": PH}, None, 5, 5000),),
+        # delete whose before image carries the sentinel is fine
+        (_toast_env("d", None, {"id": 6, "v": PH}, 6, 6000),),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    events, rescue = decode_debezium(
+        df, SCHEMA, toast_placeholder=PH
+    )
+    got = {r["lsn"]: (r["op"], r["v"]) for r in events.collect()}
+    assert got == {
+        1: ("update", "orig"),
+        2: ("patch", None),
+        3: ("patch", None),
+        4: ("update", "new"),
+        6: ("delete", PH),
+    }
+    resc = {r["reason"] for r in rescue.collect()}
+    assert resc == {"toast_placeholder_in_insert"}
+    # still JVM-only
+    plan = events._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_toast_decode_off_by_default(spark):
+    """Without toast_placeholder the sentinel is an ordinary string."""
+    from neosync_spark.sources.debezium import TOAST_PLACEHOLDER as PH
+
+    df = spark.createDataFrame(
+        [(_toast_env("u", {"id": 1, "v": PH}, None, 1, 1000),)],
+        "value string",
+    )
+    events, rescue = decode_debezium(df, SCHEMA)
+    r = events.collect()[0]
+    assert (r["op"], r["v"]) == ("update", PH)
+    assert rescue.count() == 0
+
+
+def test_toast_patch_folds_against_table_state(spark, tmp_path):
+    """End to end: a TOASTed update (text unchanged on the wire, tool
+    changed) must keep the table's text and apply the tool — the
+    demoted patch folds against committed state via patch_ops."""
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.sources.debezium import TOAST_PLACEHOLDER as PH
+
+    payload = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+    ])
+    batch1 = [(_toast_env("c", {"id": 1, "text": "big toasted text", "tool": None}, None, 1, 1000),)]
+    batch2 = [
+        # text TOASTed-unchanged, tool set; no usable before
+        (_toast_env("u", {"id": 1, "text": PH, "tool": "web"}, None, 2, 2000),),
+        # a later full update of text only (tool genuinely NULL on a
+        # FULL image sets NULL)
+        (_toast_env("u", {"id": 1, "text": PH, "tool": "calc"}, None, 3, 3000),),
+    ]
+    schema = T.StructType(
+        list(payload.fields) + [T.StructField("ts", T.TimestampType())]
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), schema, key_cols=["id"], n_buckets=2
+    )
+    for i, b in enumerate([batch1, batch2]):
+        df = spark.createDataFrame(b, "value string")
+        ev, resc = decode_debezium(df, payload, toast_placeholder=PH)
+        assert resc.count() == 0
+        t.merge_cdc(ev, applied_range=(i, i + 1), source_is_raw=True,
+                    patch_ops=True, lineage=False)
+    final = t.read().select("id", "text", "tool").collect()
+    assert [(r["id"], r["text"], r["tool"]) for r in final] == [
+        (1, "big toasted text", "calc")
+    ]
+
+
+def test_toast_requires_patch_ops_in_plans(spark, tmp_path):
+    """Job plan and streaming tail refuse toast handling without
+    patch_ops — a demoted patch through a non-patch merge would
+    NULL-overwrite the unchanged column."""
+    import pytest
+
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.plans.job import JobSpec, run_job
+    from neosync_spark.schema import transcript_schema
+    from neosync_spark.streaming.stream import StreamingReplay
+
+    job = JobSpec(
+        source_path=str(tmp_path / "log"),
+        destination_path=str(tmp_path / "t"),
+        source_format="debezium",
+        toast_placeholder="__debezium_unavailable_value",
+    )
+    with pytest.raises(ValueError, match="patch_ops"):
+        run_job(spark, job)
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t2"), transcript_schema(),
+        key_cols=["conv_id", "turn_idx"], n_buckets=2,
+    )
+    eng = ReplayEngine(spark, t, config=EngineConfig(patch_ops=False))
+    with pytest.raises(ValueError, match="patch_ops"):
+        StreamingReplay(eng).start(
+            str(tmp_path / "log"), str(tmp_path / "cp"),
+            fmt="debezium",
+            toast_placeholder="__debezium_unavailable_value",
+        )
