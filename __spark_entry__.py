@@ -1678,6 +1678,77 @@ def _q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_schema_compat_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-governed evolution under a COMPATIBILITY MODE (the
+    Confluent contract: schema_registry.check_compatibility): the same
+    mid-log evolution as cdc_schema_evolution, but every version must
+    pass BACKWARD compatibility at register() time — v2's changes are
+    a nullable add (tool) + an int→long promotion (turn_idx), both
+    legal; a v3 narrowing turn_idx back to int and a v4 adding a
+    NON-nullable column are both rejected with typed violations before
+    any event could be written under them. Output = the replayed final
+    state (same DuckDB oracle as the evolution query) + a boolean
+    pinning that the two incompatible versions were refused and the
+    registry kept exactly the two accepted versions."""
+    from pyspark.sql import types as T  # noqa: N812
+
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+    from neosync_spark.schema_registry import (
+        COMPAT_BACKWARD,
+        IncompatibleSchemaError,
+        SchemaRegistry,
+    )
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    batch = (hi + 4) // 4
+    mid = 2 * batch
+
+    v1 = transcript_schema(with_tool=False)
+    v2 = transcript_schema(with_tool=True, wide_turn_idx=True)
+    reg = SchemaRegistry(compatibility=COMPAT_BACKWARD)
+    reg.register(v1, 0)
+    reg.register(v2, mid)
+
+    v3_narrow = transcript_schema(with_tool=True, wide_turn_idx=False)
+    v4_nonnull = T.StructType(
+        list(v2.fields) + [T.StructField("score", T.DoubleType(), False)]
+    )
+    rejected = 0
+    for bad in (v3_narrow, v4_nonnull):
+        try:
+            reg.register(bad, mid * 2)
+        except IncompatibleSchemaError as e:
+            if e.violations:
+                rejected += 1
+    compat_enforced = bool(rejected == 2 and len(reg.versions) == 2)
+
+    path = tempfile.mkdtemp(prefix="ns_cdc_compat_")
+    table = SnapshotTable.create(spark, path, v1, key_cols=KEY_COLS, n_buckets=16)
+    eng = ReplayEngine(
+        spark,
+        table,
+        registry=reg,
+        config=EngineConfig(batch_lsn_size=batch, lineage=False, prune_buckets=False),
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    eng.replay(slicer, lsn_lo=0, lsn_hi=hi)
+    return table.read().select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role",
+        "text",
+        "tool",
+        _fmt_ts("ts"),
+        F.lit(compat_enforced).alias("compat_enforced"),
+    )
+
+
 def _q_lww_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.operators.dedup import lww_dedup
 
@@ -4642,6 +4713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_debezium_evolve_tail": _q_debezium_evolve_tail,
         "cdc_debezium_type_drift": _q_debezium_type_drift,
         "cdc_debezium_toast": _q_debezium_toast,
+        "cdc_schema_compat_evolve": _q_schema_compat_evolve,
         "cdc_repair_bucket": _q_cdc_repair_bucket,
         "embedding_near_dup": _q_embedding_near_dup,
         "media_image_features": _q_image_features,
@@ -5181,6 +5253,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text,
                    CASE WHEN lsn < (SELECT mid FROM mx) THEN NULL ELSE tool END AS tool,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM (
+              SELECT l.*, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+              FROM ({_CDC_DERIVATION}) l
+            ) WHERE rn = 1 AND op <> 'delete'
+        """,
+        # compatibility-governed evolution: same final state as the
+        # evolution query; the boolean pins that the narrowing and the
+        # non-nullable add were refused at register() time
+        "cdc_schema_compat_evolve": f"""
+            WITH mx AS (
+              SELECT ((max(lsn) + 4) // 4) * 2 AS mid
+              FROM ({_CDC_DERIVATION})
+            )
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text,
+                   CASE WHEN lsn < (SELECT mid FROM mx) THEN NULL ELSE tool END AS tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   TRUE AS compat_enforced
             FROM (
               SELECT l.*, row_number() OVER (
                 PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn

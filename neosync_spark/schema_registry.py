@@ -23,6 +23,126 @@ from pyspark.sql import types as T
 
 from .lakehouse import SnapshotTable
 
+# Compatibility modes (the Confluent Schema Registry contract, mapped
+# to relational StructTypes): a mode states which READER generation
+# must be able to consume which WRITER generation's data, and is
+# enforced at register() time so an incompatible producer schema is
+# rejected BEFORE any event is written with it — the wire-governance
+# layer a 10^10-event multi-producer feed needs.
+COMPAT_NONE = "none"
+COMPAT_BACKWARD = "backward"  # new schema reads data written by latest
+COMPAT_FORWARD = "forward"  # latest schema reads data written by new
+COMPAT_FULL = "full"  # both directions vs latest
+COMPAT_BACKWARD_TRANSITIVE = "backward_transitive"  # vs ALL priors
+COMPAT_FORWARD_TRANSITIVE = "forward_transitive"
+COMPAT_FULL_TRANSITIVE = "full_transitive"
+
+# Avro's type-promotion lattice mapped to Spark types: a reader of the
+# VALUE type can consume data written as any of the KEY type.
+_PROMOTIONS: dict[str, tuple[str, ...]] = {
+    "tinyint": ("smallint", "int", "bigint", "float", "double"),
+    "smallint": ("int", "bigint", "float", "double"),
+    "int": ("bigint", "float", "double"),
+    "bigint": ("float", "double"),
+    "float": ("double",),
+    "string": ("binary",),
+    "binary": ("string",),
+}
+
+
+def can_read(reader: T.DataType, writer: T.DataType) -> bool:
+    """True iff a field declared ``reader`` can consume values written
+    as ``writer`` (identity or an Avro-style promotion)."""
+    if reader == writer:
+        return True
+    return reader.simpleString() in _PROMOTIONS.get(writer.simpleString(), ())
+
+
+class IncompatibleSchemaError(RuntimeError):
+    """A schema version rejected by the registry's compatibility mode;
+    ``violations`` lists each failed rule as a dict."""
+
+    def __init__(self, mode: str, violations: list[dict]):
+        self.mode = mode
+        self.violations = violations
+        super().__init__(
+            f"schema incompatible under {mode!r}: {violations}"
+        )
+
+
+def _pairs(
+    old: T.StructType, new: T.StructType, renames: dict[str, str]
+) -> list[tuple[T.StructField | None, T.StructField | None]]:
+    """Field pairing across a rename map (new_name -> old_name)."""
+    old_by = {f.name: f for f in old.fields}
+    out: list[tuple[T.StructField | None, T.StructField | None]] = []
+    matched_old: set[str] = set()
+    for f_ in new.fields:
+        o = old_by.get(renames.get(f_.name, f_.name))
+        if o is not None:
+            matched_old.add(o.name)
+        out.append((o, f_))
+    for f_ in old.fields:
+        if f_.name not in matched_old:
+            out.append((f_, None))
+    return out
+
+
+def check_compatibility(
+    old: T.StructType,
+    new: T.StructType,
+    mode: str,
+    renames: dict[str, str] | None = None,
+) -> list[dict]:
+    """Violations of ``mode`` when evolving ``old`` → ``new`` (empty =
+    compatible). BACKWARD = a consumer on ``new`` still reads data
+    written under ``old``: added fields must be nullable (read as
+    NULL from old rows) and shared fields may only promote old→new.
+    FORWARD = a consumer still on ``old`` reads data written under
+    ``new``: dropped fields must have been nullable in ``old`` (read
+    as NULL from new rows) and shared fields may only promote
+    new→old. FULL = both. Transitive variants apply the same rule
+    against every prior version (handled by the registry)."""
+    renames = renames or {}
+    base = mode.replace("_transitive", "")
+    if base == COMPAT_NONE:
+        return []
+    if base not in (COMPAT_BACKWARD, COMPAT_FORWARD, COMPAT_FULL):
+        raise ValueError(f"unknown compatibility mode {mode!r}")
+    viol: list[dict] = []
+    backward = base in (COMPAT_BACKWARD, COMPAT_FULL)
+    forward = base in (COMPAT_FORWARD, COMPAT_FULL)
+    for o, n in _pairs(old, new, renames):
+        if o is None:  # added by new
+            if backward and not n.nullable:
+                viol.append({
+                    "rule": "backward", "field": n.name,
+                    "why": "added field must be nullable (old data "
+                           "lacks it)",
+                })
+        elif n is None:  # dropped by new
+            if forward and not o.nullable:
+                viol.append({
+                    "rule": "forward", "field": o.name,
+                    "why": "dropped field was non-nullable in the old "
+                           "schema (old readers can't default it)",
+                })
+        else:
+            if backward and not can_read(n.dataType, o.dataType):
+                viol.append({
+                    "rule": "backward", "field": n.name,
+                    "why": f"{o.dataType.simpleString()} values don't "
+                           f"promote to {n.dataType.simpleString()}",
+                })
+            if forward and not can_read(o.dataType, n.dataType):
+                viol.append({
+                    "rule": "forward", "field": n.name,
+                    "why": f"{n.dataType.simpleString()} values don't "
+                           f"promote back to {o.dataType.simpleString()}",
+                })
+    return viol
+
+
 POLICY_HALT = "halt"  # any drift fails the job
 POLICY_HALT_NEW = "halt-on-new-column"  # adds fail; drops/renames apply
 POLICY_HALT_REMOVAL = "halt-on-column-removal"  # drops fail; adds apply
@@ -47,6 +167,12 @@ class SchemaVersion:
 class SchemaRegistry:
     versions: list[SchemaVersion] = field(default_factory=list)
     policy: str = POLICY_AUTOMAP
+    # compatibility gate applied at register() time (COMPAT_*):
+    # non-transitive modes check against the latest version only,
+    # *_transitive against every prior version (rename maps are only
+    # declared vs the immediate predecessor, so transitive checks
+    # compose them hop by hop)
+    compatibility: str = COMPAT_NONE
 
     def register(
         self,
@@ -54,6 +180,33 @@ class SchemaRegistry:
         effective_lsn: int = 0,
         renames: dict[str, str] | None = None,
     ) -> SchemaVersion:
+        if self.versions and self.compatibility != COMPAT_NONE:
+            rn = renames or {}
+            if self.compatibility.endswith("_transitive"):
+                # walk back through predecessors, composing rename maps
+                # (new_name -> name in each older version)
+                acc = dict(rn)
+                viol = check_compatibility(
+                    self.versions[-1].schema, schema,
+                    self.compatibility, acc,
+                )
+                for older, newer in zip(
+                    reversed(self.versions[:-1]), reversed(self.versions[1:])
+                ):
+                    step = newer.rename_map  # newer name -> older name
+                    acc = {
+                        new: step.get(old, old) for new, old in acc.items()
+                    }
+                    viol += check_compatibility(
+                        older.schema, schema, self.compatibility, acc
+                    )
+            else:
+                viol = check_compatibility(
+                    self.versions[-1].schema, schema,
+                    self.compatibility, rn,
+                )
+            if viol:
+                raise IncompatibleSchemaError(self.compatibility, viol)
         v = SchemaVersion(
             len(self.versions) + 1,
             schema,
