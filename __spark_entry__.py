@@ -1749,6 +1749,132 @@ def _q_schema_compat_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OUTBOX_DERIVATION = """
+SELECT
+  event_id AS lsn,
+  CASE WHEN event_id % 3 = 0 THEN 'account' ELSE 'conversation' END
+    AS aggregate_type,
+  CASE WHEN event_id % 3 = 0
+       THEN CASE WHEN event_id % 20 >= 19 THEN 'account.closed'
+                 ELSE 'account.updated' END
+       ELSE CASE WHEN event_id % 20 >= 19 THEN 'turn.deleted'
+                 ELSE 'turn.upsert' END
+  END AS type,
+  'conv-' || CAST(user_id % 150 AS STRING) AS conv_id,
+  CAST(event_id % 16 AS INT) AS turn_idx,
+  CASE WHEN event_id % 3 = 1 THEN 'user' ELSE 'assistant' END AS role,
+  CASE WHEN event_id % 20 >= 19 THEN NULL
+       ELSE event_type || ' #' || CAST(event_id AS STRING) END AS text,
+  CAST(user_id % 50 AS BIGINT) AS user_id,
+  event_type AS plan,
+  ts
+FROM events
+"""
+
+
+def _q_outbox_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional-outbox routing (operators/outbox.py — the public
+    Debezium outbox-event-router contract): ONE outbox feed derived
+    from events carries two aggregate types with different payload
+    schemas — 'conversation' turns (keyed conv_id+turn_idx, JSON
+    payload, 'turn.deleted' deletes) and 'account' rows (keyed
+    user_id, 'account.closed' deletes via op_map). outbox_sync routes
+    the batch (persisted once, one from_json per route) into two
+    SnapshotTables, each recording the SAME lsn window in its OWN
+    ledger. Output = both tables' final states unioned under a dest
+    discriminator; DuckDB replays the two LWW folds directly."""
+    from pyspark.sql import types as T  # noqa: N812
+
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.outbox import (
+        OutboxRoute,
+        outbox_sync,
+    )
+
+    _views(spark, sf_dir, ["events"])
+    ob = spark.sql(_OUTBOX_DERIVATION)
+    is_conv = F.col("aggregate_type") == "conversation"
+    batch = ob.select(
+        F.col("lsn").alias("id"),
+        "aggregate_type",
+        F.when(is_conv, F.col("conv_id"))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("aggregate_id"),
+        "type",
+        F.when(
+            is_conv,
+            F.to_json(F.struct("conv_id", "turn_idx", "role", "text")),
+        )
+        .otherwise(F.to_json(F.struct("user_id", "plan")))
+        .alias("payload"),
+        "ts",
+        "lsn",
+    )
+
+    conv_payload = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    acct_payload = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("plan", T.StringType()),
+    ])
+    routes = {
+        "conversation": OutboxRoute(conv_payload, ["conv_id", "turn_idx"]),
+        "account": OutboxRoute(
+            acct_payload, ["user_id"],
+            op_map={"account.closed": "delete"},
+        ),
+    }
+    base = tempfile.mkdtemp(prefix="ns_cdc_outbox_")
+    tables = {
+        "conversation": SnapshotTable.create(
+            spark, os.path.join(base, "conv"),
+            T.StructType(list(conv_payload.fields)
+                         + [T.StructField("ts", T.TimestampType())]),
+            key_cols=["conv_id", "turn_idx"], n_buckets=16,
+        ),
+        "account": SnapshotTable.create(
+            spark, os.path.join(base, "acct"),
+            T.StructType(list(acct_payload.fields)
+                         + [T.StructField("ts", T.TimestampType())]),
+            key_cols=["user_id"], n_buckets=8,
+        ),
+    }
+    outbox_sync(
+        spark, batch, tables, routes,
+        lineage=False, prune_buckets=False,
+    )
+    # replayed window no-ops on BOTH ledgers (exactly-once per table)
+    stats2 = outbox_sync(
+        spark, batch, tables, routes,
+        lineage=False, prune_buckets=False,
+    )
+    noop = bool(all(v == 0 for v in stats2["applied"].values()))
+
+    conv_out = tables["conversation"].read().select(
+        F.lit("conversation").alias("dest"),
+        F.col("conv_id").alias("key1"),
+        F.col("turn_idx").alias("key2"),
+        F.col("role").alias("a"),
+        F.col("text").alias("b"),
+        _fmt_ts("ts"),
+        F.lit(noop).alias("replay_noop"),
+    )
+    acct_out = tables["account"].read().select(
+        F.lit("account").alias("dest"),
+        F.col("user_id").cast("string").alias("key1"),
+        F.lit(None).cast("int").alias("key2"),
+        F.col("plan").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+        _fmt_ts("ts"),
+        F.lit(noop).alias("replay_noop"),
+    )
+    return conv_out.unionByName(acct_out)
+
+
 def _q_lww_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.operators.dedup import lww_dedup
 
@@ -4714,6 +4840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_debezium_type_drift": _q_debezium_type_drift,
         "cdc_debezium_toast": _q_debezium_toast,
         "cdc_schema_compat_evolve": _q_schema_compat_evolve,
+        "cdc_outbox_route": _q_outbox_route,
         "cdc_repair_bucket": _q_cdc_repair_bucket,
         "embedding_near_dup": _q_embedding_near_dup,
         "media_image_features": _q_image_features,
@@ -5276,6 +5403,39 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
               FROM ({_CDC_DERIVATION}) l
             ) WHERE rn = 1 AND op <> 'delete'
+        """,
+        # outbox routing: two independent LWW folds over the one feed's
+        # per-aggregate slices; deletes are the route's domain names
+        "cdc_outbox_route": f"""
+            WITH ob AS ({_OUTBOX_DERIVATION}),
+            conv AS (
+              SELECT * FROM (
+                SELECT o.*, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, lsn DESC) AS rn
+                FROM ob o WHERE aggregate_type = 'conversation'
+              ) WHERE rn = 1 AND type <> 'turn.deleted'
+            ),
+            acct AS (
+              SELECT * FROM (
+                SELECT o.*, row_number() OVER (
+                  PARTITION BY user_id
+                  ORDER BY ts DESC, lsn DESC) AS rn
+                FROM ob o WHERE aggregate_type = 'account'
+              ) WHERE rn = 1 AND type <> 'account.closed'
+            )
+            SELECT 'conversation' AS dest, conv_id AS key1, turn_idx AS key2,
+                   role AS a, text AS b,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   TRUE AS replay_noop
+            FROM conv
+            UNION ALL
+            SELECT 'account' AS dest, CAST(user_id AS STRING) AS key1,
+                   CAST(NULL AS INTEGER) AS key2, plan AS a,
+                   CAST(NULL AS STRING) AS b,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   TRUE AS replay_noop
+            FROM acct
         """,
         "cdc_lww_dedup_agg": f"""
             SELECT conv_id, turn_idx, lsn, op,
