@@ -1875,6 +1875,78 @@ def _q_outbox_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv_out.unionByName(acct_out)
 
 
+def _q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBLog-style incremental snapshot (operators/incremental_snapshot
+    — arXiv:2010.12597 / Debezium incremental snapshots): a NEW
+    destination bootstraps from a live source by key-range CHUNKS
+    interleaved with the change stream, watermark-arbitrated through
+    the engine's (ts, lsn) LWW merge. The interleave is adversarial —
+    the stream runs AHEAD of the first chunk (stale chunk rows must
+    not clobber newer streamed values), chunks advance their
+    watermark mid-run, and a simulated lost state write retries chunk
+    0 (must no-op via its synthetic ledger identity). Final state ==
+    the full-log LWW fold, which DuckDB replays directly."""
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.dedup import lww_dedup
+    from neosync_spark.operators.incremental_snapshot import (
+        IncrementalSnapshot,
+    )
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir).persist()
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    w0, w1, w2 = (hi * 2) // 5, (hi * 3) // 5, (hi * 4) // 5
+
+    def state(lw: int) -> DataFrame:
+        fold = lww_dedup(
+            log.filter(F.col("lsn") <= lw), KEY_COLS, ["ts", "lsn"]
+        )
+        return fold.filter(F.col("op") != "delete").drop("op", "lsn")
+
+    table = SnapshotTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="ns_incsnap_gate_"),
+        transcript_schema(),
+        key_cols=KEY_COLS,
+        n_buckets=8,
+    )
+
+    def stream(lo: int, hi_: int) -> None:
+        sl = log.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi_))
+        table.merge_cdc(sl, applied_range=(lo + 1, hi_ + 1), source_is_raw=True)
+
+    src0 = state(w0)
+    snap = IncrementalSnapshot(
+        table,
+        src0,
+        tempfile.mkdtemp(prefix="ns_incsnap_gate_st_"),
+        chunk_rows=max(1, src0.count() // 3 + 1),
+    )
+    multi = snap.plan.n_chunks >= 3
+    stream(w0, w1)  # the stream outruns the snapshot
+    snap.step(lw=w0)  # chunk 0, read at the OLD watermark
+    snap.step(lw=w1, source=state(w1))
+    stream(w1, w2)
+    snap.run(lw=w2, source=state(w2))
+    stream(w2, hi)
+    # lost-state-write retry: chunk 0 re-offered at the same watermark
+    # must hit its synthetic ledger range and apply nothing
+    snap.state["next_chunk"] = 0
+    snap._save()
+    retry_noop = snap.step(lw=w0)["rows_applied"] == 0
+    log.unpersist()
+    return table.read().select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        _fmt_ts("ts"),
+        F.lit(bool(multi)).alias("multi_chunk"),
+        F.lit(bool(retry_noop)).alias("retry_noop"),
+    )
+
+
 def _q_lww_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.operators.dedup import lww_dedup
 
@@ -4841,6 +4913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_debezium_toast": _q_debezium_toast,
         "cdc_schema_compat_evolve": _q_schema_compat_evolve,
         "cdc_outbox_route": _q_outbox_route,
+        "cdc_incremental_snapshot": _q_cdc_incremental_snapshot,
         "cdc_repair_bucket": _q_cdc_repair_bucket,
         "embedding_near_dup": _q_embedding_near_dup,
         "media_image_features": _q_image_features,
@@ -5436,6 +5509,15 @@ def oracle_sql() -> dict[str, str]:
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
                    TRUE AS replay_noop
             FROM acct
+        """,
+        # incremental snapshot: chunks + stream interleaved in any
+        # order converge on the plain full-log LWW state
+        "cdc_incremental_snapshot": f"""
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   TRUE AS multi_chunk,
+                   TRUE AS retry_noop
+            FROM ({lww}) WHERE op <> 'delete'
         """,
         "cdc_lww_dedup_agg": f"""
             SELECT conv_id, turn_idx, lsn, op,

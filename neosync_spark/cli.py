@@ -457,6 +457,30 @@ def main(argv: list[str] | None = None) -> int:
     s2.add_argument("--to-lsn", type=int, default=None,
                     help="default: log max lsn + 1")
 
+    ss = sub.add_parser(
+        "snapshot-sync",
+        help="bootstrap/re-snapshot a table from a source state in "
+             "key-range chunks (DBLog incremental snapshot) — resumable, "
+             "and safe to interleave with replay/tail of the same "
+             "source's change stream in any order",
+    )
+    ss.add_argument("--source", required=True,
+                    help="parquet of the source state rows (no op/lsn cols)")
+    ss.add_argument("--source-lsn", type=int, required=True,
+                    help="WAL position the source state provably reflects "
+                         "(the chunk low watermark)")
+    ss.add_argument("--table", required=True,
+                    help="destination SnapshotTable (created if absent)")
+    ss.add_argument("--state", required=True,
+                    help="chunk-progress state dir (resume point)")
+    ss.add_argument("--chunk-rows", type=int, default=1 << 20)
+    ss.add_argument("--max-chunks", type=int, default=None,
+                    help="apply at most N chunks this invocation "
+                         "(interleave stream drains between invocations)")
+    ss.add_argument("--keys", default="conv_id,turn_idx",
+                    help="key columns when creating the destination")
+    ss.add_argument("--buckets", type=int, default=16)
+
     ix = sub.add_parser(
         "index-sync",
         help="incrementally index new documents into a MinHash-LSH dedup "
@@ -1171,6 +1195,25 @@ def main(argv: list[str] | None = None) -> int:
             "dim_snapshot": info.snapshot_id,
             "noop": info.rows_written == 0,
         }))
+        return 0
+
+    if args.cmd == "snapshot-sync":
+        from .lakehouse import SnapshotTable
+        from .operators.incremental_snapshot import IncrementalSnapshot
+
+        src = spark.read.parquet(args.source)
+        if SnapshotTable.exists(args.table):
+            table = SnapshotTable.load(spark, args.table)
+        else:
+            table = SnapshotTable.create(
+                spark, args.table, src.schema,
+                key_cols=args.keys.split(","), n_buckets=args.buckets,
+            )
+        snap = IncrementalSnapshot(
+            table, src, args.state, chunk_rows=args.chunk_rows
+        )
+        out = snap.run(lw=args.source_lsn, max_chunks=args.max_chunks)
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "index-sync":

@@ -52,6 +52,16 @@ _BUCKET_COL = "_bucket"
 _DELETED_COL = "_deleted"
 _PATCH_COL = "_patch"
 
+#: Synthetic exactly-once identities (streaming file-set epochs,
+#: incremental-snapshot chunks) live at or above this bit — outside any
+#: real WAL lsn space. They participate in ``is_applied`` probes like
+#: any ledger row, but are EXCLUDED from lsn-position reasoning:
+#: resume fast-forward (``last_applied_lsn``), consistent-read
+#: alignment (``checkpoint_boundaries``), and lsn time travel
+#: (``snapshot_at_lsn``) — a fingerprint is an identity, not a log
+#: position.
+SYNTHETIC_LSN_BASE = 1 << 62
+
 
 def observation_metrics(observation, timeout_s: float = 5.0) -> dict | None:
     """Read ``observe()`` metrics without risking a driver hang.
@@ -937,7 +947,11 @@ class SnapshotTable:
         'every event with lsn < boundary applied, none beyond'. The
         alignment vocabulary for cross-table consistent reads
         (plans/consistent.py). Metadata-only."""
-        return sorted({int(hi) for (_lo, hi, _sid, _n) in self.applied_ranges()})
+        return sorted({
+            int(hi)
+            for (lo, hi, _sid, _n) in self.applied_ranges()
+            if int(lo) < SYNTHETIC_LSN_BASE
+        })
 
     def snapshot_at_lsn(self, lsn: int, strict: bool = True) -> int:
         """Newest snapshot whose ledger high-water is <= ``lsn`` — lsn
@@ -960,7 +974,11 @@ class SnapshotTable:
             )
         m = self.manifest(refresh=True)
         while True:
-            his = [hi for (_lo, hi, _sid, _n) in self._ledger_rows(m)]
+            his = [
+                hi
+                for (lo, hi, _sid, _n) in self._ledger_rows(m)
+                if int(lo) < SYNTHETIC_LSN_BASE
+            ]
             hw = max(his) if his else 0
             if hw <= int(lsn):
                 return int(m["snapshot_id"])
@@ -3484,8 +3502,16 @@ class SnapshotTable:
         )
 
     def last_applied_lsn(self) -> int | None:
+        """High-water of applied REAL-lsn ranges. Synthetic identities
+        (file-set epochs, snapshot chunks — lo >= SYNTHETIC_LSN_BASE)
+        are not log positions: including them would make a batch
+        replay after a streaming-tail epoch fast-forward past the
+        whole log."""
         ranges = self.applied_ranges()
-        return max((r[1] for r in ranges), default=None)
+        return max(
+            (r[1] for r in ranges if int(r[0]) < SYNTHETIC_LSN_BASE),
+            default=None,
+        )
 
     def sync_ordinal(self) -> int:
         """A per-table ordinal for derived-table syncs (index epochs,

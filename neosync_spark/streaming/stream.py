@@ -163,9 +163,11 @@ class StreamingReplay:
         paths = sorted(r["f"] for r in rows)
         if not paths:
             return None
+        from ..lakehouse import SYNTHETIC_LSN_BASE
+
         digest = hashlib.sha256("\n".join(paths).encode()).digest()
-        h = int.from_bytes(digest[:8], "big") & ((1 << 62) - 1)
-        lo = (1 << 62) | h
+        h = int.from_bytes(digest[:8], "big") & (SYNTHETIC_LSN_BASE - 1)
+        lo = SYNTHETIC_LSN_BASE | h
         return (lo, lo + 1)
 
     def _sync_events(self, batch: DataFrame, rng: tuple[int, int]) -> None:

@@ -1,0 +1,304 @@
+"""DBLog-style incremental snapshot: chunked re-snapshot of a live
+source interleaved with the change stream (operators/incremental_snapshot).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from neosync_spark.lakehouse import SnapshotTable
+from neosync_spark.operators.dedup import lww_dedup
+from neosync_spark.operators.incremental_snapshot import (
+    IncrementalSnapshot,
+    chunk_predicate,
+    plan_chunks,
+)
+from neosync_spark.schema import KEY_COLS, transcript_schema
+
+T0 = datetime(2024, 1, 1)
+
+
+def _log(spark, events):
+    """events: (lsn, op, conv_id, turn_idx, text) — ts tracks lsn."""
+    rows = [
+        (
+            lsn,
+            op,
+            conv,
+            turn,
+            "user" if op != "delete" else None,
+            text if op != "delete" else None,
+            None,
+            T0 + timedelta(seconds=lsn),
+        )
+        for (lsn, op, conv, turn, text) in events
+    ]
+    return spark.createDataFrame(
+        rows,
+        "lsn long, op string, conv_id string, turn_idx int, role string,"
+        " text string, tool string, ts timestamp",
+    )
+
+
+def _gen_events(n_keys=60, n_events=400):
+    """Deterministic mixed-op log: inserts, updates, deletes,
+    re-inserts after delete."""
+    ev = []
+    for lsn in range(n_events):
+        k = (lsn * 7) % n_keys
+        conv, turn = f"c{k % 20:03d}", k // 20
+        r = lsn % 11
+        op = "delete" if r == 10 and lsn > n_keys else (
+            "insert" if lsn < n_keys else "update"
+        )
+        ev.append((lsn, op, conv, turn, f"v{lsn}"))
+    return ev
+
+
+def _state(log, lw=None):
+    """Live-source view at WAL position lw: LWW fold, deletes gone."""
+    df = log if lw is None else log.filter(F.col("lsn") <= lw)
+    fold = lww_dedup(df, KEY_COLS, ["ts", "lsn"])
+    return fold.filter(F.col("op") != "delete").drop("op", "lsn")
+
+
+def _mk_table(spark):
+    return SnapshotTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="ns_incsnap_"),
+        transcript_schema(),
+        key_cols=KEY_COLS,
+        n_buckets=4,
+    )
+
+
+def _read_sorted(table):
+    return (
+        table.read()
+        .select("conv_id", "turn_idx", "text")
+        .sort("conv_id", "turn_idx")
+        .collect()
+    )
+
+
+def test_chunks_partition_keyspace(spark):
+    log = _log(spark, _gen_events())
+    src = _state(log)
+    n = src.count()
+    plan = plan_chunks(src, KEY_COLS, chunk_rows=max(1, n // 5))
+    assert plan.n_chunks >= 3
+    total = 0
+    for i in range(plan.n_chunks):
+        total += src.filter(chunk_predicate(plan, i)).count()
+    # every key in exactly one chunk: counts add up to the whole
+    assert total == n
+
+
+def test_snapshot_only_equals_source(spark):
+    log = _log(spark, _gen_events())
+    src = _state(log)
+    hi = log.agg(F.max("lsn")).collect()[0][0]
+    table = _mk_table(spark)
+    snap = IncrementalSnapshot(
+        table,
+        src,
+        tempfile.mkdtemp(prefix="ns_incsnap_st_"),
+        chunk_rows=max(1, src.count() // 4),
+    )
+    out = snap.run(lw=hi)
+    assert out["done"] and out["chunks_applied"] == snap.plan.n_chunks
+    assert _read_sorted(table) == (
+        src.select("conv_id", "turn_idx", "text")
+        .sort("conv_id", "turn_idx")
+        .collect()
+    )
+
+
+def test_interleaved_chunks_and_stream_converge(spark):
+    """Chunks at advancing watermarks, stream slices in between, in
+    arbitrary relative order — final state == full-log LWW fold."""
+    log = _log(spark, _gen_events()).cache()
+    hi = log.agg(F.max("lsn")).collect()[0][0]
+    w0, w1, w2 = int(hi * 0.4), int(hi * 0.6), int(hi * 0.8)
+    table = _mk_table(spark)
+
+    def stream(lo, hi_):  # (lo, hi_] as a raw CDC batch
+        sl = log.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi_))
+        table.merge_cdc(
+            sl, applied_range=(lo + 1, hi_ + 1), source_is_raw=True
+        )
+
+    snap = IncrementalSnapshot(
+        table,
+        _state(log, w0),
+        tempfile.mkdtemp(prefix="ns_incsnap_il_"),
+        chunk_rows=max(1, _state(log, w0).count() // 3 + 1),
+    )
+    assert snap.plan.n_chunks >= 3
+    # stream runs AHEAD of the first chunk: stale chunk rows must not
+    # clobber newer streamed values
+    stream(w0, w1)
+    snap.step(lw=w0)  # chunk 0 read at the OLD watermark
+    snap.step(lw=w1, source=_state(log, w1))  # chunk 1 at a newer one
+    stream(w1, w2)
+    snap.run(lw=w2, source=_state(log, w2))  # remaining chunks
+    stream(w2, hi)
+
+    expect = (
+        _state(log)
+        .select("conv_id", "turn_idx", "text")
+        .sort("conv_id", "turn_idx")
+        .collect()
+    )
+    assert _read_sorted(table) == expect
+
+
+def test_stale_chunk_never_clobbers_newer_stream_row(spark):
+    """Pinned adversarial case: the stream applies an update AND a
+    delete after the chunk's watermark; the late chunk apply must keep
+    both outcomes."""
+    ev = [
+        (0, "insert", "a", 0, "old-a"),
+        (1, "insert", "b", 0, "old-b"),
+        (2, "insert", "c", 0, "old-c"),
+        # after lw=2:
+        (3, "update", "a", 0, "new-a"),
+        (4, "delete", "b", 0, None),
+    ]
+    log = _log(spark, ev)
+    table = _mk_table(spark)
+    # stream lands first
+    table.merge_cdc(
+        log.filter(F.col("lsn") > 2),
+        applied_range=(3, 5),
+        source_is_raw=True,
+    )
+    snap = IncrementalSnapshot(
+        table,
+        _state(log, 2),  # still has old-a and b
+        tempfile.mkdtemp(prefix="ns_incsnap_stale_"),
+        chunk_rows=100,
+    )
+    snap.run(lw=2)
+    rows = {(r["conv_id"], r["turn_idx"]): r["text"] for r in table.read().collect()}
+    assert rows == {("a", 0): "new-a", ("c", 0): "old-c"}
+
+
+def test_resume_from_state_dir(spark):
+    log = _log(spark, _gen_events())
+    src = _state(log)
+    hi = log.agg(F.max("lsn")).collect()[0][0]
+    table = _mk_table(spark)
+    st = tempfile.mkdtemp(prefix="ns_incsnap_res_")
+    chunk_rows = max(1, src.count() // 4)
+    snap = IncrementalSnapshot(table, src, st, chunk_rows=chunk_rows)
+    n_chunks = snap.plan.n_chunks
+    assert n_chunks >= 3
+    snap.step(lw=hi)
+    del snap
+    # a NEW process picks up at chunk 1 with the persisted boundaries
+    snap2 = IncrementalSnapshot(table, src, st, chunk_rows=chunk_rows)
+    assert snap2.state["next_chunk"] == 1
+    out = snap2.run(lw=hi)
+    assert out["done"] and out["chunks_applied"] == n_chunks - 1
+    assert _read_sorted(table) == (
+        src.select("conv_id", "turn_idx", "text")
+        .sort("conv_id", "turn_idx")
+        .collect()
+    )
+
+
+def test_lost_state_write_heals_via_ledger_noop(spark):
+    """Crash between merge and state write: the retried chunk hits the
+    synthetic ledger range and no-ops instead of rewriting buckets."""
+    log = _log(spark, _gen_events(n_keys=20, n_events=60))
+    src = _state(log)
+    hi = log.agg(F.max("lsn")).collect()[0][0]
+    table = _mk_table(spark)
+    st = tempfile.mkdtemp(prefix="ns_incsnap_crash_")
+    snap = IncrementalSnapshot(table, src, st, chunk_rows=max(1, src.count() // 3))
+    first = snap.step(lw=hi)
+    assert first["rows_applied"] > 0
+    # simulate the lost state write
+    snap.state["next_chunk"] = 0
+    snap._save()
+    retried = snap.step(lw=hi)
+    assert retried["chunk"] == 0 and retried["rows_applied"] == 0
+    snap.run(lw=hi)
+    assert table.read().count() == src.count()
+
+
+def test_chunk_scan_pushes_key_range(spark, tmp_path):
+    """The chunk read must reach parquet as pushed filters on the
+    leading key column (row-group pruning at 100 TB)."""
+    log = _log(spark, _gen_events())
+    src_path = str(tmp_path / "src.parquet")
+    _state(log).write.parquet(src_path)
+    src = spark.read.parquet(src_path)
+    plan = plan_chunks(src, KEY_COLS, chunk_rows=max(1, src.count() // 4))
+    assert plan.n_chunks >= 2
+    scan = src.filter(chunk_predicate(plan, 1))
+    plan_str = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan_str
+    assert "GreaterThanOrEqual(conv_id" in plan_str or "IsNotNull(conv_id" in plan_str
+
+
+def test_synthetic_ranges_do_not_fast_forward_batch_replay(spark):
+    """Regression: chunk applies (and streaming file-set epochs) record
+    synthetic high-bit ledger identities; the engine's resume
+    fast-forward must not read them as a real-lsn high-water — doing so
+    would skip the entire log in a later batch replay."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SYNTHETIC_LSN_BASE
+
+    log = _log(spark, _gen_events()).cache()
+    hi = log.agg(F.max("lsn")).collect()[0][0]
+    w0 = int(hi * 0.4)
+    table = _mk_table(spark)
+    snap = IncrementalSnapshot(
+        table,
+        _state(log, w0),
+        tempfile.mkdtemp(prefix="ns_incsnap_ff_"),
+        chunk_rows=10 ** 9,  # one chunk is enough
+    )
+    snap.run(lw=w0)
+    assert table.last_applied_lsn() is None  # only synthetic rows so far
+    assert all(b < SYNTHETIC_LSN_BASE for b in table.checkpoint_boundaries())
+    eng = ReplayEngine(
+        spark,
+        table,
+        config=EngineConfig(
+            batch_lsn_size=hi + 1, lineage=False, prune_buckets=False
+        ),
+    )
+
+    def slicer(lo, hi_):
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    stats = eng.replay(slicer, lsn_lo=w0 + 1, lsn_hi=int(hi))
+    assert stats.batches_applied >= 1  # NOT fast-forwarded to nothing
+    expect = (
+        _state(log)
+        .select("conv_id", "turn_idx", "text")
+        .sort("conv_id", "turn_idx")
+        .collect()
+    )
+    assert _read_sorted(table) == expect
+    log.unpersist()
+
+
+def test_source_with_cdc_columns_rejected(spark):
+    log = _log(spark, _gen_events(n_keys=10, n_events=20))
+    table = _mk_table(spark)
+    snap = IncrementalSnapshot(
+        table,
+        _state(log),
+        tempfile.mkdtemp(prefix="ns_incsnap_guard_"),
+        chunk_rows=1000,
+    )
+    with pytest.raises(ValueError, match="CDC columns"):
+        snap.step(lw=5, source=log)  # raw log still carries op/lsn
