@@ -291,6 +291,118 @@ def test_synthetic_ranges_do_not_fast_forward_batch_replay(spark):
     log.unpersist()
 
 
+_prop_counter = {"i": 0}
+
+
+def test_random_interleave_always_converges(spark, tmp_path_factory):
+    """Property: for ANY WAL-consistent log (ts tracks lsn — the
+    commit-order guarantee a real WAL gives), ANY stream cut points,
+    ANY number of chunks, ANY per-chunk watermark >= the stream start,
+    and ANY interleave of chunk applies among stream slices, the final
+    state equals the full-log LWW oracle."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from neosync_spark.synth import expected_final_state
+
+    root = tmp_path_factory.mktemp("incsnap_prop")
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+    @given(data=st.data())
+    def prop(data):
+        import pandas as pd
+
+        ev = data.draw(
+            st.lists(
+                st.tuples(
+                    st.sampled_from(["insert", "update", "delete"]),
+                    st.integers(0, 5),  # conv
+                    st.integers(0, 2),  # turn
+                ),
+                min_size=30,
+                max_size=90,
+            )
+        )
+        rows = []
+        for lsn, (op, conv, turn) in enumerate(ev):
+            is_del = op == "delete"
+            rows.append(
+                {
+                    "lsn": lsn,
+                    "op": op,
+                    "conv_id": f"c{conv}",
+                    "turn_idx": turn,
+                    "role": None if is_del else "user",
+                    "text": None if is_del else f"v{lsn}",
+                    "tool": None,
+                    "ts": T0 + timedelta(seconds=lsn),
+                }
+            )
+        pdf = pd.DataFrame(rows)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        log = spark.createDataFrame(pdf)
+        hi = len(ev) - 1
+        w0 = data.draw(st.integers(0, hi - 1))
+        c1 = data.draw(st.integers(w0, hi))
+        c2 = data.draw(st.integers(c1, hi))
+        windows = [(w0, c1), (c1, c2), (c2, hi)]  # (lo, hi] slices
+        n_chunks_wanted = data.draw(st.integers(1, 4))
+        # chunk interleave slot (0..3 = before window i / after all)
+        slots = data.draw(
+            st.lists(st.integers(0, 3), min_size=4, max_size=4)
+        )
+        _prop_counter["i"] += 1
+        table = SnapshotTable.create(
+            spark,
+            str(root / f"t{_prop_counter['i']}"),
+            transcript_schema(),
+            key_cols=KEY_COLS,
+            n_buckets=2,
+        )
+        src0 = _state(log, w0)
+        n0 = max(1, src0.count())
+        snap = IncrementalSnapshot(
+            table,
+            src0,
+            str(root / f"st{_prop_counter['i']}"),
+            chunk_rows=max(1, -(-n0 // n_chunks_wanted)),
+        )
+
+        def chunk_step():
+            if not snap.done:
+                lw = data.draw(st.integers(w0, hi))
+                snap.step(lw=lw, source=_state(log, lw))
+
+        for i, (lo, hi_) in enumerate(windows):
+            for s in slots:
+                if s == i:
+                    chunk_step()
+            if hi_ > lo:
+                sl = log.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi_))
+                table.merge_cdc(
+                    sl, applied_range=(lo + 1, hi_ + 1), source_is_raw=True
+                )
+        while not snap.done:
+            chunk_step()
+        got = table.read().toPandas()
+        exp = expected_final_state(pdf)
+        from .conftest import assert_pdf_equal
+
+        assert_pdf_equal(
+            got, exp, ["conv_id", "turn_idx"],
+            msg=f"w0={w0} cuts=({c1},{c2}) slots={slots}",
+        )
+
+    prop()
+
+
 def test_source_with_cdc_columns_rejected(spark):
     log = _log(spark, _gen_events(n_keys=10, n_events=20))
     table = _mk_table(spark)
