@@ -438,6 +438,20 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--scd2-dim", default=None,
                     help="also maintain an SCD2 dimension (WAL files "
                          "must arrive lsn-ordered; see scd2_sync)")
+    tl.add_argument("--bootstrap-source", default=None,
+                    help="parquet of a frozen source state: interleave "
+                         "one incremental-snapshot chunk per epoch until "
+                         "the bootstrap completes, then finish remaining "
+                         "chunks after the drain (DBLog — a new "
+                         "destination attaches to a live feed without "
+                         "pausing it); requires --bootstrap-state and "
+                         "--source-lsn")
+    tl.add_argument("--bootstrap-state", default=None,
+                    help="chunk-progress state dir (resume point)")
+    tl.add_argument("--source-lsn", type=int, default=None,
+                    help="WAL position --bootstrap-source reflects "
+                         "(the chunk low watermark)")
+    tl.add_argument("--bootstrap-chunk-rows", type=int, default=1 << 20)
 
     s2 = sub.add_parser(
         "scd2-sync",
@@ -1126,6 +1140,30 @@ def main(argv: list[str] | None = None) -> int:
                     key_cols=[*KEY_COLS, "version_seq"], n_buckets=16,
                 )
             event_consumers.append(scd2_consumer(dim, KEY_COLS, attrs))
+        snap = None
+        if args.bootstrap_source:
+            if not args.bootstrap_state or args.source_lsn is None:
+                raise SystemExit(
+                    "--bootstrap-source requires --bootstrap-state and "
+                    "--source-lsn (the WAL position the source state "
+                    "reflects)"
+                )
+            from .operators.incremental_snapshot import IncrementalSnapshot
+
+            snap = IncrementalSnapshot(
+                engine.table,
+                spark.read.parquet(args.bootstrap_source),
+                args.bootstrap_state,
+                chunk_rows=args.bootstrap_chunk_rows,
+            )
+
+            def _bootstrap_chunk(batch, rng, _s=snap, _lw=args.source_lsn):
+                # one chunk per epoch: the snapshot makes progress at
+                # the stream's cadence without ever blocking it
+                if not _s.done:
+                    _s.step(lw=_lw)
+
+            event_consumers.append(_bootstrap_chunk)
         payload = None
         if args.envelope_schema:
             from pyspark.sql import types as T
@@ -1146,13 +1184,26 @@ def main(argv: list[str] | None = None) -> int:
             q.stop()
         else:
             q.awaitTermination()
+        boot = None
+        if snap is not None:
+            # the drain may end before the key space does — finish the
+            # remaining chunks (each is idempotent and ledgered)
+            tail_out = snap.run(lw=args.source_lsn)
+            boot = {
+                "chunks": tail_out["chunks"],
+                "done": tail_out["done"],
+                "finished_after_drain": tail_out["chunks_applied"],
+            }
         cp = engine.table.manifest(refresh=True)["checkpoint"]
-        print(json.dumps({
+        out = {
             "table_rows": engine.table.read().count(),
             "ledger_exact_rows": len(cp["applied"]),
             "ledger_compacted_spans": len(cp.get("compacted", [])),
             "consumers": len(consumers) + len(event_consumers),
-        }))
+        }
+        if boot is not None:
+            out["bootstrap"] = boot
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "scd2-sync":

@@ -403,6 +403,47 @@ def test_random_interleave_always_converges(spark, tmp_path_factory):
     prop()
 
 
+def test_cli_tail_with_bootstrap_chunks(spark, tmp_path, capsys):
+    """CLI `tail --bootstrap-source`: the WAL dir holds only
+    post-watermark events (bounded retention — the reason incremental
+    snapshots exist); one chunk applies per epoch, the rest finish
+    after the drain, and the table converges on the FULL-log LWW state."""
+    import json as _json
+
+    from neosync_spark.cli import main
+
+    log_full = str(tmp_path / "log_full")
+    assert main(["synth", "--out", log_full, "--events", "3000"]) == 0
+    capsys.readouterr()
+    log = spark.read.parquet(log_full)
+    hi = log.agg(F.max("lsn")).collect()[0][0]
+    mid = int(hi) // 2
+    src = str(tmp_path / "src")
+    _state(log, mid).write.parquet(src)
+    wal_tail = str(tmp_path / "wal_tail")
+    (
+        log.filter(F.col("lsn") > mid)
+        .repartition(4)
+        .write.parquet(wal_tail)
+    )
+    table = str(tmp_path / "t")
+    assert main([
+        "tail", "--log", wal_tail, "--table", table,
+        "--checkpoint", str(tmp_path / "ck"),
+        "--bootstrap-source", src,
+        "--bootstrap-state", str(tmp_path / "bs"),
+        "--source-lsn", str(mid),
+        "--bootstrap-chunk-rows", "150",
+        "--max-files", "2",
+    ]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["bootstrap"]["done"] and out["bootstrap"]["chunks"] >= 2
+    # final state == LWW over the FULL log, though the WAL only held
+    # its tail
+    assert main(["verify", "--log", log_full, "--table", table]) == 0
+    assert '"match": true' in capsys.readouterr().out
+
+
 def test_source_with_cdc_columns_rejected(spark):
     log = _log(spark, _gen_events(n_keys=10, n_events=20))
     table = _mk_table(spark)
