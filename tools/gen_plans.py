@@ -54,6 +54,32 @@ def main() -> None:
         "ReadSchema carries only referenced columns.",
     )
 
+    from neosync_spark.operators.incremental_snapshot import (
+        chunk_predicate,
+        plan_chunks,
+    )
+
+    sp = tempfile.mkdtemp() + "/src"
+    (
+        lww_dedup(log, ["conv_id", "turn_idx"], ["ts", "lsn"])
+        .filter("op <> 'delete'")
+        .drop("op", "lsn")
+        .write.parquet(sp)
+    )
+    src = spark.read.parquet(sp)
+    chunks = plan_chunks(
+        src, ["conv_id", "turn_idx"], chunk_rows=max(1, src.count() // 4)
+    )
+    cap(
+        "Incremental-snapshot chunk read (DBLog bootstrap)",
+        src.filter(chunk_predicate(chunks, 1)),
+        "lexicographic key-range bounds plus the redundant "
+        "leading-column conjunct reach the FileScan as PushedFilters — "
+        "each chunk is a row-group-pruned range scan over the source, "
+        "never a full pass; the apply side is the ordinary merge "
+        "shuffle above.",
+    )
+
     cap(
         "Subset semijoin chain",
         E.queries()["subset_semijoin"](spark, SF),
