@@ -3377,6 +3377,53 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level near-duplicate pairs: a training pipeline
+    dedups at the granularity it PACKS — whole conversations, not
+    turns. The replayed final state's turns concat in stable turn
+    order into one doc per conversation (JVM: collect_list(struct) →
+    array_sort → array_join — one conv_id shuffle), a deterministic
+    planted near-dup set (every 7th conversation re-emitted with a
+    short tail) gives the check teeth, then the standard MinHash-LSH
+    banding + exact n-gram Jaccard verify (operators/similarity.py)
+    finds the pairs. DuckDB replays the fold, the concat, and
+    all-pairs exact Jaccard directly."""
+    from neosync_spark.operators.dedup import lww_dedup
+    from neosync_spark.operators.similarity import minhash_dedup_pairs
+
+    log = _derived_log(spark, sf_dir)
+    alive = lww_dedup(log, ["conv_id", "turn_idx"], ["ts", "lsn"]).filter(
+        F.col("op") != "delete"
+    )
+    conv = alive.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("turn_idx").alias("i"),
+                            F.coalesce(F.col("text"), F.lit("")).alias("t"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("t"),
+            ),
+            " ",
+        ).alias("doc")
+    )
+    planted = conv.filter(
+        F.split(F.col("conv_id"), "-").getItem(1).cast("int") % 7 == 0
+    ).select(
+        F.concat(F.lit("dup-"), F.col("conv_id")).alias("conv_id"),
+        F.concat(F.col("doc"), F.lit(" planted near duplicate tail")).alias(
+            "doc"
+        ),
+    )
+    return minhash_dedup_pairs(
+        conv.unionByName(planted), "doc", "conv_id", threshold=0.8
+    )
+
+
 def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span extraction (Lee et al. 2021 analog over
     word windows): maximal per-doc regions covered by 12-token windows
@@ -4914,6 +4961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_compat_evolve": _q_schema_compat_evolve,
         "cdc_outbox_route": _q_outbox_route,
         "cdc_incremental_snapshot": _q_cdc_incremental_snapshot,
+        "conv_near_dup_pairs": _q_conv_near_dup,
         "cdc_repair_bucket": _q_cdc_repair_bucket,
         "embedding_near_dup": _q_embedding_near_dup,
         "media_image_features": _q_image_features,
@@ -5518,6 +5566,52 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS multi_chunk,
                    TRUE AS retry_noop
             FROM ({lww}) WHERE op <> 'delete'
+        """,
+        # conversation-granularity near-dup: LWW fold → turn-order
+        # concat → all-pairs exact 3-gram Jaccard (the minhash banding
+        # is candidate generation; the verified pair set is exact)
+        "conv_near_dup_pairs": f"""
+            WITH alive AS (
+              SELECT conv_id, turn_idx, text FROM ({lww})
+              WHERE op <> 'delete'
+            ),
+            conv AS (
+              SELECT conv_id,
+                     string_agg(coalesce(text, ''), ' ' ORDER BY turn_idx)
+                         AS doc
+              FROM alive GROUP BY conv_id
+            ),
+            uni AS (
+              SELECT conv_id, doc FROM conv
+              UNION ALL
+              SELECT 'dup-' || conv_id AS conv_id,
+                     doc || ' planted near duplicate tail' AS doc
+              FROM conv
+              WHERE CAST(split_part(conv_id, '-', 2) AS INT) % 7 = 0
+            ),
+            sh AS (
+              SELECT conv_id,
+                     list_distinct(
+                       CASE WHEN len(toks) >= 3 THEN
+                         list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       ELSE [array_to_string(toks, ' ')] END) AS grams
+              FROM (
+                SELECT conv_id,
+                       list_filter(string_split(
+                         trim(regexp_replace(lower(doc), '\\s+', ' ', 'g')),
+                         ' '), x -> x <> '') AS toks
+                FROM uni)
+            )
+            SELECT a.conv_id AS id_a, b.conv_id AS id_b,
+                   floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.grams, b.grams)))
+                         * 10000 + 0.5) / 10000 AS jaccard
+            FROM sh a JOIN sh b ON a.conv_id < b.conv_id
+            WHERE len(list_intersect(a.grams, b.grams)) > 0
+              AND floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.grams, b.grams)))
+                        * 10000 + 0.5) / 10000 >= 0.8
         """,
         "cdc_lww_dedup_agg": f"""
             SELECT conv_id, turn_idx, lsn, op,
