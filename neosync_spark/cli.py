@@ -494,6 +494,13 @@ def main(argv: list[str] | None = None) -> int:
     ss.add_argument("--keys", default="conv_id,turn_idx",
                     help="key columns when creating the destination")
     ss.add_argument("--buckets", type=int, default=16)
+    ss.add_argument("--mapping", action="append", default=[],
+                    help="column=transformer[:k=v,...] — MUST match the "
+                         "stream side's mapping (deterministic "
+                         "transformers make chunk and stream rows "
+                         "agree); without it an anonymized destination "
+                         "would bootstrap UNMASKED history")
+    ss.add_argument("--seed", type=int, default=42)
 
     ix = sub.add_parser(
         "index-sync",
@@ -1157,11 +1164,21 @@ def main(argv: list[str] | None = None) -> int:
                 chunk_rows=args.bootstrap_chunk_rows,
             )
 
+            # chunks must land through the SAME transforms as the
+            # stream — an anonymized destination must never bootstrap
+            # unmasked history (deterministic transformers make the
+            # overlap rows agree)
+            _boot_kw = (
+                {"transform": engine.transform_batch}
+                if engine.transforms
+                else {}
+            )
+
             def _bootstrap_chunk(batch, rng, _s=snap, _lw=args.source_lsn):
                 # one chunk per epoch: the snapshot makes progress at
                 # the stream's cadence without ever blocking it
                 if not _s.done:
-                    _s.step(lw=_lw)
+                    _s.step(lw=_lw, **_boot_kw)
 
             event_consumers.append(_bootstrap_chunk)
         payload = None
@@ -1188,7 +1205,7 @@ def main(argv: list[str] | None = None) -> int:
         if snap is not None:
             # the drain may end before the key space does — finish the
             # remaining chunks (each is idempotent and ledgered)
-            tail_out = snap.run(lw=args.source_lsn)
+            tail_out = snap.run(lw=args.source_lsn, **_boot_kw)
             boot = {
                 "chunks": tail_out["chunks"],
                 "done": tail_out["done"],
@@ -1263,7 +1280,22 @@ def main(argv: list[str] | None = None) -> int:
         snap = IncrementalSnapshot(
             table, src, args.state, chunk_rows=args.chunk_rows
         )
-        out = snap.run(lw=args.source_lsn, max_chunks=args.max_chunks)
+        kw = {}
+        if args.mapping:
+            from .engine import EngineConfig, ReplayEngine
+            from .plans.job import resolve_transformer
+
+            transforms = {
+                m.column: resolve_transformer(m, args.seed)
+                for m in _parse_mapping(args.mapping)
+            }
+            eng = ReplayEngine(
+                spark, table, transforms=transforms, config=EngineConfig()
+            )
+            kw["transform"] = eng.transform_batch
+        out = snap.run(
+            lw=args.source_lsn, max_chunks=args.max_chunks, **kw
+        )
         print(json.dumps(out))
         return 0
 

@@ -444,6 +444,73 @@ def test_cli_tail_with_bootstrap_chunks(spark, tmp_path, capsys):
     assert '"match": true' in capsys.readouterr().out
 
 
+def test_bootstrap_applies_stream_mappings(spark, tmp_path, capsys):
+    """An anonymized destination must not bootstrap UNMASKED history:
+    chunks land through the same transforms as the stream, and the
+    result equals a full-log replay under the same mapping (both CLI
+    paths: tail --bootstrap-source and snapshot-sync --mapping)."""
+    import json as _json
+
+    from neosync_spark.cli import main
+
+    log_full = str(tmp_path / "log_full")
+    assert main(["synth", "--out", log_full, "--events", "2500"]) == 0
+    control = str(tmp_path / "control")
+    assert main([
+        "replay", "--log", log_full, "--table", control,
+        "--mapping", "text=transform_pii_text",
+    ]) == 0
+    capsys.readouterr()
+    log = spark.read.parquet(log_full)
+    hi = log.agg(F.max("lsn")).collect()[0][0]
+    mid = int(hi) // 2
+    src = str(tmp_path / "src")
+    _state(log, mid).write.parquet(src)
+    wal_tail = str(tmp_path / "wal_tail")
+    log.filter(F.col("lsn") > mid).repartition(3).write.parquet(wal_tail)
+
+    def _read(table_path):
+        t = SnapshotTable.load(spark, table_path)
+        return (
+            t.read()
+            .select("conv_id", "turn_idx", "role", "text", "tool")
+            .sort("conv_id", "turn_idx")
+            .collect()
+        )
+
+    expect = _read(control)
+
+    # path 1: tail with in-stream bootstrap
+    t1 = str(tmp_path / "t1")
+    assert main([
+        "tail", "--log", wal_tail, "--table", t1,
+        "--checkpoint", str(tmp_path / "ck1"),
+        "--bootstrap-source", src,
+        "--bootstrap-state", str(tmp_path / "bs1"),
+        "--source-lsn", str(mid),
+        "--bootstrap-chunk-rows", "200", "--max-files", "2",
+        "--mapping", "text=transform_pii_text",
+    ]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["bootstrap"]["done"]
+    assert _read(t1) == expect
+
+    # path 2: snapshot-sync --mapping + replay --mapping of the tail
+    t2 = str(tmp_path / "t2")
+    assert main([
+        "snapshot-sync", "--source", src, "--source-lsn", str(mid),
+        "--table", t2, "--state", str(tmp_path / "bs2"),
+        "--chunk-rows", "200",
+        "--mapping", "text=transform_pii_text",
+    ]) == 0
+    assert main([
+        "replay", "--log", wal_tail, "--table", t2,
+        "--mapping", "text=transform_pii_text",
+    ]) == 0
+    capsys.readouterr()
+    assert _read(t2) == expect
+
+
 def test_source_with_cdc_columns_rejected(spark):
     log = _log(spark, _gen_events(n_keys=10, n_events=20))
     table = _mk_table(spark)
