@@ -501,6 +501,11 @@ def main(argv: list[str] | None = None) -> int:
                          "agree); without it an anonymized destination "
                          "would bootstrap UNMASKED history")
     ss.add_argument("--seed", type=int, default=42)
+    ss.add_argument("--on-conflict", choices=["fail", "rebase", "retry"],
+                    default="fail",
+                    help="optimistic-concurrency policy for chunk "
+                         "commits; use 'retry' when a live tail/replay "
+                         "writes the same table concurrently")
 
     ix = sub.add_parser(
         "index-sync",
@@ -1281,6 +1286,8 @@ def main(argv: list[str] | None = None) -> int:
             table, src, args.state, chunk_rows=args.chunk_rows
         )
         kw = {}
+        if args.on_conflict != "fail":
+            kw["on_conflict"] = args.on_conflict
         if args.mapping:
             from .engine import EngineConfig, ReplayEngine
             from .plans.job import resolve_transformer

@@ -511,6 +511,78 @@ def test_bootstrap_applies_stream_mappings(spark, tmp_path, capsys):
     assert _read(t2) == expect
 
 
+def test_concurrent_stream_writer_and_snapshot_process_converge(spark):
+    """The real DBLog deployment: the snapshot runs as its OWN process
+    racing the live tail on the same table. Chunk commits and stream
+    commits collide on buckets; under on_conflict='retry' both sides
+    recompute from the new head and the table still converges on the
+    full-log LWW state with every ledger entry intact."""
+    import threading
+
+    log = _log(spark, _gen_events(n_keys=60, n_events=400)).cache()
+    log.count()
+    hi = log.agg(F.max("lsn")).collect()[0][0]
+    w0 = int(hi * 0.4)
+    table = _mk_table(spark)
+    errors = []
+
+    def stream_worker():
+        try:
+            step = max(1, (hi - w0) // 4)
+            lo = w0
+            while lo < hi:
+                hi_ = min(hi, lo + step)
+                sl = log.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi_))
+                table.merge_cdc(
+                    sl,
+                    applied_range=(lo + 1, hi_ + 1),
+                    source_is_raw=True,
+                    on_conflict="retry",
+                    _retry_budget=8,
+                )
+                lo = hi_
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    def snapshot_worker():
+        try:
+            src = _state(log, w0)
+            snap = IncrementalSnapshot(
+                table,
+                src,
+                tempfile.mkdtemp(prefix="ns_incsnap_conc_"),
+                chunk_rows=max(1, src.count() // 3 + 1),
+            )
+            snap.run(lw=w0, on_conflict="retry", _retry_budget=8)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    ts_ = [
+        threading.Thread(target=stream_worker),
+        threading.Thread(target=snapshot_worker),
+    ]
+    for t in ts_:
+        t.start()
+    for t in ts_:
+        t.join()
+    assert not errors, errors
+    expect = (
+        _state(log)
+        .select("conv_id", "turn_idx", "text")
+        .sort("conv_id", "turn_idx")
+        .collect()
+    )
+    assert _read_sorted(table) == expect
+    # every stream window's exactly-once entry survived the races
+    step = max(1, (hi - w0) // 4)
+    lo = w0
+    while lo < hi:
+        hi_ = min(hi, lo + step)
+        assert table.is_applied(lo + 1, hi_ + 1)
+        lo = hi_
+    log.unpersist()
+
+
 def test_source_with_cdc_columns_rejected(spark):
     log = _log(spark, _gen_events(n_keys=10, n_events=20))
     table = _mk_table(spark)
