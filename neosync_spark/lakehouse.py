@@ -239,6 +239,17 @@ def _coalesce_spans(ranges) -> list[tuple[int, int]]:
     return [tuple(s) for s in out]
 
 
+def _min_tv(entries) -> int:
+    """Transform-version floor of a set of consumed file entries: the
+    highest anonymization-policy version GUARANTEED applied to every
+    row they hold (an entry without the attr predates versioning ->
+    0). Rewrites that move old rows without re-transforming them
+    (compact, rescale, purge, retention) must carry this floor onto
+    the files they produce, or a crashed transform_backfill could
+    mark un-transformed rows done."""
+    return min((int(e.get("tv", 0)) for e in entries), default=0)
+
+
 @dataclass
 class CommitInfo:
     snapshot_id: int
@@ -1689,6 +1700,10 @@ class SnapshotTable:
 
             def _fentry(p: str, kind: str | None = None) -> dict:
                 e = {"path": p, "schema_id": m["schema_id"]}
+                # fresh data is written by the CURRENT anonymization
+                # policy (the engine's transforms run inside this merge)
+                if int(m.get("transform_version", 0)):
+                    e["tv"] = int(m["transform_version"])
                 if kind:
                     e["kind"] = kind
                 if p in fstats:
@@ -1960,6 +1975,8 @@ class SnapshotTable:
         for b, paths in written.items():
             own_entries[str(b)] = [
                 {"path": p, "schema_id": schema_id, "kind": "delta",
+                 **({"tv": int(m["transform_version"])}
+                    if int(m.get("transform_version", 0)) else {}),
                  **({"stats": fstats[p]} if p in fstats else {}),
                  **({"bloom": bmap[p]} if p in bmap else {}),
                  **({"patches": True} if p in patch_paths else {})}
@@ -2495,6 +2512,8 @@ class SnapshotTable:
         zorder_cols: Sequence[str] | None = None,
         zorder_bits: int = 4,
         on_conflict: str = "fail",
+        transform=None,
+        tag_transform_version: int | None = None,
         _retry_budget: int = 2,
     ) -> CommitInfo | None:
         """Fold delta files into base files (LWW resolved once, at
@@ -2526,7 +2545,16 @@ class SnapshotTable:
         on ANY clustered column, not just the sort leader. The
         clustered columns are added to the manifest's ``stats_cols``
         so this and every future commit records their per-file
-        min/max. Mutually exclusive with ``sort_by_key``."""
+        min/max. Mutually exclusive with ``sort_by_key``.
+
+        ``transform`` (``DataFrame -> DataFrame``, column set
+        preserved; key/order columns must pass through untouched) is
+        applied to the folded rows before the rewrite —
+        ``transform_backfill`` uses this to re-anonymize in place.
+        ``tag_transform_version`` stamps the produced file entries
+        with that policy version; without it entries inherit the
+        per-bucket MINIMUM of the versions they consumed (a plain
+        compaction moves old rows, it doesn't upgrade them)."""
         if zorder_cols and sort_by_key:
             raise ValueError(
                 "compact: sort_by_key and zorder_cols are exclusive — "
@@ -2559,6 +2587,14 @@ class SnapshotTable:
             # cutoff beyond the source's max out-of-orderness (and the
             # ledger still no-ops already-applied ranges).
             rows = rows.filter(F.col("ts") >= F.lit(expire_rows_before))
+        if transform is not None:
+            before_cols = rows.columns
+            rows = transform(rows)
+            if rows.columns != before_cols:
+                raise ValueError(
+                    "compact(transform=...) must preserve the column "
+                    f"set: {before_cols} -> {rows.columns}"
+                )
         out = rows.withColumn(
             _BUCKET_COL, bucket_expr(m["key_cols"][0], m["bucket_count"])
         )
@@ -2607,8 +2643,14 @@ class SnapshotTable:
         bmap = self._annotate_blooms(m, new_sid, written_c)
         own_entries: dict[str, list[dict]] = {str(b): [] for b in buckets}
         for b, paths in written_c.items():
+            tv_b = (
+                int(tag_transform_version)
+                if tag_transform_version is not None
+                else _min_tv(m["files"].get(str(b), []))
+            )
             own_entries[str(b)] = [
                 {"path": p, "schema_id": m["schema_id"],
+                 **({"tv": tv_b} if tv_b else {}),
                  **({"stats": fstats[p]} if p in fstats else {}),
                  **({"bloom": bmap[p]} if p in bmap else {})}
                 for p in sorted(paths)
@@ -2656,9 +2698,123 @@ class SnapshotTable:
                 zorder_cols=zorder_cols,
                 zorder_bits=zorder_bits,
                 on_conflict="retry",
+                transform=transform,
+                tag_transform_version=tag_transform_version,
                 _retry_budget=_retry_budget - 1,
             )
         return CommitInfo(committed["snapshot_id"], 0, len(buckets), None)
+
+    # -- transform-version backfill (re-anonymization without a full
+    # rewrite): the lakehouse analog of "my masking policy changed" --
+
+    def set_transform_version(self, version: int) -> int:
+        """Declare the anonymization-policy version the WRITER now
+        applies at ingest (a metadata-only commit, like the
+        reference's job-mapping update: `worker/pkg/workflows/datasync`
+        re-runs with new transformers; here the bump + the new engine
+        transforms deploy together). From this commit on, files
+        written by merges/repairs are stamped ``tv=version``; files
+        from before carry a lower floor and are exactly the
+        ``transform_backfill`` work list. Returns the new snapshot id.
+        Monotonic: lowering the version would mark un-transformed
+        files done, so it raises."""
+        m = self.manifest(refresh=True)
+        cur = int(m.get("transform_version", 0))
+        if int(version) < cur:
+            raise ValueError(
+                f"transform_version is monotonic ({cur} -> {version})"
+            )
+        if int(version) == cur:
+            return m["snapshot_id"]
+        new_sid = self._next_snapshot_id()
+        new_m = {
+            **m,
+            "snapshot_id": new_sid,
+            "parent": m["snapshot_id"],
+            "transform_version": int(version),
+            "summary": {
+                "operation": "set_transform_version",
+                "transform_version": int(version),
+            },
+        }
+        self._write_manifest(new_m)
+        return new_sid
+
+    def pending_transform_buckets(self, version: int | None = None) -> list[int]:
+        """Buckets holding at least one file whose transform-version
+        floor is below ``version`` (default: the manifest's declared
+        version) — the remaining backfill work list. Metadata-only:
+        answered from the manifest, no data I/O, so resuming a crashed
+        backfill costs one manifest read."""
+        m = self.manifest(refresh=True)
+        v = int(m.get("transform_version", 0) if version is None else version)
+        if v <= 0:
+            return []
+        return sorted(
+            int(b)
+            for b, ents in m["files"].items()
+            if any(int(e.get("tv", 0)) < v for e in ents)
+        )
+
+    def transform_backfill(
+        self,
+        transform,
+        version: int | None = None,
+        group_size: int = 64,
+        max_records_per_file: int | None = None,
+        on_conflict: str = "fail",
+    ) -> dict:
+        """Apply an upgraded anonymization policy to the rows already
+        in the table — IN PLACE, resumably, without replaying the log
+        or rewriting already-upgraded data. ``transform`` is the same
+        ``DataFrame -> DataFrame`` shape the engine applies at ingest
+        (column set preserved; key/order columns untouched).
+
+        Mechanics: buckets whose files sit below ``version`` are
+        rewritten through ``compact(transform=..., tag_transform_
+        version=version)`` in groups of ``group_size`` buckets — each
+        group is ONE atomic commit, so a crash loses at most the
+        in-flight group and ``pending_transform_buckets`` resumes from
+        the manifest (files already stamped ``version`` are never
+        re-read). New data arriving concurrently is stamped at write
+        by the bumped writer, so the work list only shrinks. At 100 TB
+        this is O(un-upgraded bytes) total I/O with commit granularity
+        tunable against metadata churn — the same maintenance-window
+        shape as compaction, because it IS compaction with a transform.
+
+        Returns ``{"version", "buckets", "commits", "snapshot_ids"}``.
+        """
+        m = self.manifest(refresh=True)
+        v = int(m.get("transform_version", 0) if version is None else version)
+        if v <= 0:
+            raise ValueError(
+                "transform_backfill needs a positive target version — "
+                "set_transform_version first or pass version="
+            )
+        done: list[int] = []
+        sids: list[int] = []
+        while True:
+            pending = self.pending_transform_buckets(v)
+            pending = [b for b in pending if b not in done]
+            if not pending:
+                break
+            group = pending[: max(1, int(group_size))]
+            ci = self.compact(
+                buckets=group,
+                transform=transform,
+                tag_transform_version=v,
+                max_records_per_file=max_records_per_file,
+                on_conflict=on_conflict,
+            )
+            if ci is not None:
+                sids.append(ci.snapshot_id)
+            done.extend(group)
+        return {
+            "version": v,
+            "buckets": len(done),
+            "commits": len(sids),
+            "snapshot_ids": sids,
+        }
 
     def purge_keys(
         self,
@@ -2756,8 +2912,10 @@ class SnapshotTable:
             # bits too; the old sidecars die with expire_snapshots' GC
             bmap = self._annotate_blooms(m, new_sid, written)
             for b, paths in written.items():
+                tv_b = _min_tv(m["files"].get(str(b), []))
                 new_files[str(b)] = [
                     {"path": p, "schema_id": m["schema_id"],
+                     **({"tv": tv_b} if tv_b else {}),
                      **({"stats": fstats[p]} if p in fstats else {}),
                      **({"bloom": bmap[p]} if p in bmap else {})}
                     for p in sorted(paths)
@@ -2865,9 +3023,15 @@ class SnapshotTable:
         writer.partitionBy(_BUCKET_COL).parquet(commit_dir)
         written = self._list_commit_files(commit_dir)
         fstats = self._collect_file_stats(written, self._stats_cols(m))
+        # rows changed buckets: the only sound per-file floor is the
+        # min over EVERYTHING the rescale consumed
+        tv_all = _min_tv(
+            [e for ents in m["files"].values() for e in ents]
+        )
         new_files = {
             str(b): [
                 {"path": p, "schema_id": m["schema_id"],
+                 **({"tv": tv_all} if tv_all else {}),
                  **({"stats": fstats[p]} if p in fstats else {})}
                 for p in sorted(paths)
             ]
@@ -3141,11 +3305,14 @@ class SnapshotTable:
             bmap = self._annotate_blooms(m, new_sid, written)
             bucket_counts = self._footer_counts(written, footers)
             n_out = sum(bucket_counts.values())
+            # rebuilt from the log through the CURRENT transform
+            tv_now = int(m.get("transform_version", 0))
             for b, paths in written.items():
                 new_files[str(b)] = [
                     {
                         "path": p,
                         "schema_id": m["schema_id"],
+                        **({"tv": tv_now} if tv_now else {}),
                         **({"stats": fstats[p]} if p in fstats else {}),
                         **({"bloom": bmap[p]} if p in bmap else {}),
                     }
@@ -3306,8 +3473,10 @@ class SnapshotTable:
                     m, self._next_snapshot_id(), written
                 )
                 for b, wpaths in written.items():
+                    tv_b = _min_tv(straddlers.get(str(b), []))
                     rewritten_entries.setdefault(str(b), []).extend(
                         {"path": p, "schema_id": schema_id,
+                         **({"tv": tv_b} if tv_b else {}),
                          **({"kind": kind} if kind else {}),
                          **({"stats": fstats[p]} if p in fstats else {}),
                          **({"bloom": bmap[p]} if p in bmap else {})}

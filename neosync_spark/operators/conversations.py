@@ -322,3 +322,136 @@ def template_turns(
         )
         .filter(F.col("n_convs") >= int(min_convs))
     )
+
+
+def preference_pairs(
+    log: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    op_col: str = "op",
+    order_cols: "tuple[str, str]" = ("ts", "lsn"),
+    target_role: str = "assistant",
+) -> DataFrame:
+    """Mine DPO/RLHF preference pairs from the CHANGE LOG itself: a
+    turn that was rewritten (an `update` superseding an earlier
+    version of the same ``(conv_id, turn_idx)``) is a regeneration —
+    the author looked at the old response and replaced it. The LWW
+    winner is the implicitly-preferred ``chosen``; the latest
+    superseded DISTINCT text is ``rejected``. This is data the final
+    table cannot yield — only the CDC log still holds the losing
+    versions, which is exactly why a preference-mining pass belongs in
+    the ingest engine rather than downstream of the lake.
+
+    Emits one row per ``target_role`` key that is alive in the final
+    state and has >= 2 distinct text versions in the log:
+    ``(conv_id, turn_idx, chosen, rejected, n_versions)`` with
+    ``n_versions`` = count of distinct non-null texts ever written.
+    Deleted keys are excluded (their winner never ships as training
+    data); ``rejected`` is the version with the highest ``order_cols``
+    among events whose text differs from the winner's, so a flip-flop
+    A->B->A yields (chosen=A, rejected=B), not a self-pair.
+
+    Scale shape: ONE shuffle — a single groupBy on the key with
+    map-side combine; the winner is a ``max_by`` partial agg and the
+    rejected pick is a JVM sort+filter over the key's own version
+    list (bounded by per-turn rewrite count, the same per-key
+    boundedness the LWW merge already assumes). No window, no join,
+    no Python.
+    """
+    o = F.struct(*[F.col(c) for c in order_cols])
+    ver = F.when(
+        (F.col(op_col) != "delete") & F.col(text_col).isNotNull(),
+        F.struct(
+            *[F.col(c) for c in order_cols], F.col(text_col).alias("x")
+        ),
+    )  # no otherwise -> NULL, which collect_list skips
+    g = (
+        log.groupBy(
+            F.col(conv_col).alias("conv_id"),
+            F.col(turn_col).alias("turn_idx"),
+        )
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col(op_col).alias("op"),
+                    F.col(role_col).alias("r"),
+                    F.col(text_col).alias("x"),
+                ),
+                o,
+            ).alias("_w"),
+            F.sort_array(F.collect_list(ver), asc=False).alias("_vs"),
+        )
+        .filter(
+            (F.col("_w")["op"] != "delete")
+            & (F.col("_w")["r"] == target_role)
+        )
+    )
+    losers = F.filter(F.col("_vs"), lambda v: v["x"] != F.col("_w")["x"])
+    return (
+        g.select(
+            "conv_id",
+            "turn_idx",
+            F.col("_w")["x"].alias("chosen"),
+            F.try_element_at(losers, F.lit(1))["x"].alias("rejected"),
+            F.size(
+                F.array_distinct(F.transform("_vs", lambda v: v["x"]))
+            ).cast("long").alias("n_versions"),
+        )
+        .filter(F.col("rejected").isNotNull())
+    )
+
+
+def context_fit(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    token_budget: int = 512,
+    pin_system: bool = True,
+) -> DataFrame:
+    """Token-budget context fitting: per conversation keep the maximal
+    SUFFIX of turns whose cumulative whitespace-token count stays
+    within ``token_budget`` — the serving/training-time truncation
+    every chat stack performs before a model call. With
+    ``pin_system`` the conversation's ``system`` turns survive even
+    when the budget pushes them out (the standard "system prompt is
+    never truncated" rule); pinned turns are flagged so the caller can
+    place them ahead of the window.
+
+    Returns the kept turns only: ``(conv_id, turn_idx, role,
+    n_tokens, cum_tokens_from_end, pinned)`` where
+    ``cum_tokens_from_end`` is the suffix-cumulative count that
+    admitted the turn (NULL-safe: a NULL/blank text counts 0 tokens
+    and always fits).
+
+    Scale shape: one window over the conversation key (one shuffle),
+    all JVM — tokenize with ``split``, suffix totals with a
+    descending-ordered running sum, no explode and no Python.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.when(
+        F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""),
+        F.lit(0),
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), "\\s+")))
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(turn_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        toks.cast("long").alias("n_tokens"),
+    ).withColumn("cum_tokens_from_end", F.sum("n_tokens").over(w))
+    fits = F.col("cum_tokens_from_end") <= int(token_budget)
+    pinned = (
+        (F.col("role") == "system") & ~fits
+        if pin_system
+        else F.lit(False)
+    )
+    return t.filter(fits | pinned).withColumn("pinned", pinned)

@@ -107,3 +107,99 @@ def test_extract_tool_calls_valid_invalid_and_missing_name(spark):
     # both invalid payloads land in the visible NULL bucket
     assert stats[None]["n_calls"] == 2
     assert stats[None]["n_distinct_args"] == 1       # only c3's parsed arg
+
+
+# -- preference-pair mining from the change log --------------------------
+
+
+def _pref(spark, rows):
+    from neosync_spark.operators.conversations import preference_pairs
+
+    log = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, op string, lsn long",
+    )
+    return {
+        (r["conv_id"], r["turn_idx"]): r.asDict()
+        for r in preference_pairs(log).collect()
+    }
+
+
+def test_preference_pairs_from_regenerations(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    rows = [
+        # rewritten twice, flip-flop: chosen=the LWW winner A,
+        # rejected=the latest DIFFERENT version B (never a self-pair)
+        ("a", 1, "assistant", "A", None, t0, "insert", 1),
+        ("a", 1, "assistant", "B", None, t0 + sec, "update", 2),
+        ("a", 1, "assistant", "A", None, t0 + 2 * sec, "update", 3),
+        # single version: no pair
+        ("a", 2, "assistant", "solo", None, t0, "insert", 4),
+        # rewritten then deleted: excluded (winner never ships)
+        ("b", 1, "assistant", "x", None, t0, "insert", 5),
+        ("b", 1, "assistant", "y", None, t0 + sec, "update", 6),
+        ("b", 1, None, None, None, t0 + 2 * sec, "delete", 7),
+        # wrong role: excluded
+        ("c", 0, "user", "u1", None, t0, "insert", 8),
+        ("c", 0, "user", "u2", None, t0 + sec, "update", 9),
+    ]
+    got = _pref(spark, rows)
+    assert set(got) == {("a", 1)}
+    p = got[("a", 1)]
+    assert p["chosen"] == "A" and p["rejected"] == "B"
+    assert p["n_versions"] == 2
+
+
+def test_preference_pairs_order_is_lww_not_arrival(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    # late-arriving event (higher lsn, older ts) LOSES: chosen follows
+    # (ts, lsn), identical to the merge's LWW rule
+    rows = [
+        ("a", 1, "assistant", "new", None, t0 + sec, "insert", 1),
+        ("a", 1, "assistant", "old", None, t0, "update", 2),
+    ]
+    p = _pref(spark, rows)[("a", 1)]
+    assert p["chosen"] == "new" and p["rejected"] == "old"
+
+
+# -- token-budget context fitting -----------------------------------------
+
+
+def test_context_fit_suffix_and_system_pin(spark):
+    from neosync_spark.operators.conversations import context_fit
+
+    rows = [
+        ("a", 0, "system", "sys prompt here"),   # 3 tokens
+        ("a", 1, "user", "one two three four"),  # 4
+        ("a", 2, "assistant", "five six"),       # 2
+        ("a", 3, "user", "seven"),               # 1
+        ("b", 0, "user", None),                  # NULL text -> 0 tokens
+        ("b", 1, "user", "   "),                 # blank -> 0 tokens
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): r.asDict()
+        for r in context_fit(df, token_budget=5).collect()
+    }
+    # budget 5 admits turns 3 (cum 1) and 2 (cum 3); turn 1 overflows
+    # (cum 7) and is cut; the system turn is pinned back in
+    assert set(got) == {("a", 0), ("a", 2), ("a", 3), ("b", 0), ("b", 1)}
+    assert got[("a", 0)]["pinned"] is True
+    assert got[("a", 2)]["pinned"] is False
+    assert got[("a", 2)]["cum_tokens_from_end"] == 3
+    assert got[("b", 0)]["n_tokens"] == 0 and got[("b", 1)]["n_tokens"] == 0
+
+    nopin = {
+        (r["conv_id"], r["turn_idx"])
+        for r in context_fit(df, token_budget=5, pin_system=False).collect()
+    }
+    assert ("a", 0) not in nopin
