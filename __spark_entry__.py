@@ -66,6 +66,20 @@ SELECT
 FROM events
 """
 
+# active-active view of the same derived log: three writable sites
+# (by lsn mod — each site's lsn subsequence stays monotone, i.e. a
+# valid per-site binlog), timestamps coarsened to the minute so
+# cross-site wall-clock ties actually occur and the deterministic
+# tiebreakers (delete-wins, site priority) do real work
+_SITE_LOG = f"""
+SELECT lsn, op, conv_id, turn_idx, role, text, tool,
+       date_trunc('minute', ts) AS ts,
+       CASE WHEN lsn % 3 = 0 THEN 'us'
+            WHEN lsn % 3 = 1 THEN 'eu'
+            ELSE 'ap' END AS site
+FROM ({_CDC_DERIVATION})
+"""
+
 # synthetic PII text over documents (identical in both dialects) so the
 # redaction query has real work to do
 _PII_TEXT = (
@@ -4500,6 +4514,66 @@ def _q_transform_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimaster_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-active conflict resolution: three writable sites' logs
+    (per-site monotone lsn subsequences of the derived log, minute-
+    coarsened ts so cross-site ties exist) merged under the
+    deterministic total order (ts, delete-wins, site priority us>eu>ap,
+    lsn) — every replica computing this converges to the same state."""
+    from neosync_spark.operators.multimaster import multimaster_merge
+
+    _views(spark, sf_dir, ["events"])
+    log = spark.sql(_SITE_LOG)
+    won = multimaster_merge(
+        log, ["conv_id", "turn_idx"], ["us", "eu", "ap"], delete_wins=True
+    )
+    return won.filter(F.col("op") != "delete").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "site", _fmt_ts()
+    )
+
+
+def _q_site_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops-side complement of the active-active merge: keys whose
+    sites' own latest states disagree — the reconciliation worklist."""
+    from neosync_spark.operators.multimaster import site_divergence_report
+
+    _views(spark, sf_dir, ["events"])
+    log = spark.sql(_SITE_LOG)
+    return site_divergence_report(
+        log, ["conv_id", "turn_idx"], ["role", "text", "tool"]
+    )
+
+
+def _q_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erasure as key destruction: encrypt the PII columns of the
+    LWW state with per-conversation AES-256-GCM keys, shred a
+    deterministic quarter of the subjects (md5 first hex in 0..3) by
+    deleting their key rows, then read — shredded conversations
+    decrypt to NULL without one data file being rewritten."""
+    from neosync_spark.operators.crypto_shred import (
+        decrypt_read,
+        derive_key_table,
+        encrypt_columns,
+        shred_subjects,
+    )
+    from neosync_spark.operators.dedup import lww_dedup
+
+    log = _derived_log(spark, sf_dir)
+    alive = lww_dedup(log, ["conv_id", "turn_idx"], ["ts", "lsn"]).filter(
+        F.col("op") != "delete"
+    )
+    keys = derive_key_table(alive, "conv_id", secret="gate-secret")
+    enc = encrypt_columns(alive, keys, "conv_id", ["text", "tool"])
+    erase = keys.filter(
+        F.substring(F.md5(F.col("subject")), 1, 1).isin("0", "1", "2", "3")
+    ).select("subject")
+    survivors = shred_subjects(keys, erase)
+    out = decrypt_read(enc, survivors, "conv_id", ["text", "tool"])
+    return out.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "shredded", _fmt_ts()
+    )
+
+
 def _q_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering end-to-end: replay the log, compact every
     bucket with a (turn_idx, ts) Morton interleave into small files,
@@ -5029,6 +5103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_anonymize": _q_json_anonymize,
         "constraint_violations": _q_constraint_violations,
         # -- position 51+: verified by the judge's local oracle rerun --
+        "cdc_multimaster_merge": _q_multimaster_merge,
+        "cdc_site_divergence": _q_site_divergence,
+        "privacy_crypto_shred": _q_crypto_shred,
         "cdc_gap_detection": _q_gap_detection,
         "cdc_secondary_lookup": _q_secondary_lookup,
         "text_bm25_search": _q_bm25_search,
@@ -5130,6 +5207,58 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay_final_state": f"""
             SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM ({lww}) WHERE op <> 'delete'
+        """,
+        # active-active merge: deterministic total order
+        # (ts, delete-wins, site priority us>eu>ap, within-site lsn)
+        "cdc_multimaster_merge": f"""
+            WITH s AS ({_SITE_LOG}),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC,
+                         CASE WHEN op = 'delete' THEN 1 ELSE 0 END DESC,
+                         CASE site WHEN 'us' THEN 3
+                                   WHEN 'eu' THEN 2 ELSE 1 END DESC,
+                         lsn DESC) AS rn
+              FROM s
+            )
+            SELECT conv_id, turn_idx, role, text, tool, site,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM r WHERE rn = 1 AND op <> 'delete'
+        """,
+        # per-site latest states that disagree (struct distinct gives
+        # exact NULL semantics in both dialects)
+        "cdc_site_divergence": f"""
+            WITH s AS ({_SITE_LOG}),
+            ps AS (
+              SELECT * FROM (
+                SELECT conv_id, turn_idx, site, op, role, text, tool,
+                       row_number() OVER (
+                         PARTITION BY conv_id, turn_idx, site
+                         ORDER BY ts DESC, lsn DESC) AS rn
+                FROM s
+              ) WHERE rn = 1
+            )
+            SELECT conv_id, turn_idx,
+                   CAST(count(*) AS BIGINT) AS n_sites,
+                   CAST(count(DISTINCT (op, role, text, tool)) AS BIGINT)
+                       AS n_states
+            FROM ps GROUP BY conv_id, turn_idx
+            HAVING count(DISTINCT (op, role, text, tool)) > 1
+        """,
+        # crypto-shred: the decrypted read equals the plaintext LWW
+        # state with the erased quarter's PII columns NULLed — proving
+        # key destruction erased exactly those subjects and nothing else
+        "privacy_crypto_shred": f"""
+            SELECT conv_id, turn_idx, role,
+                   CASE WHEN substr(md5(conv_id), 1, 1) IN ('0','1','2','3')
+                        THEN NULL ELSE text END AS text,
+                   CASE WHEN substr(md5(conv_id), 1, 1) IN ('0','1','2','3')
+                        THEN NULL ELSE tool END AS tool,
+                   substr(md5(conv_id), 1, 1) IN ('0','1','2','3')
+                       AS shredded,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'
         """,
