@@ -4574,6 +4574,37 @@ def _q_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_policy_masked_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-binding anonymization: the analyst AUDIENCE's view of the
+    replayed state under a masking-policy table — hashed conversation
+    ids, banded turn indexes, PII-redacted text, nulled tool payloads,
+    day-truncated timestamps, system turns filtered out — compiled into
+    the read projection (no data copy, no Python, masking rides the
+    scan)."""
+    from neosync_spark.operators.dedup import lww_dedup
+    from neosync_spark.operators.policy_mask import apply_policies
+
+    log = _derived_log(spark, sf_dir)
+    alive = (
+        lww_dedup(log, ["conv_id", "turn_idx"], ["ts", "lsn"])
+        .filter(F.col("op") != "delete")
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+    policies = [
+        {"col": "conv_id", "audience": "analyst", "rule": "hash", "arg": "12"},
+        {"col": "text", "audience": "analyst", "rule": "redact_pii"},
+        {"col": "tool", "audience": "analyst", "rule": "null"},
+        {"col": "turn_idx", "audience": "*", "rule": "band", "arg": "4"},
+        {"col": "ts", "audience": "analyst", "rule": "date_trunc", "arg": "day"},
+        {"col": "*", "audience": "analyst", "rule": "filter",
+         "arg": "role <> 'system'"},
+    ]
+    view = apply_policies(alive, policies, "analyst")
+    return view.select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts()
+    )
+
+
 def _q_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering end-to-end: replay the log, compact every
     bucket with a (turn_idx, ts) Morton interleave into small files,
@@ -5106,6 +5137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_multimaster_merge": _q_multimaster_merge,
         "cdc_site_divergence": _q_site_divergence,
         "privacy_crypto_shred": _q_crypto_shred,
+        "policy_masked_read": _q_policy_masked_read,
         "cdc_gap_detection": _q_gap_detection,
         "cdc_secondary_lookup": _q_secondary_lookup,
         "text_bm25_search": _q_bm25_search,
@@ -5261,6 +5293,23 @@ def oracle_sql() -> dict[str, str]:
                        AS shredded,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'
+        """,
+        # the analyst audience's masked view: every rule replayed in
+        # ANSI SQL over the plaintext LWW state
+        "policy_masked_read": f"""
+            SELECT substr(sha256('pol' || conv_id), 1, 12) AS conv_id,
+                   CAST(floor(turn_idx / 4) * 4 AS INT) AS turn_idx,
+                   role,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_SSN_RE}', '<SSN>', 'g'),
+                     '{_PHONE_RE}', '<PHONE>', 'g') AS text,
+                   CAST(NULL AS VARCHAR) AS tool,
+                   strftime(CAST(date_trunc('day', ts) AS TIMESTAMP),
+                            '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM ({lww})
+            WHERE op <> 'delete' AND role <> 'system'
         """,
         # counter table: two ledgered increment batches == one GROUP BY
         # over the whole log
