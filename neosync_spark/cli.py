@@ -144,6 +144,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="on table creation: build per-file bloom sidecars "
                         "for these columns at every commit (point-lookup "
                         "file skipping; see the 'get' subcommand)")
+    r.add_argument("--encrypt-cols", default=None, metavar="COL,COL",
+                   help="crypto-shredding at write: AES-GCM-encrypt these "
+                        "payload columns with per-subject keys from "
+                        "--keystore (minted on first sight); erasure = "
+                        "the 'shred' subcommand — key delete, O(1), no "
+                        "table rewrite")
+    r.add_argument("--keystore", default=None,
+                   help="KeyStore root for --encrypt-cols")
 
     c = sub.add_parser("compact", help="fold MoR delta files")
     c.add_argument("--table", required=True)
@@ -274,6 +282,34 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--stats", action="store_true",
                    help="also print how many files the lookup opened "
                         "vs the table total")
+    g.add_argument("--keystore", default=None,
+                   help="decrypt --decrypt-cols through this KeyStore "
+                        "(shredded subjects read NULL)")
+    g.add_argument("--decrypt-cols", default=None, metavar="COL,COL")
+
+    enc = sub.add_parser(
+        "encrypt",
+        help="crypto-shredding rollout over an EXISTING table: rewrite "
+             "only un-encrypted files (resumable transform-version "
+             "backfill), minting per-subject keys into the keystore; "
+             "pair with `replay --encrypt-cols` so new batches arrive "
+             "encrypted and `shred` for O(1) erasure",
+    )
+    enc.add_argument("--table", required=True)
+    enc.add_argument("--keystore", required=True)
+    enc.add_argument("--cols", required=True, metavar="COL,COL")
+    enc.add_argument("--subject-col", default="conv_id")
+    enc.add_argument("--group-size", type=int, default=64)
+
+    shr = sub.add_parser(
+        "shred",
+        help="GDPR erasure by key destruction: delete subjects' keys "
+             "from the keystore — their ciphertext (every copy, every "
+             "replica) becomes unreadable without touching data files",
+    )
+    shr.add_argument("--keystore", required=True)
+    shr.add_argument("--subjects", required=True,
+                     help="comma-separated subject values (e.g. conv ids)")
 
     dr = sub.add_parser(
         "drift",
@@ -735,6 +771,10 @@ def main(argv: list[str] | None = None) -> int:
             evolve_payload=args.evolve_payload,
             strict_wire_types=args.strict_wire_types,
             toast_placeholder=args.toast_placeholder,
+            encrypt_cols=(
+                args.encrypt_cols.split(",") if args.encrypt_cols else None
+            ),
+            keystore_path=args.keystore,
         )
         stats = run_job(spark, job)
         print(json.dumps({
@@ -1408,6 +1448,54 @@ def main(argv: list[str] | None = None) -> int:
         }))
         return 0
 
+    if args.cmd == "encrypt":
+        import os as _os
+
+        from .lakehouse import SnapshotTable
+        from .operators.crypto_shred import KeyStore, encrypt_columns
+
+        t = SnapshotTable.load(spark, args.table)
+        store = KeyStore(spark, args.keystore)
+        cols = args.cols.split(",")
+        subject = args.subject_col
+        marker = _os.path.join(t.path, "metadata", "encryption.json")
+        pending = t.pending_transform_buckets()
+        if _os.path.exists(marker) and not pending:
+            with open(marker) as fh:
+                print(json.dumps({"already_encrypted": json.load(fh)}))
+            return 0
+        if _os.path.exists(marker):
+            # crashed rollout: resume at the declared version with the
+            # ORIGINAL parameters — stamped files are never re-read, so
+            # nothing double-encrypts
+            with open(marker) as fh:
+                saved = json.load(fh)
+            cols, subject = saved["cols"], saved["subject"]
+            v = int(t.manifest(refresh=True).get("transform_version", 0))
+        else:
+            v = int(t.manifest(refresh=True).get("transform_version", 0)) + 1
+            t.set_transform_version(v)
+            with open(marker, "w") as fh:
+                json.dump({"cols": cols, "subject": subject,
+                           "keystore": args.keystore, "version": v}, fh)
+        store.ensure(t.read().select(subject), subject)
+
+        def _enc(df):
+            return encrypt_columns(df, store.load(), subject, cols)
+
+        info = t.transform_backfill(_enc, group_size=args.group_size)
+        info["version"] = v
+        print(json.dumps(info))
+        return 0
+
+    if args.cmd == "shred":
+        from .operators.crypto_shred import KeyStore
+
+        store = KeyStore(spark, args.keystore)
+        n = store.shred(args.subjects.split(","))
+        print(json.dumps({"keys_destroyed": n}))
+        return 0
+
     if args.cmd == "purge":
         from .lakehouse import SnapshotTable
 
@@ -1725,10 +1813,22 @@ def main(argv: list[str] | None = None) -> int:
         key_col = t.manifest()["key_cols"][0]
         dtype = t.current_schema()[key_col].dataType
         keys = [_cast_cli_value(v, dtype) for v in args.key]
+        df = t.read(key_equals={key_col: keys})
+        if args.decrypt_cols:
+            if not args.keystore:
+                raise SystemExit("--decrypt-cols requires --keystore")
+            from .operators.crypto_shred import KeyStore, decrypt_read
+
+            df = decrypt_read(
+                df,
+                KeyStore(spark, args.keystore).load(),
+                key_col,
+                args.decrypt_cols.split(","),
+            )
         out = {"rows": [
             {k: (v.isoformat() if hasattr(v, "isoformat") else v)
              for k, v in r.asDict().items()}
-            for r in t.read(key_equals={key_col: keys}).collect()
+            for r in df.collect()
         ]}
         if args.stats:
             out["scan"] = t.scan_stats(key_equals={key_col: keys})

@@ -147,10 +147,17 @@ class ReplayEngine:
         transforms: dict[str, TransformFn] | None = None,
         registry: SchemaRegistry | None = None,
         config: EngineConfig | None = None,
+        df_transform=None,
     ):
         self.spark = spark
         self.table = table
         self.transforms = transforms or {}
+        # df-level hook (DataFrame -> DataFrame) applied AFTER the
+        # per-column transforms — for transforms that need row context
+        # beyond one column (e.g. per-subject crypto-shred encryption
+        # joins the key store on conv_id). Must be row-local per key,
+        # like column transforms, so merge semantics are unchanged.
+        self.df_transform = df_transform
         self.registry = registry
         self.config = config or EngineConfig()
         self._chained_state: DataFrame | None = None
@@ -212,6 +219,27 @@ class ReplayEngine:
                 if only_where is not None:
                     mapped = F.when(only_where, mapped).otherwise(F.col(col))
                 out = out.withColumn(col, mapped)
+        return out
+
+    def effective_transform(
+        self, batch: DataFrame, only_where=None
+    ) -> DataFrame | None:
+        """Column transforms + the df-level hook, under the same
+        conditional-apply contract as ``transform_batch`` (returning
+        None asks the caller to filter-split; the df-level hook never
+        applies conditionally — it may join, which ``when()`` can't
+        express)."""
+        if only_where is not None and self.df_transform is not None:
+            return None
+        out = (
+            self.transform_batch(batch, only_where)
+            if self.transforms
+            else batch
+        )
+        if out is None:
+            return None
+        if self.df_transform is not None:
+            out = self.df_transform(out)
         return out
 
     def pandas_transform(self, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -342,7 +370,11 @@ class ReplayEngine:
             applied_range=applied_range,
             lineage=self.config.lineage,
             mode=self.config.merge_mode,
-            transform=self.transform_batch if self.transforms else None,
+            transform=(
+                self.effective_transform
+                if (self.transforms or self.df_transform)
+                else None
+            ),
             source_is_raw=True,
             prune_buckets=self.config.prune_buckets,
             target_df=self._chained_state if chaining else None,
@@ -761,7 +793,11 @@ class ReplayEngine:
                     applied_range=None,
                     lineage=self.config.lineage,
                     mode=self.config.merge_mode,
-                    transform=self.transform_batch if self.transforms else None,
+                    transform=(
+                        self.effective_transform
+                        if (self.transforms or self.df_transform)
+                        else None
+                    ),
                     source_is_raw=True,
                     prune_buckets=self.config.prune_buckets,
                     patch_ops=self.config.patch_ops,

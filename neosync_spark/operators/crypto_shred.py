@@ -34,12 +34,111 @@ has no encrypted-at-rest column path). Public pattern literature only.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _MODE = "GCM"  # random 12-byte IV per value, AEAD authenticated
+
+
+class KeyStore:
+    """Durable per-subject key store backing at-write encryption.
+
+    Layout (all parquet, append-only — crash-safe without atomic
+    renames):
+
+    - ``<path>/mints/mint-<n>/``  new (subject, key, mint_id) rows;
+      keys are RANDOM (uuid4 entropy hashed per subject), minted only
+      for subjects not already present. First mint wins forever
+      (``min_by(key, mint_id)``) so a re-minted subject can never
+      orphan earlier ciphertext.
+    - ``<path>/shredded/shred-<n>/``  erasure tombstones; ``load()``
+      anti-joins them, so a shredded subject's key is gone from every
+      reader even though mints are never rewritten.
+
+    Single-writer by contract (the CLI / one engine); readers are
+    unrestricted. The store holds one tiny row per subject — broadcast
+    territory at test scale, an ordinary key-partitioned join at 10^10.
+    Production note: point ``mints/`` at KMS-backed storage; this class
+    only defines the dataflow.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(os.path.join(path, "mints"), exist_ok=True)
+        os.makedirs(os.path.join(path, "shredded"), exist_ok=True)
+
+    def _subdirs(self, kind: str) -> list[str]:
+        root = os.path.join(self.path, kind)
+        return sorted(
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if not d.startswith(("_", "."))
+        )
+
+    def _read(self, kind: str) -> DataFrame | None:
+        dirs = self._subdirs(kind)
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs)
+
+    def load(self) -> DataFrame:
+        """(subject, key) — surviving keys only, first mint wins."""
+        mints = self._read("mints")
+        if mints is None:
+            return self.spark.createDataFrame(
+                [], "subject string, key string"
+            )
+        keys = (
+            mints.groupBy("subject")
+            .agg(F.min_by("key", "mint_id").alias("key"))
+        )
+        shredded = self._read("shredded")
+        if shredded is not None:
+            keys = keys.join(shredded.select("subject"), "subject", "left_anti")
+        return keys
+
+    def ensure(self, df: DataFrame, subject_col: str = "subject") -> DataFrame:
+        """Mint random keys for subjects in ``df`` not yet in the store
+        (shredded subjects are NOT re-minted — erased stays erased),
+        then return the full surviving key table."""
+        have = self.load()
+        shredded = self._read("shredded")
+        new = (
+            df.select(F.col(subject_col).alias("subject"))
+            .distinct()
+            .join(have.select("subject"), "subject", "left_anti")
+        )
+        if shredded is not None:
+            new = new.join(shredded.select("subject"), "subject", "left_anti")
+        mint_id = len(self._subdirs("mints"))
+        minted = new.select(
+            "subject",
+            F.substring(
+                F.sha2(F.concat(F.expr("uuid()"), F.col("subject")), 256),
+                1,
+                32,
+            ).alias("key"),
+            F.lit(mint_id).alias("mint_id"),
+        )
+        out_dir = os.path.join(self.path, "mints", f"mint-{mint_id:08d}")
+        minted.write.mode("errorifexists").parquet(out_dir)
+        return self.load()
+
+    def shred(self, subjects: Sequence[str]) -> int:
+        """Erase subjects' keys (tombstone append). Returns how many of
+        them actually had a surviving key."""
+        s = self.spark.createDataFrame(
+            [(x,) for x in subjects], "subject string"
+        ).distinct()
+        n = self.load().join(s, "subject", "left_semi").count()
+        shred_id = len(self._subdirs("shredded"))
+        out_dir = os.path.join(self.path, "shredded", f"shred-{shred_id:08d}")
+        s.write.mode("errorifexists").parquet(out_dir)
+        return n
 
 
 def derive_key_table(

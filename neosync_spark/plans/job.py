@@ -87,6 +87,13 @@ class JobSpec:
     # from the pre-image or demote to op='patch'; requires
     # patch_ops=True (plan-time error otherwise)
     toast_placeholder: str | None = None
+    # crypto-shredding at write: encrypt these payload columns with the
+    # subject's key from the KeyStore at keystore_path (keys minted for
+    # unseen subjects per batch; erasure later = `shred` — key delete,
+    # no table rewrite). Applied AFTER column mappings.
+    encrypt_cols: list[str] | None = None
+    keystore_path: str | None = None
+    encrypt_subject_col: str = "conv_id"
 
 
 def resolve_transformer(m: ColumnMapping, seed: int) -> TransformFn:
@@ -131,11 +138,27 @@ def compile_job(
         if not os.path.exists(table._hint_path(job.branch)):
             table.create_branch(job.branch)
         table = table.branch(job.branch)
+    df_transform = None
+    if job.encrypt_cols:
+        if not job.keystore_path:
+            raise ValueError("encrypt_cols requires keystore_path")
+        from ..operators.crypto_shred import KeyStore, encrypt_columns
+
+        store = KeyStore(spark, job.keystore_path)
+        subject = job.encrypt_subject_col
+        cols = tuple(job.encrypt_cols)
+
+        def df_transform(df):
+            return encrypt_columns(
+                df, store.ensure(df, subject), subject, cols
+            )
+
     engine = ReplayEngine(
         spark,
         table,
         transforms=transforms,
         registry=registry,
+        df_transform=df_transform,
         config=EngineConfig(
             batch_lsn_size=job.batch_lsn_size,
             merge_mode=job.merge_mode,

@@ -76,6 +76,133 @@ def test_keys_are_per_subject(spark):
     assert all(len(r["key"]) == 32 for r in rows)
 
 
+def test_keystore_mint_once_shred_forever(spark, tmp_path):
+    from neosync_spark.operators.crypto_shred import KeyStore
+
+    store = KeyStore(spark, str(tmp_path / "ks"))
+    df = _df(spark)
+    k1 = {r["subject"]: r["key"] for r in store.ensure(df, "conv_id").collect()}
+    assert set(k1) == {"c1", "c2", "c3"}
+    # second ensure mints nothing new: identical keys (first mint wins)
+    k2 = {r["subject"]: r["key"] for r in store.ensure(df, "conv_id").collect()}
+    assert k1 == k2
+    assert store.shred(["c2", "ghost"]) == 1
+    k3 = {r["subject"] for r in store.load().collect()}
+    assert k3 == {"c1", "c3"}
+    # a shredded subject is never re-minted — erased stays erased
+    k4 = {r["subject"] for r in store.ensure(df, "conv_id").collect()}
+    assert k4 == {"c1", "c3"}
+
+
+def _lww_text(spark, log_dir):
+    from pyspark.sql import functions as F
+
+    from neosync_spark.operators.dedup import lww_dedup
+
+    log = spark.read.parquet(log_dir)
+    alive = lww_dedup(log, ["conv_id", "turn_idx"], ["ts", "lsn"]).filter(
+        F.col("op") != "delete"
+    )
+    return {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in alive.collect()
+    }
+
+
+def test_cli_encrypt_at_write_shred_and_decrypt_read(spark, tmp_path, capsys):
+    import json
+
+    from neosync_spark.cli import main
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.crypto_shred import KeyStore, decrypt_read
+
+    log_dir = str(tmp_path / "log")
+    table = str(tmp_path / "t")
+    ks = str(tmp_path / "ks")
+    assert main(["synth", "--out", log_dir, "--events", "1500"]) == 0
+    assert main([
+        "replay", "--log", log_dir, "--table", table,
+        "--batch-size", "800",
+        "--encrypt-cols", "text", "--keystore", ks,
+    ]) == 0
+    capsys.readouterr()
+    expected = _lww_text(spark, log_dir)
+    t = SnapshotTable.load(spark, table)
+    stored = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in t.read().collect()
+    }
+    assert set(stored) == set(expected)
+    # at rest: every non-NULL text is ciphertext, not the plaintext
+    assert all(
+        v != expected[k] for k, v in stored.items() if expected[k] is not None
+    )
+    # decrypted read equals the plaintext LWW oracle
+    dec = decrypt_read(
+        t.read(), KeyStore(spark, ks).load(), "conv_id", ["text"]
+    )
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in dec.collect()}
+    assert got == expected
+    # shred one conversation; its rows now read NULL, others unchanged
+    victim = next(iter(expected))[0]
+    assert main(["shred", "--keystore", ks, "--subjects", victim]) == 0
+    assert json.loads(capsys.readouterr().out)["keys_destroyed"] == 1
+    dec2 = decrypt_read(
+        t.read(), KeyStore(spark, ks).load(), "conv_id", ["text"]
+    )
+    got2 = {(r["conv_id"], r["turn_idx"]): r["text"] for r in dec2.collect()}
+    assert all(v is None for k, v in got2.items() if k[0] == victim)
+    assert all(
+        v == expected[k] for k, v in got2.items() if k[0] != victim
+    )
+    # CLI read path: get --decrypt-cols on a surviving conversation
+    keep = next(k for k in expected if k[0] != victim)[0]
+    assert main([
+        "get", "--table", table, "--key", keep,
+        "--keystore", ks, "--decrypt-cols", "text",
+    ]) == 0
+    rows = json.loads(capsys.readouterr().out)["rows"]
+    assert rows and all(
+        r["text"] == expected[(keep, r["turn_idx"])] for r in rows
+    )
+
+
+def test_cli_encrypt_rollout_existing_table(spark, tmp_path, capsys):
+    import json
+
+    from neosync_spark.cli import main
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.crypto_shred import KeyStore, decrypt_read
+
+    log_dir = str(tmp_path / "log")
+    table = str(tmp_path / "t")
+    ks = str(tmp_path / "ks")
+    assert main(["synth", "--out", log_dir, "--events", "1200"]) == 0
+    assert main(["replay", "--log", log_dir, "--table", table]) == 0
+    capsys.readouterr()
+    expected = _lww_text(spark, log_dir)
+    assert main([
+        "encrypt", "--table", table, "--keystore", ks, "--cols", "text",
+    ]) == 0
+    capsys.readouterr()
+    t = SnapshotTable.load(spark, table)
+    stored = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in t.read().collect()
+    }
+    assert all(
+        v != expected[k] for k, v in stored.items() if expected[k] is not None
+    )
+    dec = decrypt_read(
+        t.read(), KeyStore(spark, ks).load(), "conv_id", ["text"]
+    )
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in dec.collect()}
+    assert got == expected
+    # idempotent: a second rollout is a guarded no-op, never a
+    # double-encryption
+    assert main([
+        "encrypt", "--table", table, "--keystore", ks, "--cols", "text",
+    ]) == 0
+    assert "already_encrypted" in capsys.readouterr().out
+
+
 def test_encrypt_missing_key_fails_closed(spark):
     df = _df(spark)
     keys = derive_key_table(
