@@ -475,3 +475,77 @@ def test_debezium_wire_roundtrip_property(spark, table_root, rows):
         .select("conv_id", "text", "tool").collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# active-active multimaster merge == a sequential per-key interpreter
+# ---------------------------------------------------------------------------
+
+_mm_event = st.tuples(
+    st.sampled_from(["insert", "update", "delete"]),
+    st.integers(0, 2),  # conv
+    st.integers(0, 1),  # turn
+    st.integers(0, 2),  # ts second (tiny domain -> constant ts ties)
+    st.sampled_from(["us", "eu", "ap"]),
+    st.text(alphabet="abXY", min_size=0, max_size=4),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    events=st.lists(_mm_event, min_size=1, max_size=30),
+    delete_wins=st.booleans(),
+)
+def test_multimaster_merge_matches_interpreter(spark, events, delete_wins):
+    from neosync_spark.operators.multimaster import multimaster_merge
+
+    pri = {"us": 2, "eu": 1, "ap": 0}
+    rows = []
+    per_site: dict[str, int] = {}
+    for op, conv, turn, ts_s, site, txt in events:
+        lsn = per_site.get(site, 0)
+        per_site[site] = lsn + 1  # per-site monotone, NOT global
+        rows.append(
+            {
+                "conv_id": f"c{conv}",
+                "turn_idx": turn,
+                "op": op,
+                "text": None if op == "delete" else txt,
+                "ts": pd.Timestamp("2024-01-01")
+                + pd.Timedelta(seconds=ts_s),
+                "lsn": lsn,
+                "site": site,
+            }
+        )
+    # sequential interpreter: max over the explicit total order
+    best: dict[tuple, tuple] = {}
+    for r in rows:
+        rank = (
+            r["ts"],
+            (1 if r["op"] == "delete" else 0) if delete_wins else 0,
+            pri[r["site"]],
+            r["lsn"],
+        )
+        k = (r["conv_id"], r["turn_idx"])
+        if k not in best or rank > best[k][0]:
+            best[k] = (rank, r)
+    pdf = pd.DataFrame(rows)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    log = spark.createDataFrame(pdf)
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["op"], r["text"], r["site"])
+        for r in multimaster_merge(
+            log,
+            ["conv_id", "turn_idx"],
+            ["us", "eu", "ap"],
+            delete_wins=delete_wins,
+        ).collect()
+    }
+    want = {
+        k: (r["op"], r["text"], r["site"]) for k, (rank, r) in best.items()
+    }
+    assert got == want

@@ -551,6 +551,39 @@ def main() -> None:
         "one hll_union against the bucket-pruned current accumulators.",
     )
 
+    from neosync_spark.operators.multimaster import multimaster_merge
+    from neosync_spark.operators.policy_mask import apply_policies
+
+    site_log = spark.sql(E._SITE_LOG)
+    cap(
+        "Active-active multimaster merge",
+        multimaster_merge(
+            site_log, ["conv_id", "turn_idx"], ["us", "eu", "ap"]
+        ),
+        "the cross-site conflict fold is the SAME single-Exchange "
+        "partial+final max_by hash aggregate as single-site LWW — the "
+        "deterministic (ts, delete, site-priority, lsn) rank rides "
+        "inside the aggregate; no Window, no join.",
+    )
+
+    cap(
+        "Policy-masked read (analyst audience)",
+        apply_policies(
+            log.select("conv_id", "turn_idx", "role", "text", "tool", "ts"),
+            [
+                {"col": "conv_id", "audience": "analyst", "rule": "hash"},
+                {"col": "text", "audience": "analyst", "rule": "redact_pii"},
+                {"col": "tool", "audience": "analyst", "rule": "null"},
+                {"col": "*", "audience": "analyst", "rule": "filter",
+                 "arg": "role <> 'system'"},
+            ],
+            "analyst",
+        ),
+        "every masking rule is a codegen'd Project over the scan — no "
+        "Exchange, no Python; the row filter composes into the same "
+        "WholeStageCodegen span.",
+    )
+
     hdr = (
         "# PLANS — formatted physical plans of load-bearing operators\n\n"
         "Generated by tools/gen_plans.py (`df.explain('formatted')` at sf0.001).\n"
