@@ -727,6 +727,11 @@ def main(argv: list[str] | None = None) -> int:
                           "source-lsn watermark instead of current heads")
     cat.add_argument("--name", default=None, help="read: table name")
     cat.add_argument("--limit", type=int, default=20, help="read: rows")
+    cat.add_argument("--policies", default=None,
+                     help="read: JSON policy file (rows of col/audience/"
+                          "rule/arg) — serve the masked per-audience view")
+    cat.add_argument("--audience", default=None,
+                     help="read: audience for --policies")
 
     args = p.parse_args(argv)
 
@@ -1005,6 +1010,14 @@ def main(argv: list[str] | None = None) -> int:
                 print("catalog read needs --name", file=sys.stderr)
                 return 2
             df = c.read(spark, args.name)
+            if args.policies:
+                if not args.audience:
+                    print("--policies needs --audience", file=sys.stderr)
+                    return 2
+                from .operators.policy_mask import apply_policies
+
+                with open(args.policies) as fh:
+                    df = apply_policies(df, json.load(fh), args.audience)
             for r in df.limit(args.limit).collect():
                 print(json.dumps(r.asDict(), default=str))
             return 0

@@ -100,3 +100,51 @@ def test_masking_stays_in_codegen(spark):
     out = apply_policies(_df(spark), _POLICIES, "analyst")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cli_catalog_read_with_policies(spark, tmp_path, capsys):
+    """`catalog read --policies --audience` serves the masked view."""
+    import json
+
+    from neosync_spark.cli import main
+
+    log_dir = str(tmp_path / "log")
+    table = str(tmp_path / "t")
+    root = str(tmp_path / "cat")
+    assert main(["synth", "--out", log_dir, "--events", "500"]) == 0
+    assert main(["replay", "--log", log_dir, "--table", table]) == 0
+    assert main(["catalog", "--root", root, "init"]) == 0
+    assert main([
+        "catalog", "--root", root, "publish", "--pin", f"conv={table}",
+    ]) == 0
+    capsys.readouterr()
+
+    pol = tmp_path / "pol.json"
+    pol.write_text(json.dumps([
+        {"col": "conv_id", "audience": "analyst", "rule": "hash", "arg": "8"},
+        {"col": "text", "audience": "analyst", "rule": "constant", "arg": "X"},
+    ]))
+
+    # audience without --policies fails closed on arg validation
+    assert main([
+        "catalog", "--root", root, "read", "--name", "conv",
+        "--policies", str(pol), "--limit", "5",
+    ]) == 2
+    capsys.readouterr()
+
+    assert main([
+        "catalog", "--root", root, "read", "--name", "conv",
+        "--policies", str(pol), "--audience", "analyst", "--limit", "5",
+    ]) == 0
+    rows = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")]
+    assert rows and all(len(r["conv_id"]) == 8 for r in rows)
+    assert all(r["text"] == "X" for r in rows)
+
+    # same read without policies serves the raw column
+    assert main([
+        "catalog", "--root", root, "read", "--name", "conv", "--limit", "5",
+    ]) == 0
+    raw = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+           if ln.startswith("{")]
+    assert any(len(r["conv_id"]) != 8 for r in raw) or raw[0]["text"] != "X"
