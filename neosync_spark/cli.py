@@ -187,6 +187,29 @@ def main(argv: list[str] | None = None) -> int:
                    help="auto: bound the maintenance window to the K "
                         "worst buckets")
 
+    cl = sub.add_parser(
+        "compact-log",
+        help="rewrite a changelog dir to one LWW event per key (Kafka "
+             "log-compaction semantics): bootstraps replay O(keys) "
+             "instead of O(history); manifest records the lsn "
+             "watermark to resume tailing from",
+    )
+    cl.add_argument("--log", required=True, help="source WAL parquet dir")
+    cl.add_argument("--out", required=True, help="compacted log dir")
+    cl.add_argument("--drop-tombstones", action="store_true",
+                    help="drop keys whose latest event is a delete "
+                         "(fresh-bootstrap only: an existing destination "
+                         "would keep rows the source deleted)")
+    cl.add_argument("--patch-ops", action="store_true",
+                    help="fold op='patch' partial images into full "
+                         "images (compacted log needs no patch support)")
+    cl.add_argument("--key-cols", default=None, metavar="A,B",
+                    help="override key columns (default conv_id,turn_idx)")
+    cl.add_argument("--order-cols", default=None, metavar="A,B",
+                    help="override LWW order columns (default ts,lsn)")
+    cl.add_argument("--files", type=int, default=None,
+                    help="output file count (default: shuffle parallelism)")
+
     rt = sub.add_parser(
         "retain",
         help="retention: drop rows older than a cutoff, metadata-only "
@@ -789,6 +812,25 @@ def main(argv: list[str] | None = None) -> int:
             "rows_skipped_fk": stats.rows_skipped_fk,
             "schema_ops": stats.schema_ops,
         }))
+        return 0
+
+    if args.cmd == "compact-log":
+        from .operators.log_compact import compact_changelog_dir
+        from .schema import KEY_COLS, ORDER_COLS
+
+        manifest = compact_changelog_dir(
+            spark,
+            args.log,
+            args.out,
+            key_cols=args.key_cols.split(",") if args.key_cols else KEY_COLS,
+            order_cols=(
+                args.order_cols.split(",") if args.order_cols else ORDER_COLS
+            ),
+            drop_tombstones=args.drop_tombstones,
+            patch_ops=args.patch_ops,
+            n_files=args.files,
+        )
+        print(json.dumps(manifest))
         return 0
 
     if args.cmd == "compact":
