@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "cdc_agg_distinct",
     "cdc_scd2_sync",
     "cdc_ledger_compaction",
+    "cdc_log_compaction",
 ]
 
 

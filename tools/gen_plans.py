@@ -584,6 +584,17 @@ def main() -> None:
         "WholeStageCodegen span.",
     )
 
+    from neosync_spark.operators.log_compact import compact_changelog
+
+    cap(
+        "Changelog (WAL) compaction",
+        compact_changelog(log),
+        "one partial+final max_by hash aggregate over the raw log scan "
+        "— a single Exchange; a hot key's millions of updates collapse "
+        "map-side BEFORE the shuffle, so compacting a 10^10-event WAL "
+        "is one skew-proof pass regardless of per-key update counts.",
+    )
+
     hdr = (
         "# PLANS — formatted physical plans of load-bearing operators\n\n"
         "Generated by tools/gen_plans.py (`df.explain('formatted')` at sf0.001).\n"
