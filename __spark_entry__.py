@@ -187,6 +187,43 @@ def _q_cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_replication_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-lag / freshness report (Kafka consumer lag, Debezium
+    MilliSecondsBehindSource analog): replay HALF the WAL, then measure
+    how far behind the live log the table is. The applied side is never
+    scanned — W from the ledger, applied event-time high-water from
+    manifest zone maps; only the pending tail is read (lsn >= W pushed
+    into the scan)."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.monitor import replication_lag
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    mid = (hi + 1) // 2
+
+    path = tempfile.mkdtemp(prefix="ns_cdc_lag_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+    eng = ReplayEngine(
+        spark,
+        table,
+        config=EngineConfig(
+            batch_lsn_size=mid, lineage=False, prune_buckets=False
+        ),
+    )
+    eng.replay(
+        lambda lo, hi_: log.filter(
+            (F.col("lsn") >= lo) & (F.col("lsn") < hi_)
+        ),
+        lsn_lo=0,
+        lsn_hi=mid - 1,  # inclusive: exactly one [0, mid) batch
+    )
+    return replication_lag(log, table)
+
+
 def _q_cdc_repair_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Disaster recovery end-to-end: replay the log into a table, LOSE
     two buckets' files on disk, detect the damage with the distributed
@@ -5173,6 +5210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- position 51+: verified by the judge's local oracle rerun --
         # (json_anonymize: driver-green since r1, rotated out to keep
         # the new log-compaction invariant inside the 50-entry window)
+        "cdc_replication_lag": _q_cdc_replication_lag,
         "json_anonymize": _q_json_anonymize,
         "cdc_multimaster_merge": _q_multimaster_merge,
         "cdc_site_divergence": _q_site_divergence,
@@ -5281,6 +5319,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'
+        """,
+        # consumer lag at W = (max lsn + 1) // 2: pending tail stats +
+        # freshness vs the newest APPLIED event time
+        "cdc_replication_lag": f"""
+            WITH w AS (SELECT (MAX(lsn) + 1) // 2 AS w FROM {log}),
+            p AS (SELECT l.* FROM {log} l, w WHERE l.lsn >= w.w)
+            SELECT CAST((SELECT w FROM w) AS BIGINT) AS applied_lsn_hi,
+                   CAST(count(*) AS BIGINT) AS events_behind,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS convs_behind,
+                   CAST(max(lsn) AS BIGINT) AS log_lsn_hi,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S')
+                       AS oldest_pending_ts_s,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S')
+                       AS newest_pending_ts_s,
+                   CAST(floor(
+                       (epoch_us(max(ts)) - (SELECT epoch_us(max(ts))
+                                             FROM {log} l2, w
+                                             WHERE l2.lsn < w.w))
+                       / 1000000.0) AS BIGINT) AS lag_seconds
+            FROM p
         """,
         # compaction invariant: bootstrapping from the one-event-per-key
         # compacted WAL reproduces the full-history LWW final state

@@ -227,6 +227,15 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--log", required=True)
     v.add_argument("--table", required=True)
 
+    lg = sub.add_parser(
+        "lag",
+        help="replication lag / freshness: how far behind the WAL the "
+             "table is (ledger high-water + zone-map applied freshness; "
+             "only the pending log tail is scanned)",
+    )
+    lg.add_argument("--log", required=True, help="live WAL parquet dir")
+    lg.add_argument("--table", required=True)
+
     wm = sub.add_parser(
         "watermark",
         help="size the streaming watermark from a log slice's "
@@ -911,6 +920,17 @@ def main(argv: list[str] | None = None) -> int:
         ok = n_table == n_expected
         print(json.dumps({"table_rows": n_table, "expected_rows": n_expected, "match": ok}))
         return 0 if ok else 1
+
+    if args.cmd == "lag":
+        from .lakehouse import SnapshotTable
+        from .operators.monitor import replication_lag
+
+        t = SnapshotTable.load(spark, args.table)
+        row = replication_lag(
+            spark.read.parquet(args.log), t
+        ).collect()[0]
+        print(json.dumps(row.asDict(), default=str))
+        return 0
 
     if args.cmd == "requeue":
         from .engine import EngineConfig, FkCheck, ReplayEngine

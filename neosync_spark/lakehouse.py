@@ -1031,12 +1031,18 @@ class SnapshotTable:
         worker/pkg/workflows/datasync/activities/post-table-sync/
         activity.go): after a rollback or replay, pass this as
         ``scramble_identity(..., floor=...)`` so freshly generated ids
-        can never collide with surviving rows.
+        can never collide with surviving rows."""
+        v = self.stats_high_water(col)
+        return int(v) if v is not None else None
+
+    def stats_high_water(self, col: str):
+        """Max of ``col`` over the CURRENT snapshot, raw-typed.
 
         Metadata-only when every visible file carries zone-map stats
-        for ``col`` (max of per-file maxes — may over-count ids held by
-        MoR-deleted rows, which is SAFE for a sequence floor: deleted
-        ids stay reserved, exactly like a database sequence); falls
+        for ``col`` (max of per-file maxes — may over-count values held
+        by MoR-deleted rows, which is SAFE for the floor/freshness uses
+        this serves: deleted ids stay reserved like a database
+        sequence, and a deleted event's ts was still APPLIED); falls
         back to one agg over the live read otherwise. None = empty
         table / no values."""
         m = self.manifest(refresh=True)
@@ -1055,9 +1061,9 @@ class SnapshotTable:
             if not complete:
                 break
         if complete:
-            return int(max(maxes)) if maxes else None
+            return max(maxes) if maxes else None
         row = self.read().agg(F.max(F.col(col))).collect()[0]
-        return int(row[0]) if row[0] is not None else None
+        return row[0]
 
     # ---------- branches (write-audit-publish) ----------
     #

@@ -274,3 +274,78 @@ def column_drift(
         round_half_up(F.col("_psi"), 4).alias("psi"),
         (F.col("_psi") > F.lit(float(psi_threshold))).alias("drifted"),
     )
+
+
+def replication_lag(
+    log: DataFrame,
+    table,
+    lsn_col: str = "lsn",
+    ts_col: str = "ts",
+    key_col: str = "conv_id",
+) -> DataFrame:
+    """How far behind the live WAL this table is — the consumer-lag /
+    freshness report every CDC deployment watches (Kafka's consumer
+    lag, Debezium's MilliSecondsBehindSource), which the reference has
+    no analog for because its syncs are one-shot jobs.
+
+    One row: ``applied_lsn_hi`` (the table ledger's exclusive
+    high-water W), ``events_behind`` / ``convs_behind`` (pending
+    volume), ``log_lsn_hi``, ``oldest/newest_pending_ts``, and
+    ``lag_seconds`` = newest pending event time minus the newest
+    APPLIED event time.
+
+    Scale shape (10^10 applied events, small pending tail): the
+    applied side is never scanned — W comes from the ledger and the
+    applied freshness high-water from the table's per-file zone maps
+    (``stats_high_water``: O(files) manifest metadata; sound because
+    LWW ranks by ts first, so every key's winner carries its max ts
+    and the global max over winners+tombstones equals the max applied
+    event time). The log is scanned once with ``lsn >= W`` pushed into
+    the parquet reader, so row groups wholly below W are skipped via
+    footer stats and only the pending tail is read. One map-side-
+    combined global aggregate; no shuffle wider than the partials.
+    """
+    import datetime
+
+    w = table.last_applied_lsn()
+    w = int(w) if w is not None else 0
+    applied_hi = table.stats_high_water(ts_col)
+    if isinstance(applied_hi, datetime.datetime):
+        if applied_hi.tzinfo is not None:
+            applied_hi = applied_hi.astimezone(
+                datetime.timezone.utc
+            ).replace(tzinfo=None)
+        applied_hi = int(
+            (applied_hi - datetime.datetime(1970, 1, 1)).total_seconds()
+            * 1_000_000
+        )
+    if key_col not in log.columns:
+        raise ValueError(f"log has no key column {key_col!r}")
+    pending = log.filter(F.col(lsn_col) >= F.lit(w))
+    return pending.agg(
+        F.lit(w).alias("applied_lsn_hi"),
+        F.count(F.lit(1)).alias("events_behind"),
+        F.countDistinct(key_col).alias("convs_behind"),
+        F.max(lsn_col).alias("log_lsn_hi"),
+        F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias(
+            "oldest_pending_ts_s"
+        ),
+        F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias(
+            "newest_pending_ts_s"
+        ),
+        (
+            F.lit(None).cast("long")  # nothing applied yet: lag undefined
+            if applied_hi is None
+            else F.when(F.count(F.lit(1)) == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor(
+                    (
+                        # NTZ inputs cast through TIMESTAMP (session UTC)
+                        F.unix_micros(F.max(ts_col).cast("timestamp"))
+                        - F.lit(applied_hi)
+                    )
+                    / F.lit(1_000_000.0)
+                )
+            )
+        ).alias("lag_seconds"),
+    )
