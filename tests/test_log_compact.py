@@ -156,3 +156,76 @@ def test_cli_compact_log_bootstrap_verifies(spark, tmp_path, capsys):
     assert main(["replay", "--log", out, "--table", table]) == 0
     assert main(["verify", "--log", log_dir, "--table", table]) == 0
     assert '"match": true' in capsys.readouterr().out
+
+
+# ---------- property: compaction == a sequential interpreter ----------
+
+import pandas as pd  # noqa: E402
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_mixed_event = st.tuples(
+    st.sampled_from(["insert", "update", "delete", "patch", "patch"]),
+    st.integers(0, 2),  # conv
+    st.integers(0, 1),  # turn
+    st.integers(0, 4),  # ts second (ties likely)
+    st.sampled_from([None, "", "aa", "Zb1"]),  # text
+    st.sampled_from([None, "t1"]),  # tool
+)
+
+
+def _interpret(rows):
+    """Sequential (ts, lsn)-ordered oracle: live final state per key."""
+    state: dict = {}
+    for r in sorted(rows, key=lambda r: (r["ts"], r["lsn"])):
+        k = (r["conv_id"], r["turn_idx"])
+        if r["op"] == "delete":
+            state[k] = None
+        elif r["op"] == "patch":
+            cur = state.get(k)
+            if cur is not None:
+                state[k] = tuple(
+                    n if n is not None else c
+                    for n, c in zip((r["role"], r["text"], r["tool"]), cur)
+                )
+        else:
+            state[k] = (r["role"], r["text"], r["tool"])
+    return {k: v for k, v in state.items() if v is not None}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture, HealthCheck.too_slow,
+    ],
+)
+@given(events=st.lists(_mixed_event, min_size=1, max_size=30))
+def test_compaction_matches_interpreter(spark, events):
+    rows = []
+    for lsn, (op, conv, turn, ts_s, txt, tool) in enumerate(events):
+        full = op in ("insert", "update")
+        rows.append(
+            {
+                "conv_id": f"c{conv}",
+                "turn_idx": turn,
+                "role": "user" if full else None,
+                "text": txt if (full or op == "patch") else None,
+                "tool": tool if (full or op == "patch") else None,
+                "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=ts_s),
+                "op": op,
+                "lsn": lsn,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    comp = compact_changelog(spark.createDataFrame(pdf), patch_ops=True)
+    live = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"])
+        for r in comp.collect()
+        if r["op"] != "delete"
+    }
+    assert live == _interpret(rows)
+    # the compacted log never contains a patch and is one event per key
+    ops = [r["op"] for r in comp.collect()]
+    assert "patch" not in ops
