@@ -229,3 +229,40 @@ def test_compaction_matches_interpreter(spark, events):
     # the compacted log never contains a patch and is one event per key
     ops = [r["op"] for r in comp.collect()]
     assert "patch" not in ops
+
+
+def test_bootstrap_then_resume_live_wal(spark, tmp_path, capsys):
+    """The operational story end-to-end: compact the WAL at watermark T,
+    bootstrap a fresh table from the compacted log, then point the
+    ordinary replay at the FULL live WAL — the ledger resumes past the
+    bootstrap watermark, applies only the suffix, and the final state
+    equals replaying the whole history."""
+    import json as _json
+
+    from neosync_spark.cli import main
+
+    full_dir = str(tmp_path / "wal")
+    pdf = generate_pandas(CFG)
+    spark.createDataFrame(pdf).write.parquet(full_dir)
+    # the prefix that existed when the compaction ran
+    mid = CFG.n_events // 2
+    prefix_dir = str(tmp_path / "wal_prefix")
+    spark.read.parquet(full_dir).filter(F.col("lsn") < mid).write.parquet(
+        prefix_dir
+    )
+
+    comp_dir = str(tmp_path / "comp")
+    assert main(["compact-log", "--log", prefix_dir, "--out", comp_dir]) == 0
+    m = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["lsn_hi"] == mid - 1
+
+    table = str(tmp_path / "t")
+    assert main(["replay", "--log", comp_dir, "--table", table]) == 0
+    capsys.readouterr()
+    # live suffix arrives; ordinary replay resumes from the ledger
+    assert main(["replay", "--log", full_dir, "--table", table]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["batches_applied"] >= 1  # the suffix actually applied
+
+    assert main(["verify", "--log", full_dir, "--table", table]) == 0
+    assert '"match": true' in capsys.readouterr().out
