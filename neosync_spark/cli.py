@@ -209,6 +209,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="override LWW order columns (default ts,lsn)")
     cl.add_argument("--files", type=int, default=None,
                     help="output file count (default: shuffle parallelism)")
+    cl.add_argument("--base", default=None,
+                    help="prior compacted log: incremental recompaction — "
+                         "only the WAL suffix past the base manifest's "
+                         "lsn_hi is read and folded onto the base")
 
     rt = sub.add_parser(
         "retain",
@@ -838,6 +842,7 @@ def main(argv: list[str] | None = None) -> int:
             drop_tombstones=args.drop_tombstones,
             patch_ops=args.patch_ops,
             n_files=args.files,
+            base_dir=args.base,
         )
         print(json.dumps(manifest))
         return 0

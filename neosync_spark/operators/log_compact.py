@@ -164,10 +164,31 @@ def compact_changelog_dir(
     drop_tombstones: bool = False,
     patch_ops: bool = False,
     n_files: int | None = None,
+    base_dir: str | None = None,
 ) -> dict:
     """Dir → dir convenience used by the CLI: read, compact, write,
-    and report ``events_in`` alongside the write manifest."""
+    and report ``events_in`` alongside the write manifest.
+
+    ``base_dir`` = a PRIOR compacted log: incremental recompaction
+    (Kafka's log cleaner never re-reads cleaned segments). Only the
+    WAL suffix past the base manifest's ``lsn_hi`` is read — the lsn
+    filter is pushed into the parquet scan, so already-compacted
+    history costs footer reads only — and folded onto the base's
+    one-event-per-key state: O(live keys + new events). The result is
+    identical to recompacting the full log from scratch (LWW is
+    associative: max_by over (base winners ∪ suffix) == max_by over
+    the whole history). A base compacted WITH tombstones is required
+    when the suffix can delete (drop_tombstones composes only at the
+    final output)."""
     log = spark.read.parquet(log_dir)
+    if base_dir is not None:
+        base_m = read_compaction_manifest(base_dir)
+        if base_m is None:
+            raise ValueError(f"{base_dir!r} has no {MANIFEST_NAME}")
+        lsn_col = order_cols[-1]
+        suffix = log.filter(F.col(lsn_col) > F.lit(int(base_m["lsn_hi"])))
+        base = spark.read.parquet(base_dir).select(*log.columns)
+        log = base.unionByName(suffix)
     comp = compact_changelog(
         log,
         key_cols,

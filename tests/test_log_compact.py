@@ -266,3 +266,41 @@ def test_bootstrap_then_resume_live_wal(spark, tmp_path, capsys):
 
     assert main(["verify", "--log", full_dir, "--table", table]) == 0
     assert '"match": true' in capsys.readouterr().out
+
+
+def test_incremental_recompaction_equals_full(spark, tmp_path, capsys):
+    """compact(base ∪ suffix) == compact(full history): LWW max_by is
+    associative, so the cleaner never re-reads cleaned history. The
+    suffix scan's lsn filter is pushed to the parquet reader."""
+    import json as _json
+
+    from neosync_spark.cli import main
+
+    full_dir = str(tmp_path / "wal")
+    spark.createDataFrame(generate_pandas(CFG)).write.parquet(full_dir)
+    mid = CFG.n_events // 2
+    prefix_dir = str(tmp_path / "wal_prefix")
+    spark.read.parquet(full_dir).filter(F.col("lsn") < mid).write.parquet(
+        prefix_dir
+    )
+
+    base = str(tmp_path / "comp0")
+    inc = str(tmp_path / "comp1")
+    scratch = str(tmp_path / "comp_full")
+    assert main(["compact-log", "--log", prefix_dir, "--out", base]) == 0
+    capsys.readouterr()
+    assert main([
+        "compact-log", "--log", full_dir, "--out", inc, "--base", base,
+    ]) == 0
+    m_inc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(["compact-log", "--log", full_dir, "--out", scratch]) == 0
+    m_full = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert_pdf_equal(
+        spark.read.parquet(inc).toPandas(),
+        spark.read.parquet(scratch).toPandas(),
+        ["conv_id", "turn_idx"],
+    )
+    assert m_inc["lsn_hi"] == m_full["lsn_hi"]
+    # the incremental pass read less than the full history
+    assert m_inc["events_in"] < m_full["events_in"]
