@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "cdc_scd2_sync",
     "cdc_ledger_compaction",
     "cdc_log_compaction",
+    "cdc_profile_sync",
 ]
 
 

@@ -28,7 +28,9 @@ tracked incremental diffs), sidx-sync / lookup (secondary value index
 over a payload column: ledgered maintenance + pruned point lookups),
 maintain (one-shot bounded maintenance window: worst-bucket MoR fold
 + optional snapshot GC), profile
-(--percentiles adds quantiles).
+(--percentiles adds quantiles), stats-sync (incremental ANALYZE:
+per-bucket column stats maintained from manifest bucket diffs, merged
+global profile printed; resumes from the stats ledger).
 """
 
 from __future__ import annotations
@@ -455,6 +457,26 @@ def main(argv: list[str] | None = None) -> int:
                          "ledger (or full build if none)")
     rs.add_argument("--to-snapshot", type=int, default=None,
                     help="default: src's current snapshot")
+
+    ss = sub.add_parser(
+        "stats-sync",
+        help="incrementally maintain per-bucket column statistics from "
+             "manifest bucket diffs (ANALYZE as a CDC consumer) and "
+             "print the merged global profile",
+    )
+    ss.add_argument("--src", required=True, help="source SnapshotTable")
+    ss.add_argument("--stats", required=True,
+                    help="stats SnapshotTable (created if absent)")
+    ss.add_argument("--cols", default=None,
+                    help="comma-separated columns (default: all)")
+    ss.add_argument("--from-snapshot", type=int, default=None,
+                    help="default: last synced snapshot recorded in the "
+                         "stats ledger (or full profile if none)")
+    ss.add_argument("--to-snapshot", type=int, default=None,
+                    help="default: src's current snapshot")
+    ss.add_argument("--approx", action="store_true",
+                    help="HyperLogLog++ distincts (no Expand — the "
+                         "widest-profile path)")
 
     tl = sub.add_parser(
         "tail",
@@ -1211,6 +1233,53 @@ def main(argv: list[str] | None = None) -> int:
             "dst_snapshot": info.snapshot_id,
             "noop": info.rows_written == 0 and from_id == to_id,
         }))
+        return 0
+
+    if args.cmd == "stats-sync":
+        from .lakehouse import SnapshotTable
+        from .operators.stats_sync import (
+            changed_buckets,
+            create_stats_table,
+            merged_stats,
+            stats_sync,
+        )
+
+        src = SnapshotTable.load(spark, args.src)
+        to_id = args.to_snapshot
+        if to_id is None:
+            to_id = src.manifest(refresh=True)["snapshot_id"]
+        if SnapshotTable.exists(args.stats):
+            stats = SnapshotTable.load(spark, args.stats)
+        else:
+            stats = create_stats_table(spark, args.stats)
+        from_id = args.from_snapshot
+        if from_id is None:
+            from_id = stats.last_applied_lsn()
+        cols = args.cols.split(",") if args.cols else None
+        info = stats_sync(
+            src, stats, cols, to_id, from_snapshot=from_id,
+            approx=args.approx,
+        )
+        key0 = src.manifest()["key_cols"][0]
+        merged = [
+            r.asDict()
+            for r in merged_stats(stats, additive_cols=[key0])
+            .orderBy("column")
+            .collect()
+        ]
+        print(json.dumps({
+            "from_snapshot": from_id,
+            "to_snapshot": to_id,
+            "buckets_profiled": (
+                len(changed_buckets(src, from_id, to_id))
+                if from_id is not None and from_id != to_id
+                else (0 if from_id == to_id else
+                      int(src.manifest()["bucket_count"]))
+            ),
+            "stats_rows_written": info.rows_written,
+            "noop": info.rows_written == 0 and from_id == to_id,
+            "profile": merged,
+        }, default=str))
         return 0
 
     if args.cmd == "tail":

@@ -1,0 +1,318 @@
+"""Incremental table statistics — ANALYZE as a CDC consumer.
+
+``profile.profile_columns`` answers "what does this table look like"
+with one full scan; at 100 TB a full scan per stats refresh is the
+classic warehouse ANALYZE bottleneck. This module keeps the profile
+CURRENT incrementally: a stats SnapshotTable holds per-(bucket, column)
+statistics, and each sync recomputes ONLY the buckets whose file lists
+changed between two source snapshots — the same metadata-level bucket
+diff ``snapshot_diff`` uses, computed from the two manifests with NO
+Spark job. An epoch touching 100 of 2^14 buckets re-profiles ~0.6% of
+the table; the merged global profile is then a read over at most
+``bucket_count x n_cols`` tiny rows.
+
+Why per-bucket rather than pure retraction off the row diff: counts and
+null counts ARE retractable (O(|diff|)), but min/max and distinct are
+not — deleting the current minimum forces a rescan of *something*. The
+bucket is the natural rescan unit (COW rewrites whole bucket files; MoR
+appends under the bucket), so per-bucket recompute is the honest
+uniform cost model, and it makes every statistic mergeable:
+
+- n_rows / n_nulls: additive across buckets.
+- min / max: min/max across buckets, kept in TYPED channels (a numeric
+  column's min merged over string renderings would order "10" < "9").
+- n_distinct: additive ONLY for the table's bucket key — a given key
+  value lives in exactly one bucket, so per-bucket distincts partition
+  the global distinct set. For any other column the per-bucket sum is
+  an upper bound, so ``merged_stats`` emits NULL unless the caller
+  names the column additive.
+
+Reference analog: none — Neosync leaves value-level statistics to the
+warehouse (backend/pkg/sqlmanager/ surfaces schema metadata only).
+This is the Snowflake/Redshift auto-ANALYZE shape expressed through
+the table format's own bucket layout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..lakehouse import CommitInfo, SnapshotTable, bucket_expr
+from ..util import round_half_up
+
+STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket_id", T.IntegerType(), False),
+        T.StructField("column", T.StringType(), False),
+        T.StructField("n_rows", T.LongType(), True),
+        T.StructField("n_nulls", T.LongType(), True),
+        T.StructField("n_distinct", T.LongType(), True),
+        T.StructField("min_num", T.DoubleType(), True),
+        T.StructField("max_num", T.DoubleType(), True),
+        T.StructField("min_str", T.StringType(), True),
+        T.StructField("max_str", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+_NUMERIC = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+
+def create_stats_table(
+    spark: SparkSession, path: str, n_buckets: int = 8
+) -> SnapshotTable:
+    """Empty stats table keyed ``(bucket_id, column)``. It is tiny
+    (≤ source bucket_count x n_cols live rows) — a handful of buckets
+    keeps its own commits single-file-ish."""
+    return SnapshotTable.create(
+        spark,
+        path,
+        STATS_SCHEMA,
+        key_cols=["bucket_id", "column"],
+        order_cols=["ts"],
+        n_buckets=n_buckets,
+    )
+
+
+def changed_buckets(
+    src: SnapshotTable, from_snapshot: int, to_snapshot: int
+) -> list[int]:
+    """Buckets whose data-file lists differ between two snapshots —
+    pure manifest comparison, no Spark job (an untouched bucket cannot
+    hold a changed row: COW rewrites whole bucket files, MoR appends
+    delta files under the bucket)."""
+    fb = src.manifest(from_snapshot)["files"]
+    tb = src.manifest(to_snapshot)["files"]
+    return sorted(
+        int(b)
+        for b in set(fb) | set(tb)
+        if [e["path"] for e in fb.get(b, [])]
+        != [e["path"] for e in tb.get(b, [])]
+    )
+
+
+def _channels(dtype: T.DataType, col: F.Column) -> tuple[F.Column, F.Column]:
+    """(numeric_channel, string_channel) projections for min/max — one
+    is NULL per column so each statistic merges in its own type."""
+    if isinstance(dtype, _NUMERIC):
+        return col.cast("double"), F.lit(None).cast("string")
+    if isinstance(dtype, T.TimestampType):
+        # render BEFORE min/max: the format is monotone, so
+        # min(format(ts)) == format(min(ts)) and the channel stays
+        # engine-portable (no fractional-second / tz rendering drift)
+        return (
+            F.lit(None).cast("double"),
+            F.date_format(col, "yyyy-MM-dd HH:mm:ss"),
+        )
+    return F.lit(None).cast("double"), col.cast("string")
+
+
+def stats_sync(
+    src: SnapshotTable,
+    stats: SnapshotTable,
+    cols: Sequence[str] | None,
+    to_snapshot: int,
+    from_snapshot: int | None = None,
+    approx: bool = False,
+    rsd: float = 0.02,
+) -> CommitInfo:
+    """Advance the stats table to describe ``src`` at ``to_snapshot``.
+
+    ``from_snapshot=None`` is the initial full profile (every bucket).
+    Otherwise only ``changed_buckets(src, from, to)`` are re-profiled:
+    one grouped aggregation over the pruned bucket read, upserted per
+    ``(bucket_id, column)``; a touched bucket with no surviving rows
+    retracts its stats rows. Replay of an applied range is a no-op via
+    the stats ledger (exactly-once, same as event replay).
+
+    ``approx=True`` swaps exact per-bucket ``count_distinct`` (an
+    Expand that replicates rows x|cols| before the partial agg — the
+    oracle-able default, fine to ~10 columns) for HyperLogLog++
+    ``approx_count_distinct`` (single pass, no Expand — the widest-
+    profile path at scale, within ``rsd`` relative error per bucket).
+    """
+    m = src.manifest(to_snapshot)
+    keys = list(m["key_cols"])
+    bcount = int(m["bucket_count"])
+    schema = src.current_schema(m)
+    by_name = {f.name: f for f in schema.fields}
+    names = list(cols) if cols is not None else [f.name for f in schema.fields]
+    unknown = [c for c in names if c not in by_name]
+    if unknown:
+        raise ValueError(f"not in source schema: {unknown}")
+
+    applied_range = (from_snapshot or 0, to_snapshot)
+    if from_snapshot == to_snapshot or stats.is_applied(*applied_range):
+        return CommitInfo(
+            stats.manifest(refresh=True)["snapshot_id"], 0, 0, applied_range
+        )
+
+    touched = (
+        list(range(bcount))
+        if from_snapshot is None
+        else changed_buckets(src, from_snapshot, to_snapshot)
+    )
+    spark = src.spark
+    ts = F.timestamp_seconds(F.lit(to_snapshot))
+    lsn = F.lit(to_snapshot).cast("long")
+    touched_df = spark.createDataFrame(
+        [(int(b),) for b in touched],
+        T.StructType([T.StructField("bucket_id", T.IntegerType(), False)]),
+    )
+    cols_df = spark.createDataFrame(
+        [(c,) for c in names],
+        T.StructType([T.StructField("column", T.StringType(), False)]),
+    )
+
+    if touched:
+        state = src.read(snapshot_id=to_snapshot, buckets=touched).withColumn(
+            "bucket_id", bucket_expr(keys[0], bcount)
+        )
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for i, c in enumerate(names):
+            col = F.col(c)
+            aggs.append(F.sum(col.isNull().cast("long")).alias(f"_nn_{i}"))
+            if approx:
+                aggs.append(F.approx_count_distinct(c, rsd).alias(f"_nd_{i}"))
+            else:
+                aggs.append(F.count_distinct(col).alias(f"_nd_{i}"))
+            mn_num, mn_str = _channels(by_name[c].dataType, col)
+            aggs.append(F.min(mn_num).alias(f"_mnn_{i}"))
+            aggs.append(F.max(mn_num).alias(f"_mxn_{i}"))
+            aggs.append(F.min(mn_str).alias(f"_mns_{i}"))
+            aggs.append(F.max(mn_str).alias(f"_mxs_{i}"))
+        per_bucket = state.groupBy("bucket_id").agg(*aggs)
+        per_col = [
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nn_{i}").alias("n_nulls"),
+                F.col(f"_nd_{i}").cast("long").alias("n_distinct"),
+                F.col(f"_mnn_{i}").alias("min_num"),
+                F.col(f"_mxn_{i}").alias("max_num"),
+                F.col(f"_mns_{i}").alias("min_str"),
+                F.col(f"_mxs_{i}").alias("max_str"),
+            )
+            for i, c in enumerate(names)
+        ]
+        fresh = per_bucket.select(
+            "bucket_id", F.explode(F.array(*per_col)).alias("p")
+        ).select("bucket_id", "p.*")
+        upserts = fresh.withColumn("op", F.lit("insert"))
+        # a touched bucket absent from the aggregate lost its last row —
+        # retract its stats (all frames here are ≤ bucket_count rows)
+        gone = touched_df.join(
+            per_bucket.select("bucket_id"), "bucket_id", "left_anti"
+        ).crossJoin(cols_df)
+        deletes = gone.select(
+            "bucket_id",
+            "column",
+            *[
+                F.lit(None).cast(STATS_SCHEMA[f].dataType).alias(f)
+                for f in (
+                    "n_rows", "n_nulls", "n_distinct",
+                    "min_num", "max_num", "min_str", "max_str",
+                )
+            ],
+        ).withColumn("op", F.lit("delete"))
+        batch = upserts.unionByName(deletes)
+    else:
+        batch = (
+            touched_df.crossJoin(cols_df)
+            .select(
+                "bucket_id",
+                "column",
+                *[
+                    F.lit(None).cast(STATS_SCHEMA[f].dataType).alias(f)
+                    for f in (
+                        "n_rows", "n_nulls", "n_distinct",
+                        "min_num", "max_num", "min_str", "max_str",
+                    )
+                ],
+            )
+            .withColumn("op", F.lit("insert"))
+            .limit(0)
+        )
+    batch = batch.withColumn("ts", ts).withColumn("lsn", lsn)
+    # per-epoch stats rows hash across most stats buckets — skip the
+    # prune pre-pass, it would only add a scan of this tiny batch
+    return stats.merge_cdc(
+        batch,
+        applied_range=applied_range,
+        source_is_raw=False,
+        lineage=False,
+        prune_buckets=False,
+    )
+
+
+def merged_stats(
+    stats: SnapshotTable,
+    additive_cols: Sequence[str] = (),
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Global profile merged from the per-bucket rows: one row per
+    column with ``(n_rows, n_nulls, null_frac, n_distinct, min_num,
+    max_num, min_str, max_str)``. ``n_distinct`` is emitted only for
+    ``additive_cols`` (the source's bucket key, where per-bucket
+    distincts partition the global set); other columns get NULL rather
+    than a silently-wrong sum. Reads at most bucket_count x n_cols
+    rows — never the source table."""
+    additive = [str(c) for c in additive_cols]
+    agg = (
+        stats.read(snapshot_id=snapshot_id)
+        .groupBy("column")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_nulls").alias("n_nulls"),
+            F.sum("n_distinct").alias("_nd_sum"),
+            F.min("min_num").alias("min_num"),
+            F.max("max_num").alias("max_num"),
+            F.min("min_str").alias("min_str"),
+            F.max("max_str").alias("max_str"),
+        )
+    )
+    is_additive = (
+        F.col("column").isin(additive) if additive else F.lit(False)
+    )
+    return agg.select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        round_half_up(
+            F.col("n_nulls") / F.nullif(F.col("n_rows"), F.lit(0)), 6
+        ).alias("null_frac"),
+        F.when(is_additive, F.col("_nd_sum"))
+        .otherwise(F.lit(None))
+        .cast("long")
+        .alias("n_distinct"),
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    )
+
+
+def load_stats_table(spark: SparkSession, path: str) -> SnapshotTable:
+    return SnapshotTable.load(spark, path)
+
+
+__all__ = [
+    "STATS_SCHEMA",
+    "changed_buckets",
+    "create_stats_table",
+    "load_stats_table",
+    "merged_stats",
+    "stats_sync",
+]
