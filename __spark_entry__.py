@@ -3352,6 +3352,22 @@ def _q_transcript_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_quality_flags(alive)
 
 
+def _q_loop_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-loop detection over the replayed final state: per-
+    conversation runs of consecutive turns with the same normalized
+    (role, text, tool) action signature (digits stripped — a retry
+    counter IS a loop), gaps-and-islands over the turn order. One
+    conv_id shuffle; all JVM."""
+    from neosync_spark.operators.conversations import loop_flags
+    from neosync_spark.operators.dedup import lww_dedup
+
+    log = _derived_log(spark, sf_dir)
+    alive = lww_dedup(log, ["conv_id", "turn_idx"], ["ts", "lsn"]).filter(
+        F.col("op") != "delete"
+    )
+    return loop_flags(alive, min_run=2)
+
+
 def _q_tool_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tool-call promotion + usage rollup: parse the semi-structured
     `tool` JSON payload of the replayed final state into typed columns
@@ -5245,7 +5261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_sft_examples": _q_sft_examples,
         "cdc_zorder_pruned_read": _q_zorder_pruned_read,
         "cdc_asof_enrich": _q_asof_enrich,
-        "cdc_scd2_history": _q_scd2_history,
+        "transcript_loop_flags": _q_loop_flags,
         "cdc_scd2_sync": _q_scd2_sync,
         "cdc_debezium_stream_tail": _q_debezium_stream_tail,
         "cdc_debezium_evolve_tail": _q_debezium_evolve_tail,
@@ -5266,8 +5282,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the new log-compaction invariant inside the 50-entry window;
         # privacy_l_diversity rotated out for cdc_profile_sync — its
         # sister k-anonymity census stays in-window and exercises the
-        # same privacy module)
+        # same privacy module; cdc_scd2_history rotated out for
+        # transcript_loop_flags — cdc_scd2_sync value-covers the same
+        # SCD2 semantics incrementally)
         "privacy_l_diversity": _q_privacy_l_diversity,
+        "cdc_scd2_history": _q_scd2_history,
         "cdc_replication_lag": _q_cdc_replication_lag,
         "json_anonymize": _q_json_anonymize,
         "cdc_multimaster_merge": _q_multimaster_merge,
@@ -7126,6 +7145,48 @@ def oracle_sql() -> dict[str, str]:
             FROM dig GROUP BY chunk
         """,
         "pii_scan_report": _pii_scan_oracle(),
+        # agent-loop detection: gaps-and-islands runs of identical
+        # normalized (role, text, tool) action signatures per turn order
+        "transcript_loop_flags": f"""
+            WITH alive AS (
+              SELECT * FROM ({lww}) WHERE op <> 'delete'
+            ), sig AS (
+              SELECT conv_id, turn_idx,
+                     COALESCE(role, '') ||
+                     COALESCE(trim(regexp_replace(regexp_replace(
+                       lower(text), '[0-9]+', '', 'g'), '\\s+', ' ', 'g')), '') ||
+                     COALESCE(trim(regexp_replace(regexp_replace(
+                       lower(tool), '[0-9]+', '', 'g'), '\\s+', ' ', 'g')), '')
+                       AS s
+              FROM alive
+            ), marked AS (
+              SELECT conv_id, turn_idx, s,
+                     CASE WHEN lag(s) OVER w IS NOT DISTINCT FROM s
+                          THEN 0 ELSE 1 END AS new_run
+              FROM sig
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ), runs_m AS (
+              SELECT conv_id,
+                     sum(new_run) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM marked
+            ), runs AS (
+              SELECT conv_id, run_id, count(*) AS run_len
+              FROM runs_m GROUP BY conv_id, run_id
+            )
+            SELECT conv_id,
+                   CAST(sum(run_len) AS BIGINT) AS n_turns,
+                   CAST(max(run_len) AS BIGINT) AS max_run,
+                   CAST(coalesce(sum(CASE WHEN run_len >= 2
+                                     THEN run_len ELSE 0 END), 0) AS BIGINT)
+                     AS n_loop_turns,
+                   floor(CAST(coalesce(sum(CASE WHEN run_len >= 2
+                                      THEN run_len ELSE 0 END), 0) AS DOUBLE)
+                         / sum(run_len) * 1e6 + 0.5) / 1e6 AS loop_frac,
+                   max(run_len) >= 2 AS looping
+            FROM runs GROUP BY conv_id
+        """,
         "transcript_quality_flags": f"""
             WITH alive AS (
               SELECT * FROM ({lww}) WHERE op <> 'delete'

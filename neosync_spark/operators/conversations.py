@@ -455,3 +455,100 @@ def context_fit(
         else F.lit(False)
     )
     return t.filter(fits | pinned).withColumn("pinned", pinned)
+
+
+def loop_flags(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    min_run: int = 3,
+) -> DataFrame:
+    """Agent-loop detection: per-conversation runs of consecutive turns
+    with the SAME action signature — the stuck-agent failure mode
+    (retrying an identical tool call, re-emitting the same apology,
+    oscillating on one step). A looping trace is poison as training
+    data even when every individual turn passes document-level quality
+    rules, which is why this is a conversation-level gate.
+
+    The signature normalizes (role, text, tool): lowercase, digits
+    stripped, whitespace collapsed — so "retry #41" and "retry #42"
+    count as the same action (an agent stuck on a counter IS looping).
+    Runs are gaps-and-islands over the turn order: a turn starts a new
+    run iff its signature differs null-safely from the previous turn's.
+
+    Returns one row per conversation: ``(conv_id, n_turns, max_run,
+    n_loop_turns, loop_frac, looping)`` where ``n_loop_turns`` counts
+    turns inside runs of length >= ``min_run`` and ``looping`` flags
+    ``max_run >= min_run``.
+
+    Scale shape: one shuffle on the conversation key feeds both lag
+    windows and the final hash-agg (conversation-local work, bounded by
+    turn count — same shape as ``conversation_quality_flags``). All
+    JVM; no joins, no Python.
+    """
+    from pyspark.sql.window import Window
+
+    from ..util import round_half_up
+
+    def _norm(c: str) -> F.Column:
+        return F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col(c)), "[0-9]+", ""),
+                "\\s+",
+                " ",
+            )
+        )
+
+    sig = F.concat_ws(
+        "",
+        F.coalesce(F.col(role_col), F.lit("")),
+        F.coalesce(_norm(text_col), F.lit("")),
+        F.coalesce(_norm(tool_col), F.lit("")),
+    )
+    w = Window.partitionBy("_c").orderBy("_t")
+    t = (
+        df.select(
+            F.col(conv_col).alias("_c"),
+            F.col(turn_col).alias("_t"),
+            sig.alias("_sig"),
+        )
+        .withColumn(
+            "_new_run",
+            F.when(
+                F.lag("_sig").over(w).eqNullSafe(F.col("_sig")), F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "_run_id",
+            F.sum("_new_run").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    runs = t.groupBy("_c", "_run_id").agg(F.count(F.lit(1)).alias("_len"))
+    return (
+        runs.groupBy("_c")
+        .agg(
+            F.sum("_len").alias("n_turns"),
+            F.max("_len").alias("max_run"),
+            F.sum(
+                F.when(
+                    F.col("_len") >= int(min_run), F.col("_len")
+                ).otherwise(F.lit(0))
+            ).alias("n_loop_turns"),
+        )
+        .select(
+            F.col("_c").alias(conv_col),
+            "n_turns",
+            "max_run",
+            "n_loop_turns",
+            round_half_up(
+                F.col("n_loop_turns") / F.nullif(F.col("n_turns"), F.lit(0)),
+                6,
+            ).alias("loop_frac"),
+            (F.col("max_run") >= int(min_run)).alias("looping"),
+        )
+    )

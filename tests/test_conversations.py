@@ -203,3 +203,44 @@ def test_context_fit_suffix_and_system_pin(spark):
         for r in context_fit(df, token_budget=5, pin_system=False).collect()
     }
     assert ("a", 0) not in nopin
+
+
+def test_loop_flags_runs_normalization_and_nulls(spark):
+    from neosync_spark.operators.conversations import loop_flags
+
+    rows = [
+        # conv "stuck": retry counter loop — digits strip to one signature
+        ("stuck", 0, "user", "do the thing", None),
+        ("stuck", 1, "assistant", "retry #41", '{"name":"search"}'),
+        ("stuck", 2, "assistant", "retry #42", '{"name":"search"}'),
+        ("stuck", 3, "assistant", "retry #43", '{"name":"search"}'),
+        ("stuck", 4, "user", "stop", None),
+        # conv "ok": alternating roles/content — max run 1
+        ("ok", 0, "user", "hi", None),
+        ("ok", 1, "assistant", "hello", None),
+        ("ok", 2, "user", "bye", None),
+        # conv "nulls": consecutive NULL text+tool same role IS a run
+        ("nulls", 0, "assistant", None, None),
+        ("nulls", 1, "assistant", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    got = {
+        r["conv_id"]: r.asDict() for r in loop_flags(df, min_run=3).collect()
+    }
+    s = got["stuck"]
+    assert (s["n_turns"], s["max_run"], s["n_loop_turns"]) == (5, 3, 3)
+    assert s["looping"] is True and abs(s["loop_frac"] - 0.6) < 1e-9
+    assert got["ok"]["max_run"] == 1 and got["ok"]["looping"] is False
+    assert got["ok"]["n_loop_turns"] == 0
+    # NULL signatures compare null-safely: a run of 2, under min_run
+    n = got["nulls"]
+    assert (n["max_run"], n["looping"]) == (2, False)
+    # min_run=2 promotes the NULL run
+    got2 = {
+        r["conv_id"]: r.asDict() for r in loop_flags(df, min_run=2).collect()
+    }
+    assert got2["nulls"]["looping"] is True
+    assert got2["nulls"]["n_loop_turns"] == 2
