@@ -595,6 +595,60 @@ def main() -> None:
         "is one skew-proof pass regardless of per-key update counts.",
     )
 
+    from neosync_spark.lakehouse import bucket_expr
+    from neosync_spark.operators.conversations import loop_flags
+    from neosync_spark.operators.stats_sync import (
+        changed_buckets,
+        create_stats_table,
+        merged_stats,
+        stats_sync,
+    )
+
+    stats = create_stats_table(spark, tempfile.mkdtemp() + "/stats")
+    stats_sync(st, stats, ["conv_id", "turn_idx", "role"], s1)
+    stats_sync(st, stats, ["conv_id", "turn_idx", "role"], s2,
+               from_snapshot=s1)
+    touched = changed_buckets(st, s1, s2)
+    cap(
+        "Incremental ANALYZE — epoch re-profile (pruned bucket read)",
+        st.read(snapshot_id=s2, buckets=touched)
+        .withColumn("bucket_id", bucket_expr(KEY_COLS[0], 4))
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("conv_id").alias("nd"),
+            F.min("turn_idx").alias("mn"),
+        ),
+        f"the sync's aggregate over the epoch's changed buckets only "
+        f"({len(touched)} of 4 here) — the bucket set comes from a "
+        "MANIFEST file-list diff, zero Spark jobs; the scan lists only "
+        "those buckets' files and the per-bucket stats partial-"
+        "aggregate map-side before one Exchange.",
+    )
+    cap(
+        "Incremental ANALYZE — merged global profile",
+        merged_stats(stats, additive_cols=["conv_id"]),
+        "the profile query never touches the source table: one scan "
+        "over the tiny stats table (≤ bucket_count × n_cols rows) and "
+        "one hash-agg merging counts additively, min/max in typed "
+        "channels, and the bucket-key distinct (additive because a key "
+        "value lives in exactly one bucket).",
+    )
+    cap(
+        "Agent-loop detection (run-length over turn order)",
+        loop_flags(
+            lww_dedup(log, ["conv_id", "turn_idx"], ["ts", "lsn"]).filter(
+                F.col("op") != "delete"
+            ),
+            min_run=2,
+        ),
+        "ONE Exchange on conv_id feeds both lag windows (signature "
+        "run-start flag, running run-id) and the two hash-aggs (run "
+        "lengths, per-conversation rollup) — conversation-local work "
+        "after a single shuffle; the signature normalization is pure "
+        "JVM string ops inside whole-stage codegen.",
+    )
+
     hdr = (
         "# PLANS — formatted physical plans of load-bearing operators\n\n"
         "Generated by tools/gen_plans.py (`df.explain('formatted')` at sf0.001).\n"
