@@ -589,3 +589,82 @@ def test_scd2_sync_single_batch_exchange_no_python(spark, tmp_path):
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_loop_flags_single_exchange(spark):
+    """Agent-loop detection: one conv_id hash exchange feeds the lag
+    windows, the run-length agg, and the per-conversation rollup —
+    conversation-local work after a single shuffle, no Python stage."""
+    from neosync_spark.operators.conversations import loop_flags
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet").selectExpr(
+        "'c' || cast(user_id % 50 as string) as conv_id",
+        "cast(event_id % 16 as int) as turn_idx",
+        "case when event_id % 3 = 0 then 'user' else 'assistant' end as role",
+        "event_type as text",
+        "cast(null as string) as tool",
+    )
+    plan = _plan(loop_flags(df, min_run=2))
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_stats_sync_reads_only_changed_buckets(spark, tmp_path):
+    """Incremental ANALYZE: the epoch re-profile's source read lists
+    ONLY files of buckets whose manifest file lists changed, and the
+    merged profile never opens the source table at all."""
+    import pandas as pd
+
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.stats_sync import (
+        changed_buckets,
+        create_stats_table,
+        merged_stats,
+        stats_sync,
+    )
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    src = SnapshotTable.create(
+        spark, str(tmp_path / "src"), transcript_schema(),
+        key_cols=KEY_COLS, order_cols=["ts"], n_buckets=8,
+    )
+
+    def batch(rows):
+        cols = ["lsn", "op", "conv_id", "turn_idx", "role", "text",
+                "tool", "ts"]
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        return spark.createDataFrame(pdf)
+
+    src.merge_cdc(
+        batch([
+            (i, "insert", f"conv-{i % 9}", i // 9, "user", f"t{i}", None,
+             "2024-01-01 00:00:00")
+            for i in range(36)
+        ]),
+        applied_range=(0, 36),
+    )
+    s1 = src.manifest(refresh=True)["snapshot_id"]
+    src.merge_cdc(
+        batch([(100, "update", "conv-4", 0, "assistant", "touched", None,
+                "2024-01-02 00:00:00")]),
+        applied_range=(100, 101),
+    )
+    s2 = src.manifest(refresh=True)["snapshot_id"]
+
+    touched = changed_buckets(src, s1, s2)
+    assert 0 < len(touched) < 8
+    files = src.read(snapshot_id=s2, buckets=touched).inputFiles()
+    assert files, "pruned read must still open the touched buckets"
+    for f in files:
+        assert any(f"_bucket={b}/" in f for b in touched), f
+
+    stats = create_stats_table(spark, str(tmp_path / "stats"))
+    stats_sync(src, stats, ["conv_id", "turn_idx"], s1)
+    stats_sync(src, stats, ["conv_id", "turn_idx"], s2, from_snapshot=s1)
+    merged = merged_stats(stats, additive_cols=["conv_id"])
+    for f in merged.inputFiles():
+        assert str(tmp_path / "stats") in f, f
+    assert "BatchEvalPython" not in _plan(merged)
