@@ -532,6 +532,9 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--scd2-dim", default=None,
                     help="also maintain an SCD2 dimension (WAL files "
                          "must arrive lsn-ordered; see scd2_sync)")
+    tl.add_argument("--stats-dst", default=None,
+                    help="also maintain per-bucket column statistics "
+                         "(incremental ANALYZE; see stats-sync)")
     tl.add_argument("--bootstrap-source", default=None,
                     help="parquet of a frozen source state: interleave "
                          "one incremental-snapshot chunk per epoch until "
@@ -1326,6 +1329,15 @@ def main(argv: list[str] | None = None) -> int:
                     key_cols=KEY_COLS, n_buckets=args.buckets,
                 )
             consumers.append(replica_consumer(rep))
+        if args.stats_dst:
+            from .operators.stats_sync import create_stats_table
+            from .streaming.consumers import stats_consumer
+
+            if SnapshotTable.exists(args.stats_dst):
+                sdst = SnapshotTable.load(spark, args.stats_dst)
+            else:
+                sdst = create_stats_table(spark, args.stats_dst)
+            consumers.append(stats_consumer(sdst))
         if args.scd2_dim:
             from .operators.scd import scd2_dim_schema
             from .schema import KEY_COLS, change_event_schema

@@ -167,14 +167,17 @@ def stats_sync(
     spark = src.spark
     ts = F.timestamp_seconds(F.lit(to_snapshot))
     lsn = F.lit(to_snapshot).cast("long")
+    # single-partition driver-side frames: left to default parallelism
+    # their crossJoin below would plan a |parts|^2-task Cartesian of
+    # empty partitions — scheduling cost, not data
     touched_df = spark.createDataFrame(
         [(int(b),) for b in touched],
         T.StructType([T.StructField("bucket_id", T.IntegerType(), False)]),
-    )
+    ).coalesce(1)
     cols_df = spark.createDataFrame(
         [(c,) for c in names],
         T.StructType([T.StructField("column", T.StringType(), False)]),
-    )
+    ).coalesce(1)
 
     if touched:
         state = src.read(snapshot_id=to_snapshot, buckets=touched).withColumn(
@@ -193,7 +196,11 @@ def stats_sync(
             aggs.append(F.max(mn_num).alias(f"_mxn_{i}"))
             aggs.append(F.min(mn_str).alias(f"_mns_{i}"))
             aggs.append(F.max(mn_str).alias(f"_mxs_{i}"))
-        per_bucket = state.groupBy("bucket_id").agg(*aggs)
+        # <= bucket_count rows; materialize once so the upsert branch
+        # and the emptied-bucket anti-join don't each rerun the scan
+        per_bucket = state.groupBy("bucket_id").agg(*aggs).localCheckpoint(
+            eager=True
+        )
         per_col = [
             F.struct(
                 F.lit(c).alias("column"),
@@ -214,7 +221,9 @@ def stats_sync(
         # a touched bucket absent from the aggregate lost its last row —
         # retract its stats (all frames here are ≤ bucket_count rows)
         gone = touched_df.join(
-            per_bucket.select("bucket_id"), "bucket_id", "left_anti"
+            F.broadcast(per_bucket.select("bucket_id")),
+            "bucket_id",
+            "left_anti",
         ).crossJoin(cols_df)
         deletes = gone.select(
             "bucket_id",

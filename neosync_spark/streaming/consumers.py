@@ -41,6 +41,25 @@ def rollup_consumer(dst: SnapshotTable, rollup_fn=None, key: str = "conv_id") ->
     return _sync
 
 
+def stats_consumer(
+    stats: SnapshotTable, cols=None, approx: bool = False
+) -> Consumer:
+    """Incremental ANALYZE (operators/stats_sync.py): per-epoch the
+    stats table re-profiles only the epoch's manifest-diff buckets, so
+    the table's profile stays current under the tail at O(changed
+    data) per epoch."""
+    from ..operators.stats_sync import stats_sync
+
+    def _sync(src: SnapshotTable, head: int) -> None:
+        last = _last_synced(stats)
+        if last != head:
+            stats_sync(
+                src, stats, cols, head, from_snapshot=last, approx=approx
+            )
+
+    return _sync
+
+
 def secondary_index_consumer(index: SnapshotTable, col: str) -> Consumer:
     """Secondary value index (operators/secondary_index.py)."""
     from ..operators.secondary_index import secondary_index_sync

@@ -187,6 +187,32 @@ def test_emptied_bucket_retracts_stats(spark, tmp_path):
     _assert_matches_full(stats, src)
 
 
+def test_streaming_tail_maintains_stats(spark, tmp_path):
+    """stats_consumer wired into StreamingReplay: after the tail
+    drains, the merged profile equals a full recompute over the final
+    state, and the stats table advanced through multiple epochs via
+    its own ledger."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.streaming.consumers import stats_consumer
+    from neosync_spark.streaming.stream import StreamingReplay
+    from neosync_spark.synth import SynthConfig, generate_pandas
+
+    log = generate_pandas(SynthConfig(n_events=3000, n_convs=60))
+    log_dir = str(tmp_path / "log")
+    spark.createDataFrame(log).repartition(6).write.parquet(log_dir)
+
+    src = _mk_src(spark, tmp_path / "t")
+    stats = create_stats_table(spark, str(tmp_path / "stats"))
+    eng = ReplayEngine(spark, src, config=EngineConfig())
+    q = StreamingReplay(
+        eng, consumers=[stats_consumer(stats, COLS)]
+    ).start(log_dir, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    q.awaitTermination(120)
+
+    _assert_matches_full(stats, src)
+    assert len(stats.applied_ranges()) >= 2
+
+
 def test_replay_is_noop_and_approx_mode_runs(spark, tmp_path):
     src = _mk_src(spark, tmp_path / "src")
     stats = create_stats_table(spark, str(tmp_path / "stats"))
