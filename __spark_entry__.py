@@ -3519,6 +3519,30 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_decontaminate(train, evals, "text", "doc_id", n=5)
 
 
+def _q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment (operators/splits.py):
+    near-dup clusters (same grouping as dedup_cluster_assign) each draw
+    ONE md5-bucket membership, so no near-duplicate pair ever straddles
+    train and eval. DuckDB replays the recursive-CTE transitive closure
+    + the identical md5 arithmetic per cluster key."""
+    from neosync_spark.operators.similarity import minhash_dedup_clusters
+    from neosync_spark.operators.splits import leakage_safe_splits
+
+    _views(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    clusters = minhash_dedup_clusters(
+        docs, "text", "doc_id", threshold=0.8
+    ).select(F.col("id").alias("doc_id"), "cluster_id")
+    out = leakage_safe_splits(
+        docs,
+        "doc_id",
+        clusters,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=7,
+    )
+    return out.select("doc_id", "split")
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.operators.similarity import exact_dedup
 
@@ -5286,6 +5310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transcript_loop_flags — cdc_scd2_sync value-covers the same
         # SCD2 semantics incrementally)
         "privacy_l_diversity": _q_privacy_l_diversity,
+        "corpus_split_assign": _q_corpus_split_assign,
         "cdc_scd2_history": _q_scd2_history,
         "cdc_replication_lag": _q_cdc_replication_lag,
         "json_anonymize": _q_json_anonymize,
@@ -7560,6 +7585,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.grams, b.grams)) > 0
               AND floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
                         len(list_distinct(list_concat(a.grams, b.grams))) * 10000 + 0.5) / 10000 >= 0.8
+        """,
+        "corpus_split_assign": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(toks) >= 3 THEN
+                         list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       ELSE [array_to_string(toks, ' ')] END) AS grams
+              FROM (
+                SELECT doc_id,
+                       list_filter(string_split(
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS toks
+                FROM documents)
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.grams, b.grams)) > 0
+                AND floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                          len(list_distinct(list_concat(a.grams, b.grams))) * 10000 + 0.5) / 10000 >= 0.8
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            r(id, lab) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.id
+            ),
+            cmap AS (SELECT id AS doc_id, min(lab) AS cluster_id
+                     FROM r GROUP BY id),
+            keyed AS (
+              SELECT d.doc_id,
+                     ('0x' || substr(md5('ns-split|7|' ||
+                        CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)),
+                        1, 8))::BIGINT % 1000000 AS bucket
+              FROM documents d LEFT JOIN cmap c USING (doc_id)
+            )
+            SELECT doc_id,
+                   CASE WHEN bucket < 800000 THEN 'train'
+                        WHEN bucket < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM keyed
         """,
         "dedup_cluster_assign": """
             WITH RECURSIVE sh AS (
