@@ -5114,6 +5114,56 @@ def _q_column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_name")
 
 
+def _q_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(*) of a 10^10-row table without scanning it
+    (lakehouse.metadata_count — the Iceberg manifest record_count
+    analog, adapted to tombstone-retaining files): per-file live-row
+    labels are footer-proven at commit; unlabeled (mixed-row-group)
+    files scan only their boolean tombstone column; after a
+    tombstone-expiring compaction the count is a PURE manifest read —
+    pinned in-query by metadata_only_post. Both counts must equal the
+    DuckDB LWW live count."""
+    import datetime
+
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    row = log.agg(F.max("lsn"), F.max("ts")).collect()[0]
+    hi, max_ts = int(row[0] or 0), row[1]
+
+    path = tempfile.mkdtemp(prefix="ns_cdc_count_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+    eng = ReplayEngine(
+        spark,
+        table,
+        config=EngineConfig(batch_lsn_size=max(1, hi // 3) + 1, lineage=False),
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    eng.replay(slicer, lsn_lo=0, lsn_hi=hi)
+    pre = table.metadata_count()
+    table.compact(
+        expire_tombstones_before=max_ts + datetime.timedelta(days=1)
+    )
+    post = table.metadata_count()
+    meta_only = (
+        post["files_scanned"] == 0
+        and post["buckets_lww"] == 0
+        and post["rows"] == post["rows_metadata"]
+        and pre["rows"] == post["rows"]
+    )
+    return spark.createDataFrame(
+        [(int(pre["rows"]), int(post["rows"]), bool(meta_only))],
+        "n_live bigint, n_live_post bigint, metadata_only_post boolean",
+    )
+
+
 def _q_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data retention ("keep the last 2 days") the way a 100 TB table
     runs it: replay the log as MoR deltas, time-cluster the files
@@ -5311,6 +5361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SCD2 semantics incrementally)
         "privacy_l_diversity": _q_privacy_l_diversity,
         "corpus_split_assign": _q_corpus_split_assign,
+        "cdc_metadata_count": _q_metadata_count,
         "cdc_scd2_history": _q_scd2_history,
         "cdc_replication_lag": _q_cdc_replication_lag,
         "json_anonymize": _q_json_anonymize,
@@ -6339,6 +6390,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM agg WHERE last_full IS NOT NULL AND last_full <> 'delete'
+        """,
+        "cdc_metadata_count": f"""
+            WITH log AS ({_CDC_DERIVATION}),
+            live AS (
+              SELECT count(*) AS n FROM (
+                SELECT op, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, lsn DESC) AS rn
+                FROM log
+              ) WHERE rn = 1 AND op <> 'delete'
+            )
+            SELECT CAST(n AS BIGINT) AS n_live,
+                   CAST(n AS BIGINT) AS n_live_post,
+                   TRUE AS metadata_only_post
+            FROM live
         """,
         "cdc_retention_expiry": f"""
             WITH log AS {log},

@@ -255,6 +255,16 @@ def main(argv: list[str] | None = None) -> int:
     w = sub.add_parser("show", help="snapshot history + ledger")
     w.add_argument("--table", required=True)
 
+    cn = sub.add_parser(
+        "count",
+        help="count(*) of live rows from manifest row labels — "
+             "metadata-only on compacted/tombstone-expired tables; "
+             "unlabeled files scan only their tombstone flag column, "
+             "MoR delta buckets take the pruned LWW read",
+    )
+    cn.add_argument("--table", required=True)
+    cn.add_argument("--snapshot", type=int, default=None)
+
     dl = sub.add_parser(
         "delete",
         help="predicate DML: tombstone live rows matching a SQL "
@@ -960,6 +970,13 @@ def main(argv: list[str] | None = None) -> int:
             spark.read.parquet(args.log), t
         ).collect()[0]
         print(json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.cmd == "count":
+        from .lakehouse import SnapshotTable
+
+        t = SnapshotTable.load(spark, args.table)
+        print(json.dumps(t.metadata_count(args.snapshot)))
         return 0
 
     if args.cmd == "requeue":

@@ -1035,6 +1035,65 @@ class SnapshotTable:
         v = self.stats_high_water(col)
         return int(v) if v is not None else None
 
+    def metadata_count(self, snapshot_id: int | None = None) -> dict:
+        """``count(*)`` of live rows without scanning the table (the
+        Iceberg manifest ``record_count`` trick, adapted to this
+        engine's tombstone-retaining layout). Three tiers, cheapest
+        first:
+
+        - buckets whose every visible file is a COW base with a
+          footer-proven ``live_rows`` label sum straight from the
+          manifest — zero I/O;
+        - pure-base buckets holding UNLABELED files (a mixed
+          live/tombstone row group, or a pre-label manifest) scan ONLY
+          those files' ``_deleted`` boolean column (~1 bit/row,
+          column-pruned) — labeled files in the same bucket still count
+          from metadata;
+        - buckets holding MoR delta or patch files need the LWW fold —
+          they go through the ordinary pruned ``read``.
+
+        At 10^10 rows a compacted table (or any table after
+        ``expire_tombstones``) answers from tier 1 alone; a table with
+        live MoR pressure pays exactly its delta buckets. Returns
+        ``{"rows", "rows_metadata", "files_metadata", "files_scanned",
+        "buckets_lww"}``."""
+        m = self.manifest(snapshot_id)
+        meta_rows = 0
+        files_meta = 0
+        flag_scan_paths: list[str] = []
+        lww_buckets: list[int] = []
+        for b, entries in m["files"].items():
+            if not entries:
+                continue
+            if any(
+                e.get("kind") == "delta" or e.get("patches")
+                for e in entries
+            ):
+                lww_buckets.append(int(b))
+                continue
+            for e in entries:
+                if "live_rows" in e:
+                    meta_rows += int(e["live_rows"])
+                    files_meta += 1
+                else:
+                    flag_scan_paths.append(e["path"])
+        scanned = 0
+        if flag_scan_paths:
+            scanned += (
+                self.spark.read.parquet(*flag_scan_paths)
+                .filter(~F.coalesce(F.col(_DELETED_COL), F.lit(False)))
+                .count()
+            )
+        if lww_buckets:
+            scanned += self.read(snapshot_id, buckets=sorted(lww_buckets)).count()
+        return {
+            "rows": meta_rows + scanned,
+            "rows_metadata": meta_rows,
+            "files_metadata": files_meta,
+            "files_scanned": len(flag_scan_paths),
+            "buckets_lww": len(lww_buckets),
+        }
+
     def stats_high_water(self, col: str):
         """Max of ``col`` over the CURRENT snapshot, raw-typed.
 
@@ -1703,9 +1762,10 @@ class SnapshotTable:
                 bucket_counts = self._footer_counts(written, footers)
             bmap = self._annotate_blooms(m, new_sid, written)
             patch_paths = self._patch_paths(footers)
+            rmap = self._row_count_entries(written, footers)
 
             def _fentry(p: str, kind: str | None = None) -> dict:
-                e = {"path": p, "schema_id": m["schema_id"]}
+                e = {"path": p, "schema_id": m["schema_id"], **rmap.get(p, {})}
                 # fresh data is written by the CURRENT anonymization
                 # policy (the engine's transforms run inside this merge)
                 if int(m.get("transform_version", 0)):
@@ -1977,10 +2037,12 @@ class SnapshotTable:
         # the data plane if it ever dominates — gated on bloom_cols
         bmap = self._annotate_blooms(m, new_sid, written)
         patch_paths = self._patch_paths(footers)
+        rmap = self._row_count_entries(written, footers)
         own_entries: dict[str, list[dict]] = {}
         for b, paths in written.items():
             own_entries[str(b)] = [
                 {"path": p, "schema_id": schema_id, "kind": "delta",
+                 **rmap.get(p, {}),
                  **({"tv": int(m["transform_version"])}
                     if int(m.get("transform_version", 0)) else {}),
                  **({"stats": fstats[p]} if p in fstats else {}),
@@ -2368,6 +2430,54 @@ class SnapshotTable:
             for b, paths in written.items()
         }
 
+    @staticmethod
+    def _row_count_entries(
+        written: dict[int, list[str]],
+        footers: dict[str, object] | None = None,
+    ) -> dict[str, dict]:
+        """Per-file manifest row counts from parquet footers (the
+        Iceberg ``record_count`` analog): ``{"rows": n[, "live_rows":
+        k]}``. ``live_rows`` (rows whose tombstone flag is false) is
+        recorded only when the footer PROVES it: every row group's
+        ``_deleted`` boolean stats homogeneous (all-false -> all live,
+        all-true -> zero live; parquet booleans carry min/max only, so
+        a mixed row group is unprovable and the file stays unlabeled —
+        ``metadata_count`` then scans just that file's tombstone
+        column). Delete-free files — the overwhelming majority of a
+        bulk-loaded or tombstone-expired table — always label."""
+        if footers is None:
+            footers = SnapshotTable._read_footers(written)
+        out: dict[str, dict] = {}
+        for paths in written.values():
+            for p in paths:
+                md = footers[p]
+                d: dict = {"rows": md.num_rows}
+                idx = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                if _DELETED_COL in idx:
+                    live, exact = 0, True
+                    for rg in range(md.num_row_groups):
+                        g = md.row_group(rg)
+                        st = g.column(idx[_DELETED_COL]).statistics
+                        if (
+                            st is None
+                            or not st.has_min_max
+                            or (st.null_count or 0) > 0
+                        ):
+                            exact = False
+                            break
+                        if st.max is False:
+                            live += g.num_rows
+                        elif st.min is not True:
+                            exact = False
+                            break
+                    if exact:
+                        d["live_rows"] = live
+                out[p] = d
+        return out
+
     # commits writing at least this many files read their footers in a
     # Spark job instead of the driver thread pool: a 2^13-bucket bulk
     # load writes thousands of files, and serial-ish driver opens
@@ -2568,11 +2678,16 @@ class SnapshotTable:
             )
         m = self.manifest(refresh=True)
         if buckets is None:
-            if sort_by_key or zorder_cols or expire_rows_before is not None:
-                # an explicit clustering request targets the whole
-                # table — a fully-COW table has no deltas to fold but
-                # still wants the rewrite (silent no-op surprise
-                # otherwise)
+            if (
+                sort_by_key
+                or zorder_cols
+                or expire_rows_before is not None
+                or expire_tombstones_before is not None
+            ):
+                # an explicit clustering or expiry request targets the
+                # whole table — a fully-COW table has no deltas to fold
+                # but still wants the rewrite (silent no-op surprise
+                # otherwise; tombstones live in COW base files too)
                 buckets = sorted(int(b) for b in m["files"])
             else:
                 buckets = sorted(self.delta_file_counts())
@@ -2645,8 +2760,10 @@ class SnapshotTable:
             if persisted is not None:
                 persisted.unpersist()
         written_c = self._list_commit_files(commit_dir)
-        fstats = self._collect_file_stats(written_c, stats_cols)
+        footers_c = self._read_footers(written_c, self.spark)
+        fstats = self._collect_file_stats(written_c, stats_cols, footers_c)
         bmap = self._annotate_blooms(m, new_sid, written_c)
+        rmap = self._row_count_entries(written_c, footers_c)
         own_entries: dict[str, list[dict]] = {str(b): [] for b in buckets}
         for b, paths in written_c.items():
             tv_b = (
@@ -2656,6 +2773,7 @@ class SnapshotTable:
             )
             own_entries[str(b)] = [
                 {"path": p, "schema_id": m["schema_id"],
+                 **rmap.get(p, {}),
                  **({"tv": tv_b} if tv_b else {}),
                  **({"stats": fstats[p]} if p in fstats else {}),
                  **({"bloom": bmap[p]} if p in bmap else {})}
@@ -2912,15 +3030,20 @@ class SnapshotTable:
             for b in affected:
                 new_files[str(b)] = []  # deltas fold into the rewrite
             written = self._list_commit_files(commit_dir)
-            fstats = self._collect_file_stats(written, self._stats_cols(m))
+            footers_p = self._read_footers(written, self.spark)
+            fstats = self._collect_file_stats(
+                written, self._stats_cols(m), footers_p
+            )
             # fresh blooms for the rewritten files: the subjects' keys
             # are gone from the data, so they're absent from the new
             # bits too; the old sidecars die with expire_snapshots' GC
             bmap = self._annotate_blooms(m, new_sid, written)
+            rmap = self._row_count_entries(written, footers_p)
             for b, paths in written.items():
                 tv_b = _min_tv(m["files"].get(str(b), []))
                 new_files[str(b)] = [
                     {"path": p, "schema_id": m["schema_id"],
+                     **rmap.get(p, {}),
                      **({"tv": tv_b} if tv_b else {}),
                      **({"stats": fstats[p]} if p in fstats else {}),
                      **({"bloom": bmap[p]} if p in bmap else {})}
@@ -3028,7 +3151,9 @@ class SnapshotTable:
             writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
         writer.partitionBy(_BUCKET_COL).parquet(commit_dir)
         written = self._list_commit_files(commit_dir)
-        fstats = self._collect_file_stats(written, self._stats_cols(m))
+        footers_r = self._read_footers(written, self.spark)
+        fstats = self._collect_file_stats(written, self._stats_cols(m), footers_r)
+        rmap = self._row_count_entries(written, footers_r)
         # rows changed buckets: the only sound per-file floor is the
         # min over EVERYTHING the rescale consumed
         tv_all = _min_tv(
@@ -3037,6 +3162,7 @@ class SnapshotTable:
         new_files = {
             str(b): [
                 {"path": p, "schema_id": m["schema_id"],
+                 **rmap.get(p, {}),
                  **({"tv": tv_all} if tv_all else {}),
                  **({"stats": fstats[p]} if p in fstats else {})}
                 for p in sorted(paths)
@@ -3310,6 +3436,7 @@ class SnapshotTable:
             fstats = self._collect_file_stats(written, self._stats_cols(m), footers)
             bmap = self._annotate_blooms(m, new_sid, written)
             bucket_counts = self._footer_counts(written, footers)
+            rmap = self._row_count_entries(written, footers)
             n_out = sum(bucket_counts.values())
             # rebuilt from the log through the CURRENT transform
             tv_now = int(m.get("transform_version", 0))
@@ -3318,6 +3445,7 @@ class SnapshotTable:
                     {
                         "path": p,
                         "schema_id": m["schema_id"],
+                        **rmap.get(p, {}),
                         **({"tv": tv_now} if tv_now else {}),
                         **({"stats": fstats[p]} if p in fstats else {}),
                         **({"bloom": bmap[p]} if p in bmap else {}),
@@ -3472,16 +3600,19 @@ class SnapshotTable:
                     df, by_bucket, 256, bucket_col=_BUCKET_COL
                 ).write.partitionBy(_BUCKET_COL).parquet(gdir)
                 written = self._list_commit_files(gdir)
+                footers_g = self._read_footers(written, self.spark)
                 fstats = self._collect_file_stats(
-                    written, self._stats_cols(m)
+                    written, self._stats_cols(m), footers_g
                 )
                 bmap = self._annotate_blooms(
                     m, self._next_snapshot_id(), written
                 )
+                rmap = self._row_count_entries(written, footers_g)
                 for b, wpaths in written.items():
                     tv_b = _min_tv(straddlers.get(str(b), []))
                     rewritten_entries.setdefault(str(b), []).extend(
                         {"path": p, "schema_id": schema_id,
+                         **rmap.get(p, {}),
                          **({"tv": tv_b} if tv_b else {}),
                          **({"kind": kind} if kind else {}),
                          **({"stats": fstats[p]} if p in fstats else {}),
