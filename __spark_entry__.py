@@ -3559,6 +3559,90 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_conv_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation near-dup signatures maintained BY the CDC tail
+    (dedup_index.conv_index_sync): the log — with every 7th
+    conversation's events cloned as a 'dup-' conversation plus a tail
+    turn, arriving in LATER epochs so collisions cross the epoch
+    boundary — replays in three windows, the index advancing after
+    each at O(changed convs); near-dup pairs are then served FROM the
+    index (conv_index_pairs: band self-join + exact-Jaccard verify of
+    candidates only, the corpus never re-minhashed). Must equal
+    DuckDB's all-pairs exact Jaccard over the final conversation
+    docs."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.dedup_index import (
+        conv_index_pairs,
+        conv_index_sync,
+        create_conv_index,
+    )
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    is7 = F.split(F.col("conv_id"), "-").getItem(1).cast("int") % 7 == 0
+    clones = log.filter(is7).select(
+        (F.col("lsn") + hi + 1).alias("lsn"),
+        "op",
+        F.concat(F.lit("dup-"), F.col("conv_id")).alias("conv_id"),
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+    )
+    from pyspark.sql import Window as W
+
+    tails = (
+        log.filter(is7)
+        .select("conv_id")
+        .distinct()
+        .withColumn(
+            "lsn",
+            (2 * (hi + 1))
+            + F.row_number().over(W.orderBy("conv_id")).cast("long"),
+        )
+        .select(
+            "lsn",
+            F.lit("insert").alias("op"),
+            F.concat(F.lit("dup-"), F.col("conv_id")).alias("conv_id"),
+            F.lit(999).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.lit("planted near duplicate tail").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit("2024-06-01 00:00:00").cast("timestamp").alias("ts"),
+        )
+    )
+    full = log.unionByName(clones).unionByName(tails)
+    new_hi = int(full.agg(F.max("lsn")).collect()[0][0])
+
+    path = tempfile.mkdtemp(prefix="ns_conv_idx_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+    index = create_conv_index(
+        spark, tempfile.mkdtemp(prefix="ns_conv_idxi_"), n_buckets=16
+    )
+    eng = ReplayEngine(
+        spark,
+        table,
+        config=EngineConfig(batch_lsn_size=new_hi + 2, lineage=False),
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return full.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    last = None
+    w = new_hi // 3 + 1
+    for k in range(3):
+        eng.replay(slicer, lsn_lo=k * w, lsn_hi=min((k + 1) * w, new_hi + 1))
+        head = int(table.manifest(refresh=True)["snapshot_id"])
+        conv_index_sync(table, index, head, from_snapshot=last)
+        last = head
+    return conv_index_pairs(index, table, threshold=0.8)
+
+
 def _q_conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level near-duplicate pairs: a training pipeline
     dedups at the granularity it PACKS — whole conversations, not
@@ -5362,6 +5446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_l_diversity": _q_privacy_l_diversity,
         "corpus_split_assign": _q_corpus_split_assign,
         "cdc_metadata_count": _q_metadata_count,
+        "conv_dedup_index_sync": _q_conv_index_sync,
         "cdc_scd2_history": _q_scd2_history,
         "cdc_replication_lag": _q_cdc_replication_lag,
         "json_anonymize": _q_json_anonymize,
@@ -5498,7 +5583,7 @@ def _profile_sync_oracle(state: str) -> str:
     return " UNION ALL ".join(arms)
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     log = f"({_CDC_DERIVATION})"
     lww = f"""
     SELECT * FROM (
@@ -8150,3 +8235,12 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
     }
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811 — wrapper adds aliases
+    d = _oracle_sql_base()
+    # the index-served pairs must equal the single-shot conversation
+    # near-dup ground truth over the same final docs (clones replayed
+    # through the table vs docs planted directly — identical states)
+    d["conv_dedup_index_sync"] = d["conv_near_dup_pairs"]
+    return d

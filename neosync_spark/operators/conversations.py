@@ -15,6 +15,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def conversation_docs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """One document per conversation: turns concatenated in stable
+    turn order (NULL text as '' — a tool-only turn still holds its
+    position). The canonical doc form every conversation-granularity
+    corpus op (near-dup, index, split) shares, and the one the DuckDB
+    oracles replay as ``string_agg(coalesce(text,''), ' ' ORDER BY
+    turn_idx)``. One conv_id shuffle: collect_list(struct) →
+    array_sort → array_join, all JVM."""
+    return df.groupBy(F.col(conv_col).alias(conv_col)).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(turn_col).alias("i"),
+                            F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("t"),
+            ),
+            " ",
+        ).alias("doc")
+    )
+
+
 def conversation_quality_flags(
     df: DataFrame,
     conv_col: str = "conv_id",

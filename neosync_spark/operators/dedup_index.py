@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..lakehouse import SnapshotTable
+from ..lakehouse import CommitInfo, SnapshotTable
 from .similarity import (
     minhash_band_buckets,
     ngram_jaccard,
@@ -194,3 +194,205 @@ def minhash_index_sync(
     for df_ in (banded_new, cands, sh):
         df_.unpersist()
     return verified
+
+
+# ---------------------------------------------------------------------------
+# Conversation-granularity index: near-dup signatures maintained by the
+# CDC tail itself
+# ---------------------------------------------------------------------------
+
+CONV_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("band_hash", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def create_conv_index(
+    spark: SparkSession, path: str, n_buckets: int = 64
+) -> SnapshotTable:
+    """An empty conversation band-index keyed ``(conv_id, band)``."""
+    return SnapshotTable.create(
+        spark,
+        path,
+        CONV_INDEX_SCHEMA,
+        key_cols=["conv_id", "band"],
+        order_cols=["ts"],
+        n_buckets=n_buckets,
+    )
+
+
+def conv_index_sync(
+    src: SnapshotTable,
+    index: SnapshotTable,
+    to_snapshot: int,
+    from_snapshot: int | None = None,
+    text_col: str = "text",
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> "CommitInfo":
+    """Advance the conversation near-dup index to describe ``src`` at
+    ``to_snapshot`` — dedup signatures maintained BY the CDC tail, at
+    conversation granularity (the granularity a training pipeline
+    packs), at O(changed conversations) per epoch.
+
+    Mechanics per epoch:
+
+    - changed conversations come from ``snapshot_diff`` (a bucket-
+      pruned manifest comparison — an epoch touching 0.1% of convs
+      reads 0.1% of buckets, incl. every turn-level insert/update/
+      delete and whole-conv deletes);
+    - their CURRENT docs are re-assembled from the pruned read
+      (``conversation_docs``: turn-order concat, one conv shuffle over
+      changed buckets only) and re-signed — a conv's ``bands`` rows are
+      keyed ``(conv_id, band)``, so an update atomically replaces ALL
+      of its band hashes and no stale signature can survive;
+    - conversations with no surviving live turn emit DELETE for every
+      band key (full retraction);
+    - the merge is ledgered by ``(from, to)`` snapshot span with the
+      same sync-ordinal LWW ordering as ``minhash_index_sync`` — a
+      replayed/crashed epoch is a no-op, and a consumer outage heals by
+      diffing across everything missed.
+
+    Invariant (oracled in the gate): after any epoch partitioning of
+    the log, the index equals the single-shot banding of the FINAL
+    conversation states — serving near-dup pairs without ever
+    re-minhashing the corpus (``conv_index_pairs``).
+    """
+    from .conversations import conversation_docs
+    from .stats_sync import changed_buckets
+
+    applied_range = (from_snapshot or 0, to_snapshot)
+    if from_snapshot == to_snapshot or index.is_applied(*applied_range):
+        return CommitInfo(
+            index.manifest(refresh=True)["snapshot_id"], 0, 0, applied_range
+        )
+
+    if from_snapshot is None:
+        state = src.read(snapshot_id=to_snapshot)
+        changed = None
+    else:
+        bs = changed_buckets(src, from_snapshot, to_snapshot)
+        changed = (
+            src.snapshot_diff(from_snapshot, to_snapshot)
+            .select(F.col(conv_col).alias("_cc"))
+            .distinct()
+            .persist()
+        )
+        state = src.read(snapshot_id=to_snapshot, buckets=bs).join(
+            F.broadcast(changed),
+            F.col(conv_col) == F.col("_cc"),
+            "left_semi",
+        )
+
+    docs = conversation_docs(state, conv_col, turn_col, text_col)
+    shingled = shingle_docs(docs, "doc", conv_col, shingle_n)
+    banded = minhash_band_buckets(
+        shingled, "_sh", "_id", num_hashes, bands, seed
+    )
+
+    ordinal = index.sync_ordinal()
+    lo = int(applied_range[0])
+    upserts = banded.select(
+        F.lit("insert").alias("op"),
+        F.col("_id").alias("conv_id"),
+        "band",
+        "band_hash",
+        F.timestamp_seconds(F.lit(ordinal)).alias("ts"),
+        F.lit(lo).alias("lsn"),
+    )
+    batch = upserts
+    if changed is not None:
+        # changed convs with no surviving live turn: retract every band
+        gone = changed.join(
+            docs.select(F.col(conv_col).alias("_cc")), "_cc", "left_anti"
+        )
+        bands_df = index.spark.createDataFrame(
+            [(int(b),) for b in range(bands)],
+            T.StructType([T.StructField("band", T.IntegerType(), False)]),
+        ).coalesce(1)
+        deletes = gone.crossJoin(bands_df).select(
+            F.lit("delete").alias("op"),
+            F.col("_cc").alias("conv_id"),
+            "band",
+            F.lit(None).cast("long").alias("band_hash"),
+            F.timestamp_seconds(F.lit(ordinal)).alias("ts"),
+            F.lit(lo).alias("lsn"),
+        )
+        batch = upserts.unionByName(deletes)
+    info = index.merge_cdc(batch, applied_range=applied_range, lineage=False)
+    if changed is not None:
+        changed.unpersist()
+    return info
+
+
+def conv_index_pairs(
+    index: SnapshotTable,
+    src: SnapshotTable,
+    text_col: str = "text",
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Serve verified conversation near-dup pairs FROM the index:
+    collide band rows on (band, band_hash) — a self-join of the
+    (small) signature table, never the corpus — then exact-Jaccard
+    verify only the candidate conversations' docs, fetched through a
+    semi-join against the lake. Returns ``(id_a, id_b, jaccard)``,
+    id_a < id_b."""
+    from .conversations import conversation_docs
+
+    rows = index.read().select(
+        F.col("conv_id").alias("_id"), "band", "band_hash"
+    )
+    cands = (
+        rows.alias("l")
+        .join(
+            rows.alias("r"),
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l._id") < F.col("r._id"),
+            ],
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias("_cid"))
+        .unionByName(cands.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    cand_docs = conversation_docs(
+        src.read().join(
+            cand_ids, F.col(conv_col) == F.col("_cid"), "left_semi"
+        ),
+        conv_col,
+        turn_col,
+        text_col,
+    )
+    sh = shingle_docs(cand_docs, "doc", conv_col, shingle_n)
+    return (
+        cands.join(
+            sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sb")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            round_half_up(ngram_jaccard(F.col("_sa"), F.col("_sb")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -60,6 +60,23 @@ def stats_consumer(
     return _sync
 
 
+def conv_dedup_index_consumer(index: SnapshotTable, **params) -> Consumer:
+    """Conversation near-dup signature index
+    (operators/dedup_index.conv_index_sync): per-epoch only the
+    epoch's changed conversations are re-signed, so near-dup pairs are
+    servable from the index at any moment without re-minhashing the
+    corpus. ``params`` pass through (shingle_n, num_hashes, bands,
+    text_col, ...)."""
+    from ..operators.dedup_index import conv_index_sync
+
+    def _sync(src: SnapshotTable, head: int) -> None:
+        last = _last_synced(index)
+        if last != head:
+            conv_index_sync(src, index, head, from_snapshot=last, **params)
+
+    return _sync
+
+
 def secondary_index_consumer(index: SnapshotTable, col: str) -> Consumer:
     """Secondary value index (operators/secondary_index.py)."""
     from ..operators.secondary_index import secondary_index_sync
