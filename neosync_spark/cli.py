@@ -255,6 +255,18 @@ def main(argv: list[str] | None = None) -> int:
     w = sub.add_parser("show", help="snapshot history + ledger")
     w.add_argument("--table", required=True)
 
+    cp = sub.add_parser(
+        "conv-pairs",
+        help="near-dup conversation pairs served FROM the signature "
+             "index maintained by `tail --conv-index` (band collision "
+             "+ exact-Jaccard verify of candidates; the table is never "
+             "re-minhashed)",
+    )
+    cp.add_argument("--table", required=True)
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--threshold", type=float, default=0.7)
+    cp.add_argument("--limit", type=int, default=50)
+
     cn = sub.add_parser(
         "count",
         help="count(*) of live rows from manifest row labels — "
@@ -545,6 +557,11 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--stats-dst", default=None,
                     help="also maintain per-bucket column statistics "
                          "(incremental ANALYZE; see stats-sync)")
+    tl.add_argument("--conv-index", default=None,
+                    help="also maintain the conversation near-dup "
+                         "signature index (MinHash-LSH bands re-signed "
+                         "for the epoch's changed conversations; query "
+                         "with conv-pairs)")
     tl.add_argument("--bootstrap-source", default=None,
                     help="parquet of a frozen source state: interleave "
                          "one incremental-snapshot chunk per epoch until "
@@ -979,6 +996,23 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(t.metadata_count(args.snapshot)))
         return 0
 
+    if args.cmd == "conv-pairs":
+        from pyspark.sql import functions as F
+
+        from .lakehouse import SnapshotTable
+        from .operators.dedup_index import conv_index_pairs
+
+        t = SnapshotTable.load(spark, args.table)
+        idx = SnapshotTable.load(spark, args.index)
+        rows = (
+            conv_index_pairs(idx, t, threshold=args.threshold)
+            .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+            .limit(args.limit)
+            .collect()
+        )
+        print(json.dumps({"pairs": [r.asDict() for r in rows]}))
+        return 0
+
     if args.cmd == "requeue":
         from .engine import EngineConfig, FkCheck, ReplayEngine
         from .lakehouse import SnapshotTable
@@ -1355,6 +1389,15 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 sdst = create_stats_table(spark, args.stats_dst)
             consumers.append(stats_consumer(sdst))
+        if args.conv_index:
+            from .operators.dedup_index import create_conv_index
+            from .streaming.consumers import conv_dedup_index_consumer
+
+            if SnapshotTable.exists(args.conv_index):
+                cidx = SnapshotTable.load(spark, args.conv_index)
+            else:
+                cidx = create_conv_index(spark, args.conv_index)
+            consumers.append(conv_dedup_index_consumer(cidx))
         if args.scd2_dim:
             from .operators.scd import scd2_dim_schema
             from .schema import KEY_COLS, change_event_schema
