@@ -65,8 +65,15 @@ def leakage_safe_splits(
         raise ValueError(f"fractions must sum to 1.0, got {total}")
 
     if clusters is not None:
-        cmap = clusters.select(
-            F.col(id_col), F.col("cluster_id").alias("_ns_cluster")
+        # the map holds only docs WITH a near-duplicate — small by
+        # construction on a deduplicated-ish corpus, so broadcast
+        # explicitly (createDataFrame/fresh-parquet inputs carry no
+        # stats for AQE to decide from; a sort-merge join here would
+        # shuffle the 100 TB side)
+        cmap = F.broadcast(
+            clusters.select(
+                F.col(id_col), F.col("cluster_id").alias("_ns_cluster")
+            )
         )
         df = df.join(cmap, id_col, "left")
         key = F.coalesce(F.col("_ns_cluster"), F.col(id_col))

@@ -87,3 +87,13 @@ def test_no_shuffle_without_clusters(spark):
     out = leakage_safe_splits(docs, "doc_id", None, FRACS, seed=1)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_cluster_map_broadcasts(spark):
+    # the corpus side must never shuffle: the (small) cluster map
+    # broadcasts explicitly, stats or no stats
+    docs, clusters = _docs(spark, 100), _clusters(spark)
+    out = leakage_safe_splits(docs, "doc_id", clusters, FRACS, seed=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffleExchange" not in plan and "SortMergeJoin" not in plan

@@ -649,6 +649,66 @@ def main() -> None:
         "JVM string ops inside whole-stage codegen.",
     )
 
+    from neosync_spark.operators.splits import leakage_safe_splits
+
+    docs_df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    clusters_df = spark.createDataFrame(
+        [(0, 0), (1, 0), (7, 7), (8, 7)], "doc_id long, cluster_id long"
+    )
+    cap(
+        "Leakage-safe split assignment (cluster-keyed membership)",
+        leakage_safe_splits(
+            docs_df, "doc_id", clusters_df,
+            {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7,
+        ),
+        "the cluster map joins BROADCAST (only docs with a near-dup "
+        "appear in it — a small fraction of the corpus) and the split "
+        "itself is one codegen'd projection (md5/conv/CASE): no "
+        "shuffle of the corpus, no Python. With clusters=None the "
+        "whole plan is a single Project over the scan.",
+    )
+
+    cap(
+        "Metadata-count fallback (tombstone-flag column scan)",
+        st.read(internal=True).select("_deleted").filter("NOT _deleted"),
+        "metadata_count's middle tier: files the footer could not "
+        "label scan ONLY the boolean tombstone flag — ReadSchema "
+        "carries a single 1-bit column, the filter is pushed to the "
+        "scan, and labeled files never appear (tier 1 sums from the "
+        "manifest with zero I/O; delta buckets take the LWW read).",
+    )
+
+    from neosync_spark.operators.conversations import conversation_docs
+    from neosync_spark.operators.dedup_index import create_conv_index
+    from neosync_spark.operators.similarity import (
+        minhash_band_buckets,
+        shingle_docs,
+    )
+
+    changed_c = changed_buckets(st, s1, s2)
+    conv_changed = (
+        st.snapshot_diff(s1, s2).select(F.col("conv_id").alias("_cc")).distinct()
+    )
+    epoch_state = st.read(snapshot_id=s2, buckets=changed_c).join(
+        F.broadcast(conv_changed), F.col("conv_id") == F.col("_cc"), "left_semi"
+    )
+    cap(
+        "Conversation near-dup index — epoch re-sign (pruned read + banding)",
+        minhash_band_buckets(
+            shingle_docs(conversation_docs(epoch_state), "doc", "conv_id"),
+            "_sh",
+            "_id",
+        ),
+        f"one epoch of conv_index_sync: the scan lists only the "
+        f"epoch's changed buckets ({len(changed_c)} of 4 here, from a "
+        "manifest diff), the changed-conv semi-join is BROADCAST, doc "
+        "assembly is one conv_id shuffle (collect_list/sort/join in "
+        "codegen), and the shingle→minhash→band pipeline stays JVM — "
+        "per-epoch work is O(changed conversations), never the table.",
+    )
+
     hdr = (
         "# PLANS — formatted physical plans of load-bearing operators\n\n"
         "Generated by tools/gen_plans.py (`df.explain('formatted')` at sf0.001).\n"
