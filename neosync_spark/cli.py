@@ -429,6 +429,12 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--zorder", default=None,
                     help="comma-separated columns to z-order the rewrite by")
     mt.add_argument("--max-records-per-file", type=int, default=None)
+    mt.add_argument("--expire-tombstones-before", default=None,
+                    help="ISO ts: physically drop tombstones whose LWW "
+                         "ts is older (pick it beyond the source's max "
+                         "out-of-orderness — an older same-key event "
+                         "arriving later could re-insert); also "
+                         "restores the pure-metadata count(*) path")
     mt.add_argument("--expire-keep-last", type=int, default=None,
                     help="also expire snapshots, keeping the last K")
     mt.add_argument("--ledger-keep", type=int, default=None,
@@ -1069,9 +1075,18 @@ def main(argv: list[str] | None = None) -> int:
                 for b, n, nb in plan
             ],
         }
-        if plan:
+        exp_tomb = None
+        if args.expire_tombstones_before:
+            import pandas as pd
+
+            exp_tomb = pd.Timestamp(args.expire_tombstones_before)
+        if plan or exp_tomb is not None:
             info = t.compact(
-                buckets=[b for b, _, _ in plan],
+                # a tombstone-expiry request targets the whole table
+                # (tombstones live in COW base files too); otherwise
+                # only the planned delta-pressure buckets rewrite
+                buckets=[b for b, _, _ in plan] if exp_tomb is None else None,
+                expire_tombstones_before=exp_tomb,
                 zorder_cols=args.zorder.split(",") if args.zorder else None,
                 max_records_per_file=args.max_records_per_file,
             )
