@@ -132,3 +132,41 @@ def test_pre_label_manifest_falls_back(spark, tmp_path):
     assert got["rows"] == 25
     assert got["files_scanned"] > 0  # flag-column scan, not LWW
     assert got["buckets_lww"] == 0
+
+
+def test_random_op_interleave_count_always_exact(spark, tmp_path):
+    # randomized COW/MoR merges, deletes, compactions: after every
+    # commit the three-tier count equals the full read
+    import random
+
+    rng = random.Random(7)
+    t = _mk(spark, tmp_path / "t")
+    lsn = 0
+    live_keys = set()
+    for step in range(6):
+        rows = []
+        for _ in range(rng.randint(5, 25)):
+            k = (f"c{rng.randint(0, 9)}", rng.randint(0, 5))
+            if k in live_keys and rng.random() < 0.3:
+                rows.append((lsn, "delete", k[0], k[1], None, None, None,
+                             f"2024-01-0{step + 1} 00:00:01"))
+                live_keys.discard(k)
+            else:
+                rows.append((lsn, "insert", k[0], k[1], "user",
+                             f"text {lsn}", None,
+                             f"2024-01-0{step + 1} 00:00:01"))
+                live_keys.add(k)
+            lsn += 1
+        mode = rng.choice(["cow", "mor"])
+        t.merge_cdc(
+            _batch(spark, rows), applied_range=(lsn - len(rows), lsn),
+            mode=mode,
+        )
+        if rng.random() < 0.4:
+            t.compact()
+        got = t.metadata_count()
+        assert got["rows"] == t.read().count(), (step, mode, got)
+    t.compact(expire_tombstones_before=f"2024-01-0{7} 00:00:00")
+    got = t.metadata_count()
+    assert got["rows"] == t.read().count() == len(live_keys)
+    assert got["files_scanned"] == 0 and got["buckets_lww"] == 0
