@@ -167,17 +167,23 @@ def stats_sync(
     spark = src.spark
     ts = F.timestamp_seconds(F.lit(to_snapshot))
     lsn = F.lit(to_snapshot).cast("long")
-    # single-partition driver-side frames: left to default parallelism
-    # their crossJoin below would plan a |parts|^2-task Cartesian of
-    # empty partitions — scheduling cost, not data
-    touched_df = spark.createDataFrame(
-        [(int(b),) for b in touched],
-        T.StructType([T.StructField("bucket_id", T.IntegerType(), False)]),
-    ).coalesce(1)
-    cols_df = spark.createDataFrame(
-        [(c,) for c in names],
-        T.StructType([T.StructField("column", T.StringType(), False)]),
-    ).coalesce(1)
+    # JVM-literal frames, NOT createDataFrame-from-list: a Python-built
+    # local relation scans through a Python worker at execution time —
+    # the first such scan in a session forks the pyspark daemon and
+    # imports the worker runtime INSIDE the write task (seconds of
+    # wall-clock blocked on ReaderInputStream for a 16-row leaf).
+    # range(1) + explode(array(lit...)) stays whole-stage-codegen and
+    # is single-partition by construction (no crossJoin task blowup).
+    touched_df = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(int(b)).cast("int") for b in touched])
+        ).alias("bucket_id")
+    ) if touched else spark.range(0).select(
+        F.col("id").cast("int").alias("bucket_id")
+    )
+    cols_df = spark.range(1).select(
+        F.explode(F.array(*[F.lit(c) for c in names])).alias("column")
+    )
 
     if touched:
         state = src.read(snapshot_id=to_snapshot, buckets=touched).withColumn(
@@ -197,10 +203,30 @@ def stats_sync(
             aggs.append(F.min(mn_str).alias(f"_mns_{i}"))
             aggs.append(F.max(mn_str).alias(f"_mxs_{i}"))
         # <= bucket_count rows; materialize once so the upsert branch
-        # and the emptied-bucket anti-join don't each rerun the scan
-        per_bucket = state.groupBy("bucket_id").agg(*aggs).localCheckpoint(
-            eager=True
+        # and the emptied-bucket anti-join don't each rerun the scan.
+        # The scan's input partitioning decides the profile's
+        # parallelism: the per-column count_distinct Expand multiplies
+        # every scanned row x|cols| BEFORE the partial agg, and a small
+        # epoch's files coalesce to one or two splits under the default
+        # 128MB maxPartitionBytes — serializing the whole profile.
+        # minPartitionNum floors the split count at the cluster's core
+        # count WITHOUT driver-side file-size probing (the conf splits
+        # by actual scan bytes executor-independently); at 100 TB the
+        # floor is a no-op because the files already exceed it.
+        key = "spark.sql.files.minPartitionNum"
+        old_mpn = spark.conf.get(key, None)
+        spark.conf.set(
+            key, str(max(1, spark.sparkContext.defaultParallelism))
         )
+        try:
+            per_bucket = state.groupBy("bucket_id").agg(
+                *aggs
+            ).localCheckpoint(eager=True)
+        finally:
+            if old_mpn is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old_mpn)
         per_col = [
             F.struct(
                 F.lit(c).alias("column"),
