@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .operators.dedup import lww_dedup, patch_fold
+from .util import literal_frame
 
 _LSN_COL = "_lsn"
 _BUCKET_COL = "_bucket"
@@ -788,8 +789,8 @@ class SnapshotTable:
             # local job hashes the values exactly as bucket_expr does
             kc = m["key_cols"][0]
             vals = key_equals[kc]
-            vdf = self.spark.createDataFrame(
-                [(v,) for v in vals], schema=T.StructType([cur[kc]])
+            vdf = literal_frame(
+                self.spark, [(v,) for v in vals], T.StructType([cur[kc]])
             )
             want = {
                 int(r[0])
@@ -897,7 +898,7 @@ class SnapshotTable:
             out = mor_part
         else:
             empty = self._storage_schema(m["schemas"][str(m["schema_id"])])
-            out = self.spark.createDataFrame([], empty)
+            out = literal_frame(self.spark, [], empty)
         if stats_filter:
             # re-apply as a row predicate: file pruning is a superset
             # guarantee, the filter is the exact semantics
@@ -2995,8 +2996,10 @@ class SnapshotTable:
         nb = m["bucket_count"]
         cur = self.current_schema(m)
         key_type = cur[key_col].dataType
-        vals_df = self.spark.createDataFrame(
-            [(v,) for v in values], T.StructType([T.StructField(key_col, key_type)])
+        vals_df = literal_frame(
+            self.spark,
+            [(v,) for v in values],
+            T.StructType([T.StructField(key_col, key_type)]),
         )
         affected = sorted(
             r[0]
@@ -3294,8 +3297,8 @@ class SnapshotTable:
                     out, columns=["bucket", "path", "reason"]
                 )
 
-        files_df = self.spark.createDataFrame(
-            rows, "bucket int, path string, stats_json string"
+        files_df = literal_frame(
+            self.spark, rows, "bucket int, path string, stats_json string"
         )
         n_part = max(1, min(len(rows), self.spark.sparkContext.defaultParallelism))
         damaged_rows = (
@@ -3397,8 +3400,10 @@ class SnapshotTable:
                     applied_pred = arm if applied_pred is None else (applied_pred | arm)
                 src = src.filter(applied_pred)
             else:
-                rng = self.spark.createDataFrame(
-                    [(int(lo), int(hi)) for lo, hi in ranges], "_lo long, _hi long"
+                rng = literal_frame(
+                    self.spark,
+                    [(int(lo), int(hi)) for lo, hi in ranges],
+                    "_lo long, _hi long",
                 )
                 src = src.join(
                     F.broadcast(rng),
@@ -4031,7 +4036,7 @@ class SnapshotTable:
             "bucket int, path string, kind string, schema_id int, "
             "patches boolean, bloom_sidecar string, stats_json string"
         )
-        return self.spark.createDataFrame(rows, schema)
+        return literal_frame(self.spark, rows, schema)
 
     def snapshots(self) -> DataFrame:
         """Metadata table (Iceberg ``table.snapshots`` analog): one row
@@ -4055,7 +4060,8 @@ class SnapshotTable:
                 )
             )
             sid = m["parent"]
-        return self.spark.createDataFrame(
+        return literal_frame(
+            self.spark,
             rows,
             "snapshot_id long, parent long, operation string, "
             "committed_at double, n_files long, n_applied_ranges long",

@@ -35,6 +35,8 @@ has no encrypted-at-rest column path). Public pattern literature only.
 from __future__ import annotations
 
 import os
+
+from ..util import literal_frame
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -89,8 +91,8 @@ class KeyStore:
         """(subject, key) — surviving keys only, first mint wins."""
         mints = self._read("mints")
         if mints is None:
-            return self.spark.createDataFrame(
-                [], "subject string, key string"
+            return literal_frame(
+                self.spark, [], "subject string, key string"
             )
         keys = (
             mints.groupBy("subject")
@@ -131,8 +133,8 @@ class KeyStore:
     def shred(self, subjects: Sequence[str]) -> int:
         """Erase subjects' keys (tombstone append). Returns how many of
         them actually had a surviving key."""
-        s = self.spark.createDataFrame(
-            [(x,) for x in subjects], "subject string"
+        s = literal_frame(
+            self.spark, [(x,) for x in subjects], "subject string"
         ).distinct()
         n = self.load().join(s, "subject", "left_semi").count()
         shred_id = len(self._subdirs("shredded"))

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..lakehouse import CommitInfo, SnapshotTable
+from ..util import literal_frame
 from .similarity import (
     minhash_band_buckets,
     ngram_jaccard,
@@ -314,10 +315,11 @@ def conv_index_sync(
         gone = changed.join(
             docs.select(F.col(conv_col).alias("_cc")), "_cc", "left_anti"
         )
-        bands_df = index.spark.createDataFrame(
+        bands_df = literal_frame(
+            index.spark,
             [(int(b),) for b in range(bands)],
             T.StructType([T.StructField("band", T.IntegerType(), False)]),
-        ).coalesce(1)
+        )
         deletes = gone.crossJoin(bands_df).select(
             F.lit("delete").alias("op"),
             F.col("_cc").alias("conv_id"),

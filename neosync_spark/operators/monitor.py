@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..util import round_half_up
+from ..util import literal_frame, round_half_up
 
 
 def lsn_gaps(
@@ -233,8 +233,8 @@ def column_drift(
         ha.sparkSession.range(n_buckets + 1)
         .select(F.col("id").cast("int").alias("bucket"))
         .crossJoin(
-            ha.sparkSession.createDataFrame(
-                [(c,) for c in cols], "col_name string"
+            literal_frame(
+                ha.sparkSession, [(c,) for c in cols], "col_name string"
             )
         )
     )

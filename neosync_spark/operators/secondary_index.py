@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..util import literal_frame
 from ..lakehouse import CommitInfo, SnapshotTable, bucket_expr
 
 
@@ -191,7 +192,7 @@ def secondary_lookup(
         .collect()
     )
     if not hit_buckets:
-        return src.spark.createDataFrame([], src.current_schema(m))
+        return literal_frame(src.spark, [], src.current_schema(m))
     return src.read(snapshot_id, buckets=hit_buckets).join(
         F.broadcast(postings), keys, "left_semi"
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..util import round_half_up
+from ..util import literal_frame, round_half_up
 
 # tokenization shared with the DuckDB oracle: split on single spaces,
 # empty tokens removed
@@ -415,7 +415,7 @@ def pack_token_chunks(
     parts = toks.withColumn("_sh", shard)
     psums = parts.groupBy("_sh").agg(F.sum("_nt").alias("s")).collect()
     if not psums:
-        return spark.createDataFrame([], out_schema)
+        return literal_frame(spark, [], out_schema)
     offsets: dict[int, int] = {}
     acc = 0
     for r in sorted(psums, key=lambda r: r["_sh"]):

@@ -73,3 +73,56 @@ def str_seed(s: str) -> int:
         for ch in s.encode("utf-8"):
             h = (h ^ np.uint64(ch)) * _FNV
     return int(h)
+
+
+def literal_frame(spark, rows, schema, max_literal: int = 1024):
+    """Small local relation as a pure-JVM literal plan.
+
+    ``createDataFrame``-from-list plans a Python-serialized local RDD
+    whose scan runs through a Python worker at execution time — the
+    FIRST such scan in a session forks the pyspark daemon and imports
+    the worker runtime inside whatever task consumes the frame
+    (seconds of wall-clock blocked on a 16-row leaf; measured in the
+    stats_sync write stage). ``range(1) + explode(array(struct(...)))``
+    expresses the same rows as Catalyst literals: whole-stage codegen,
+    no Python anywhere, single-partition by construction.
+
+    ``schema`` is a DDL string or StructType. Rows past ``max_literal``
+    fall back to ``createDataFrame`` — a huge literal array trades the
+    Python worker for an oversized plan tree, the worse deal. Values a
+    Spark literal can't carry (rare — e.g. Decimal edge cases) also
+    fall back.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    fields = schema.fields
+    rows = list(rows)
+    if not rows:
+        return spark.range(0).select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in fields
+            ]
+        )
+    if len(rows) > max_literal:
+        return spark.createDataFrame(rows, schema)
+
+    def _lit(v, f):
+        return (F.lit(v) if v is not None else F.lit(None)).cast(
+            f.dataType
+        ).alias(f.name)
+
+    try:
+        structs = [
+            F.struct(*[_lit(v, f) for v, f in zip(r, fields)]) for r in rows
+        ]
+    except (TypeError, ValueError):
+        return spark.createDataFrame(rows, schema)
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("_s"))
+        .select("_s.*")
+    )
