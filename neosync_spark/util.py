@@ -101,11 +101,20 @@ def literal_frame(spark, rows, schema, max_literal: int = 1024):
     fields = schema.fields
     rows = list(rows)
     if not rows:
-        return spark.range(0).select(
-            *[
-                F.lit(None).cast(f.dataType).alias(f.name)
-                for f in fields
-            ]
+        # limit(0), not range(0): OptimizeLimitZero folds this to an
+        # empty LocalRelation, which PropagateEmptyRelation then
+        # collapses out of any join/union above it — a Range(0,0) leaf
+        # is not provably empty to Catalyst and would leave real
+        # (nested-loop, for crossJoins) join operators in the plan
+        return (
+            spark.range(1)
+            .select(
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in fields
+                ]
+            )
+            .limit(0)
         )
     if len(rows) > max_literal:
         return spark.createDataFrame(rows, schema)
