@@ -75,23 +75,69 @@ def str_seed(s: str) -> int:
     return int(h)
 
 
-def literal_frame(spark, rows, schema, max_literal: int = 1024):
-    """Small local relation as a pure-JVM literal plan.
+def _sql_literal(v, dt) -> str:
+    """Render one value as Spark SQL literal text of exactly ``dt``.
+    Strings/binary go through base64 (``unbase64``) — no escaping
+    rules to get wrong, arbitrary bytes/unicode survive verbatim."""
+    import base64 as _b64
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+
+    ds = dt.simpleString()
+    if v is None:
+        return f"CAST(NULL AS {ds})"
+    if isinstance(dt, T.StringType):
+        b = _b64.b64encode(str(v).encode("utf-8")).decode("ascii")
+        return f"CAST(unbase64('{b}') AS STRING)"
+    if isinstance(dt, T.BinaryType):
+        b = _b64.b64encode(bytes(v)).decode("ascii")
+        return f"unbase64('{b}')"
+    if isinstance(dt, T.BooleanType):
+        return "true" if v else "false"
+    if isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        return f"CAST({int(v)} AS {ds})"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        f = float(v)
+        if f != f:
+            return f"CAST('NaN' AS {ds})"
+        if f in (float("inf"), float("-inf")):
+            return f"CAST('{'-' if f < 0 else ''}Infinity' AS {ds})"
+        return f"CAST({f!r} AS {ds})"
+    if isinstance(dt, T.DecimalType):
+        return f"CAST('{v}' AS {ds})"
+    if isinstance(dt, T.DateType):
+        return f"DATE'{v.isoformat()}'"
+    if isinstance(dt, T.TimestampType) and isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            raise TypeError("tz-aware timestamp literal")
+        return f"TIMESTAMP'{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    raise TypeError(f"no SQL literal for {type(v).__name__} as {ds}")
+
+
+def literal_frame(spark, rows, schema, max_literal: int = 4096):
+    """Small local relation as a pure-JVM literal plan, built with ONE
+    py4j round-trip.
 
     ``createDataFrame``-from-list plans a Python-serialized local RDD
     whose scan runs through a Python worker at execution time — the
     FIRST such scan in a session forks the pyspark daemon and imports
     the worker runtime inside whatever task consumes the frame
     (seconds of wall-clock blocked on a 16-row leaf; measured in the
-    stats_sync write stage). ``range(1) + explode(array(struct(...)))``
-    expresses the same rows as Catalyst literals: whole-stage codegen,
-    no Python anywhere, single-partition by construction.
+    stats_sync write stage). Building the literal tree with Column
+    operations instead (lit/cast/alias per cell) costs a py4j
+    round-trip per call — ~1.3 ms each, 2.3 s for a 100×5 frame. So
+    the rows are rendered as ONE SQL text,
+    ``SELECT inline(array(named_struct(...), ...))``: a single JVM
+    call, parsed and constant-folded Catalyst-side, whole-stage
+    codegen, no Python worker anywhere.
 
-    ``schema`` is a DDL string or StructType. Rows past ``max_literal``
-    fall back to ``createDataFrame`` — a huge literal array trades the
-    Python worker for an oversized plan tree, the worse deal. Values a
-    Spark literal can't carry (rare — e.g. Decimal edge cases) also
-    fall back.
+    ``schema`` is a DDL string or StructType of atomic fields. Rows
+    past ``max_literal``, or values without a SQL literal form
+    (nested types, tz-aware timestamps), fall back to
+    ``createDataFrame``.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -118,20 +164,19 @@ def literal_frame(spark, rows, schema, max_literal: int = 1024):
         )
     if len(rows) > max_literal:
         return spark.createDataFrame(rows, schema)
-
-    def _lit(v, f):
-        return (F.lit(v) if v is not None else F.lit(None)).cast(
-            f.dataType
-        ).alias(f.name)
-
+    for f in fields:
+        if not f.name.replace("_", "").isalnum():
+            return spark.createDataFrame(rows, schema)
     try:
         structs = [
-            F.struct(*[_lit(v, f) for v, f in zip(r, fields)]) for r in rows
+            "named_struct("
+            + ", ".join(
+                f"'{f.name}', {_sql_literal(v, f.dataType)}"
+                for v, f in zip(r, fields)
+            )
+            + ")"
+            for r in rows
         ]
     except (TypeError, ValueError):
         return spark.createDataFrame(rows, schema)
-    return (
-        spark.range(1)
-        .select(F.explode(F.array(*structs)).alias("_s"))
-        .select("_s.*")
-    )
+    return spark.sql(f"SELECT inline(array({', '.join(structs)}))")
