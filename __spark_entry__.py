@@ -3368,6 +3368,22 @@ def _q_loop_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loop_flags(alive, min_run=2)
 
 
+def _q_turn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-continuity audit over the replayed final state: one row
+    per hole in a conversation's turn sequence (head gap from 0 +
+    interior gaps) — the payload-completeness twin of the LSN-side
+    transport gap detection; deletes punch holes this query surfaces
+    as repair ranges. One conv_id shuffle + one Window pass."""
+    from neosync_spark.operators.conversations import turn_gaps
+    from neosync_spark.operators.dedup import lww_dedup
+
+    log = _derived_log(spark, sf_dir)
+    alive = lww_dedup(log, ["conv_id", "turn_idx"], ["ts", "lsn"]).filter(
+        F.col("op") != "delete"
+    )
+    return turn_gaps(alive)
+
+
 def _q_tool_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tool-call promotion + usage rollup: parse the semi-structured
     `tool` JSON payload of the replayed final state into typed columns
@@ -5050,6 +5066,105 @@ def _q_dml_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic predicate overwrite (Delta replaceWhere / INSERT
+    OVERWRITE analog): replay the log, then replace the region
+    role='assistant' AND turn_idx % 4 = 1 in ONE commit with a
+    deterministic backfill — half the region's keys rewritten
+    (text -> 'BF:'||md5(text)), the other vanished keys tombstoned,
+    plus fresh keys at turn_idx+100000. DuckDB rebuilds the same
+    final state from the LWW view."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    path = tempfile.mkdtemp(prefix="ns_cdc_replw_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+    eng = ReplayEngine(
+        spark,
+        table,
+        config=EngineConfig(
+            batch_lsn_size=hi + 2, lineage=False, prune_buckets=False
+        ),
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    eng.replay(slicer, lsn_lo=0, lsn_hi=hi)
+
+    pred = "role = 'assistant' AND turn_idx % 4 = 1"
+    region = table.read().filter(pred)
+    repl = region.filter("turn_idx % 8 = 1").select(
+        "conv_id", "turn_idx", "role",
+        F.concat(F.lit("BF:"), F.md5("text")).alias("text"),
+        "tool", "ts",
+    )
+    fresh = region.filter("turn_idx % 8 = 5").select(
+        "conv_id",
+        (F.col("turn_idx") + F.lit(100000)).cast("int").alias("turn_idx"),
+        "role",
+        F.concat(F.lit("BF2:"), F.md5("text")).alias("text"),
+        "tool", "ts",
+    )
+    table.replace_where(pred, repl.unionByName(fresh))
+    return table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
+def _q_scoped_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-scoped transforms (the masking-policy analog inside the
+    merge): PII is planted in every event's text, and the engine
+    redacts it ONLY where role='user' — transform_where compiles to a
+    single-pass when(pred, mapped).otherwise(col) around the
+    transformer's JVM column_expr, so assistant/system turns (and
+    target rows) never pay the regex chain. DuckDB replays the LWW
+    state with the same CASE-wrapped regex chain on the winning row's
+    role."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.functions import transformers as X
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("text").isNotNull(),
+            F.concat(
+                F.col("text"), F.lit(" reach "), F.col("conv_id"),
+                F.lit("@corp.example"),
+            ),
+        ),
+    )
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    path = tempfile.mkdtemp(prefix="ns_cdc_scoped_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+    eng = ReplayEngine(
+        spark,
+        table,
+        transforms={"text": X.transform_pii_text(seed=7)},
+        transform_where={"text": "role = 'user'"},
+        config=EngineConfig(
+            batch_lsn_size=hi + 2, lineage=False, prune_buckets=False
+        ),
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    eng.replay(slicer, lsn_lo=0, lsn_hi=hi)
+    return table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
 def _q_patch_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial row images on the MoR fast path: the same patch log
     replayed as FOUR delta batches split by lsn while ts is disordered
@@ -5436,6 +5551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_log_compaction": _q_cdc_log_compaction,
         "constraint_violations": _q_constraint_violations,
         # -- position 51+: verified by the judge's local oracle rerun --
+        "cdc_replace_where": _q_replace_where,
+        "cdc_scoped_redaction": _q_scoped_redaction,
+        "transcript_turn_gaps": _q_turn_gaps,
         # (json_anonymize: driver-green since r1, rotated out to keep
         # the new log-compaction invariant inside the 50-entry window;
         # privacy_l_diversity rotated out for cdc_profile_sync — its
@@ -6431,6 +6549,87 @@ def _oracle_sql_base() -> dict[str, str]:
                    tool, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'
               AND NOT (role = 'assistant' AND turn_idx >= 12)
+        """,
+        "transcript_turn_gaps": f"""
+            WITH alive AS (
+              SELECT conv_id, turn_idx FROM ({lww}) WHERE op <> 'delete'
+            ),
+            w AS (
+              SELECT conv_id, turn_idx,
+                     lead(turn_idx) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) AS nxt,
+                     row_number() OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) AS rn
+              FROM alive
+            )
+            SELECT conv_id, CAST(0 AS INTEGER) AS gap_start,
+                   CAST(turn_idx - 1 AS INTEGER) AS gap_end,
+                   CAST(turn_idx AS INTEGER) AS n_missing
+            FROM w WHERE rn = 1 AND turn_idx > 0
+            UNION ALL
+            SELECT conv_id, CAST(turn_idx + 1 AS INTEGER),
+                   CAST(nxt - 1 AS INTEGER),
+                   CAST(nxt - turn_idx - 1 AS INTEGER)
+            FROM w WHERE nxt - turn_idx > 1
+        """,
+        "cdc_scoped_redaction": f"""
+            WITH log AS (
+              SELECT lsn, op, conv_id, turn_idx, role,
+                     CASE WHEN text IS NOT NULL
+                          THEN text || ' reach ' || conv_id
+                               || '@corp.example' END AS text,
+                     tool, ts
+              FROM ({_CDC_DERIVATION})
+            ),
+            w AS (
+              SELECT * FROM (
+                SELECT l.*, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx
+                  ORDER BY ts DESC, lsn DESC) AS rn
+                FROM log l
+              ) WHERE rn = 1
+            )
+            SELECT conv_id, turn_idx, role,
+                   CASE WHEN role = 'user' THEN
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '{_X.PII_EMAIL_RE}', '<EMAIL_ADDRESS>', 'g'),
+                         '{_X.PII_SSN_RE}', '<US_SSN>', 'g'),
+                       '{_X.PII_PHONE_RE}', '<PHONE_NUMBER>', 'g')
+                   ELSE text END AS text,
+                   tool, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM w WHERE op <> 'delete'
+        """,
+        "cdc_replace_where": f"""
+            WITH state AS (
+              SELECT conv_id, turn_idx, role, text, tool, ts
+              FROM ({lww}) WHERE op <> 'delete'
+            ),
+            region AS (
+              SELECT * FROM state
+              WHERE role = 'assistant' AND turn_idx % 4 = 1
+            ),
+            repl AS (
+              SELECT conv_id, turn_idx, role,
+                     'BF:' || md5(text) AS text, tool, ts
+              FROM region WHERE turn_idx % 8 = 1
+            ),
+            fresh AS (
+              SELECT conv_id, CAST(turn_idx + 100000 AS INTEGER) AS turn_idx,
+                     role, 'BF2:' || md5(text) AS text, tool, ts
+              FROM region WHERE turn_idx % 8 = 5
+            ),
+            final AS (
+              SELECT * FROM state
+              WHERE NOT coalesce(
+                  role = 'assistant' AND turn_idx % 4 = 1, FALSE)
+              UNION ALL SELECT * FROM repl
+              UNION ALL SELECT * FROM fresh
+            )
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM final
         """,
         "cdc_patch_merge": f"""
             WITH log AS ({_PATCH_DERIVATION}),

@@ -148,10 +148,18 @@ class ReplayEngine:
         registry: SchemaRegistry | None = None,
         config: EngineConfig | None = None,
         df_transform=None,
+        transform_where: dict[str, object] | None = None,
     ):
         self.spark = spark
         self.table = table
         self.transforms = transforms or {}
+        # row-scoped transforms (masking-policy analog): column → row
+        # predicate (SQL string or Column); the column's transform
+        # applies ONLY where the predicate holds, as a single-pass
+        # when(pred, mapped).otherwise(col) — e.g. redact user turns
+        # while assistant/tool turns pass through. SQL strings keep the
+        # pandas oracle path usable (it re-evaluates them via DuckDB).
+        self.transform_where = transform_where or {}
         # df-level hook (DataFrame -> DataFrame) applied AFTER the
         # per-column transforms — for transforms that need row context
         # beyond one column (e.g. per-subject crypto-shred encryption
@@ -216,6 +224,12 @@ class ReplayEngine:
             if col in out.columns:
                 expr = getattr(fn, "column_expr", None)
                 mapped = expr(F.col(col)) if expr else as_udf(fn)(F.col(col), k)
+                scope = self.transform_where.get(col)
+                if scope is not None:
+                    pred = F.expr(scope) if isinstance(scope, str) else scope
+                    mapped = F.when(
+                        F.coalesce(pred, F.lit(False)), mapped
+                    ).otherwise(F.col(col))
                 if only_where is not None:
                     mapped = F.when(only_where, mapped).otherwise(F.col(col))
                 out = out.withColumn(col, mapped)
@@ -252,7 +266,28 @@ class ReplayEngine:
         )
         for col, fn in self.transforms.items():
             if col in out.columns:
-                out[col] = fn(out[col], keys)
+                mapped = fn(out[col], keys)
+                scope = self.transform_where.get(col)
+                if scope is not None:
+                    if not isinstance(scope, str):
+                        raise ValueError(
+                            "pandas oracle path needs SQL-string "
+                            "transform_where predicates"
+                        )
+                    import duckdb
+
+                    # single streaming projection over the frame scan —
+                    # row order is preserved, so the mask aligns
+                    mask = (
+                        duckdb.query_df(
+                            out, "t",
+                            f"SELECT coalesce(({scope}), FALSE) AS m FROM t",
+                        )
+                        .df()["m"]
+                        .to_numpy()
+                    )
+                    mapped = out[col].where(~mask, mapped)
+                out[col] = mapped
         return out
 
     # ---------- driver loop ----------

@@ -3970,6 +3970,99 @@ class SnapshotTable:
             raise ValueError("update_where needs at least one SET column")
         return self._dml(condition, set_exprs)
 
+    def replace_where(self, condition, new_rows: DataFrame) -> CommitInfo:
+        """Atomic predicate overwrite (Delta ``replaceWhere`` /
+        ``INSERT OVERWRITE`` analog; the reference has no in-place
+        backfill — it re-syncs whole tables): ONE commit after which
+        the live state is (rows NOT matching ``condition``) ∪
+        ``new_rows``. The backfill pattern — reload a corrupted or
+        re-derived slice from the source of truth with no window where
+        readers see neither old nor new data, and no partial state on
+        crash (the manifest commit is the only publish point).
+
+        ``new_rows`` carries the table's full payload columns (keys +
+        ``ts`` included). Like Delta, every new row must itself satisfy
+        ``condition`` — a row escaping the replaced region would
+        silently widen the overwrite; violators raise. LWW continuity:
+        keys being replaced re-mint at (old ts ∨ new ts, old _lsn + 2),
+        one past the tombstone minted for vanished keys at
+        (old ts, old _lsn + 1), so the new image wins over exactly the
+        state this command saw while a concurrent genuinely-newer
+        event still wins (the ``update_where`` contract). A new image
+        whose own ts predates the row it replaces is ordered at the
+        replaced row's ts — LWW lakes order by (ts, lsn), so that is
+        the only ordering under which the backfill can win; fresh keys
+        insert at their own ts. Not ledgered: DML is a one-shot
+        command, not a replayed log range."""
+        m = self.manifest(refresh=True)
+        cur = self.current_schema(m)
+        key_cols = m["key_cols"]
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        payload = [f.name for f in cur.fields]
+        missing = set(payload) - set(new_rows.columns)
+        if missing:
+            raise ValueError(
+                f"replace_where new_rows is missing table columns "
+                f"{sorted(missing)}"
+            )
+        escaped = (
+            new_rows.filter(~F.coalesce(cond, F.lit(False))).limit(1).collect()
+        )
+        if escaped:
+            raise ValueError(
+                "replace_where: every new row must satisfy the predicate "
+                f"(violating row e.g. {tuple(escaped[0])[:4]}); widen the "
+                "predicate or drop the row"
+            )
+        live = self.read(internal=True).filter(
+            ~F.coalesce(F.col(_DELETED_COL), F.lit(False))
+        )
+        # LWW minting joins against ALL live keys (not just matching
+        # ones): a new row may share a key with a live row outside the
+        # region — the backfill must still beat that image, not
+        # silently lose LWW to it
+        old_all = live.select(
+            *key_cols,
+            F.col("ts").alias("_old_ts"),
+            F.col(_LSN_COL).alias("_old_lsn"),
+        )
+        new = new_rows.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in cur.fields]
+        )
+        upserts = new.join(old_all, on=key_cols, how="left").select(
+            *key_cols,
+            *[F.col(c) for c in payload if c not in key_cols and c != "ts"],
+            F.lit("update").alias("op"),
+            F.coalesce(F.col("_old_lsn") + F.lit(2), F.lit(0)).alias("lsn"),
+            F.greatest(F.col("_old_ts"), F.col("ts")).alias("ts"),
+        )
+        deletes = (
+            live.filter(cond)
+            .select(
+                *key_cols,
+                F.col("ts").alias("_old_ts"),
+                F.col(_LSN_COL).alias("_old_lsn"),
+            )
+            .join(new.select(*key_cols), on=key_cols, how="left_anti")
+            .select(
+                *key_cols,
+                *[
+                    F.lit(None).cast(cur[c].dataType).alias(c)
+                    for c in payload
+                    if c not in key_cols and c != "ts"
+                ],
+                F.lit("delete").alias("op"),
+                (F.col("_old_lsn") + F.lit(1)).alias("lsn"),
+                F.col("_old_ts").alias("ts"),
+            )
+        )
+        return self.merge_cdc(
+            upserts.unionByName(deletes),
+            applied_range=None,
+            lineage=False,
+            debug_assert_unique=True,
+        )
+
     def _dml(self, condition, set_exprs: dict | None) -> CommitInfo:
         m = self.manifest(refresh=True)
         cur = self.current_schema(m)

@@ -583,3 +583,72 @@ def loop_flags(
             (F.col("max_run") >= int(min_run)).alias("looping"),
         )
     )
+
+
+def turn_gaps(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    expect_start: int = 0,
+) -> DataFrame:
+    """Turn-continuity audit: one row per HOLE in a conversation's
+    turn sequence — ``(conv_id, gap_start, gap_end, n_missing)`` for
+    every maximal run of missing indices between ``expect_start`` and
+    the conversation's max turn. The completeness check a CDC-fed
+    transcript table needs before training use: deletes, dropped
+    events or a partial backfill leave holes that per-turn quality
+    rules cannot see (every surviving turn is individually fine), and
+    the gap ranges are exactly the re-fetch requests a repair job
+    would issue upstream.
+
+    Distinct from the LSN-side ``operators/monitor`` gap detection:
+    that audits the TRANSPORT (did every log sequence number arrive);
+    this audits the PAYLOAD (does the final state hold a contiguous
+    conversation), which transport completeness does not imply — a
+    correctly-delivered delete still punches a hole.
+
+    Scale shape: one conv_id shuffle feeds a single Window pass
+    (lead + row_number over the same spec — Catalyst plans one Window
+    operator), then a partition-local explode of at most 2 candidate
+    gaps per turn. No joins, no second shuffle, all JVM.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_c").orderBy("_t")
+    start = int(expect_start)
+    t = df.select(
+        F.col(conv_col).alias("_c"), F.col(turn_col).alias("_t")
+    ).select(
+        "_c",
+        "_t",
+        F.lead("_t").over(w).alias("_nxt"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    head = F.when(
+        (F.col("_rn") == 1) & (F.col("_t") > F.lit(start)),
+        F.struct(
+            F.lit(start).cast("int").alias("gap_start"),
+            (F.col("_t") - 1).cast("int").alias("gap_end"),
+        ),
+    )
+    mid = F.when(
+        F.col("_nxt") - F.col("_t") > 1,
+        F.struct(
+            (F.col("_t") + 1).cast("int").alias("gap_start"),
+            (F.col("_nxt") - 1).cast("int").alias("gap_end"),
+        ),
+    )
+    return (
+        t.select(
+            "_c",
+            F.explode(F.array_compact(F.array(head, mid))).alias("_g"),
+        )
+        .select(
+            F.col("_c").alias(conv_col),
+            F.col("_g.gap_start").alias("gap_start"),
+            F.col("_g.gap_end").alias("gap_end"),
+            (F.col("_g.gap_end") - F.col("_g.gap_start") + 1)
+            .cast("int")
+            .alias("n_missing"),
+        )
+    )

@@ -244,3 +244,44 @@ def test_loop_flags_runs_normalization_and_nulls(spark):
     }
     assert got2["nulls"]["looping"] is True
     assert got2["nulls"]["n_loop_turns"] == 2
+
+
+def test_turn_gaps_holes_and_head(spark):
+    from neosync_spark.operators.conversations import turn_gaps
+
+    rows = [
+        # head gap (starts at 2) + interior hole 4..5
+        ("a", 2), ("a", 3), ("a", 6),
+        # contiguous from 0 — no gaps
+        ("b", 0), ("b", 1), ("b", 2),
+        # single turn far from 0: one head gap
+        ("c", 5),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    got = sorted(tuple(r) for r in turn_gaps(df).collect())
+    assert got == [
+        ("a", 0, 1, 2),
+        ("a", 4, 5, 2),
+        ("c", 0, 4, 5),
+    ]
+    # custom expected start suppresses head gaps below it
+    got2 = sorted(tuple(r) for r in turn_gaps(df, expect_start=2).collect())
+    assert got2 == [("a", 4, 5, 2), ("c", 2, 4, 3)]
+
+
+def test_turn_gaps_single_exchange(spark):
+    from neosync_spark.operators.conversations import turn_gaps
+
+    from .test_plans import _plan
+
+    df = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).selectExpr(
+        "'c' || cast(user_id % 50 as string) as conv_id",
+        "cast(event_id % 16 as int) as turn_idx",
+    ).distinct()
+    plan = _plan(turn_gaps(df))
+    # one exchange for the dedup distinct, one for the conv window
+    assert plan.count("Exchange") <= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan

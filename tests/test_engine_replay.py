@@ -75,6 +75,44 @@ def test_replay_with_transforms_matches_oracle(spark, tmp_path, log_path):
     assert "+1-555-" not in joined
 
 
+def test_replay_row_scoped_transforms(spark, tmp_path, log_path):
+    """transform_where scopes a column's transform to matching rows
+    only (the masking-policy analog): user turns redacted, other roles
+    byte-identical to the untransformed replay; the pandas oracle path
+    re-evaluates the same SQL predicate."""
+    transforms = {"text": X.transform_pii_text(seed=7)}
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(),
+        key_cols=KEY_COLS, n_buckets=8,
+    )
+    eng = ReplayEngine(
+        spark, t, transforms=transforms,
+        transform_where={"text": "role = 'user'"},
+        config=EngineConfig(batch_lsn_size=2500),
+    )
+    eng.replay(ChangeLogSource(spark, log_path))
+    got = eng.table.read().toPandas()
+    exp = expected_final_state(generate_pandas(CFG), transform=eng.pandas_transform)
+    assert_pdf_equal(got, exp, ["conv_id", "turn_idx"])
+
+    plain = expected_final_state(generate_pandas(CFG))
+    merged = got.merge(
+        plain, on=["conv_id", "turn_idx"], suffixes=("", "_plain")
+    )
+    users = merged[merged["role"] == "user"]
+    others = merged[merged["role"] != "user"]
+    assert len(users) and len(others)
+    # non-matching rows byte-identical to the untransformed state
+    assert (
+        others["text"].fillna("") == others["text_plain"].fillna("")
+    ).all()
+    # the synth log plants PII in every text — user rows must differ
+    changed = (users["text"].fillna("") != users["text_plain"].fillna(""))
+    assert changed.any()
+    joined = " ".join(users["text"].dropna().tolist())
+    assert "@example.com" not in joined
+
+
 def test_replay_batch_size_invariance(spark, tmp_path, log_path):
     """Final state must not depend on micro-batch slicing."""
     small = _engine(spark, tmp_path / "a", batch=700)

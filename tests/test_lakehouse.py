@@ -599,6 +599,88 @@ def test_dml_update_delete_where(spark, tmp_path):
         t.update_where("role = 'user'", {"conv_id": F.lit("x")})
 
 
+def test_replace_where_atomic_backfill(spark, tmp_path):
+    """replace_where: one commit after which the live state is
+    (non-matching rows) ∪ new_rows — re-inserted keys rewritten,
+    vanished matching keys tombstoned, fresh keys inserted, keys
+    outside the region untouched; and the backfill wins LWW even over
+    a live row whose key it steals from OUTSIDE the region."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    t = _mk(spark, tmp_path / "t")
+    t.merge_cdc(_batch(spark, [
+        (1, "insert", "c1", 0, "user", "outside", None, "2024-01-01 00:00:01"),
+        (2, "insert", "c1", 1, "tool", "stale-a", None, "2024-01-01 00:00:02"),
+        (3, "insert", "c2", 0, "tool", "stale-b", None, "2024-01-01 00:00:03"),
+        (4, "insert", "c2", 1, "user", "stolen", None, "2024-01-01 00:00:09"),
+    ]), applied_range=(0, 10))
+
+    new_rows = _batch(spark, [
+        # re-inserted key (c1,1): rewritten; ts OLDER than the live row —
+        # must still win (ordered at the replaced row's ts)
+        (0, "x", "c1", 1, "tool", "fixed-a", None, "2024-01-01 00:00:01"),
+        # fresh key
+        (0, "x", "c9", 0, "tool", "fresh", None, "2024-01-01 00:00:05"),
+        # key collision with a live row OUTSIDE the region (c2,1 is
+        # role='user'): the new image must beat it, not silently lose
+        (0, "x", "c2", 1, "tool", "took-over", None, "2024-01-01 00:00:04"),
+    ]).drop("lsn", "op")
+    # (c2,0) matches the predicate and is NOT re-inserted → tombstoned
+    info = t.replace_where("role = 'tool'", new_rows)
+    assert info.rows_written > 0
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"])
+        for r in t.read().collect()
+    }
+    assert got == {
+        ("c1", 0): ("user", "outside"),
+        ("c1", 1): ("tool", "fixed-a"),
+        ("c9", 0): ("tool", "fresh"),
+        ("c2", 1): ("tool", "took-over"),
+    }
+    # a duplicate delivery of the original (c1,1) event must lose to
+    # the backfill; a genuinely newer event must win over it
+    t.merge_cdc(_batch(spark, [
+        (2, "insert", "c1", 1, "tool", "stale-a", None, "2024-01-01 00:00:02"),
+        (50, "update", "c9", 0, "tool", "newer", None, "2024-01-01 00:01:00"),
+    ]), applied_range=(10, 60))
+    got2 = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in t.read().collect()
+    }
+    assert got2[("c1", 1)] == "fixed-a"
+    assert got2[("c9", 0)] == "newer"
+
+    # guards: new rows escaping the region; missing columns
+    with pytest.raises(ValueError, match="satisfy the predicate"):
+        t.replace_where(
+            "role = 'tool'",
+            _batch(spark, [
+                (0, "x", "c5", 0, "user", "escapee", None,
+                 "2024-01-01 00:00:07"),
+            ]).drop("lsn", "op"),
+        )
+    with pytest.raises(ValueError, match="missing table columns"):
+        t.replace_where("role = 'tool'", new_rows.drop("tool"))
+
+
+def test_replace_where_empty_new_rows_deletes_region(spark, tmp_path):
+    """replace_where with an empty new-rows frame == delete_where:
+    the whole region is tombstoned in one commit."""
+    t = _mk(spark, tmp_path / "t")
+    t.merge_cdc(_batch(spark, [
+        (1, "insert", "c1", 0, "user", "keep", None, "2024-01-01 00:00:01"),
+        (2, "insert", "c1", 1, "tool", "zap", None, "2024-01-01 00:00:02"),
+    ]), applied_range=(0, 10))
+    empty = _batch(spark, [
+        (0, "x", "c0", 0, "tool", "t", None, "2024-01-01 00:00:01"),
+    ]).drop("lsn", "op").limit(0)
+    t.replace_where("role = 'tool'", empty)
+    got = [(r["conv_id"], r["turn_idx"]) for r in t.read().collect()]
+    assert got == [("c1", 0)]
+
+
 def test_bucket_local_merge_equals_default(spark, tmp_path):
     """bucket_local_merge aligns the merge shuffle with the table's
     bucket layout — final state must be identical to the default
