@@ -649,6 +649,22 @@ def main() -> None:
         "JVM string ops inside whole-stage codegen.",
     )
 
+    from neosync_spark.operators.conversations import turn_gaps
+
+    cap(
+        "Turn-gap audit (payload-completeness holes)",
+        turn_gaps(
+            lww_dedup(log, ["conv_id", "turn_idx"], ["ts", "lsn"]).filter(
+                F.col("op") != "delete"
+            )
+        ),
+        "one conv_id Exchange feeds a SINGLE Window operator (lead + "
+        "row_number share the spec), then a partition-local explode of "
+        "at most 2 candidate gaps per turn — no joins, no second "
+        "shuffle, no Python; gap ranges are the repair job's re-fetch "
+        "requests.",
+    )
+
     from neosync_spark.operators.splits import leakage_safe_splits
 
     docs_df = spark.createDataFrame(
