@@ -442,6 +442,12 @@ def main(argv: list[str] | None = None) -> int:
                          "older than the newest K coalesce into spans "
                          "(covered union identical; bounds per-commit "
                          "metadata at micro-batch cadence)")
+    mt.add_argument("--vacuum-grace", type=float, default=None,
+                    help="also delete orphan files (crash debris "
+                         "referenced by NO snapshot) older than this "
+                         "many seconds; concurrent-safe — pick the "
+                         "grace above the writers' max prepare-to-"
+                         "commit latency (never expires snapshots)")
 
     br = sub.add_parser(
         "branch", help="write-audit-publish branch management"
@@ -1098,6 +1104,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.expire_keep_last is not None:
             out["expire"] = t.expire_snapshots(
                 keep_last=args.expire_keep_last
+            )
+        if args.vacuum_grace is not None:
+            out["vacuum"] = t.vacuum_orphans(
+                grace_seconds=args.vacuum_grace
             )
         print(json.dumps(out))
         return 0

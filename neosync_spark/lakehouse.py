@@ -3777,6 +3777,90 @@ class SnapshotTable:
             "removed_segments": removed_segs,
         }
 
+    def vacuum_orphans(self, grace_seconds: float = 86400.0) -> dict:
+        """Orphan-file GC that is SAFE to run alongside live writers
+        (Iceberg ``remove_orphan_files`` / Delta ``VACUUM`` analog):
+        delete data files and bloom sidecars referenced by NO snapshot
+        currently on disk (any ref, full history — nothing is expired)
+        AND whose mtime is older than ``grace_seconds``. The debris it
+        collects: a COW merge that crashed between the file write and
+        the manifest commit, a ``prepare_delta`` whose ``commit_delta``
+        never ran, failed compaction / rescale / purge attempts, and
+        files a rebase orphaned.
+
+        ``expire_snapshots`` already removes unreferenced files, but it
+        is a maintenance-window operation — it assumes no commit is in
+        flight, because a concurrently-prepared (not yet committed)
+        delta is indistinguishable from crash debris by reference alone.
+        The mtime grace is what makes this variant concurrent-safe:
+        an in-flight prepare's files are younger than the grace, and
+        ``grace_seconds`` must exceed the writer's maximum
+        prepare→commit latency (the same contract as Iceberg's
+        ``older_than``, default 1 day). Never expires snapshots, never
+        touches the ledger, never removes a referenced file — time
+        travel over the full retained history is unaffected.
+        """
+        import time as _time
+
+        cutoff = _time.time() - float(grace_seconds)
+        meta = os.path.join(self.path, "metadata")
+        keep_files: set[str] = set()
+        keep_sidecars: set[str] = set()
+        for f in os.listdir(meta):
+            if f.startswith("snap-") and f.endswith(".json"):
+                sid = int(f[len("snap-"):-len(".json")])
+                for entries in self.manifest(sid)["files"].values():
+                    keep_files.update(e["path"] for e in entries)
+                    keep_sidecars.update(
+                        e["bloom"] for e in entries if e.get("bloom")
+                    )
+
+        removed_files = 0
+        kept_recent = 0
+        data_root = os.path.join(self.path, "data")
+        for commit in list(os.listdir(data_root)):
+            cdir = os.path.join(data_root, commit)
+            if not os.path.isdir(cdir):
+                continue
+            for bucket_dir in list(os.listdir(cdir)):
+                bdir = os.path.join(cdir, bucket_dir)
+                if not os.path.isdir(bdir):
+                    continue
+                for f in list(os.listdir(bdir)):
+                    if not f.endswith(".parquet"):
+                        continue
+                    p = os.path.join(bdir, f)
+                    if p in keep_files:
+                        continue
+                    if os.path.getmtime(p) >= cutoff:
+                        kept_recent += 1
+                        continue
+                    os.remove(p)
+                    removed_files += 1
+                if not os.listdir(bdir):
+                    os.rmdir(bdir)
+
+        removed_sidecars = 0
+        bloom_root = os.path.join(self.path, "blooms")
+        if os.path.isdir(bloom_root):
+            for f in list(os.listdir(bloom_root)):
+                rel = os.path.join("blooms", f)
+                p = os.path.join(bloom_root, f)
+                if not f.endswith(".parquet") or rel in keep_sidecars:
+                    continue
+                if os.path.getmtime(p) >= cutoff:
+                    kept_recent += 1
+                    continue
+                os.remove(p)
+                self._bloom_cache.pop(rel, None)
+                removed_sidecars += 1
+        return {
+            "removed_files": removed_files,
+            "removed_bloom_sidecars": removed_sidecars,
+            "kept_recent": kept_recent,
+            "referenced_files": len(keep_files),
+        }
+
     # ---------- exactly-once ledger ----------
 
     @staticmethod
