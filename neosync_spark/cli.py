@@ -296,6 +296,19 @@ def main(argv: list[str] | None = None) -> int:
                     metavar="COL=SQL_EXPR",
                     help="column assignment, repeatable")
 
+    rp = sub.add_parser(
+        "replace",
+        help="atomic predicate overwrite (replaceWhere / INSERT "
+             "OVERWRITE): one commit after which live state is "
+             "(non-matching rows) + the rows from --from; every new "
+             "row must satisfy --where",
+    )
+    rp.add_argument("--table", required=True)
+    rp.add_argument("--where", required=True)
+    rp.add_argument("--from", dest="from_path", required=True,
+                    help="parquet of replacement rows (full payload "
+                         "columns incl. keys + ts)")
+
     ins = sub.add_parser(
         "inspect",
         help="metadata tables: per-file layout (files) or per-snapshot "
@@ -1984,6 +1997,18 @@ def main(argv: list[str] | None = None) -> int:
         info = t.update_where(args.where, sets)
         print(json.dumps({
             "updated_rows": info.rows_written, "snapshot": info.snapshot_id,
+        }))
+        return 0
+
+    if args.cmd == "replace":
+        from .lakehouse import SnapshotTable
+
+        t = SnapshotTable.load(spark, args.table)
+        info = t.replace_where(
+            args.where, spark.read.parquet(args.from_path)
+        )
+        print(json.dumps({
+            "rows_written": info.rows_written, "snapshot": info.snapshot_id,
         }))
         return 0
 

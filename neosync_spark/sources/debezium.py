@@ -87,8 +87,20 @@ def decode_debezium(
     materialize: bool = True,
     strict_types: bool = False,
     toast_placeholder: str | None = None,
+    kafka_tombstones: str = "rescue",
 ) -> tuple[DataFrame, DataFrame]:
     """Decode envelope strings in ``df[value_col]`` → (events, rescue).
+
+    ``kafka_tombstones`` governs messages whose VALUE is wholly NULL —
+    the Kafka log-compaction tombstone Debezium emits after every
+    delete envelope (``tombstones.on.delete=true``, the default): it
+    exists for the broker's compactor, carries no image, and every
+    downstream consumer is expected to skip it. ``'rescue'`` (default)
+    routes them to the rescue frame under the precise reason
+    ``kafka_tombstone`` — observable, and distinguishable from genuine
+    garbage (which stays ``unparseable_envelope``); ``'drop'`` removes
+    them silently (standard consumer hygiene for high-churn topics
+    where counting them is pure noise).
 
     ``events`` has the engine's raw batch shape: the payload columns,
     plus op / ts / lsn — feed it straight to ``merge_cdc(...,
@@ -270,8 +282,14 @@ def decode_debezium(
                 ]
             )
         )
+    if kafka_tombstones not in ("rescue", "drop"):
+        raise ValueError(
+            f"kafka_tombstones must be 'rescue' or 'drop', "
+            f"got {kafka_tombstones!r}"
+        )
     reason = (
-        F.when(F.col("_dbz").isNull() | all_null, F.lit("unparseable_envelope"))
+        F.when(F.col(value_col).isNull(), F.lit("kafka_tombstone"))
+        .when(F.col("_dbz").isNull() | all_null, F.lit("unparseable_envelope"))
         .when(op.isNull(), F.lit("unknown_op"))
         .when(image.isNull(), F.lit("null_row_image"))
         .when(ts_ms.isNull(), F.lit("missing_ts_ms"))
@@ -309,6 +327,8 @@ def decode_debezium(
     rescue = tagged.filter(F.col("_reason").isNotNull()).select(
         F.col("_raw").alias("value"), F.col("_reason").alias("reason")
     )
+    if kafka_tombstones == "drop":
+        rescue = rescue.filter(F.col("reason") != "kafka_tombstone")
     return events, rescue
 
 
@@ -434,6 +454,7 @@ class DebeziumLogSource:
         evolve_payload: bool = False,
         strict_types: bool = False,
         toast_placeholder: str | None = None,
+        kafka_tombstones: str = "rescue",
     ):
         """``evolve_payload=True`` widens ``payload_schema`` with any
         fields the wire carries that the schema lacks (see
@@ -448,6 +469,16 @@ class DebeziumLogSource:
             df = spark.read.text(path)
             if value_col != "value":
                 df = df.withColumnRenamed("value", value_col)
+            # a JSONL dump of a Kafka topic records the log-compaction
+            # tombstone after a delete as an empty line (or a literal
+            # `null`) — spark.read.text never yields NULL, so normalize
+            # those to NULL for the decoder's tombstone classification
+            df = df.withColumn(
+                value_col,
+                F.when(
+                    F.trim(F.col(value_col)).isin("", "null"), F.lit(None)
+                ).otherwise(F.col(value_col)),
+            )
         elif fmt == "parquet":
             df = spark.read.parquet(path)
         else:
@@ -466,6 +497,7 @@ class DebeziumLogSource:
             value_col,
             strict_types=strict_types,
             toast_placeholder=toast_placeholder,
+            kafka_tombstones=kafka_tombstones,
         )
 
     def full(self) -> DataFrame:

@@ -300,3 +300,53 @@ def test_toast_requires_patch_ops_in_plans(spark, tmp_path):
             fmt="debezium",
             toast_placeholder="__debezium_unavailable_value",
         )
+
+
+def test_kafka_tombstones_rescue_and_drop(spark):
+    """A wholly-NULL value is the Kafka log-compaction tombstone
+    Debezium emits after each delete — classified under its own
+    reason (distinguishable from garbage), droppable as consumer
+    hygiene; genuine garbage stays unparseable_envelope."""
+    rows = [
+        (_env("c", {"id": 1, "v": "a"}, lsn=1, ts_ms=1000),),
+        (None,),
+        ("{never valid json",),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    events, rescue = decode_debezium(df, SCHEMA)
+    assert events.count() == 1
+    reasons = sorted(r["reason"] for r in rescue.collect())
+    assert reasons == ["kafka_tombstone", "unparseable_envelope"]
+
+    _, rescue_d = decode_debezium(df, SCHEMA, kafka_tombstones="drop")
+    assert [r["reason"] for r in rescue_d.collect()] == [
+        "unparseable_envelope"
+    ]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="kafka_tombstones"):
+        decode_debezium(df, SCHEMA, kafka_tombstones="bogus")
+
+
+def test_log_source_jsonl_tombstone_lines(spark, tmp_path):
+    """A JSONL Kafka-topic dump records tombstones as empty lines or a
+    literal `null` — the text source normalizes them to NULL values so
+    they classify as kafka_tombstone, not unparseable garbage."""
+    from neosync_spark.sources.debezium import DebeziumLogSource
+
+    p = tmp_path / "feed"
+    p.mkdir()
+    (p / "part-0.jsonl").write_text(
+        _env("c", {"id": 1, "v": "a"}, lsn=1, ts_ms=1000)
+        + "\n\nnull\n"
+    )
+    src = DebeziumLogSource(spark, str(p), SCHEMA)
+    assert src.events.count() == 1
+    assert sorted(r["reason"] for r in src.rescue.collect()) == [
+        "kafka_tombstone", "kafka_tombstone",
+    ]
+    src_d = DebeziumLogSource(
+        spark, str(p), SCHEMA, kafka_tombstones="drop"
+    )
+    assert src_d.rescue.count() == 0
