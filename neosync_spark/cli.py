@@ -76,6 +76,18 @@ def _parse_mapping(items: list[str]):
     return out
 
 
+def _parse_mapping_where(items: list[str]) -> dict:
+    out = {}
+    for it in items or []:
+        col, _, pred = it.partition("=")
+        if not pred:
+            raise SystemExit(
+                f"--mapping-where needs COL=SQL_PREDICATE, got {it!r}"
+            )
+        out[col] = pred
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="neosync-spark")
     p.add_argument("--master", default=None)
@@ -92,6 +104,11 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--table", required=True)
     r.add_argument("--mapping", action="append", default=[],
                    help="col=transformer[:json-params], repeatable")
+    r.add_argument("--mapping-where", action="append", default=[],
+                   metavar="COL=SQL_PREDICATE",
+                   help="scope COL's mapping to rows matching the SQL "
+                        "predicate (e.g. text=\"role = 'user'\"); "
+                        "other rows pass through unmasked")
     r.add_argument("--batch-size", type=int, default=500_000)
     r.add_argument("--buckets", type=int, default=64)
     r.add_argument("--mode", choices=["cow", "mor"], default="cow")
@@ -560,6 +577,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="streaming checkpoint dir (epoch redelivery)")
     tl.add_argument("--mapping", action="append", default=[],
                     help="column=transformer[:k=v,...] (same as replay)")
+    tl.add_argument("--mapping-where", action="append", default=[],
+                    metavar="COL=SQL_PREDICATE",
+                    help="scope COL's mapping to matching rows "
+                         "(same as replay)")
     tl.add_argument("--seed", type=int, default=42)
     tl.add_argument("--buckets", type=int, default=64)
     tl.add_argument("--mode", choices=["cow", "mor"], default="cow")
@@ -871,6 +892,7 @@ def main(argv: list[str] | None = None) -> int:
             source_path=args.log,
             destination_path=args.table,
             mappings=_parse_mapping(args.mapping),
+            transform_where=_parse_mapping_where(args.mapping_where),
             seed=args.seed,
             batch_lsn_size=args.batch_size,
             n_buckets=args.buckets,
@@ -1383,6 +1405,7 @@ def main(argv: list[str] | None = None) -> int:
             source_path=args.log,
             destination_path=args.table,
             mappings=_parse_mapping(args.mapping),
+            transform_where=_parse_mapping_where(args.mapping_where),
             seed=args.seed,
             n_buckets=args.buckets,
             merge_mode=args.mode,

@@ -94,6 +94,11 @@ class JobSpec:
     encrypt_cols: list[str] | None = None
     keystore_path: str | None = None
     encrypt_subject_col: str = "conv_id"
+    # row-scoped transforms (masking-policy analog): column → SQL row
+    # predicate; the column's mapping applies ONLY where the predicate
+    # holds (ReplayEngine.transform_where — e.g. redact user turns,
+    # pass assistant turns through)
+    transform_where: dict[str, str] = field(default_factory=dict)
 
 
 def resolve_transformer(m: ColumnMapping, seed: int) -> TransformFn:
@@ -153,12 +158,19 @@ def compile_job(
                 df, store.ensure(df, subject), subject, cols
             )
 
+    unknown_scopes = set(job.transform_where) - set(transforms)
+    if unknown_scopes:
+        raise ValueError(
+            f"transform_where for columns with no mapping: "
+            f"{sorted(unknown_scopes)}"
+        )
     engine = ReplayEngine(
         spark,
         table,
         transforms=transforms,
         registry=registry,
         df_transform=df_transform,
+        transform_where=dict(job.transform_where),
         config=EngineConfig(
             batch_lsn_size=job.batch_lsn_size,
             merge_mode=job.merge_mode,

@@ -109,6 +109,17 @@ class TestJob:
         with pytest.raises(ValueError, match="unknown transformer"):
             compile_job(spark, job)
 
+    def test_scope_without_mapping_is_plan_error(self, spark, tmp_path):
+        from neosync_spark.plans.job import compile_job
+
+        job = JobSpec(
+            source_path="x", destination_path=str(tmp_path / "t"),
+            mappings=[ColumnMapping("text", "transform_pii_text")],
+            transform_where={"tool": "role = 'user'"},
+        )
+        with pytest.raises(ValueError, match="no mapping"):
+            compile_job(spark, job)
+
 
 def test_archive_roundtrip(spark, tmp_path):
     from neosync_spark.sinks import archive_jsonl, read_archive
