@@ -3015,6 +3015,19 @@ def _q_debezium_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.crossJoin(F.broadcast(counts))
 
 
+def _q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness census (Li et al. 2007) — the third re-identification
+    audit: per quasi-class total-variation distance of the sensitive
+    distribution (c_mktsegment) from the global one, absent values
+    folded as residual mass (no domain cross-join). DuckDB replays the
+    same cells/class/global/TVD pipeline."""
+    from neosync_spark.operators.privacy import t_closeness_report
+
+    _views(spark, sf_dir, ["customer"])
+    cust = spark.table("customer").select("c_nationkey", "c_mktsegment")
+    return t_closeness_report(cust, ["c_nationkey"], "c_mktsegment", t=0.1)
+
+
 def _q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-identification audit (operators/privacy, Sweeney 2002) +
     remediation loop: the k-anonymity census over raw quasi-identifiers
@@ -5554,6 +5567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replace_where": _q_replace_where,
         "cdc_scoped_redaction": _q_scoped_redaction,
         "transcript_turn_gaps": _q_turn_gaps,
+        "privacy_t_closeness": _q_privacy_t_closeness,
         # (json_anonymize: driver-green since r1, rotated out to keep
         # the new log-compaction invariant inside the 50-entry window;
         # privacy_l_diversity rotated out for cdc_profile_sync — its
@@ -6549,6 +6563,40 @@ def _oracle_sql_base() -> dict[str, str]:
                    tool, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'
               AND NOT (role = 'assistant' AND turn_idx >= 12)
+        """,
+        "privacy_t_closeness": """
+            WITH cells AS (
+              SELECT c_nationkey, c_mktsegment AS s, count(*) AS c
+              FROM customer GROUP BY 1, 2
+            ),
+            cls AS (SELECT c_nationkey, sum(c) AS n FROM cells GROUP BY 1),
+            g AS (SELECT s, sum(c) AS gc FROM cells GROUP BY 1),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS nn FROM cells),
+            per AS (
+              SELECT ce.c_nationkey,
+                     any_value(cl.n) AS n,
+                     floor(0.5 * (
+                         sum(abs(CAST(ce.c AS DOUBLE) / cl.n
+                                 - g.gc / tot.nn))
+                         + (1 - sum(g.gc / tot.nn))
+                       ) * 1000000.0 + 0.5) / 1000000.0 AS tvd
+              FROM cells ce
+              JOIN cls cl USING (c_nationkey)
+              JOIN g USING (s)
+              CROSS JOIN tot
+              GROUP BY ce.c_nationkey
+            )
+            SELECT 'c_nationkey' AS quasi, 'c_mktsegment' AS sensitive,
+                   CAST(0.1 AS DOUBLE) AS t,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_classes,
+                   max(tvd) AS max_tvd,
+                   CAST(sum(CASE WHEN tvd > 0.1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS classes_above_t,
+                   CAST(sum(CASE WHEN tvd > 0.1 THEN n ELSE 0 END)
+                     AS BIGINT) AS rows_above_t,
+                   max(tvd) <= 0.1 AS t_satisfied
+            FROM per
         """,
         "transcript_turn_gaps": f"""
             WITH alive AS (

@@ -94,3 +94,78 @@ def l_diversity_report(
         .alias("rows_below_l"),
         (F.min("_d") >= l).alias("l_satisfied"),
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """One row: t-closeness census (Li, Li & Venkatasubramanian 2007)
+    of ``sensitive_col`` within the quasi-identifier classes —
+    l-diversity's successor: a class can be "diverse" yet still leak
+    when its sensitive-value DISTRIBUTION differs sharply from the
+    table's (a class that is 90% one diagnosis against a 10% base rate
+    re-identifies probabilistically). Distance is total variation
+    (the categorical equal-ground-distance EMD of the paper):
+    ``0.5 * Σ_v |p_class(v) - p_global(v)|``, required <= t per class.
+
+    Columns: quasi, sensitive, t, n_rows, n_classes, max_tvd (6
+    decimals, half-up), classes_above_t, rows_above_t, t_satisfied.
+
+    Scale shape: one (quasi, sensitive) cell aggregate (map-side
+    combined), a class-size window over the cells (quasi-only
+    repartition of the TINY cell frame, not the table), the global
+    value distribution broadcast in. Values ABSENT from a class never
+    materialize: their TVD mass is ``1 - Σ_{v present} p_global(v)``,
+    so no domain cross-join exists anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    cells = df.groupBy(
+        *[F.col(c) for c in quasi_cols], F.col(sensitive_col)
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    glob = cells.groupBy(sensitive_col).agg(F.sum("_c").alias("_g"))
+    tot = glob.agg(F.sum("_g").cast("double").alias("_tot"))
+    w = Window.partitionBy(*[F.col(c) for c in quasi_cols])
+    enriched = (
+        cells.join(F.broadcast(glob), on=sensitive_col)
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_n", F.sum("_c").over(w))
+        .withColumn("_pm", F.col("_g") / F.col("_tot"))
+    )
+    per_class = enriched.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.first("_n").alias("_n"),
+        (
+            F.floor(
+                0.5
+                * (
+                    F.sum(
+                        F.abs(
+                            F.col("_c") / F.col("_n") - F.col("_pm")
+                        )
+                    )
+                    + (F.lit(1.0) - F.sum("_pm"))
+                )
+                * 1000000.0
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("_tvd"),
+    )
+    return per_class.agg(
+        F.lit(",".join(quasi_cols)).alias("quasi"),
+        F.lit(sensitive_col).alias("sensitive"),
+        F.lit(float(t)).alias("t"),
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.max("_tvd").alias("max_tvd"),
+        F.sum((F.col("_tvd") > t).cast("long")).cast("long").alias(
+            "classes_above_t"
+        ),
+        F.sum(F.when(F.col("_tvd") > t, F.col("_n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_above_t"),
+        (F.max("_tvd") <= t).alias("t_satisfied"),
+    )

@@ -93,3 +93,34 @@ def test_generalizers_match_pandas_and_jvm(spark):
     assert got2 == ["1000-1999", "-1000--1", None]
     assert fnum(pd.Series([1234.5, -1.0, None]),
                 pd.Series(["a", "b", "c"])).tolist() == got2
+
+
+def test_t_closeness_census(spark):
+    from neosync_spark.operators.privacy import t_closeness_report
+
+    df = _people(spark)
+    # global dx distribution: flu 7/9, cold 1/9, measles 1/9
+    r = t_closeness_report(df, ["zip", "age"], "dx", t=0.3).collect()[0]
+    assert r["n_rows"] == 9 and r["n_classes"] == 4
+    # hand-computed TVDs:
+    #  94117/34 (flu 2/3, cold 1/3): .5*(|2/3-7/9| + |1/3-1/9| + 1/9)
+    #    = .5*(1/9 + 2/9 + 1/9) = 2/9 ≈ 0.222222
+    #  02139/60 (all flu):          .5*(|1-7/9| + 2/9) = 2/9
+    #  NULL/50 (all flu):           2/9
+    #  94118/35 (all measles):      .5*(|1-1/9| + 7/9 + 1/9) = 8/9
+    assert abs(r["max_tvd"] - 8 / 9) < 1e-6
+    assert r["classes_above_t"] == 1 and r["rows_above_t"] == 1
+    assert not r["t_satisfied"]
+
+    # relaxed t admits everything
+    r2 = t_closeness_report(df, ["zip", "age"], "dx", t=0.9).collect()[0]
+    assert r2["t_satisfied"] and r2["classes_above_t"] == 0
+
+    # a perfectly proportional class passes at tight t
+    prop = spark.createDataFrame(
+        [("a", "x")] * 7 + [("a", "y")] * 2
+        + [("b", "x")] * 7 + [("b", "y")] * 2,
+        "q string, s string",
+    )
+    r3 = t_closeness_report(prop, ["q"], "s", t=0.01).collect()[0]
+    assert r3["max_tvd"] == 0.0 and r3["t_satisfied"]
