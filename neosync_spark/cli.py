@@ -801,6 +801,23 @@ def main(argv: list[str] | None = None) -> int:
                          "replica whose ts carries the hop ordinal — "
                          "e.g. conv_id,turn_idx,role,text,tool)")
 
+    au = sub.add_parser(
+        "audit",
+        help="re-identification audit of an anonymized table: "
+             "k-anonymity, l-diversity and t-closeness censuses over "
+             "the quasi-identifier columns in three aggregation jobs",
+    )
+    au.add_argument("--table", required=True,
+                    help="SnapshotTable root or plain parquet dir")
+    au.add_argument("--quasi", required=True,
+                    help="comma-separated quasi-identifier columns")
+    au.add_argument("--sensitive", default=None,
+                    help="sensitive column (enables l-diversity + "
+                         "t-closeness)")
+    au.add_argument("--k", type=int, default=5)
+    au.add_argument("--l", type=int, default=2)
+    au.add_argument("--t", type=float, default=0.2)
+
     pf = sub.add_parser(
         "profile",
         help="per-column profile (null fraction / distincts / min-max) "
@@ -1900,6 +1917,39 @@ def main(argv: list[str] | None = None) -> int:
             "match": not div,
         }))
         return 0 if not div else 1
+
+    if args.cmd == "audit":
+        from .lakehouse import SnapshotTable
+        from .operators.privacy import (
+            k_anonymity_report,
+            l_diversity_report,
+            t_closeness_report,
+        )
+
+        if SnapshotTable.exists(args.table):
+            df = SnapshotTable.load(spark, args.table).read()
+        else:
+            df = spark.read.parquet(args.table)
+        quasi = args.quasi.split(",")
+        out = {
+            "table": args.table,
+            "k_anonymity": k_anonymity_report(df, quasi, k=args.k)
+            .collect()[0]
+            .asDict(),
+        }
+        if args.sensitive:
+            out["l_diversity"] = (
+                l_diversity_report(df, quasi, args.sensitive, l=args.l)
+                .collect()[0]
+                .asDict()
+            )
+            out["t_closeness"] = (
+                t_closeness_report(df, quasi, args.sensitive, t=args.t)
+                .collect()[0]
+                .asDict()
+            )
+        print(json.dumps(out, default=str))
+        return 0
 
     if args.cmd == "profile":
         from .lakehouse import SnapshotTable

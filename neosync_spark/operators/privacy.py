@@ -126,11 +126,20 @@ def t_closeness_report(
     cells = df.groupBy(
         *[F.col(c) for c in quasi_cols], F.col(sensitive_col)
     ).agg(F.count(F.lit(1)).alias("_c"))
-    glob = cells.groupBy(sensitive_col).agg(F.sum("_c").alias("_g"))
+    # NULL is a VALUE here like everywhere in this module (an all-NULL
+    # class leaks exactly like an all-'flu' one) — the global-
+    # distribution join must be null-safe or NULL-sensitive cells
+    # silently vanish from the census
+    glob = cells.groupBy(
+        F.col(sensitive_col).alias("_gs")
+    ).agg(F.sum("_c").alias("_g"))
     tot = glob.agg(F.sum("_g").cast("double").alias("_tot"))
     w = Window.partitionBy(*[F.col(c) for c in quasi_cols])
     enriched = (
-        cells.join(F.broadcast(glob), on=sensitive_col)
+        cells.join(
+            F.broadcast(glob),
+            on=F.col(sensitive_col).eqNullSafe(F.col("_gs")),
+        )
         .crossJoin(F.broadcast(tot))
         .withColumn("_n", F.sum("_c").over(w))
         .withColumn("_pm", F.col("_g") / F.col("_tot"))

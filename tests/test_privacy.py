@@ -124,3 +124,15 @@ def test_t_closeness_census(spark):
     )
     r3 = t_closeness_report(prop, ["q"], "s", t=0.01).collect()[0]
     assert r3["max_tvd"] == 0.0 and r3["t_satisfied"]
+
+    # NULL sensitive is a VALUE (module doctrine): rows must not
+    # vanish from the census, and a NULL-skewed class shows distance
+    nulls = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("b", "x"), ("b", "x")],
+        "q string, s string",
+    )
+    r4 = t_closeness_report(nulls, ["q"], "s", t=0.9).collect()[0]
+    assert r4["n_rows"] == 4 and r4["n_classes"] == 2
+    # global: x 3/4, NULL 1/4; class a (x 1/2, NULL 1/2):
+    # tvd = .5*(|.5-.75| + |.5-.25|) = 0.25
+    assert abs(r4["max_tvd"] - 0.25) < 1e-6
