@@ -5376,6 +5376,66 @@ def _q_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-safe orphan GC: replay the log, then crash a writer
+    (prepare_delta with no commit_delta) and vacuum with grace 0 — the
+    debris must vanish, the table state must be byte-identical to the
+    LWW replay, and after the vacuum every parquet on disk is
+    referenced by a snapshot (proven in-query by re-walking the data
+    dir). Counts ride as invariant booleans since file counts depend
+    on write parallelism."""
+    import glob as _glob
+
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    path = tempfile.mkdtemp(prefix="ns_cdc_vac_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+    eng = ReplayEngine(
+        spark,
+        table,
+        config=EngineConfig(
+            batch_lsn_size=hi + 2, lineage=False, prune_buckets=False
+        ),
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    eng.replay(slicer, lsn_lo=0, lsn_hi=hi)
+
+    def _disk():
+        return set(_glob.glob(os.path.join(path, "data", "*", "*", "*.parquet")))
+
+    before = _disk()
+    # crashed writer: data files exist, manifest never learns of them
+    table.prepare_delta(
+        log.filter(F.col("lsn") < 100).withColumn(
+            "lsn", F.col("lsn") + hi + 10
+        )
+    )
+    orphans = _disk() - before
+    res = table.vacuum_orphans(grace_seconds=0)
+    referenced = {
+        os.path.normpath(e["path"])
+        for entries in table.manifest(refresh=True)["files"].values()
+        for e in entries
+    }
+    disk_after = {os.path.normpath(p) for p in _disk()}
+    return table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts"),
+        F.lit(bool(orphans) and res["removed_files"] == len(orphans)).alias(
+            "orphans_all_removed"
+        ),
+        F.lit(disk_after == referenced).alias("disk_matches_refs"),
+    )
+
+
 def _q_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data retention ("keep the last 2 days") the way a 100 TB table
     runs it: replay the log as MoR deltas, time-cluster the files
@@ -5568,6 +5628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scoped_redaction": _q_scoped_redaction,
         "transcript_turn_gaps": _q_turn_gaps,
         "privacy_t_closeness": _q_privacy_t_closeness,
+        "cdc_vacuum_orphans": _q_vacuum_orphans,
         # (json_anonymize: driver-green since r1, rotated out to keep
         # the new log-compaction invariant inside the 50-entry window;
         # privacy_l_diversity rotated out for cdc_profile_sync — its
@@ -6563,6 +6624,13 @@ def _oracle_sql_base() -> dict[str, str]:
                    tool, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'
               AND NOT (role = 'assistant' AND turn_idx >= 12)
+        """,
+        "cdc_vacuum_orphans": f"""
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   TRUE AS orphans_all_removed,
+                   TRUE AS disk_matches_refs
+            FROM ({lww}) WHERE op <> 'delete'
         """,
         "privacy_t_closeness": """
             WITH cells AS (
