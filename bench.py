@@ -100,6 +100,10 @@ BENCH_QUERIES = [
     "cdc_ledger_compaction",
     "cdc_log_compaction",
     "cdc_profile_sync",
+    "cdc_replace_where",
+    "cdc_scoped_redaction",
+    "transcript_turn_gaps",
+    "privacy_t_closeness",
 ]
 
 
