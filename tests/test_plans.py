@@ -668,3 +668,31 @@ def test_stats_sync_reads_only_changed_buckets(spark, tmp_path):
     for f in merged.inputFiles():
         assert str(tmp_path / "stats") in f, f
     assert "BatchEvalPython" not in _plan(merged)
+
+
+def test_scoped_transform_stays_jvm(spark, log_path):
+    """transform_where wraps the JVM column_expr in a when() — the
+    scoped merge stage must stay inside codegen: no Python eval
+    operator appears, and the predicate compiles to a CASE branch."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.functions import transformers as X
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    import tempfile
+
+    t = SnapshotTable.create(
+        spark, tempfile.mkdtemp(), transcript_schema(),
+        key_cols=KEY_COLS, n_buckets=4,
+    )
+    eng = ReplayEngine(
+        spark, t,
+        transforms={"text": X.transform_pii_text(seed=1)},
+        transform_where={"text": "role = 'user'"},
+        config=EngineConfig(batch_lsn_size=10_000),
+    )
+    batch = ChangeLogSource(spark, log_path).slice(0, 2000)
+    out = eng.transform_batch(batch)
+    plan = _plan(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CASE WHEN" in plan
