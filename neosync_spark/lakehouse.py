@@ -63,6 +63,36 @@ _PATCH_COL = "_patch"
 #: position.
 SYNTHETIC_LSN_BASE = 1 << 62
 
+#: Runtime-settable SQL confs the engine's correctness/scale layers
+#: depend on, pinned at the SnapshotTable boundary so they hold under
+#: ANY caller-supplied SparkSession (not just ``session.get_spark``).
+#: - outputTimestampType: Spark's default INT96 parquet timestamps
+#:   carry NO footer min/max stats, so under a foreign session every
+#:   zone-map consumer (stats-pruned reads, metadata-only retention /
+#:   count, footer freshness) silently degrades to full-table scans.
+#: - arrow.pyspark.enabled: the pandas-UDF transformer stage falls
+#:   back to per-row pickle serialization (10-100x slower) when a
+#:   foreign session leaves Arrow off.
+_PINNED_SQL_CONFS = {
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def pin_engine_confs(spark: SparkSession) -> None:
+    """Force the engine-critical runtime SQL confs on ``spark``.
+
+    Idempotent and cheap (conf reads are driver-local); called from
+    ``SnapshotTable.__init__`` so every construction path — create,
+    load, or direct — is covered."""
+    for k, v in _PINNED_SQL_CONFS.items():
+        try:
+            cur = spark.conf.get(k, None)
+        except Exception:
+            cur = None
+        if cur != v:
+            spark.conf.set(k, v)
+
 
 def observation_metrics(observation, timeout_s: float = 5.0) -> dict | None:
     """Read ``observe()`` metrics without risking a driver hang.
@@ -275,6 +305,7 @@ class SnapshotTable:
     """
 
     def __init__(self, spark: SparkSession, path: str, ref: str = "main"):
+        pin_engine_confs(spark)
         self.spark = spark
         self.path = path
         self.ref = ref
