@@ -6650,7 +6650,9 @@ def _oracle_sql_base() -> dict[str, str]:
                        ) * 1000000.0 + 0.5) / 1000000.0 AS tvd
               FROM cells ce
               JOIN cls cl USING (c_nationkey)
-              JOIN g USING (s)
+              -- null-safe: NULL is a sensitive VALUE per module
+              -- doctrine (matches t_closeness_report's eqNullSafe)
+              JOIN g ON ce.s IS NOT DISTINCT FROM g.s
               CROSS JOIN tot
               GROUP BY ce.c_nationkey
             )

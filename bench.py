@@ -365,7 +365,11 @@ def main() -> None:
     # A later attempt lands in a different window; early-stop when bulk
     # reaches the known-good floor for this host so quiet windows pay
     # one pass.
-    full_attempts = int(os.environ.get("SPARK_GRAFT_FULL_ATTEMPTS", "3"))
+    # clamp to >= 1: 0/negative would leave bulk_full None (and, when
+    # CPUS == scale_4n, wipe the scaling pair's run) -> TypeError below
+    full_attempts = max(
+        1, int(os.environ.get("SPARK_GRAFT_FULL_ATTEMPTS", "3"))
+    )
     full_floor = float(os.environ.get("SPARK_GRAFT_FULL_FLOOR_EPS", "2000000"))
     runs[CPUS] = mor_full = pipe_full = bulk_full = None
 

@@ -276,12 +276,16 @@ class ReplayEngine:
                         )
                     import duckdb
 
-                    # single streaming projection over the frame scan —
-                    # row order is preserved, so the mask aligns
+                    # explicit row-id ordering: a bare SELECT only
+                    # preserves frame order under DuckDB's
+                    # preserve_insertion_order default — pin alignment
+                    # instead of relying on it
+                    probe = out.assign(__rid=range(len(out)))
                     mask = (
                         duckdb.query_df(
-                            out, "t",
-                            f"SELECT coalesce(({scope}), FALSE) AS m FROM t",
+                            probe, "t",
+                            f"SELECT coalesce(({scope}), FALSE) AS m "
+                            "FROM t ORDER BY __rid",
                         )
                         .df()["m"]
                         .to_numpy()

@@ -291,6 +291,11 @@ class CommitInfo:
     # post-commit table state (storage cols + _bucket), identical to
     # the files just written — usable as the next merge's target_df
     state: "DataFrame | None" = None
+    # replace_where only: count of new rows whose key collided with a
+    # live row OUTSIDE the predicate region (the backfill deliberately
+    # wins LWW against those too — a widening of Delta replaceWhere's
+    # contract that callers must be able to detect)
+    keys_stolen_outside_region: int = 0
 
 
 class SnapshotTable:
@@ -4151,6 +4156,20 @@ class SnapshotTable:
             F.coalesce(F.col("_old_lsn") + F.lit(2), F.lit(0)).alias("lsn"),
             F.greatest(F.col("_old_ts"), F.col("ts")).alias("ts"),
         )
+        # surface the contract widening: new keys colliding with live
+        # rows OUTSIDE the region still overwrite (the mint above joins
+        # all live keys) — count them so callers can detect it. Counted
+        # pre-commit; one semi-join over key columns only.
+        stolen = (
+            new.select(*key_cols)
+            .join(
+                live.filter(~F.coalesce(cond, F.lit(False)))
+                .select(*key_cols),
+                on=key_cols,
+                how="left_semi",
+            )
+            .count()
+        )
         deletes = (
             live.filter(cond)
             .select(
@@ -4171,12 +4190,14 @@ class SnapshotTable:
                 F.col("_old_ts").alias("ts"),
             )
         )
-        return self.merge_cdc(
+        info = self.merge_cdc(
             upserts.unionByName(deletes),
             applied_range=None,
             lineage=False,
             debug_assert_unique=True,
         )
+        info.keys_stolen_outside_region = stolen
+        return info
 
     def _dml(self, condition, set_exprs: dict | None) -> CommitInfo:
         m = self.manifest(refresh=True)

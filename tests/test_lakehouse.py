@@ -629,6 +629,9 @@ def test_replace_where_atomic_backfill(spark, tmp_path):
     # (c2,0) matches the predicate and is NOT re-inserted → tombstoned
     info = t.replace_where("role = 'tool'", new_rows)
     assert info.rows_written > 0
+    # the (c2,1) takeover is a contract widening vs Delta replaceWhere
+    # (non-matching rows overwritten) — it must be reported, not silent
+    assert info.keys_stolen_outside_region == 1
 
     got = {
         (r["conv_id"], r["turn_idx"]): (r["role"], r["text"])
