@@ -4232,6 +4232,21 @@ def _q_json_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('@corp.com","t":"x"},{"email":"u@other.org","t":"y"}],'
               '"k2":"z"}'),
     )
+    # round-5 gojq tier: string interpolation + object construction +
+    # assignment programs (`=` creates, `|=` updates from the old
+    # value) — the shape buildJqQuery emits (json-anonymizer.go:225)
+    asg_fn = anonymize_json_udf(
+        {
+            '.label = "doc-\\(.id): \\(.kind)"': None,
+            ".meta = {src: .kind, n: .id + 1}": None,
+            '.kind |= "<\\(.)>"': None,
+        }
+    )
+    asg_doc = F.concat(
+        F.lit('{"id":'),
+        F.col("doc_id").cast("string"),
+        F.lit(',"kind":"t"}'),
+    )
     out = docs.select(
         "doc_id",
         "tool",
@@ -4245,6 +4260,7 @@ def _q_json_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_udf(del_alt_fn)(extra, key_col("doc_id")).alias("extra_anon"),
         as_udf(pred_fn)(pred_doc, key_col("doc_id")).alias("pred_anon"),
         as_udf(multi_fn)(multi_doc, key_col("doc_id")).alias("multi_anon"),
+        as_udf(asg_fn)(asg_doc, key_col("doc_id")).alias("asg_anon"),
     )
     return out.select(
         "doc_id",
@@ -4270,6 +4286,10 @@ def _q_json_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("multi_anon", "$.r[0].t").alias("multi_t0"),
         F.get_json_object("multi_anon", "$.r[1].t").alias("multi_t1"),
         F.get_json_object("multi_anon", "$.k2").alias("multi_k2"),
+        F.get_json_object("asg_anon", "$.label").alias("interp_label"),
+        F.get_json_object("asg_anon", "$.meta.src").alias("obj_src"),
+        F.get_json_object("asg_anon", "$.meta.n").alias("obj_n"),
+        F.get_json_object("asg_anon", "$.kind").alias("upd_kind"),
     )
 
 
@@ -8490,7 +8510,12 @@ def _oracle_sql_base() -> dict[str, str]:
                    'y' AS pred_t1,
                    '<R>' AS multi_t0,
                    'y' AS multi_t1,
-                   '<R>' AS multi_k2
+                   '<R>' AS multi_k2,
+                   'doc-' || CAST(doc_id AS VARCHAR) || ': t'
+                       AS interp_label,
+                   't' AS obj_src,
+                   CAST(doc_id + 1 AS VARCHAR) AS obj_n,
+                   '<t>' AS upd_kind
             FROM documents
         """,
         "default_transforms": f"""

@@ -344,12 +344,16 @@ def _parse_arith(s: str):
                     break
         else:
             return _parse_arith(s[1:-1])
+    if s == ".":
+        return ("path", "")  # identity: the current item
     m = _LEN_RE.match(s)
     if m:
         return ("len", m.group(1))  # None = length of the current item
     m = _BARE_PATH_RE.match(s)
     if m:
         return ("path", m.group(1))
+    if _is_interp_str(s):
+        return _parse_interp(s)  # "\(.x)" as a comparison operand
     return ("lit", _parse_jq_literal(s))  # number/string/bool/null
 
 
@@ -494,7 +498,11 @@ def _eval_arith(item, node):
     kind = node[0]
     if kind == "lit":
         return node[1]
+    if kind in ("interp", "obj", "arr"):
+        return _eval_value(item, node)
     if kind == "path":
+        if node[1] == "":
+            return item  # identity '.'
         return _cond_resolve(item, node[1])
     if kind == "len":
         v = item if node[1] is None else _cond_resolve(item, node[1])
@@ -672,6 +680,290 @@ def _split_commas(s: str) -> list[str]:
     return parts
 
 
+# ------------------------------------------------- value expressions
+# gojq value-producing constructs (the tier a nontrivial reference
+# TransformerMapping hits after del()/`//`): string interpolation
+# `"\(.x)"`, object construction `{a: .b}`, array construction
+# `[.a, 1]`, plus the arithmetic/path/literal leaves the predicate
+# engine already evaluates. Used as assignment right-hand sides
+# (`.a = <expr>`, `.a |= <expr>`), `//` alternatives, and select()
+# comparison operands. reduce/foreach/variables/def stay rejected
+# with explicit errors (see parse_jq).
+
+
+def _parse_interp(s: str) -> tuple:
+    """Parse a double-quoted string containing `\\(expr)` splices to
+    ('interp', (part, ...)) where parts are plain strings or value
+    ASTs."""
+    body = s[1:-1]
+    parts: list = []
+    buf: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch == "\\" and i + 1 < n and body[i + 1] == "(":
+            if buf:
+                parts.append("".join(buf))
+                buf = []
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if body[j] == "(":
+                    depth += 1
+                elif body[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise ValueError(f"unterminated interpolation in {s!r}")
+            parts.append(_parse_value_expr(body[i + 2 : j - 1]))
+            i = j
+            continue
+        if ch == "\\" and i + 1 < n:
+            buf.append(json.loads(f'"{body[i:i + 2]}"'))
+            i += 2
+            continue
+        buf.append(ch)
+        i += 1
+    if buf:
+        parts.append("".join(buf))
+    return ("interp", tuple(parts))
+
+
+def _is_interp_str(s: str) -> bool:
+    return (
+        len(s) >= 2
+        and s[0] == s[-1] == '"'
+        and "\\(" in s
+    )
+
+
+def _split_colon(s: str) -> tuple[str, str] | None:
+    """Split on the first top-level ':' (outside quotes/parens/
+    brackets/braces)."""
+    depth, q, i = 0, None, 0
+    while i < len(s):
+        ch = s[i]
+        if q is not None:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == q:
+                q = None
+        elif ch in "\"'":
+            q = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == ":" and depth == 0:
+            return s[:i].strip(), s[i + 1 :].strip()
+        i += 1
+    return None
+
+
+_OBJ_KEY_RE = re.compile(r"^[A-Za-z_]\w*$")
+
+
+def _parse_value_expr(s: str) -> tuple:
+    """Parse a gojq value expression to an AST `_eval_value` runs:
+    literals, dotted paths (``.`` = the current item), arithmetic,
+    `length`, interpolation strings, object construction `{a: .b,
+    "k": 1, shorthand}`, array construction `[.a, 1]`."""
+    s = s.strip()
+    if not s:
+        raise ValueError("empty jq value expression")
+    if s == ".":
+        return ("path", "")
+    if s.startswith("{") and s.endswith("}"):
+        entries = []
+        inner = s[1:-1].strip()
+        for part in _split_commas(inner) if inner else []:
+            kv = _split_colon(part)
+            if kv is None:
+                # gojq shorthand {a} == {a: .a}
+                if not _OBJ_KEY_RE.match(part):
+                    raise ValueError(
+                        f"unsupported object-construction key {part!r}"
+                    )
+                entries.append((part, ("path", part)))
+                continue
+            k, v = kv
+            if k.startswith('"') and k.endswith('"'):
+                k = json.loads(k)
+            elif not _OBJ_KEY_RE.match(k):
+                raise ValueError(
+                    f"unsupported object-construction key {k!r}"
+                )
+            entries.append((k, _parse_value_expr(v)))
+        return ("obj", tuple(entries))
+    if s.startswith("[") and s.endswith("]"):
+        try:  # a plain JSON array literal stays a literal
+            return ("lit", json.loads(s))
+        except json.JSONDecodeError:
+            inner = s[1:-1].strip()
+            return (
+                "arr",
+                tuple(
+                    _parse_value_expr(p)
+                    for p in (_split_commas(inner) if inner else [])
+                ),
+            )
+    if _is_interp_str(s):
+        return _parse_interp(s)
+    return _parse_arith(s)
+
+
+def _jq_tostr(v) -> str:
+    """jq interpolation stringification: strings splice as-is, every
+    other value as its JSON encoding."""
+    if isinstance(v, str):
+        return v
+    return json.dumps(v, separators=(",", ":"))
+
+
+def _eval_value(item, node):
+    """Evaluate a value AST against ``item`` (the jq ``.``). Returns
+    ``_ARITH_ERR`` where jq would error — callers leave the target
+    unchanged rather than aborting the batch."""
+    kind = node[0]
+    if kind == "obj":
+        out = {}
+        for k, vast in node[1]:
+            v = _eval_value(item, vast)
+            if v is _ARITH_ERR:
+                return _ARITH_ERR
+            out[k] = v
+        return out
+    if kind == "arr":
+        vals = []
+        for vast in node[1]:
+            v = _eval_value(item, vast)
+            if v is _ARITH_ERR:
+                return _ARITH_ERR
+            vals.append(v)
+        return vals
+    if kind == "interp":
+        parts = []
+        for p in node[1]:
+            if isinstance(p, str):
+                parts.append(p)
+                continue
+            v = _eval_value(item, p)
+            if v is _ARITH_ERR:
+                return _ARITH_ERR
+            parts.append(_jq_tostr(v))
+        return "".join(parts)
+    if kind == "path" and node[1] == "":
+        return item  # identity '.'
+    return _eval_arith(item, node)
+
+
+class _JqAssign:
+    """A compiled jq assignment: ``<target> = <expr>`` / ``|= <expr>``.
+
+    gojq semantics: ``|=``'s RHS sees the target's OLD value; ``=``'s
+    RHS sees the value flowing INTO the assignment — the document root
+    for a bare path (``.a.b = expr``), but the piped element for
+    ``.users[] | select(…) | .name = expr`` (``|`` binds looser than
+    ``=``). We honor that by splitting the target at its LAST
+    top-level pipe: ``ctx_toks`` navigate to each context node,
+    ``path_toks`` are the final-stage path assigned beneath it."""
+
+    __slots__ = ("op", "ast", "ctx_toks", "path_toks")
+
+    def __init__(self, op: str, ast: tuple, ctx_toks: tuple,
+                 path_toks: tuple):
+        self.op = op  # 'set' | 'update'
+        self.ast = ast
+        self.ctx_toks = ctx_toks
+        self.path_toks = path_toks
+
+
+def _iter_ctx_nodes(node, toks: tuple, i: int):
+    """Yield every node the context tokens select (the assignment's
+    input stream). Mirrors _transform_path's navigation, but yields
+    nodes instead of transforming leaves."""
+    if i >= len(toks):
+        yield node
+        return
+    t = toks[i]
+    if isinstance(t, tuple) and t[0] == "rdesc":
+        yield from _iter_ctx_nodes(node, toks, i + 1)
+        kids = (
+            node.values() if isinstance(node, dict)
+            else node if isinstance(node, list) else ()
+        )
+        for v in list(kids):
+            if isinstance(v, (dict, list)):
+                yield from _iter_ctx_nodes(v, toks, i)
+        return
+    if isinstance(t, tuple) and t[0] == "sel":
+        if isinstance(node, dict) and _sel_ok(node, t):
+            yield from _iter_ctx_nodes(node, toks, i + 1)
+        return
+    if isinstance(t, tuple) and t[0] == "idx":
+        j = t[1]
+        if isinstance(node, list) and -len(node) <= j < len(node):
+            yield from _iter_ctx_nodes(node[j], toks, i + 1)
+        return
+    if _is_wild(t):
+        if isinstance(node, list):
+            for item in node:
+                yield from _iter_ctx_nodes(item, toks, i + 1)
+        return
+    if isinstance(node, dict) and t in node:
+        yield from _iter_ctx_nodes(node[t], toks, i + 1)
+
+
+def _split_assign(s: str) -> tuple[str, str, str] | None:
+    """Split a program on a top-level ``=`` / ``|=`` (outside quotes
+    and parens; never part of == != <= >=). Returns
+    (target, 'set'|'update', rhs) or None."""
+    depth, q, i, n = 0, None, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if q is not None:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == q:
+                q = None
+        elif ch in "\"'":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch == "=":
+            nxt = s[i + 1] if i + 1 < n else ""
+            prev = s[i - 1] if i else ""
+            if nxt == "=" or prev in "=!<>":
+                i += 2 if nxt == "=" else 1
+                continue
+            if prev == "|":
+                return s[: i - 1].strip(), "update", s[i + 1 :].strip()
+            return s[:i].strip(), "set", s[i + 1 :].strip()
+        i += 1
+    return None
+
+
+_JQ_REJECT_RE = re.compile(
+    r"(?:^|[\s|(])(reduce|foreach|def)\s|\$[A-Za-z_]|\bas\s+\$"
+)
+
+
+def _reject_unsupported(program: str) -> None:
+    m = _JQ_REJECT_RE.search(program)
+    if m:
+        raise ValueError(
+            f"jq construct {m.group(0).strip()!r} in {program!r} is not "
+            "supported: this engine compiles the anonymization-config "
+            "tier of gojq (paths, select(), del(), '//', assignment "
+            "'='/'|=', interpolation, object/array construction); "
+            "reduce/foreach/variables/def need the reference's full "
+            "gojq. Express the logic as a mapping transformer instead."
+        )
+
+
 def parse_jq_multi(program: str) -> tuple[tuple, ...]:
     """Compile a jq program that may be a top-level comma stream of
     paths (`.a, .b.c` — transform every listed target) or a del() with
@@ -720,6 +1012,7 @@ def parse_jq(program: str) -> tuple:
     ``('alt', literal)`` tail). The program must end in a field path
     (anonymization targets a value, not a filtered stream).
     """
+    _reject_unsupported(program)
     dm = _JQ_DEL_RE.match(program.strip())
     if dm:
         if "//" in dm.group(1):
@@ -735,7 +1028,12 @@ def parse_jq(program: str) -> tuple:
     body, alt_lit = _split_alt(program)
     toks = _parse_jq_body(body, allow_filter_end=False)
     if alt_lit is not None:
-        toks = toks + (("alt", _parse_jq_literal(alt_lit)),)
+        try:
+            toks = toks + (("alt", _parse_jq_literal(alt_lit)),)
+        except ValueError:
+            # `.a // <expr>`: the alternative may be any value
+            # expression, evaluated per document against the root
+            toks = toks + (("alt_expr", _parse_value_expr(alt_lit)),)
     return toks
 
 
@@ -1005,9 +1303,40 @@ def anonymize_json_udf(
             return parse_jq_multi(p)
         return (_path_tokens(p),)
 
-    compiled: list[tuple[tuple, TransformFn]] = [
-        (path, fn) for p, fn in mapping.items() for path in _compile_key(p)
-    ]
+    compiled: list[tuple[tuple, TransformFn]] = []
+    for p, fn in mapping.items():
+        # non-jq-looking keys (`reduce …`, `foreach …`) must reject
+        # loudly, not silently compile as dot-paths
+        _reject_unsupported(p)
+        asg = _split_assign(p) if _looks_like_jq(p) else None
+        if asg is not None:
+            # `.path = <expr>` / `.path |= <expr>`: the program itself
+            # defines the transform (the exact shape the reference's
+            # buildJqQuery emits — json-anonymizer.go:225-231)
+            target, op, rhs = asg
+            if fn is not None:
+                raise ValueError(
+                    f"assignment program {p!r} defines its own value; "
+                    "map it to None, not a transformer"
+                )
+            if len(_split_commas(target)) > 1:
+                raise ValueError(
+                    f"comma stream as assignment target: {p!r} (jq "
+                    "parses `.a, .b = x` as `.a, (.b = x)` — write "
+                    "one assignment per mapping entry)"
+                )
+            stages = _split_pipes(target)
+            ctx_toks = (
+                _parse_jq_body(" | ".join(stages[:-1]), allow_filter_end=True)
+                if len(stages) > 1
+                else ()
+            )
+            path_toks = tuple(_parse_path_stage(stages[-1]))
+            jq_fn = _JqAssign(op, _parse_value_expr(rhs), ctx_toks, path_toks)
+            compiled.append((ctx_toks + path_toks, jq_fn))
+            continue
+        for path in _compile_key(p):
+            compiled.append((path, fn))
     skips = {path for p in skip_paths for path in _compile_key(p)}
     # walk_defaults builds list-free paths (list hops keep the prefix),
     # so exclusion matching compares with wildcard tokens dropped
@@ -1052,7 +1381,36 @@ def anonymize_json_udf(
                 if path and isinstance(path[-1], tuple) and path[-1][0] == "alt":
                     alt = path[-1][1]
                     path = path[:-1]
+                elif (
+                    path
+                    and isinstance(path[-1], tuple)
+                    and path[-1][0] == "alt_expr"
+                ):
+                    # expression alternative: evaluated per document
+                    # against the root (gojq `.a // expr` semantics)
+                    v = _eval_value(doc, path[-1][1])
+                    alt = _NO_ALT if v is _ARITH_ERR else v
+                    path = path[:-1]
                 base_key = f"{k}|{'.'.join(t for t in path if not _is_wild(t))}"
+                if isinstance(tfn, _JqAssign):
+                    # the assignment's input stream: each node the
+                    # context tokens select (document root when the
+                    # target has no pipes)
+                    for ctx in _iter_ctx_nodes(doc, tfn.ctx_toks, 0):
+                        def _apply(old, kk, _a=tfn, _ctx=ctx):
+                            v = _eval_value(
+                                _ctx if _a.op == "set" else old, _a.ast
+                            )
+                            return old if v is _ARITH_ERR else v
+
+                        # gojq `=` creates a missing final field; the
+                        # walker materializes alt then applies (the
+                        # assign ignores the placeholder old value)
+                        a2 = None if tfn.op == "set" else _NO_ALT
+                        _transform_path(
+                            ctx, tfn.path_toks, 0, _apply, base_key, a2
+                        )
+                    continue
                 _transform_path(
                     doc,
                     path,

@@ -967,3 +967,119 @@ def test_identity_reseed_after_rollback_no_collision(spark, tmp_path):
         ).select("id").collect()
     }
     assert not (with_floor & set(ids))
+
+
+class TestJqValueExpressions:
+    """Round-5 gojq tier: string interpolation `"\\(.x)"`, object/array
+    construction `{a: .b}` / `[.a, 1]`, assignment programs
+    `.path = <expr>` / `.path |= <expr>`, expression alternatives, and
+    interpolated select() operands — the forms a nontrivial reference
+    TransformerMapping hits after del() (json-anonymizer.go:215-236).
+    reduce/foreach/variables/def keep rejecting with explicit errors."""
+
+    def _apply(self, mapping, doc):
+        import json
+
+        import pandas as pd
+
+        from neosync_spark.functions.json_anonymizer import anonymize_json_udf
+
+        fn = anonymize_json_udf(mapping)
+        out = fn(pd.Series([json.dumps(doc)]), pd.Series(["k"]))
+        return json.loads(out.iloc[0])
+
+    def test_set_assignment_interpolation_from_root(self):
+        # gojq `=`: RHS evaluated against the ROOT document; a missing
+        # final field is created
+        got = self._apply(
+            {'.full = "\\(.first) \\(.last)"': None},
+            {"first": "Ada", "last": "Lovelace"},
+        )
+        assert got["full"] == "Ada Lovelace"
+        # non-string splices stringify via their JSON encoding
+        got2 = self._apply(
+            {'.tag = "v\\(.n)-\\(.ok)"': None}, {"n": 3, "ok": True}
+        )
+        assert got2["tag"] == "v3-true"
+
+    def test_update_assignment_sees_old_value(self):
+        # gojq `|=`: RHS's `.` is the target's old value
+        got = self._apply({'.name |= "<\\(.)>"': None}, {"name": "bo"})
+        assert got["name"] == "<bo>"
+        # arithmetic RHS over the old value
+        got2 = self._apply({".n |= . * 2 + 1": None}, {"n": 10})
+        assert got2["n"] == 21
+
+    def test_object_and_array_construction(self):
+        got = self._apply(
+            {'.meta = {src: .source, "ver": 1, tags: [.t, "x"], src2}': None},
+            {"source": "s1", "t": "a", "src2": "s2"},
+        )
+        assert got["meta"] == {
+            "src": "s1", "ver": 1, "tags": ["a", "x"], "src2": "s2",
+        }
+
+    def test_assignment_under_wildcard_and_select(self):
+        got = self._apply(
+            {'.users[] | select(.role == "admin") | .name = "redacted-\\(.uid)"': None},
+            {"users": [
+                {"uid": 1, "role": "admin", "name": "eve"},
+                {"uid": 2, "role": "user", "name": "bob"},
+            ]},
+        )
+        assert got["users"][0]["name"] == "redacted-1"
+        assert got["users"][1]["name"] == "bob"
+
+    def test_expression_alternative_evaluates_against_root(self):
+        up = lambda v, k: v.str.upper()  # noqa: E731
+        got = self._apply(
+            {'.nick // "anon-\\(.n)"': up}, {"n": 7}
+        )
+        assert got["nick"] == "ANON-7"
+        got2 = self._apply(
+            {".meta // {d: .n}": lambda v, k: v}, {"n": 7}
+        )
+        assert got2["meta"] == {"d": 7}
+
+    def test_interpolated_select_operand(self):
+        import pandas as pd
+
+        r = lambda v, k: pd.Series(  # noqa: E731
+            ["<R>"] * len(v), index=v.index, dtype=object)
+        got = self._apply(
+            {'.users[] | select(.uid == "u-\\(.n)") | .name': r},
+            {"users": [
+                {"uid": "u-1", "n": 1, "name": "match"},
+                {"uid": "u-9", "n": 3, "name": "keep"},
+            ]},
+        )
+        assert got["users"][0]["name"] == "<R>"
+        assert got["users"][1]["name"] == "keep"
+
+    def test_assignment_error_leaves_target_unchanged(self):
+        # type-mismatched arithmetic in the RHS: jq errors; the
+        # anonymization gate leaves the value instead of aborting
+        got = self._apply({".n |= . + \"x\"": None}, {"n": 1})
+        assert got["n"] == 1
+
+    def test_rejections_are_loud_and_clear(self):
+        import pytest as _pytest
+
+        from neosync_spark.functions.json_anonymizer import anonymize_json_udf
+
+        for bad in (
+            "reduce .[] as $item (0; . + $item)",
+            "foreach .[] as $i (0; . + 1)",
+            ".a | map(. as $y | $y)",
+            "def f: .; .a | f",
+        ):
+            with _pytest.raises(ValueError, match="not[ \n]+supported"):
+                anonymize_json_udf({bad: None})
+
+    def test_assignment_with_mapped_transformer_rejects(self):
+        import pytest as _pytest
+
+        from neosync_spark.functions.json_anonymizer import anonymize_json_udf
+
+        with _pytest.raises(ValueError, match="defines its own value"):
+            anonymize_json_udf({'.a = "x"': lambda v, k: v})
