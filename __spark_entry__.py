@@ -3279,6 +3279,38 @@ def _q_replica_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pii_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified PII-recognizer recall (VERDICT r4 #6): a labeled
+    fixture embedding dataset-vocabulary names, non-Western names the
+    regex tier provably does not know, emails and phones; the report
+    runs the REAL transform_pii_text end-to-end per tier — builtin
+    (regex + name datasets) vs hooked (the custom_recognizers NER
+    extension point with a dictionary-boosted fake model) — and pins
+    recall/precision per entity. The honest number this documents:
+    builtin PERSON recall is the dataset-name fraction (0.5 here — the
+    Presidio-parity gap VERDICT r4 'missing #2' names); the hook
+    closes it to 1.0 without forking the transformer."""
+    from neosync_spark.functions import transformers as X
+    from neosync_spark.operators.pii_eval import (
+        dictionary_ner_scorer,
+        labeled_pii_fixture,
+        pii_recall_report,
+    )
+
+    _views(spark, sf_dir, ["documents"])
+    fixture = labeled_pii_fixture(
+        spark.table("documents").select("doc_id")
+    )
+    tiers = {
+        "builtin": X.transform_pii_text(recognize_person_names=True),
+        "hooked": X.transform_pii_text(
+            recognize_person_names=True,
+            custom_recognizers={"PERSON": dictionary_ner_scorer()},
+        ),
+    }
+    return pii_recall_report(fixture, tiers)
+
+
 def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scan report (the audit half of the anonymizer): per
     (column, entity) recognizer hit counts over a deterministic
@@ -5026,6 +5058,19 @@ FROM events
 """
 
 
+# _PATCH_DERIVATION with patches confined to a key subset (conv-0..2)
+# so only the buckets those keys hash to carry raw patch deltas — the
+# retention fallback gate needs patch-bearing AND patch-free buckets in
+# one table. Events that would have been patches become full updates
+# elsewhere (their NULL columns genuinely set NULL; both sides replay
+# that consistently).
+_PATCH_SUBSET_DERIVATION = _PATCH_DERIVATION.replace(
+    "WHEN event_id % 20 < 19 THEN 'patch'",
+    "WHEN event_id % 20 < 19 THEN "
+    "CASE WHEN user_id % 150 < 3 THEN 'patch' ELSE 'update' END",
+)
+
+
 def _q_patch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial row images through the merge (merge_cdc patch_ops=True →
     operators.dedup.patch_fold): op='patch' events set only their
@@ -5512,6 +5557,71 @@ def _q_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_retention_patch_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention's NON-happy paths, driver-gated (VERDICT r4 #8): a
+    bucket holding raw PATCH deltas cannot drop files by zone map (a
+    sub-cutoff patch can own a column of a winner folded above the
+    cutoff) — it must fall back to the fold-and-filter rewrite
+    (``buckets_rewritten > 0``); a patch-free bucket whose delta files
+    STRADDLE the cutoff gets the per-file raw row filter
+    (``files_rewritten > 0``). Patches are restricted to a key subset
+    so both arms exist in one table; both asserted in-query. The
+    surviving state must equal the patch-aware LWW fold filtered to
+    winners at/above the cutoff — whichever arm produced it."""
+    import datetime
+
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    _views(spark, sf_dir, ["events"])
+    log = spark.sql(_PATCH_SUBSET_DERIVATION)
+    row = log.agg(F.max("lsn"), F.max("ts")).collect()[0]
+    hi, max_ts = int(row[0] or 0), row[1]
+    step = (hi + 3) // 3
+
+    path = tempfile.mkdtemp(prefix="ns_cdc_retpatch_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+    # full-image history in 3 MoR batches (no _patch column anywhere —
+    # these buckets stay zone-map/raw-filter eligible) …
+    full = log.filter(F.col("op") != "patch")
+    for i in range(3):
+        lo, hi_ = i * step, min((i + 1) * step, hi + 1)
+        table.merge_cdc(
+            full.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_)),
+            applied_range=(lo, hi_),
+            mode="mor",
+            source_is_raw=True,
+            prune_buckets=False,
+            lineage=False,
+        )
+    # … then the subset keys' partial-image feed in ONE pruned merge:
+    # only the buckets conv-0..2 hash to receive raw patch deltas
+    table.merge_cdc(
+        log.filter(F.col("op") == "patch"),
+        applied_range=None,
+        mode="mor",
+        patch_ops=True,
+        source_is_raw=True,
+        lineage=False,
+    )
+    cutoff = max_ts - datetime.timedelta(days=2)
+    rep = table.expire_rows(cutoff)
+    if rep["buckets_rewritten"] <= 0:
+        raise AssertionError(
+            f"patch buckets must take the fold-and-filter fallback, got {rep}"
+        )
+    if rep["files_rewritten"] <= 0:
+        raise AssertionError(
+            f"straddling patch-free files must take the per-file raw "
+            f"rewrite, got {rep}"
+        )
+    return table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
 def _q_profile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile profile (profile.numeric_percentiles, exact path):
     linearly-interpolated quantiles for three lineitem measures in ONE
@@ -5613,6 +5723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_clusters": _q_embedding_clusters,
         "profile_table": _q_profile_table,
         "cdc_retention_expiry": _q_retention_expiry,
+        "cdc_retention_patch_fallback": _q_retention_patch_fallback,
         "cdc_txn_atomic_apply": _q_txn_atomic_apply,
         "cdc_txn_boundary_replay": _q_txn_boundary_replay,
         "cdc_bootstrap_handoff": _q_bootstrap_handoff,
@@ -5740,6 +5851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_quality_flags": _q_transcript_quality,
         "transcript_tool_calls": _q_tool_calls,
         "pii_scan_report": _q_pii_scan,
+        "pii_recall_report": _q_pii_recall_report,
         "cdc_replica_checksum": _q_replica_checksum,
         "gopher_quality_flags": _q_gopher_flags,
         "gopher_repetition_flags": _q_gopher_repetition,
@@ -6791,6 +6903,31 @@ def _oracle_sql_base() -> dict[str, str]:
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM agg WHERE last_full IS NOT NULL AND last_full <> 'delete'
         """,
+        "cdc_retention_patch_fallback": f"""
+            WITH log AS ({_PATCH_SUBSET_DERIVATION}),
+            r AS (
+              SELECT l.*, epoch_us(ts)::HUGEINT * 100000000 + lsn AS ok
+              FROM log l
+            ),
+            agg AS (
+              SELECT conv_id, turn_idx,
+                (arg_max({{'x': role}}, ok)
+                   FILTER (WHERE op <> 'patch' OR role IS NOT NULL)).x AS role,
+                (arg_max({{'x': text}}, ok)
+                   FILTER (WHERE op <> 'patch' OR text IS NOT NULL)).x AS text,
+                (arg_max({{'x': tool}}, ok)
+                   FILTER (WHERE op <> 'patch' OR tool IS NOT NULL)).x AS tool,
+                arg_max(ts, ok) AS ts,
+                arg_max(op, ok) FILTER (WHERE op <> 'patch') AS last_full
+              FROM r GROUP BY conv_id, turn_idx
+            ),
+            mx AS (SELECT max(ts) - INTERVAL 2 DAY AS cutoff FROM log)
+            SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM agg, mx
+            WHERE last_full IS NOT NULL AND last_full <> 'delete'
+              AND ts >= cutoff
+        """,
         "cdc_patch_merge_mor": f"""
             WITH log AS ({_PATCH_DERIVATION}),
             r AS (
@@ -7658,6 +7795,30 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM dig GROUP BY chunk
         """,
         "pii_scan_report": _pii_scan_oracle(),
+        # the fixture construction is deterministic from doc_id, so the
+        # expected recall table is exact: builtin PERSON recall is the
+        # dataset-name fraction (even doc_ids), everything else 1.0
+        "pii_recall_report": """
+            WITH c AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS e
+              FROM documents
+            )
+            SELECT tier, entity, n AS n_gold,
+                   CASE WHEN tier = 'builtin' AND entity = 'PERSON'
+                        THEN e ELSE n END AS n_detected,
+                   CASE WHEN tier = 'builtin' AND entity = 'PERSON'
+                        THEN floor(e * 10000.0 / n + 0.5) / 10000
+                        ELSE 1.0 END AS recall,
+                   CASE WHEN tier = 'builtin' AND entity = 'PERSON'
+                        THEN e ELSE n END AS n_marks,
+                   CAST(1.0 AS DOUBLE) AS precision
+            FROM c
+            CROSS JOIN (VALUES ('builtin'), ('hooked')) t(tier)
+            CROSS JOIN (VALUES ('PERSON'), ('EMAIL_ADDRESS'),
+                               ('PHONE_NUMBER')) en(entity)
+        """,
         # agent-loop detection: gaps-and-islands runs of identical
         # normalized (role, text, tool) action signatures per turn order
         "transcript_loop_flags": f"""
