@@ -5695,14 +5695,71 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Driver verifies the FIRST 50 entries only. Window = the ops
-        # never driver-checked before r4 (r3 additions + this round's
-        # Debezium tail/evolve/type-drift/TOAST, schema-compat, outbox,
-        # incremental snapshot, conversation near-dup, repair) +
-        # constraint_violations (oracle re-cast to BIGINT) +
-        # json_anonymize (oracle expanded with del() + // cases).
-        # Long-stable entries and simple single-agg shapes are rotated
-        # behind position 50; the judge re-runs those locally.
+        # Driver verifies the FIRST 50 entries only. Round-5 window
+        # (VERDICT r4 task #2): positions 1-27 are the 27 operators no
+        # driver round has ever checked (r4 additions past the old
+        # window); 28-33 are this round's fixes/additions — the
+        # conf-pin-repaired retention row, the new patch-fallback and
+        # PII-recall gates, json_anonymize's interpolation/object-
+        # construction oracle, and the md5-oracled media plumbing (red
+        # in r1/r2 before the oracle rework, judge-green since); 34-50
+        # are core-invariant sentinels, led by the zone-map consumers
+        # the round-5 conf pin re-armed (stats/bloom pruned reads).
+        # After this rotation, zero registry entries remain that no
+        # driver round has verified. The judge re-runs the rest
+        # locally.
+        "cdc_replace_where": _q_replace_where,
+        "cdc_scoped_redaction": _q_scoped_redaction,
+        "transcript_turn_gaps": _q_turn_gaps,
+        "privacy_t_closeness": _q_privacy_t_closeness,
+        "cdc_vacuum_orphans": _q_vacuum_orphans,
+        "privacy_l_diversity": _q_privacy_l_diversity,
+        "corpus_split_assign": _q_corpus_split_assign,
+        "cdc_metadata_count": _q_metadata_count,
+        "conv_dedup_index_sync": _q_conv_index_sync,
+        "cdc_scd2_history": _q_scd2_history,
+        "cdc_replication_lag": _q_cdc_replication_lag,
+        "cdc_multimaster_merge": _q_multimaster_merge,
+        "cdc_site_divergence": _q_site_divergence,
+        "privacy_crypto_shred": _q_crypto_shred,
+        "policy_masked_read": _q_policy_masked_read,
+        "cdc_gap_detection": _q_gap_detection,
+        "cdc_secondary_lookup": _q_secondary_lookup,
+        "text_bm25_search": _q_bm25_search,
+        "corpus_stats": _q_corpus_stats,
+        "cdc_agg_distinct": _q_agg_distinct,
+        "profile_percentiles": _q_profile_percentiles,
+        "transcript_template_turns": _q_template_turns,
+        "corpus_mix_plan": _q_mix_plan,
+        "cdc_lateness_stats": _q_lateness_stats,
+        "text_chunk_overlap": _q_text_chunks,
+        "corpus_lm_score": _q_lm_score,
+        "cdc_rate_anomalies": _q_rate_anomalies,
+        "cdc_retention_expiry": _q_retention_expiry,
+        "cdc_retention_patch_fallback": _q_retention_patch_fallback,
+        "pii_recall_report": _q_pii_recall_report,
+        "json_anonymize": _q_json_anonymize,
+        "media_image_features": _q_image_features,
+        "media_audio_features": _q_audio_features,
+        "cdc_replay_final_state": _q_cdc_replay,
+        "cdc_merge_upsert": _q_merge_upsert,
+        "cdc_stats_pruned_read": _q_stats_pruned_read,
+        "cdc_bloom_pruned_read": _q_bloom_pruned_read,
+        "cdc_lww_dedup_agg": _q_lww_agg,
+        "cdc_dml_update_delete": _q_dml_update_delete,
+        "cdc_schema_evolution": _q_cdc_schema_evolution,
+        "cdc_delete_semantics": _q_delete_semantics,
+        "cdc_patch_merge": _q_patch_merge,
+        "cdc_keyset_page": _q_keyset_page,
+        "dedup_minhash_pairs": _q_minhash_pairs,
+        "subset_fk_chain": _q_subset_fk_chain,
+        "key_mapping_consistency": _q_key_mapping,
+        "mask_email": _q_mask_email,
+        "redact_pii_text": _q_redact_pii,
+        "ann_cosine_topk": _q_ann_topk,
+        "multi_table_sync": _q_multi_table_sync,
+        # -- position 51+: driver-green in earlier rounds (r1-r4
+        # artifacts) and pytest-pinned since; judge re-runs locally --
         "cdc_ledger_compaction": _q_ledger_compaction,
         "dedup_index_sync": _q_dedup_index_sync,
         "decontaminate_fuzzy": _q_fuzzy_decontaminate,
@@ -5722,8 +5779,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_ann_pq,
         "embedding_dedup_clusters": _q_embedding_clusters,
         "profile_table": _q_profile_table,
-        "cdc_retention_expiry": _q_retention_expiry,
-        "cdc_retention_patch_fallback": _q_retention_patch_fallback,
         "cdc_txn_atomic_apply": _q_txn_atomic_apply,
         "cdc_txn_boundary_replay": _q_txn_boundary_replay,
         "cdc_bootstrap_handoff": _q_bootstrap_handoff,
@@ -5754,89 +5809,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_transform_backfill": _q_transform_backfill,
         "cdc_log_compaction": _q_cdc_log_compaction,
         "constraint_violations": _q_constraint_violations,
-        # -- position 51+: verified by the judge's local oracle rerun --
-        "cdc_replace_where": _q_replace_where,
-        "cdc_scoped_redaction": _q_scoped_redaction,
-        "transcript_turn_gaps": _q_turn_gaps,
-        "privacy_t_closeness": _q_privacy_t_closeness,
-        "cdc_vacuum_orphans": _q_vacuum_orphans,
-        # (json_anonymize: driver-green since r1, rotated out to keep
-        # the new log-compaction invariant inside the 50-entry window;
-        # privacy_l_diversity rotated out for cdc_profile_sync — its
-        # sister k-anonymity census stays in-window and exercises the
-        # same privacy module; cdc_scd2_history rotated out for
-        # transcript_loop_flags — cdc_scd2_sync value-covers the same
-        # SCD2 semantics incrementally)
-        "privacy_l_diversity": _q_privacy_l_diversity,
-        "corpus_split_assign": _q_corpus_split_assign,
-        "cdc_metadata_count": _q_metadata_count,
-        "conv_dedup_index_sync": _q_conv_index_sync,
-        "cdc_scd2_history": _q_scd2_history,
-        "cdc_replication_lag": _q_cdc_replication_lag,
-        "json_anonymize": _q_json_anonymize,
-        "cdc_multimaster_merge": _q_multimaster_merge,
-        "cdc_site_divergence": _q_site_divergence,
-        "privacy_crypto_shred": _q_crypto_shred,
-        "policy_masked_read": _q_policy_masked_read,
-        "cdc_gap_detection": _q_gap_detection,
-        "cdc_secondary_lookup": _q_secondary_lookup,
-        "text_bm25_search": _q_bm25_search,
-        "corpus_stats": _q_corpus_stats,
-        "cdc_agg_distinct": _q_agg_distinct,
-        "profile_percentiles": _q_profile_percentiles,
-        "transcript_template_turns": _q_template_turns,
-        "corpus_mix_plan": _q_mix_plan,
-        "cdc_lateness_stats": _q_lateness_stats,
-        "text_chunk_overlap": _q_text_chunks,
-        "corpus_lm_score": _q_lm_score,
-        "cdc_rate_anomalies": _q_rate_anomalies,
         "embedding_near_dup": _q_embedding_near_dup,
-        "media_image_features": _q_image_features,
-        "media_audio_features": _q_audio_features,
         "dedup_fingerprint_overlap": _q_fingerprint_overlap,
         "ann_ivf_topk": _q_ann_ivf,
-        "ann_cosine_topk": _q_ann_topk,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "text_quality_score": _q_quality,
         "media_metadata": _q_media_metadata,
         "events_sessionize": _q_sessionize,
-        # ---- below: verified green in CORRECTNESS_r01-r03, or pass*
-        # (green in an earlier artifact + judge rerun; re-provable any
-        # round): multi_table_sync is strictly subsumed by the drift
-        # variant above; cdc_replay_final_state (green r1-r3) by
-        # cdc_repair_bucket, which replays the same pipeline to the
-        # same oracle and then survives storage loss ----
-        "dedup_minhash_pairs": _q_minhash_pairs,
-        "cdc_replay_final_state": _q_cdc_replay,
-        "cdc_merge_upsert": _q_merge_upsert,
         "cdc_patch_merge_mor": _q_patch_merge_mor,
-        "subset_fk_chain": _q_subset_fk_chain,
-        "key_mapping_consistency": _q_key_mapping,
-        "cdc_dml_update_delete": _q_dml_update_delete,
-        "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_wap_publish": _q_wap_publish,
-        "multi_table_sync": _q_multi_table_sync,
         "default_transforms": _q_default_transforms,
         "identity_scramble": _q_identity_scramble,
         "cdc_purge_subject": _q_purge_subject,
-        "cdc_stats_pruned_read": _q_stats_pruned_read,
-        "cdc_lww_dedup_agg": _q_lww_agg,
         "cdc_lww_dedup_window": _q_lww_window,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
-        "cdc_delete_semantics": _q_delete_semantics,
         "cdc_snapshot_diff": _q_snapshot_diff,
         "cdc_changefeed_images": _q_changefeed_images,
-        "cdc_patch_merge": _q_patch_merge,
-        "cdc_bloom_pruned_read": _q_bloom_pruned_read,
         "cdc_column_drift": _q_column_drift,
         "cdc_incremental_rollup": _q_incremental_rollup,
         "cdc_requeue_heal": _q_requeue_heal,
-        "cdc_keyset_page": _q_keyset_page,
         "cdc_hot_keys": _q_hot_keys,
         "cdc_changelog_metrics": _q_changelog_metrics,
-        "mask_email": _q_mask_email,
         "mask_phone_keep_last4": _q_mask_phone,
-        "redact_pii_text": _q_redact_pii,
         "redact_person_names": _q_redact_person_names,
         "redact_multi_entity": _q_redact_multi_entity,
         "shape_mask": _q_shape_mask,
@@ -5851,7 +5845,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_quality_flags": _q_transcript_quality,
         "transcript_tool_calls": _q_tool_calls,
         "pii_scan_report": _q_pii_scan,
-        "pii_recall_report": _q_pii_recall_report,
         "cdc_replica_checksum": _q_replica_checksum,
         "gopher_quality_flags": _q_gopher_flags,
         "gopher_repetition_flags": _q_gopher_repetition,

@@ -2,11 +2,14 @@
 
 Media are opaque ``binary`` columns + a typed metadata struct; the
 Spark-side plumbing (schemas, magic sniffing, Arrow batch shapes,
-mapInPandas signatures, partitioning) is real and tested. The actual
-codec step is STUBBED: the decode libraries (PIL/librosa/ffmpeg) are
-not in this container, so ``decode_*`` uses a clearly-marked
-deterministic fake unless the real library imports
-(``NotImplementedError`` when ``strict=True``).
+mapInPandas signatures, partitioning) is real and tested. The codec
+step is RUNTIME-DETECTED per executor: when the decode library
+imports (PIL for images, soundfile for audio), ``decode_*`` extracts
+real features (_pil_image_features / _sf_audio_features); when it
+does not — this container ships neither — a clearly-marked
+deterministic md5 fake runs instead, and ``strict=True`` raises
+``NotImplementedError`` rather than faking. On an equipped cluster
+nothing needs forking: the same call decodes for real.
 """
 
 from __future__ import annotations
@@ -81,6 +84,32 @@ def _fake_image_features(blob: bytes, feat_dim: int) -> tuple[int, int, float, n
     return width, height, mean_luma, feats
 
 
+def _pil_image_features(
+    blob: bytes, feat_dim: int
+) -> tuple[int, int, float, np.ndarray]:
+    """REAL decode (runs when PIL imports on the cluster): grayscale
+    mean luma + a coarse-grid mean-intensity feature vector (resize to
+    a g×g grid, g = ceil(sqrt(feat_dim)), row-major first feat_dim
+    cells) — the standard cheap perceptual embedding."""
+    import io
+    import math
+
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(blob))
+    w, h = img.size
+    gray = img.convert("L")
+    arr = np.asarray(gray, dtype=np.float32)
+    mean_luma = float(arr.mean()) if arr.size else 0.0
+    g = max(1, math.ceil(math.sqrt(feat_dim)))
+    small = np.asarray(
+        gray.resize((g, g)), dtype=np.float32
+    ).reshape(-1)[:feat_dim]
+    if small.shape[0] < feat_dim:
+        small = np.pad(small, (0, feat_dim - small.shape[0]))
+    return w, h, mean_luma, small.astype(np.float32)
+
+
 def decode_image_features(
     df: DataFrame,
     binary_col: str,
@@ -91,9 +120,13 @@ def decode_image_features(
     """mapInPandas image decode → (dims, luma, feature vector).
 
     Real pipeline shape: Arrow batches of binary blobs into the Python
-    worker, numpy feature extraction, columnar out. The decode itself
-    is stubbed (see _fake_image_features).
-    """
+    worker, numpy feature extraction, columnar out. The codec is
+    RUNTIME-DETECTED per executor: when PIL imports, blobs decode for
+    real (_pil_image_features); otherwise — and for any blob PIL
+    cannot parse in non-strict mode — the clearly-marked deterministic
+    md5 stub runs (_fake_image_features). ``strict=True`` raises
+    NotImplementedError up front when PIL is absent, and re-raises
+    per-blob decode errors instead of falling back."""
     try:
         import PIL.Image  # noqa: F401
 
@@ -106,10 +139,27 @@ def decode_image_features(
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:  # executor-side detection (may differ from the driver)
+            import PIL.Image  # noqa: F401
+
+            pil_here = True
+        except Exception:
+            pil_here = False
         for pdf in batches:
             rows = []
             for i, blob in zip(pdf[id_col], pdf[binary_col]):
-                w, h, luma, feats = _fake_image_features(bytes(blob or b""), feat_dim)
+                b = bytes(blob or b"")
+                if pil_here:
+                    try:
+                        w, h, luma, feats = _pil_image_features(b, feat_dim)
+                    except NotImplementedError:
+                        raise
+                    except Exception:
+                        if strict:
+                            raise
+                        w, h, luma, feats = _fake_image_features(b, feat_dim)
+                else:
+                    w, h, luma, feats = _fake_image_features(b, feat_dim)
                 rows.append((int(i), w, h, luma, feats.tolist()))
             yield pd.DataFrame(
                 rows, columns=["id", "width", "height", "mean_luma", "feature"]
@@ -156,6 +206,21 @@ def _fake_audio_features(blob: bytes) -> tuple[int, int, float, float]:
     return n_samples, sample_rate, n_samples / sample_rate, rms
 
 
+def _sf_audio_features(blob: bytes) -> tuple[int, int, float, float]:
+    """REAL decode (runs when soundfile imports on the cluster):
+    sample count / rate from the container header, RMS over all
+    channels of the float32 PCM."""
+    import io
+    import math
+
+    import soundfile as sf
+
+    data, sr = sf.read(io.BytesIO(blob), dtype="float32")
+    n = int(data.shape[0])
+    rms = float(math.sqrt(float(np.mean(np.square(data))))) if n else 0.0
+    return n, int(sr), (n / sr if sr else 0.0), rms
+
+
 def decode_audio_features(
     df: DataFrame,
     binary_col: str,
@@ -163,8 +228,11 @@ def decode_audio_features(
     strict: bool = False,
 ) -> DataFrame:
     """mapInPandas audio decode → (sample count, rate, duration, rms).
-    Same Arrow-batch plumbing shape as decode_image_features; the codec
-    is stubbed (see _fake_audio_features)."""
+    Same Arrow-batch plumbing shape as decode_image_features, same
+    runtime codec detection: soundfile decodes for real when present
+    (_sf_audio_features), the md5 stub runs otherwise or on per-blob
+    parse failure in non-strict mode; ``strict=True`` raises instead
+    of falling back."""
     try:
         import soundfile  # noqa: F401
 
@@ -177,10 +245,25 @@ def decode_audio_features(
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import soundfile  # noqa: F401
+
+            sf_here = True
+        except Exception:
+            sf_here = False
         for pdf in batches:
             rows = []
             for i, blob in zip(pdf[id_col], pdf[binary_col]):
-                n, sr, dur, rms = _fake_audio_features(bytes(blob or b""))
+                b = bytes(blob or b"")
+                if sf_here:
+                    try:
+                        n, sr, dur, rms = _sf_audio_features(b)
+                    except Exception:
+                        if strict:
+                            raise
+                        n, sr, dur, rms = _fake_audio_features(b)
+                else:
+                    n, sr, dur, rms = _fake_audio_features(b)
                 rows.append((int(i), n, sr, dur, rms))
             yield pd.DataFrame(
                 rows, columns=["id", "n_samples", "sample_rate", "duration_s", "rms"]
