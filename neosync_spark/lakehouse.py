@@ -94,6 +94,25 @@ def pin_engine_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
 
 
+def _ts_instant_lit(dt):
+    """Timestamp literal pinned to an INSTANT. ``F.lit(datetime)``
+    re-interprets a naive datetime in the SESSION timezone, so under a
+    non-UTC caller session the rewrite filters would use a different
+    instant than the zone-map comparisons (``_norm_stat`` normalizes
+    to UTC epoch micros). Naive datetimes are UTC by engine contract;
+    aware ones convert."""
+    import datetime as _dt
+
+    if isinstance(dt, _dt.datetime):
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        micros = int(
+            (dt - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+        )
+        return F.timestamp_micros(F.lit(micros))
+    return F.lit(dt)
+
+
 def observation_metrics(observation, timeout_s: float = 5.0) -> dict | None:
     """Read ``observe()`` metrics without risking a driver hang.
 
@@ -2734,7 +2753,8 @@ class SnapshotTable:
         rows = self.read(buckets=buckets, internal=True)  # LWW applied
         if expire_tombstones_before is not None:
             rows = rows.filter(
-                ~F.col(_DELETED_COL) | (F.col("ts") >= F.lit(expire_tombstones_before))
+                ~F.col(_DELETED_COL)
+                | (F.col("ts") >= _ts_instant_lit(expire_tombstones_before))
             )
         if expire_rows_before is not None:
             # retention policy: physically drop EVERYTHING (live rows
@@ -2744,7 +2764,7 @@ class SnapshotTable:
             # than the cutoff arriving later could re-insert; pick the
             # cutoff beyond the source's max out-of-orderness (and the
             # ledger still no-ops already-applied ranges).
-            rows = rows.filter(F.col("ts") >= F.lit(expire_rows_before))
+            rows = rows.filter(F.col("ts") >= _ts_instant_lit(expire_rows_before))
         if transform is not None:
             before_cols = rows.columns
             rows = transform(rows)
@@ -3630,7 +3650,7 @@ class SnapshotTable:
                 df = (
                     self.spark.read.schema(sschema)
                     .parquet(*paths)
-                    .filter(F.col(ts_col) >= F.lit(before))
+                    .filter(F.col(ts_col) >= _ts_instant_lit(before))
                     .withColumn(
                         _BUCKET_COL, bucket_expr(m["key_cols"][0], nb)
                     )

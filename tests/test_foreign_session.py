@@ -136,3 +136,41 @@ class TestConfPinnedAtTableBoundary:
         before = spark.conf.get(_TS_CONF)
         pin_engine_confs(spark)
         assert spark.conf.get(_TS_CONF) == before == "TIMESTAMP_MICROS"
+
+    def test_retention_cutoff_is_an_instant_under_foreign_tz(self, spark):
+        # a naive-datetime cutoff must mean the same INSTANT in the
+        # zone-map comparison (UTC epoch micros) and in the straddler
+        # rewrite filter (F.lit(datetime) is session-TZ-interpreted —
+        # under PST it would shift the filter by 8h relative to the
+        # zone map). Build ONE file straddling the cutoff so the
+        # per-file filter actually runs, under a PST session.
+        tz_saved = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        try:
+            t = _mk(spark)
+            # single commit, single bucket-file span: hours 0..47 on
+            # one conv -> every file straddles the day-1 cutoff
+            rows = [
+                ("c-0", i, "user", f"t-{i}", None, float(i * 3600),
+                 i, "insert")
+                for i in range(48)
+            ]
+            ev = spark.createDataFrame(
+                rows,
+                "conv_id string, turn_idx int, role string, text string,"
+                " tool string, ts double, lsn long, op string",
+            ).withColumn("ts", F.col("ts").cast("timestamp"))
+            t.merge_cdc(ev, applied_range=(0, 48), source_is_raw=True,
+                        mode="mor")
+            rep = t.expire_rows(datetime.datetime(1970, 1, 2))  # epoch +24h
+            assert rep["files_rewritten"] > 0, rep
+            out = t.read()
+            # exactly hours 24..47 survive — a TZ-shifted filter would
+            # keep 16 or 32 instead
+            assert out.count() == 24
+            mn = out.agg(
+                F.min(F.unix_timestamp("ts"))
+            ).collect()[0][0]
+            assert mn == 24 * 3600
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", tz_saved)
