@@ -137,6 +137,31 @@ class TestConfPinnedAtTableBoundary:
         pin_engine_confs(spark)
         assert spark.conf.get(_TS_CONF) == before == "TIMESTAMP_MICROS"
 
+    def test_stats_pruned_read_prunes_under_foreign_session(
+        self, foreign_session
+    ):
+        # the other zone-map consumer the conf pin re-arms: a
+        # ts-bounded read must SKIP time-disjoint files (not just
+        # return correct values) even when the caller session would
+        # have written stats-less INT96 files
+        t = _mk(foreign_session)
+        for lo, hi, day in [(0, 50, 1), (100, 150, 2), (200, 250, 3)]:
+            t.merge_cdc(_events(foreign_session, lo, hi, day),
+                        applied_range=(lo, hi), source_is_raw=True,
+                        mode="mor")
+        files_all = sum(
+            len(v) for v in t.manifest(refresh=True)["files"].values()
+        )
+        pruned = t.read(stats_filter={"ts": (CUTOFF, None)})
+        assert pruned.count() == 100  # days 2 and 3
+        opened = [
+            f for f in pruned.inputFiles()
+        ]
+        assert 0 < len(opened) < files_all, (
+            f"stats filter opened {len(opened)} of {files_all} files — "
+            "zone maps missing under foreign session"
+        )
+
     def test_retention_cutoff_is_an_instant_under_foreign_tz(self, spark):
         # a naive-datetime cutoff must mean the same INSTANT in the
         # zone-map comparison (UTC epoch micros) and in the straddler
