@@ -376,7 +376,7 @@ def main() -> None:
     # clamp to >= 1: 0/negative would leave bulk_full None (and, when
     # CPUS == scale_4n, wipe the scaling pair's run) -> TypeError below
     full_attempts = max(
-        1, int(os.environ.get("SPARK_GRAFT_FULL_ATTEMPTS", "3"))
+        1, int(os.environ.get("SPARK_GRAFT_FULL_ATTEMPTS", "4"))
     )
     # early-stop only at the round-5 target (r2's best bulk absolute):
     # a below-target attempt keeps trying in case it measured a bad
