@@ -951,8 +951,30 @@ _JQ_REJECT_RE = re.compile(
 )
 
 
+def _blank_strings(s: str) -> str:
+    """Replace quoted string literals with spaces (length-preserving)
+    so keyword/variable scans don't fire on literal content like
+    ``select(.t == "def x")`` or ``"$price"``."""
+    out, q, i, n = list(s), None, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if q is not None:
+            if ch == "\\" and i + 1 < n:
+                out[i] = out[i + 1] = " "
+                i += 2
+                continue
+            if ch == q:
+                q = None
+            else:
+                out[i] = " "
+        elif ch in "\"'":
+            q = ch
+        i += 1
+    return "".join(out)
+
+
 def _reject_unsupported(program: str) -> None:
-    m = _JQ_REJECT_RE.search(program)
+    m = _JQ_REJECT_RE.search(_blank_strings(program))
     if m:
         raise ValueError(
             f"jq construct {m.group(0).strip()!r} in {program!r} is not "

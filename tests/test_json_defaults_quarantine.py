@@ -1083,3 +1083,18 @@ class TestJqValueExpressions:
 
         with _pytest.raises(ValueError, match="defines its own value"):
             anonymize_json_udf({'.a = "x"': lambda v, k: v})
+
+    def test_keywords_inside_string_literals_do_not_reject(self):
+        import pandas as pd
+
+        r = lambda v, k: pd.Series(  # noqa: E731
+            ["<R>"] * len(v), index=v.index, dtype=object)
+        got = self._apply(
+            {'.xs[] | select(.t == "def x") | .v': r,
+             '.note // "price in $USD"': lambda v, k: v},
+            {"xs": [{"t": "def x", "v": "secret"},
+                    {"t": "other", "v": "keep"}]},
+        )
+        assert got["xs"][0]["v"] == "<R>"
+        assert got["xs"][1]["v"] == "keep"
+        assert got["note"] == "price in $USD"
