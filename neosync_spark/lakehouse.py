@@ -1768,20 +1768,33 @@ class SnapshotTable:
                     # once PER BRANCH (the shuffle is reused, the agg is
                     # not). Fall back to the split for df→df transforms
                     # that can't apply conditionally (Python-UDF
-                    # transformers, ad-hoc test callables).
-                    cond_res = None
-                    try:
-                        cond_res = transform(
-                            won, only_where=F.col("_src") == 1
-                        )
-                    except TypeError:
-                        cond_res = None
-                    if cond_res is not None:
-                        won = cond_res
+                    # transformers, ad-hoc test callables) — unless the
+                    # target contributed nothing (bootstrap / bulk load
+                    # into empty buckets, known metadata-only): every
+                    # winner is then a source row and the transform
+                    # applies unconditionally in one pass, skipping the
+                    # duplicated aggregation entirely.
+                    target_empty = target_df is None and not any(
+                        m["files"].get(str(b))
+                        for b in (affected if affected is not None
+                                  else range(nb))
+                    )
+                    if target_empty:
+                        won = transform(won)
                     else:
-                        new_rows = transform(won.filter(F.col("_src") == 1))
-                        kept_rows = won.filter(F.col("_src") != 1)
-                        won = new_rows.unionByName(kept_rows)
+                        cond_res = None
+                        try:
+                            cond_res = transform(
+                                won, only_where=F.col("_src") == 1
+                            )
+                        except TypeError:
+                            cond_res = None
+                        if cond_res is not None:
+                            won = cond_res
+                        else:
+                            new_rows = transform(won.filter(F.col("_src") == 1))
+                            kept_rows = won.filter(F.col("_src") != 1)
+                            won = new_rows.unionByName(kept_rows)
 
             out = self._finalize_rows(
                 won, cur, key_cols,

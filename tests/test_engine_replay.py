@@ -137,3 +137,56 @@ def test_replay_chained_state_matches_oracle(spark, tmp_path, log_path):
     got = eng.table.read().toPandas()
     exp = expected_final_state(generate_pandas(CFG))
     assert_pdf_equal(got, exp, ["conv_id", "turn_idx"])
+
+
+def test_transform_applies_exactly_once_across_bootstrap_and_update(
+    spark, tmp_path
+):
+    """The empty-target merge applies a Python-UDF transform in ONE
+    unconditional pass (no duplicated aggregation branch); later
+    batches with a live target must still transform only winning
+    SOURCE rows. A marking transform pins single application in both
+    regimes: every surviving text carries exactly one marker."""
+    from pyspark.sql import functions as F
+
+    def mark(values: pd.Series, keys: pd.Series) -> pd.Series:
+        return values.map(lambda s: None if s is None else s + "|T")
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(),
+        key_cols=KEY_COLS, n_buckets=4,
+    )
+    eng = ReplayEngine(
+        spark, t, transforms={"text": mark},
+        config=EngineConfig(batch_lsn_size=100, lineage=False,
+                            prune_buckets=False),
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts double, lsn long, op string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # batch 1: bootstrap into an EMPTY table (the fast path)
+    eng.apply_batch(
+        ev([(f"c-{i}", 0, "user", f"a{i}", None, 1.0, i, "insert")
+            for i in range(20)]),
+        (0, 20),
+    )
+    got1 = {r["conv_id"]: r["text"] for r in t.read().collect()}
+    assert got1 == {f"c-{i}": f"a{i}|T" for i in range(20)}
+
+    # batch 2: live target — updates transform once, survivors NOT
+    # re-transformed (the split/conditional path)
+    eng.apply_batch(
+        ev([(f"c-{i}", 0, "user", f"b{i}", None, 2.0, 100 + i, "update")
+            for i in range(5)]),
+        (100, 120),
+    )
+    got2 = {r["conv_id"]: r["text"] for r in t.read().collect()}
+    for i in range(5):
+        assert got2[f"c-{i}"] == f"b{i}|T"
+    for i in range(5, 20):
+        assert got2[f"c-{i}"] == f"a{i}|T", "target row re-transformed"
