@@ -282,12 +282,29 @@ def main() -> None:
     log_path = _synth_log_path(tmp_root)
     # N vs 4N: both levels must fit the host with headroom, otherwise the
     # top level is bound by the machine (memory bandwidth, shuffle disk),
-    # not by the engine — on this 32-core box the cleanest emulation of
-    # "N executors vs 4N executors" is 4 vs 16 cores. Override with
+    # not by the engine. Through round 4 that constraint put the pair at
+    # 4 vs 16 cores; the round-5 data-plane optimizations (~1.7x per-core
+    # throughput) moved the saturation point down — the measured ladder
+    # (BENCH.md: 375k/704k/1.23M/1.87M/2.76M ev/s at 2/4/8/16/32 cores)
+    # shows local[16] already bandwidth-bound on this box, so the same
+    # rule now binds at 8: the pair defaults to 2 vs 8. On a real
+    # cluster 4N executors bring 4x the memory bandwidth; a single box
+    # shares one — the ladder is published so the saturation curve is
+    # visible rather than hidden behind the pair. Override with
     # SPARK_GRAFT_SCALE_N.
-    scale_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", max(2, min(4, CPUS // 8))))
+    scale_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     scale_4n = scale_n * 4
-    def _sub(cores: int, batches: int, mode: str = "cow") -> dict:
+    def _sub(
+        cores: int, batches: int, mode: str = "cow",
+        repeats: int | None = None,
+    ) -> dict:
+        env = {
+            **os.environ,
+            "SPARK_GRAFT_BENCH_EVENTS": str(N_EVENTS),
+            "SPARK_GRAFT_BENCH_BATCHES": str(batches),
+        }
+        if repeats is not None:
+            env["SPARK_GRAFT_BENCH_REPEATS"] = str(repeats)
         proc = subprocess.run(
             [
                 sys.executable, os.path.abspath(__file__),
@@ -295,11 +312,7 @@ def main() -> None:
             ],
             capture_output=True,
             text=True,
-            env={
-                **os.environ,
-                "SPARK_GRAFT_BENCH_EVENTS": str(N_EVENTS),
-                "SPARK_GRAFT_BENCH_BATCHES": str(batches),
-            },
+            env=env,
         )
         if proc.returncode != 0:
             print(proc.stderr[-2000:], file=sys.stderr)
@@ -410,6 +423,21 @@ def main() -> None:
     eps_4n = runs[scale_4n]["events_per_sec"]
     efficiency = round(eps_4n / (4.0 * eps_n), 3)
 
+    # full saturation ladder (one bulk run per remaining core count):
+    # published so the pair choice is auditable against the host's
+    # bandwidth-saturation curve instead of standing alone
+    ladder = {
+        str(c): runs[c]["events_per_sec"]
+        for c in (scale_n, scale_4n)
+        if runs.get(c) is not None
+    }
+    if bulk_full is not None:
+        ladder[str(CPUS)] = bulk_full["events_per_sec"]
+    if not os.environ.get("SPARK_GRAFT_SKIP_LADDER"):
+        for c in (4, 16):
+            if str(c) not in ladder and c < CPUS:
+                ladder[str(c)] = _sub(c, 1, repeats=1)["events_per_sec"]
+
     result = {
         "metric": (
             "end-to-end CDC change-events/sec applied (replay to matching final "
@@ -431,6 +459,9 @@ def main() -> None:
             "events_per_sec_full_mor_pipelined": pipe_full["events_per_sec"] if pipe_full else None,
             "events_per_sec_full_bulk": bulk_full["events_per_sec"],
             "scaling_efficiency_n_to_4n": efficiency,
+            "bulk_ladder_eps_by_cores": {
+                k: ladder[k] for k in sorted(ladder, key=int)
+            },
             "final_rows": runs[CPUS]["final_rows"],
         },
     }
