@@ -166,6 +166,9 @@ def _replay_run(cores: int, log_path: str, merge_mode: str = "cow") -> dict:
         config=EngineConfig(batch_lsn_size=max(N_EVENTS // 20, 1), lineage=True),
     )
     warm.replay(ChangeLogSource(spark, log_path), lsn_lo=0, lsn_hi=N_EVENTS // 20)
+    import shutil
+
+    shutil.rmtree(wt.path, ignore_errors=True)
 
     # the sandbox VM shows >2x run-to-run variance (noisy neighbors);
     # repeat the measured replay and report the best steady-state run
@@ -226,6 +229,11 @@ def _replay_run(cores: int, log_path: str, merge_mode: str = "cow") -> dict:
                 "batches": stats.batches_applied,
                 "final_rows": table.read().count(),
             }
+        # each replay materializes a ~GB table; a full bench makes
+        # dozens — delete immediately or the run dies on disk-full
+        import shutil
+
+        shutil.rmtree(table_path, ignore_errors=True)
     spark.stop()
     return best
 
