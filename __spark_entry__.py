@@ -4455,6 +4455,58 @@ def _q_identity_scramble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_identity_reseed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity high-water re-seed, driver-oracled (the post-table-sync
+    sequence-reset analog, datasync/activities/post-table-sync/
+    activity.go): a destination table holds ids up to max(o_orderkey);
+    `identity_high_water` reads that watermark METADATA-ONLY (zone
+    maps), and a fresh batch whose own ids are tiny (1..1000 — every
+    one would collide without the floor) allocates strictly above it.
+    The allocator contract stays SQL-exact: ids = hw + 1 + a
+    permutation of [1..n]."""
+    from pyspark.sql import types as T
+
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.defaults import scramble_identity
+
+    _views(spark, sf_dir, ["orders"])
+    orders = spark.table("orders")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    path = tempfile.mkdtemp(prefix="ns_idreseed_")
+    t = SnapshotTable.create(
+        spark, path, schema, key_cols=["id"], n_buckets=8
+    )
+    t.merge_cdc(
+        orders.select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("v"),
+            F.lit("insert").alias("op"),
+            F.col("o_orderkey").alias("lsn"),
+            F.timestamp_seconds(F.lit(1)).alias("ts"),
+        ),
+        applied_range=(0, 1),
+        source_is_raw=True,
+        lineage=False,
+    )
+    hw = t.identity_high_water("id")
+    fresh = scramble_identity(
+        spark.range(1, 1001).select(
+            F.col("id"), F.concat(F.lit("n"), F.col("id")).alias("v")
+        ),
+        "id",
+        floor=hw,
+    )
+    return fresh.select(
+        (F.col("id") - F.lit(hw)).alias("alloc_rank"),
+        (F.col("id") > F.lit(hw)).alias("above_floor"),
+        F.lit(hw).cast("long").alias("high_water"),
+    )
+
+
 def _q_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The `generate` input analog: spark.range + seeded generators.
     Oracled through the generators' format contracts (computed from the
@@ -5822,6 +5874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_upsert": _q_merge_upsert,
         "cdc_bucket_local_merge": _q_bucket_local_merge,
         "job_js_sync": _q_job_js_sync,
+        "cdc_identity_reseed": _q_identity_reseed,
         "cdc_stats_pruned_read": _q_stats_pruned_read,
         "cdc_bloom_pruned_read": _q_bloom_pruned_read,
         "cdc_lww_dedup_agg": _q_lww_agg,
@@ -5833,10 +5886,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _q_minhash_pairs,
         "subset_fk_chain": _q_subset_fk_chain,
         "key_mapping_consistency": _q_key_mapping,
-        "mask_email": _q_mask_email,
         "ann_cosine_topk": _q_ann_topk,
         # -- position 51+: driver-green in earlier rounds (r1-r4
         # artifacts) and pytest-pinned since; judge re-runs locally --
+        "mask_email": _q_mask_email,
         "redact_pii_text": _q_redact_pii,
         "multi_table_sync": _q_multi_table_sync,
         "cdc_ledger_compaction": _q_ledger_compaction,
@@ -8774,6 +8827,13 @@ def _oracle_sql_base() -> dict[str, str]:
                    TRUE AS nat_in_range,
                    TRUE AS bal_in_range
             FROM customer
+        """,
+        "cdc_identity_reseed": """
+            WITH hw AS (SELECT max(o_orderkey) AS h FROM orders)
+            SELECT CAST(r.range + 2 AS BIGINT) AS alloc_rank,
+                   TRUE AS above_floor,
+                   CAST(h AS BIGINT) AS high_water
+            FROM range(0, 1000) r, hw
         """,
         "identity_scramble": """
             SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS alloc_rank,
