@@ -4408,6 +4408,25 @@ def _q_json_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string"),
         F.lit(',"kind":"t"}'),
     )
+    # round-5b: the full-program gojq tier (jq_mini) — def + |=,
+    # reduce accumulation, foreach stream collection. The reference
+    # compiles ARBITRARY gojq per mapping entry
+    # (json-anonymizer.go:215-236); these are the constructs past the
+    # walker tier, each key an entire program mapped to None.
+    mini_fn = anonymize_json_udf(
+        {
+            'def mask: "<M>"; .users[].email |= mask': None,
+            ".total = (reduce .items[] as $x (0; . + $x.p))": None,
+            '.labels = [foreach .items[] as $x (0; . + 1; "i\\(.)")]': None,
+        }
+    )
+    mini_doc = F.concat(
+        F.lit('{"users":[{"email":"u'),
+        F.col("doc_id").cast("string"),
+        F.lit('@x.com"}],"items":[{"p":'),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit('},{"p":2}]}'),
+    )
     out = docs.select(
         "doc_id",
         "tool",
@@ -4422,6 +4441,7 @@ def _q_json_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_udf(pred_fn)(pred_doc, key_col("doc_id")).alias("pred_anon"),
         as_udf(multi_fn)(multi_doc, key_col("doc_id")).alias("multi_anon"),
         as_udf(asg_fn)(asg_doc, key_col("doc_id")).alias("asg_anon"),
+        as_udf(mini_fn)(mini_doc, key_col("doc_id")).alias("mini_anon"),
     )
     return out.select(
         "doc_id",
@@ -4451,6 +4471,11 @@ def _q_json_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("asg_anon", "$.meta.src").alias("obj_src"),
         F.get_json_object("asg_anon", "$.meta.n").alias("obj_n"),
         F.get_json_object("asg_anon", "$.kind").alias("upd_kind"),
+        F.get_json_object("mini_anon", "$.users[0].email").alias(
+            "prog_email"
+        ),
+        F.get_json_object("mini_anon", "$.total").alias("prog_total"),
+        F.get_json_object("mini_anon", "$.labels").alias("prog_labels"),
     )
 
 
@@ -8876,7 +8901,10 @@ def _oracle_sql_base() -> dict[str, str]:
                        AS interp_label,
                    't' AS obj_src,
                    CAST(doc_id + 1 AS VARCHAR) AS obj_n,
-                   '<t>' AS upd_kind
+                   '<t>' AS upd_kind,
+                   '<M>' AS prog_email,
+                   CAST(doc_id % 10 + 2 AS VARCHAR) AS prog_total,
+                   '["i1","i2"]' AS prog_labels
             FROM documents
         """,
         "default_transforms": f"""

@@ -28,6 +28,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import jq_mini
 from .transformers import TransformFn
 
 
@@ -498,7 +499,7 @@ def _eval_arith(item, node):
     kind = node[0]
     if kind == "lit":
         return node[1]
-    if kind in ("interp", "obj", "arr"):
+    if kind in ("interp", "obj", "arr", "mini"):
         return _eval_value(item, node)
     if kind == "path":
         if node[1] == "":
@@ -809,7 +810,16 @@ def _parse_value_expr(s: str) -> tuple:
             )
     if _is_interp_str(s):
         return _parse_interp(s)
-    return _parse_arith(s)
+    if _needs_mini(s):
+        # reduce/foreach/if/try/$var/def value expressions compile on
+        # the full mini-jq engine (its parse errors are already clear)
+        return ("mini", jq_mini.compile_program(s))
+    try:
+        return _parse_arith(s)
+    except ValueError:
+        # anything past the arithmetic tier (function calls like
+        # `.xs | join(",")`, pipes in expressions) → full engine
+        return ("mini", jq_mini.compile_program(s))
 
 
 def _jq_tostr(v) -> str:
@@ -825,6 +835,14 @@ def _eval_value(item, node):
     ``_ARITH_ERR`` where jq would error — callers leave the target
     unchanged rather than aborting the batch."""
     kind = node[0]
+    if kind == "mini":
+        # full-engine expression: first output; empty stream or a jq
+        # error leaves the target unchanged (the gate never aborts)
+        try:
+            outs = jq_mini.run(node[1], item)
+        except jq_mini.JqError:
+            return _ARITH_ERR
+        return outs[0] if outs else _ARITH_ERR
     if kind == "obj":
         out = {}
         for k, vast in node[1]:
@@ -947,8 +965,15 @@ def _split_assign(s: str) -> tuple[str, str, str] | None:
 
 
 _JQ_REJECT_RE = re.compile(
-    r"(?:^|[\s|(])(reduce|foreach|def)\s|\$[A-Za-z_]|\bas\s+\$"
+    r"(?:^|[\s|(])(reduce|foreach|def|if|try)\s|\$[A-Za-z_]|\bas\s+\$"
 )
+
+
+def _needs_mini(program: str) -> bool:
+    """True when the program uses constructs past the walker tier
+    (reduce/foreach/if/try, variables, def) — compiled by the full
+    mini-jq engine (jq_mini) instead of the walker."""
+    return _JQ_REJECT_RE.search(_blank_strings(program)) is not None
 
 
 def _blank_strings(s: str) -> str:
@@ -977,12 +1002,12 @@ def _reject_unsupported(program: str) -> None:
     m = _JQ_REJECT_RE.search(_blank_strings(program))
     if m:
         raise ValueError(
-            f"jq construct {m.group(0).strip()!r} in {program!r} is not "
-            "supported: this engine compiles the anonymization-config "
-            "tier of gojq (paths, select(), del(), '//', assignment "
-            "'='/'|=', interpolation, object/array construction); "
-            "reduce/foreach/variables/def need the reference's full "
-            "gojq. Express the logic as a mapping transformer instead."
+            f"jq construct {m.group(0).strip()!r} in {program!r} exceeds "
+            "the walker tier (paths, select(), del(), '//', assignment "
+            "'='/'|=', interpolation, object/array construction). "
+            "reduce/foreach/if/try/variables/def run on the full-program "
+            "tier: pass the program as an anonymize_json_udf mapping key "
+            "mapped to None."
         )
 
 
@@ -1327,9 +1352,19 @@ def anonymize_json_udf(
 
     compiled: list[tuple[tuple, TransformFn]] = []
     for p, fn in mapping.items():
-        # non-jq-looking keys (`reduce …`, `foreach …`) must reject
-        # loudly, not silently compile as dot-paths
-        _reject_unsupported(p)
+        if _needs_mini(p):
+            # full-program tier (reduce/foreach/if/try/$var/def — the
+            # arbitrary-gojq surface of json-anonymizer.go:215-236):
+            # the program rewrites the WHOLE document (assignments,
+            # del(), construction… are part of the language), so it
+            # carries its own value — map it to None
+            if fn is not None:
+                raise ValueError(
+                    f"full jq program {p!r} defines its own output; "
+                    "map it to None, not a transformer"
+                )
+            compiled.append(((("prog", jq_mini.compile_program(p)),), None))
+            continue
         asg = _split_assign(p) if _looks_like_jq(p) else None
         if asg is not None:
             # `.path = <expr>` / `.path |= <expr>`: the program itself
@@ -1396,6 +1431,21 @@ def anonymize_json_udf(
                 out.append(v)  # not JSON: passthrough
                 continue
             for path, tfn in compiled:
+                if (
+                    path
+                    and isinstance(path[0], tuple)
+                    and path[0][0] == "prog"
+                ):
+                    # whole-document program: the first output replaces
+                    # the document (AnonymizeSingle semantics); an
+                    # empty stream / jq error leaves it unchanged
+                    try:
+                        outs = jq_mini.run(path[0][1], doc)
+                    except jq_mini.JqError:
+                        outs = []
+                    if outs:
+                        doc = outs[0]
+                    continue
                 if path and path[0] == ("del",):
                     _delete_path(doc, path[1:], 0)
                     continue

@@ -1062,19 +1062,31 @@ class TestJqValueExpressions:
         got = self._apply({".n |= . + \"x\"": None}, {"n": 1})
         assert got["n"] == 1
 
+    def test_full_program_tier_accepts_former_rejections(self):
+        # round-5: reduce/foreach/$var/def graduated from rejection to
+        # the jq_mini full-program tier (keys mapped to None)
+        got = self._apply(
+            {"reduce .xs[] as $item (0; . + $item) as $s | .sum = $s": None},
+            {"xs": [1, 2, 3]},
+        )
+        assert got["sum"] == 6
+        got = self._apply({"def f: . + 1; .n |= f": None}, {"n": 1})
+        assert got["n"] == 2
+
     def test_rejections_are_loud_and_clear(self):
         import pytest as _pytest
 
-        from neosync_spark.functions.json_anonymizer import anonymize_json_udf
+        from neosync_spark.functions import jq_mini
 
+        # constructs the mini engine genuinely does not implement
         for bad in (
-            "reduce .[] as $item (0; . + $item)",
-            "foreach .[] as $i (0; . + 1)",
-            ".a | map(. as $y | $y)",
-            "def f: .; .a | f",
+            "label $out | break $out",
+            ". as [$a, $b] | $a",
+            '@base64 "x"',
+            "import \"mod\" as m; .",
         ):
-            with _pytest.raises(ValueError, match="not[ \n]+supported"):
-                anonymize_json_udf({bad: None})
+            with _pytest.raises(jq_mini.JqError):
+                jq_mini.run(bad, None)
 
     def test_assignment_with_mapped_transformer_rejects(self):
         import pytest as _pytest
