@@ -227,6 +227,55 @@ def _q_job_js_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_job_jq_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jq programs as column mappings on the job surface — the
+    reference's TransformerMapping contract, where every mapping value
+    is an arbitrary gojq program (json-anonymizer.go:215-236). Two
+    modes through one JobSpec: a JSON-mode program over `tool`
+    (if/then gate + interpolation + `|=` + ascii_upcase on the
+    full-program engine) and a raw-mode program over `text` (string
+    split + length). DuckDB replays both programs in SQL over the LWW
+    winners."""
+    from neosync_spark.plans.job import ColumnMapping, JobSpec, run_job
+
+    log_dir = tempfile.mkdtemp(prefix="ns_job_log_")
+    _derived_log(spark, sf_dir).write.mode("overwrite").parquet(log_dir)
+    dest = tempfile.mkdtemp(prefix="ns_job_jq_")
+    job = JobSpec(
+        source_path=log_dir,
+        destination_path=dest,
+        mappings=[
+            ColumnMapping(
+                "tool",
+                "transform_jq",
+                {
+                    "program": (
+                        'if .name then .label = "tool:\\(.name)" '
+                        "| .name |= ascii_upcase else . end"
+                    )
+                },
+            ),
+            ColumnMapping(
+                "text",
+                "transform_jq",
+                {
+                    "program": '. + " [w:\\((. / " ") | length)]"',
+                    "raw": True,
+                },
+            ),
+        ],
+        batch_lsn_size=10**9,
+        n_buckets=16,
+        prune_buckets=False,
+    )
+    run_job(spark, job)
+    from neosync_spark.lakehouse import SnapshotTable
+
+    return SnapshotTable.load(spark, dest).read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", _fmt_ts("ts")
+    )
+
+
 def _q_manifest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest file-list segments (the Iceberg manifest-list analog)
     under load, driver-oracled: 12 MoR delta epochs into 4 buckets push
@@ -5951,6 +6000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_upsert": _q_merge_upsert,
         "cdc_bucket_local_merge": _q_bucket_local_merge,
         "job_js_sync": _q_job_js_sync,
+        "job_jq_sync": _q_job_jq_sync,
         "cdc_identity_reseed": _q_identity_reseed,
         "cdc_manifest_segments": _q_manifest_segments,
         "cdc_stats_pruned_read": _q_stats_pruned_read,
@@ -6145,6 +6195,25 @@ def _oracle_sql_base() -> dict[str, str]:
                    regexp_replace(upper(text), '[AEIOU]', '*', 'g')
                        AS text,
                    tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM ({lww}) WHERE op <> 'delete'
+        """,
+        # the jq column mappings replayed in SQL: JSON mode over tool
+        # (gate + interpolated label + upcased name; key order = insert
+        # order, json.dumps compact separators), raw mode over text
+        # (append the split-on-space word count)
+        "job_jq_sync": f"""
+            SELECT conv_id, turn_idx, role,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE text || ' [w:' ||
+                             CAST(len(string_split(text, ' ')) AS STRING)
+                             || ']' END AS text,
+                   CASE WHEN tool IS NULL THEN NULL
+                        ELSE '{{"name":"' ||
+                             upper(json_extract_string(tool, '$.name')) ||
+                             '","label":"tool:' ||
+                             json_extract_string(tool, '$.name') || '"}}'
+                        END AS tool,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
             FROM ({lww}) WHERE op <> 'delete'
         """,

@@ -24,6 +24,7 @@ Length clamping mirrors the reference's maxLength handling
 
 from __future__ import annotations
 
+import json
 import re
 import string
 from collections.abc import Callable
@@ -1383,6 +1384,52 @@ def transform_passthrough(**_: object) -> TransformFn:
     return fn
 
 
+def transform_jq(program: str = ".", raw: bool = False) -> TransformFn:
+    """Run an arbitrary jq program over a JSON string column — the
+    reference's TransformerMapping contract, where every mapping value
+    IS a gojq program (/root/reference/internal/json-anonymizer/
+    json-anonymizer.go:215-236). Compiled once per executor on the
+    full-program engine (functions/jq_mini: reduce/foreach, variables,
+    def, if/try, path assignment, builtins); per row the first output
+    replaces the document. A non-JSON cell, an empty stream or a jq
+    runtime error leaves the cell unchanged (sync jobs must never
+    abort on one malformed document). With ``raw=True`` the cell is
+    passed to the program as a plain string instead of being JSON
+    parsed (for jq over non-JSON text columns), and a string output is
+    written back unquoted."""
+    from . import jq_mini
+
+    ast = jq_mini.compile_program(program)  # parse errors fail fast
+
+    def fn(values: pd.Series, keys: pd.Series) -> pd.Series:
+        out = []
+        for v in values:
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                out.append(None)
+                continue
+            if raw:
+                doc = v
+            else:
+                try:
+                    doc = json.loads(v)
+                except (json.JSONDecodeError, TypeError):
+                    out.append(v)
+                    continue
+            try:
+                outs = jq_mini.run(ast, doc)
+            except jq_mini.JqError:
+                outs = []
+            if not outs:
+                out.append(v)
+            elif raw and isinstance(outs[0], str):
+                out.append(outs[0])
+            else:
+                out.append(json.dumps(outs[0], separators=(",", ":")))
+        return pd.Series(out, index=values.index, dtype=object)
+
+    return fn
+
+
 # registry: name → factory (the analog of gen_neosync_transformers.go)
 
 def transform_generalize_number(
@@ -1522,6 +1569,7 @@ REGISTRY: dict[str, Callable[..., TransformFn]] = {
     "transform_date": transform_date,
     "null": transform_null,
     "passthrough": transform_passthrough,
+    "transform_jq": transform_jq,
     "transform_user_code": transform_user_code,
     "transform_javascript": transform_javascript,
     "generate_javascript": generate_javascript,
