@@ -3481,6 +3481,13 @@ def _q_pii_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tiers = {
         "builtin": X.transform_pii_text(recognize_person_names=True),
+        # round-5b: the model-free capitalization-run tier
+        # (person_heuristic) closes the non-Western-name gap on this
+        # fixture WITHOUT a model — recall 1.0, at the documented
+        # precision risk on capitalized non-name phrases
+        "heuristic": X.transform_pii_text(
+            recognize_person_names=True, person_heuristic=True
+        ),
         "hooked": X.transform_pii_text(
             recognize_person_names=True,
             custom_recognizers={"PERSON": dictionary_ner_scorer()},
@@ -8109,7 +8116,8 @@ def _oracle_sql_base() -> dict[str, str]:
                         THEN e ELSE n END AS n_marks,
                    CAST(1.0 AS DOUBLE) AS precision
             FROM c
-            CROSS JOIN (VALUES ('builtin'), ('hooked')) t(tier)
+            CROSS JOIN (VALUES ('builtin'), ('heuristic'),
+                               ('hooked')) t(tier)
             CROSS JOIN (VALUES ('PERSON'), ('EMAIL_ADDRESS'),
                                ('PHONE_NUMBER')) en(entity)
         """,

@@ -702,6 +702,100 @@ class PiiAnonymizer:
         return self.masking_char * n + matched[n:]
 
 
+# frozen titlecase-word stoplist for the heuristic PERSON tier: common
+# sentence starters / salutations / calendar words / proper-phrase
+# prefixes that capitalize without naming a person
+_TITLE_STOPWORDS = frozenset(
+    w.lower()
+    for w in (
+        "The A An And Or But Not If Then When While For With About "
+        "Contact Call Email Phone Please Dear Hi Hello Hey Regards "
+        "Meet Visit Join See Ask Tell Ping Message Invite Welcome "
+        "Thanks Thank Best Sincerely From To Subject Meeting Note "
+        "Update Reminder Report Project Team New Old North South East "
+        "West United Republic University Institute Company Inc Corp "
+        "Ltd Monday Tuesday Wednesday Thursday Friday Saturday Sunday "
+        "January February March April May June July August September "
+        "October November December Today Tomorrow Yesterday I We You "
+        "They He She It This That These Those Our Your Their My"
+    ).split()
+)
+
+# honorifics are context EVIDENCE, not name parts to trim: after one,
+# even a single surname qualifies ("Dr Tanaka")
+_HONORIFICS = frozenset(
+    w.lower() for w in ("Mr", "Mrs", "Ms", "Mx", "Dr", "Prof", "Sir", "Madam")
+)
+
+_TITLE_TOKEN_RE = re.compile(r"[^\W\d_][\w'’\-]*")
+
+
+def heuristic_person_scorer(score: float = 0.85):
+    """Model-free PERSON candidate scorer: runs of adjacent titlecase
+    tokens, edge-trimmed against the frozen stoplist; >= 2 tokens
+    qualify, or >= 1 after an honorific (the capitalization-pattern +
+    context-word tier Presidio layers under its NER model — public
+    PatternRecognizer/context-enhancer design). Unicode-aware, so it
+    recalls names outside the shipped vocabulary (non-Western
+    spellings the dataset regex provably misses). Precision honestly
+    degrades on capitalized non-name phrases — hence opt-in
+    (``person_heuristic=True``) and scored ``0.85`` (< 1.0), so a
+    ``score_threshold`` above it disables exactly this tier. Shaped as
+    a ``custom_recognizers`` batch scorer; spans route through the
+    same anonymizers/filters as every recognizer."""
+
+    def _is_title(tok: str) -> bool:
+        return (
+            len(tok) >= 2
+            and tok[0].isupper()
+            and not tok[1:].isupper()  # drops acronyms (USA, NASA)
+        )
+
+    def scorer(texts):
+        out = []
+        for t in texts:
+            spans = []
+            if isinstance(t, str):
+                toks = [
+                    (m.start(), m.end(), m.group(0))
+                    for m in _TITLE_TOKEN_RE.finditer(t)
+                ]
+                run: list = []
+                for tk in toks:
+                    if _is_title(tk[2]) and (
+                        not run or t[run[-1][1] : tk[0]] == " "
+                    ):
+                        run.append(tk)
+                        continue
+                    spans.extend(_emit_person_run(run, score))
+                    run = [tk] if _is_title(tk[2]) else []
+                spans.extend(_emit_person_run(run, score))
+            out.append(spans)
+        return out
+
+    return scorer
+
+
+def _emit_person_run(run: list, score: float) -> list:
+    """Trim stopword edges; honorific prefix lowers the 2-token bar."""
+    if not run:
+        return []
+    honorific = False
+    while run and run[0][2].lower() in _TITLE_STOPWORDS:
+        run = run[1:]
+    if run and run[0][2].lower() in _HONORIFICS:
+        honorific = True
+        run = run[1:]
+    while run and (
+        run[-1][2].lower() in _TITLE_STOPWORDS
+        or run[-1][2].lower() in _HONORIFICS
+    ):
+        run = run[:-1]
+    if not run or (len(run) < 2 and not honorific):
+        return []
+    return [(run[0][0], run[-1][1], score)]
+
+
 def person_name_regex() -> str:
     """Word-boundary alternation over the shipped first+last name
     datasets — dataset-backed PERSON recognition (the reference routes
@@ -719,6 +813,7 @@ def transform_pii_text(
     deny_words: tuple[str, ...] = (),
     entity_replacements: dict[str, str] | None = None,
     recognize_person_names: bool = False,
+    person_heuristic: bool = False,
     entity_anonymizers: dict[str, "PiiAnonymizer"] | None = None,
     deny_recognizers: dict[str, tuple[str, ...]] | None = None,
     score_threshold: float = 0.5,
@@ -826,6 +921,10 @@ def transform_pii_text(
     custom = [
         (e, s) for e, s in (custom_recognizers or {}).items() if want(e)
     ]
+    if person_heuristic and want("PERSON"):
+        # runs after user scorers (a real model's spans win the text
+        # first), before the regex recognizers like every custom tier
+        custom.append(("PERSON", heuristic_person_scorer()))
     if score_threshold > 1.0:
         # nothing can reach an impossible confidence bar
         recognizers = []
@@ -1384,7 +1483,9 @@ def transform_passthrough(**_: object) -> TransformFn:
     return fn
 
 
-def transform_jq(program: str = ".", raw: bool = False) -> TransformFn:
+def transform_jq(
+    program: str = ".", raw: bool = False, **_: object
+) -> TransformFn:
     """Run an arbitrary jq program over a JSON string column — the
     reference's TransformerMapping contract, where every mapping value
     IS a gojq program (/root/reference/internal/json-anonymizer/

@@ -83,3 +83,64 @@ def test_scorer_finds_every_occurrence(spark):
     spans = scorer(pd.Series(["Zhang Wei met Zhang Wei", None, "nobody"]))
     assert spans[0] == [(0, 9, 1.0), (14, 23, 1.0)]
     assert spans[1] == [] and spans[2] == []
+
+
+def test_heuristic_tier_closes_gap_without_a_model(spark):
+    fixture = labeled_pii_fixture(
+        spark.range(32).withColumnRenamed("id", "doc_id")
+    )
+    rep = pii_recall_report(
+        fixture,
+        {
+            "heuristic": X.transform_pii_text(
+                recognize_person_names=True, person_heuristic=True
+            )
+        },
+    )
+    got = {(r["tier"], r["entity"]): r for r in rep.collect()}
+    hp = got[("heuristic", "PERSON")]
+    assert hp["n_detected"] == hp["n_gold"] == 32
+    assert hp["recall"] == 1.0 and hp["precision"] == 1.0
+    for ent in ("EMAIL_ADDRESS", "PHONE_NUMBER"):
+        r = got[("heuristic", ent)]
+        assert r["recall"] == 1.0 and r["precision"] == 1.0
+
+
+def test_heuristic_scorer_shapes():
+    import pandas as pd
+
+    s = X.heuristic_person_scorer()
+
+    def spans_of(t):
+        return [t[a:b] for a, b, _ in s(pd.Series([t]))[0]]
+
+    # stopword edges trim; the name survives
+    assert spans_of("Contact Nguyễn Thảo at x") == ["Nguyễn Thảo"]
+    # honorific context lowers the two-token bar
+    assert spans_of("Dr Tanaka will attend") == ["Tanaka"]
+    # acronyms and lowercase text never match
+    assert spans_of("NASA launched USA rockets") == []
+    assert spans_of("please email bob smith") == []
+    # calendar/sentence words alone never match
+    assert spans_of("The meeting is on Monday") == []
+
+
+def test_heuristic_is_opt_in_and_threshold_gated():
+    import pandas as pd
+
+    texts = pd.Series(["Contact Nguyễn Thảo today"])
+    keys = pd.Series(["k"])
+    # off by default: unknown names survive the builtin tier
+    off = X.transform_pii_text(recognize_person_names=True)(texts, keys)
+    assert "Nguyễn Thảo" in off.iloc[0]
+    # a threshold above the heuristic's 0.85 disables exactly this tier
+    gated = X.transform_pii_text(
+        recognize_person_names=True,
+        person_heuristic=True,
+        score_threshold=0.9,
+    )(texts, keys)
+    assert "Nguyễn Thảo" in gated.iloc[0]
+    on = X.transform_pii_text(
+        recognize_person_names=True, person_heuristic=True
+    )(texts, keys)
+    assert "<PERSON>" in on.iloc[0] and "Nguyễn" not in on.iloc[0]
