@@ -172,6 +172,15 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--keystore", default=None,
                    help="KeyStore root for --encrypt-cols")
 
+    jb = sub.add_parser(
+        "job",
+        help="run a declarative sync job from a JSON spec file "
+             "(the reference's config-driven job definition analog: "
+             "JobSpec field names verbatim; mappings as "
+             '[{"column": c, "transformer": name, "params": {…}}])',
+    )
+    jb.add_argument("--spec", required=True, help="path to the JSON spec")
+
     c = sub.add_parser("compact", help="fold MoR delta files")
     c.add_argument("--table", required=True)
     c.add_argument("--sort-by-key", action="store_true",
@@ -933,6 +942,37 @@ def main(argv: list[str] | None = None) -> int:
             ),
             keystore_path=args.keystore,
         )
+        stats = run_job(spark, job)
+        print(json.dumps({
+            "batches_applied": stats.batches_applied,
+            "batches_skipped": stats.batches_skipped,
+            "rows_applied": stats.rows_applied,
+            "rows_skipped_fk": stats.rows_skipped_fk,
+            "schema_ops": stats.schema_ops,
+        }))
+        return 0
+
+    if args.cmd == "job":
+        import dataclasses
+
+        from .plans.job import ColumnMapping, JobSpec, run_job
+
+        with open(args.spec) as f:
+            spec = json.load(f)
+        maps = [
+            ColumnMapping(
+                m["column"], m["transformer"], m.get("params") or {}
+            )
+            for m in spec.pop("mappings", [])
+        ]
+        known = {f2.name for f2 in dataclasses.fields(JobSpec)}
+        unknown = sorted(set(spec) - known)
+        if unknown:
+            raise SystemExit(
+                f"unknown JobSpec fields in {args.spec}: {unknown}; "
+                f"known: {sorted(known)}"
+            )
+        job = JobSpec(mappings=maps, **spec)
         stats = run_job(spark, job)
         print(json.dumps({
             "batches_applied": stats.batches_applied,

@@ -418,3 +418,62 @@ def test_cli_tail_drains_wal_with_consumers(spark, tmp_path, capsys):
     # the streamed table must equal the LWW oracle over the log
     assert main(["verify", "--log", log_dir, "--table", table]) == 0
     assert '"match": true' in capsys.readouterr().out
+
+
+def test_cli_declarative_job_spec(spark, tmp_path, capsys):
+    """`job --spec job.json` — the reference's config-driven job
+    definition analog: JobSpec fields verbatim from JSON, mappings as
+    (column, transformer, params) rows, same exactly-once ledger as
+    replay, unknown fields rejected loudly."""
+    import json
+
+    from neosync_spark.cli import main
+
+    log_dir = str(tmp_path / "log")
+    table = str(tmp_path / "t")
+    assert main(["synth", "--out", log_dir, "--events", "2000"]) == 0
+    spec = {
+        "source_path": log_dir,
+        "destination_path": table,
+        "mappings": [
+            {"column": "text", "transformer": "transform_pii_text"},
+            {
+                "column": "tool",
+                "transformer": "transform_jq",
+                "params": {"program": ".name |= ascii_upcase"},
+            },
+        ],
+        "batch_lsn_size": 1000,
+    }
+    spec_path = str(tmp_path / "job.json")
+    with open(spec_path, "w") as f:
+        json.dump(spec, f)
+    assert main(["job", "--spec", spec_path]) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["rows_applied"] > 0
+    # exactly-once: the second run applies nothing
+    assert main(["job", "--spec", spec_path]) == 0
+    again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert again["batches_applied"] == 0 and again["batches_skipped"] > 0
+    # the jq mapping really ran: every non-null tool name is upcased
+    from pyspark.sql import functions as F
+
+    from neosync_spark.lakehouse import SnapshotTable
+
+    t = SnapshotTable.load(spark, table)
+    names = [
+        r[0]
+        for r in t.read()
+        .select(F.get_json_object("tool", "$.name"))
+        .filter(F.col("tool").isNotNull())
+        .collect()
+    ]
+    assert names and all(n == n.upper() for n in names)
+    # unknown fields are a loud plan error, not a silent ignore
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        json.dump({**spec, "bogus_field": 1}, f)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="bogus_field"):
+        main(["job", "--spec", bad])
