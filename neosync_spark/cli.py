@@ -171,6 +171,11 @@ def main(argv: list[str] | None = None) -> int:
                         "table rewrite")
     r.add_argument("--keystore", default=None,
                    help="KeyStore root for --encrypt-cols")
+    r.add_argument("--registry", default=None, metavar="FILE",
+                   help="declarative schema-registry JSON (versions "
+                        "effective from an lsn drive ALTERs before "
+                        "apply; declared versions stay authoritative "
+                        "over --evolve-payload)")
 
     jb = sub.add_parser(
         "job",
@@ -180,6 +185,15 @@ def main(argv: list[str] | None = None) -> int:
              '[{"column": c, "transformer": name, "params": {…}}])',
     )
     jb.add_argument("--spec", required=True, help="path to the JSON spec")
+
+    rg = sub.add_parser(
+        "registry",
+        help="validate / inspect a declarative schema-registry file "
+             "(every version re-registers through its own declared "
+             "compatibility mode; violations exit 1)",
+    )
+    rg.add_argument("--file", required=True)
+    rg.add_argument("action", choices=["check", "show"])
 
     c = sub.add_parser("compact", help="fold MoR delta files")
     c.add_argument("--table", required=True)
@@ -914,6 +928,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "replay":
         from .plans.job import JobSpec, run_job
 
+        registry = None
+        if args.registry:
+            from .schema_registry import load_registry
+
+            registry = load_registry(args.registry)
         job = JobSpec(
             source_path=args.log,
             destination_path=args.table,
@@ -942,7 +961,7 @@ def main(argv: list[str] | None = None) -> int:
             ),
             keystore_path=args.keystore,
         )
-        stats = run_job(spark, job)
+        stats = run_job(spark, job, registry)
         print(json.dumps({
             "batches_applied": stats.batches_applied,
             "batches_skipped": stats.batches_skipped,
@@ -965,15 +984,21 @@ def main(argv: list[str] | None = None) -> int:
             )
             for m in spec.pop("mappings", [])
         ]
+        registry = None
+        reg_path = spec.pop("schema_registry", None)
+        if reg_path:
+            from .schema_registry import load_registry
+
+            registry = load_registry(reg_path)
         known = {f2.name for f2 in dataclasses.fields(JobSpec)}
         unknown = sorted(set(spec) - known)
         if unknown:
             raise SystemExit(
                 f"unknown JobSpec fields in {args.spec}: {unknown}; "
-                f"known: {sorted(known)}"
+                f"known: {sorted(known)} + 'schema_registry'"
             )
         job = JobSpec(mappings=maps, **spec)
-        stats = run_job(spark, job)
+        stats = run_job(spark, job, registry)
         print(json.dumps({
             "batches_applied": stats.batches_applied,
             "batches_skipped": stats.batches_skipped,
@@ -981,6 +1006,40 @@ def main(argv: list[str] | None = None) -> int:
             "rows_skipped_fk": stats.rows_skipped_fk,
             "schema_ops": stats.schema_ops,
         }))
+        return 0
+
+    if args.cmd == "registry":
+        from .schema_registry import IncompatibleSchemaError, load_registry
+
+        try:
+            reg = load_registry(args.file)
+        except IncompatibleSchemaError as e:
+            print(json.dumps({
+                "ok": False,
+                "mode": e.mode,
+                "violations": e.violations,
+            }))
+            return 1
+        except ValueError as e:
+            print(json.dumps({"ok": False, "error": str(e)}))
+            return 1
+        out = {
+            "ok": True,
+            "policy": reg.policy,
+            "compatibility": reg.compatibility,
+            "versions": [
+                {
+                    "version": v.version,
+                    "effective_lsn": v.effective_lsn,
+                    "columns": len(v.schema.fields),
+                    **({"renames": dict(v.renames)} if v.renames else {}),
+                    **({"schema": v.schema.simpleString()}
+                       if args.action == "show" else {}),
+                }
+                for v in reg.versions
+            ],
+        }
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "compact-log":

@@ -288,3 +288,88 @@ def ensure_table_schema(
         raise RuntimeError(f"column removal under {POLICY_HALT_REMOVAL}: {drops}")
     table.alter_schema(declared, renames=renames)
     return ops
+
+
+# ------------------------------------------------- persisted registries
+
+_POLICIES = (
+    POLICY_HALT, POLICY_HALT_NEW, POLICY_HALT_REMOVAL,
+    POLICY_AUTOMAP, POLICY_PASSTHROUGH,
+)
+_COMPATS = (
+    COMPAT_NONE, COMPAT_BACKWARD, COMPAT_FORWARD, COMPAT_FULL,
+    COMPAT_BACKWARD_TRANSITIVE, COMPAT_FORWARD_TRANSITIVE,
+    COMPAT_FULL_TRANSITIVE,
+)
+
+
+def load_registry(path: str) -> SchemaRegistry:
+    """Load a declarative registry file (the config-driven analog of
+    the reference's schema-manager job config):
+
+    .. code-block:: json
+
+        {"policy": "automap", "compatibility": "backward",
+         "versions": [
+           {"schema": "conv_id string, turn_idx int, text string",
+            "effective_lsn": 0},
+           {"schema": "conv_id string, turn_idx int, text string,
+                       tool string",
+            "effective_lsn": 500000, "renames": {"text": "body"}}]}
+
+    Every version re-registers through the compatibility gate at load
+    time, so an edited file that violates its own declared mode fails
+    to load with the violation list — governance cannot be bypassed by
+    editing the file. Schemas are Spark DDL strings (parsing needs an
+    active SparkSession, which every CLI/job path has)."""
+    import json as _json
+
+    with open(path) as f:
+        doc = _json.load(f)
+    unknown = sorted(set(doc) - {"policy", "compatibility", "versions"})
+    if unknown:
+        raise ValueError(f"unknown registry keys in {path}: {unknown}")
+    policy = doc.get("policy", POLICY_AUTOMAP)
+    compat = doc.get("compatibility", COMPAT_NONE)
+    if policy not in _POLICIES:
+        raise ValueError(f"unknown policy {policy!r}; known: {_POLICIES}")
+    if compat not in _COMPATS:
+        raise ValueError(
+            f"unknown compatibility {compat!r}; known: {_COMPATS}"
+        )
+    reg = SchemaRegistry(policy=policy, compatibility=compat)
+    for i, v in enumerate(doc.get("versions", [])):
+        vu = sorted(set(v) - {"schema", "effective_lsn", "renames"})
+        if vu:
+            raise ValueError(
+                f"unknown keys in versions[{i}] of {path}: {vu}"
+            )
+        reg.register(
+            T.StructType.fromDDL(v["schema"]),
+            effective_lsn=int(v.get("effective_lsn", 0)),
+            renames=dict(v.get("renames") or {}),
+        )
+    return reg
+
+
+def save_registry(reg: SchemaRegistry, path: str) -> None:
+    """Write the registry back as its declarative file form."""
+    import json as _json
+
+    doc = {
+        "policy": reg.policy,
+        "compatibility": reg.compatibility,
+        "versions": [
+            {
+                "schema": ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in v.schema.fields
+                ),
+                "effective_lsn": v.effective_lsn,
+                **({"renames": dict(v.renames)} if v.renames else {}),
+            }
+            for v in reg.versions
+        ],
+    }
+    with open(path, "w") as f:
+        _json.dump(doc, f, indent=2)

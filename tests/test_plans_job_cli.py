@@ -477,3 +477,70 @@ def test_cli_declarative_job_spec(spark, tmp_path, capsys):
 
     with _pytest.raises(SystemExit, match="bogus_field"):
         main(["job", "--spec", bad])
+
+
+def test_cli_declarative_schema_registry(spark, tmp_path, capsys):
+    """Persisted schema-registry files: `registry check/show` validates
+    through the file's own compatibility mode, and `replay --registry`
+    drives lsn-scheduled ALTERs (declared versions authoritative)."""
+    import json
+
+    from neosync_spark.cli import main
+
+    reg = str(tmp_path / "reg.json")
+    base = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    with open(reg, "w") as f:
+        json.dump({
+            "policy": "automap",
+            "compatibility": "backward",
+            "versions": [
+                {"schema": base, "effective_lsn": 0},
+                {"schema": base + ", extra string", "effective_lsn": 900},
+            ],
+        }, f)
+    assert main(["registry", "--file", reg, "check"]) == 0
+    assert '"ok": true' in capsys.readouterr().out
+
+    # an lsn-scheduled add lands as a metadata ALTER during replay
+    log_dir = str(tmp_path / "log")
+    table = str(tmp_path / "t")
+    assert main(["synth", "--out", log_dir, "--events", "2000"]) == 0
+    assert main([
+        "replay", "--log", log_dir, "--table", table,
+        "--batch-size", "800", "--registry", reg,
+    ]) == 0
+    out = capsys.readouterr().out
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert {"op": "add_column", "name": "extra", "type": "string"} in [
+        {k: o[k] for k in ("op", "name", "type")}
+        for o in stats["schema_ops"]
+    ]
+
+    # a type-narrowing version violates backward compat: load fails
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        json.dump({
+            "compatibility": "backward",
+            "versions": [
+                {"schema": "conv_id string, n bigint"},
+                {"schema": "conv_id string, n int"},
+            ],
+        }, f)
+    assert main(["registry", "--file", bad, "check"]) == 1
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["ok"] is False and res["violations"]
+
+    # save/load round-trip preserves the declaration
+    from neosync_spark.schema_registry import load_registry, save_registry
+
+    r1 = load_registry(reg)
+    back = str(tmp_path / "back.json")
+    save_registry(r1, back)
+    r2 = load_registry(back)
+    assert [v.schema for v in r1.versions] == [v.schema for v in r2.versions]
+    assert [v.effective_lsn for v in r1.versions] == [
+        v.effective_lsn for v in r2.versions
+    ]
