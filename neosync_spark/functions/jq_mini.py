@@ -820,7 +820,19 @@ def _delpath(v, path: list):
                 del out[p]
             return out
         raise JqError(f"invalid path component {p!r}")
-    child = _getpath(v, [p]) if v is not None else None
+    if v is None:
+        return None  # jq: deleting under a missing path is a no-op
+    child = _getpath(v, [p])
+    if child is None:
+        present = (
+            isinstance(v, dict) and p in v
+        ) or (
+            isinstance(v, list)
+            and isinstance(p, int)
+            and -len(v) <= p < len(v)
+        )
+        if not present:
+            return v
     newchild = _delpath(child, path[1:])
     return _setpath(v, [p], newchild)
 
@@ -948,13 +960,10 @@ def _eval(node: tuple, v, env: _Env):
                     yield _truthy(b)
     elif kind == "alt":
         got = False
-        try:
-            for a in _eval(node[1], v, env):
-                if _truthy(a):
-                    got = True
-                    yield a
-        except JqError:
-            pass
+        for a in _eval(node[1], v, env):
+            if _truthy(a):
+                got = True
+                yield a
         if not got:
             yield from _eval(node[2], v, env)
     elif kind == "cmp":
@@ -1125,8 +1134,6 @@ def _eval_paths(node: tuple, v, env: _Env):
             elif isinstance(sub, dict):
                 for k in sub.keys():
                     yield p + [k]
-            elif sub is None:
-                return
             else:
                 raise JqError(f"cannot iterate over {_type(sub)}")
     elif kind == "pipe":
@@ -1370,13 +1377,28 @@ def _keys(v):
     raise JqError(f"{_type(v)} has no keys")
 
 
-def _contains(a, b) -> bool:
+def _contains(a, b, top: bool = True) -> bool:
+    """jq containment: strict type-matching at the TOP level (mismatch
+    errors), lenient inside container recursion (mismatch is False) —
+    the jq 1.6 binary contract, pinned by the differential suite."""
     if isinstance(a, str) and isinstance(b, str):
         return b in a
     if isinstance(a, list) and isinstance(b, list):
-        return all(any(_contains(x, y) for x in a) for y in b)
+        return all(
+            any(_contains(x, y, top=False) for x in a) for y in b
+        )
     if isinstance(a, dict) and isinstance(b, dict):
-        return all(k in a and _contains(a[k], bv) for k, bv in b.items())
+        return all(
+            k in a and _contains(a[k], bv, top=False)
+            for k, bv in b.items()
+        )
+    if _rank(a) != _rank(b) or isinstance(a, (list, dict)):
+        if top:
+            raise JqError(
+                f"{_type(a)} and {_type(b)} cannot have their "
+                "containment checked"
+            )
+        return False
     return _cmp(a, b) == 0
 
 
@@ -1535,26 +1557,30 @@ def _builtin_path(args, v, env):
 
 def _builtin_has(args, v, env):
     for k in _eval(args[0], v, env):
-        if isinstance(v, dict):
-            if not isinstance(k, str):
-                raise JqError("has key must be a string for objects")
-            yield k in v
-        elif isinstance(v, list):
-            if not _is_num(k):
-                raise JqError("has key must be a number for arrays")
-            yield 0 <= int(k) < len(v)
-        else:
-            raise JqError(f"{_type(v)} has no keys")
+        yield _has(v, k)
+
+
+def _has(v, k) -> bool:
+    if v is None:
+        return False  # jq: null | has(k) == false
+    if isinstance(v, dict):
+        if not isinstance(k, str):
+            raise JqError(
+                f"cannot check whether object has a {_type(k)} key"
+            )
+        return k in v
+    if isinstance(v, list):
+        if not _is_num(k):
+            raise JqError(
+                f"cannot check whether array has a {_type(k)} key"
+            )
+        return 0 <= int(k) < len(v)
+    raise JqError(f"cannot check whether {_type(v)} has a key")
 
 
 def _builtin_in(args, v, env):
     for container in _eval(args[0], v, env):
-        if isinstance(container, dict):
-            yield isinstance(v, str) and v in container
-        elif isinstance(container, list):
-            yield _is_num(v) and 0 <= int(v) < len(container)
-        else:
-            raise JqError(f"{_type(container)} has no keys")
+        yield _has(container, v)
 
 
 def _builtin_sort_by(args, v, env):
@@ -1665,13 +1691,23 @@ def _builtin_split(args, v, env):
 
 
 def _builtin_join(args, v, env):
+    if isinstance(v, dict):
+        v = list(v.values())
     if not isinstance(v, list):
         raise JqError(f"{_type(v)} cannot be joined")
     for s in _eval(args[0], v, env):
-        parts = [
-            "" if x is None else (x if isinstance(x, str) else _tostr(x))
-            for x in v
-        ]
+        parts = []
+        for x in v:
+            if x is None:
+                parts.append("")
+            elif isinstance(x, str):
+                parts.append(x)
+            elif isinstance(x, (list, dict)):
+                raise JqError(
+                    f"string and {_type(x)} cannot be added (join)"
+                )
+            else:
+                parts.append(_tostr(x))
         yield s.join(parts)
 
 
@@ -1701,31 +1737,33 @@ def _builtin_add(args, v, env):
     yield acc
 
 
+def _iterable_values(v) -> list:
+    if isinstance(v, list):
+        return v
+    if isinstance(v, dict):
+        return list(v.values())
+    raise JqError(f"cannot iterate over {_type(v)}")
+
+
 def _builtin_any0(args, v, env):
-    if not isinstance(v, list):
-        raise JqError("any input must be an array")
-    yield any(_truthy(x) for x in v)
+    yield any(_truthy(x) for x in _iterable_values(v))
 
 
 def _builtin_all0(args, v, env):
-    if not isinstance(v, list):
-        raise JqError("all input must be an array")
-    yield all(_truthy(x) for x in v)
+    yield all(_truthy(x) for x in _iterable_values(v))
 
 
 def _builtin_any1(args, v, env):
-    if not isinstance(v, list):
-        raise JqError("any input must be an array")
     yield any(
-        any(_truthy(o) for o in _eval(args[0], x, env)) for x in v
+        any(_truthy(o) for o in _eval(args[0], x, env))
+        for x in _iterable_values(v)
     )
 
 
 def _builtin_all1(args, v, env):
-    if not isinstance(v, list):
-        raise JqError("all input must be an array")
     yield all(
-        all(_truthy(o) for o in _eval(args[0], x, env)) for x in v
+        all(_truthy(o) for o in _eval(args[0], x, env))
+        for x in _iterable_values(v)
     )
 
 
@@ -1734,11 +1772,11 @@ def _builtin_first1(args, v, env):
 
 
 def _builtin_last1(args, v, env):
-    last = _SENTINEL = object()
+    # jq: def last(f): reduce f as $x (null; $x); -> null on empty
+    last = None
     for x in _eval(args[0], v, env):
         last = x
-    if last is not _SENTINEL:
-        yield last
+    yield last
 
 
 def _builtin_recurse(args, v, env):
@@ -1789,9 +1827,12 @@ def _builtin_explode(args, v, env):
 
 
 def _builtin_implode(args, v, env):
-    if not isinstance(v, list):
+    if not isinstance(v, list) or not all(_is_num(c) for c in v):
         raise JqError(f"{_type(v)} cannot be imploded")
-    yield "".join(chr(int(c)) for c in v)
+    try:
+        yield "".join(chr(int(c)) for c in v)
+    except (ValueError, OverflowError):
+        raise JqError("implode: invalid character code") from None
 
 
 def _builtin_todate(args, v, env):
@@ -1911,10 +1952,14 @@ _BUILTINS: dict[tuple[str, int], object] = {
     ("unique", 0): _b(lambda v: _unique(v)),
     ("unique_by", 1): _builtin_unique_by,
     ("reverse", 0): _b(
-        lambda v: v[::-1]
-        if isinstance(v, (list, str))
-        else (_ for _ in ()).throw(
-            JqError(f"{_type(v)} cannot be reversed")
+        lambda v: []
+        if v is None
+        else (
+            v[::-1]
+            if isinstance(v, (list, str))
+            else (_ for _ in ()).throw(
+                JqError(f"{_type(v)} cannot be reversed")
+            )
         )
     ),
     ("min", 0): _b(
@@ -1969,6 +2014,8 @@ def _unique(v):
 
 
 def _flatten(v, depth: int):
+    if isinstance(v, dict):
+        v = list(v.values())  # jq's flatten reduces over .[]
     if not isinstance(v, list):
         raise JqError(f"{_type(v)} cannot be flattened")
     out = []
@@ -1987,14 +2034,6 @@ def map(f): [.[] | f];
 def map_values(f): .[] |= f;
 def select(f): if f then . else empty end;
 def to_entries: [keys_unsorted[] as $k | {key: $k, value: .[$k]}];
-def from_entries:
-  reduce .[] as $e (
-    {};
-    .[$e.key // $e.k // $e.name // "" | tostring] =
-      (if ($e | has("value")) then $e.value
-       elif ($e | has("v")) then $e.v
-       else null end)
-  );
 def with_entries(f): to_entries | map(f) | from_entries;
 def first: .[0];
 def last: .[-1];
@@ -2049,6 +2088,35 @@ def _capture_impl(args, v, env):
                 yield {k: g for k, g in m.groupdict().items()}
 
 
+def _builtin_from_entries(args, v, env):
+    if isinstance(v, dict):
+        v = list(v.values())
+    if not isinstance(v, list):
+        raise JqError(f"{_type(v)} cannot be from_entries'd")
+    out = {}
+    _MISS = object()
+    for e in v:
+        if not isinstance(e, dict):
+            raise JqError(f"from_entries entry is {_type(e)}, not object")
+        k = None
+        for kk in ("key", "k", "name", "Name"):
+            if kk in e:
+                k = e[kk]
+                break
+        if not isinstance(k, str):
+            raise JqError(
+                f"cannot use {_type(k)} as object key in from_entries"
+            )
+        val = None
+        for vk in ("value", "v"):
+            if vk in e:
+                val = e[vk]
+                break
+        out[k] = val
+    yield out
+
+
+_BUILTINS[("from_entries", 0)] = _builtin_from_entries
 _BUILTINS[("capture", 1)] = _capture_impl
 _BUILTINS[("capture", 2)] = _capture_impl
 

@@ -1,0 +1,126 @@
+"""Differential test: jq_mini vs the system ``jq`` binary.
+
+Runs a program × input matrix through both engines and requires
+identical output streams (errors on both sides count as agreement).
+Skipped when no ``jq`` binary is installed. Documented divergences
+from jq 1.6 are pinned in their own test, each with the reason —
+mostly places where this engine follows gojq/jq 1.7 (the reference
+embeds gojq) or its own determinism contract.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+
+import pytest
+
+from neosync_spark.functions.jq_mini import JqError, run
+
+jq_bin = shutil.which("jq")
+pytestmark = pytest.mark.skipif(jq_bin is None, reason="no jq binary")
+
+
+def real_jq(prog: str, inp) -> list | str:
+    p = subprocess.run(
+        [jq_bin, "-c", prog],
+        input=json.dumps(inp),
+        capture_output=True,
+        text=True,
+        timeout=10,
+    )
+    if p.returncode != 0:
+        return "ERROR"
+    return [
+        json.loads(line)
+        for line in p.stdout.strip().splitlines()
+        if line.strip()
+    ]
+
+
+def mine_jq(prog: str, inp) -> list | str:
+    try:
+        return list(run(prog, inp))
+    except (JqError, RecursionError):
+        return "ERROR"
+
+
+def norm(outs) -> list | str:
+    if isinstance(outs, str):
+        return outs
+    return [json.dumps(v, sort_keys=False) for v in outs]
+
+
+PROGRAMS = [
+    ".", ".a", ".a.b", ".a[0]", ".a[]", ".a?", ".a, .b", ".a | .b",
+    ".[1:3]", ".[-2:]", "keys", "length", "add", "sort", "unique",
+    "min", "max", "to_entries", "from_entries",
+    "map(. + 1)", "[.[] | select(. > 2)]",
+    "reduce .[] as $x (0; . + $x)", "foreach .[] as $x (0; . + $x)",
+    "[limit(2; .[])]", "first(.[])", "last(.[])", "[range(5)]",
+    "del(.a)", "del(.a[0])", "[paths]", 'getpath(["a"])',
+    'setpath(["x"]; 1)', ".x = 5", ".a.b = 1", ".x |= . + 1",
+    ".x += 2", 'has("a")', "type", "not",
+    "if . then 1 else 2 end", 'try error("x") catch .', "empty",
+    "[.[] | tostring]", "tojson", "[.. | numbers]",
+    "{a: .b}", "{(.k): 1}", "group_by(.x)", "sort_by(.x)",
+    "unique_by(.x)", "min_by(.x)", "max_by(.x)",
+    "any(. > 2)", "all(. > 0)",
+    "floor", "1 + 2", "10 / 4", "7 % 3", "-7 % 3",
+    '"a" + "b"', "[1] + [2]", "{a: 1} + {b: 2}",
+    '"a,b" / ","', "null + 1", "[1, 2] - [1]",
+    '.a // "d"', "false // 1", "0 // 1",
+    ". as $x | $x", ".a as $v | .b + $v",
+    "def f: . + 1; f", "def f(g): g + 1; f(.a)",
+    "def f($n): $n * 2; f(3)",
+    "explode", "ascii_downcase", 'ltrimstr("ab")', 'startswith("ab")',
+    'split(",")', 'join("-")', 'test("b+")', 'sub("a"; "X")',
+    'gsub("a"; "X")', "tostring",
+    "until(. > 10; . * 2)", "[while(. < 10; . * 2)]",
+    "with_entries(.value += 1)", "[.[] | objects]", "[.[] | strings]",
+    "[leaf_paths]", 'in({a: 1})', "inside([1, 2])",
+    "1 < 2", "[1] < [2]", "{} < []", "null < false", "1 == 1.0",
+    ".a != .b", "keys_unsorted", 'delpaths([["a"]])', ".x //= 5",
+    "(.a, .b) = 1", "(1, 2) + (10, 20)",
+    '"\\(.a) and \\(.b)"', "{a, b}", "[.[] | not]",
+    ".a and .b", ".a or .b", "reduce .[] as $x ({}; .[$x | tostring] = $x)",
+    "foreach .[] as $x (0; . + $x; [$x, .])",
+]
+INPUTS = [
+    {"a": 1, "b": 2},
+    {"a": [1, 2, 3]},
+    [1, 2, 3, 4],
+    [],
+    {},
+    None,
+    "a,b,cd",
+    [{"x": 2}, {"x": 1}],
+    [{"key": "a", "value": 1}],
+]
+
+
+@pytest.mark.parametrize("prog", PROGRAMS, ids=PROGRAMS)
+def test_agrees_with_system_jq(prog):
+    for inp in INPUTS:
+        got, want = norm(mine_jq(prog, inp)), norm(real_jq(prog, inp))
+        assert got == want, f"on input {json.dumps(inp)}: {got} != {want}"
+
+
+# Pinned, documented divergences from jq 1.6 — each deliberate.
+DIVERGENCES = [
+    # gojq / jq 1.7 reverse strings; jq 1.6 errors
+    ("reverse", "abcd", ["dcba"]),
+    # jq 1.6's reverse on an object yields [] (an artifact of its
+    # array-index def); this engine errors like gojq
+    ("reverse", {"a": 1}, "ERROR"),
+    # this engine rejects non-determinism outright
+    ("now", None, "ERROR"),
+    ("env", None, "ERROR"),
+]
+
+
+@pytest.mark.parametrize("prog,inp,want", DIVERGENCES)
+def test_documented_divergences(prog, inp, want):
+    got = mine_jq(prog, inp)
+    assert got == want, f"{prog!r} on {inp!r}: {got!r} != {want!r}"
