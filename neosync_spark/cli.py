@@ -610,6 +610,10 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--no-prune", action="store_true")
     tl.add_argument("--quarantine", action="store_true")
     tl.add_argument("--patch-ops", action="store_true")
+    tl.add_argument("--registry", default=None, metavar="FILE",
+                    help="declarative schema-registry JSON; "
+                         "lsn-scheduled versions drive ALTERs on the "
+                         "tail exactly as in batch replay")
     tl.add_argument("--max-files", type=int, default=4,
                     help="maxFilesPerTrigger (epoch size)")
     tl.add_argument("--follow", action="store_true",
@@ -1529,7 +1533,12 @@ def main(argv: list[str] | None = None) -> int:
             quarantine=args.quarantine,
             patch_ops=args.patch_ops,
         )
-        engine, _ = compile_job(spark, job)
+        registry = None
+        if args.registry:
+            from .schema_registry import load_registry
+
+            registry = load_registry(args.registry)
+        engine, _ = compile_job(spark, job, registry)
         consumers, event_consumers = [], []
         if args.rollup_dst:
             from .operators.rollup import ROLLUP_SCHEMA

@@ -544,3 +544,40 @@ def test_cli_declarative_schema_registry(spark, tmp_path, capsys):
     assert [v.effective_lsn for v in r1.versions] == [
         v.effective_lsn for v in r2.versions
     ]
+
+
+def test_cli_tail_with_schema_registry(spark, tmp_path, capsys):
+    """The streaming tail honors --registry: lsn-scheduled versions
+    drive the same metadata ALTERs as batch replay."""
+    import json
+
+    from neosync_spark.cli import main
+    from neosync_spark.lakehouse import SnapshotTable
+
+    log_dir = str(tmp_path / "wal")
+    assert main(["synth", "--out", log_dir, "--events", "2000"]) == 0
+    capsys.readouterr()
+    reg = str(tmp_path / "reg.json")
+    base = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    with open(reg, "w") as f:
+        json.dump({
+            "policy": "automap",
+            "versions": [
+                {"schema": base, "effective_lsn": 0},
+                {"schema": base + ", extra string", "effective_lsn": 1},
+            ],
+        }, f)
+    table = str(tmp_path / "t")
+    assert main([
+        "tail", "--log", log_dir, "--table", table,
+        "--checkpoint", str(tmp_path / "ck"), "--registry", reg,
+        "--max-files", "4",
+    ]) == 0
+    cols = [
+        f.name
+        for f in SnapshotTable.load(spark, table).current_schema().fields
+    ]
+    assert "extra" in cols
