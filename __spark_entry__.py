@@ -5020,6 +5020,57 @@ def _q_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sft_examples(alive, context_budget_chars=200)
 
 
+def _q_sft_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training data as a CDC consumer (sft_sync.sft_sync): the log
+    replays in three epochs, the SFT-example export advancing after
+    each at O(changed conversations) — re-windowing only the epoch's
+    changed convs and retracting examples whose target turn vanished
+    (the log's delete ops exercise retraction across epoch
+    boundaries). Invariant: the maintained export equals the one-shot
+    sft_examples over the FINAL state — the same DuckDB oracle as
+    transcript_sft_examples."""
+    from neosync_spark.engine import EngineConfig, ReplayEngine
+    from neosync_spark.lakehouse import SnapshotTable
+    from neosync_spark.operators.sft_sync import create_sft_export, sft_sync
+    from neosync_spark.schema import KEY_COLS, transcript_schema
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+
+    path = tempfile.mkdtemp(prefix="ns_sft_src_")
+    table = SnapshotTable.create(
+        spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
+    )
+    export = create_sft_export(
+        spark, tempfile.mkdtemp(prefix="ns_sft_exp_"), n_buckets=16
+    )
+    eng = ReplayEngine(
+        spark,
+        table,
+        config=EngineConfig(
+            batch_lsn_size=hi + 2, lineage=False, prune_buckets=False
+        ),
+    )
+
+    def slicer(lo: int, hi_: int) -> DataFrame:
+        return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
+
+    last = None
+    w = hi // 3 + 1
+    for k in range(3):
+        eng.replay(slicer, lsn_lo=k * w, lsn_hi=min((k + 1) * w, hi + 1))
+        head = int(table.manifest(refresh=True)["snapshot_id"])
+        sft_sync(
+            table, export, head, from_snapshot=last,
+            context_budget_chars=200,
+        )
+        last = head
+    return export.read().select(
+        "conv_id", "turn_idx", "n_context_turns", "context_chars",
+        "context", "target",
+    )
+
+
 def _q_template_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-conversation template detection over the final state: the
     per-event ordinal is stripped first (text carries a unique '#lsn'
@@ -6008,6 +6059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_bucket_local_merge": _q_bucket_local_merge,
         "job_js_sync": _q_job_js_sync,
         "job_jq_sync": _q_job_jq_sync,
+        "transcript_sft_sync": _q_sft_sync,
         "cdc_identity_reseed": _q_identity_reseed,
         "cdc_manifest_segments": _q_manifest_segments,
         "cdc_stats_pruned_read": _q_stats_pruned_read,
@@ -9058,4 +9110,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811 — wrapper adds aliases
     # near-dup ground truth over the same final docs (clones replayed
     # through the table vs docs planted directly — identical states)
     d["conv_dedup_index_sync"] = d["conv_near_dup_pairs"]
+    # the tail-maintained SFT export must equal the one-shot windowing
+    # of the final state — same oracle by construction
+    d["transcript_sft_sync"] = d["transcript_sft_examples"]
     return d

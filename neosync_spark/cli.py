@@ -627,6 +627,12 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--scd2-dim", default=None,
                     help="also maintain an SCD2 dimension (WAL files "
                          "must arrive lsn-ordered; see scd2_sync)")
+    tl.add_argument("--sft-dst", default=None,
+                    help="maintain an incremental SFT-example export "
+                         "(training data as a CDC consumer; O(changed "
+                         "convs)/epoch, vanished targets retracted)")
+    tl.add_argument("--sft-budget", type=int, default=2048,
+                    help="context budget (chars) for --sft-dst")
     tl.add_argument("--stats-dst", default=None,
                     help="also maintain per-bucket column statistics "
                          "(incremental ANALYZE; see stats-sync)")
@@ -1566,6 +1572,17 @@ def main(argv: list[str] | None = None) -> int:
                     key_cols=KEY_COLS, n_buckets=args.buckets,
                 )
             consumers.append(replica_consumer(rep))
+        if args.sft_dst:
+            from .operators.sft_sync import create_sft_export
+            from .streaming.consumers import sft_export_consumer
+
+            if SnapshotTable.exists(args.sft_dst):
+                sft = SnapshotTable.load(spark, args.sft_dst)
+            else:
+                sft = create_sft_export(spark, args.sft_dst)
+            consumers.append(sft_export_consumer(
+                sft, context_budget_chars=args.sft_budget
+            ))
         if args.stats_dst:
             from .operators.stats_sync import create_stats_table
             from .streaming.consumers import stats_consumer

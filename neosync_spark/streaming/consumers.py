@@ -77,6 +77,21 @@ def conv_dedup_index_consumer(index: SnapshotTable, **params) -> Consumer:
     return _sync
 
 
+def sft_export_consumer(dst: SnapshotTable, **params) -> Consumer:
+    """Training data as a CDC consumer (operators/sft_sync.py): the
+    SFT-example export re-windows ONLY the epoch's changed
+    conversations and retracts examples whose target turn vanished —
+    an always-fresh training set at O(changed convs) per epoch."""
+    from ..operators.sft_sync import sft_sync
+
+    def _sync(src: SnapshotTable, head: int) -> None:
+        last = _last_synced(dst)
+        if last != head:
+            sft_sync(src, dst, head, from_snapshot=last, **params)
+
+    return _sync
+
+
 def secondary_index_consumer(index: SnapshotTable, col: str) -> Consumer:
     """Secondary value index (operators/secondary_index.py)."""
     from ..operators.secondary_index import secondary_index_sync
