@@ -5071,6 +5071,37 @@ def _q_sft_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dpo_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference mining as a CDC EVENT consumer (dpo_sync): the log
+    replays in three lsn-contiguous epochs, each folding into the
+    per-key state in WAL order; pairs serve FROM STATE (the log is
+    never reread). Invariant: equals the one-shot
+    preference_pairs(log, order_cols=("lsn",)) — the lsn-ordered
+    variant of the transcript_preference_pairs oracle (WAL-order
+    doctrine: "which version superseded which" is the commit order;
+    payload ts can disorder across epochs)."""
+    from neosync_spark.operators.dpo_sync import (
+        create_dpo_state,
+        dpo_pairs,
+        dpo_sync,
+    )
+
+    log = _derived_log(spark, sf_dir)
+    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    state = create_dpo_state(
+        spark, tempfile.mkdtemp(prefix="ns_dpo_state_"), n_buckets=16
+    )
+    w = hi // 3 + 1
+    for k in range(3):
+        lo, hi_ = k * w, min((k + 1) * w, hi + 1)
+        dpo_sync(
+            state,
+            log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_)),
+            (lo, hi_),
+        )
+    return dpo_pairs(state)
+
+
 def _q_template_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-conversation template detection over the final state: the
     per-event ordinal is stripped first (text carries a unique '#lsn'
@@ -6060,6 +6091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "job_js_sync": _q_job_js_sync,
         "job_jq_sync": _q_job_jq_sync,
         "transcript_sft_sync": _q_sft_sync,
+        "transcript_dpo_sync": _q_dpo_sync,
         "cdc_identity_reseed": _q_identity_reseed,
         "cdc_manifest_segments": _q_manifest_segments,
         "cdc_stats_pruned_read": _q_stats_pruned_read,
@@ -7761,6 +7793,46 @@ def _oracle_sql_base() -> dict[str, str]:
                        row_number() OVER (
                          PARTITION BY v.conv_id, v.turn_idx
                          ORDER BY v.ts DESC, v.lsn DESC) AS rn
+                FROM vers v
+                JOIN win w ON w.conv_id = v.conv_id
+                          AND w.turn_idx = v.turn_idx
+                WHERE v.text <> w.text
+              ) WHERE rn = 1
+            )
+            SELECT w.conv_id, w.turn_idx, w.text AS chosen,
+                   l.text AS rejected, CAST(nv.n AS BIGINT) AS n_versions
+            FROM win w
+            JOIN loser l ON l.conv_id = w.conv_id AND l.turn_idx = w.turn_idx
+            JOIN nv ON nv.conv_id = w.conv_id AND nv.turn_idx = w.turn_idx
+            WHERE w.op <> 'delete' AND w.role = 'assistant'
+        """,
+        # the tail-maintained state folds in WAL (lsn) order — the
+        # lsn-ordered variant of the pairs oracle above
+        "transcript_dpo_sync": f"""
+            WITH ev AS ({_CDC_DERIVATION}),
+            win AS (
+              SELECT * FROM (
+                SELECT conv_id, turn_idx, op, role, text,
+                       row_number() OVER (
+                         PARTITION BY conv_id, turn_idx
+                         ORDER BY lsn DESC) AS rn
+                FROM ev
+              ) WHERE rn = 1
+            ),
+            vers AS (
+              SELECT conv_id, turn_idx, lsn, text FROM ev
+              WHERE op <> 'delete' AND text IS NOT NULL
+            ),
+            nv AS (
+              SELECT conv_id, turn_idx, count(DISTINCT text) AS n
+              FROM vers GROUP BY conv_id, turn_idx
+            ),
+            loser AS (
+              SELECT * FROM (
+                SELECT v.conv_id, v.turn_idx, v.text,
+                       row_number() OVER (
+                         PARTITION BY v.conv_id, v.turn_idx
+                         ORDER BY v.lsn DESC) AS rn
                 FROM vers v
                 JOIN win w ON w.conv_id = v.conv_id
                           AND w.turn_idx = v.turn_idx

@@ -186,6 +186,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     jb.add_argument("--spec", required=True, help="path to the JSON spec")
 
+    dp = sub.add_parser(
+        "dpo-pairs",
+        help="serve DPO preference pairs from tail-maintained mining "
+             "state (--dpo-dst) — chosen/rejected per rewritten "
+             "assistant turn, no log reread",
+    )
+    dp.add_argument("--state", required=True)
+    dp.add_argument("--target-role", default="assistant")
+    dp.add_argument("--limit", type=int, default=20)
+
     rg = sub.add_parser(
         "registry",
         help="validate / inspect a declarative schema-registry file "
@@ -627,6 +637,10 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--scd2-dim", default=None,
                     help="also maintain an SCD2 dimension (WAL files "
                          "must arrive lsn-ordered; see scd2_sync)")
+    tl.add_argument("--dpo-dst", default=None,
+                    help="maintain incremental DPO preference-mining "
+                         "state (event consumer: superseded texts live "
+                         "only in the log); serve with `dpo-pairs`")
     tl.add_argument("--sft-dst", default=None,
                     help="maintain an incremental SFT-example export "
                          "(training data as a CDC consumer; O(changed "
@@ -1016,6 +1030,18 @@ def main(argv: list[str] | None = None) -> int:
             "rows_skipped_fk": stats.rows_skipped_fk,
             "schema_ops": stats.schema_ops,
         }))
+        return 0
+
+    if args.cmd == "dpo-pairs":
+        from .lakehouse import SnapshotTable
+        from .operators.dpo_sync import dpo_pairs
+
+        state = SnapshotTable.load(spark, args.state)
+        pairs = dpo_pairs(state, target_role=args.target_role)
+        n = pairs.count()
+        for r in pairs.orderBy("conv_id", "turn_idx").limit(args.limit).collect():
+            print(json.dumps(r.asDict(), default=str))
+        print(json.dumps({"pairs": n}))
         return 0
 
     if args.cmd == "registry":
@@ -1572,6 +1598,15 @@ def main(argv: list[str] | None = None) -> int:
                     key_cols=KEY_COLS, n_buckets=args.buckets,
                 )
             consumers.append(replica_consumer(rep))
+        if args.dpo_dst:
+            from .operators.dpo_sync import create_dpo_state
+            from .streaming.consumers import dpo_consumer
+
+            if SnapshotTable.exists(args.dpo_dst):
+                dpo = SnapshotTable.load(spark, args.dpo_dst)
+            else:
+                dpo = create_dpo_state(spark, args.dpo_dst)
+            event_consumers.append(dpo_consumer(dpo))
         if args.sft_dst:
             from .operators.sft_sync import create_sft_export
             from .streaming.consumers import sft_export_consumer

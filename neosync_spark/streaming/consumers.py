@@ -128,6 +128,21 @@ def scd2_consumer(dim: SnapshotTable, key_cols, attr_cols=None) -> EventConsumer
     return _sync
 
 
+def dpo_consumer(state: SnapshotTable, **params) -> EventConsumer:
+    """Incremental DPO preference mining (operators/dpo_sync.py).
+
+    Like SCD2, the information lives only in EVENTS (the final table
+    never holds superseded texts), so this is an event consumer: each
+    epoch's lsn-contiguous slice folds into the per-key state; pairs
+    serve from state via ``dpo_pairs`` without rereading the log."""
+    from ..operators.dpo_sync import dpo_sync
+
+    def _sync(batch, rng: tuple[int, int]) -> None:
+        dpo_sync(state, batch, rng, **params)
+
+    return _sync
+
+
 def replica_consumer(dst: SnapshotTable) -> Consumer:
     """Cross-lakehouse replica (plans/replicate.py)."""
     from ..plans.replicate import replicate_incremental
