@@ -403,13 +403,12 @@ class _Parser:
             return self._string_node(v)
         if k == "format":
             self.next()
-            if not self.at("str"):
-                raise JqError(
-                    f"@{v} format strings are not supported by this engine"
-                )
-            raise JqError(
-                f"@{v} format interpolation is not supported by this engine"
-            )
+            if v not in _FORMATS:
+                raise JqError(f"@{v} is not a known format")
+            if self.at("str"):
+                parts = self.next()[1]
+                return ("interp_fmt", v, self._string_node(parts))
+            return ("format", v)
         if k == "var":
             self.next()
             return ("var", v)
@@ -939,7 +938,15 @@ def _eval(node: tuple, v, env: _Env):
     elif kind == "object":
         yield from _eval_object(node[1], 0, {}, v, env)
     elif kind == "interp":
-        yield from _eval_interp(node[1], 0, "", v, env)
+        yield from _eval_interp(node[1], 0, "", v, env, None)
+    elif kind == "format":
+        yield _apply_format(node[1], v)
+    elif kind == "interp_fmt":
+        sub = node[2]
+        if sub[0] == "lit":
+            yield sub[1]  # no splices -> nothing to format
+        else:
+            yield from _eval_interp(sub[1], 0, "", v, env, node[1])
     elif kind == "if":
         _, cond, then, els = node
         for c in _eval(cond, v, env):
@@ -1042,16 +1049,17 @@ def _eval_object(entries, i, acc, v, env):
             yield from _eval_object(entries, i + 1, acc2, v, env)
 
 
-def _eval_interp(parts, i, acc, v, env):
+def _eval_interp(parts, i, acc, v, env, fmt):
     if i == len(parts):
         yield acc
         return
     p = parts[i]
     if isinstance(p, str):
-        yield from _eval_interp(parts, i + 1, acc + p, v, env)
+        yield from _eval_interp(parts, i + 1, acc + p, v, env, fmt)
     else:
         for x in _eval(p, v, env):
-            yield from _eval_interp(parts, i + 1, acc + _tostr(x), v, env)
+            s = _apply_format(fmt, x) if fmt else _tostr(x)
+            yield from _eval_interp(parts, i + 1, acc + s, v, env, fmt)
 
 
 def _index(b, i):
@@ -1269,6 +1277,99 @@ def _bind_call(clo: _Closure, args: tuple, v, caller_env: _Env):
             yield from rec(i + 1, e.bind_var(name[1:], val))
 
     yield from rec(0, fenv)
+
+
+# @format library (jq manual; gojq semantics where jq 1.6 differs —
+# @tsv ESCAPES \t/\n/\r/\\ like gojq/jq 1.7 instead of erroring)
+_FORMATS = ("text", "json", "csv", "tsv", "html", "uri", "sh",
+            "base64", "base64d")
+
+_URI_SAFE = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-_.~"
+)
+
+
+def _fmt_scalar_csv(x):
+    if x is None:
+        return ""
+    if isinstance(x, bool):
+        return "true" if x else "false"
+    if _is_num(x):
+        return _tostr(x)
+    if isinstance(x, str):
+        return '"' + x.replace('"', '""') + '"'
+    raise JqError(f"{_type(x)} is not valid in a csv row")
+
+
+def _fmt_scalar_tsv(x):
+    if x is None:
+        return ""
+    if isinstance(x, bool):
+        return "true" if x else "false"
+    if _is_num(x):
+        return _tostr(x)
+    if isinstance(x, str):
+        return (
+            x.replace("\\", "\\\\")
+            .replace("\t", "\\t")
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+        )
+    raise JqError(f"{_type(x)} is not valid in a tsv row")
+
+
+def _fmt_sh_one(x):
+    if x is None or isinstance(x, bool) or _is_num(x):
+        return _tostr(x)
+    if isinstance(x, str):
+        return "'" + x.replace("'", "'\\''") + "'"
+    raise JqError(f"{_type(x)} can not be escaped for shell")
+
+
+def _apply_format(fmt: str, v):
+    import base64 as _b64
+
+    if fmt == "text":
+        return _tostr(v)
+    if fmt == "json":
+        return json.dumps(v, separators=(",", ":"))
+    if fmt == "csv":
+        if not isinstance(v, list):
+            raise JqError(f"{_type(v)} cannot be csv-formatted")
+        return ",".join(_fmt_scalar_csv(x) for x in v)
+    if fmt == "tsv":
+        if not isinstance(v, list):
+            raise JqError(f"{_type(v)} cannot be tsv-formatted")
+        return "\t".join(_fmt_scalar_tsv(x) for x in v)
+    if fmt == "html":
+        s = _tostr(v)
+        return (
+            s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace("'", "&#39;")
+            .replace('"', "&quot;")
+        )
+    if fmt == "uri":
+        return "".join(
+            ch
+            if ch in _URI_SAFE
+            else "".join(f"%{b:02X}" for b in ch.encode("utf-8"))
+            for ch in _tostr(v)
+        )
+    if fmt == "sh":
+        if isinstance(v, list):
+            return " ".join(_fmt_sh_one(x) for x in v)
+        return _fmt_sh_one(v)
+    if fmt == "base64":
+        return _b64.b64encode(_tostr(v).encode("utf-8")).decode("ascii")
+    # base64d
+    if not isinstance(v, str):
+        raise JqError(f"{_type(v)} cannot be base64-decoded")
+    try:
+        return _b64.b64decode(v + "=" * (-len(v) % 4)).decode(
+            "utf-8", "replace"
+        )
+    except Exception:
+        raise JqError("invalid base64 input") from None
 
 
 _RE_FLAGS = {"i": re.IGNORECASE, "x": re.VERBOSE, "s": re.DOTALL,

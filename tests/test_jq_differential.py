@@ -84,6 +84,8 @@ PROGRAMS = [
     ".a != .b", "keys_unsorted", 'delpaths([["a"]])', ".x //= 5",
     "(.a, .b) = 1", "(1, 2) + (10, 20)",
     '"\\(.a) and \\(.b)"', "{a, b}", "[.[] | not]",
+    "@json", '@base64', '"x" | @base64 | @base64d',
+    '[.a, .b] | @csv', '@html "v=\\(.a)"', '[.a] | @sh',
     ".a and .b", ".a or .b", "reduce .[] as $x ({}; .[$x | tostring] = $x)",
     "foreach .[] as $x (0; . + $x; [$x, .])",
 ]

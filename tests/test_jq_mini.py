@@ -159,7 +159,32 @@ def test_run(prog, inp, want):
 
 
 REJECTED = ["env", "now", "input", "$__loc__", 'label $out | 1',
-            "import \"m\" as m; .", ". as [$a] | $a"]
+            "import \"m\" as m; .", ". as [$a] | $a", "@nosuchformat"]
+
+FORMAT_CASES = [
+    ('@base64 "x\\(.a)"', {"a": 5}, ["xNQ=="]),
+    ("[1,2] | @csv", None, ["1,2"]),
+    ('["a\\"b"] | @csv', None, ['"a""b"']),
+    ('[1,"a b"] | @tsv', None, ["1\ta b"]),
+    ('"a&b" | @html', None, ["a&amp;b"]),
+    ('"\u00e9" | @uri', None, ["%C3%A9"]),
+    ('"eA==" | @base64d', None, ["x"]),
+    ('{"a": 1} | @json', None, ['{"a":1}']),
+    ("5 | @base64", None, ["NQ=="]),
+    ('@text "v=\\(.a)"', {"a": 5}, ["v=5"]),
+    ("[null, true] | @csv", None, [",true"]),
+    ('["a", "b c"] | @sh', None, ["'a' 'b c'"]),
+    # gojq/jq-1.7 divergence from jq 1.6: @tsv ESCAPES control chars
+    # instead of erroring
+    ('["a\tb"] | @tsv', None, ["a\\tb"]),
+]
+
+
+@pytest.mark.parametrize(
+    "prog,inp,want", FORMAT_CASES, ids=[c[0] for c in FORMAT_CASES]
+)
+def test_format_strings(prog, inp, want):
+    assert run(prog, inp) == want
 
 
 @pytest.mark.parametrize("prog", REJECTED)

@@ -1082,7 +1082,6 @@ class TestJqValueExpressions:
         for bad in (
             "label $out | break $out",
             ". as [$a, $b] | $a",
-            '@base64 "x"',
             "import \"mod\" as m; .",
         ):
             with _pytest.raises(jq_mini.JqError):
