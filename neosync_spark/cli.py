@@ -186,6 +186,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     jb.add_argument("--spec", required=True, help="path to the JSON spec")
 
+    sq = sub.add_parser(
+        "sql",
+        help="ad-hoc Spark SQL over lakehouse tables: --table "
+             "name=path registers each snapshot as a view (optionally "
+             "at a pinned snapshot and/or policy-masked), then runs "
+             "the query",
+    )
+    sq.add_argument("--table", action="append", default=[],
+                    metavar="NAME=PATH[@SNAPSHOT]", required=True)
+    sq.add_argument("--query", required=True)
+    sq.add_argument("--limit", type=int, default=50,
+                    help="rows printed (the full count is reported)")
+    sq.add_argument("--policies", default=None,
+                    help="policy JSON: masked reads for every view")
+    sq.add_argument("--audience", default=None)
+
     dp = sub.add_parser(
         "dpo-pairs",
         help="serve DPO preference pairs from tail-maintained mining "
@@ -1030,6 +1046,39 @@ def main(argv: list[str] | None = None) -> int:
             "rows_skipped_fk": stats.rows_skipped_fk,
             "schema_ops": stats.schema_ops,
         }))
+        return 0
+
+    if args.cmd == "sql":
+        from .lakehouse import SnapshotTable
+
+        pol = None
+        if args.policies:
+            if not args.audience:
+                raise SystemExit("--policies needs --audience")
+            with open(args.policies) as fh:
+                pol = json.load(fh)
+        for spec in args.table:
+            name, _, rest = spec.partition("=")
+            if not rest:
+                raise SystemExit(
+                    f"--table needs NAME=PATH[@SNAPSHOT], got {spec!r}"
+                )
+            path, _, snap = rest.partition("@")
+            t = SnapshotTable.load(spark, path)
+            df = t.read(snapshot_id=int(snap)) if snap else t.read()
+            if pol is not None:
+                from .operators.policy_mask import apply_policies
+
+                df = apply_policies(df, pol, args.audience)
+            df.createOrReplaceTempView(name)
+        out = spark.sql(args.query)
+        rows = out.limit(args.limit).collect()
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+        # full count only when the preview hit the limit (cheap when
+        # the query is an aggregate; the scan prunes like any read)
+        n = len(rows) if len(rows) < args.limit else out.count()
+        print(json.dumps({"rows": n, "printed": len(rows)}))
         return 0
 
     if args.cmd == "dpo-pairs":
