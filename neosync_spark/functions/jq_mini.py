@@ -1589,15 +1589,97 @@ def _builtin_splits(args, v, env):
             yield from re.split(_pyre(pat), v, flags=_re_flags(fl))
 
 
+def _re_arg(pat):
+    """jq regex argument: a string, or [re, flags]."""
+    if isinstance(pat, list):
+        if not (1 <= len(pat) <= 2) or not all(
+            isinstance(x, str) for x in pat
+        ):
+            raise JqError("regex array form must be [re] or [re, flags]")
+        return pat[0], (pat[1] if len(pat) == 2 else None)
+    if not isinstance(pat, str):
+        raise JqError(f"{_type(pat)} is not a regex")
+    return pat, None
+
+
+def _match_objects(v, pat, flags):
+    """jq match objects for pat over v (codepoint offsets; named and
+    positional captures, unmatched groups offset -1)."""
+    if not isinstance(v, str):
+        raise JqError(f"{_type(v)} cannot be matched")
+    global_ = "g" in (flags or "")
+    rx = re.compile(_pyre(pat), _re_flags(flags))
+    names = {i: n for n, i in rx.groupindex.items()}
+    # Oniguruma global-match loop: a position AT the end of a
+    # non-empty string never yields another (zero-width) match —
+    # pinned against the jq binary ("ab" gives a@0 then ""@1, never
+    # ""@2; "" gives exactly ""@0)
+    pos = 0
+    while pos < len(v) or (pos == 0 and not v):
+        m = rx.search(v, pos)
+        if not m:
+            return
+        caps = []
+        for gi in range(1, rx.groups + 1):
+            s = m.group(gi)
+            if s is None:
+                # jq emits unmatched captures with this exact key
+                # order (offset, string, length, name) — cosmetic, but
+                # the differential comparator is strict
+                caps.append({
+                    "offset": -1, "string": None, "length": 0,
+                    "name": names.get(gi),
+                })
+            else:
+                caps.append({
+                    "offset": m.start(gi), "length": len(s),
+                    "string": s, "name": names.get(gi),
+                })
+        yield {
+            "offset": m.start(),
+            "length": len(m.group(0)),
+            "string": m.group(0),
+            "captures": caps,
+        }
+        if not global_:
+            return
+        pos = m.end() if m.end() > m.start() else m.end() + 1
+
+
+def _builtin_match(args, v, env):
+    for pat in _eval(args[0], v, env):
+        p2, fl0 = _re_arg(pat)
+        flags = [fl0]
+        if len(args) == 2:
+            flags = list(_eval(args[1], v, env))
+        for fl in flags:
+            yield from _match_objects(v, p2, fl)
+
+
+def _builtin_scan(args, v, env):
+    for pat in _eval(args[0], v, env):
+        p2, fl0 = _re_arg(pat)
+        flags = [fl0]
+        if len(args) == 2:
+            flags = list(_eval(args[1], v, env))
+        for fl in flags:
+            for m in _match_objects(v, p2, (fl or "") + "g"):
+                if m["captures"]:
+                    yield [c["string"] for c in m["captures"]]
+                else:
+                    yield m["string"]
+
+
 def _builtin_test(args, v, env):
     if not isinstance(v, str):
         raise JqError(f"{_type(v)} cannot be matched")
     for pat in _eval(args[0], v, env):
-        flags = [None]
+        p2, fl0 = _re_arg(pat)
+        flags = [fl0]
         if len(args) == 2:
             flags = list(_eval(args[1], v, env))
         for fl in flags:
-            yield re.search(_pyre(pat), v, _re_flags(fl)) is not None
+            yield re.search(_pyre(p2), v, _re_flags(fl)) is not None
 
 
 def _builtin_sub(global_):
@@ -2009,6 +2091,10 @@ _BUILTINS: dict[tuple[str, int], object] = {
     ("splits", 2): _builtin_splits,
     ("join", 1): _builtin_join,
     ("test", 1): _builtin_test,
+    ("match", 1): _builtin_match,
+    ("match", 2): _builtin_match,
+    ("scan", 1): _builtin_scan,
+    ("scan", 2): _builtin_scan,
     ("test", 2): _builtin_test,
     ("sub", 2): _builtin_sub(False),
     ("sub", 3): _builtin_sub(False),

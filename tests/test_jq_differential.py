@@ -85,6 +85,8 @@ PROGRAMS = [
     "(.a, .b) = 1", "(1, 2) + (10, 20)",
     '"\\(.a) and \\(.b)"', "{a, b}", "[.[] | not]",
     "@json", '@base64', '"x" | @base64 | @base64d',
+    '[match("b.";"g")]', '[scan("[a-d]")]', 'match("(x)?(c)")',
+    '[match("z*";"g")] | length', 'test(["B","i"])',
     '[.a, .b] | @csv', '@html "v=\\(.a)"', '[.a] | @sh',
     ".a and .b", ".a or .b", "reduce .[] as $x ({}; .[$x | tostring] = $x)",
     "foreach .[] as $x (0; . + $x; [$x, .])",

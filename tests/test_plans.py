@@ -696,3 +696,25 @@ def test_scoped_transform_stays_jvm(spark, log_path):
     plan = _plan(out)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CASE WHEN" in plan
+
+
+def test_dpo_and_sft_serve_paths_stay_jvm(spark, tmp_path):
+    """Round-5 session-2 consumers: the serve paths (dpo_pairs over
+    mining state; sft_examples windowing) are pure JVM — no Python
+    eval stage anywhere, and the SFT fold is ONE key shuffle."""
+    from neosync_spark.operators.conversations import sft_examples
+    from neosync_spark.operators.dpo_sync import create_dpo_state, dpo_pairs
+
+    st = create_dpo_state(spark, str(tmp_path / "st"), n_buckets=4)
+    plan = _plan(dpo_pairs(st))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "hi"), ("c1", 1, "assistant", "yo")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    plan2 = _plan(sft_examples(df))
+    assert "ArrowEvalPython" not in plan2 and "BatchEvalPython" not in plan2
+    # one conversation-key exchange feeds the whole windowing (an AQE
+    # re-partition may add coalesces, but no second key shuffle)
+    assert plan2.count("Exchange hashpartitioning") <= 1
