@@ -725,6 +725,37 @@ def main() -> None:
         "per-epoch work is O(changed conversations), never the table.",
     )
 
+    from neosync_spark.operators.conversations import sft_examples
+
+    alive = lww_dedup(log, ["conv_id", "turn_idx"], ["ts", "lsn"]).filter(
+        F.col("op") != "delete"
+    )
+    cap(
+        "SFT windowing (transcripts → training pairs)",
+        sft_examples(alive, context_budget_chars=200),
+        "one conversation-key Exchange feeds the whole windowing: "
+        "collect_list/sort_array assemble turns conversation-locally, "
+        "targets posexplode, and the maximal in-budget context suffix "
+        "is a single JVM `aggregate` fold per target — no Python, no "
+        "window over exploded rows. sft_sync reuses this plan over an "
+        "epoch's changed conversations only (changed-bucket pruned "
+        "scan + broadcast semi-join, same shape as the conv-index "
+        "section above).",
+    )
+
+    from neosync_spark.operators.dpo_sync import create_dpo_state, dpo_pairs
+
+    dst = create_dpo_state(spark, tempfile.mkdtemp() + "/dpo", n_buckets=4)
+    cap(
+        "DPO pair serve (from tail-maintained mining state)",
+        dpo_pairs(dst),
+        "pairs serve from the folded per-key state with a pure "
+        "filter+project over the state scan — the change log is never "
+        "reread. The per-epoch fold (dpo_sync) is one key hash-agg "
+        "(sort_array + one JVM `aggregate` per touched key) joined "
+        "LEFT against the bucket-pruned previous state.",
+    )
+
     hdr = (
         "# PLANS — formatted physical plans of load-bearing operators\n\n"
         "Generated by tools/gen_plans.py (`df.explain('formatted')` at sf0.001).\n"
