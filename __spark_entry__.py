@@ -108,6 +108,40 @@ def _derived_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_CDC_DERIVATION)
 
 
+def _log_hi(spark: SparkSession, sf_dir: str) -> int:
+    """max(lsn) of the event-derived change logs WITHOUT a Spark job:
+    every derivation in this file sets ``lsn = event_id`` verbatim, so
+    the events parquet footer's event_id max IS max(lsn) — a driver-side
+    metadata read replacing a full-scan aggregate per query. Falls back
+    to the aggregate when a footer lacks stats."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    files = [path] if os.path.isfile(path) else sorted(
+        _glob.glob(os.path.join(path, "*.parquet"))
+    )
+    mx = None
+    try:
+        for f in files:
+            md = _pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            ci = idx["event_id"]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("footer lacks event_id stats")
+                mx = st.max if mx is None else max(mx, st.max)
+    except Exception:
+        mx = None
+    if mx is not None:
+        return int(mx)
+    return int(
+        _derived_log(spark, sf_dir).agg(F.max("lsn")).collect()[0][0] or 0
+    )
+
+
 def _fmt_ts(col: str = "ts"):
     return F.date_format(F.col(col), "yyyy-MM-dd HH:mm:ss").alias("ts_s")
 
@@ -125,7 +159,7 @@ def _q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    hi = _log_hi(spark, sf_dir)
     batch = max(1000, (int(hi) + 4) // 4)
 
     path = tempfile.mkdtemp(prefix="ns_cdc_replay_")
@@ -163,7 +197,7 @@ def _q_bucket_local_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    hi = _log_hi(spark, sf_dir)
     batch = max(1000, (int(hi) + 4) // 4)
 
     path = tempfile.mkdtemp(prefix="ns_cdc_blm_")
@@ -292,7 +326,7 @@ def _q_manifest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     step = (hi + 12) // 12
 
     path = tempfile.mkdtemp(prefix="ns_cdc_segs_")
@@ -378,7 +412,7 @@ def _q_cdc_replication_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     mid = (hi + 1) // 2
 
     path = tempfile.mkdtemp(prefix="ns_cdc_lag_")
@@ -418,7 +452,7 @@ def _q_cdc_repair_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    hi = _log_hi(spark, sf_dir)
     batch = max(1000, (int(hi) + 2) // 2)
     path = tempfile.mkdtemp(prefix="ns_repair_")
     table = SnapshotTable.create(
@@ -463,7 +497,7 @@ def _q_purge_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    hi = _log_hi(spark, sf_dir)
     batch = max(1000, (int(hi) + 2) // 2)
     path = tempfile.mkdtemp(prefix="ns_purge_")
     table = SnapshotTable.create(
@@ -511,7 +545,7 @@ def _q_agg_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.operators.agg_merge import merge_agg
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     mid = hi // 2
     inc = log.select(
         "conv_id",
@@ -566,7 +600,7 @@ def _q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.operators.agg_merge import merge_agg
 
     log = _derived_log(spark, sf_dir).persist()
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     mid = hi // 2
     inc = log.select(
         "conv_id",
@@ -632,7 +666,7 @@ def _q_replicate_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     mid = hi // 2
 
     src = SnapshotTable.create(
@@ -678,7 +712,7 @@ def _q_quarantine_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     poisoned = log.withColumn(
         "op", F.when(F.col("lsn") % 37 == 5, F.lit("bogus")).otherwise(F.col("op"))
     ).withColumn(
@@ -733,7 +767,7 @@ def _q_join_view_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir).persist()
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     mid = hi // 2
 
     def _mk(name, schema):
@@ -824,7 +858,7 @@ def _q_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir).persist()
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     mid = hi // 2
     table = SnapshotTable.create(
         spark, tempfile.mkdtemp(prefix="ns_cdc_sidx_t_"),
@@ -902,7 +936,7 @@ def _q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     log = _derived_log(spark, sf_dir).persist()
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     mid = hi // 2
     primary = SnapshotTable.create(
         spark, tempfile.mkdtemp(prefix="ns_cdc_dbzrt_p_"),
@@ -984,7 +1018,7 @@ def _q_debezium_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     log = _derived_log(spark, sf_dir).persist()
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     mid = hi // 2
     primary = SnapshotTable.create(
         spark, tempfile.mkdtemp(prefix="ns_cdc_dbzst_p_"),
@@ -1075,7 +1109,7 @@ def _q_debezium_evolve_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     log = _derived_log(spark, sf_dir).persist()
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     mid = hi // 2
     primary = SnapshotTable.create(
         spark, tempfile.mkdtemp(prefix="ns_cdc_dbzev_p_"),
@@ -1404,7 +1438,7 @@ def _q_archive_fanout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.sinks import archive_jsonl, fan_out, read_archive
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
 
     root = tempfile.mkdtemp(prefix="ns_cdc_arch_")
     archive_jsonl(log, root, "run-1", "events")
@@ -1457,7 +1491,7 @@ def _q_catalog_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir).persist()
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     b = (hi + 4) // 4
     parity = F.expr("substring(conv_id, 6)").cast("int") % 2
     halves = {
@@ -1549,7 +1583,7 @@ def _q_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0) + 1
+    hi = _log_hi(spark, sf_dir) + 1
     mid = hi // 2
     first = log.filter(F.col("lsn") < mid)
     second = log.filter(F.col("lsn") >= mid)
@@ -1598,7 +1632,7 @@ def _q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     mid = hi // 2
 
     path = tempfile.mkdtemp(prefix="ns_cdc_wap_")
@@ -1653,7 +1687,7 @@ def _q_scd2_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0) + 1
+    hi = _log_hi(spark, sf_dir) + 1
     keys, attrs = ["conv_id", "turn_idx"], ["role", "text", "tool"]
     dim = SnapshotTable.create(
         spark,
@@ -1704,7 +1738,7 @@ def _q_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     mid = hi // 2
 
     path = tempfile.mkdtemp(prefix="ns_cdc_ledgc_")
@@ -1752,7 +1786,7 @@ def _q_rollback_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     mid = hi // 2
 
     path = tempfile.mkdtemp(prefix="ns_cdc_ttrb_")
@@ -1837,7 +1871,7 @@ def _q_rescale_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     mid = hi // 2
 
     path = tempfile.mkdtemp(prefix="ns_cdc_rescale_")
@@ -1913,7 +1947,7 @@ def _q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema_registry import SchemaRegistry, SchemaVersion
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     batch = (hi + 4) // 4  # 4 batches at any sf
     mid = 2 * batch  # evolution point == batch boundary
 
@@ -1968,7 +2002,7 @@ def _q_schema_compat_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     batch = (hi + 4) // 4
     mid = 2 * batch
 
@@ -2160,7 +2194,7 @@ def _q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir).persist()
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     w0, w1, w2 = (hi * 2) // 5, (hi * 3) // 5, (hi * 4) // 5
 
     def state(lw: int) -> DataFrame:
@@ -2257,7 +2291,7 @@ def _q_txn_atomic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.operators.txn import txn_complete_split
 
     log = _with_txn_cols(_derived_log(spark, sf_dir), 16, interleave=True)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     cut = (hi // 16) * 16 - 5
     ok, _held = txn_complete_split(log.filter(F.col("lsn") < cut))
     state = lww_dedup(ok, ["conv_id", "turn_idx"], ["ts", "lsn"])
@@ -2277,7 +2311,7 @@ def _q_txn_boundary_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _with_txn_cols(_derived_log(spark, sf_dir), 8, interleave=False)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     cut = (hi // 8) * 8 - 5  # visible log ends 3 events into a txn
     vis = log.filter(F.col("lsn") < cut)
 
@@ -2319,7 +2353,7 @@ def _q_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     b = (hi + 4) // 4
 
     def slicer(lo: int, hi_: int) -> DataFrame:
@@ -2377,7 +2411,7 @@ def _q_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     s = (hi * 3) // 5
     resume = s - hi // 10
 
@@ -2526,7 +2560,7 @@ def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.operators.dedup import lww_dedup
 
     log = _derived_log(spark, sf_dir).persist()
-    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    hi = _log_hi(spark, sf_dir)
     mid = int(hi) // 2
     keys = ["conv_id", "turn_idx"]
     t = (
@@ -2554,7 +2588,7 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     mid = hi // 2
 
     path = tempfile.mkdtemp(prefix="ns_cdc_snapdiff_")
@@ -2599,7 +2633,7 @@ def _q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     mid = hi // 2
 
     src = SnapshotTable.create(
@@ -2658,7 +2692,7 @@ def _q_cdc_profile_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     mid = hi // 2
 
     src = SnapshotTable.create(
@@ -2704,7 +2738,7 @@ def _q_requeue_heal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     convs = log.select("conv_id").distinct()
     narrowed = convs.filter(
         F.regexp_extract("conv_id", "(\\d+)$", 1).cast("int") % 5 != 0
@@ -3826,7 +3860,7 @@ def _q_conv_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     is7 = F.split(F.col("conv_id"), "-").getItem(1).cast("int") % 7 == 0
     clones = log.filter(is7).select(
         (F.col("lsn") + hi + 1).alias("lsn"),
@@ -5035,7 +5069,7 @@ def _q_sft_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
 
     path = tempfile.mkdtemp(prefix="ns_sft_src_")
     table = SnapshotTable.create(
@@ -5087,7 +5121,7 @@ def _q_dpo_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     state = create_dpo_state(
         spark, tempfile.mkdtemp(prefix="ns_dpo_state_"), n_buckets=16
     )
@@ -5157,7 +5191,7 @@ def _q_transform_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    hi = _log_hi(spark, sf_dir)
     batch = max(1000, (int(hi) + 2) // 2)
     path = tempfile.mkdtemp(prefix="ns_backfill_")
     table = SnapshotTable.create(
@@ -5294,7 +5328,7 @@ def _q_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     batch = hi + 2  # one epoch: multi-batch replay has its own gates
 
     path = tempfile.mkdtemp(prefix="ns_cdc_zorder_")
@@ -5431,7 +5465,7 @@ def _q_patch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _views(spark, sf_dir, ["events"])
     log = spark.sql(_PATCH_DERIVATION)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
 
     path = tempfile.mkdtemp(prefix="ns_cdc_patch_")
     table = SnapshotTable.create(
@@ -5462,7 +5496,7 @@ def _q_dml_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="ns_cdc_dml_")
     table = SnapshotTable.create(
         spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
@@ -5501,7 +5535,7 @@ def _q_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="ns_cdc_replw_")
     table = SnapshotTable.create(
         spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
@@ -5563,7 +5597,7 @@ def _q_scoped_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="ns_cdc_scoped_")
     table = SnapshotTable.create(
         spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16
@@ -5600,7 +5634,7 @@ def _q_patch_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _views(spark, sf_dir, ["events"])
     log = spark.sql(_PATCH_DERIVATION)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     step = (hi + 4) // 4
 
     path = tempfile.mkdtemp(prefix="ns_cdc_patchmor_")
@@ -5636,7 +5670,7 @@ def _q_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     batch = max(1000, (hi + 4) // 4)
 
     path = tempfile.mkdtemp(prefix="ns_cdc_bloom_")
@@ -5680,7 +5714,7 @@ def _q_changefeed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     mid = hi // 2
 
     path = tempfile.mkdtemp(prefix="ns_cdc_cdf_")
@@ -5719,7 +5753,7 @@ def _q_column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.operators.monitor import column_drift
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     mid = (hi + 1) // 2
 
     def state(df):
@@ -5800,7 +5834,7 @@ def _q_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neosync_spark.schema import KEY_COLS, transcript_schema
 
     log = _derived_log(spark, sf_dir)
-    hi = int(log.agg(F.max("lsn")).collect()[0][0] or 0)
+    hi = _log_hi(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="ns_cdc_vac_")
     table = SnapshotTable.create(
         spark, path, transcript_schema(), key_cols=KEY_COLS, n_buckets=16

@@ -199,19 +199,22 @@ class ReplayEngine:
         the shuffle but re-runs the aggregation per branch — a full
         second pass over the merge state). Codegen short-circuits the
         ``when`` for deterministic JVM exprs, so target rows never pay
-        the regex chain. Returns ``None`` when any transform is a
-        Python UDF — ``ArrowEvalPython`` is evaluated eagerly on every
-        row regardless of ``when``, so for UDFs the filter-split is the
-        cheaper plan and the caller must fall back to it."""
+        the regex chain. Python-UDF transformers cannot short-circuit
+        (``ArrowEvalPython`` is extracted below the projection and
+        evaluated eagerly on every row regardless of ``when``) — they
+        instead get a NULL-MASKED input: the UDF sees
+        ``when(cond, col)`` (NULL where the transform must not run; the
+        engine's transformers are NULL-preserving by contract, the same
+        property the patch path relies on) and the projection restores
+        the original value where ``cond`` is false. The Arrow round
+        trip then carries null bitmap entries instead of payloads for
+        masked rows, and — decisively — the LWW aggregate runs ONCE,
+        where the previous filter-split-union fallback re-ran the whole
+        aggregation per branch (a full second pass over the merge state
+        every micro-batch)."""
         if not self.transforms:
             return batch
         out = batch
-        if only_where is not None and any(
-            getattr(fn, "column_expr", None) is None
-            for col, fn in self.transforms.items()
-            if col in out.columns
-        ):
-            return None
         if self.config.salt_partitions:
             out = salted_repartition(
                 out,
@@ -223,7 +226,16 @@ class ReplayEngine:
         for col, fn in self.transforms.items():
             if col in out.columns:
                 expr = getattr(fn, "column_expr", None)
-                mapped = expr(F.col(col)) if expr else as_udf(fn)(F.col(col), k)
+                if expr is not None:
+                    mapped = expr(F.col(col))
+                elif only_where is not None:
+                    # NULL-masked input (see docstring): the eager UDF
+                    # runs over every row, but masked rows cross the
+                    # Arrow boundary as nulls and come back null; the
+                    # only_where projection below restores their value
+                    mapped = as_udf(fn)(F.when(only_where, F.col(col)), k)
+                else:
+                    mapped = as_udf(fn)(F.col(col), k)
                 scope = self.transform_where.get(col)
                 if scope is not None:
                     pred = F.expr(scope) if isinstance(scope, str) else scope

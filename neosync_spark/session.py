@@ -74,6 +74,15 @@ def get_spark(
         # commit algorithm v2: task-side renames — the v1 sequential
         # driver-side rename of every bucket dir dominates small commits
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # PySpark 4's DataFrame-debugging call-site capture costs three
+        # py4j round-trips (conf.get + PySparkCurrentOrigin.set/clear)
+        # plus a Python stack walk on EVERY DataFrame API call — pure
+        # driver-side overhead whose only payoff is richer error
+        # call-sites. The engine builds thousands of Column/DataFrame
+        # expressions per commit, so this is a measurable fraction of
+        # plan-building time at any cluster size (the driver is always
+        # one process).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

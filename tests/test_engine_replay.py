@@ -190,3 +190,35 @@ def test_transform_applies_exactly_once_across_bootstrap_and_update(
         assert got2[f"c-{i}"] == f"b{i}|T"
     for i in range(5, 20):
         assert got2[f"c-{i}"] == f"a{i}|T", "target row re-transformed"
+
+
+def test_conditional_udf_transform_single_pass(spark, tmp_path, log_path):
+    """transform_batch(only_where=...) applies Python-UDF transformers
+    in ONE pass over the merge aggregate (NULL-masked UDF input +
+    conditional projection) instead of asking the caller to
+    filter-split — and the output is row-identical to the filter-split
+    construction it replaced."""
+    from pyspark.sql import functions as F
+
+    transforms = {
+        "text": X.transform_pii_text(seed=7),
+        "tool": X.transform_character_scramble(
+            seed=7, user_provided_regex=r'"q":"[^"]*"'
+        ),
+    }
+    eng = _engine(spark, tmp_path, transforms=transforms)
+    won = (
+        ChangeLogSource(spark, log_path)
+        .slice(0, CFG.n_events)
+        .withColumn("_src", (F.col("lsn") % 2 == 0).cast("int"))
+    )
+    cond = eng.transform_batch(won, only_where=F.col("_src") == 1)
+    # the single-pass conditional plan must exist for UDF transformers
+    # (the old contract returned None and forced a second aggregation
+    # pass per micro-batch)
+    assert cond is not None
+    split = eng.transform_batch(won.filter(F.col("_src") == 1)).unionByName(
+        won.filter(F.col("_src") != 1)
+    )
+    key = ["conv_id", "turn_idx", "lsn"]
+    assert_pdf_equal(cond.toPandas(), split.toPandas(), key)
