@@ -3097,12 +3097,34 @@ class SnapshotTable:
             )
             out = bucket_routed(out, affected, 256, bucket_col=_BUCKET_COL)
             out.write.partitionBy(_BUCKET_COL).parquet(commit_dir)
-            purged_rows = int(obs_all.get["n_before"]) - int(obs.get["n_keep"])
             new_files = {b: list(v) for b, v in m["files"].items()}
             for b in affected:
                 new_files[str(b)] = []  # deltas fold into the rewrite
             written = self._list_commit_files(commit_dir)
             footers_p = self._read_footers(written, self.spark)
+            # hardened metric reads: the blocking Observation.get can
+            # surface a schema-less metrics row on Spark 4.1 (the same
+            # failure class observation_metrics guards against) — fall
+            # back to exact recomputes: kept rows from the freshly
+            # written footers (no job), the before-count from one job
+            # over the affected buckets
+            got_all = observation_metrics(obs_all)
+            got_keep = observation_metrics(obs)
+            n_keep = (
+                int(got_keep["n_keep"])
+                if got_keep is not None
+                else sum(
+                    footers_p[p].num_rows
+                    for ps in written.values()
+                    for p in ps
+                )
+            )
+            n_before = (
+                int(got_all["n_before"])
+                if got_all is not None
+                else self.read(buckets=affected, internal=True).count()
+            )
+            purged_rows = n_before - n_keep
             fstats = self._collect_file_stats(
                 written, self._stats_cols(m), footers_p
             )
