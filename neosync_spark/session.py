@@ -82,7 +82,10 @@ def get_spark(
         # expressions per commit, so this is a measurable fraction of
         # plan-building time at any cluster size (the driver is always
         # one process).
-        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("NEOSYNC_SPARK_DF_DEBUG", "false"),
+        )
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
