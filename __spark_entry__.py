@@ -169,9 +169,14 @@ def _q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = ReplayEngine(
         spark,
         table,
-        # uniform derived keys → every batch touches every bucket; skip
-        # the prune pre-pass (see merge_cdc docstring)
-        config=EngineConfig(batch_lsn_size=batch, lineage=False, prune_buckets=False),
+        # uniform derived keys → every batch touches every bucket: skip
+        # the prune pre-pass, and align the merge shuffle with the
+        # table's bucket layout (bucket_local_merge — ONE exchange
+        # feeds both the LWW aggregate and the per-bucket write; the
+        # hot-key caveat in the merge_cdc docstring does not apply to
+        # a uniform log)
+        config=EngineConfig(batch_lsn_size=batch, lineage=False, prune_buckets=False,
+                            bucket_local_merge=True),
     )
 
     def slicer(lo: int, hi_: int) -> DataFrame:
@@ -384,7 +389,8 @@ def _q_cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         table,
         config=EngineConfig(
-            batch_lsn_size=int(hi) + 1, lineage=False, prune_buckets=False
+            batch_lsn_size=int(hi) + 1, lineage=False, prune_buckets=False,
+            bucket_local_merge=True,  # uniform keys (see flagship)
         ),
     )
     eng.replay(
@@ -870,6 +876,7 @@ def _q_secondary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cfg = EngineConfig(
             batch_lsn_size=hi_ - lo + 1, lineage=False,
             prune_buckets=False,
+            bucket_local_merge=True,  # uniform keys (see flagship)
         )
         ReplayEngine(spark, table, config=cfg).replay(
             lambda a, b: log.filter(
@@ -950,6 +957,7 @@ def _q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         cfg = EngineConfig(
             batch_lsn_size=hi_ - lo + 1, lineage=False,
             prune_buckets=False,
+            bucket_local_merge=True,  # uniform keys (see flagship)
         )
         ReplayEngine(spark, primary, config=cfg).replay(
             lambda a, b: log.filter(
@@ -1643,7 +1651,8 @@ def _q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     def slicer(lo: int, hi_: int) -> DataFrame:
         return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
 
-    cfg = dict(lineage=False, prune_buckets=False)
+    cfg = dict(lineage=False, prune_buckets=False,
+               bucket_local_merge=True)  # uniform keys (see flagship)
     ReplayEngine(
         spark, table, config=EngineConfig(batch_lsn_size=mid, **cfg)
     ).replay(slicer, lsn_lo=0, lsn_hi=mid - 1)
@@ -1749,7 +1758,8 @@ def _q_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     def slicer(lo: int, hi_: int) -> DataFrame:
         return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
 
-    cfg = dict(lineage=False, prune_buckets=False)
+    cfg = dict(lineage=False, prune_buckets=False,
+               bucket_local_merge=True)  # uniform keys (see flagship)
     step = max(mid // 4, 1)
     ReplayEngine(
         spark, table, config=EngineConfig(batch_lsn_size=step, **cfg)
@@ -1797,7 +1807,8 @@ def _q_rollback_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     def slicer(lo: int, hi_: int) -> DataFrame:
         return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
 
-    cfg = dict(lineage=False, prune_buckets=False)
+    cfg = dict(lineage=False, prune_buckets=False,
+               bucket_local_merge=True)  # uniform keys (see flagship)
     ReplayEngine(
         spark, table, config=EngineConfig(batch_lsn_size=mid, **cfg)
     ).replay(slicer, lsn_lo=0, lsn_hi=mid - 1)
@@ -1882,7 +1893,8 @@ def _q_rescale_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     def slicer(lo: int, hi_: int) -> DataFrame:
         return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_))
 
-    cfg = dict(lineage=False, prune_buckets=False)
+    cfg = dict(lineage=False, prune_buckets=False,
+               bucket_local_merge=True)  # uniform keys (see flagship)
     ReplayEngine(
         spark, table, config=EngineConfig(batch_lsn_size=mid, **cfg)
     ).replay(slicer, lsn_lo=0, lsn_hi=mid - 1)
@@ -2326,6 +2338,7 @@ def _q_txn_boundary_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_lsn_size=max(1000, (cut + 4) // 4),  # windows cut mid-txn
             lineage=False,
             prune_buckets=False,
+            bucket_local_merge=True,  # uniform keys (see flagship)
             txn_cols=("txn_id", "txn_total"),
         ),
     )
@@ -2368,18 +2381,21 @@ def _q_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _mk("raw")
     ReplayEngine(
         spark, raw,
-        config=EngineConfig(batch_lsn_size=b, lineage=False, prune_buckets=False),
+        config=EngineConfig(batch_lsn_size=b, lineage=False, prune_buckets=False,
+                           bucket_local_merge=True),  # uniform keys
     ).replay(slicer, lsn_lo=0, lsn_hi=hi)
     # replica commits on a coarser grid, cadence changing mid-stream
     # (2b then b), and its tail is NOT yet applied — boundaries {2b, 3b}
     replica = _mk("replica")
     ReplayEngine(
         spark, replica,
-        config=EngineConfig(batch_lsn_size=2 * b, lineage=False, prune_buckets=False),
+        config=EngineConfig(batch_lsn_size=2 * b, lineage=False, prune_buckets=False,
+                           bucket_local_merge=True),  # uniform keys
     ).replay(slicer, lsn_lo=0, lsn_hi=2 * b - 1)
     ReplayEngine(
         spark, replica,
-        config=EngineConfig(batch_lsn_size=b, lineage=False, prune_buckets=False),
+        config=EngineConfig(batch_lsn_size=b, lineage=False, prune_buckets=False,
+                           bucket_local_merge=True),  # uniform keys
     ).replay(slicer, lsn_lo=2 * b, lsn_hi=3 * b - 1)
     tables = {"raw": raw, "replica": replica}
 
@@ -2434,6 +2450,7 @@ def _q_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         config=EngineConfig(
             batch_lsn_size=max(1000, (hi - resume + 4) // 4),
             lineage=False, prune_buckets=False,
+            bucket_local_merge=True,  # uniform keys (see flagship)
         ),
     )
     return table.read().select(
@@ -2599,7 +2616,8 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         table,
         config=EngineConfig(
-            batch_lsn_size=max(1, mid), lineage=False, prune_buckets=False
+            batch_lsn_size=max(1, mid), lineage=False, prune_buckets=False,
+            bucket_local_merge=True,  # uniform keys (see flagship)
         ),
     )
 
@@ -2654,7 +2672,8 @@ def _q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         src,
         config=EngineConfig(
-            batch_lsn_size=max(1, mid), lineage=False, prune_buckets=False
+            batch_lsn_size=max(1, mid), lineage=False, prune_buckets=False,
+            bucket_local_merge=True,  # uniform keys (see flagship)
         ),
     )
 
@@ -2709,7 +2728,8 @@ def _q_cdc_profile_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         src,
         config=EngineConfig(
-            batch_lsn_size=max(1, mid), lineage=False, prune_buckets=False
+            batch_lsn_size=max(1, mid), lineage=False, prune_buckets=False,
+            bucket_local_merge=True,  # uniform keys (see flagship)
         ),
     )
 
@@ -5082,7 +5102,8 @@ def _q_sft_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         table,
         config=EngineConfig(
-            batch_lsn_size=hi + 2, lineage=False, prune_buckets=False
+            batch_lsn_size=hi + 2, lineage=False, prune_buckets=False,
+            bucket_local_merge=True,  # uniform keys (see flagship)
         ),
     )
 
@@ -5342,7 +5363,8 @@ def _q_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         table,
         config=EngineConfig(
-            batch_lsn_size=batch, lineage=False, prune_buckets=False
+            batch_lsn_size=batch, lineage=False, prune_buckets=False,
+            bucket_local_merge=True,  # uniform keys (see flagship)
         ),
     )
 
@@ -5505,7 +5527,8 @@ def _q_dml_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         table,
         config=EngineConfig(
-            batch_lsn_size=hi + 2, lineage=False, prune_buckets=False
+            batch_lsn_size=hi + 2, lineage=False, prune_buckets=False,
+            bucket_local_merge=True,  # uniform keys (see flagship)
         ),
     )
 
@@ -5544,7 +5567,8 @@ def _q_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         table,
         config=EngineConfig(
-            batch_lsn_size=hi + 2, lineage=False, prune_buckets=False
+            batch_lsn_size=hi + 2, lineage=False, prune_buckets=False,
+            bucket_local_merge=True,  # uniform keys (see flagship)
         ),
     )
 
@@ -5608,7 +5632,8 @@ def _q_scoped_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         transforms={"text": X.transform_pii_text(seed=7)},
         transform_where={"text": "role = 'user'"},
         config=EngineConfig(
-            batch_lsn_size=hi + 2, lineage=False, prune_buckets=False
+            batch_lsn_size=hi + 2, lineage=False, prune_buckets=False,
+            bucket_local_merge=True,  # uniform keys (see flagship)
         ),
     )
 
@@ -5725,7 +5750,8 @@ def _q_changefeed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         table,
         config=EngineConfig(
-            batch_lsn_size=max(1, mid), lineage=False, prune_buckets=False
+            batch_lsn_size=max(1, mid), lineage=False, prune_buckets=False,
+            bucket_local_merge=True,  # uniform keys (see flagship)
         ),
     )
 
@@ -5843,7 +5869,8 @@ def _q_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         table,
         config=EngineConfig(
-            batch_lsn_size=hi + 2, lineage=False, prune_buckets=False
+            batch_lsn_size=hi + 2, lineage=False, prune_buckets=False,
+            bucket_local_merge=True,  # uniform keys (see flagship)
         ),
     )
 

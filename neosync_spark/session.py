@@ -57,6 +57,17 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # every query's WholeStageCodegen classes live in the JVM code
+        # cache; a long-lived session (the bench sweeps 65+ queries, a
+        # tailing engine plans thousands of micro-batch commits) can
+        # exhaust the 240 MB default, at which point the JIT silently
+        # stops compiling and hot stages run interpreted. Reserve more
+        # and let the VM flush cold compiled code — standard hygiene
+        # for long-lived codegen-heavy Spark JVMs.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
