@@ -1932,7 +1932,10 @@ def _q_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         table,
         config=EngineConfig(
-            batch_lsn_size=batch, lineage=False, merge_mode="mor"
+            batch_lsn_size=batch, lineage=False, merge_mode="mor",
+            # uniform keys: skip the prune pre-pass and keep the delta
+            # write on one bucket-aligned exchange (see flagship)
+            prune_buckets=False, bucket_local_merge=True,
         ),
     )
 
@@ -5711,7 +5714,10 @@ def _q_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         table,
         config=EngineConfig(
-            batch_lsn_size=batch, lineage=False, merge_mode="mor"
+            batch_lsn_size=batch, lineage=False, merge_mode="mor",
+            # uniform keys: skip the prune pre-pass and keep the delta
+            # write on one bucket-aligned exchange (see flagship)
+            prune_buckets=False, bucket_local_merge=True,
         ),
     )
 
@@ -5935,7 +5941,8 @@ def _q_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         table,
         config=EngineConfig(
-            batch_lsn_size=hi + 2, lineage=False, merge_mode="mor"
+            batch_lsn_size=hi + 2, lineage=False, merge_mode="mor",
+            prune_buckets=False, bucket_local_merge=True,  # uniform keys
         ),
     )
 
