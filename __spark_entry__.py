@@ -1713,6 +1713,10 @@ def _q_scd2_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             applied_range=(lo, up),
             key_cols=keys,
             attr_cols=attrs,
+            # uniform derived keys touch most dim buckets every epoch:
+            # skip the prune pre-pass, single-exchange merge
+            prune_buckets=False,
+            bucket_local_merge=True,
         )
     # exactly-once: replaying the second epoch must not commit
     sid = dim.manifest(refresh=True)["snapshot_id"]
