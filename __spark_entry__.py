@@ -630,12 +630,16 @@ def _q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, tempfile.mkdtemp(prefix="ns_cdc_agghll_"),
         schema, key_cols=["conv_id"], n_buckets=16,
     )
+    # uniform derived keys hash across every accumulator bucket:
+    # skip the bucket-listing job + merge pre-pass, single-exchange
+    # merge (see the flagship note)
+    tune = dict(prune_buckets=False, bucket_local_merge=True)
     merge_agg(t, inc.filter(F.col("lsn") < mid), resolvers,
-              applied_range=(0, mid))
+              applied_range=(0, mid), **tune)
     merge_agg(t, inc.filter(F.col("lsn") >= mid), resolvers,
-              applied_range=(mid, hi + 1))
+              applied_range=(mid, hi + 1), **tune)
     replay = merge_agg(t, inc.filter(F.col("lsn") >= mid), resolvers,
-                       applied_range=(mid, hi + 1))
+                       applied_range=(mid, hi + 1), **tune)
     if replay.rows_written != 0:
         raise AssertionError("increment batch replay must be a no-op")
     # high-cardinality accuracy bound: one global text sketch vs exact

@@ -73,6 +73,8 @@ def merge_agg(
     resolvers: dict[str, str],
     applied_range: tuple[int, int] | None = None,
     on_conflict: str = "fail",
+    prune_buckets: bool = True,
+    bucket_local_merge: bool = False,
 ) -> CommitInfo:
     """Fold a batch of increment events into ``table``'s accumulators.
 
@@ -110,12 +112,22 @@ def merge_agg(
     )
 
     touched = batch.select(*keys).distinct()
-    bkts = sorted(
-        r[0]
-        for r in touched.select(
-            bucket_expr(keys[0], nb).alias("b")
-        ).distinct().collect()
-    )
+    # prune_buckets=True (default): one tiny job lists the batch's
+    # buckets so the current-accumulator read opens only those — the
+    # scale-right choice for key-local increment streams. A caller
+    # whose batch hashes across every bucket anyway (uniform keys)
+    # passes False: the listing job and the merge's own pre-pass are
+    # then skipped and the accumulator read covers the table (which it
+    # would have anyway), same final state.
+    if prune_buckets:
+        bkts = sorted(
+            r[0]
+            for r in touched.select(
+                bucket_expr(keys[0], nb).alias("b")
+            ).distinct().collect()
+        )
+    else:
+        bkts = None
     current = (
         table.read(buckets=bkts or None)
         .join(touched, keys, "left_semi")
@@ -161,4 +173,6 @@ def merge_agg(
     return table.merge_cdc(
         events, applied_range=applied_range, lineage=False,
         on_conflict=on_conflict,
+        prune_buckets=prune_buckets,
+        bucket_local_merge=bucket_local_merge,
     )
